@@ -1,0 +1,102 @@
+"""Reference-faithful text functions: tokenizer, mock embedder, snippets.
+
+Tokenizer parity (src/sparse.rs:272-315):
+  lowercase -> split on whitespace -> keep only alphanumeric chars inside
+  each token -> drop empty, length<=1, and stopwords (EN+ZH list at
+  src/sparse.rs:275-279). Term frequency is **relative**: count / total kept
+  tokens — an idiosyncrasy of the reference that changes BM25 scores vs
+  textbook; we preserve it.
+
+Everything is built from JVM-side expressions (split / transform / filter /
+explode) so tokenization of a 100 TB corpus is a single narrow-then-explode
+pipeline with no Python involvement; the only shuffle is the downstream
+groupBy(doc_id, term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact stopword list from the reference, src/sparse.rs:275-279.
+STOPWORDS: list[str] = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
+    "will", "with",
+    "的", "了", "在", "是", "有", "和", "与", "或", "但", "而", "这", "那",
+    "一", "不", "也", "就",
+]
+
+# Keep Unicode letters+digits, mirroring Rust char::is_alphanumeric
+# (src/sparse.rs:296-299). Java regex \p{L}\p{N} ≙ RE2 \pL\pN in the oracle.
+_NON_ALNUM = r"[^\p{L}\p{N}]"
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of kept tokens, in document order (duplicates kept)."""
+    col = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(col), r"\s+")
+    toks = F.transform(toks, lambda w: F.regexp_replace(w, _NON_ALNUM, ""))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.filter(
+        toks,
+        lambda w: (F.length(w) > F.lit(1)) & ~F.array_contains(stop, w),
+    )
+
+
+def doc_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) with **relative** term frequency.
+
+    Mirrors SimpleTokenizer::tokenize (src/sparse.rs:285-315): tf is the
+    token count divided by the total kept tokens of that document. Documents
+    whose kept-token list is empty produce no rows (reference yields an
+    empty map for them).
+
+    Scale: explode is narrow; the groupBy shuffles on (doc_id, term) with
+    map-side partial aggregation. total-token counts are carried through the
+    aggregation (no second pass over the text, no window over raw tokens).
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    exploded = toked.select(
+        "doc_id", F.size("toks").alias("n_tok"), F.explode("toks").alias("term")
+    )
+    return (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"), F.first("n_tok").alias("n_tok"))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("cnt").cast("double") / F.col("n_tok").cast("double")).alias("tf"),
+        )
+    )
+
+
+def mock_embedding_py(text: str, dimension: int) -> list[float]:
+    """Pure-Python replica of the reference's deterministic mock embedder
+    (src/embeddings.rs:229-250): v[i] = (bytes[i%len]/255 + i*0.01) % 1 - 0.5,
+    then L2-normalized (float32 arithmetic approximated in f64 — used only in
+    unit tests as a fixture, not in any data path)."""
+    bs = text.encode("utf-8")
+    if not bs:
+        return [0.0] * dimension
+    v = [((bs[i % len(bs)] / 255.0 + i * 0.01) % 1.0) - 0.5 for i in range(dimension)]
+    norm = sum(x * x for x in v) ** 0.5
+    if norm > 0:
+        v = [x / norm for x in v]
+    return v
+
+
+def snippet(text_col: Column, query: str, before: int = 50, after: int = 150) -> Column:
+    """Extract a ±(before,after)-char window around the first occurrence of
+    ``query`` (src/query.rs:207-254). Returns NULL when absent. The
+    reference prefixes/suffixes an ellipsis when the window is clipped."""
+    pos = F.locate(query.lower(), F.lower(text_col))  # 1-based, 0 if absent
+    start = F.greatest(F.lit(1), pos - F.lit(before))
+    end = F.least(F.length(text_col), pos + F.lit(len(query) + after - 1))
+    body = F.substring(text_col, start, end - start + F.lit(1))
+    clipped = F.concat(
+        F.when(start > F.lit(1), F.lit("...")).otherwise(F.lit("")),
+        body,
+        F.when(end < F.length(text_col), F.lit("...")).otherwise(F.lit("")),
+    )
+    return F.when(pos > F.lit(0), clipped)

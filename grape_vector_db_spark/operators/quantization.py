@@ -1,0 +1,133 @@
+"""Binary quantization + Hamming two-stage search (reference F5-F7, J5).
+
+Reference semantics (src/quantization.rs):
+- quantize: bit i = (v[i] > threshold), default threshold 0.0, packed
+  MSB-first (:86-122, bit order Msb0 :33-63).
+- hamming_distance: popcount over the packed bits (:130-141).
+- binary similarity = 1 - hamming/dimension (:144-148).
+- multi_stage_search (:151-193): stage 1 ranks ALL candidates by Hamming
+  similarity and keeps ceil(n * rescore_ratio) (default 0.1); stage 2
+  rescores those with exact cosine and returns top-k.
+
+Packing choice: 32 bits per word stored in BIGINT (word = sum of
+bit<<(31-pos), MSB-first inside each word — same bit ORDER as the
+reference's Msb0 bytes, just a wider lane). 32 not 64 keeps every word
+positive and portable to engines whose BIGINT shift-overflow semantics
+differ (the DuckDB oracle reproduces words exactly). Hamming over words:
+sum(bit_count(a XOR b)) — whole-stage-codegen'd, no Python.
+
+Scale: the packed index table is 32x smaller than the f32 vectors
+(matching the reference's 28.5x report, BASELINE.md), so stage 1 scans a
+tiny table with zero shuffle; stage 2 joins the (k/ratio)-row candidate set
+back to full vectors — a broadcast join by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, to_double_array, vector_lit
+
+WORD_BITS = 32
+
+
+def pack_bits(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+              threshold: float = 0.0) -> DataFrame:
+    """(id, packed array<bigint>, dimension) — MSB-first 32-bit words.
+
+    A trailing partial word is left-aligned (padded with 0 bits on the
+    right), mirroring the reference's byte padding.
+    """
+    v = to_double_array(vec_col)
+    base = df.select(
+        F.col(id_col), v.alias("_vd"), F.size(vec_col).alias("dimension")
+    )
+    packed = F.expr(
+        f"""
+        transform(sequence(0, int(ceil(size(_vd) / {WORD_BITS}.0)) - 1), w ->
+          aggregate(
+            slice(_vd, w * {WORD_BITS} + 1, {WORD_BITS}),
+            named_struct('acc', 0L, 'n', 0),
+            (s, x) -> named_struct(
+                'acc', s.acc * 2L + if(x > {threshold}D, 1L, 0L), 'n', s.n + 1),
+            s -> cast(s.acc * pow(2, {WORD_BITS} - s.n) as bigint)
+          )
+        )
+        """
+    )
+    return base.select(F.col(id_col), packed.alias("packed"), "dimension")
+
+
+def hamming_distance(a, b):
+    """Column expr: popcount of XOR over packed word arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_similarity(a, b, dimension):
+    """1 - hamming/dim (src/quantization.rs:144-148)."""
+    return F.lit(1.0) - hamming_distance(a, b).cast("double") / dimension
+
+
+def two_stage_search(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    rescore_ratio: float = 0.1,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    packed_df: DataFrame | None = None,
+) -> DataFrame:
+    """Hamming coarse ranking -> exact cosine rescore (src/quantization.rs:151-193).
+
+    ``packed_df`` lets callers reuse a pre-built packed index table (the
+    realistic 100 TB deployment: pack once per ingest, search many).
+    Stage-1 keeps ceil(total * rescore_ratio) candidates; both stages use
+    deterministic id tiebreaks.
+    """
+    spark = df.sparkSession
+    if packed_df is None:
+        packed_df = pack_bits(df, id_col, vec_col, threshold)
+
+    dim = len(query_vector)
+    qbits: list[int] = []
+    for w in range(0, dim, WORD_BITS):
+        word = 0
+        chunk = query_vector[w : w + WORD_BITS]
+        for x in chunk:
+            word = word * 2 + (1 if x > threshold else 0)
+        word <<= WORD_BITS - len(chunk)
+        qbits.append(word)
+    qpacked = F.array(*[F.lit(w).cast("bigint") for w in qbits])
+
+    total = packed_df.count()
+    n_keep = max(k, int(total * rescore_ratio + 0.999999))
+
+    stage1 = (
+        packed_df.select(
+            F.col(id_col),
+            binary_similarity(F.col("packed"), qpacked, F.lit(float(dim))).alias(
+                "hamming_sim"
+            ),
+        )
+        .orderBy(F.col("hamming_sim").desc(), F.col(id_col).asc())
+        .limit(n_keep)
+    )
+
+    q = vector_lit(query_vector)
+    rescored = (
+        stage1.join(df.select(F.col(id_col), to_double_array(vec_col).alias("_v")), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col("_v"), q), 6).alias("score"),
+            F.round(F.col("hamming_sim"), 6).alias("hamming_sim"),
+        )
+    )
+    return rescored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,140 @@
+"""Sparse (BM25) retrieval as relational pipelines (reference A1-A5, J4).
+
+The reference keeps an in-memory inverted index + incrementally-maintained
+corpus stats (src/sparse.rs:55-150). Relationally that's three derived
+tables, recomputed per batch (strictly better for a batch engine — no
+mutable state, and each is one shuffle):
+
+  doc_terms(doc_id, term, tf)   tf = **relative** frequency (src/sparse.rs:309-314)
+  doc_stats(doc_id, doc_length) doc_length = sum(tf) ≈ 1.0 (src/sparse.rs:341)
+  term_stats(term, df)          document frequency  (src/sparse.rs:87-90)
+  corpus_stats(total_docs, avg_doc_length, vocab_size)
+
+Reference idiosyncrasy preserved: average_document_length sums
+entry.document_length over ALL (term, doc) posting entries and divides by
+total_documents (src/sparse.rs:96-104) — i.e. ≈ mean distinct-terms-per-doc,
+NOT mean token count. BM25 scores depend on it, so we reproduce it.
+
+BM25 scoring (src/sparse.rs:202-222, k1=1.2 b=0.75):
+  idf       = ln((N - df + 0.5) / (df + 0.5))
+  tf_comp   = tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avg_len))
+  score    += query_tf * tf_comp * idf        per matching term, sum per doc
+
+Scale shape: query terms are a tiny broadcast side; the join hits only
+posting rows for query terms (predicate pushdown on term), then one
+groupBy(doc_id) with map-side partial sums, then TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, doc_terms
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_stats(terms: DataFrame) -> DataFrame:
+    """(doc_id, doc_length) — sum of relative tfs (≈1.0 per non-empty doc)."""
+    return terms.groupBy("doc_id").agg(F.sum("tf").alias("doc_length"))
+
+
+def term_stats(terms: DataFrame) -> DataFrame:
+    """(term, df) document frequency per term."""
+    return terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+def corpus_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-row (total_docs, avg_doc_length, vocab_size).
+
+    total_docs counts docs with >=1 kept token (only those enter the
+    reference index); avg_doc_length follows the reference's
+    posting-entry-weighted definition (see module docstring).
+    """
+    terms = doc_terms(df, id_col, text_col)
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("doc_length"), F.count("*").alias("n_terms")
+    )
+    return per_doc.crossJoin(
+        terms.select("term").distinct().agg(F.count("*").alias("vocab_size"))
+    ).agg(
+        F.count("*").alias("total_docs"),
+        F.round(
+            F.sum(F.col("doc_length") * F.col("n_terms")) / F.count("*"), 6
+        ).alias("avg_doc_length"),
+        F.first("vocab_size").alias("vocab_size"),
+    )
+
+
+def tokenize_query_py(query: str) -> dict[str, float]:
+    """Driver-side replica of the tokenizer for the (tiny) query string —
+    same semantics as functions.text.tokens; returns term -> relative tf."""
+    stop = set(STOPWORDS)
+    toks = []
+    for w in query.lower().split():
+        w = "".join(c for c in w if c.isalnum())
+        if len(w) > 1 and w not in stop:
+            toks.append(w)
+    if not toks:
+        return {}
+    n = float(len(toks))
+    return {t: c / n for t, c in Counter(toks).items()}
+
+
+def bm25_search(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k (doc_id, score) by BM25 for a query string.
+
+    One end-to-end declarative plan: tokenize corpus -> stats -> join the
+    broadcast query-term table -> per-doc sum -> top-k. The corpus-wide
+    aggregates (N, avg_len) are single-row crossJoin broadcasts.
+    """
+    spark = documents.sparkSession
+    qtf = tokenize_query_py(query)
+    if not qtf:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    terms = doc_terms(documents, id_col, text_col)
+    dstats = doc_stats(terms)
+    tstats = term_stats(terms)
+    # avg_doc_length per reference: sum over (term,doc) entries of doc_length / N
+    entries = terms.join(dstats, "doc_id")
+    g = entries.agg(
+        F.countDistinct("doc_id").alias("total_docs"),
+        (F.sum("doc_length") / F.countDistinct("doc_id")).alias("avg_doc_length"),
+    )
+
+    qdf = F.broadcast(
+        spark.createDataFrame(list(qtf.items()), "term string, qtf double")
+    )
+    joined = (
+        terms.join(qdf, "term")
+        .join(dstats, "doc_id")
+        .join(F.broadcast(tstats.join(F.broadcast(qdf.select("term")), "term")), "term")
+        .crossJoin(F.broadcast(g))
+    )
+    idf = F.log(
+        (F.col("total_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_comp = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf")
+        + K1 * (1.0 - B + B * F.col("doc_length") / F.col("avg_doc_length"))
+    )
+    scored = joined.select(
+        "doc_id", (F.col("qtf") * tf_comp * idf).alias("contrib")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

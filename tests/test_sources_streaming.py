@@ -1,0 +1,103 @@
+"""CRUD surface + streaming ingestion tests."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.sources import tables
+from grape_vector_db_spark.streaming.ingest import (
+    stream_upsert_to_parquet,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="gvdb_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_upsert_preserves_unset_fields(spark):
+    existing = spark.createDataFrame(
+        [(1, "old-title", "en"), (2, "keep", "de")], "id int, title string, lang string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new-title", None), (3, "fresh", "fr")], "id int, title string, lang string"
+    )
+    out = {r["id"]: r for r in tables.merge_upsert(existing, updates).collect()}
+    assert out[1]["title"] == "new-title"
+    assert out[1]["lang"] == "en"  # unset field preserved (reference S7)
+    assert out[2]["title"] == "keep"
+    assert out[3]["lang"] == "fr"
+
+
+def test_delete_where(spark, docs):
+    remaining = tables.delete_where(docs, "lang = 'en'")
+    assert remaining.where("lang = 'en'").count() == 0
+    assert remaining.count() == docs.count() - docs.where("lang = 'en'").count()
+
+
+def test_uuid_fill(spark):
+    df = spark.createDataFrame([("",), (None,), ("keep-id",)], "id string")
+    out = tables.with_uuid_ids(df).collect()
+    ids = [r["id"] for r in out]
+    assert "keep-id" in ids
+    filled = [i for i in ids if i != "keep-id"]
+    assert all(i and len(i) == 36 for i in filled)  # uuid-v4 format
+
+
+def test_backup_restore_roundtrip(spark, docs, tmpdir):
+    tables.backup(docs, f"{tmpdir}/snap", id_col="doc_id")
+    back = tables.restore(spark, f"{tmpdir}/snap")
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+
+
+def test_stream_upsert(spark, tmpdir):
+    src = f"{tmpdir}/incoming"
+    table = f"{tmpdir}/documents_table"
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v1")], "doc_id int, text string"
+    ).write.parquet(src)
+    q = stream_upsert_to_parquet(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        table,
+        id_col="doc_id",
+        checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(table).count() == 2
+
+    spark.createDataFrame([(2, "v2"), (3, "v1")], "doc_id int, text string").write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_upsert_to_parquet(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        table,
+        id_col="doc_id",
+        checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(60)
+    out = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    assert out == {1: "v1", 2: "v2", 3: "v1"}
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    """The streaming aggregation expressions, run in batch mode, match a
+    plain groupBy — shared semantics between the two paths."""
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "click", 1.0), ("2024-01-01 10:55:00", "click", 2.0),
+         ("2024-01-01 11:05:00", "view", 3.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(ev).collect()
+    }
+    assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 11:00:00", "view")] == (1, 3.0)

