@@ -368,6 +368,97 @@ def q_rp_buckets(spark, sf_dir):
     return ann.random_projection_buckets(_emb(spark, sf_dir), n_planes=8, seed=42)
 
 
+def q_vocabulary(spark, sf_dir):
+    """A2: distinct term -> dense integer id (deterministic: term order)."""
+    from pyspark.sql import Window
+
+    terms = sparse.doc_terms(_docs(spark, sf_dir)).select("term").distinct()
+    w = Window.orderBy("term")
+    return terms.select("term", (F.row_number().over(w) - 1).alias("term_id"))
+
+
+def q_rank_decay(spark, sf_dir):
+    """W2: positional decay score*(1 - (rank-1)/n) (src/query.rs:92-94)."""
+    from pyspark.sql import Window
+
+    lst = _text_list(spark, sf_dir, k=K_DEFAULT)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = lst.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(F.lit(1)))
+    )
+    decayed = topk.rank_decay(
+        F.col("score"), F.col("rank"), F.col("n").cast("double")
+    )
+    return ranked.select("doc_id", F.round(decayed, 6).alias("decayed_score"))
+
+
+def q_score_stats(spark, sf_dir):
+    """A9: per-source result-count / mean / stddev over candidate lists
+    (src/hybrid.rs:828-855)."""
+    lists = {
+        "dense": _dense_list(spark, sf_dir),
+        "sparse": _sparse_list(spark, sf_dir),
+        "text": _text_list(spark, sf_dir),
+    }
+    u = None
+    for name, df in lists.items():
+        t = df.select(F.lit(name).alias("source"), "score")
+        u = t if u is None else u.unionByName(t)
+    return u.groupBy("source").agg(
+        F.count("*").alias("n_results"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.stddev_samp("score"), 6).alias("stddev_score"),
+    )
+
+
+def q_upsert_merge(spark, sf_dir):
+    """S7: MERGE semantics — update wins, null update fields preserve the
+    existing value (src/storage.rs:258-294)."""
+    from grape_vector_db_spark.sources.tables import merge_upsert
+
+    docs = _docs(spark, sf_dir)
+    updates = docs.where("lang = 'en'").select(
+        "doc_id",
+        F.upper(F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    merged = merge_upsert(docs, updates, id_col="doc_id")
+    return merged.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_mock_embed(spark, sf_dir):
+    """S14/F12: deterministic mock embedding provider as a batch column."""
+    from grape_vector_db_spark.functions.text import mock_embedding
+
+    docs = _docs(spark, sf_dir)
+    emb = mock_embedding("text", 8)
+    return docs.select(
+        "doc_id", F.transform(emb, lambda x: F.round(x, 6)).alias("v")
+    ).selectExpr("doc_id", "posexplode(v) as (i, val)")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata pass (blob byte length + content hash)."""
+    from grape_vector_db_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return multimodal.blob_metadata(docs)
+
+
+def q_existence(spark, sf_dir):
+    """S4: existence check as a semi-join against a probe id list."""
+    ids = spark.createDataFrame([(1,), (5,), (999999,)], "doc_id long")
+    return (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id")
+    )
+
+
 # --- rows-only checks (not SQL-expressible: iterative k-means) -------------
 
 
@@ -416,6 +507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_priority": q_top_orders_per_priority,
         "pricing_summary": q_pricing_summary,
         "rp_buckets": q_rp_buckets,
+        "vocabulary": q_vocabulary,
+        "rank_decay": q_rank_decay,
+        "score_stats": q_score_stats,
+        "upsert_merge": q_upsert_merge,
+        "mock_embed": q_mock_embed,
+        "multimodal_meta": q_multimodal_meta,
+        "existence": q_existence,
         "ivf_search": q_ivf_search,
     }
 
@@ -919,6 +1017,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id, ({bucket_expr})::INT AS bucket
             FROM {_EMB_D}
         """,
+        "vocabulary": f"""
+            WITH {_TERMS_CTE}
+            SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id
+            FROM (SELECT DISTINCT term FROM dt)
+        """,
+        "rank_decay": f"""
+            WITH lst AS ({_text_match_sql(K_DEFAULT)}),
+            ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+                     count(*) OVER () AS n
+              FROM lst
+            )
+            SELECT doc_id,
+                   round(score * 1.0 * (1.0 - (rnk - 1)::DOUBLE / n), 6)
+                     AS decayed_score
+            FROM ranked
+        """,
+        "score_stats": f"""
+            WITH lists AS (
+              SELECT score, 'dense' AS source FROM ({_dense_sql(OVERFETCH)})
+              UNION ALL
+              SELECT score, 'sparse' AS source FROM ({_bm25_sql(OVERFETCH)})
+              UNION ALL
+              SELECT score, 'text' AS source FROM ({_text_match_sql(OVERFETCH)})
+            )
+            SELECT source, count(*) AS n_results,
+                   round(avg(score), 6) AS mean_score,
+                   round(stddev_samp(score), 6) AS stddev_score
+            FROM lists GROUP BY source
+        """,
+        "upsert_merge": """
+            WITH upd AS (
+              SELECT doc_id, upper(text) AS text,
+                     NULL AS lang, NULL AS source, NULL::BIGINT AS n_chars
+              FROM documents WHERE lang = 'en'
+            )
+            SELECT coalesce(u.doc_id, d.doc_id) AS doc_id,
+                   coalesce(u.text, d.text) AS text,
+                   coalesce(u.lang, d.lang) AS lang,
+                   coalesce(u.source, d.source) AS source,
+                   coalesce(u.n_chars, d.n_chars) AS n_chars
+            FROM documents d FULL JOIN upd u ON d.doc_id = u.doc_id
+        """,
+        "mock_embed": """
+            WITH raw AS (
+              SELECT doc_id, list_transform(range(0, 8), i ->
+                CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (ascii(substr(text, (i % length(text)) + 1, 1)) / 255.0
+                      + i * 0.01)
+                     - floor(ascii(substr(text, (i % length(text)) + 1, 1)) / 255.0
+                             + i * 0.01)
+                     - 0.5 END) AS r
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, r, sqrt(list_inner_product(r, r)) AS nrm FROM raw
+            )
+            SELECT doc_id,
+                   generate_subscripts(r, 1) - 1 AS i,
+                   round(CASE WHEN nrm = 0 THEN 0.0
+                              ELSE unnest(r) / nrm END, 6) AS val
+            FROM n
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "existence": "SELECT doc_id FROM documents WHERE doc_id IN (1, 5, 999999)",
         # ivf_search: iterative k-means — rows-only check (no oracle entry)
     }
 

@@ -86,6 +86,35 @@ def mock_embedding_py(text: str, dimension: int) -> list[float]:
     return v
 
 
+def mock_embedding(text_col: str, dim: int) -> Column:
+    """Column-expression port of the reference's deterministic mock embedder
+    (src/embeddings.rs:229-250): v[i] = frac(bytes[i % len]/255 + i*0.01)
+    - 0.5, then L2-normalized; empty text -> all zeros.
+
+    frac(x) = x - floor(x) replaces Rust's % 1.0 (identical for the
+    positive inputs involved, and unambiguous across engines). All math in
+    DOUBLE; used as the batch analogue of the embedding-provider UDF
+    surface (S14) and reproducible in the DuckDB oracle.
+    """
+    raw = F.expr(
+        f"""
+        transform(sequence(0, {dim - 1}), i ->
+          CASE WHEN length({text_col}) = 0 THEN 0.0D
+          ELSE
+            (ascii(substr({text_col}, (i % length({text_col})) + 1, 1)) / 255.0D
+             + i * 0.01D)
+            - floor(ascii(substr({text_col}, (i % length({text_col})) + 1, 1)) / 255.0D
+                    + i * 0.01D)
+            - 0.5D
+          END)
+        """
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return F.transform(raw, lambda x: F.coalesce(F.try_divide(x, nrm), F.lit(0.0)))
+
+
 def snippet(text_col: Column, query: str, before: int = 50, after: int = 150) -> Column:
     """Extract a ±(before,after)-char window around the first occurrence of
     ``query`` (src/query.rs:207-254). Returns NULL when absent. The

@@ -57,13 +57,22 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Reference-faithful cosine: 0.0 when either vector has zero norm
-    (src/storage.rs:860-862)."""
-    d = dot(a, b)
-    na = l2_norm(a)
-    nb = l2_norm(b)
-    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
-        d / (na * nb)
-    )
+    (src/storage.rs:860-862).
+
+    Formulated as coalesce(try_divide(dot, |a|*|b|), 0): a zero norm forces
+    dot == 0, and under ANSI mode (Spark 4 default) try_divide yields NULL
+    on a zero divisor, which we map to 0.0 — identical semantics to the
+    reference's explicit branch, but each array fold is evaluated exactly
+    once per row (a ``when`` guard would re-evaluate the norm folds in both
+    the predicate and the branch)."""
+    return cosine_from_parts(dot(a, b), l2_norm(a), l2_norm(b))
+
+
+def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed dot and norms (columns or literals). Use
+    this when norms can be computed once per row/side instead of per pair —
+    the all-pairs and batch-kNN hot paths."""
+    return F.coalesce(F.try_divide(d, na * nb), F.lit(0.0))
 
 
 def cosine_distance(a: Column, b: Column) -> Column:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, to_double_array, vector_lit
+from .search import cosine_vs_query
 
 
 def kmeans_fit(
@@ -53,50 +54,61 @@ def kmeans_fit(
     previous centroid (reference keeps stale centroids too).
     """
     spark = df.sparkSession
-    src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    src = df.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).persist()
     n = src.count()
     if n == 0:
         raise ValueError("empty input")
     k = min(k, n)
     stride = max(n // k, 1)
-    # rank ids once; centroid i = row at position i*stride (id order).
+    # init: centroid i = row at position i*stride in id order (reference
+    # stride init). One bounded collect of k rows.
     from pyspark.sql import Window
 
     ranked = src.withColumn(
         "_pos", F.row_number().over(Window.orderBy(F.col("id").asc())) - 1
     )
-    cents = (
+    init_rows = (
         ranked.where((F.col("_pos") % stride == 0) & (F.col("_pos") / stride < k))
-        .select(
-            (F.col("_pos") / stride).cast("int").alias("cluster"),
-            F.col("v").alias("centroid"),
-        )
+        .select((F.col("_pos") / stride).cast("int").alias("cluster"), "v")
+        .collect()
     )
-    dim_row = src.select(F.size("v").alias("d")).head()
-    dim = dim_row["d"]
+    cents_py: dict[int, list[float]] = {r["cluster"]: list(r["v"]) for r in init_rows}
+    dim = len(next(iter(cents_py.values())))
 
+    # Lloyd's loop: centroids live on the driver (k x dim doubles — tiny by
+    # construction, this is how distributed k-means is always shaped); the
+    # data side does one scan + one map-side-combined groupBy per iteration.
     for _ in range(max_iter):
-        assigned = _assign(src, cents)
-        new_cents = (
+        assigned = _assign_literal(src, cents_py)
+        new_rows = (
             assigned.groupBy("cluster")
             .agg(
-                F.array(
-                    *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
-                ).alias("centroid")
+                F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("centroid")
             )
+            .collect()
         )
-        # keep previous centroid for clusters that lost all points
-        cents = (
-            cents.select("cluster", F.col("centroid").alias("old"))
-            .join(new_cents, "cluster", "left")
-            .select(
-                "cluster", F.coalesce(F.col("centroid"), F.col("old")).alias("centroid")
+        for r in new_rows:  # empty clusters keep their previous centroid
+            cents_py[r["cluster"]] = list(r["centroid"])
+    return spark.createDataFrame(
+        sorted(cents_py.items()), "cluster int, centroid array<double>"
+    )
+
+
+def _assign_literal(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFrame:
+    """Assign via a centroid *literal* folded into the plan — no join, no
+    broadcast exchange; the argmin runs inside the scan."""
+    cs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cluster"),
+                F.array(*[F.lit(x) for x in v]).alias("centroid"),
             )
-        )
-        cents = spark.createDataFrame(
-            cents.collect(), "cluster int, centroid array<double>"
-        )  # materialize: centroids are tiny (k x dim); avoids growing lineage
-    return cents
+            for c, v in sorted(cents_py.items())
+        ]
+    )
+    return _argmin_assign(src.withColumn("cs", cs))
 
 
 def _assign(src: DataFrame, cents: DataFrame) -> DataFrame:
@@ -105,17 +117,17 @@ def _assign(src: DataFrame, cents: DataFrame) -> DataFrame:
     c = F.broadcast(cents.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("cluster", "centroid"))).alias("cs")
     ))
-    with_c = src.crossJoin(c)
+    return _argmin_assign(src.crossJoin(c))
+
+
+def _argmin_assign(with_c: DataFrame) -> DataFrame:
+    # array_min over (distance, cluster) structs: each distance evaluated
+    # exactly once; struct comparison breaks ties on the lower cluster id.
     best = F.expr(
         """
-        aggregate(cs,
-          named_struct('cluster', -1, 'd', cast('Infinity' as double)),
-          (acc, s) -> if(
-             aggregate(zip_with(v, s.centroid, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x) < acc.d,
-             named_struct('cluster', s.cluster,
-                          'd', aggregate(zip_with(v, s.centroid, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x)),
-             acc)
-        )
+        array_min(transform(cs, s -> named_struct(
+          'd', aggregate(zip_with(v, s.centroid, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x),
+          'cluster', s.cluster)))
         """
     )
     return with_c.select("id", "v", best.alias("_b")).select(
@@ -172,7 +184,8 @@ def ivf_search(
     ).select(df[id_col], to_double_array(vec_col).alias("v"))
     return (
         cand.select(
-            F.col(id_col), F.round(cosine_similarity(F.col("v"), q), 6).alias("score")
+            F.col(id_col),
+            F.round(cosine_vs_query(F.col("v"), query_vector), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)

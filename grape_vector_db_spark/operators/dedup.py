@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
 from ..functions.text import tokens
-from ..functions.vector import cosine_similarity, to_double_array
+from ..functions.vector import cosine_from_parts, dot, l2_norm, to_double_array
 
 
 def exact_duplicates(
@@ -283,16 +283,33 @@ def embedding_neardup_pairs(
     """(a, b, cosine) pairs with cosine >= threshold, a < b — exact
     all-pairs. Correct at any scale but O(n^2); the scale path prunes
     candidates with ann.random_projection_buckets first (same verify step).
+
+    Norms are computed once per VECTOR (persisted base), not once per pair
+    — the per-pair work is exactly one dot fold + one divide, ~3x less than
+    evaluating the full cosine expression pairwise.
     """
-    x = emb.select(F.col(id_col).alias("a"), to_double_array(vec_col).alias("va"))
-    y = emb.select(F.col(id_col).alias("b"), to_double_array(vec_col).alias("vb"))
+    v = to_double_array(vec_col)
+    base = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
+    ).persist()
+    x = base.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    y = base.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         x.crossJoin(y)
         .where(F.col("a") < F.col("b"))
         .select(
             "a",
             "b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

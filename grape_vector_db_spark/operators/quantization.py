@@ -29,7 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, to_double_array, vector_lit
+from ..functions.vector import to_double_array
+from .search import cosine_vs_query
 
 WORD_BITS = 32
 
@@ -121,12 +122,11 @@ def two_stage_search(
         .limit(n_keep)
     )
 
-    q = vector_lit(query_vector)
     rescored = (
         stage1.join(df.select(F.col(id_col), to_double_array(vec_col).alias("_v")), id_col)
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col("_v"), q), 6).alias("score"),
+            F.round(cosine_vs_query(F.col("_v"), query_vector), 6).alias("score"),
             F.round(F.col("hamming_sim"), 6).alias("hamming_sim"),
         )
     )

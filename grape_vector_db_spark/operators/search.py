@@ -21,17 +21,29 @@ with no shuffle; per-query top-k is a window over the (small) result.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import (
-    cosine_similarity,
+    cosine_from_parts,
+    dot,
     euclidean_distance,
+    l2_norm,
     to_double_array,
     vector_lit,
 )
+
+
+def cosine_vs_query(v: Column, query_vector: Sequence[float]) -> Column:
+    """Cosine of a vector column vs a literal query: the query norm is a
+    Python-side constant (one fold saved per row; the corpus-side norm and
+    dot are one fold each — the minimum possible work per row)."""
+    q = vector_lit(query_vector)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vector))
+    return cosine_from_parts(dot(v, q), l2_norm(v), F.lit(qnorm))
 
 
 def knn(
@@ -51,12 +63,11 @@ def knn(
     src/index.rs:68-79).
     """
     v = to_double_array(vec_col)
-    q = vector_lit(query_vector)
     if metric == "cosine":
-        score = cosine_similarity(v, q)
+        score = cosine_vs_query(v, query_vector)
         asc = False
     elif metric == "euclidean":
-        score = euclidean_distance(v, q)
+        score = euclidean_distance(v, vector_lit(query_vector))
         asc = True
     else:
         raise ValueError(f"unknown metric {metric!r}")
@@ -96,19 +107,27 @@ def knn_batch(
     top-k. The corpus (the 100 TB side) is scanned once with no shuffle; the
     broadcast side must be the small one. Output: (query_id, id, score, rank).
     """
+    qv = to_double_array(query_vec)
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"),
-            to_double_array(query_vec).alias("_qv"),
+            qv.alias("_qv"),
+            l2_norm(qv).alias("_qn"),
         )
     )
+    cv = to_double_array(corpus_vec)
     c = corpus.select(
-        F.col(corpus_id).alias("id"), to_double_array(corpus_vec).alias("_cv")
+        F.col(corpus_id).alias("id"), cv.alias("_cv"), l2_norm(cv).alias("_cn")
     )
     scored = c.crossJoin(q).select(
         "query_id",
         "id",
-        F.round(cosine_similarity(F.col("_cv"), F.col("_qv")), 6).alias("score"),
+        F.round(
+            cosine_from_parts(
+                dot(F.col("_cv"), F.col("_qv")), F.col("_cn"), F.col("_qn")
+            ),
+            6,
+        ).alias("score"),
     )
     if threshold is not None:
         scored = scored.where(F.col("score") >= threshold)
@@ -130,7 +149,6 @@ def similarity_threshold_scan(
     """All rows with cosine >= threshold (reference P11, src/storage.rs:313-317).
     Pure scan+filter — Catalyst pushes the predicate below any later project."""
     v = to_double_array(vec_col)
-    q = vector_lit(query_vector)
     return df.select(
-        F.col(id_col), F.round(cosine_similarity(v, q), 6).alias("score")
+        F.col(id_col), F.round(cosine_vs_query(v, query_vector), 6).alias("score")
     ).where(F.col("score") >= threshold)

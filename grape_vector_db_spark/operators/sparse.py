@@ -103,7 +103,11 @@ def bm25_search(
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    terms = doc_terms(documents, id_col, text_col)
+    # doc_terms feeds four consumers (posting join, doc stats, term stats,
+    # corpus aggregates) — persist so the tokenize+groupBy pipeline runs
+    # once, not four times. At 100 TB this is the table you'd materialize
+    # to parquet at ingest anyway (see module docstring).
+    terms = doc_terms(documents, id_col, text_col).persist()
     dstats = doc_stats(terms)
     tstats = term_stats(terms)
     # avg_doc_length per reference: sum over (term,doc) entries of doc_length / N
