@@ -459,6 +459,41 @@ def q_existence(spark, sf_dir):
     )
 
 
+def q_db_stats(spark, sf_dir):
+    """A7: database statistics summary (counts, sizes, cardinalities)."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    d = docs.agg(
+        F.count("*").alias("total_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    e = emb.agg(
+        F.count("*").alias("total_vectors"),
+        F.first(F.size("embedding")).alias("vector_dim"),
+    )
+    return d.crossJoin(e)
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window counts (1h window, 30m slide) — the batch twin of the
+    Structured Streaming aggregation; window_start as epoch seconds (tz-free
+    for the oracle compare)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 # --- rows-only checks (not SQL-expressible: iterative k-means) -------------
 
 
@@ -466,6 +501,12 @@ def q_ivf_search(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     cents, assigned = ann.ivf_build(emb, nlist=8, max_iter=3)
     return ann.ivf_search(emb, cents, assigned, _qv(spark, sf_dir), k=10, nprobe=2)
+
+
+def q_pq_search(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cbs, codes = ann.pq_build(emb, m=8, k=16, max_iter=3)
+    return ann.pq_search(emb, cbs, codes, _qv(spark, sf_dir), k=10, rescore=50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -514,7 +555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embed": q_mock_embed,
         "multimodal_meta": q_multimodal_meta,
         "existence": q_existence,
+        "db_stats": q_db_stats,
+        "events_sliding": q_events_sliding,
         "ivf_search": q_ivf_search,
+        "pq_search": q_pq_search,
     }
 
 
@@ -1087,7 +1131,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "existence": "SELECT doc_id FROM documents WHERE doc_id IN (1, 5, 999999)",
-        # ivf_search: iterative k-means — rows-only check (no oracle entry)
+        "db_stats": """
+            SELECT d.total_docs, d.avg_n_chars, d.n_langs, d.n_sources,
+                   e.total_vectors, e.vector_dim
+            FROM (SELECT count(*) AS total_docs,
+                         round(avg(n_chars), 6) AS avg_n_chars,
+                         count(DISTINCT lang) AS n_langs,
+                         count(DISTINCT source) AS n_sources
+                  FROM documents) d,
+                 (SELECT count(*) AS total_vectors,
+                         max(len(embedding)) AS vector_dim
+                  FROM embeddings) e
+        """,
+        "events_sliding": """
+            WITH slid AS (
+              SELECT (floor(epoch(ts) / 1800) * 1800)::BIGINT - off.o * 1800
+                       AS window_start,
+                     event_type
+              FROM events, (SELECT unnest([0, 1]) AS o) off
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM slid GROUP BY window_start, event_type
+        """,
+        # ivf_search / pq_search: iterative k-means — rows-only checks
     }
 
 

@@ -69,6 +69,19 @@ def test_ivf_recall(spark, emb):
     assert len(set(res) & set(exact)) >= 2
 
 
+def test_pq_recall(spark, emb):
+    qv = search.query_vector_of(emb, 0)
+    exact = [r["vec_id"] for r in search.knn(emb, qv, k=10).collect()]
+    cbs, codes = ann.pq_build(emb, m=8, k=16, max_iter=3)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    res = [
+        r["vec_id"]
+        for r in ann.pq_search(emb, cbs, codes, qv, k=10, rescore=50).collect()
+    ]
+    assert res[0] == exact[0]  # self-match survives quantization
+    assert len(set(res) & set(exact)) >= 5  # recall@10 >= 0.5
+
+
 def test_filter_tree_equivalence(spark, docs):
     ast = {
         "must": [{"type": "range", "field": "n_chars", "gte": 100, "lte": 300}],
