@@ -429,13 +429,21 @@ def q_upsert_merge(spark, sf_dir):
 
 
 def q_mock_embed(spark, sf_dir):
-    """S14/F12: deterministic mock embedding provider as a batch column."""
-    from grape_vector_db_spark.functions.text import mock_embedding
+    """S14/F12: deterministic mock embedding provider as a batch column.
+    Raw vector is materialized (persist) before normalization so the
+    ascii/CASE tree evaluates once per row, not once per element."""
+    from grape_vector_db_spark.functions.text import (
+        mock_embedding_raw,
+        normalize_vector,
+    )
 
     docs = _docs(spark, sf_dir)
-    emb = mock_embedding("text", 8)
-    return docs.select(
-        "doc_id", F.transform(emb, lambda x: F.round(x, 6)).alias("v")
+    base = docs.select(
+        "doc_id", mock_embedding_raw("text", 8).alias("r")
+    ).persist()
+    return base.select(
+        "doc_id",
+        F.transform(normalize_vector(F.col("r")), lambda x: F.round(x, 6)).alias("v"),
     ).selectExpr("doc_id", "posexplode(v) as (i, val)")
 
 

@@ -86,17 +86,12 @@ def mock_embedding_py(text: str, dimension: int) -> list[float]:
     return v
 
 
-def mock_embedding(text_col: str, dim: int) -> Column:
-    """Column-expression port of the reference's deterministic mock embedder
-    (src/embeddings.rs:229-250): v[i] = frac(bytes[i % len]/255 + i*0.01)
-    - 0.5, then L2-normalized; empty text -> all zeros.
-
-    frac(x) = x - floor(x) replaces Rust's % 1.0 (identical for the
-    positive inputs involved, and unambiguous across engines). All math in
-    DOUBLE; used as the batch analogue of the embedding-provider UDF
-    surface (S14) and reproducible in the DuckDB oracle.
-    """
-    raw = F.expr(
+def mock_embedding_raw(text_col: str, dim: int) -> Column:
+    """Pre-normalization mock-embedding vector (see :func:`mock_embedding`).
+    Exposed separately so callers can materialize it before normalizing —
+    referencing it twice (norm + divide) would otherwise duplicate the
+    whole ascii/CASE tree per element."""
+    return F.expr(
         f"""
         transform(sequence(0, {dim - 1}), i ->
           CASE WHEN length({text_col}) = 0 THEN 0.0D
@@ -109,10 +104,29 @@ def mock_embedding(text_col: str, dim: int) -> Column:
           END)
         """
     )
+
+
+def normalize_vector(raw: Column) -> Column:
+    """L2-normalize an array<double> column; zero vector stays zero."""
     nrm = F.sqrt(
         F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
     return F.transform(raw, lambda x: F.coalesce(F.try_divide(x, nrm), F.lit(0.0)))
+
+
+def mock_embedding(text_col: str, dim: int) -> Column:
+    """Column-expression port of the reference's deterministic mock embedder
+    (src/embeddings.rs:229-250): v[i] = frac(bytes[i % len]/255 + i*0.01)
+    - 0.5, then L2-normalized; empty text -> all zeros.
+
+    frac(x) = x - floor(x) replaces Rust's % 1.0 (identical for the
+    positive inputs involved, and unambiguous across engines). All math in
+    DOUBLE; used as the batch analogue of the embedding-provider UDF
+    surface (S14) and reproducible in the DuckDB oracle. For large corpora
+    prefer materializing :func:`mock_embedding_raw` into a column first,
+    then :func:`normalize_vector` over it (q_mock_embed does this).
+    """
+    return normalize_vector(mock_embedding_raw(text_col, dim))
 
 
 def snippet(text_col: Column, query: str, before: int = 50, after: int = 150) -> Column:

