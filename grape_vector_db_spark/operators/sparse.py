@@ -48,14 +48,22 @@ def term_stats(terms: DataFrame) -> DataFrame:
     return terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 
 
-def corpus_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def corpus_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: DataFrame | None = None,
+) -> DataFrame:
     """One-row (total_docs, avg_doc_length, vocab_size).
 
     total_docs counts docs with >=1 kept token (only those enter the
     reference index); avg_doc_length follows the reference's
     posting-entry-weighted definition (see module docstring).
+
+    ``terms`` lets callers pass the ingest-built doc_terms index table.
     """
-    terms = doc_terms(df, id_col, text_col)
+    if terms is None:
+        terms = doc_terms(df, id_col, text_col)
     per_doc = terms.groupBy("doc_id").agg(
         F.sum("tf").alias("doc_length"), F.count("*").alias("n_terms")
     )
@@ -91,6 +99,7 @@ def bm25_search(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 for a query string.
 
@@ -105,9 +114,11 @@ def bm25_search(
 
     # doc_terms feeds four consumers (posting join, doc stats, term stats,
     # corpus aggregates) — persist so the tokenize+groupBy pipeline runs
-    # once, not four times. At 100 TB this is the table you'd materialize
-    # to parquet at ingest anyway (see module docstring).
-    terms = doc_terms(documents, id_col, text_col).persist()
+    # once, not four times. At 100 TB this is the table the ingest job
+    # materializes to parquet; callers with a warm index pass it via
+    # ``terms``.
+    if terms is None:
+        terms = doc_terms(documents, id_col, text_col).persist()
     dstats = doc_stats(terms)
     tstats = term_stats(terms)
     # avg_doc_length per reference: sum over (term,doc) entries of doc_length / N

@@ -115,6 +115,18 @@ def test_dedup_minhash_superset_check(spark, docs):
         assert len(lsh) >= len(full) * 0.5
 
 
+def test_embedding_neardup_fast_matches_exact(spark, emb):
+    fast = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_pairs_fast(emb, threshold=0.3).collect()
+    )
+    exact = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    )
+    assert fast == exact and len(fast) > 0
+
+
 def test_simhash_dup_docs_same_hash(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "wholly different words here")],
