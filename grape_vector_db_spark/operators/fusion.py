@@ -89,6 +89,140 @@ def linear_fuse(
     return out.limit(limit) if limit else out
 
 
+def classify_query(query_text: str) -> str:
+    """Reference query-type heuristic (src/hybrid.rs:777-787): long sentence
+    -> semantic, short single token -> keyword, else mixed."""
+    q = query_text or ""
+    if len(q) > 20 and " " in q:
+        return "semantic"
+    if len(q) <= 5 or " " not in q:
+        return "keyword"
+    return "mixed"
+
+
+# Initial per-query-type weights (src/hybrid.rs:71-96).
+DEFAULT_TYPE_WEIGHTS: dict[str, dict[str, float]] = {
+    "semantic": {"dense": 0.8, "sparse": 0.15, "text": 0.05},
+    "keyword": {"dense": 0.3, "sparse": 0.6, "text": 0.1},
+    "mixed": {"dense": 0.5, "sparse": 0.4, "text": 0.1},
+}
+
+
+def predict_weights(
+    query_text: str, type_weights: dict[str, dict[str, float]] | None = None
+) -> dict[str, float]:
+    """StatisticalFusionModel::predict_weights (src/hybrid.rs:107-132):
+    per-type base weights, dense scaled by a query-length factor
+    (1.2 if len > 10 else 0.8, capped at 1.0)."""
+    tw = type_weights or DEFAULT_TYPE_WEIGHTS
+    base = dict(tw[classify_query(query_text)])
+    factor = 1.2 if len(query_text or "") > 10 else 0.8
+    base["dense"] = min(base["dense"] * factor, 1.0)
+    return base
+
+
+def update_weights(
+    type_weights: dict[str, dict[str, float]],
+    feedback: list[tuple[float, float]],
+    learning_rate: float = 0.01,
+) -> dict[str, dict[str, float]]:
+    """StatisticalFusionModel::update_model (src/hybrid.rs:134-166) as a
+    batch job over a feedback log: per feedback row (ordered by time),
+    every query type's weights move by lr*(satisfaction_delta) with the
+    reference's 0.5/0.3 factors and clamps.
+
+    ``feedback``: [(ts, satisfaction in [0,1])] — in Spark this is
+    ``feedback_df.orderBy('ts').collect()``; the weight state is a tiny
+    parameter table (SURVEY §7 hard-part 3: feedback lives in a table, a
+    periodic batch job folds it into the weights, scoring joins/broadcasts
+    them — mutable model state never lives inside the query plan).
+    """
+    tw = {k: dict(v) for k, v in type_weights.items()}
+    prev: float | None = None
+    for _, satisfaction in sorted(feedback):
+        if prev is not None:
+            diff = satisfaction - prev
+            for w in tw.values():
+                w["dense"] = min(max(w["dense"] + learning_rate * diff, 0.1), 0.9)
+                w["sparse"] = min(
+                    max(w["sparse"] + learning_rate * diff * 0.5, 0.1), 0.9
+                )
+                w["text"] = min(
+                    max(w["text"] + learning_rate * diff * 0.3, 0.05), 0.3
+                )
+        prev = satisfaction
+    return tw
+
+
+def result_quality(df: DataFrame, cap: int = 10) -> float:
+    """Reference result-quality metric (src/hybrid.rs:828-855):
+    0.3*min(n,10)/10 + 0.5*avg + 0.2*max(0, 1 - stddev_pop). One tiny
+    aggregate job per candidate list."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.avg("score").alias("avg"),
+        F.coalesce(F.stddev_pop("score"), F.lit(0.0)).alias("sd"),
+    ).head()
+    if row["n"] == 0:
+        return 0.0
+    count_factor = min(row["n"], cap) / cap
+    return count_factor * 0.3 + row["avg"] * 0.5 + max(0.0, 1.0 - row["sd"]) * 0.2
+
+
+def quality_adjusted_weights(
+    lists: dict[str, DataFrame], base_weights: dict[str, float] | None = None
+) -> dict[str, float]:
+    """adjust_weights_by_quality (src/hybrid.rs:800-826): each source's
+    weight scaled by (1 + quality_share * 0.2)."""
+    base = dict(base_weights or DEFAULT_WEIGHTS)
+    quality = {s: result_quality(df) for s, df in lists.items()}
+    total = sum(quality.values())
+    if total <= 0:
+        return base
+    return {
+        s: base.get(s, 0.0) * (1.0 + quality[s] / total * 0.2) for s in lists
+    }
+
+
+def adaptive_fuse(
+    lists: dict[str, DataFrame],
+    query_text: str,
+    history: DataFrame | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Adaptive fusion (src/hybrid.rs:753-774): predict per-type weights,
+    adjust from similar historical queries (word-set Jaccard > 0.7; low
+    average satisfaction shifts weight away from dense), then linear-fuse.
+
+    ``history`` schema: (query_text string, satisfaction double in [0,1]).
+    The similarity filter + satisfaction aggregate is one Spark job over
+    the (small) history table; at scale it'd be broadcast.
+    """
+    weights = predict_weights(query_text)
+    if history is not None:
+        qwords = [w for w in (query_text or "").lower().split() if w]
+        qcol = F.array(*[F.lit(w) for w in qwords]) if qwords else F.array()
+        hwords = F.split(F.lower(F.col("query_text")), r"\s+")
+        jaccard = F.when(
+            F.size(F.array_union(hwords, qcol)) == 0, F.lit(0.0)
+        ).otherwise(
+            F.size(F.array_intersect(hwords, qcol))
+            / F.size(F.array_union(hwords, qcol)).cast("double")
+        )
+        row = (
+            history.where(jaccard > 0.7)
+            .agg(F.avg("satisfaction").alias("s"), F.count("*").alias("n"))
+            .head()
+        )
+        if row and row["n"] > 0 and row["s"] is not None and row["s"] < 0.6:
+            weights = {
+                "dense": weights["dense"] * 0.9,
+                "sparse": weights["sparse"] * 1.1,
+                "text": weights["text"] * 1.05,
+            }
+    return linear_fuse(lists, weights, limit=limit)
+
+
 def normalized_fuse(
     lists: dict[str, DataFrame],
     weights: dict[str, float] | None = None,

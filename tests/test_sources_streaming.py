@@ -87,6 +87,40 @@ def test_stream_upsert(spark, tmpdir):
     assert out == {1: "v1", 2: "v2", 3: "v1"}
 
 
+def test_stream_upsert_with_index(spark, tmpdir):
+    from grape_vector_db_spark.streaming.ingest import stream_upsert_with_index
+
+    src = f"{tmpdir}/incoming"
+    table = f"{tmpdir}/docs_table"
+    terms = f"{tmpdir}/terms_table"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id int, text string",
+    ).write.parquet(src)
+    q = stream_upsert_with_index(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        table, terms, checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(60)
+    t1 = {(r["doc_id"], r["term"]) for r in spark.read.parquet(terms).collect()}
+    assert (1, "alpha") in t1 and (2, "delta") in t1
+
+    # update doc 2's text -> its old terms vanish, new appear; doc 1 intact
+    spark.createDataFrame([(2, "omega only")], "doc_id int, text string").write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_upsert_with_index(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        table, terms, checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(60)
+    t2 = {(r["doc_id"], r["term"]) for r in spark.read.parquet(terms).collect()}
+    assert (2, "omega") in t2 and (2, "delta") not in t2
+    assert (1, "alpha") in t2
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    assert docs[2] == "omega only" and docs[1] == "alpha beta gamma"
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     """The streaming aggregation expressions, run in batch mode, match a
     plain groupBy — shared semantics between the two paths."""
