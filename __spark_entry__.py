@@ -510,6 +510,15 @@ def q_existence(spark, sf_dir):
     )
 
 
+def q_search_hydrated(spark, sf_dir):
+    """J8: scored results joined back to the documents table (broadcast of
+    the k-row side; src/lib.rs:478-491)."""
+    res = search.knn(_emb(spark, sf_dir), _qv(spark, sf_dir), k=5).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return search.hydrate(res, _docs(spark, sf_dir), columns=["lang", "source"])
+
+
 def q_db_stats(spark, sf_dir):
     """A7: database statistics summary (counts, sizes, cardinalities)."""
     docs = _docs(spark, sf_dir)
@@ -606,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embed": q_mock_embed,
         "multimodal_meta": q_multimodal_meta,
         "existence": q_existence,
+        "search_hydrated": q_search_hydrated,
         "db_stats": q_db_stats,
         "events_sliding": q_events_sliding,
         "ivf_search": q_ivf_search,
@@ -1182,6 +1192,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "existence": "SELECT doc_id FROM documents WHERE doc_id IN (1, 5, 999999)",
+        "search_hydrated": f"""
+            WITH res AS (
+              SELECT e.vec_id AS doc_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+              FROM {_EMB_D} e, {_QV} q
+              ORDER BY score DESC, doc_id LIMIT 5
+            )
+            SELECT r.doc_id, r.score, d.lang, d.source
+            FROM res r LEFT JOIN documents d USING (doc_id)
+        """,
         "db_stats": """
             SELECT d.total_docs, d.avg_n_chars, d.n_langs, d.n_sources,
                    e.total_vectors, e.vector_dim

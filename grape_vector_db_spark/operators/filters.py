@@ -64,6 +64,21 @@ def condition_to_column(cond: dict[str, Any]) -> Column:
         return _field(field).isNotNull()
     if kind == "array_contains":
         return F.array_contains(_field(field), F.lit(cond["value"]))
+    if kind == "array_length":  # P6 ArrayLength (declared src/filtering.rs:113)
+        return F.size(_field(field)) == F.lit(int(cond["length"]))
+    if kind == "object_has_key":  # P6 ObjectHasKey over MAP columns
+        return F.map_contains_key(_field(field), F.lit(cond["key"]))
+    if kind == "json_path":  # P6 JsonPath over a JSON string column
+        return F.get_json_object(_field(field), cond["path"]) == F.lit(
+            str(cond["value"])
+        )
+    if kind == "token_match":  # P8 word-level inverted-index semantics:
+        # exact token membership after reference tokenization (not substring)
+        from ..functions.text import tokens
+
+        return F.array_contains(tokens(_field(field)), str(cond["token"]).lower())
+    if kind == "exists":
+        return _field(field).isNotNull()
     if kind == "comparison":
         op = cond["op"]
         val = F.lit(cond["value"])

@@ -141,6 +141,25 @@ def knn_batch(
     )
 
 
+def hydrate(
+    results: DataFrame,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """J8 doc-detail hydration (src/lib.rs:478-491): join the (small) scored
+    result set back to the documents table for display columns.
+
+    The RESULT side is broadcast — it is k rows by construction — so the
+    documents table is probed without a shuffle; with predicate pushdown the
+    scan touches only row groups containing the ids.
+    """
+    cols = columns or [c for c in documents.columns if c != id_col]
+    return F.broadcast(results).join(
+        documents.select(id_col, *cols), id_col, "left"
+    )
+
+
 def similarity_threshold_scan(
     df: DataFrame,
     query_vector: Sequence[float],

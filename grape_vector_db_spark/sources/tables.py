@@ -47,6 +47,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def bucket_by_id(df: DataFrame, n_buckets: int, id_col: str = "id") -> DataFrame:
+    """F14/§2.12: hash-partition by id — the Spark analogue of the
+    reference's consistent-hash shard ring (src/distributed/shard.rs:166-369,
+    DefaultHasher + avalanche mix). ``xxhash64`` plays the ring hash; writing
+    with ``.repartition(n, col)`` (or bucketBy for persistent tables) keeps
+    id-equi-joins co-located and shuffle-free."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    return df.withColumn("bucket", bucket).repartition(n_buckets, F.col("bucket"))
+
+
 def with_uuid_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Fill empty/null ids with uuids (reference S5, src/storage.rs:145-149)."""
     return df.withColumn(
