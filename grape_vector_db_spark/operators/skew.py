@@ -1,0 +1,76 @@
+"""Skew mitigation helpers (100 TB design requirement).
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew; these helpers cover the two places AQE can't:
+
+- **salted aggregation**: a groupBy on a power-law key (term frequency,
+  user id) concentrates one key's rows in one task. Two-phase salt:
+  groupBy(key, salt) partial -> groupBy(key) final. Correct for any
+  algebraic aggregate (sum/count/min/max).
+- **salted broadcast-skew join**: when one side's hot keys overwhelm even
+  AQE, explode the small side S ways and salt the big side's key so the
+  hot key spreads over S tasks.
+- **hot-key capping for shingle joins** (dedup): drop join keys whose
+  frequency exceeds a cap — a frequency-bounded self-join never sees the
+  quadratic blowup of a stop-shingle (documented in dedup; implemented
+  here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase skew-safe count per key: (key..., cnt)."""
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(*key_cols).agg(F.sum("_c").alias("cnt"))
+
+
+def salted_sum(
+    df: DataFrame, key_cols: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase skew-safe sum per key: (key..., total)."""
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_s")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_s").alias("total"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join where ``big`` has hot keys: salt big's key into S buckets
+    and explode ``small`` S ways so every (key, salt) pair still matches.
+    small is broadcast (it grew by S but stays the small side)."""
+    big_s = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return big_s.join(F.broadcast(small_s), [key, "_salt"]).drop("_salt")
+
+
+def cap_hot_keys(
+    df: DataFrame, key_col: str, max_freq: int
+) -> DataFrame:
+    """Drop rows whose key frequency exceeds ``max_freq`` — bounds the
+    quadratic cost of frequency-based self-joins (a shingle appearing in
+    100k docs contributes 10^10 candidate pairs and zero discrimination).
+    Returns the filtered frame; the dropped keys' count is observable via
+    ``df.count() - result.count()``."""
+    freq = df.groupBy(key_col).agg(F.count("*").alias("_f"))
+    keep = freq.where(F.col("_f") <= max_freq).select(key_col)
+    return df.join(F.broadcast(keep), key_col, "left_semi")
