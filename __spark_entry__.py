@@ -108,16 +108,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dense_list(spark, sf_dir, k=OVERFETCH) -> DataFrame:
-    return (
-        search.knn(_emb(spark, sf_dir), _qv(spark, sf_dir), k=k)
-        .withColumnRenamed("vec_id", "doc_id")
-    )
+    key = ("dense_list", sf_dir, k)
+    if key not in _CACHE:
+        _CACHE[key] = (
+            search.knn(_emb(spark, sf_dir), _qv(spark, sf_dir), k=k)
+            .withColumnRenamed("vec_id", "doc_id")
+            .persist()
+        )
+    return _CACHE[key]
 
 
 def _sparse_list(spark, sf_dir, k=OVERFETCH) -> DataFrame:
-    return sparse.bm25_search(
-        _docs(spark, sf_dir), BM25_QUERY, k=k, terms=_terms(spark, sf_dir)
-    )
+    key = ("sparse_list", sf_dir, k)
+    if key not in _CACHE:
+        _CACHE[key] = sparse.bm25_search(
+            _docs(spark, sf_dir), BM25_QUERY, k=k, terms=_terms(spark, sf_dir)
+        ).persist()
+    return _CACHE[key]
 
 
 def _text_list(spark, sf_dir, k=OVERFETCH) -> DataFrame:
@@ -510,6 +517,21 @@ def q_existence(spark, sf_dir):
     )
 
 
+def q_points_filter(spark, sf_dir):
+    """§1.1 Point surface: build (id, vector, payload JSON) and filter on a
+    JSON payload path (reference schemaless-payload filtering)."""
+    from grape_vector_db_spark.sources.points import promote_payload_field, to_points
+
+    pts = to_points(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), payload_cols=["lang", "n_chars"]
+    )
+    typed = promote_payload_field(pts, "$.n_chars", "n_chars", "int")
+    typed = promote_payload_field(typed, "$.lang", "lang", "string")
+    return typed.where((F.col("n_chars") > 300) & (F.col("lang") == "en")).select(
+        "id", "lang", "n_chars"
+    )
+
+
 def q_search_hydrated(spark, sf_dir):
     """J8: scored results joined back to the documents table (broadcast of
     the k-row side; src/lib.rs:478-491)."""
@@ -615,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embed": q_mock_embed,
         "multimodal_meta": q_multimodal_meta,
         "existence": q_existence,
+        "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
         "db_stats": q_db_stats,
         "events_sliding": q_events_sliding,
@@ -633,8 +656,9 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 _TOKS_CTE = rf"""
 toks AS (
   SELECT doc_id, list_filter(
-           list_transform(regexp_split_to_array(lower(text), '\s+'),
-                          w -> regexp_replace(w, '[^\pL\pN]', '', 'g')),
+           list_transform(
+             regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x{{85}}\pZ]+'),
+             w -> regexp_replace(w, '[^\pL\pN]', '', 'g')),
            w -> length(w) > 1 AND NOT list_contains({_STOP_SQL}, w)) AS t
   FROM documents
 )
@@ -1192,6 +1216,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "existence": "SELECT doc_id FROM documents WHERE doc_id IN (1, 5, 999999)",
+        "points_filter": """
+            WITH pts AS (
+              SELECT 'pt_' || d.doc_id AS id,
+                     to_json(struct_pack(lang := d.lang, n_chars := d.n_chars))
+                       AS payload
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            )
+            SELECT id,
+                   json_extract_string(payload, '$.lang') AS lang,
+                   json_extract(payload, '$.n_chars')::INT AS n_chars
+            FROM pts
+            WHERE json_extract(payload, '$.n_chars')::INT > 300
+              AND json_extract_string(payload, '$.lang') = 'en'
+        """,
         "search_hydrated": f"""
             WITH res AS (
               SELECT e.vec_id AS doc_id, round({_cos('e.v', 'q.qv')}, 6) AS score

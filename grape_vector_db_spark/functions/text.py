@@ -29,13 +29,23 @@ STOPWORDS: list[str] = [
 
 # Keep Unicode letters+digits, mirroring Rust char::is_alphanumeric
 # (src/sparse.rs:296-299). Java regex \p{L}\p{N} ≙ RE2 \pL\pN in the oracle.
+# KNOWN DIVERGENCE (found by hypothesis): Spark's regexp functions match
+# per UTF-16 code unit, so supplementary-plane letters (U+10000+) decompose
+# into surrogate halves (category Cs) and get stripped, where Rust keeps
+# them. BMP text — all practical corpora here — is unaffected.
 _NON_ALNUM = r"[^\p{L}\p{N}]"
+
+# Rust split_whitespace splits on the Unicode White_Space property —
+# Java's \s is ASCII-only (misses U+00A0 etc., found by hypothesis), so
+# spell the class out: ASCII whitespace + NEL + all Z-category separators.
+# RE2 (DuckDB oracle) equivalent: [\t\n\x0B\f\r\x{85}\pZ]+
+WS_SPLIT = r"[\t\n\x0B\f\r\x{85}\p{Z}]+"
 
 
 def tokens(col: Column | str) -> Column:
     """array<string> of kept tokens, in document order (duplicates kept)."""
     col = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(col), r"\s+")
+    toks = F.split(F.lower(col), WS_SPLIT)
     toks = F.transform(toks, lambda w: F.regexp_replace(w, _NON_ALNUM, ""))
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.filter(

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2 notes the reference has
+no randomized testing; these pin our operators against independent Python
+replicas on arbitrary inputs.
+
+Each example ships a BATCH of generated rows through one DataFrame job so
+hypothesis examples don't multiply Spark job overhead.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.functions.text import STOPWORDS, tokens
+from grape_vector_db_spark.operators.quantization import WORD_BITS, pack_bits
+
+# derandomize: the same examples every run — the driver's per-round test
+# gate must not flake on a newly-mined edge case mid-round; widen coverage
+# deliberately (bump max_examples locally) rather than randomly in CI.
+SETTINGS = dict(max_examples=12, deadline=None, derandomize=True)
+
+# BMP only: Spark regex works per UTF-16 unit, so supplementary-plane
+# letters are stripped (documented divergence in functions.text).
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("L", "N", "P", "Z", "S"),
+            max_codepoint=0xFFFF,
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Independent replica of the reference tokenizer (src/sparse.rs:285-315)."""
+    stop = set(STOPWORDS)
+    out = []
+    for w in text.lower().split():
+        w = "".join(c for c in w if c.isalnum())
+        if len(w) > 1 and w not in stop:
+            out.append(w)
+    return out
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_tokenizer_matches_python_replica(spark, batch):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], "i int, t string")
+    got = {r["i"]: list(r["toks"]) for r in df.select("i", tokens("t").alias("toks")).collect()}
+    for i, t in enumerate(batch):
+        assert Counter(got[i]) == Counter(py_tokenize(t)), (t, got[i])
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False, width=32
+        ),
+        min_size=1,
+        max_size=70,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**SETTINGS)
+@given(vectors)
+def test_pack_bits_popcount_invariant(spark, vecs):
+    """Total set bits across packed words == number of strictly-positive
+    elements; word count == ceil(dim/32)."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, v array<float>",
+    )
+    rows = pack_bits(df, id_col="id", vec_col="v").collect()
+    by_id = {r["id"]: r for r in rows}
+    for i, v in enumerate(vecs):
+        r = by_id[i]
+        assert r["dimension"] == len(v)
+        assert len(r["packed"]) == math.ceil(len(v) / WORD_BITS)
+        total_bits = sum(bin(w & 0xFFFFFFFF).count("1") for w in r["packed"])
+        # float32 storage can flip tiny positives to 0.0; recompute the
+        # expectation from the values as stored (read back via the df)
+        assert total_bits == sum(1 for x in by_stored(df, i) if x > 0.0)
+
+
+def by_stored(df, i):
+    return list(df.where(F.col("id") == i).head()["v"])
+
+
+@settings(**SETTINGS)
+@given(vectors)
+def test_pack_bits_bit_order_msb_first(spark, vecs):
+    """Bit for dimension j lives at position 31-(j%32) of word j//32."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, v array<float>",
+    )
+    rows = {r["id"]: r["packed"] for r in pack_bits(df, "id", "v").collect()}
+    for i in range(len(vecs)):
+        stored = by_stored(df, i)
+        for j, x in enumerate(stored):
+            word = rows[i][j // WORD_BITS]
+            bit = (word >> (WORD_BITS - 1 - (j % WORD_BITS))) & 1
+            assert bit == (1 if x > 0.0 else 0)
