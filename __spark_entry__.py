@@ -576,6 +576,23 @@ def q_events_sliding(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user — the batch twin
+    of streaming session aggregation; session start as epoch seconds."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 # --- rows-only checks (not SQL-expressible: iterative k-means) -------------
 
 
@@ -641,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hydrated": q_search_hydrated,
         "db_stats": q_db_stats,
         "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
         "ivf_search": q_ivf_search,
         "pq_search": q_pq_search,
     }
@@ -1260,6 +1278,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, event_type, count(*) AS n_events
             FROM slid GROUP BY window_start, event_type
+        """,
+        "events_sessions": """
+            -- integer microsecond arithmetic throughout: Spark truncates the
+            -- nanosecond source to microseconds, so the oracle must too
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts)) AS prev
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, tus,
+                     CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o
+            ),
+            sess AS (
+              SELECT user_id, tus,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id, (min(tus) // 1000000)::BIGINT AS session_start,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         # ivf_search / pq_search: iterative k-means — rows-only checks
     }

@@ -1,0 +1,100 @@
+"""Search-quality evaluation (reference BenchmarkSuite, src/benchmark.rs:
+59-71, 213-277: precision, recall, NDCG@10 across fusion strategies).
+
+Ground truth and results are DataFrames, so evaluating 1M queries costs
+the same shape as evaluating one: a join on (query_id, doc_id) + per-query
+aggregates. Formulas follow the standard definitions the reference uses:
+
+  precision@k = |retrieved ∩ relevant| / k
+  recall@k    = |retrieved ∩ relevant| / |relevant|
+  DCG@k       = Σ_{i=1..k} rel_i / log2(i + 1)   (binary relevance)
+  NDCG@k      = DCG@k / IDCG@k
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query precision/recall/NDCG@k.
+
+    ``results``: (query_id, doc_id, rank) with rank 1-based;
+    ``truth``: (query_id, doc_id) relevant pairs (binary relevance).
+    Returns (query_id, precision_k, recall_k, ndcg_k).
+    """
+    res = results.where(F.col("rank") <= k).select("query_id", "doc_id", "rank")
+    t = truth.select("query_id", "doc_id", F.lit(1).alias("rel"))
+    joined = res.join(t, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    per_q = joined.groupBy("query_id").agg(
+        F.sum("rel").alias("n_hit"),
+        F.sum(
+            F.col("rel") / F.log2(F.col("rank").cast("double") + 1.0)
+        ).alias("dcg"),
+    )
+    n_rel = t.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    # ideal DCG for n = min(n_rel, k) binary-relevant docs at the top
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), 0D,"
+        " (s, i) -> s + 1.0 / log2(double(i) + 1.0))"
+    )
+    out = per_q.join(n_rel, "query_id", "right").select(
+        "query_id",
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 6).alias(
+            f"precision_{k}"
+        ),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_rel").cast("double"), 6
+        ).alias(f"recall_{k}"),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
+        ).alias(f"ndcg_{k}"),
+    )
+    return out
+
+
+def compare_fusion_strategies(
+    lists: dict[str, DataFrame],
+    truth: DataFrame,
+    query_id,
+    k: int = 10,
+) -> DataFrame:
+    """Reference quality-benchmark shape: run every fusion strategy over the
+    same candidate lists and report mean metrics per strategy.
+
+    ``truth``: (query_id, doc_id). Returns one row per strategy.
+    """
+    from . import fusion
+
+    strategies = {
+        "rrf": lambda: fusion.rrf_fuse(lists, limit=k),
+        "linear": lambda: fusion.linear_fuse(lists, limit=k),
+        "normalized": lambda: fusion.normalized_fuse(lists, limit=k),
+    }
+    spark = truth.sparkSession
+    rows = []
+    for name, make in strategies.items():
+        from pyspark.sql import Window
+
+        fused = make().withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        ).withColumn("query_id", F.lit(query_id))
+        m = retrieval_metrics(fused, truth, k=k).head()
+        rows.append(
+            (name, m[f"precision_{k}"], m[f"recall_{k}"], m[f"ndcg_{k}"])
+        )
+    return spark.createDataFrame(
+        rows, f"strategy string, precision_{k} double, recall_{k} double, ndcg_{k} double"
+    )
