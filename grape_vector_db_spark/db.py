@@ -1,0 +1,222 @@
+"""GrapeVectorDB — the user-facing facade, mirroring the reference's public
+API surface (EmbeddedVectorDB src/embedded.rs:293-306 + VectorDatabase
+src/lib.rs:310-540) on batch DataFrames.
+
+A reference user's calls map 1:1:
+
+| reference                              | here                                |
+|----------------------------------------|-------------------------------------|
+| add_document / batch_add_documents     | ``add_documents(df)``               |
+| get_document(id)                       | ``get_document(id)``                |
+| delete / delete_by_filter              | ``delete_documents(predicate)``     |
+| search(SearchRequest{vector})          | ``search(vector=..., limit=...)``   |
+| search(SearchRequest{query})           | ``search(text=..., limit=...)``     |
+| hybrid_search(HybridSearchRequest)     | ``hybrid_search(...)``              |
+| semantic_search w/ filter              | ``search(..., filter=AST)``         |
+| build/rebuild index (implicit)         | ``build_index("ivf"|"binary")``     |
+| get_stats                              | ``stats()``                         |
+
+State is a directory of parquet tables (``documents``, ``embeddings``,
+plus index tables) — every method is a DataFrame job; nothing is resident
+except Spark caches. The search planner picks brute-force vs an available
+index by corpus size (plans.planner), mirroring the reference's
+QueryOptimizer clamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import text_match_score
+from .operators import ann, filters, fusion, quantization, search, sparse
+from .plans.planner import choose_search_strategy, clamp_request
+from .sources.tables import merge_upsert
+
+
+class GrapeVectorDB:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+        self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+
+    # -- storage ------------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return f"{self.base}/{table}"
+
+    def _read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def documents(self) -> DataFrame:
+        return self._read("documents")
+
+    def embeddings(self) -> DataFrame:
+        return self._read("embeddings")
+
+    def add_documents(self, docs: DataFrame, embeddings: DataFrame | None = None) -> None:
+        """Batch upsert (reference S5-S7). Null fields in updates preserve
+        existing values; embeddings merge by the same ids."""
+        self._merge("documents", docs)
+        if embeddings is not None:
+            self._merge("embeddings", embeddings, id_col="vec_id")
+
+    def _merge(self, table: str, updates: DataFrame, id_col: str | None = None) -> None:
+        id_col = id_col or self.id_col
+        path = self._path(table)
+        try:
+            existing = self.spark.read.parquet(path)
+            merged = merge_upsert(existing, updates, id_col=id_col)
+        except Exception:
+            merged = updates
+        staging = f"{path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        self.spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+
+    def get_document(self, doc_id) -> dict | None:
+        row = self.documents().where(F.col(self.id_col) == doc_id).head()
+        return row.asDict() if row else None
+
+    def delete_documents(self, predicate: str) -> None:
+        """DELETE WHERE (reference S8/S9 — strictly more general)."""
+        remaining = self.documents().where(f"NOT ({predicate})")
+        self._overwrite("documents", remaining)
+
+    def _overwrite(self, table: str, df: DataFrame) -> None:
+        staging = f"{self._path(table)}__staging"
+        df.write.mode("overwrite").parquet(staging)
+        self.spark.read.parquet(staging).write.mode("overwrite").parquet(
+            self._path(table)
+        )
+
+    # -- indexes ------------------------------------------------------------
+
+    def build_index(self, kind: str = "ivf", **kwargs) -> None:
+        emb = self.embeddings()
+        if kind == "ivf":
+            cents, assigned = ann.ivf_build(
+                emb, kwargs.get("nlist", 16), kwargs.get("max_iter", 5),
+                id_col="vec_id", vec_col=self.vec_col,
+            )
+            ann.save_index(self._path("index_ivf"), cents, assigned)
+        elif kind == "binary":
+            packed = quantization.pack_bits(emb, "vec_id", self.vec_col)
+            packed.write.mode("overwrite").parquet(self._path("index_packed"))
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+
+    def _has(self, table: str) -> bool:
+        # index_ivf is a directory of sub-tables; probe its centroid table
+        probe = f"{table}/centroids" if table == "index_ivf" else table
+        try:
+            self.spark.read.parquet(self._path(probe)).limit(1).count()
+            return True
+        except Exception:
+            return False
+
+    # -- search -------------------------------------------------------------
+
+    def search(
+        self,
+        vector: Sequence[float] | None = None,
+        text: str | None = None,
+        limit: int = 10,
+        threshold: float | None = None,
+        filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """SearchRequest semantics (src/embedded.rs:476-519): vector arm if
+        a vector is given, else text arm. Parameter clamps follow the
+        reference QueryOptimizer (limit<=100, threshold>=0.1)."""
+        limit, threshold = clamp_request(limit, threshold)
+        if vector is not None:
+            emb = self.embeddings()
+            if filter is not None:
+                keep = self.documents().where(filters.filter_to_column(filter))
+                emb = emb.join(
+                    keep.select(F.col(self.id_col).alias("vec_id")), "vec_id", "left_semi"
+                )
+            choice = choose_search_strategy(
+                emb.count(),
+                has_ivf=self._has("index_ivf"),
+                has_packed=self._has("index_packed"),
+            )
+            if choice.strategy == "ivf":
+                cents, assigned = ann.load_index(self.spark, self._path("index_ivf"))
+                return ann.ivf_search(emb, cents, assigned, vector, k=limit)
+            if choice.strategy == "binary_two_stage":
+                packed = self.spark.read.parquet(self._path("index_packed"))
+                return quantization.two_stage_search(
+                    emb, vector, k=limit, packed_df=packed
+                )
+            return search.knn(emb, vector, k=limit, threshold=threshold)
+        if text is not None:
+            docs = self.documents()
+            if filter is not None:
+                docs = docs.where(filters.filter_to_column(filter))
+            score = text_match_score(None, F.col(self.text_col), text)
+            return (
+                docs.select(F.col(self.id_col), F.round(score, 6).alias("score"))
+                .where(F.col("score") > 0)
+                .orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+                .limit(limit)
+            )
+        raise ValueError("search needs a vector or a text query")
+
+    def hybrid_search(
+        self,
+        query_text: str,
+        query_vector: Sequence[float],
+        limit: int = 10,
+        strategy: str = "rrf",
+        weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """HybridSearchEngine::search (src/hybrid.rs:286-356): dense + BM25
+        + text candidates (2k over-fetch each) fused by the chosen
+        strategy."""
+        limit, _ = clamp_request(limit, None)
+        overfetch = limit * 2
+        emb, docs = self.embeddings(), self.documents()
+        lists = {
+            "dense": search.knn(emb, query_vector, k=overfetch).withColumnRenamed(
+                "vec_id", "doc_id"
+            ),
+            "sparse": sparse.bm25_search(docs, query_text, k=overfetch),
+            "text": self.search(text=query_text, limit=overfetch).withColumnRenamed(
+                self.id_col, "doc_id"
+            ),
+        }
+        if strategy == "rrf":
+            return fusion.rrf_fuse(lists, limit=limit)
+        if strategy == "linear":
+            return fusion.linear_fuse(lists, weights, limit=limit)
+        if strategy == "normalized":
+            return fusion.normalized_fuse(lists, weights, limit=limit)
+        if strategy == "adaptive":
+            return fusion.adaptive_fuse(lists, query_text, limit=limit)
+        raise ValueError(f"unknown fusion strategy {strategy!r}")
+
+    def stats(self) -> dict:
+        """Database statistics (reference A7)."""
+        docs = self.documents()
+        n_docs = docs.count()
+        out = {"document_count": n_docs}
+        try:
+            emb = self.embeddings()
+            out["vector_count"] = emb.count()
+            out["vector_dim"] = emb.select(F.size(self.vec_col)).head()[0]
+        except Exception:
+            out["vector_count"] = 0
+        out["indexes"] = [
+            k for k in ("index_ivf", "index_packed") if self._has(k)
+        ]
+        return out

@@ -1,0 +1,86 @@
+"""End-to-end facade tests: the reference user's workflow, verbatim."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.db import GrapeVectorDB
+
+
+@pytest.fixture()
+def db(spark, docs, emb):
+    d = tempfile.mkdtemp(prefix="gvdb_db_")
+    inst = GrapeVectorDB(spark, d)
+    inst.add_documents(docs, emb)
+    yield inst
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_crud_roundtrip(db, docs):
+    assert db.stats()["document_count"] == docs.count()
+    got = db.get_document(42)
+    assert got is not None and got["doc_id"] == 42
+    assert db.get_document(10**9) is None
+
+    # upsert preserving unset fields
+    upd = db.spark.createDataFrame(
+        [(42, "replaced text", None, None, None)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    db.add_documents(upd)
+    after = db.get_document(42)
+    assert after["text"] == "replaced text"
+    assert after["lang"] is not None  # preserved
+
+    db.delete_documents("doc_id = 42")
+    assert db.get_document(42) is None
+
+
+def test_vector_search_and_clamps(db, emb):
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    res = db.search(vector=qv, limit=5).collect()
+    assert res[0]["vec_id"] == 3
+    # reference clamp: limit capped at 100
+    big = db.search(vector=qv, limit=5000)
+    assert big.count() <= 100
+
+
+def test_text_search_with_filter(db):
+    res = db.search(
+        text="vector index",
+        limit=10,
+        filter={"must": [{"type": "equals", "field": "lang", "value": "en"}]},
+    )
+    rows = res.collect()
+    assert len(rows) > 0
+
+
+def test_filtered_vector_search(db, emb, docs):
+    qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "de"}]}
+    res = db.search(vector=qv, limit=10, filter=flt).collect()
+    de_ids = {r["doc_id"] for r in docs.where("lang = 'de'").collect()}
+    assert {r["vec_id"] for r in res} <= de_ids
+
+
+def test_hybrid_strategies(db, emb):
+    qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    for strat in ("rrf", "linear", "normalized", "adaptive"):
+        out = db.hybrid_search("vector index merge", qv, limit=5, strategy=strat)
+        assert out.count() <= 5, strat
+
+
+def test_index_build_and_planner(db, emb):
+    qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    db.build_index("binary")
+    assert "index_packed" in db.stats()["indexes"]
+    # small corpus -> planner still picks brute force; force the packed path
+    from grape_vector_db_spark.operators import quantization
+
+    packed = db.spark.read.parquet(db._path("index_packed"))
+    res = quantization.two_stage_search(db.embeddings(), qv, k=5, packed_df=packed)
+    assert res.head()["vec_id"] == 0
