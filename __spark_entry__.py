@@ -279,6 +279,30 @@ def q_filter_where_sql(spark, sf_dir):
     return _docs(spark, sf_dir).where(WHERE_SQL).select("doc_id", "n_chars")
 
 
+def q_filter_advanced(spark, sf_dir):
+    """P4: IN / LIKE / IS NOT NULL through the condition translator."""
+    docs = _docs(spark, sf_dir)
+    cond = (
+        filters.condition_to_column(
+            {"type": "in", "field": "lang", "values": ["en", "de"]}
+        )
+        & filters.condition_to_column(
+            {"type": "like", "field": "source", "pattern": "src1%"}
+        )
+        & filters.condition_to_column({"type": "is_not_null", "field": "text"})
+    )
+    return docs.where(cond).select("doc_id", "lang", "source")
+
+
+def q_delete_by_filter(spark, sf_dir):
+    """S9: DELETE WHERE as complement filter (rows that survive)."""
+    from grape_vector_db_spark.sources.tables import delete_where
+
+    return delete_where(_docs(spark, sf_dir), "lang = 'zh' OR n_chars < 100").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_point_lookup(spark, sf_dir):
     return _docs(spark, sf_dir).where(F.col("doc_id") == 42)
 
@@ -627,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_normalized": q_hybrid_normalized,
         "filter_tree": q_filter_tree,
         "filter_where_sql": q_filter_where_sql,
+        "filter_advanced": q_filter_advanced,
+        "delete_by_filter": q_delete_by_filter,
         "point_lookup": q_point_lookup,
         "paged_listing": q_paged_listing,
         "dedup_exact": q_dedup_exact,
@@ -1001,6 +1027,15 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (source = 'src0')
         """,
         "filter_where_sql": f"SELECT doc_id, n_chars FROM documents WHERE {WHERE_SQL}",
+        "filter_advanced": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE lang IN ('en', 'de') AND source LIKE 'src1%'
+              AND text IS NOT NULL
+        """,
+        "delete_by_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (lang = 'zh' OR n_chars < 100)
+        """,
         "point_lookup": "SELECT * FROM documents WHERE doc_id = 42",
         "paged_listing": "SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100",
         "dedup_exact": """
