@@ -421,6 +421,60 @@ def q_top_orders_per_priority(spark, sf_dir):
     )
 
 
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: 3-way join + agg + top-k. The dimension side
+    (filtered customers) broadcasts; lineitem (the 100 TB table) shuffles
+    once on the groupBy key only."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.where("c_mktsegment = 'BUILDING'")),
+                    orders["o_custkey"] == cust["c_custkey"],
+                ).select("o_orderkey", "o_orderdate")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped 5-way join: lineitem scans once; every dimension
+    (customer, orders pre-filtered, nation, region) broadcasts."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dims = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("o_orderkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_orderkey"] == dims["o_orderkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -671,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_json_filter": q_events_json_filter,
         "top_orders_per_priority": q_top_orders_per_priority,
+        "top_revenue_orders": q_top_revenue_orders,
+        "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "rp_buckets": q_rp_buckets,
         "vocabulary": q_vocabulary,
@@ -1183,6 +1239,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderkey, o_orderpriority, o_totalprice, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "top_revenue_orders": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT r.r_name, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
