@@ -839,7 +839,7 @@ def _text_match_sql(k: int) -> str:
         for t in TEXT_TERMS
     )
     return f"""
-    SELECT doc_id, round({score}, 6) AS score FROM documents
+    SELECT doc_id, round({score}, 6)::DOUBLE AS score FROM documents
     WHERE ({score}) > 0
     ORDER BY score DESC, doc_id LIMIT {k}
     """
@@ -983,7 +983,8 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, id) AS rank
               FROM scored
             )
-            SELECT query_id, id, score, rank FROM ranked WHERE rank <= 5
+            SELECT query_id, id, score, rank::INT AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "similarity_threshold": f"""
             SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
@@ -1164,9 +1165,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,
-                   len(regexp_split_to_array(lower(d.text), '\s+')) AS n_ws_tokens,
-                   len(regexp_extract_all(d.text, '[\pL]+|[\pN]+|[^\pL\pN\s]')) AS n_bpe_tokens,
-                   len(toks.t) AS n_kept_tokens
+                   len(regexp_split_to_array(lower(d.text), '\s+'))::INT AS n_ws_tokens,
+                   len(regexp_extract_all(d.text, '[\pL]+|[\pN]+|[^\pL\pN\s]'))::INT AS n_bpe_tokens,
+                   len(toks.t)::INT AS n_kept_tokens
             FROM documents d JOIN toks ON toks.doc_id = d.doc_id
         """,
         "fingerprints": rf"""
@@ -1237,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
               FROM orders
             )
-            SELECT o_orderkey, o_orderpriority, o_totalprice, rank
+            SELECT o_orderkey, o_orderpriority, o_totalprice, rank::INT AS rank
             FROM ranked WHERE rank <= 3
         """,
         "top_revenue_orders": """
@@ -1278,7 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocabulary": f"""
             WITH {_TERMS_CTE}
-            SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id
+            SELECT term, (row_number() OVER (ORDER BY term) - 1)::INT AS term_id
             FROM (SELECT DISTINCT term FROM dt)
         """,
         "rank_decay": f"""
@@ -1335,13 +1336,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, r, sqrt(list_inner_product(r, r)) AS nrm FROM raw
             )
             SELECT doc_id,
-                   generate_subscripts(r, 1) - 1 AS i,
+                   (generate_subscripts(r, 1) - 1)::INT AS i,
                    round(CASE WHEN nrm = 0 THEN 0.0
                               ELSE unnest(r) / nrm END, 6) AS val
             FROM n
         """,
         "multimodal_meta": """
-            SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+            SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
         """,
@@ -1378,7 +1379,7 @@ def oracle_sql() -> dict[str, str]:
                          count(DISTINCT source) AS n_sources
                   FROM documents) d,
                  (SELECT count(*) AS total_vectors,
-                         max(len(embedding)) AS vector_dim
+                         max(len(embedding))::INT AS vector_dim
                   FROM embeddings) e
         """,
         "events_sliding": """
@@ -1460,7 +1461,7 @@ def _quality_sql() -> str:
                  len(list_filter(t, w -> list_contains({_STOP_SQL}, w))) AS n_stop
           FROM base
         )
-        SELECT doc_id, n_ws_tokens,
+        SELECT doc_id, n_ws_tokens::INT AS n_ws_tokens,
                round((length(text) - (n_ws_tokens - 1))::DOUBLE
                      / greatest(n_ws_tokens, 1), 6) AS mean_token_len,
                round(n_stop::DOUBLE / greatest(n_ws_tokens, 1), 6) AS stopword_ratio,

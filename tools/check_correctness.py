@@ -25,6 +25,32 @@ from grape_vector_db_spark.session import get_spark  # noqa: E402
 from grape_vector_db_spark.sources.tables import TABLES  # noqa: E402
 
 
+_SPARK_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "timestamp": "ts",
+    "timestamp_ntz": "ts", "date": "date", "binary": "bytes",
+}
+_DUCK_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float", "DECIMAL": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "DATE": "date", "BLOB": "bytes",
+}
+
+
+def kind_of_spark(dtype: str) -> str:
+    return _SPARK_KIND.get(dtype, dtype)
+
+
+def kind_of_duck(dtype: str) -> str:
+    base = dtype.split("(")[0].strip()
+    return _DUCK_KIND.get(base, base)
+
+
 def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -66,6 +92,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -79,6 +106,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = [d[0] for d in res.description]
+            otypes = dict(zip(ocols, [str(t) for t in res.types]))
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
@@ -89,6 +117,16 @@ def main():
         status = []
         if sc != oc:
             status.append(f"cols spark={sc} oracle={oc}")
+        else:
+            # dtype-kind comparison (the driver checks schema, not just names)
+            for c in sc:
+                sk = kind_of_spark(stypes.get(c, "?"))
+                ok_ = kind_of_duck(otypes.get(c, "?"))
+                if sk != ok_:
+                    status.append(
+                        f"dtype[{c}] spark={stypes.get(c)}({sk}) "
+                        f"oracle={otypes.get(c)}({ok_})"
+                    )
         if len(sv) != len(ov):
             status.append(f"rowcount spark={len(sv)} oracle={len(ov)}")
         if not status and sv != ov:
