@@ -94,9 +94,12 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; the session reads nanos as long and we rebuild a TIMESTAMP at
-    microsecond precision (the driver data is second-granular)."""
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default — including in the DRIVER's own plain
+    session. nanosAsLong is runtime-settable, so set it defensively here
+    (not only in our session factory), then rebuild a microsecond
+    TIMESTAMP from the long."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
