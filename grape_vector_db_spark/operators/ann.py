@@ -385,6 +385,145 @@ def pq_search(
     )
 
 
+def ivfpq_build(
+    df: DataFrame,
+    nlist: int = 8,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """True FAISS-style IVF-PQ (reference src/index.rs:506-556): coarse
+    k-means cells + product quantization of the **residuals** (v - cell
+    centroid) — residual PQ preserves far more precision than raw PQ
+    because the residual distribution is centered and tighter per cell.
+
+    Returns (cents_df, codebooks, codes_df) where codes_df is
+    (id, cluster, codes array<int>). One extra narrow map computes the
+    residuals (broadcast centroid literal subtraction); PQ training reuses
+    the shared-scan subspace machinery.
+    """
+    cents, assigned = ivf_build(df, nlist, max_iter, id_col, vec_col)
+    cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
+    src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    assigned_v = _assign_literal(src, cents_py)  # (id, v, cluster)
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in cents_py[c]])
+            for c in sorted(cents_py)
+        ]
+    )
+    residuals = assigned_v.withColumn("_cents", cent_lit).select(
+        "id",
+        "cluster",
+        F.expr("zip_with(v, _cents[cluster], (x, c) -> x - c)").alias("v"),
+    )
+    dim = len(next(iter(cents_py.values())))
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    res_src = residuals.select("id", "v").persist()
+    first_k = res_src.orderBy("id").limit(k).select("v").collect()
+    codebooks = [
+        [list(row["v"][j * sub : (j + 1) * sub]) for row in first_k]
+        for j in range(m)
+    ]
+    for _ in range(max_iter):
+        a = _pq_assign(res_src, codebooks, m, sub)
+        new_rows = (
+            a.groupBy("j", "cluster")
+            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("cw"))
+            .collect()
+        )
+        for r in new_rows:
+            codebooks[r["j"]][r["cluster"]] = list(r["cw"])
+    codes = _pq_encode(res_src, codebooks, m, sub).join(
+        residuals.select("id", "cluster"), "id"
+    )
+    res_src.unpersist()
+    return cents, codebooks, codes
+
+
+def ivfpq_search(
+    df: DataFrame,
+    cents: DataFrame,
+    codebooks,
+    codes: DataFrame,
+    query_vector,
+    k: int = 10,
+    nprobe: int = 2,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC over residual codes: per probed cell, the distance table is built
+    from (query - cell centroid); candidates from the nprobe cells rank by
+    table lookups, then exact cosine rescore.
+
+    The per-cell distance tables ride in as a broadcast (cluster, dtable)
+    frame — nprobe * m * k doubles, trivially small.
+    """
+    spark = df.sparkSession
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents_rows = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
+    q = [float(x) for x in query_vector]
+
+    # rank cells by cosine(query, centroid), driver-side (nlist rows)
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na == 0 or nb == 0 else d / (na * nb)
+
+    probe = sorted(
+        cents_rows, key=lambda c: (-cos(q, cents_rows[c]), c)
+    )[:nprobe]
+
+    dt_rows = []
+    for c in probe:
+        r = [qi - ci for qi, ci in zip(q, cents_rows[c])]
+        dtable = [
+            [
+                sum((r[j * sub + i] - cw[i]) ** 2 for i in range(sub))
+                for cw in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        dt_rows.append((c, dtable))
+    dt_df = F.broadcast(
+        spark.createDataFrame(
+            dt_rows, "cluster int, dtable array<array<double>>"
+        )
+    )
+    approx = codes.join(dt_df, "cluster").select(
+        "id",
+        F.expr(
+            "aggregate(zip_with(codes, dtable, (c, row) -> element_at(row, c + 1)),"
+            " 0D, (a, x) -> a + x)"
+        ).alias("approx_dist"),
+    )
+    cand = (
+        approx.orderBy(F.col("approx_dist").asc(), F.col("id").asc())
+        .limit(rescore)
+        .select("id")
+    )
+    hydrated = df.join(F.broadcast(cand), df[id_col] == cand["id"]).select(
+        df[id_col], to_double_array(vec_col).alias("v")
+    )
+    return (
+        hydrated.select(
+            F.col(id_col),
+            F.round(cosine_vs_query(F.col("v"), query_vector), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def save_index(path: str, cents: DataFrame, assigned: DataFrame) -> None:
     """S13 index persistence (src/query.rs:282-409 saves gzip'd HNSW; our
     index IS tables): centroids as plain parquet, assignments partitioned

@@ -82,6 +82,29 @@ def test_pq_recall(spark, emb):
     assert len(set(res) & set(exact)) >= 5  # recall@10 >= 0.5
 
 
+def test_ivfpq_residual_recall(spark, emb):
+    qv = search.query_vector_of(emb, 0)
+    exact = [r["vec_id"] for r in search.knn(emb, qv, k=10).collect()]
+    cents, cbs, codes = ann.ivfpq_build(emb, nlist=4, m=8, k=16, max_iter=2)
+    # full probe: residual-PQ candidates cover every cell
+    res = [
+        r["vec_id"]
+        for r in ann.ivfpq_search(
+            emb, cents, cbs, codes, qv, k=10, nprobe=4, rescore=50
+        ).collect()
+    ]
+    assert res[0] == exact[0]
+    assert len(set(res) & set(exact)) >= 5
+    # partial probe prunes cells but keeps the self-match's cell
+    res2 = [
+        r["vec_id"]
+        for r in ann.ivfpq_search(
+            emb, cents, cbs, codes, qv, k=10, nprobe=2, rescore=50
+        ).collect()
+    ]
+    assert res2[0] == exact[0]
+
+
 def test_filter_tree_equivalence(spark, docs):
     ast = {
         "must": [{"type": "range", "field": "n_chars", "gte": 100, "lte": 300}],

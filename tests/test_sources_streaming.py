@@ -121,6 +121,46 @@ def test_stream_upsert_with_index(spark, tmpdir):
     assert docs[2] == "omega only" and docs[1] == "alpha beta gamma"
 
 
+def test_stateful_dedup_stream(spark, tmpdir):
+    """Duplicates are dropped across micro-batches via keyed state."""
+    from grape_vector_db_spark.streaming.stateful import dedup_stream
+
+    src = f"{tmpdir}/in"
+    out = f"{tmpdir}/out"
+    ck = f"{tmpdir}/ck"
+    spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content"), (3, "alpha content")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    def run_once():
+        q = (
+            dedup_stream(spark.readStream.schema("doc_id long, text string").parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    # within-batch dup (doc 3) suppressed; first-seen = lowest id
+    assert rows == {(1, "alpha content"), (2, "beta content")}
+
+    # second batch: one old content (suppressed via state), one new
+    spark.createDataFrame(
+        [(4, "alpha content"), (5, "gamma content")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert (5, "gamma content") in rows
+    assert (4, "alpha content") not in rows
+    assert len(rows) == 3
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     """The streaming aggregation expressions, run in batch mode, match a
     plain groupBy — shared semantics between the two paths."""
