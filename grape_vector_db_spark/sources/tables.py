@@ -94,6 +94,17 @@ def exists(df: DataFrame, id_value, id_col: str = "id") -> bool:
     return df.where(F.col(id_col) == id_value).limit(1).count() > 0
 
 
+def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
+    """Small-file compaction: rewrite a parquet table at a chosen partition
+    count (streaming upserts accumulate small files; at 100 TB scale run
+    this per-partition or use the table format's OPTIMIZE). Snapshot-swap
+    write, same safety model as merge_upsert."""
+    df = spark.read.parquet(path)
+    staging = f"{path}__compact"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+
+
 def backup(df: DataFrame, path: str, id_col: str = "id") -> None:
     """Snapshot with a per-row sha256 checksum column (reference S12 writes
     a SHA-256 over the backup payload, src/storage.rs:569-576)."""
