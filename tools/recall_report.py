@@ -1,0 +1,114 @@
+"""Generate RECALL.md — Recall@10 of every approximate search path vs the
+exact brute-force anchor, over a sample of queries at sf0.1.
+
+Context (BASELINE.md): the reference's pure binary quantization reported
+Recall@5 = 17% WITHOUT rescoring and called it a known weakness; every
+path here includes an exact rescore stage, which is the fix.
+
+Usage: python tools/recall_report.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from grape_vector_db_spark.operators import ann, quantization, search  # noqa: E402
+from grape_vector_db_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+K = 10
+N_QUERIES = 20
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    n = emb.count()
+
+    qids = list(range(0, N_QUERIES * 7, 7))
+    qvs = {i: search.query_vector_of(emb, i) for i in qids}
+    exact = {
+        i: [r["vec_id"] for r in search.knn(emb, qvs[i], k=K).collect()]
+        for i in qids
+    }
+
+    t0 = time.time()
+    cents, assigned = ann.ivf_build(emb, nlist=16, max_iter=5)
+    assigned = assigned.persist(); assigned.count()
+    ivf_build_s = time.time() - t0
+
+    t0 = time.time()
+    cbs, codes = ann.pq_build(emb, m=8, k=16, max_iter=5)
+    codes = codes.persist(); codes.count()
+    pq_build_s = time.time() - t0
+
+    t0 = time.time()
+    rcents, rcbs, rcodes = ann.ivfpq_build(emb, nlist=16, m=8, k=16, max_iter=5)
+    rcodes = rcodes.persist(); rcodes.count()
+    ivfpq_build_s = time.time() - t0
+
+    t0 = time.time()
+    packed = quantization.pack_bits(emb).persist(); packed.count()
+    pack_build_s = time.time() - t0
+
+    paths = {
+        f"ivf nlist=16 nprobe=4 (25% of cells)": lambda qv: ann.ivf_search(
+            emb, cents, assigned, qv, k=K, nprobe=4
+        ),
+        f"pq m=8 rescore={4*K}": lambda qv: ann.pq_search(
+            emb, cbs, codes, qv, k=K, rescore=4 * K
+        ),
+        f"ivfpq nlist=16 nprobe=4 rescore={4*K}": lambda qv: ann.ivfpq_search(
+            emb, rcents, rcbs, rcodes, qv, k=K, nprobe=4, rescore=4 * K
+        ),
+        "binary two-stage ratio=0.1": lambda qv: quantization.two_stage_search(
+            emb, qv, k=K, rescore_ratio=0.1, packed_df=packed
+        ),
+    }
+
+    lines = [
+        "# RECALL — approximate search paths vs exact brute force",
+        "",
+        f"Corpus: sf0.1 embeddings ({n} x 64f), {len(qids)} stored-vector",
+        f"queries, Recall@{K} against exact cosine top-{K}.",
+        "",
+        "Reference context: pure binary quantization WITHOUT rescoring",
+        "reported Recall@5 = 17% (BASELINE.md) — every path below rescores",
+        "exactly, which is the fix the reference's own docs recommend.",
+        "",
+        "| path | build (s) | mean Recall@10 | min | queries/s |",
+        "|---|---|---|---|---|",
+    ]
+    builds = {
+        "ivf": ivf_build_s, "pq": pq_build_s, "ivfpq": ivfpq_build_s,
+        "binary": pack_build_s,
+    }
+    for name, fn in paths.items():
+        t0 = time.time()
+        recalls = []
+        for i in qids:
+            got = [r["vec_id"] for r in fn(qvs[i]).collect()]
+            recalls.append(len(set(got) & set(exact[i])) / K)
+        dt = time.time() - t0
+        b = builds[name.split()[0].split("-")[0] if not name.startswith("binary") else "binary"]
+        lines.append(
+            f"| {name} | {b:.1f} | {sum(recalls)/len(recalls):.2f} "
+            f"| {min(recalls):.2f} | {len(qids)/dt:.1f} |"
+        )
+    lines.append("")
+    lines.append(
+        "Exact brute force is the correctness anchor (Recall 1.0 by "
+        "definition); at 100 TB the ivf/ivfpq paths trade the bounded "
+        "recall above for scanning nprobe/nlist of the corpus."
+    )
+    with open("/root/repo/RECALL.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
