@@ -395,6 +395,17 @@ def q_geo_near(spark, sf_dir):
     return geo.nearest(_cust_geo(spark, sf_dir), 48.85, 2.35, k=5, id_col="c_custkey")
 
 
+POLYGON = [(-30.0, -60.0), (-30.0, 60.0), (45.0, 90.0), (60.0, -20.0), (10.0, -90.0)]
+
+
+def q_geo_polygon(spark, sf_dir):
+    """P9 upgrade: real point-in-polygon (the reference stubs polygon
+    predicates to empty results, src/filtering.rs:97-105)."""
+    return geo.within_polygon(_cust_geo(spark, sf_dir), POLYGON).select(
+        "c_custkey", "lat", "lon"
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return ev.groupBy(
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
+        "geo_polygon": q_geo_polygon,
         "events_hourly": q_events_hourly,
         "events_percentiles": q_events_percentiles,
         "events_json_filter": q_events_json_filter,
@@ -1235,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             ORDER BY dist_km ASC, c_custkey LIMIT 5
         """,
+        "geo_polygon": _geo_polygon_sql(),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
@@ -1439,6 +1452,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ivf_search / pq_search: iterative k-means — rows-only checks
     }
+
+
+def _geo_polygon_sql() -> str:
+    """Ray-casting oracle: same edge fold as operators.geo.point_in_polygon.
+    DuckDB double division by zero yields inf (no ANSI throw), and a
+    horizontal edge can never straddle, so the raw formula is safe here."""
+    n = len(POLYGON)
+    edges = ", ".join(
+        "{'y1': %r, 'x1': %r, 'y2': %r, 'x2': %r}"
+        % (
+            POLYGON[i][0], POLYGON[i][1],
+            POLYGON[(i + 1) % n][0], POLYGON[(i + 1) % n][1],
+        )
+        for i in range(n)
+    )
+    lats = [p[0] for p in POLYGON]
+    lons = [p[1] for p in POLYGON]
+    return f"""
+        WITH g AS (
+          SELECT c_custkey,
+                 ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                 ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+          FROM customer
+        )
+        SELECT c_custkey, lat, lon FROM g
+        WHERE lat >= {min(lats)} AND lat <= {max(lats)}
+          AND lon >= {min(lons)} AND lon <= {max(lons)}
+          AND list_sum(list_transform([{edges}], e ->
+                CASE WHEN (e.y1 > lat) != (e.y2 > lat)
+                          AND lon < (e.x2 - e.x1) * (lat - e.y1)
+                                    / (e.y2 - e.y1) + e.x1
+                     THEN 1 ELSE 0 END)) % 2 = 1
+    """
 
 
 def _lang_id_sql() -> str:

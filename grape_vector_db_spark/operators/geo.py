@@ -67,6 +67,76 @@ def within_distance(
     )
 
 
+def point_in_polygon(
+    lat_col: Column, lon_col: Column, polygon: list[tuple[float, float]]
+) -> Column:
+    """Ray-casting point-in-polygon as a pure column expression.
+
+    The reference DECLARES polygon Within/Contains/Intersects but stubs
+    them to empty results (src/filtering.rs:97-105) — this implements the
+    real semantics. ``polygon`` is a closed ring of (lat, lon) vertices
+    (closing edge implied). Odd crossing count of a horizontal ray = inside.
+    Boundary points follow the standard crossing convention.
+
+    The ring folds into the plan as a literal edge array; cost is
+    O(vertices) arithmetic per row inside codegen, and a bounding-box
+    prefilter (cheap pushdown-able range predicate) should wrap it for
+    pruning — see within_polygon.
+    """
+    n = len(polygon)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(polygon[i][0])).alias("y1"),
+                F.lit(float(polygon[i][1])).alias("x1"),
+                F.lit(float(polygon[(i + 1) % n][0])).alias("y2"),
+                F.lit(float(polygon[(i + 1) % n][1])).alias("x2"),
+            )
+            for i in range(n)
+        ]
+    )
+    py, px = lat_col, lon_col
+
+    def cross(acc: Column, e: Column) -> Column:
+        straddles = (e["y1"] > py) != (e["y2"] > py)
+        # try_divide: horizontal edges (y1==y2) can't straddle, but ANSI
+        # mode must never see the 0-division even speculatively
+        x_at = (
+            F.coalesce(
+                F.try_divide((e["x2"] - e["x1"]) * (py - e["y1"]), e["y2"] - e["y1"]),
+                F.lit(0.0),
+            )
+            + e["x1"]
+        )
+        return acc + F.when(straddles & (px < x_at), F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(edges, F.lit(0), cross)
+    return crossings % 2 == 1
+
+
+def within_polygon(
+    df: DataFrame,
+    polygon: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Rows inside the polygon, with a bounding-box prefilter that Catalyst
+    pushes into the scan before the exact ray-cast runs."""
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    bbox = (
+        (F.col(lat_col) >= min(lats))
+        & (F.col(lat_col) <= max(lats))
+        & (F.col(lon_col) >= min(lons))
+        & (F.col(lon_col) <= max(lons))
+    )
+    return df.where(bbox).where(
+        point_in_polygon(F.col(lat_col), F.col(lon_col), polygon)
+    )
+
+
 def nearest(
     df: DataFrame,
     lat: float,

@@ -178,6 +178,26 @@ def test_geo_within_radius_monotone(spark, docs):
     assert nearest["doc_id"] == 1
 
 
+def test_point_in_polygon(spark):
+    # unit square + a concave "notch" polygon
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, 9.9, 9.9), (4, -0.1, 5.0)],
+        "id int, lat double, lon double",
+    )
+    inside = {r["id"] for r in geo.within_polygon(pts, square).collect()}
+    assert inside == {1, 3}
+
+    concave = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 5.0), (0.0, 10.0)]
+    pts2 = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 8.0, 5.0), (3, 6.5, 9.0)],
+        "id int, lat double, lon double",
+    )
+    got = {r["id"] for r in geo.within_polygon(pts2, concave).collect()}
+    # (8,5) sits under the notch apex -> inside; (6.5,9) is in the notch -> outside
+    assert 1 in got and 2 in got and 3 not in got
+
+
 def test_topk_per_group(spark):
     df = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("b", 4, 1.0)],
