@@ -96,6 +96,58 @@ def by_stored(df, i):
     return list(df.where(F.col("id") == i).head()["v"])
 
 
+corpora = st.lists(
+    st.text(alphabet="abcdefg hij", min_size=0, max_size=60),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(corpora, st.text(alphabet="abcdefg hij", min_size=1, max_size=20))
+def test_bm25_matches_python_replica(spark, corpus, query):
+    """Full BM25 pipeline vs an independent pure-Python implementation of
+    the reference formulas (relative tf, posting-weighted avg_doc_length,
+    k1=1.2 b=0.75) on random corpora."""
+    from grape_vector_db_spark.operators.sparse import bm25_search, tokenize_query_py
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_search(df, query, k=100).collect()}
+
+    # independent replica
+    doc_tfs = {i: tokenize_query_py(t) for i, t in enumerate(corpus)}
+    doc_tfs = {i: tf for i, tf in doc_tfs.items() if tf}
+    qtf = tokenize_query_py(query)
+    n = len(doc_tfs)
+    entries = sum(len(tf) for tf in doc_tfs.values())
+    doc_len = {i: sum(tf.values()) for i, tf in doc_tfs.items()}
+    avg_len = (
+        sum(doc_len[i] * len(doc_tfs[i]) for i in doc_tfs) / n if n else 0.0
+    )
+    df_count = {}
+    for tf in doc_tfs.values():
+        for t in tf:
+            df_count[t] = df_count.get(t, 0) + 1
+    import math
+
+    want = {}
+    for i, tf in doc_tfs.items():
+        s = 0.0
+        for t, qv in qtf.items():
+            if t not in tf:
+                continue
+            idf = math.log((n - df_count[t] + 0.5) / (df_count[t] + 0.5))
+            comp = tf[t] * 2.2 / (tf[t] + 1.2 * (1 - 0.75 + 0.75 * doc_len[i] / avg_len))
+            s += qv * comp * idf
+        if s != 0.0:
+            want[i] = round(s, 6)
+    assert set(got) <= set(doc_tfs)
+    for i, sc in got.items():
+        assert abs(sc - want.get(i, 0.0)) <= 2e-6, (i, sc, want.get(i))
+
+
 @settings(**SETTINGS)
 @given(vectors)
 def test_pack_bits_bit_order_msb_first(spark, vecs):
