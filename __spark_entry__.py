@@ -518,6 +518,18 @@ def q_rp_buckets(spark, sf_dir):
     return ann.random_projection_buckets(_emb(spark, sf_dir), n_planes=8, seed=42)
 
 
+def q_ivf_flat(spark, sf_dir):
+    """J2/J3 oracle-checked IVF-Flat: deterministic md5-derived centroid
+    LITERALS (ann.fixed_centroids) make assignment + probing reproducible
+    in any engine, so this ANN search gets a hash-checked DuckDB row
+    instead of rows-only (the trained-kmeans variants stay rows-only
+    because iterative Lloyd's is not SQL-expressible)."""
+    cents_py = ann.fixed_centroids(nlist=8, dim=64, seed=7)
+    return ann.ivf_flat_search(
+        _emb(spark, sf_dir), cents_py, _qv(spark, sf_dir), k=K_DEFAULT, nprobe=3
+    )
+
+
 def q_vocabulary(spark, sf_dir):
     """A2: distinct term -> dense integer id (deterministic: term order)."""
     from pyspark.sql import Window
@@ -760,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "rp_buckets": q_rp_buckets,
+        "ivf_flat": q_ivf_flat,
         "vocabulary": q_vocabulary,
         "rank_decay": q_rank_decay,
         "score_stats": q_score_stats,
@@ -977,6 +990,17 @@ def _rp_planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[str
             coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
         planes.append("[" + ", ".join(repr(c) for c in coords) + "]::DOUBLE[]")
     return planes
+
+
+def _ivf_cents_sql(nlist: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """VALUES rows for ann.fixed_centroids — same md5 derivation, inlined
+    as literals so DuckDB assigns/probes the exact same cells."""
+    cents = ann.fixed_centroids(nlist=nlist, dim=dim, seed=seed)
+    rows = ", ".join(
+        f"({c}, [" + ", ".join(repr(x) for x in cv) + "]::DOUBLE[])"
+        for c, cv in sorted(cents.items())
+    )
+    return f"cents(cluster, cv) AS (VALUES {rows})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1309,6 +1333,26 @@ def oracle_sql() -> dict[str, str]:
         "rp_buckets": f"""
             SELECT vec_id AS id, ({bucket_expr})::INT AS bucket
             FROM {_EMB_D}
+        """,
+        "ivf_flat": f"""
+            WITH {_ivf_cents_sql()},
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            probe AS (
+              SELECT cluster FROM cents, q
+              ORDER BY {_cos('cv', 'qv')} DESC, cluster LIMIT 3
+            ),
+            dist AS (
+              SELECT e.vec_id, e.v, c.cluster,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_inner_product(e.v, e.v)
+                       - 2 * list_inner_product(e.v, c.cv)
+                       + list_inner_product(c.cv, c.cv), c.cluster) AS rn
+              FROM {_EMB_D} e CROSS JOIN cents c
+            ),
+            assigned AS (SELECT vec_id, v, cluster FROM dist WHERE rn = 1)
+            SELECT a.vec_id, round({_cos('a.v', 'q.qv')}, 6) AS score
+            FROM assigned a JOIN probe USING (cluster), q
+            ORDER BY score DESC, vec_id LIMIT {K_DEFAULT}
         """,
         "vocabulary": f"""
             WITH {_TERMS_CTE}

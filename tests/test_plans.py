@@ -81,6 +81,50 @@ def test_point_lookup_pushdown(spark):
     assert "PushedFilters" in plan and "EqualTo(o_orderkey,42)" in plan
 
 
+def test_ivf_flat_is_join_free(spark, emb):
+    """J2/J3: literal-centroid IVF-Flat must be scan -> assign (narrow
+    Arrow map) -> filter -> TakeOrdered. No join, no shuffle anywhere —
+    the shape that holds at 100 TB."""
+    from grape_vector_db_spark.operators import ann
+
+    qv = query_vector_of(emb, 0)
+    plan = plan_of(ann.ivf_flat_search(emb, ann.fixed_centroids(), qv, k=10, nprobe=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_ivf_search_never_broadcasts_candidates(spark, emb):
+    """VERDICT r1 item 2 regression: the candidate-id side of ivf_search is
+    ~corpus*nprobe/nlist rows and must carry NO broadcast hint — the only
+    hinted broadcast is the nlist-row probe table. (Catalyst may still
+    *choose* broadcast from actual sizes at test scale; the hint is what
+    would force a driver OOM at 100 TB.)"""
+    from grape_vector_db_spark.operators import ann
+
+    qv = query_vector_of(emb, 0)
+    cents, assigned = ann.ivf_build(emb, nlist=4, max_iter=1)
+    plan = optimized_of(ann.ivf_search(emb, cents, assigned, qv, k=10, nprobe=2))
+    assert plan.count("strategy=broadcast") == 1
+
+
+def test_ivf_search_pruned_prunes_partitions(spark, emb, tmp_path):
+    """The persisted-layout search must reach the probed clusters via
+    parquet PARTITION pruning (directory skip), not a post-scan filter."""
+    from grape_vector_db_spark.operators import ann
+
+    qv = query_vector_of(emb, 0)
+    cents, assigned = ann.ivf_build(emb, nlist=4, max_iter=1, include_vectors=True)
+    ann.save_index(str(tmp_path / "idx"), cents, assigned)
+    df = ann.ivf_search_pruned(spark, str(tmp_path / "idx"), qv, k=10, nprobe=2)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "cluster" in m.group(1)
+
+
 def test_hydrate_broadcasts_result_side(spark, docs, emb):
     qv = query_vector_of(emb, 0)
     res = search.knn(emb, qv, k=5).withColumnRenamed("vec_id", "doc_id")
