@@ -333,9 +333,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram(spark, sf_dir):
+    """max_shingle_df exercises the hot-shingle cap in the gate: shingles in
+    >100 docs are non-discriminative and would make the self-join key
+    quadratic at scale (VERDICT r1 item 5)."""
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.2,
-        shingles_df=_shingles(spark, sf_dir),
+        shingles_df=_shingles(spark, sf_dir), max_shingle_df=100,
     )
 
 
@@ -949,16 +952,17 @@ sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0)
 """
 
 
-def _jaccard_tail_sql(threshold: float, cand: str) -> str:
+def _jaccard_tail_sql(threshold: float, cand: str, sh: str = "sh") -> str:
     """Shared verify step: exact Jaccard over shingle sets for candidate
-    pairs from subquery ``cand`` (columns a, b)."""
+    pairs from subquery ``cand`` (columns a, b); ``sh`` names the shingle
+    CTE (the capped variant passes its filtered table)."""
     return f"""
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM {sh} GROUP BY doc_id),
 inter AS (
   SELECT c.a, c.b, count(*) AS n_common
   FROM ({cand}) c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  JOIN {sh} sa ON sa.doc_id = c.a
+  JOIN {sh} sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY c.a, c.b
 )
 SELECT i.a, i.b,
@@ -1158,12 +1162,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram": f"""
             WITH {_SHINGLE_CTE},
+            shf AS (
+              SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)
+            ),
             cand AS (
               SELECT x.doc_id AS a, y.doc_id AS b
-              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
               GROUP BY x.doc_id, y.doc_id
             ),
-            {_jaccard_tail_sql(0.2, "SELECT a, b FROM cand")}
+            {_jaccard_tail_sql(0.2, "SELECT a, b FROM cand", sh="shf")}
         """,
         "dedup_minhash": f"""
             WITH {_SHINGLE_CTE},

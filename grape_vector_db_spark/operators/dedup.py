@@ -75,15 +75,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with a < b, jaccard >= threshold.
 
     Candidates come from a self-equi-join on shingle (only docs sharing at
     least one shingle meet), so cost is sum over shingles of df^2 — bounded
-    by shingle frequency, not corpus^2. A 100 TB run would additionally cap
-    hot shingles (drop shingles with df > cap as non-discriminative).
+    by shingle frequency, not corpus^2. That bound is only real with
+    ``max_shingle_df`` set: one stop-word shingle present in 1M docs makes
+    its join key quadratic (10^12 pairs in ONE task). Shingles with
+    df > max_shingle_df are non-discriminative (they match everything, so
+    they identify nothing) and are dropped from the shingle set entirely —
+    sizes and intersections both use the filtered set, the standard
+    discriminative-shingle Jaccard. The hot list is tiny by construction
+    (only keys above the cap), so it rides a broadcast anti-join — the big
+    shingle table is never reshuffled for the filter.
     """
     sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col).persist()
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("x")

@@ -138,6 +138,24 @@ def test_dedup_minhash_superset_check(spark, docs):
         assert len(lsh) >= len(full) * 0.5
 
 
+def test_ngram_hot_shingle_cap_bounds_pairs(spark):
+    """Skew regression (VERDICT r1 item 5): one stop-shingle shared by every
+    doc must not make the self-join quadratic. With the cap, docs that only
+    share the hot shingle produce NO candidate pair; genuinely similar docs
+    (sharing discriminative shingles) still match."""
+    rows = [(i, f"quick brown fox unique{i} word{i} token{i}") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # 'quick brown fox' appears in all 40 filler docs -> df=40 > cap=10
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_df=10)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), "hot-shingle-only pairs must be dropped"
+    # uncapped: the hot shingle alone creates 40*39/2 candidate pairs
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.1)
+    assert uncapped.count() > len(got)
+
+
 def test_embedding_neardup_fast_matches_exact(spark, emb):
     fast = sorted(
         (r["a"], r["b"], r["cosine"])
