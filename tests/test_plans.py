@@ -125,6 +125,21 @@ def test_ivf_search_pruned_prunes_partitions(spark, emb, tmp_path):
     assert m and "cluster" in m.group(1)
 
 
+def test_two_stage_keep_is_budget_capped(spark, emb):
+    """VERDICT r1 item 4 regression: stage-1 keep must be
+    max(k, min(ceil(total*ratio), budget)) — a fixed-size TakeOrdered,
+    never a corpus-proportional global sort."""
+    from grape_vector_db_spark.operators import quantization
+
+    qv = query_vector_of(emb, 0)
+    df = quantization.two_stage_search(
+        emb, qv, k=5, rescore_ratio=1.0, rescore_budget=20
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "Sort " not in plan  # no global sort fallback anywhere
+
+
 def test_hydrate_broadcasts_result_side(spark, docs, emb):
     qv = query_vector_of(emb, 0)
     res = search.knn(emb, qv, k=5).withColumnRenamed("vec_id", "doc_id")
