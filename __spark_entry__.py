@@ -534,12 +534,9 @@ def q_ivf_flat(spark, sf_dir):
 
 
 def q_vocabulary(spark, sf_dir):
-    """A2: distinct term -> dense integer id (deterministic: term order)."""
-    from pyspark.sql import Window
-
-    terms = _terms(spark, sf_dir).select("term").distinct()
-    w = Window.orderBy("term")
-    return terms.select("term", (F.row_number().over(w) - 1).alias("term_id"))
+    """A2: distinct term -> dense integer id (deterministic: term order).
+    Two-level rank — no global-window single-task sort (sparse.vocabulary)."""
+    return sparse.vocabulary(_terms(spark, sf_dir))
 
 
 def q_rank_decay(spark, sf_dir):

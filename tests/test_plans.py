@@ -140,6 +140,15 @@ def test_two_stage_keep_is_budget_capped(spark, emb):
     assert "Sort " not in plan  # no global sort fallback anywhere
 
 
+def test_vocabulary_has_no_single_partition_exchange(spark, docs):
+    """VERDICT r1 item 3 regression: dense term-id assignment must never
+    funnel all distinct terms through one task."""
+    terms = sparse.doc_terms(docs)
+    plan = plan_of(sparse.vocabulary(terms))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # offsets ride a broadcast join
+
+
 def test_hydrate_broadcasts_result_side(spark, docs, emb):
     qv = query_vector_of(emb, 0)
     res = search.knn(emb, qv, k=5).withColumnRenamed("vec_id", "doc_id")
