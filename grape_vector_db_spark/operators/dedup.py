@@ -221,14 +221,18 @@ def embedding_neardup_pairs_fast(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_broadcast_rows: int = 200_000,
+    max_broadcast_rows: int = 50_000,
 ) -> DataFrame:
     """BLAS-backed exact all-pairs cosine for corpora whose embedding matrix
-    fits in executor memory (rows*dim*8 bytes; 200k x 768 ~ 1.2 GB).
+    fits comfortably in driver+executor memory (rows*dim*8 bytes;
+    50k x 768 ~ 300 MB — the cap bounds the driver's transient copy, which
+    is why it defaults conservative; VERDICT r1 item 6).
 
     One side is broadcast as a dense numpy matrix; each Arrow batch of the
     other side computes a (batch x N) cosine block via matmul and emits the
     above-threshold (a < b) pairs. ~10x faster than the expression fold.
+    The matrix is pulled with Arrow (`toPandas`) — columnar transfer, no
+    per-row Row objects — then broadcast torrent-style to executors.
     Falls back to :func:`embedding_neardup_pairs` (blocked equi-join, no
     broadcast, unbounded scale) when the corpus is too large — that is also
     the bit-exact-ordered variant; this one sums in BLAS order (differences
@@ -240,9 +244,11 @@ def embedding_neardup_pairs_fast(
     if n > max_broadcast_rows:
         return embedding_neardup_pairs(emb, threshold, id_col, vec_col)
 
-    rows = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.asarray([r["id"] for r in rows])
-    M = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    pdf0 = emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).toPandas()
+    ids = pdf0["id"].to_numpy()
+    M = np.asarray(list(pdf0["v"]), dtype=np.float64)
     nrm = np.sqrt((M * M).sum(axis=1))
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((ids, M, nrm))
