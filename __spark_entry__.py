@@ -263,6 +263,22 @@ def q_hybrid_normalized(spark, sf_dir):
     return fusion.normalized_fuse(lists, limit=K_DEFAULT)
 
 
+def q_hybrid_detailed(spark, sf_dir):
+    """Full hybrid result hydration: linear fusion + per-source
+    ScoreBreakdown columns + matched_snippet context window — the
+    reference's complete SearchResult surface (src/hybrid.rs:337-353,
+    src/types.rs:428-446)."""
+    lists = {
+        "dense": _dense_list(spark, sf_dir),
+        "sparse": _sparse_list(spark, sf_dir),
+        "text": _text_list(spark, sf_dir),
+    }
+    fused = fusion.linear_fuse(lists, limit=K_DEFAULT, breakdown=True)
+    return search.hydrate(
+        fused, _docs(spark, sf_dir), columns=["lang"], snippet_query=SNIPPET_TERM
+    )
+
+
 FILTER_AST = {
     "must": [
         {"type": "range", "field": "n_chars", "gte": 100, "lte": 400},
@@ -745,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_linear": q_hybrid_linear,
         "hybrid_normalized": q_hybrid_normalized,
+        "hybrid_detailed": q_hybrid_detailed,
         "filter_tree": q_filter_tree,
         "filter_where_sql": q_filter_where_sql,
         "filter_advanced": q_filter_advanced,
@@ -993,6 +1010,21 @@ def _rp_planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[str
     return planes
 
 
+def _snippet_expr_sql(text: str, term: str) -> str:
+    """Inline snippet expression (±50/150 window with ellipses, NULL when
+    absent) over text expression ``text`` — mirrors functions.text.snippet."""
+    pos = f"strpos(lower({text}), '{term}')"
+    start = f"greatest(1, {pos} - 50)"
+    end = f"least(length({text}), {pos} + {len(term) + 150 - 1})"
+    return f"""
+      CASE WHEN {pos} > 0 THEN
+        (CASE WHEN {start} > 1 THEN '...' ELSE '' END) ||
+        substr({text}, {start}, {end} - {start} + 1) ||
+        (CASE WHEN {end} < length({text}) THEN '...' ELSE '' END)
+      ELSE NULL END
+    """
+
+
 def _ivf_cents_sql(nlist: int = 8, dim: int = 64, seed: int = 7) -> str:
     """VALUES rows for ann.fixed_centroids — same md5 derivation, inlined
     as literals so DuckDB assigns/probes the exact same cells."""
@@ -1115,6 +1147,22 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 'sparse' THEN 0.2 ELSE 0.1 END)), 6) AS score
             FROM lists GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT {K_DEFAULT}
+        """,
+        "hybrid_detailed": f"""
+            WITH {_fusion_lists_cte()},
+            fused AS (
+              SELECT doc_id,
+                     round(sum(score * (CASE source WHEN 'dense' THEN 0.7
+                                        WHEN 'sparse' THEN 0.2 ELSE 0.1 END)), 6) AS score,
+                     round(max(CASE WHEN source = 'dense' THEN score END), 6) AS dense_score,
+                     round(max(CASE WHEN source = 'sparse' THEN score END), 6) AS sparse_score,
+                     round(max(CASE WHEN source = 'text' THEN score END), 6) AS text_score
+              FROM lists GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT {K_DEFAULT}
+            )
+            SELECT f.doc_id, f.score, f.dense_score, f.sparse_score, f.text_score,
+                   d.lang, {_snippet_expr_sql('d.text', SNIPPET_TERM)} AS matched_snippet
+            FROM fused f LEFT JOIN documents d USING (doc_id)
         """,
         "hybrid_normalized": f"""
             WITH {_fusion_lists_cte()},

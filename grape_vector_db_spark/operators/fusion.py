@@ -70,12 +70,28 @@ def rrf_fuse(lists: dict[str, DataFrame], k: float = DEFAULT_RRF_K, limit: int |
     return out.limit(limit) if limit else out
 
 
+def _breakdown_aggs(lists: dict[str, DataFrame]) -> list:
+    """Per-source raw-score columns — the reference's ScoreBreakdown
+    attached to every hybrid result (src/types.rs:428-446)."""
+    return [
+        F.round(F.max(F.when(F.col("source") == s, F.col("score"))), 6).alias(
+            f"{s}_score"
+        )
+        for s in lists
+    ]
+
+
 def linear_fuse(
     lists: dict[str, DataFrame],
     weights: dict[str, float] | None = None,
     limit: int | None = None,
+    breakdown: bool = False,
 ) -> DataFrame:
-    """Alpha-weighted sum of raw scores, missing -> 0 (src/hybrid.rs:491-559)."""
+    """Alpha-weighted sum of raw scores, missing -> 0 (src/hybrid.rs:491-559).
+
+    ``breakdown=True`` appends ``<source>_score`` columns (the reference
+    hydrates a ScoreBreakdown into every result, src/hybrid.rs:337-353).
+    """
     weights = weights or DEFAULT_WEIGHTS
     u = _union(lists)
     wexpr = None
@@ -83,7 +99,8 @@ def linear_fuse(
         cond = (F.col("source") == s, F.col("score") * F.lit(weights.get(s, 0.0)))
         wexpr = F.when(*cond) if wexpr is None else wexpr.when(*cond)
     fused = u.withColumn("wscore", F.coalesce(wexpr, F.lit(0.0))).groupBy("doc_id").agg(
-        F.round(F.sum("wscore"), 6).alias("score")
+        F.round(F.sum("wscore"), 6).alias("score"),
+        *(_breakdown_aggs(lists) if breakdown else []),
     )
     out = fused.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return out.limit(limit) if limit else out
@@ -227,9 +244,11 @@ def normalized_fuse(
     lists: dict[str, DataFrame],
     weights: dict[str, float] | None = None,
     limit: int | None = None,
+    breakdown: bool = False,
 ) -> DataFrame:
     """Min-max normalize each list to [0,1] (constant list -> 1.0,
-    src/hybrid.rs:600-607) then weighted-sum merge."""
+    src/hybrid.rs:600-607) then weighted-sum merge. ``breakdown=True``
+    appends per-source RAW score columns (ScoreBreakdown)."""
     weights = weights or DEFAULT_WEIGHTS
     u = _union(lists)
     w = Window.partitionBy("source")
@@ -243,7 +262,8 @@ def normalized_fuse(
     for s, wt in weights.items():
         wexpr = wexpr + F.when(F.col("source") == s, norm * F.lit(wt)).otherwise(0.0)
     fused = u.withColumn("wscore", wexpr).groupBy("doc_id").agg(
-        F.round(F.sum("wscore"), 6).alias("score")
+        F.round(F.sum("wscore"), 6).alias("score"),
+        *(_breakdown_aggs(lists) if breakdown else []),
     )
     out = fused.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return out.limit(limit) if limit else out

@@ -146,6 +146,8 @@ def hydrate(
     documents: DataFrame,
     id_col: str = "doc_id",
     columns: list[str] | None = None,
+    snippet_query: str | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """J8 doc-detail hydration (src/lib.rs:478-491): join the (small) scored
     result set back to the documents table for display columns.
@@ -153,11 +155,28 @@ def hydrate(
     The RESULT side is broadcast — it is k rows by construction — so the
     documents table is probed without a shuffle; with predicate pushdown the
     scan touches only row groups containing the ids.
+
+    ``snippet_query`` appends a ``matched_snippet`` column — the context
+    window around the first query hit that the reference attaches to every
+    hydrated hybrid result (matched_snippets, src/hybrid.rs:337-353);
+    NULL when the query does not occur in the document.
     """
+    from ..functions.text import snippet
+
     cols = columns or [c for c in documents.columns if c != id_col]
-    return F.broadcast(results).join(
-        documents.select(id_col, *cols), id_col, "left"
+    need = list(cols)
+    if snippet_query is not None and text_col not in need:
+        need.append(text_col)
+    out = F.broadcast(results).join(
+        documents.select(id_col, *need), id_col, "left"
     )
+    if snippet_query is not None:
+        out = out.withColumn(
+            "matched_snippet", snippet(F.col(text_col), snippet_query)
+        )
+        if text_col not in cols:
+            out = out.drop(text_col)
+    return out
 
 
 def similarity_threshold_scan(
