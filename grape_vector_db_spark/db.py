@@ -45,10 +45,14 @@ class GrapeVectorDB:
         id_col: str = "doc_id",
         text_col: str = "text",
         vec_col: str = "embedding",
+        dimension: int | None = None,
     ) -> None:
         self.spark = spark
         self.base = base_path.rstrip("/")
         self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+        # expected embedding dimension (reference config vector_dimension,
+        # src/config.rs:398-401); None = infer from the stored table
+        self.dimension = dimension
 
     # -- storage ------------------------------------------------------------
 
@@ -66,10 +70,42 @@ class GrapeVectorDB:
 
     def add_documents(self, docs: DataFrame, embeddings: DataFrame | None = None) -> None:
         """Batch upsert (reference S5-S7). Null fields in updates preserve
-        existing values; embeddings merge by the same ids."""
+        existing values; embeddings merge by the same ids.
+
+        Mismatched embedding dimensions are rejected up front (reference
+        src/index.rs:165-175) — without this check a single bad batch
+        silently corrupts every later search."""
+        if embeddings is not None:
+            self._validate_dimension(embeddings)
         self._merge("documents", docs)
         if embeddings is not None:
             self._merge("embeddings", embeddings, id_col="vec_id")
+
+    def _validate_dimension(self, embeddings: DataFrame) -> None:
+        """Raise if any incoming vector's length differs from the expected
+        dimension (configured, else inferred from the stored table). One
+        filter + limit(1) probe — early-exits on the first bad row, never
+        scans past it."""
+        expected = self.dimension
+        if expected is None:
+            try:
+                head = self.embeddings().select(F.size(self.vec_col)).head()
+                expected = head[0] if head else None
+            except Exception:
+                expected = None
+        if expected is None:
+            return
+        bad = (
+            embeddings.select(F.size(self.vec_col).alias("_d"))
+            .where(F.col("_d") != expected)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"embedding dimension mismatch: expected {expected}, "
+                f"got {bad[0]['_d']}"
+            )
 
     def _merge(self, table: str, updates: DataFrame, id_col: str | None = None) -> None:
         id_col = id_col or self.id_col

@@ -84,3 +84,42 @@ def test_index_build_and_planner(db, emb):
     packed = db.spark.read.parquet(db._path("index_packed"))
     res = quantization.two_stage_search(db.embeddings(), qv, k=5, packed_df=packed)
     assert res.head()["vec_id"] == 0
+
+
+def test_dimension_validation_rejects_mismatch(db, spark):
+    """Reference src/index.rs:165-175: a batch with the wrong embedding
+    dimension must be rejected before any write."""
+    bad = spark.createDataFrame(
+        [(9999, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
+    )
+    before = db.stats()["vector_count"]
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        db.add_documents(
+            spark.createDataFrame([(9999, "t", "en", "s", 1)],
+                                  "doc_id long, text string, lang string, source string, n_chars long"),
+            bad,
+        )
+    assert db.stats()["vector_count"] == before  # nothing written
+
+
+def test_dimension_validation_accepts_match(db, spark, emb):
+    dim = len(emb.head()["embedding"])
+    ok = spark.createDataFrame(
+        [(9999, [0.1] * dim)], "vec_id long, embedding array<double>"
+    )
+    docs_upd = spark.createDataFrame(
+        [(9999, "new doc", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    db.add_documents(docs_upd, ok)
+    assert db.get_document(9999) is not None
+
+
+def test_dimension_validation_explicit_config(spark, docs, emb):
+    d = tempfile.mkdtemp(prefix="gvdb_dim_")
+    try:
+        inst = GrapeVectorDB(spark, d, dimension=16)
+        with pytest.raises(ValueError, match="expected 16"):
+            inst.add_documents(docs, emb)  # fixture vectors are 64-dim
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
