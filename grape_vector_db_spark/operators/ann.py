@@ -160,7 +160,9 @@ def _kmeans_partials(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFr
     return src.mapInPandas(run, "cluster int, cnt long, s array<double>")
 
 
-def _assign_literal(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFrame:
+def _assign_literal(
+    src: DataFrame, cents_py: dict[int, list[float]], replicas: int = 1
+) -> DataFrame:
     """Assign each vector (id, v) to its nearest centroid via an
     Arrow-batched numpy argmin (BLAS matmul per batch).
 
@@ -170,11 +172,17 @@ def _assign_literal(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFra
     nlist=8, more at real nlist. Ties resolve to the lowest cluster id
     (np.argmin first-match), matching the expression variant. Centroids
     ride the closure (k x dim doubles — tiny) so there is no join at all.
+
+    ``replicas > 1`` emits one row per vector per its ``replicas`` nearest
+    cells — SPANN-style boundary replication (Chen et al., NeurIPS 2021):
+    vectors near a cell boundary are findable from either side, trading
+    ``replicas``x posting-list storage for recall at fixed nprobe.
     """
     clusters = sorted(cents_py)
     C = np.asarray([cents_py[c] for c in clusters], dtype=np.float64)
     cnorm = (C * C).sum(axis=1)
     cluster_ids = np.asarray(clusters)
+    r = min(replicas, len(clusters))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,9 +191,26 @@ def _assign_literal(src: DataFrame, cents_py: dict[int, list[float]]) -> DataFra
                 yield pd.DataFrame({"id": [], "v": [], "cluster": []})
                 continue
             d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cnorm[None, :]
-            pdf = pdf.copy()
-            pdf["cluster"] = cluster_ids[np.argmin(d, axis=1)]
-            yield pdf
+            if r == 1:
+                pdf = pdf.copy()
+                pdf["cluster"] = cluster_ids[np.argmin(d, axis=1)]
+                yield pdf
+            else:
+                # top-r cells per row: argpartition then stable order by
+                # (distance, cluster id) for determinism
+                part = np.argpartition(d, r - 1, axis=1)[:, :r]
+                rows = np.arange(len(V))[:, None]
+                order = np.lexsort(
+                    (part, d[rows, part]), axis=1
+                )
+                near = np.take_along_axis(part, order, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf["id"].to_numpy(), r),
+                        "v": [v for v in pdf["v"] for _ in range(r)],
+                        "cluster": cluster_ids[near.reshape(-1)],
+                    }
+                )
 
     return src.mapInPandas(run, "id long, v array<double>, cluster int")
 
@@ -221,17 +246,21 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_vectors: bool = False,
+    replicas: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Build IVF index tables: (centroids(cluster, centroid),
     assignments(id, cluster[, v])). Persist both as parquet for reuse;
     write the assignment side ``partitionBy('cluster')`` in production so
     nprobe pruning is partition pruning. ``include_vectors=True`` stores
     the vectors in the posting lists (the FAISS inverted-list layout), so
-    ivf_search_pruned needs no join back to the corpus at all."""
+    ivf_search_pruned needs no join back to the corpus at all.
+    ``replicas>1`` stores each vector in its ``replicas`` nearest cells
+    (SPANN-style boundary replication) — recall at fixed nprobe rises
+    sharply for replicas x storage; searches dedup by id."""
     cents = kmeans_fit(df, nlist, max_iter, id_col, vec_col)
     cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
     src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
-    assigned = _assign_literal(src, cents_py)
+    assigned = _assign_literal(src, cents_py, replicas)
     if not include_vectors:
         assigned = assigned.select("id", "cluster")
     return cents, assigned
@@ -371,12 +400,17 @@ def pq_build(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    # stride init per subspace from the first k vectors in id order
-    first_k = (
-        src.orderBy("id").limit(k).select("v").collect()
-    )
+    # per-subspace k-means++ init over one bounded hash-ordered sample
+    # (shared across subspaces; seed varies per subspace) — better
+    # codeword spread than first-k stride init, same determinism.
+    S = _sampled_matrix(src, max(k * 32, 512))
     codebooks: list[list[list[float]]] = [
-        [list(row["v"][j * sub : (j + 1) * sub]) for row in first_k]
+        [
+            list(cw)
+            for cw in _kmeanspp_init(
+                np.ascontiguousarray(S[:, j * sub : (j + 1) * sub]), k, seed=13 + j
+            )
+        ]
         for j in range(m)
     ]
 
@@ -399,13 +433,21 @@ def _pq_assign(src: DataFrame, codebooks, m: int, sub: int) -> DataFrame:
     numpy (see _assign_literal for why numpy beats interpreted folds here)."""
     CB = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
 
+    cb_norm = (CB * CB).sum(-1)  # (m, k)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             V = np.asarray(list(pdf["v"]), dtype=np.float64).reshape(n, m, sub)
-            d = ((V[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)  # (n, m, k)
+            # |v|^2 - 2 v.cb + |cb|^2 in matmul form: (n,m,k) without the
+            # (n,m,k,sub) broadcast temp — k=256 codebooks stay in-memory
+            d = (
+                (V * V).sum(-1)[:, :, None]
+                - 2.0 * np.einsum("nms,mks->nmk", V, CB)
+                + cb_norm[None, :, :]
+            )
             codes = d.argmin(-1)  # (n, m)
             yield pd.DataFrame(
                 {
@@ -423,17 +465,30 @@ def _pq_encode(src: DataFrame, codebooks, m: int, sub: int) -> DataFrame:
     """(id, codes array<int>) — final PQ codes, Arrow-batched."""
     CB = np.asarray(codebooks, dtype=np.float64)
 
+    cb_norm = (CB * CB).sum(-1)
+    # passthrough columns (e.g. the coarse cell for replicated IVF-PQ)
+    extra = [c for c in src.columns if c not in ("id", "v")]
+    schema = "id long, " + "".join(f"{c} int, " for c in extra) + "codes array<int>"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             V = np.asarray(list(pdf["v"]), dtype=np.float64).reshape(n, m, sub)
-            d = ((V[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+            d = (
+                (V * V).sum(-1)[:, :, None]
+                - 2.0 * np.einsum("nms,mks->nmk", V, CB)
+                + cb_norm[None, :, :]
+            )
             codes = d.argmin(-1).astype("int32")
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+            out = {"id": pdf["id"].to_numpy()}
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(run, "id long, codes array<int>")
+    return src.mapInPandas(run, schema)
 
 
 def pq_search(
@@ -499,6 +554,7 @@ def ivfpq_build(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    replicas: int = 1,
 ):
     """True FAISS-style IVF-PQ (reference src/index.rs:506-556): coarse
     k-means cells + product quantization of the **residuals** (v - cell
@@ -508,12 +564,15 @@ def ivfpq_build(
     Returns (cents_df, codebooks, codes_df) where codes_df is
     (id, cluster, codes array<int>). One extra narrow map computes the
     residuals (broadcast centroid literal subtraction); PQ training reuses
-    the shared-scan subspace machinery.
+    the shared-scan subspace machinery. ``replicas>1`` stores each vector
+    in its ``replicas`` nearest cells (SPANN-style boundary replication),
+    each replica encoding its OWN cell's residual; search keeps the best
+    cell per id.
     """
-    cents, assigned = ivf_build(df, nlist, max_iter, id_col, vec_col)
+    cents = kmeans_fit(df, nlist, max_iter, id_col, vec_col)
     cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
     src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
-    assigned_v = _assign_literal(src, cents_py)  # (id, v, cluster)
+    assigned_v = _assign_literal(src, cents_py, replicas)  # (id, v, cluster)
     cent_lit = F.array(
         *[
             F.array(*[F.lit(x) for x in cents_py[c]])
@@ -529,14 +588,20 @@ def ivfpq_build(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    res_src = residuals.select("id", "v").persist()
-    first_k = res_src.orderBy("id").limit(k).select("v").collect()
+    res_src = residuals.select("id", "cluster", "v").persist()
+    # k-means++ init over a bounded sample of RESIDUALS (see pq_build)
+    S = _sampled_matrix(res_src, max(k * 32, 512))
     codebooks = [
-        [list(row["v"][j * sub : (j + 1) * sub]) for row in first_k]
+        [
+            list(cw)
+            for cw in _kmeanspp_init(
+                np.ascontiguousarray(S[:, j * sub : (j + 1) * sub]), k, seed=13 + j
+            )
+        ]
         for j in range(m)
     ]
     for _ in range(max_iter):
-        a = _pq_assign(res_src, codebooks, m, sub)
+        a = _pq_assign(res_src.select("id", "v"), codebooks, m, sub)
         new_rows = (
             a.groupBy("j", "cluster")
             .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("cw"))
@@ -544,9 +609,9 @@ def ivfpq_build(
         )
         for r in new_rows:
             codebooks[r["j"]][r["cluster"]] = list(r["cw"])
-    codes = _pq_encode(res_src, codebooks, m, sub).join(
-        residuals.select("id", "cluster"), "id"
-    )
+    # encode carries the coarse cell through (passthrough column) — no
+    # join back, which would fan out under replication
+    codes = _pq_encode(res_src, codebooks, m, sub)
     res_src.unpersist()
     return cents, codebooks, codes
 
@@ -604,6 +669,9 @@ def ivfpq_search(
             " 0D, (a, x) -> a + x)"
         ).alias("approx_dist"),
     )
+    # replicated layouts hold an id in several probed cells — keep the best
+    # cell's approximation (map-side-combined min over the probed subset)
+    approx = approx.groupBy("id").agg(F.min("approx_dist").alias("approx_dist"))
     cand = (
         approx.orderBy(F.col("approx_dist").asc(), F.col("id").asc())
         .limit(rescore)
@@ -672,6 +740,10 @@ def ivf_search_pruned(
             F.col("id").alias("vec_id"),
             F.round(cosine_vs_query(F.col("v"), query_vector), 6).alias("score"),
         )
+        # replicated layouts (ivf_build replicas>1) store an id in several
+        # probed cells; distinct over the probed subset dedups (map-side
+        # combined — rows are identical, so this is cheap)
+        .dropDuplicates(["vec_id"])
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
     )

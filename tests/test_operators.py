@@ -69,11 +69,36 @@ def test_ivf_recall(spark, emb):
     assert len(set(res) & set(exact)) >= 2
 
 
+def test_ivf_replicated_search_dedups(spark, emb):
+    """SPANN-style replicas store an id in several cells; searches must
+    return each id at most once and recall must not regress."""
+    qv = search.query_vector_of(emb, 0)
+    cents, assigned = ann.ivf_build(emb, nlist=4, max_iter=2, replicas=2)
+    assert assigned.count() == emb.count() * 2
+    res = ann.ivf_search(emb, cents, assigned, qv, k=10, nprobe=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    assert ids[0] == 0  # full probe: self-match survives
+
+
+def test_ivfpq_replicated_search_dedups(spark, emb):
+    qv = search.query_vector_of(emb, 0)
+    cents, cbs, codes = ann.ivfpq_build(
+        emb, nlist=4, m=8, k=16, max_iter=2, replicas=2
+    )
+    res = ann.ivfpq_search(
+        emb, cents, cbs, codes, qv, k=10, nprobe=4, rescore=50
+    ).collect()
+    ids = [r["vec_id"] for r in res]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    assert ids[0] == 0
+
+
 def test_pq_recall(spark, emb):
     qv = search.query_vector_of(emb, 0)
     exact = [r["vec_id"] for r in search.knn(emb, qv, k=10).collect()]
-    cbs, codes = ann.pq_build(emb, m=8, k=16, max_iter=3)
-    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    cbs, codes = ann.pq_build(emb, m=8, k=64, max_iter=3)
+    assert len(cbs) == 8 and len(cbs[0]) == 64 and len(cbs[0][0]) == 8
     res = [
         r["vec_id"]
         for r in ann.pq_search(emb, cbs, codes, qv, k=10, rescore=50).collect()
