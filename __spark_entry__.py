@@ -263,6 +263,51 @@ def q_hybrid_normalized(spark, sf_dir):
     return fusion.normalized_fuse(lists, limit=K_DEFAULT)
 
 
+# fixed feedback log (ts, satisfaction) — deterministic input to the
+# learned-fusion weight update (FusionStrategy::Learned, src/hybrid.rs:394-405)
+FEEDBACK_LOG = [
+    (1.0, 0.2), (2.0, 0.7), (3.0, 0.4), (4.0, 0.9),
+    (5.0, 0.6), (6.0, 0.95), (7.0, 0.5), (8.0, 0.85),
+]
+
+
+def _learned_weights() -> dict[str, float]:
+    """Fold the fixed feedback log into the weight table and take this
+    query type's row — pure deterministic python on tiny state (the
+    Spark query persists the same table; the oracle inlines the same
+    values, so fusion math is what the hash-check exercises)."""
+    tw = fusion.update_weights(fusion.DEFAULT_TYPE_WEIGHTS, FEEDBACK_LOG)
+    return tw[fusion.classify_query(BM25_QUERY)]
+
+
+def q_hybrid_learned(spark, sf_dir):
+    """Learned fusion end-to-end: feedback log -> update_weights batch fold
+    -> persisted weight parameter table -> per-query-type weights drive
+    linear fusion (reference FusionStrategy::Learned + update_model,
+    src/hybrid.rs:134-166, 394-405). Model state lives in a TABLE, never
+    in the plan — at scale the weight table is broadcast into scoring."""
+    tw = fusion.update_weights(fusion.DEFAULT_TYPE_WEIGHTS, FEEDBACK_LOG)
+    wdf = spark.createDataFrame(
+        [
+            (qtype, source, w)
+            for qtype, ws in sorted(tw.items())
+            for source, w in sorted(ws.items())
+        ],
+        "qtype string, source string, weight double",
+    )
+    qtype = fusion.classify_query(BM25_QUERY)
+    weights = {
+        r["source"]: r["weight"]
+        for r in wdf.where(F.col("qtype") == qtype).collect()
+    }
+    lists = {
+        "dense": _dense_list(spark, sf_dir),
+        "sparse": _sparse_list(spark, sf_dir),
+        "text": _text_list(spark, sf_dir),
+    }
+    return fusion.linear_fuse(lists, weights, limit=K_DEFAULT)
+
+
 def q_hybrid_detailed(spark, sf_dir):
     """Full hybrid result hydration: linear fusion + per-source
     ScoreBreakdown columns + matched_snippet context window — the
@@ -762,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear": q_hybrid_linear,
         "hybrid_normalized": q_hybrid_normalized,
         "hybrid_detailed": q_hybrid_detailed,
+        "hybrid_learned": q_hybrid_learned,
         "filter_tree": q_filter_tree,
         "filter_where_sql": q_filter_where_sql,
         "filter_advanced": q_filter_advanced,
@@ -1163,6 +1209,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, f.score, f.dense_score, f.sparse_score, f.text_score,
                    d.lang, {_snippet_expr_sql('d.text', SNIPPET_TERM)} AS matched_snippet
             FROM fused f LEFT JOIN documents d USING (doc_id)
+        """,
+        "hybrid_learned": f"""
+            WITH {_fusion_lists_cte()}
+            SELECT doc_id,
+                   round(sum(score * (CASE source
+                     WHEN 'dense' THEN {_learned_weights()["dense"]!r}
+                     WHEN 'sparse' THEN {_learned_weights()["sparse"]!r}
+                     ELSE {_learned_weights()["text"]!r} END)::DOUBLE), 6) AS score
+            FROM lists GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT {K_DEFAULT}
         """,
         "hybrid_normalized": f"""
             WITH {_fusion_lists_cte()},

@@ -239,7 +239,47 @@ class GrapeVectorDB:
             return fusion.normalized_fuse(lists, weights, limit=limit)
         if strategy == "adaptive":
             return fusion.adaptive_fuse(lists, query_text, limit=limit)
+        if strategy == "learned":
+            return fusion.linear_fuse(
+                lists, self._learned_weights(query_text), limit=limit
+            )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
+
+    def update_fusion_weights(self, feedback: DataFrame) -> None:
+        """FusionStrategy::Learned model update (src/hybrid.rs:134-166,
+        394-405) as a batch job: fold the feedback log table
+        (ts, satisfaction) into the persisted ``fusion_weights`` parameter
+        table (qtype, source, weight). The log is tiny by construction
+        (human feedback events), so the fold is a driver-side scan; the
+        weight table is broadcast into scoring at query time."""
+        fb = [
+            (r["ts"], r["satisfaction"])
+            for r in feedback.orderBy("ts").collect()
+        ]
+        tw = fusion.update_weights(fusion.DEFAULT_TYPE_WEIGHTS, fb)
+        wdf = self.spark.createDataFrame(
+            [
+                (qtype, source, w)
+                for qtype, ws in sorted(tw.items())
+                for source, w in sorted(ws.items())
+            ],
+            "qtype string, source string, weight double",
+        )
+        self._overwrite("fusion_weights", wdf)
+
+    def _learned_weights(self, query_text: str) -> dict[str, float]:
+        qtype = fusion.classify_query(query_text)
+        try:
+            wdf = self._read("fusion_weights")
+            got = {
+                r["source"]: r["weight"]
+                for r in wdf.where(F.col("qtype") == qtype).collect()
+            }
+            if got:
+                return got
+        except Exception:
+            pass
+        return dict(fusion.DEFAULT_TYPE_WEIGHTS[qtype])
 
     def stats(self) -> dict:
         """Database statistics (reference A7)."""

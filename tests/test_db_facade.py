@@ -123,3 +123,37 @@ def test_dimension_validation_explicit_config(spark, docs, emb):
             inst.add_documents(docs, emb)  # fixture vectors are 64-dim
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_learned_fusion_strategy(db, spark):
+    """Feedback log -> persisted weight table -> learned hybrid search.
+    Weights must shift from the defaults and the search must still return
+    a full, deduped top-k."""
+    fb = spark.createDataFrame(
+        [(1.0, 0.2), (2.0, 0.9), (3.0, 0.4), (4.0, 0.95)],
+        "ts double, satisfaction double",
+    )
+    db.update_fusion_weights(fb)
+    from grape_vector_db_spark.operators import fusion as fu
+
+    q = "spark query join fast stream"
+    learned = db._learned_weights(q)
+    assert learned != fu.DEFAULT_TYPE_WEIGHTS[fu.classify_query(q)]
+
+    qv = db.embeddings().head()["embedding"]
+    res = db.hybrid_search(q, qv, limit=5, strategy="learned").collect()
+    ids = [r["doc_id"] for r in res]
+    assert len(ids) == 5 and len(set(ids)) == 5
+
+
+def test_learned_fusion_falls_back_without_table(spark, docs, emb):
+    d = tempfile.mkdtemp(prefix="gvdb_learn_")
+    try:
+        inst = GrapeVectorDB(spark, d)
+        inst.add_documents(docs, emb)
+        from grape_vector_db_spark.operators import fusion as fu
+
+        q = "spark query join fast stream"
+        assert inst._learned_weights(q) == fu.DEFAULT_TYPE_WEIGHTS[fu.classify_query(q)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
