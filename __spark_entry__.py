@@ -594,6 +594,25 @@ def q_ivf_flat(spark, sf_dir):
     )
 
 
+def q_ivf_flat_pruned(spark, sf_dir):
+    """The persisted 100 TB IVF path, hash-checked: fixed centroid literals
+    -> vector-carrying inverted list written partitionBy(cluster) ->
+    ivf_search_pruned reads ONLY the probed partitions (parquet partition
+    pruning, zero joins). Same result contract and oracle as ivf_flat."""
+    import tempfile
+
+    key = ("flat_idx", sf_dir)
+    if key not in _CACHE:
+        cents_py = ann.fixed_centroids(nlist=8, dim=64, seed=7)
+        cents, assigned = ann.ivf_build_fixed(_emb(spark, sf_dir), cents_py)
+        path = tempfile.mkdtemp(prefix="gvdb_flatidx_")
+        ann.save_index(path, cents, assigned)
+        _CACHE[key] = path
+    return ann.ivf_search_pruned(
+        spark, _CACHE[key], _qv(spark, sf_dir), k=K_DEFAULT, nprobe=3
+    )
+
+
 def q_vocabulary(spark, sf_dir):
     """A2: distinct term -> dense integer id (deterministic: term order).
     Two-level rank — no global-window single-task sort (sparse.vocabulary)."""
@@ -836,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "rp_buckets": q_rp_buckets,
         "ivf_flat": q_ivf_flat,
+        "ivf_flat_pruned": q_ivf_flat_pruned,
         "vocabulary": q_vocabulary,
         "rank_decay": q_rank_decay,
         "score_stats": q_score_stats,
@@ -1080,6 +1100,31 @@ def _ivf_cents_sql(nlist: int = 8, dim: int = 64, seed: int = 7) -> str:
         for c, cv in sorted(cents.items())
     )
     return f"cents(cluster, cv) AS (VALUES {rows})"
+
+
+def _ivf_flat_sql() -> str:
+    """Shared oracle for ivf_flat and ivf_flat_pruned (identical result
+    contract: fixed centroids -> assign -> probe 3 -> exact rescore)."""
+    return f"""
+        WITH {_ivf_cents_sql()},
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cluster FROM cents, q
+          ORDER BY {_cos('cv', 'qv')} DESC, cluster LIMIT 3
+        ),
+        dist AS (
+          SELECT e.vec_id, e.v, c.cluster,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_inner_product(e.v, e.v)
+                   - 2 * list_inner_product(e.v, c.cv)
+                   + list_inner_product(c.cv, c.cv), c.cluster) AS rn
+          FROM {_EMB_D} e CROSS JOIN cents c
+        ),
+        assigned AS (SELECT vec_id, v, cluster FROM dist WHERE rn = 1)
+        SELECT a.vec_id, round({_cos('a.v', 'q.qv')}, 6) AS score
+        FROM assigned a JOIN probe USING (cluster), q
+        ORDER BY score DESC, vec_id LIMIT {K_DEFAULT}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1443,26 +1488,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id, ({bucket_expr})::INT AS bucket
             FROM {_EMB_D}
         """,
-        "ivf_flat": f"""
-            WITH {_ivf_cents_sql()},
-            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-            probe AS (
-              SELECT cluster FROM cents, q
-              ORDER BY {_cos('cv', 'qv')} DESC, cluster LIMIT 3
-            ),
-            dist AS (
-              SELECT e.vec_id, e.v, c.cluster,
-                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_inner_product(e.v, e.v)
-                       - 2 * list_inner_product(e.v, c.cv)
-                       + list_inner_product(c.cv, c.cv), c.cluster) AS rn
-              FROM {_EMB_D} e CROSS JOIN cents c
-            ),
-            assigned AS (SELECT vec_id, v, cluster FROM dist WHERE rn = 1)
-            SELECT a.vec_id, round({_cos('a.v', 'q.qv')}, 6) AS score
-            FROM assigned a JOIN probe USING (cluster), q
-            ORDER BY score DESC, vec_id LIMIT {K_DEFAULT}
-        """,
+        "ivf_flat": _ivf_flat_sql(),
+        # the persisted partition-pruned path returns identical results by
+        # construction (same fixed centroids, probes, and rescore)
+        "ivf_flat_pruned": _ivf_flat_sql(),
         "vocabulary": f"""
             WITH {_TERMS_CTE}
             SELECT term, (row_number() OVER (ORDER BY term) - 1)::INT AS term_id

@@ -25,7 +25,9 @@ QueryOptimizer clamps.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Sequence
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,17 @@ from .functions.text import text_match_score
 from .operators import ann, filters, fusion, quantization, search, sparse
 from .plans.planner import choose_search_strategy, clamp_request
 from .sources.tables import merge_upsert
+
+
+@dataclass
+class SearchResponse:
+    """Reference SearchResponse envelope (src/embedded.rs:510-518):
+    materialized results plus query metadata. The DataFrame methods stay
+    the batch surface; this is the serving-style wrapper."""
+
+    results: list[dict] = field(default_factory=list)
+    total_results: int = 0
+    query_time_ms: float = 0.0
 
 
 class GrapeVectorDB:
@@ -244,6 +257,17 @@ class GrapeVectorDB:
                 lists, self._learned_weights(query_text), limit=limit
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
+
+    def search_response(self, **kwargs) -> SearchResponse:
+        """`search` with the reference's response envelope: collected rows,
+        total_results, and wall-clock query_time_ms
+        (src/embedded.rs:510-518)."""
+        t0 = time.perf_counter()
+        rows = [r.asDict() for r in self.search(**kwargs).collect()]
+        dt_ms = (time.perf_counter() - t0) * 1000.0
+        return SearchResponse(
+            results=rows, total_results=len(rows), query_time_ms=round(dt_ms, 3)
+        )
 
     def update_fusion_weights(self, feedback: DataFrame) -> None:
         """FusionStrategy::Learned model update (src/hybrid.rs:134-166,

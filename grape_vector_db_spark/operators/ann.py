@@ -292,6 +292,30 @@ def fixed_centroids(nlist: int = 8, dim: int = 64, seed: int = 7) -> dict[int, l
     return cents
 
 
+def ivf_build_fixed(
+    df: DataFrame,
+    cents_py: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_vectors: bool = True,
+    replicas: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """ivf_build with externally-supplied centroid literals (no k-means) —
+    one narrow Arrow-batched assignment scan. Pairs with save_index +
+    ivf_search_pruned for a fully deterministic, SQL-checkable persisted
+    IVF layout."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        sorted((c, [float(x) for x in v]) for c, v in cents_py.items()),
+        "cluster int, centroid array<double>",
+    )
+    src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+    assigned = _assign_literal(src, cents_py, replicas)
+    if not include_vectors:
+        assigned = assigned.select("id", "cluster")
+    return cents, assigned
+
+
 def ivf_flat_search(
     df: DataFrame,
     cents_py: dict[int, list[float]],
@@ -747,6 +771,46 @@ def ivf_search_pruned(
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def save_pq_index(path: str, codebooks, codes: DataFrame) -> None:
+    """S13 persistence for PQ/IVF-PQ (reference persists its whole index
+    blob, src/query.rs:282-409; ours stays queryable as tables): the
+    codebooks as a tiny (j, cluster, codeword) parquet, the codes table
+    partitioned by coarse cell when present (IVF-PQ) so probed-cell reads
+    are partition pruning, plain parquet otherwise (flat PQ)."""
+    spark = codes.sparkSession
+    rows = [
+        (j, c, [float(x) for x in cw])
+        for j, book in enumerate(codebooks)
+        for c, cw in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "j int, cluster int, codeword array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    w = codes.write.mode("overwrite")
+    if "cluster" in codes.columns:
+        w = w.partitionBy("cluster")
+    w.parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str):
+    """Load a persisted PQ index -> (codebooks nested list, codes df);
+    shape validation mirrors the reference's load-time checks."""
+    cb = spark.read.parquet(f"{path}/codebooks")
+    rows = cb.collect()
+    if not rows:
+        raise ValueError("empty codebook table")
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["cluster"] for r in rows) + 1
+    codebooks: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        codebooks[r["j"]][r["cluster"]] = list(r["codeword"])
+    for j in range(m):
+        for c in range(k):
+            if codebooks[j][c] is None:
+                raise ValueError(f"codebook missing entry (j={j}, cluster={c})")
+    return codebooks, spark.read.parquet(f"{path}/codes")
 
 
 def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

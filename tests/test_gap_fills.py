@@ -134,3 +134,78 @@ def test_index_save_load_roundtrip(spark, emb):
         assert res[0]["vec_id"] == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pq_index_save_load_roundtrip(spark, emb):
+    """S13 parity for PQ: persisted codebooks + codes reproduce the same
+    search results as the in-memory index."""
+    d = tempfile.mkdtemp(prefix="gvdb_pqidx_")
+    try:
+        qv = search.query_vector_of(emb, 0)
+        cbs, codes = ann.pq_build(emb, m=8, k=16, max_iter=2)
+        want = [(r["vec_id"], r["score"]) for r in
+                ann.pq_search(emb, cbs, codes, qv, k=5, rescore=30).collect()]
+        ann.save_pq_index(d, cbs, codes)
+        cbs2, codes2 = ann.load_pq_index(spark, d)
+        assert cbs2 == cbs
+        got = [(r["vec_id"], r["score"]) for r in
+               ann.pq_search(emb, cbs2, codes2, qv, k=5, rescore=30).collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_index_save_load_partitioned(spark, emb):
+    """IVF-PQ codes persist partitioned by coarse cell (partition-pruned
+    probed reads) and search equally after reload."""
+    d = tempfile.mkdtemp(prefix="gvdb_ivfpqidx_")
+    try:
+        qv = search.query_vector_of(emb, 0)
+        cents, cbs, codes = ann.ivfpq_build(emb, nlist=4, m=8, k=16, max_iter=2)
+        want = [(r["vec_id"], r["score"]) for r in ann.ivfpq_search(
+            emb, cents, cbs, codes, qv, k=5, nprobe=4, rescore=30).collect()]
+        ann.save_pq_index(d, cbs, codes)
+        import os
+        assert any(f.startswith("cluster=") for f in os.listdir(f"{d}/codes"))
+        cbs2, codes2 = ann.load_pq_index(spark, d)
+        got = [(r["vec_id"], r["score"]) for r in ann.ivfpq_search(
+            emb, cents, cbs2, codes2, qv, k=5, nprobe=4, rescore=30).collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_build_fixed_pruned_matches_flat(spark, emb):
+    """The persisted partition-pruned flat-IVF path returns exactly what
+    the in-memory ivf_flat_search returns."""
+    d = tempfile.mkdtemp(prefix="gvdb_flatidx_")
+    try:
+        qv = search.query_vector_of(emb, 0)
+        cents_py = ann.fixed_centroids(nlist=8, dim=len(qv), seed=7)
+        want = [(r["vec_id"], r["score"]) for r in
+                ann.ivf_flat_search(emb, cents_py, qv, k=5, nprobe=3).collect()]
+        cents, assigned = ann.ivf_build_fixed(emb, cents_py)
+        ann.save_index(d, cents, assigned)
+        got = [(r["vec_id"], r["score"]) for r in
+               ann.ivf_search_pruned(spark, d, qv, k=5, nprobe=3).collect()]
+        assert got == want and len(got) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_search_response_metadata(spark, docs, emb):
+    """SearchResponse envelope (src/embedded.rs:510-518)."""
+    import tempfile as tf
+    from grape_vector_db_spark.db import GrapeVectorDB
+
+    d = tf.mkdtemp(prefix="gvdb_resp_")
+    try:
+        db = GrapeVectorDB(spark, d)
+        db.add_documents(docs, emb)
+        qv = emb.head()["embedding"]
+        resp = db.search_response(vector=qv, limit=5)
+        assert resp.total_results == len(resp.results) == 5
+        assert resp.query_time_ms > 0
+        assert {"vec_id", "score"} <= set(resp.results[0])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
