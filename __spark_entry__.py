@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grape_vector_db_spark.functions import sparsevec
 from grape_vector_db_spark.functions.text import STOPWORDS
 from grape_vector_db_spark.operators import (
     ann,
@@ -619,6 +620,65 @@ def q_vocabulary(spark, sf_dir):
     return sparse.vocabulary(_terms(spark, sf_dir))
 
 
+def q_token_filter(spark, sf_dir):
+    """P8 word-level full-text predicate: exact token membership after
+    reference tokenization (NOT substring — 'vector' does not match
+    'vectorize'), via filters kind token_match
+    (reference full-text filter, src/filter.rs token path)."""
+    docs = _docs(spark, sf_dir)
+    cond = filters.condition_to_column(
+        {"type": "token_match", "field": "text", "token": SNIPPET_TERM}
+    )
+    return docs.where(cond).select("doc_id", "lang")
+
+
+def q_sparse_cosine(spark, sf_dir):
+    """F4 sparse dot/norm/cosine end-to-end: per-doc sparse tf vectors
+    (indices = vocabulary term_ids, values = tf) scored against the BM25
+    query's sparse vector with the expression ops (two-pointer analogue,
+    src/types.rs:53-88). The oracle computes the same cosine RELATIONALLY
+    (join on term + group sums) — two independent formulations must hash
+    identically. Query terms absent from the vocabulary get sentinel
+    negative ids: zero dot contribution, still counted in the query norm
+    (reference semantics)."""
+    terms = _terms(spark, sf_dir)
+    vocab = sparse.vocabulary(terms)
+    per_doc = (
+        terms.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term_id", "tf"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.expr("transform(ps, s -> s.term_id)").alias("ai"),
+            F.expr("transform(ps, s -> cast(s.tf as double))").alias("av"),
+        )
+    )
+    qtf = sparse.tokenize_query_py(BM25_QUERY)
+    vmap = {
+        r["term"]: r["term_id"]
+        for r in vocab.where(F.col("term").isin(list(qtf))).collect()
+    }
+    qpairs, neg = [], -1
+    for t, v in sorted(qtf.items()):
+        if t in vmap:
+            qpairs.append((vmap[t], float(v)))
+        else:
+            qpairs.append((neg, float(v)))
+            neg -= 1
+    qpairs.sort()
+    qi = F.array(*[F.lit(i) for i, _ in qpairs])
+    qv = F.array(*[F.lit(v) for _, v in qpairs])
+    scored = per_doc.select(
+        "doc_id",
+        F.round(
+            sparsevec.sparse_cosine(qi, qv, F.col("ai"), F.col("av")), 6
+        ).alias("score"),
+    ).where(F.col("score") > 0)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        K_DEFAULT
+    )
+
+
 def q_rank_decay(spark, sf_dir):
     """W2: positional decay score*(1 - (rank-1)/n) (src/query.rs:92-94)."""
     from pyspark.sql import Window
@@ -857,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_flat": q_ivf_flat,
         "ivf_flat_pruned": q_ivf_flat_pruned,
         "vocabulary": q_vocabulary,
+        "token_filter": q_token_filter,
+        "sparse_cosine": q_sparse_cosine,
         "rank_decay": q_rank_decay,
         "score_stats": q_score_stats,
         "upsert_merge": q_upsert_merge,
@@ -1100,6 +1162,29 @@ def _ivf_cents_sql(nlist: int = 8, dim: int = 64, seed: int = 7) -> str:
         for c, cv in sorted(cents.items())
     )
     return f"cents(cluster, cv) AS (VALUES {rows})"
+
+
+def _sparse_cosine_sql() -> str:
+    """Relational formulation of q_sparse_cosine: dot = join-on-term group
+    sum; doc norm from dt; query norm a python constant over ALL query
+    terms (matching the sentinel-id semantics on the Spark side)."""
+    import math
+
+    qtf = sparse.tokenize_query_py(BM25_QUERY)
+    qnorm = math.sqrt(sum(v * v for v in qtf.values()))
+    return f"""
+        WITH {_TERMS_CTE},
+        q AS (SELECT * FROM {_bm25_query_terms_sql(BM25_QUERY)}),
+        dotp AS (
+          SELECT dt.doc_id, sum(dt.tf * q.qtf) AS d
+          FROM dt JOIN q ON dt.term = q.term GROUP BY dt.doc_id
+        ),
+        dn AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nd FROM dt GROUP BY doc_id)
+        SELECT dotp.doc_id, round(dotp.d / ({qnorm!r} * dn.nd), 6) AS score
+        FROM dotp JOIN dn ON dotp.doc_id = dn.doc_id
+        WHERE round(dotp.d / ({qnorm!r} * dn.nd), 6) > 0
+        ORDER BY score DESC, dotp.doc_id LIMIT {K_DEFAULT}
+    """
 
 
 def _ivf_flat_sql() -> str:
@@ -1497,6 +1582,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, (row_number() OVER (ORDER BY term) - 1)::INT AS term_id
             FROM (SELECT DISTINCT term FROM dt)
         """,
+        "token_filter": f"""
+            WITH {_TOKS_CTE}
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+            WHERE list_contains(tk.t, '{SNIPPET_TERM}')
+        """,
+        "sparse_cosine": _sparse_cosine_sql(),
         "rank_decay": f"""
             WITH lst AS ({_text_match_sql(K_DEFAULT)}),
             ranked AS (
