@@ -759,6 +759,24 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.blob_metadata(docs)
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary columns: deterministic fake frames (every
+    4th 64-byte slice, max 8) through the REAL mapInPandas plumbing — the
+    oracle reproduces the slicing with BLOB substring, so schema, bytes,
+    and explode shape are all hash-checked."""
+    from grape_vector_db_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    frames = multimodal.sample_frames(docs, frame_size=64, stride=4, max_frames=8)
+    # binary plumbing is the operator's contract; the oracle compares the
+    # bytes as hex because DuckDB 1.0 cannot slice BLOBs
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex"), "n_bytes"
+    )
+
+
 def q_existence(spark, sf_dir):
     """S4: existence check as a semi-join against a probe id list."""
     ids = spark.createDataFrame([(1,), (5,), (999999,)], "doc_id long")
@@ -938,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": q_upsert_merge,
         "mock_embed": q_mock_embed,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "existence": q_existence,
         "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
@@ -1666,6 +1685,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH b AS (
+              SELECT doc_id, hex(text::BLOB) AS h,
+                     octet_length(text::BLOB) AS n
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, h,
+                     unnest(range(0, (n + 63) // 64, 4)) AS frame_idx
+              FROM b
+            ),
+            sampled AS (
+              SELECT doc_id, frame_idx::INT AS frame_idx,
+                     substring(h, (frame_idx * 128 + 1)::BIGINT, 128) AS frame_hex,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS rk
+              FROM idx
+            )
+            SELECT doc_id, frame_idx, frame_hex,
+                   (length(frame_hex) // 2)::INT AS n_bytes
+            FROM sampled WHERE rk <= 8
         """,
         "existence": "SELECT doc_id FROM documents WHERE doc_id IN (1, 5, 999999)",
         "points_filter": """

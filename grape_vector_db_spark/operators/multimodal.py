@@ -56,6 +56,71 @@ def _fake_feature(data: bytes) -> list[float]:
     return [b / 255.0 for b in pad]
 
 
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 64,
+    stride: int = 4,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame sampling over a video-like blob: one output row per sampled
+    frame (id, frame_idx, frame binary, n_bytes). The deterministic fake
+    treats the blob as consecutive ``frame_size``-byte frames and keeps
+    every ``stride``-th one up to ``max_frames`` — a real decoder slots
+    into the same Arrow-batched loop (real keyframe extraction is av/
+    ffmpeg; not in this container). The explode direction (one blob ->
+    many frame rows) is the shape that matters at scale: downstream
+    per-frame work repartitions freely, and the blob itself is read once.
+    """
+    schema = f"{id_col} long, frame_idx int, frame binary, n_bytes int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(raw) if raw is not None else b""
+                n_total = (len(data) + frame_size - 1) // frame_size
+                for k, fi in enumerate(range(0, n_total, stride)):
+                    if k >= max_frames:
+                        break
+                    frame = data[fi * frame_size : (fi + 1) * frame_size]
+                    out[id_col].append(i)
+                    out["frame_idx"].append(fi)
+                    out["frame"].append(frame)
+                    out["n_bytes"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def resize_blob(
+    df: DataFrame,
+    target_bytes: int = 256,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Resize plumbing: (id, resized binary of EXACTLY target_bytes). The
+    deterministic fake truncates or cycles the payload to the target size
+    (a real impl decodes, resizes WxH, re-encodes — Pillow not in this
+    container); schema/batching/partition behavior are the real contract."""
+    schema = f"{id_col} long, resized binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = []
+            for raw in pdf[blob_col]:
+                data = bytes(raw) if raw is not None else b""
+                if not data:
+                    res.append(b"\x00" * target_bytes)
+                else:
+                    reps = (target_bytes + len(data) - 1) // len(data)
+                    res.append((data * reps)[:target_bytes])
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": res})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -52,3 +52,31 @@ def test_mock_embedding_expr_matches_python(spark):
         expected = mock_embedding_py(text, 8)
         got = rows[i]
         assert all(abs(a - b) < 1e-9 for a, b in zip(got, expected)), (got, expected)
+
+
+def test_sample_frames_shape_and_determinism(spark):
+    rows = [(1, bytes(range(200))), (2, b""), (3, b"x" * 64)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    from grape_vector_db_spark.operators import multimodal
+
+    out = multimodal.sample_frames(df, frame_size=64, stride=2, max_frames=2)
+    got = {(r["doc_id"], r["frame_idx"]): (bytes(r["frame"]), r["n_bytes"]) for r in out.collect()}
+    # doc 1: 200 bytes -> 4 frames (0..3), stride 2 keeps 0 and 2
+    assert set(k for k in got if k[0] == 1) == {(1, 0), (1, 2)}
+    assert got[(1, 0)] == (bytes(range(64)), 64)
+    assert got[(1, 2)] == (bytes(range(128, 192)), 64)
+    # doc 2: empty -> no frames; doc 3: one exact frame
+    assert not any(k[0] == 2 for k in got)
+    assert got[(3, 0)] == (b"x" * 64, 64)
+
+
+def test_resize_blob_exact_size(spark):
+    rows = [(1, b"abc"), (2, b""), (3, b"z" * 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    from grape_vector_db_spark.operators import multimodal
+
+    got = {r["doc_id"]: bytes(r["resized"]) for r in
+           multimodal.resize_blob(df, target_bytes=8).collect()}
+    assert got[1] == b"abcabcab"      # cycled
+    assert got[2] == b"\x00" * 8      # empty -> zero padding
+    assert got[3] == b"z" * 8         # truncated
