@@ -759,6 +759,19 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.blob_metadata(docs)
 
 
+def q_sq_topk(spark, sf_dir):
+    """8-bit scalar-quantized coarse ranking -> exact rescore (the SQ8
+    sibling of hamming_topk; quantization family widening beyond the
+    reference's 1-bit path, src/quantization.rs)."""
+    key = ("sq", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = quantization.sq_quantize(_emb(spark, sf_dir)).persist()
+    return quantization.sq_search(
+        _emb(spark, sf_dir), _qv(spark, sf_dir), k=K_DEFAULT, rescore=50,
+        sq_df=_CACHE[key],
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame sampling over binary columns: deterministic fake frames (every
     4th 64-byte slice, max 8) through the REAL mapInPandas plumbing — the
@@ -957,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mock_embed": q_mock_embed,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "sq_topk": q_sq_topk,
         "existence": q_existence,
         "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
@@ -1685,6 +1699,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes,
                    md5(text) AS content_md5
             FROM documents
+        """,
+        "sq_topk": f"""
+            WITH base AS (
+              SELECT vec_id, v, list_min(v) AS minv,
+                     list_max(v) - list_min(v) AS rng
+              FROM {_EMB_D}
+            ),
+            codes AS (
+              SELECT vec_id, minv, rng,
+                     list_transform(v, x -> floor(
+                       (CASE WHEN rng = 0 THEN 0.0
+                             ELSE (x - minv) / rng * 255.0 END) + 0.5)) AS c
+              FROM base
+            ),
+            q AS (SELECT qv, list_sum(qv) AS qsum FROM {_QV}),
+            stage1 AS (
+              SELECT codes.vec_id,
+                     codes.minv * q.qsum
+                       + codes.rng / 255.0 * list_inner_product(codes.c, q.qv)
+                       AS approx_dot
+              FROM codes, q
+              ORDER BY approx_dot DESC, codes.vec_id LIMIT 50
+            )
+            SELECT s.vec_id, round({_cos('e.v', 'q2.qv')}, 6) AS score,
+                   round(s.approx_dot, 6) AS approx_dot
+            FROM stage1 s JOIN {_EMB_D} e ON e.vec_id = s.vec_id, {_QV} q2
+            ORDER BY score DESC, s.vec_id LIMIT {K_DEFAULT}
         """,
         "multimodal_frames": """
             WITH b AS (

@@ -76,6 +76,79 @@ def binary_similarity(a, b, dimension):
     return F.lit(1.0) - hamming_distance(a, b).cast("double") / dimension
 
 
+def sq_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """8-bit scalar quantization: (id, codes array<int> in 0..255, minv,
+    rng) with per-vector min/max calibration —
+    ``code = floor((x - minv)/rng * 255 + 0.5)`` (explicit half-up floor
+    so every engine rounds identically; constant vectors get rng=0 and
+    all-zero codes). The f64 -> byte-range codes are an 8x compression
+    (stored as array<int> here — parquet dictionary-encodes them; a
+    production sink would pack to binary like pack_bits). Complements the
+    1-bit path: SQ8 keeps magnitude information, so the coarse ranking is
+    usable on its own and the rescore budget can be far smaller.
+    """
+    v = to_double_array(vec_col)
+    base = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_min(v).alias("minv"),
+        (F.array_max(v) - F.array_min(v)).alias("rng"),
+    )
+    codes = F.expr(
+        "transform(_v, x -> int(floor("
+        "CASE WHEN rng = 0 THEN 0.0 ELSE (x - minv) / rng * 255.0 END + 0.5D)))"
+    )
+    return base.select(F.col(id_col), codes.alias("codes"), "minv", "rng")
+
+
+def sq_search(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sq_df: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 coarse ranking -> exact cosine rescore, the two-stage shape of
+    ``two_stage_search`` with a magnitude-aware stage 1:
+    ``approx_dot = minv * sum(q) + rng/255 * <codes, q>`` reconstructs the
+    dot product against the de-quantized vector in one JVM fold over the
+    codes table (8x smaller scan than f64), stage 2 joins the FIXED-size
+    candidate set back for the exact score (broadcast by construction).
+    """
+    if sq_df is None:
+        sq_df = sq_quantize(df, id_col, vec_col)
+    q = [float(x) for x in query_vector]
+    qsum = sum(q)
+    qlit = F.array(*[F.lit(x) for x in q])
+    dot_codes = F.aggregate(
+        F.zip_with(F.col("codes"), qlit, lambda c, x: c.cast("double") * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    approx = F.col("minv") * F.lit(qsum) + F.col("rng") / F.lit(255.0) * dot_codes
+    stage1 = (
+        sq_df.select(F.col(id_col), approx.alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
+        .limit(rescore)
+    )
+    return (
+        stage1.join(
+            df.select(F.col(id_col), to_double_array(vec_col).alias("_v")), id_col
+        )
+        .select(
+            F.col(id_col),
+            F.round(cosine_vs_query(F.col("_v"), query_vector), 6).alias("score"),
+            F.round(F.col("approx_dot"), 6).alias("approx_dot"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def two_stage_search(
     df: DataFrame,
     query_vector: Sequence[float],

@@ -262,3 +262,21 @@ def test_corpus_stats_shape(spark, docs):
     assert row["total_docs"] > 0
     assert row["vocab_size"] > 0
     assert row["avg_doc_length"] > 0
+
+
+def test_sq_quantize_codes_and_search(spark, emb):
+    """SQ8: codes in 0..255, constant vectors degrade safely, and the
+    two-stage search keeps high recall at a small rescore budget."""
+    sq = quantization.sq_quantize(emb)
+    row = sq.head()
+    assert all(0 <= c <= 255 for c in row["codes"])
+    const = spark.createDataFrame([(1, [2.0, 2.0, 2.0])], "vec_id long, embedding array<double>")
+    crow = quantization.sq_quantize(const).head()
+    assert crow["rng"] == 0.0 and list(crow["codes"]) == [0, 0, 0]
+
+    qv = search.query_vector_of(emb, 0)
+    exact = {r["vec_id"] for r in search.knn(emb, qv, k=10).collect()}
+    res = quantization.sq_search(emb, qv, k=10, rescore=50).collect()
+    ids = [r["vec_id"] for r in res]
+    assert ids[0] == 0  # self-match survives 8-bit quantization
+    assert len(set(ids) & exact) >= 7  # SQ8 coarse ranking is magnitude-aware
