@@ -163,3 +163,80 @@ def test_pack_bits_bit_order_msb_first(spark, vecs):
             word = rows[i][j // WORD_BITS]
             bit = (word >> (WORD_BITS - 1 - (j % WORD_BITS))) & 1
             assert bit == (1 if x > 0.0 else 0)
+
+
+def py_h32(s: str, seed: int = 0) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
+
+
+def py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = py_tokenize(text)
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+@settings(**SETTINGS)
+@given(corpora)
+def test_minhash_signatures_match_python_replica(spark, corpus):
+    """sig[p] = min over shingles of h32(shingle, p) — replicated in pure
+    python from the same md5 derivation."""
+    from grape_vector_db_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df, num_hashes=4).collect()}
+    for i, t in enumerate(corpus):
+        # docs with < n tokens (incl. zero) yield ONE joined shingle —
+        # possibly "" — mirroring operators.dedup.shingles
+        sh = py_shingles(t)
+        want = [min(py_h32(s, p) for s in sh) for p in range(4)]
+        assert got[i] == want, (t, got[i], want)
+
+
+@settings(**SETTINGS)
+@given(corpora)
+def test_simhash_matches_python_replica(spark, corpus):
+    """bit j of the fingerprint = sign of the per-bit vote tally over
+    distinct tokens' h32 values (Charikar)."""
+    from grape_vector_db_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    for i, t in enumerate(corpus):
+        terms = set(py_tokenize(t))
+        if not terms:
+            continue
+        fp = 0
+        for j in range(32):
+            vote = sum(1 if (py_h32(w) >> j) & 1 else -1 for w in terms)
+            if vote > 0:
+                fp |= 1 << j
+        assert got[i] == fp, (t, got[i], fp)
+
+
+@settings(**SETTINGS)
+@given(vectors)
+def test_sq_quantize_reconstruction_bound(spark, vecs):
+    """De-quantized values must sit within half a quantization step of the
+    stored input; codes stay in [0, 255]."""
+    from grape_vector_db_spark.operators.quantization import sq_quantize
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, v array<float>",
+    )
+    rows = {r["id"]: r for r in sq_quantize(df, id_col="id", vec_col="v").collect()}
+    for i in range(len(vecs)):
+        stored = by_stored(df, i)
+        r = rows[i]
+        assert all(0 <= c <= 255 for c in r["codes"])
+        step = r["rng"] / 255.0 if r["rng"] else 0.0
+        for x, c in zip(stored, r["codes"]):
+            recon = r["minv"] + c * step
+            assert abs(x - recon) <= step / 2 + 1e-9, (x, recon, step)
