@@ -759,6 +759,27 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.blob_metadata(docs)
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each purchase event matched to the user's latest click
+    at-or-before it (union + carry-forward window, one shuffle on
+    user_id, no join — operators.asof). The oracle is DuckDB's NATIVE
+    ASOF JOIN: two independent formulations must agree."""
+    from grape_vector_db_spark.operators import asof
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type")
+    joined = asof.asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_id="event_id"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_matched").alias("click_id"),
+        F.round(F.col("value_matched"), 6).alias("click_value"),
+    )
+
+
 def q_sq_topk(spark, sf_dir):
     """8-bit scalar-quantized coarse ranking -> exact rescore (the SQ8
     sibling of hamming_topk; quantization family widening beyond the
@@ -971,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "sq_topk": q_sq_topk,
+        "events_asof": q_events_asof,
         "existence": q_existence,
         "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
@@ -1558,6 +1580,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dist_km ASC, c_custkey LIMIT 5
         """,
         "geo_polygon": _geo_polygon_sql(),
+        "events_asof": """
+            WITH p AS (SELECT event_id, ts, user_id
+                       FROM events WHERE event_type = 'purchase'),
+            c0 AS (SELECT event_id, ts, user_id
+                   FROM events WHERE event_type = 'click'),
+            cd AS (SELECT user_id, ts, max(event_id) AS click_id
+                   FROM c0 GROUP BY user_id, ts),
+            c AS (SELECT cd.user_id, cd.ts, cd.click_id, e.value
+                  FROM cd JOIN events e ON e.event_id = cd.click_id)
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   c.click_id, round(c.value, 6) AS click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -1,0 +1,94 @@
+"""As-of (point-in-time) join — a custom operator the reference family
+lacks but every event/feature pipeline needs: match each left row to the
+LATEST right row with ``right.ts <= left.ts`` within the same key.
+
+Spark has no ASOF JOIN primitive. The naive formulations both fail at
+scale: a range theta-join explodes to a BroadcastNestedLoopJoin, and a
+per-key ``applyInPandas`` loop funnels whole keys through Python. The
+Spark-FIRST shape is the **union trick**:
+
+1. tag left rows (side=1) and right rows (side=0),
+2. union them into one table,
+3. one window per key ordered by ``(ts, side, right_id)`` carries the
+   last non-null right payload forward (``last(..., ignorenulls=True)``
+   over unbounded-preceding..current),
+4. keep the left rows.
+
+Cost: ONE shuffle on the key (the window partition), no joins at all,
+no Python. Right rows at the same (key, ts) are pre-deduped to the max
+right-id row so the match is deterministic in any engine — DuckDB's
+native ASOF JOIN (the oracle) leaves same-ts ties unspecified otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    right_id: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row + the latest ``right`` row
+    with ``right[on] <= left[on]`` sharing the ``by`` keys (NULL-filled
+    when no prior right row exists).
+
+    ``right_id`` (unique within right) breaks same-timestamp ties —
+    highest id wins, deterministically. ``right_cols`` are the right
+    payload columns to attach (default: everything except on/by/id),
+    renamed with ``suffix``.
+    """
+    by = by or []
+    if right_id is None:
+        raise ValueError("right_id is required for deterministic tie-breaks")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in {on, right_id, *by}
+    ]
+
+    # dedupe right to one row per (by, ts): the max-id row
+    w_dedup = Window.partitionBy(*by, on).orderBy(F.col(right_id).desc())
+    r = (
+        right.select(on, right_id, *by, *right_cols)
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    carried = [right_id] + right_cols
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(f"_r_{c}") for c in carried],
+    )
+    rhs = r.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            if c not in {on, *by}
+            else F.col(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    u = lhs.unionByName(rhs)
+
+    # right rows (side 0) sort before left rows at the same ts => "<=" match
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        u = u.withColumn(
+            f"_r_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+        )
+    out = u.where(F.col("_side") == 1).drop("_side")
+    for c in carried:
+        out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}")
+    return out

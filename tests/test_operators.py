@@ -280,3 +280,28 @@ def test_sq_quantize_codes_and_search(spark, emb):
     ids = [r["vec_id"] for r in res]
     assert ids[0] == 0  # self-match survives 8-bit quantization
     assert len(set(ids) & exact) >= 7  # SQ8 coarse ranking is magnitude-aware
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts per key;
+    same-ts ties go to the highest right id; no prior row -> NULLs."""
+    from grape_vector_db_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "u"), (3, 5, "v")],
+        "event_id long, ts long, user string",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, "u", 1.0), (101, 10, "u", 2.0), (102, 15, "u", 3.0),
+         (103, 50, "v", 9.0)],
+        "event_id long, ts long, user string, value double",
+    )
+    out = {
+        r["event_id"]: (r["event_id_matched"], r["value_matched"])
+        for r in asof.asof_join(
+            left, right, on="ts", by=["user"], right_id="event_id"
+        ).collect()
+    }
+    assert out[1] == (101, 2.0)   # same-ts tie -> max right id
+    assert out[2] == (102, 3.0)   # latest prior
+    assert out[3] == (None, None)  # right row is in the future

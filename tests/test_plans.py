@@ -154,3 +154,18 @@ def test_hydrate_broadcasts_result_side(spark, docs, emb):
     res = search.knn(emb, qv, k=5).withColumnRenamed("vec_id", "doc_id")
     plan = plan_of(search.hydrate(res, docs, columns=["lang"]))
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The union-trick as-of join must compile to union -> one Exchange on
+    the key -> window. Any Join node means the plan regressed to a range
+    join (BroadcastNestedLoopJoin at scale)."""
+    from grape_vector_db_spark.operators import asof
+
+    left = spark.range(100).selectExpr("id AS event_id", "id * 2 AS ts", "id % 5 AS k")
+    right = spark.range(50).selectExpr(
+        "id + 1000 AS event_id", "id * 3 AS ts", "id % 5 AS k", "id * 1.0 AS value"
+    )
+    plan = plan_of(asof.asof_join(left, right, on="ts", by=["k"], right_id="event_id"))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # dedup + carry windows share the key
