@@ -69,3 +69,72 @@ def dedup_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Event-time sessionization across micro-batches — the streaming twin
+    of the batch `events_sessions` query, and the canonical custom
+    stateful operator: per-user state (session start, last ts, count)
+    lives in the checkpointed state store; a session CLOSES (one output
+    row) when a later event for the same user arrives more than
+    ``gap_seconds`` after the previous one.
+
+    ``ts_col`` is epoch MICROSECONDS as long — integer state round-trips
+    every engine identically (the lesson of the nanos testdata). Closure
+    is event-time driven (deterministic, replayable); the still-open
+    tail session stays in state — production would add a
+    ProcessingTimeTimeout flush, which is wall-clock and untestable
+    deterministically, so it is deliberately not the default.
+
+    Output: (user_id, session_start, session_end, n_events), all long.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start long, session_end long, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple] = []
+        ts_sorted: list[int] = []
+        for pdf in pdfs:
+            ts_sorted.extend(int(t) for t in pdf[ts_col])
+        for ts in sorted(ts_sorted):
+            if start is None:
+                start = last = ts
+                n = 1
+            elif ts - last > gap_us:
+                closed.append((user, start, last, n))
+                start = last = ts
+                n = 1
+            else:
+                last = max(last, ts)
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[user_col, "session_start", "session_end", "n_events"],
+            )
+
+    return stream_df.select(user_col, ts_col).groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -175,3 +175,53 @@ def test_windowed_event_counts_batch_semantics(spark):
     }
     assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert out[("2024-01-01 11:00:00", "view")] == (1, 3.0)
+
+
+def test_stateful_sessionize_stream(spark, tmpdir):
+    """Sessions close across micro-batches when the event-time gap exceeds
+    the threshold; the open tail session persists in state."""
+    from grape_vector_db_spark.streaming.stateful import sessionize_stream
+
+    src = f"{tmpdir}/sess_in"
+    out = f"{tmpdir}/sess_out"
+    ck = f"{tmpdir}/sess_ck"
+    M = 1_000_000  # seconds -> micros
+
+    def run_once():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema("user_id long, ts_us long").parquet(src),
+                gap_seconds=60,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has two bursts 300s apart -> first session closes
+    spark.createDataFrame(
+        [(1, 0 * M), (1, 30 * M), (1, 330 * M), (2, 0 * M)],
+        "user_id long, ts_us long",
+    ).write.parquet(src)
+    run_once()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, 0, 30 * M, 2)}  # open sessions not emitted
+
+    # batch 2: a late burst for user 2 closes their first session; user 1's
+    # open session absorbs a near event (no new closure)
+    spark.createDataFrame(
+        [(2, 500 * M), (1, 340 * M)], "user_id long, ts_us long"
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, 0, 30 * M, 2), (2, 0, 0, 1)}
