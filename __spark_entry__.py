@@ -759,6 +759,21 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.blob_metadata(docs)
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Reproducible stratified training-mix sampling: md5 hash-gate
+    Bernoulli per language (engine-portable; Spark's own sample() RNG is
+    not) — downsample dominant en, keep scarce zh whole."""
+    from grape_vector_db_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.3, "zh": 1.0, "de": 0.5},
+        strata_col="lang",
+        id_col="doc_id",
+        seed=7,
+    ).select("doc_id", "lang")
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join: each purchase event matched to the user's latest click
     at-or-before it (union + carry-forward window, one shuffle on
@@ -993,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "sq_topk": q_sq_topk,
         "events_asof": q_events_asof,
+        "sample_stratified": q_sample_stratified,
         "existence": q_existence,
         "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
@@ -1580,6 +1596,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dist_km ASC, c_custkey LIMIT 5
         """,
         "geo_polygon": _geo_polygon_sql(),
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT)
+                  < (CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0
+                               WHEN 'de' THEN 0.5 ELSE 0.0 END) * 4294967296.0
+        """,
         "events_asof": """
             WITH p AS (SELECT event_id, ts, user_id
                        FROM events WHERE event_type = 'purchase'),

@@ -1,0 +1,61 @@
+"""Deterministic corpus sampling — LLM-data-pipeline addition.
+
+Curating a 100 TB training mix needs reproducible subsampling: the same
+(seed, fractions) must select the same rows on any engine, any
+partitioning, any run — Spark's ``sample``/``sampleBy`` use engine-
+specific RNG streams, so they can't be oracle-checked or replayed
+elsewhere. Instead: **hash-gate Bernoulli** — keep a row iff
+
+    h32(id, seed) / 2^32  <  fraction(stratum)
+
+h32 is the repo-wide md5-derived 32-bit hash (functions.hashing), so the
+decision is a pure function of (id, seed) — engine-portable, shuffle-free
+(a narrow filter the scan absorbs), and stable under repartitioning.
+Statistically this is per-stratum Bernoulli(p): exact-fraction sampling
+would need a per-stratum global sort (anti-scale); at corpus sizes the
+binomial concentration makes the realized fraction's error negligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32
+
+_SCALE = float(1 << 32)
+
+
+def hash_gate(id_col: Column, fraction: Column | float, seed: int = 0) -> Column:
+    """Boolean keep-gate: h32(id, seed)/2^32 < fraction."""
+    frac = F.lit(fraction) if isinstance(fraction, float) else fraction
+    return h32(id_col.cast("string"), seed) < frac * F.lit(_SCALE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability (unlisted strata drop).
+
+    The training-mix workhorse: ``fractions={'en': 0.3, 'zh': 1.0}``
+    downsamples dominant languages while keeping scarce ones whole, and
+    the md5 gate makes the exact row set reproducible anywhere.
+    """
+    frac = F.lit(0.0)
+    for stratum, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == stratum, F.lit(float(p))).otherwise(frac)
+    return df.where(hash_gate(F.col(id_col), frac, seed))
+
+
+def split_train_eval(
+    df: DataFrame, eval_fraction: float, id_col: str, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, reproducible train/eval split by the same
+    hash gate (eval = hash below the fraction, train = the rest) — a row
+    can never migrate between splits across runs or engines."""
+    gate = hash_gate(F.col(id_col), float(eval_fraction), seed)
+    return df.where(~gate), df.where(gate)

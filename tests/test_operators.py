@@ -305,3 +305,22 @@ def test_asof_join_semantics(spark):
     assert out[1] == (101, 2.0)   # same-ts tie -> max right id
     assert out[2] == (102, 3.0)   # latest prior
     assert out[3] == (None, None)  # right row is in the future
+
+
+def test_stratified_sample_and_split(spark, docs):
+    """Hash-gate sampling: reproducible, stratum-respecting, and the
+    train/eval split is disjoint + exhaustive."""
+    from grape_vector_db_spark.operators import sampling
+
+    s1 = sampling.stratified_sample(docs, {"en": 0.5}, "lang", "doc_id", seed=3)
+    s2 = sampling.stratified_sample(docs, {"en": 0.5}, "lang", "doc_id", seed=3)
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    assert ids1 == {r["doc_id"] for r in s2.collect()}  # reproducible
+    assert {r["lang"] for r in s1.collect()} == {"en"}  # unlisted strata drop
+    n_en = docs.where("lang = 'en'").count()
+    assert 0.3 * n_en < len(ids1) < 0.7 * n_en  # ~Bernoulli(0.5)
+
+    train, ev = sampling.split_train_eval(docs, 0.25, "doc_id", seed=9)
+    t = {r["doc_id"] for r in train.collect()}
+    e = {r["doc_id"] for r in ev.collect()}
+    assert t.isdisjoint(e) and len(t) + len(e) == docs.count()
