@@ -759,6 +759,36 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.blob_metadata(docs)
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Interval join: every (purchase, click) pair within 10 minutes
+    before the purchase, per user — time-bucket equi-join (hash join on
+    (user, bucket)), never a BroadcastNestedLoopJoin range predicate.
+    Oracle: DuckDB's plain inequality join."""
+    from grape_vector_db_spark.operators import asof
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tsu"),
+        "user_id",
+        "event_type",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "tsu", "user_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "tsu", "user_id"
+    )
+    joined = asof.interval_join(
+        purchases, clicks, window=600_000_000, on="tsu", by=["user_id"]
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id_right").alias("click_id"),
+        (F.col("tsu") - F.col("tsu_right")).alias("gap_us"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Reproducible stratified training-mix sampling: md5 hash-gate
     Bernoulli per language (engine-portable; Spark's own sample() RNG is
@@ -1009,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "events_asof": q_events_asof,
         "sample_stratified": q_sample_stratified,
+        "events_interval_join": q_events_interval_join,
         "existence": q_existence,
         "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
@@ -1596,6 +1627,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dist_km ASC, c_custkey LIMIT 5
         """,
         "geo_polygon": _geo_polygon_sql(),
+        "events_interval_join": """
+            WITH ev AS (SELECT event_id, epoch_us(ts) AS tsu, user_id, event_type
+                        FROM events),
+            p AS (SELECT event_id AS purchase_id, tsu, user_id
+                  FROM ev WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, tsu, user_id
+                  FROM ev WHERE event_type = 'click')
+            SELECT p.purchase_id, p.user_id, c.click_id,
+                   p.tsu - c.tsu AS gap_us
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.tsu BETWEEN p.tsu - 600000000 AND p.tsu
+        """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
             WHERE (('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT)

@@ -26,6 +26,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    window,
+    on: str = "ts",
+    by: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Windowed interval join: ALL right rows with
+    ``left[on] - window <= right[on] <= left[on]`` per key (the as-of
+    join's keep-everything sibling; ``on`` columns must be numeric, e.g.
+    epoch micros).
+
+    A naive range predicate becomes a BroadcastNestedLoopJoin — a row-at-
+    a-time interpreted loop that dies at scale. The scale shape is the
+    **time-bucket equi-join**: bucket right rows by ``floor(ts/window)``,
+    explode each left row to its two candidate buckets (b-1, b), hash-join
+    on (key, bucket), then apply the exact range filter. Work is bounded
+    by rows-per-(key, 2·window) — data-dependent, never all-pairs.
+    """
+    by = by or []
+    w = int(window)
+    if w <= 0:
+        raise ValueError("window must be positive")
+    r = right.select(
+        *by,
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in by
+        ],
+    ).withColumn("_bucket", F.expr(f"`{on}{suffix}` div {w}"))
+    b = F.expr(f"`{on}` div {w}")
+    lhs = left.withColumn("_bucket", F.explode(F.array(b - 1, b)))
+    return (
+        lhs.join(r, [*by, "_bucket"])
+        .where(
+            (F.col(f"{on}{suffix}") >= F.col(on) - w)
+            & (F.col(f"{on}{suffix}") <= F.col(on))
+        )
+        .drop("_bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

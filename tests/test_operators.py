@@ -324,3 +324,27 @@ def test_stratified_sample_and_split(spark, docs):
     t = {r["doc_id"] for r in train.collect()}
     e = {r["doc_id"] for r in ev.collect()}
     assert t.isdisjoint(e) and len(t) + len(e) == docs.count()
+
+
+def test_interval_join_semantics(spark):
+    """All right rows within [left-window, left] per key; boundary
+    inclusive on both ends; bucket edges handled."""
+    from grape_vector_db_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 100, "u"), (2, 205, "u")], "pid long, ts long, user string"
+    )
+    right = spark.createDataFrame(
+        [(10, 0, "u"), (11, 95, "u"), (12, 100, "u"), (13, 150, "u"),
+         (14, 206, "u"), (15, 100, "v")],
+        "cid long, ts long, user string",
+    )
+    got = {
+        (r["pid"], r["cid_right"])
+        for r in asof.interval_join(
+            left, right, window=100, on="ts", by=["user"]
+        ).collect()
+    }
+    # pid 1 window [0, 100]: cids 10, 11, 12 (not 15 — other user)
+    # pid 2 window [105, 205]: cid 13 only (14 is after the purchase)
+    assert got == {(1, 10), (1, 11), (1, 12), (2, 13)}

@@ -169,3 +169,15 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     plan = plan_of(asof.asof_join(left, right, on="ts", by=["k"], right_id="event_id"))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # dedup + carry windows share the key
+
+
+def test_interval_join_is_hash_join(spark):
+    """The bucketed interval join must be an equi-join (hash/sort-merge),
+    never a BroadcastNestedLoopJoin range predicate."""
+    from grape_vector_db_spark.operators import asof
+
+    left = spark.range(100).selectExpr("id AS pid", "id * 7 AS ts", "id % 3 AS k")
+    right = spark.range(100).selectExpr("id AS cid", "id * 5 AS ts", "id % 3 AS k")
+    plan = plan_of(asof.interval_join(left, right, window=50, on="ts", by=["k"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
