@@ -789,6 +789,51 @@ def q_events_interval_join(spark, sf_dir):
     )
 
 
+def q_salted_counts(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators.skew): per-key counts via
+    salt-bucket partials then a tiny final merge — the 100 TB hot-key
+    shape. The oracle is the PLAIN group-by: salting must be invisible in
+    the result (counts are integers, so equality is exact)."""
+    from grape_vector_db_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew.salted_count(li, ["l_returnflag"], salt_buckets=16)
+
+
+def q_lineitem_cube(spark, sf_dir):
+    """OLAP CUBE over (returnflag, linestatus): all 4 grouping levels in
+    one pass (Spark expands grouping sets; DuckDB GROUP BY CUBE is the
+    oracle). Integer aggregates only — exact in any association order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_events_rolling(spark, sf_dir):
+    """7-day rolling event counts per type: daily pre-aggregate, then a
+    RANGE window over days — the rolling analytics shape (window state
+    bounded by 7 rows per type, partition-pruned by type)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("rolling_7d"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Reproducible stratified training-mix sampling: md5 hash-gate
     Bernoulli per language (engine-portable; Spark's own sample() RNG is
@@ -1040,6 +1085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "sample_stratified": q_sample_stratified,
         "events_interval_join": q_events_interval_join,
+        "salted_counts": q_salted_counts,
+        "lineitem_cube": q_lineitem_cube,
+        "events_rolling": q_events_rolling,
         "existence": q_existence,
         "points_filter": q_points_filter,
         "search_hydrated": q_search_hydrated,
@@ -1638,6 +1686,27 @@ def oracle_sql() -> dict[str, str]:
                    p.tsu - c.tsu AS gap_us
             FROM p JOIN c ON p.user_id = c.user_id
              AND c.tsu BETWEEN p.tsu - 600000000 AND p.tsu
+        """,
+        "salted_counts": """
+            SELECT l_returnflag, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "events_rolling": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS day, count(*) AS n
+              FROM events GROUP BY event_type, ts::DATE
+            )
+            SELECT event_type, day, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY day
+                                RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                AND CURRENT ROW) AS rolling_7d
+            FROM daily
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
