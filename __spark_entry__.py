@@ -460,6 +460,16 @@ def q_geo_near(spark, sf_dir):
     return geo.nearest(_cust_geo(spark, sf_dir), 48.85, 2.35, k=5, id_col="c_custkey")
 
 
+def q_geo_pairs(spark, sf_dir):
+    """Spatial self-join: all customer pairs within 150 km — grid-cell
+    bucket join (3x3 neighbor explode, modular dateline wrap), never
+    all-pairs. Oracle: DuckDB's exhaustive inequality join over the same
+    |lat| <= 66 band."""
+    return geo.distance_pairs(
+        _cust_geo(spark, sf_dir), radius_km=150.0, id_col="c_custkey"
+    )
+
+
 POLYGON = [(-30.0, -60.0), (-30.0, 60.0), (45.0, 90.0), (60.0, -20.0), (10.0, -90.0)]
 
 
@@ -1062,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
+        "geo_pairs": q_geo_pairs,
         "events_hourly": q_events_hourly,
         "events_percentiles": q_events_percentiles,
         "events_json_filter": q_events_json_filter,
@@ -1658,6 +1669,25 @@ def oracle_sql() -> dict[str, str]:
                      sin(radians(0.0 - lat) / 2) ^ 2 +
                      cos(radians(lat)) * cos(radians(0.0)) *
                      sin(radians(0.0 - lon) / 2) ^ 2)), 6) <= 5000.0
+        """,
+        "geo_pairs": """
+            WITH g AS (
+              SELECT c_custkey,
+                     ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat,
+                     ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon
+              FROM customer
+            ),
+            band AS (SELECT * FROM g WHERE abs(lat) <= 66.0)
+            SELECT x.c_custkey AS a, y.c_custkey AS b,
+                   round(2 * 6371.0 * asin(sqrt(
+                     sin(radians(y.lat - x.lat) / 2) ^ 2 +
+                     cos(radians(x.lat)) * cos(radians(y.lat)) *
+                     sin(radians(y.lon - x.lon) / 2) ^ 2)), 6) AS dist_km
+            FROM band x JOIN band y ON x.c_custkey < y.c_custkey
+            WHERE round(2 * 6371.0 * asin(sqrt(
+                     sin(radians(y.lat - x.lat) / 2) ^ 2 +
+                     cos(radians(x.lat)) * cos(radians(y.lat)) *
+                     sin(radians(y.lon - x.lon) / 2) ^ 2)), 6) <= 150.0
         """,
         "geo_near": f"""
             WITH g AS (

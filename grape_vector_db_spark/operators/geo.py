@@ -67,6 +67,85 @@ def within_distance(
     )
 
 
+def distance_pairs(
+    df: DataFrame,
+    radius_km: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """All point pairs within ``radius_km`` (a < b, with dist_km) — the
+    spatial SELF-JOIN, grid-bucketed so it never goes all-pairs:
+
+    1. every point maps to one (lat_cell, lon_cell) grid cell sized
+       conservatively >= radius in both axes,
+    2. one side explodes to its 3x3 neighbor cells (lon wraps modularly,
+       so dateline-adjacent points still meet),
+    3. hash-join on the cell key, exact haversine filter after.
+
+    Work is bounded by points-per-9-cells — data-dependent density, not
+    n². Contract: rows with |lat| > ``max_abs_lat`` are EXCLUDED (cells
+    keep bounded width away from the poles; polar caps need a dedicated
+    cap band — same extension every grid scheme ships). The interval
+    join (operators.asof.interval_join) is this pattern in 1-D.
+    """
+    if radius_km <= 0:
+        raise ValueError("radius_km must be positive")
+    # conservative degree sizes: >= radius everywhere in the lat band
+    dlat = radius_km / 110.5
+    dlon = radius_km / (110.5 * math.cos(math.radians(max_abs_lat)))
+    n_lon = max(int(math.ceil(360.0 / dlon)), 1)
+
+    base = df.where(F.abs(F.col(lat_col)) <= max_abs_lat).select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+        F.floor(F.col(lat_col) / dlat).cast("long").alias("_clat"),
+        F.floor((F.col(lon_col) + 180.0) / dlon).cast("long").alias("_clon"),
+    )
+    rhs = base.select(
+        F.col("id").alias("b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "_clat",
+        "_clon",
+    )
+    neighbors = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("_clat") + i).alias("_clat"),
+                    ((F.col("_clon") + j + n_lon) % n_lon).alias("_clon"),
+                )
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+    )
+    lhs = (
+        base.withColumn("_nb", neighbors)
+        .select(
+            F.col("id").alias("a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            F.col("_nb._clat").alias("_clat"),
+            F.col("_nb._clon").alias("_clon"),
+        )
+    )
+    dist = haversine_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return (
+        lhs.join(rhs, ["_clat", "_clon"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("dist_km", F.round(dist, 6))
+        .where(F.col("dist_km") <= radius_km)
+        .select("a", "b", "dist_km")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def point_in_polygon(
     lat_col: Column, lon_col: Column, polygon: list[tuple[float, float]]
 ) -> Column:

@@ -348,3 +348,32 @@ def test_interval_join_semantics(spark):
     # pid 1 window [0, 100]: cids 10, 11, 12 (not 15 — other user)
     # pid 2 window [105, 205]: cid 13 only (14 is after the purchase)
     assert got == {(1, 10), (1, 11), (1, 12), (2, 13)}
+
+
+def test_geo_distance_pairs_dateline_and_exactness(spark):
+    """Grid spatial join must find dateline-straddling pairs (modular lon
+    cells) and match a brute-force check exactly."""
+    import itertools
+    import math as m
+
+    pts = [(1, 10.0, 179.9), (2, 10.0, -179.9), (3, 10.0, 0.0),
+           (4, 10.5, 0.3), (5, 60.0, 0.0), (6, -70.0, 0.0)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r["a"], r["b"]) for r in geo.distance_pairs(df, 100.0).collect()}
+
+    def hav(p, q):
+        _, la1, lo1 = p
+        _, la2, lo2 = q
+        a = (m.sin(m.radians(la2 - la1) / 2) ** 2
+             + m.cos(m.radians(la1)) * m.cos(m.radians(la2))
+             * m.sin(m.radians(lo2 - lo1) / 2) ** 2)
+        return 2 * 6371.0 * m.asin(m.sqrt(a))
+
+    want = {
+        (p[0], q[0])
+        for p, q in itertools.combinations(pts, 2)
+        if hav(p, q) <= 100.0 and abs(p[1]) <= 66 and abs(q[1]) <= 66
+    }
+    assert (1, 2) in got  # dateline wrap found
+    assert got == want
+    assert not any(6 in pair for pair in got)  # outside the lat band

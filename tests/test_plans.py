@@ -181,3 +181,17 @@ def test_interval_join_is_hash_join(spark):
     plan = plan_of(asof.interval_join(left, right, window=50, on="ts", by=["k"]))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_geo_pairs_is_hash_join(spark):
+    """The grid-bucketed spatial self-join must be an equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin all-pairs fallback."""
+    from grape_vector_db_spark.operators import geo
+
+    df = spark.range(200).selectExpr(
+        "id", "(id % 90) * 1.0 AS lat", "(id % 180) * 1.0 AS lon"
+    )
+    plan = plan_of(geo.distance_pairs(df, 50.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
