@@ -799,6 +799,24 @@ def q_events_interval_join(spark, sf_dir):
     )
 
 
+def q_customers_without_orders(spark, sf_dir):
+    """Left anti join (§2.7 set ops, the NOT-IN shape): customers with no
+    URGENT order — one shuffle hash anti-join, no NOT-IN subquery
+    rewrite. The filter pushes below the anti-join's build side."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
 def q_salted_counts(spark, sf_dir):
     """Skew-safe two-phase aggregation (operators.skew): per-key counts via
     salt-bucket partials then a tiny final merge — the 100 TB hot-key
@@ -1097,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "events_interval_join": q_events_interval_join,
         "salted_counts": q_salted_counts,
+        "customers_without_orders": q_customers_without_orders,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
         "existence": q_existence,
@@ -1716,6 +1735,12 @@ def oracle_sql() -> dict[str, str]:
                    p.tsu - c.tsu AS gap_us
             FROM p JOIN c ON p.user_id = c.user_id
              AND c.tsu BETWEEN p.tsu - 600000000 AND p.tsu
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         """,
         "salted_counts": """
             SELECT l_returnflag, count(*) AS cnt

@@ -161,6 +161,9 @@ class GrapeVectorDB:
         elif kind == "binary":
             packed = quantization.pack_bits(emb, "vec_id", self.vec_col)
             packed.write.mode("overwrite").parquet(self._path("index_packed"))
+        elif kind == "sq":
+            sq = quantization.sq_quantize(emb, "vec_id", self.vec_col)
+            sq.write.mode("overwrite").parquet(self._path("index_sq"))
         else:
             raise ValueError(f"unknown index kind {kind!r}")
 
@@ -198,10 +201,16 @@ class GrapeVectorDB:
                 emb.count(),
                 has_ivf=self._has("index_ivf"),
                 has_packed=self._has("index_packed"),
+                has_sq=self._has("index_sq"),
             )
             if choice.strategy == "ivf":
                 cents, assigned = ann.load_index(self.spark, self._path("index_ivf"))
                 return ann.ivf_search(emb, cents, assigned, vector, k=limit)
+            if choice.strategy == "sq_two_stage":
+                sq = self.spark.read.parquet(self._path("index_sq"))
+                return quantization.sq_search(
+                    emb, vector, k=limit, sq_df=sq
+                ).drop("approx_dot")
             if choice.strategy == "binary_two_stage":
                 packed = self.spark.read.parquet(self._path("index_packed"))
                 return quantization.two_stage_search(
@@ -317,6 +326,6 @@ class GrapeVectorDB:
         except Exception:
             out["vector_count"] = 0
         out["indexes"] = [
-            k for k in ("index_ivf", "index_packed") if self._has(k)
+            k for k in ("index_ivf", "index_packed", "index_sq") if self._has(k)
         ]
         return out

@@ -42,12 +42,17 @@ def choose_search_strategy(
     corpus_rows: int,
     has_ivf: bool = False,
     has_packed: bool = False,
+    has_sq: bool = False,
     brute_force_limit: int = 1_000_000,
 ) -> PlanChoice:
     if corpus_rows <= brute_force_limit:
         return PlanChoice("brute_force", f"corpus {corpus_rows} <= {brute_force_limit}")
     if has_ivf:
         return PlanChoice("ivf", "IVF index tables available")
+    if has_sq:
+        # SQ8 coarse ranking keeps magnitude info -> better recall than
+        # 1-bit hamming at the same rescore budget; prefer it when present
+        return PlanChoice("sq_two_stage", "SQ8 index table available")
     if has_packed:
         return PlanChoice("binary_two_stage", "packed binary index available")
     return PlanChoice(

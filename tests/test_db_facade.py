@@ -157,3 +157,16 @@ def test_learned_fusion_falls_back_without_table(spark, docs, emb):
         assert inst._learned_weights(q) == fu.DEFAULT_TYPE_WEIGHTS[fu.classify_query(q)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sq_index_build_and_planner_preference(db):
+    """build_index('sq') persists the SQ8 table; the planner prefers SQ8
+    over binary (magnitude-aware coarse ranking) once past brute-force."""
+    from grape_vector_db_spark.plans.planner import choose_search_strategy
+
+    db.build_index("sq")
+    assert "index_sq" in db.stats()["indexes"]
+    c = choose_search_strategy(10**9, has_sq=True, has_packed=True)
+    assert c.strategy == "sq_two_stage"
+    c2 = choose_search_strategy(10**9, has_ivf=True, has_sq=True)
+    assert c2.strategy == "ivf"
