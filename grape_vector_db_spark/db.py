@@ -267,6 +267,17 @@ class GrapeVectorDB:
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
 
+    def optimize(self, target_partitions: int = 8) -> None:
+        """Compact the data tables (streaming upserts accumulate small
+        files; reference compaction is storage-engine-internal, ours is
+        tables.compact's snapshot-swap rewrite). Index tables are
+        rebuilt, not compacted."""
+        from .sources.tables import compact
+
+        for table in ("documents", "embeddings"):
+            if self._has(table):
+                compact(self.spark, self._path(table), target_partitions)
+
     def search_response(self, **kwargs) -> SearchResponse:
         """`search` with the reference's response envelope: collected rows,
         total_results, and wall-clock query_time_ms

@@ -170,3 +170,13 @@ def test_sq_index_build_and_planner_preference(db):
     assert c.strategy == "sq_two_stage"
     c2 = choose_search_strategy(10**9, has_ivf=True, has_sq=True)
     assert c2.strategy == "ivf"
+
+
+def test_optimize_compacts_without_changing_data(db, docs):
+    import glob
+
+    before = {r["doc_id"] for r in db.documents().collect()}
+    db.optimize(target_partitions=2)
+    files = glob.glob(f"{db.base}/documents/part-*")
+    assert len(files) == 2
+    assert {r["doc_id"] for r in db.documents().collect()} == before
