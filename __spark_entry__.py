@@ -817,6 +817,19 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_hashed_features(spark, sf_dir):
+    """Feature-hashing vectorizer (hashing trick): fixed-width bag-of-words
+    with no vocabulary pass. The query explodes the dense vectors back to
+    (doc_id, slot, cnt) so the oracle pins the whole pipeline including
+    the dense fill."""
+    hf = textanalysis.hashed_features(_docs(spark, sf_dir), dim=64)
+    return (
+        hf.select("doc_id", F.posexplode("features").alias("slot", "cnt"))
+        .where(F.col("cnt") > 0)
+        .select("doc_id", F.col("slot").cast("int").alias("slot"), "cnt")
+    )
+
+
 def q_salted_counts(spark, sf_dir):
     """Skew-safe two-phase aggregation (operators.skew): per-key counts via
     salt-bucket partials then a tiny final merge — the 100 TB hot-key
@@ -1116,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "salted_counts": q_salted_counts,
         "customers_without_orders": q_customers_without_orders,
+        "hashed_features": q_hashed_features,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
         "existence": q_existence,
@@ -1735,6 +1749,13 @@ def oracle_sql() -> dict[str, str]:
                    p.tsu - c.tsu AS gap_us
             FROM p JOIN c ON p.user_id = c.user_id
              AND c.tsu BETWEEN p.tsu - 600000000 AND p.tsu
+        """,
+        "hashed_features": f"""
+            WITH {_TOKS_CTE},
+            t AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            sl AS (SELECT doc_id, ({_h32_sql("term", 0)}) % 64 AS slot FROM t)
+            SELECT doc_id, slot::INT AS slot, count(*) AS cnt
+            FROM sl GROUP BY doc_id, slot
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_nationkey, c_acctbal

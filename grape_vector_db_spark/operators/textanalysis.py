@@ -130,6 +130,45 @@ def quality_score(
     )
 
 
+def hashed_features(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing vectorizer (the hashing trick, Weinberger et al.
+    2009): (doc_id, features array<long>) where features[j] counts the
+    doc's token occurrences hashing to slot j = h32(token) % dim — a
+    fixed-width bag-of-words with NO vocabulary pass, the cheap text
+    featurizer for dedup/clustering at corpus scale.
+
+    Shape: tokenize -> explode -> one groupBy(doc, slot) shuffle (map-side
+    combined) -> dense array fill. Counts are integers — exact in any
+    engine; h32 is the repo-wide md5 hash, so the oracle reproduces slots
+    bit-for-bit.
+    """
+    from ..functions.hashing import h32
+    from ..functions.text import tokens
+
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    slots = toked.select(
+        "doc_id", F.explode("_t").alias("term")
+    ).select("doc_id", (h32(F.col("term")) % dim).alias("slot"))
+    counts = slots.groupBy("doc_id", "slot").agg(F.count("*").alias("cnt"))
+    packed = counts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("slot", "cnt")).alias("_sc")
+    )
+    fill = F.expr(
+        f"""
+        transform(sequence(0, {dim - 1}), j ->
+          coalesce(aggregate(filter(_sc, s -> s.slot = j),
+                             cast(0 as bigint), (a, s) -> a + s.cnt),
+                   cast(0 as bigint)))
+        """
+    )
+    return packed.select("doc_id", fill.alias("features"))
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

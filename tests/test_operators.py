@@ -377,3 +377,17 @@ def test_geo_distance_pairs_dateline_and_exactness(spark):
     assert (1, 2) in got  # dateline wrap found
     assert got == want
     assert not any(6 in pair for pair in got)  # outside the lat band
+
+
+def test_hashed_features_dense_shape(spark):
+    """Fixed-width output; slot counts sum to the kept-token count;
+    identical texts hash identically."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: list(r["features"])
+            for r in textanalysis.hashed_features(df, dim=16).collect()}
+    assert len(rows[1]) == 16 and sum(rows[1]) == 3  # alpha x2 + beta
+    assert rows[1] == rows[2]
+    assert 3 not in rows  # empty doc: no tokens, no row
