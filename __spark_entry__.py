@@ -817,6 +817,30 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Eval-set decontamination: hash-gate the corpus into train (75%) and
+    eval (25%), then flag eval docs whose 3-gram shingles substantially
+    appear in some train doc (cross-corpus shared-shingle join — the
+    benchmark-leakage check every LLM pipeline runs)."""
+    from grape_vector_db_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    train, ev = sampling.split_train_eval(docs, 0.25, "doc_id", seed=9)
+    return dedup.contamination_pairs(
+        train, ev, n=3, threshold=0.3, max_shingle_df=100
+    )
+
+
+def q_sample_fixed(spark, sf_dir):
+    """Deterministic fixed-size uniform sample (hash-ordered TakeOrdered,
+    no shuffle, reproducible in any engine)."""
+    from grape_vector_db_spark.operators import sampling
+
+    return sampling.uniform_sample_n(
+        _docs(spark, sf_dir), 100, "doc_id", seed=5
+    ).select("doc_id", "lang")
+
+
 def q_hashed_features(spark, sf_dir):
     """Feature-hashing vectorizer (hashing trick): fixed-width bag-of-words
     with no vocabulary pass. The query explodes the dense vectors back to
@@ -1130,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": q_salted_counts,
         "customers_without_orders": q_customers_without_orders,
         "hashed_features": q_hashed_features,
+        "decontamination": q_decontamination,
+        "sample_fixed": q_sample_fixed,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
         "existence": q_existence,
@@ -1749,6 +1775,44 @@ def oracle_sql() -> dict[str, str]:
                    p.tsu - c.tsu AS gap_us
             FROM p JOIN c ON p.user_id = c.user_id
              AND c.tsu BETWEEN p.tsu - 600000000 AND p.tsu
+        """,
+        "decontamination": f"""
+            WITH {_SHINGLE_CTE},
+            gate AS (
+              SELECT doc_id,
+                     ({_h32_sql("doc_id::VARCHAR", 9)}) < 0.25 * 4294967296.0
+                       AS is_eval
+              FROM documents
+            ),
+            tsh0 AS (SELECT sh.doc_id AS train_id, sh.shingle
+                     FROM sh JOIN gate USING (doc_id) WHERE NOT is_eval),
+            esh0 AS (SELECT sh.doc_id AS eval_id, sh.shingle
+                     FROM sh JOIN gate USING (doc_id) WHERE is_eval),
+            hot AS (
+              SELECT shingle FROM (
+                SELECT shingle FROM tsh0 UNION ALL SELECT shingle FROM esh0) u
+              GROUP BY shingle HAVING count(*) > 100
+            ),
+            tsh AS (SELECT * FROM tsh0
+                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            esh AS (SELECT * FROM esh0
+                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            esz AS (SELECT eval_id, count(*) AS n_sh FROM esh GROUP BY eval_id),
+            inter AS (
+              SELECT e.eval_id, t.train_id, count(*) AS n_common
+              FROM esh e JOIN tsh t ON e.shingle = t.shingle
+              GROUP BY e.eval_id, t.train_id
+            )
+            SELECT i.eval_id, i.train_id,
+                   round(i.n_common::DOUBLE / z.n_sh, 6) AS overlap
+            FROM inter i JOIN esz z ON z.eval_id = i.eval_id
+            WHERE round(i.n_common::DOUBLE / z.n_sh, 6) >= 0.3
+        """,
+        "sample_fixed": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY ('0x' || substr(md5('5:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                     doc_id
+            LIMIT 100
         """,
         "hashed_features": f"""
             WITH {_TOKS_CTE},

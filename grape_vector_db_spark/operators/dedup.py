@@ -125,6 +125,64 @@ def ngram_jaccard_pairs(
     return out
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Eval-set decontamination: (eval_id, train_id, overlap) pairs where
+    ``overlap = |shared shingles| / |eval doc's shingles| >= threshold`` —
+    the benchmark-leakage check every LLM training pipeline runs before
+    training (an eval doc whose n-grams largely appear in some train doc
+    is contaminated; the train doc gets dropped or the eval item flagged).
+
+    Same shape as the near-dup self-join but CROSS-corpus: candidates
+    from a shared-shingle equi-join between the two shingle tables (cost
+    Σ_shingle df_train·df_eval — never |train|×|eval|), with the optional
+    hot-shingle broadcast anti-join cap (computed over the combined df)
+    bounding the worst key. Overlap is normalized by the EVAL side — the
+    reference-set question is "how much of this eval item leaks", not
+    symmetric Jaccard.
+    """
+    tsh = shingles(train, n, id_col, text_col).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    esh = shingles(eval_df, n, id_col, text_col).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    if max_shingle_df is not None:
+        both = tsh.select("shingle").unionAll(esh.select("shingle"))
+        hot = (
+            both.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        tsh = tsh.join(F.broadcast(hot), "shingle", "left_anti")
+        esh = esh.join(F.broadcast(hot), "shingle", "left_anti")
+    esizes = esh.groupBy("eval_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        esh.join(tsh, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(esizes, "eval_id")
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(
+                F.col("n_common") / F.col("n_sh").cast("double"), 6
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

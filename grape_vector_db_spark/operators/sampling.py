@@ -51,6 +51,20 @@ def stratified_sample(
     return df.where(hash_gate(F.col(id_col), frac, seed))
 
 
+def uniform_sample_n(
+    df: DataFrame, n: int, id_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic FIXED-SIZE uniform sample: the n rows with the
+    smallest h32(id, seed). The hash order is a uniform pseudo-random
+    permutation of ids, so this is sampling without replacement — and
+    the plan is a TakeOrdered (per-partition heap + driver merge of n
+    rows), no shuffle, reproducible on any engine/partitioning. Same
+    primitive that seeds the k-means sample (ann._sampled_matrix)."""
+    return df.orderBy(
+        h32(F.col(id_col).cast("string"), seed).asc(), F.col(id_col).asc()
+    ).limit(n)
+
+
 def split_train_eval(
     df: DataFrame, eval_fraction: float, id_col: str, seed: int = 0
 ) -> tuple[DataFrame, DataFrame]:

@@ -391,3 +391,25 @@ def test_hashed_features_dense_shape(spark):
     assert len(rows[1]) == 16 and sum(rows[1]) == 3  # alpha x2 + beta
     assert rows[1] == rows[2]
     assert 3 not in rows  # empty doc: no tokens, no row
+
+
+def test_contamination_pairs_detects_leakage(spark):
+    """An eval doc copied from train -> overlap 1.0; partial n-gram leak
+    scores fractionally; unrelated eval docs are absent."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally separate words here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),   # full copy
+         (101, "alpha beta gamma completely changed tail"),  # partial
+         (102, "nothing shared whatsoever friend")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["eval_id"]: (r["train_id"], r["overlap"])
+        for r in dedup.contamination_pairs(train, ev, n=3, threshold=0.2).collect()
+    }
+    assert got[100] == (1, 1.0)
+    assert got[101][0] == 1 and 0.2 <= got[101][1] < 1.0
+    assert 102 not in got

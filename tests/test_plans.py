@@ -195,3 +195,13 @@ def test_geo_pairs_is_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_uniform_sample_n_is_take_ordered(spark, docs):
+    """Fixed-size hash sampling must be a TakeOrdered (per-partition heap),
+    never a global sort or shuffle."""
+    from grape_vector_db_spark.operators import sampling
+
+    plan = plan_of(sampling.uniform_sample_n(docs, 10, "doc_id", seed=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
