@@ -817,6 +817,12 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per doc — the repetitiveness
+    signal (low entropy = templated/stuffed text)."""
+    return textanalysis.token_entropy(_docs(spark, sf_dir))
+
+
 def q_decontamination(spark, sf_dir):
     """Eval-set decontamination: hash-gate the corpus into train (75%) and
     eval (25%), then flag eval docs whose 3-gram shingles substantially
@@ -1156,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "decontamination": q_decontamination,
         "sample_fixed": q_sample_fixed,
+        "token_entropy": q_token_entropy,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
         "existence": q_existence,
@@ -1775,6 +1782,20 @@ def oracle_sql() -> dict[str, str]:
                    p.tsu - c.tsu AS gap_us
             FROM p JOIN c ON p.user_id = c.user_id
              AND c.tsu BETWEEN p.tsu - 600000000 AND p.tsu
+        """,
+        "token_entropy": f"""
+            WITH {_TOKS_CTE},
+            t AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) > 0),
+            cnts AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+            per_doc AS (
+              SELECT doc_id, sum(c) AS n_tokens,
+                     sum(c * log2(c)) AS clogc
+              FROM cnts GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round(log2(n_tokens::DOUBLE) - clogc / n_tokens::DOUBLE, 6)
+                     AS entropy
+            FROM per_doc
         """,
         "decontamination": f"""
             WITH {_SHINGLE_CTE},

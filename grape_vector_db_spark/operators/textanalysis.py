@@ -130,6 +130,36 @@ def quality_score(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, entropy) — Shannon entropy (bits) of the doc's
+    kept-token distribution: low entropy flags repetitive/templated text
+    (keyword stuffing, boilerplate) that length/stopword heuristics miss.
+
+    Computed as ``log2(n) - sum(c*log2(c))/n`` over per-term counts c —
+    one explode + one map-side-combined groupBy; the formula is written
+    identically in the DuckDB oracle so the floats round the same way.
+    """
+    from ..functions.text import tokens
+
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    terms = toked.where(F.size("_t") > 0).select(
+        "doc_id", F.explode("_t").alias("term")
+    )
+    counts = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log2(n) - F.col("_clogc") / n, 6).alias("entropy"),
+    )
+
+
 def hashed_features(
     df: DataFrame,
     dim: int = 64,

@@ -413,3 +413,18 @@ def test_contamination_pairs_detects_leakage(spark):
     assert got[100] == (1, 1.0)
     assert got[101][0] == 1 and 0.2 <= got[101][1] < 1.0
     assert 102 not in got
+
+
+def test_token_entropy_orders_repetitiveness(spark):
+    """Uniform token distribution maxes entropy (log2 k); fully repeated
+    token gives 0; templated text sits between."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),          # 4 distinct -> log2(4)=2
+         (2, "alpha alpha alpha alpha"),         # one token   -> 0
+         (3, "alpha alpha alpha beta")],         # skewed      -> (0, 2)
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["entropy"] for r in textanalysis.token_entropy(df).collect()}
+    assert got[1] == 2.0
+    assert got[2] == 0.0
+    assert 0.0 < got[3] < got[1]
