@@ -817,6 +817,17 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: MinHash-LSH pairs -> connected
+    components by min-label propagation -> (doc_id, cluster_id = min id
+    in component). Oracle: a recursive CTE walking the same pair graph."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, n=3, threshold=0.2,
+        shingles_df=_shingles(spark, sf_dir),
+    )
+    return dedup.cluster_pairs(pairs)
+
+
 def q_token_entropy(spark, sf_dir):
     """Token-distribution Shannon entropy per doc — the repetitiveness
     signal (low entropy = templated/stuffed text)."""
@@ -1163,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "sample_fixed": q_sample_fixed,
         "token_entropy": q_token_entropy,
+        "dedup_clusters": q_dedup_clusters,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
         "existence": q_existence,
@@ -1362,6 +1374,27 @@ def _minhash_sig_cte(num_hashes: int) -> str:
         f"min({_h32_sql('shingle', p)}) AS h{p}" for p in range(num_hashes)
     )
     return f"sigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)"
+
+
+# banded MinHash bucket + candidate CTEs (16 hashes / 4 bands) — shared by
+# the dedup_minhash and dedup_clusters oracles
+_MINHASH_BANDS_CTE = """
+bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN h0::VARCHAR || ',' || h1::VARCHAR || ',' || h2::VARCHAR || ',' || h3::VARCHAR
+           WHEN 1 THEN h4::VARCHAR || ',' || h5::VARCHAR || ',' || h6::VARCHAR || ',' || h7::VARCHAR
+           WHEN 2 THEN h8::VARCHAR || ',' || h9::VARCHAR || ',' || h10::VARCHAR || ',' || h11::VARCHAR
+           ELSE h12::VARCHAR || ',' || h13::VARCHAR || ',' || h14::VARCHAR || ',' || h15::VARCHAR
+         END AS bucket
+  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+"""
 
 
 def _rp_planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[str]:
@@ -1648,22 +1681,37 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": f"""
             WITH {_SHINGLE_CTE},
             {_minhash_sig_cte(16)},
-            bands AS (
-              SELECT doc_id, b.band,
-                     CASE b.band
-                       WHEN 0 THEN h0::VARCHAR || ',' || h1::VARCHAR || ',' || h2::VARCHAR || ',' || h3::VARCHAR
-                       WHEN 1 THEN h4::VARCHAR || ',' || h5::VARCHAR || ',' || h6::VARCHAR || ',' || h7::VARCHAR
-                       WHEN 2 THEN h8::VARCHAR || ',' || h9::VARCHAR || ',' || h10::VARCHAR || ',' || h11::VARCHAR
-                       ELSE h12::VARCHAR || ',' || h13::VARCHAR || ',' || h14::VARCHAR || ',' || h15::VARCHAR
-                     END AS bucket
-              FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
-            ),
-            cand AS (
-              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM bands x JOIN bands y
-                ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-            ),
+            {_MINHASH_BANDS_CTE},
             {_jaccard_tail_sql(0.2, "SELECT a, b FROM cand")}
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT a AS id FROM edges GROUP BY a),
+            walk(node, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM walk GROUP BY node
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_CTE},

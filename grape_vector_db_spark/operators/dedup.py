@@ -274,6 +274,72 @@ def minhash_lsh_pairs(
     )
 
 
+def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = the MIN doc id in the component. Pairs say "these
+    two are dups"; production dedup needs the transitive closure — keep
+    one survivor per CLUSTER (A~B, B~C => drop two of three even though
+    A~C was never emitted).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes min(own label, neighbors' labels); converges in
+    O(component diameter) rounds — near-dup graphs are clique-ish, so
+    2-4 rounds in practice. Each round is one shuffle (join + groupBy
+    min) over the EDGE table only (pairs, not corpus). The driver loop
+    early-stops when no label changes. Every round ``localCheckpoint``s
+    the label table — iterative plans MUST truncate lineage or the
+    accumulated join tree OOMs the planner itself (measured: a 10-hop
+    chain blew the heap without it); at cluster scale use reliable
+    ``checkpoint()`` so labels survive executor loss. This is the
+    standard large-star/small-star simplification for small-diameter
+    graphs.
+    """
+    edges = (
+        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .unionAll(
+            pairs.select(
+                F.col("b").cast("long").alias("a"),
+                F.col("a").cast("long").alias("b"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage — see docstring
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_neardup_pairs_fast(
     emb: DataFrame,
     threshold: float = 0.95,

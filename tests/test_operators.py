@@ -428,3 +428,22 @@ def test_token_entropy_orders_repetitiveness(spark):
     assert got[1] == 2.0
     assert got[2] == 0.0
     assert 0.0 < got[3] < got[1]
+
+
+def test_cluster_pairs_transitive_closure(spark):
+    """A~B and B~C must land in ONE cluster labeled by the min id, even
+    though A~C was never emitted; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 12), (20, 21)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {5: 5, 9: 5, 12: 5, 20: 20, 21: 20}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """A path graph (worst diameter) still converges to the min label."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 11
