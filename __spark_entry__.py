@@ -423,6 +423,14 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 3: pigeonhole band self-join
+    (any pair within 3 matches exactly on >= 1 of 4 8-bit bands) — the
+    oracle is the EXHAUSTIVE bit_count pair scan, so the banding must
+    lose nothing."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_neardup_pairs_fast(_emb(spark, sf_dir), threshold=0.5)
 
@@ -1136,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -1737,6 +1746,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
             FROM tally GROUP BY doc_id
+        """,
+        "simhash_pairs": f"""
+            WITH {_TOKS_CTE},
+            terms AS (
+              SELECT DISTINCT doc_id, unnest(list_distinct(t)) AS term FROM toks
+              WHERE len(t) > 0
+            ),
+            hashed AS (SELECT doc_id, {_h32_sql('term', 0)} AS h FROM terms),
+            votes AS ({simhash_bits}),
+            tally AS (
+              SELECT doc_id, bit, sum(vote) AS tally
+              FROM votes GROUP BY doc_id, bit
+            ),
+            fp AS (
+              SELECT doc_id,
+                     sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+              FROM tally GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         """,
         "embedding_neardup": f"""
             SELECT x.vec_id AS a, y.vec_id AS b,
