@@ -851,8 +851,14 @@ def q_decontamination(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     train, ev = sampling.split_train_eval(docs, 0.25, "doc_id", seed=9)
+    # slice the ONE ingest-built shingle table by the split gates —
+    # retokenizing per split would double the dominant cost
+    sh = _shingles(spark, sf_dir)
+    tsh = sh.join(train.select("doc_id"), "doc_id", "left_semi")
+    esh = sh.join(ev.select("doc_id"), "doc_id", "left_semi")
     return dedup.contamination_pairs(
-        train, ev, n=3, threshold=0.3, max_shingle_df=100
+        train, ev, n=3, threshold=0.3, max_shingle_df=100,
+        train_shingles_df=tsh, eval_shingles_df=esh,
     )
 
 

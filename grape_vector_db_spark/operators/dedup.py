@@ -133,6 +133,8 @@ def contamination_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    train_shingles_df: DataFrame | None = None,
+    eval_shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: (eval_id, train_id, overlap) pairs where
     ``overlap = |shared shingles| / |eval doc's shingles| >= threshold`` —
@@ -146,14 +148,19 @@ def contamination_pairs(
     hot-shingle broadcast anti-join cap (computed over the combined df)
     bounding the worst key. Overlap is normalized by the EVAL side — the
     reference-set question is "how much of this eval item leaks", not
-    symmetric Jaccard.
+    symmetric Jaccard. Pass ``*_shingles_df`` to reuse an ingest-built
+    shingle table (shingle once, slice by split — don't retokenize).
     """
-    tsh = shingles(train, n, id_col, text_col).select(
-        F.col("doc_id").alias("train_id"), "shingle"
-    )
-    esh = shingles(eval_df, n, id_col, text_col).select(
-        F.col("doc_id").alias("eval_id"), "shingle"
-    )
+    tsh = (
+        train_shingles_df
+        if train_shingles_df is not None
+        else shingles(train, n, id_col, text_col)
+    ).select(F.col("doc_id").alias("train_id"), "shingle")
+    esh = (
+        eval_shingles_df
+        if eval_shingles_df is not None
+        else shingles(eval_df, n, id_col, text_col)
+    ).select(F.col("doc_id").alias("eval_id"), "shingle")
     if max_shingle_df is not None:
         both = tsh.select("shingle").unionAll(esh.select("shingle"))
         hot = (
