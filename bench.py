@@ -59,16 +59,40 @@ def main() -> None:
     for k, v in derived.items():
         print(f"bench: {k}: {v:,.0f}", file=sys.stderr)
 
+    # Full per-query breakdown goes to a side file; stdout carries a compact
+    # summary line so the driver's tail-window parse never truncates it
+    # (BENCH_r02.json recorded parsed=null because the ~80-query dict made
+    # the stdout line too long).
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "derived_throughput": derived,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "failed": sorted(k for k, v in timings.items() if v < 0),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "derived_throughput": derived,
-            }
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -490,9 +490,16 @@ def _pq_encode(src: DataFrame, codebooks, m: int, sub: int) -> DataFrame:
     CB = np.asarray(codebooks, dtype=np.float64)
 
     cb_norm = (CB * CB).sum(-1)
-    # passthrough columns (e.g. the coarse cell for replicated IVF-PQ)
+    # passthrough columns (e.g. the coarse cell for replicated IVF-PQ) keep
+    # their SOURCE types — hardcoding int would silently coerce/break long
+    # ids or string partition keys
     extra = [c for c in src.columns if c not in ("id", "v")]
-    schema = "id long, " + "".join(f"{c} int, " for c in extra) + "codes array<int>"
+    src_types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    schema = (
+        "id long, "
+        + "".join(f"{c} {src_types[c]}, " for c in extra)
+        + "codes array<int>"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -104,11 +104,21 @@ def asof_join(
         .drop("_rn")
     )
 
+    # Carry the matched right row as ONE struct through last(ignorenulls):
+    # carrying each payload column independently would let a NULL field in
+    # the matched row back-fill from an OLDER right row, silently mixing
+    # values across right rows. The struct is non-null iff a right row
+    # exists, so the matched row's columns stay atomic (and genuinely-NULL
+    # fields stay NULL).
     carried = [right_id] + right_cols
+    from pyspark.sql.types import StructType
+
+    r_fields = {f.name: f for f in r.schema.fields}
+    struct_type = StructType([r_fields[c] for c in carried])
     lhs = left.select(
         *left.columns,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(f"_r_{c}") for c in carried],
+        F.lit(None).cast(struct_type).alias("_r"),
     )
     rhs = r.select(
         *[
@@ -118,7 +128,7 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(*[F.col(c) for c in carried]).alias("_r"),
     )
     u = lhs.unionByName(rhs)
 
@@ -128,11 +138,8 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(
-            f"_r_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-        )
+    u = u.withColumn("_r", F.last(F.col("_r"), ignorenulls=True).over(w))
     out = u.where(F.col("_side") == 1).drop("_side")
     for c in carried:
-        out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}")
-    return out
+        out = out.withColumn(f"{c}{suffix}", F.col("_r").getField(c))
+    return out.drop("_r")

@@ -343,6 +343,15 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iter with labels still changing: returning
+        # would silently hand back partially-propagated labels (distant
+        # nodes of a long chain in different clusters). Fail loudly.
+        edges.unpersist()
+        raise RuntimeError(
+            f"cluster_pairs did not converge in max_iter={max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

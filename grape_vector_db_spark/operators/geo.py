@@ -102,7 +102,12 @@ def distance_pairs(
         F.col(lat_col).alias("lat"),
         F.col(lon_col).alias("lon"),
         F.floor(F.col(lat_col) / dlat).cast("long").alias("_clat"),
-        F.floor((F.col(lon_col) + 180.0) / dlon).cast("long").alias("_clon"),
+        # base cell wraps mod n_lon too: lon=180 would otherwise land in
+        # cell n_lon (when 360/dlon is integral), which no wrapped lhs
+        # neighbor cell can ever match — silently dropping its pairs
+        (F.floor((F.col(lon_col) + 180.0) / dlon).cast("long") % n_lon).alias(
+            "_clon"
+        ),
     )
     rhs = base.select(
         F.col("id").alias("b"),

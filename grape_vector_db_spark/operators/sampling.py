@@ -70,6 +70,11 @@ def split_train_eval(
 ) -> tuple[DataFrame, DataFrame]:
     """Disjoint, exhaustive, reproducible train/eval split by the same
     hash gate (eval = hash below the fraction, train = the rest) — a row
-    can never migrate between splits across runs or engines."""
-    gate = hash_gate(F.col(id_col), float(eval_fraction), seed)
+    can never migrate between splits across runs or engines. A NULL id
+    hashes to NULL, which would silently drop the row from BOTH splits;
+    the gate is coalesced to False so NULL-id rows deterministically land
+    in the train split."""
+    gate = F.coalesce(
+        hash_gate(F.col(id_col), float(eval_fraction), seed), F.lit(False)
+    )
     return df.where(~gate), df.where(gate)

@@ -447,3 +447,70 @@ def test_cluster_pairs_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == 11
+
+
+def test_asof_join_matched_row_stays_atomic(spark):
+    """A NULL payload field in the MATCHED right row must stay NULL — not
+    back-fill from an older right row (the carried struct is atomic)."""
+    from grape_vector_db_spark.operators import asof
+
+    left = spark.createDataFrame([(1, 20, "u")], "pid long, ts long, user string")
+    right = spark.createDataFrame(
+        [(100, 5, "u", 1.0, "old"), (101, 10, "u", None, "new")],
+        "event_id long, ts long, user string, value double, note string",
+    )
+    row = asof.asof_join(
+        left, right, on="ts", by=["user"], right_id="event_id"
+    ).collect()[0]
+    assert row["event_id_matched"] == 101
+    assert row["note_matched"] == "new"
+    assert row["value_matched"] is None  # NOT 1.0 from the older row
+
+
+def test_split_train_eval_null_id_lands_in_train(spark):
+    """NULL ids hash to NULL; the gate must coalesce so the row lands in
+    train instead of vanishing from both splits."""
+    from grape_vector_db_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(40)] + [(None,)], "doc_id string"
+    )
+    train, ev = sampling.split_train_eval(df, 0.25, "doc_id", seed=9)
+    t = [r["doc_id"] for r in train.collect()]
+    e = [r["doc_id"] for r in ev.collect()]
+    assert len(t) + len(e) == 41  # exhaustive, including the NULL row
+    assert None in t and None not in e
+
+
+def test_cluster_pairs_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still changing must raise, not
+    return partially-propagated clusters."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_pairs(pairs, max_iter=2)
+
+
+def test_geo_distance_pairs_lon180_boundary(spark):
+    """A point at exactly lon=180 must pair with its dateline neighbors —
+    the base cell wraps mod n_lon like the neighbor cells do."""
+    pts = [(1, 10.0, 180.0), (2, 10.0, -179.9), (3, 10.0, 179.9)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r["a"], r["b"]) for r in geo.distance_pairs(df, 100.0).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_pq_encode_preserves_passthrough_types(spark):
+    """_pq_encode passthrough columns keep their source types (string
+    partition keys survive; nothing is coerced to int)."""
+    src = spark.createDataFrame(
+        [(1, [0.1, 0.1], "p0"), (2, [1.0, 0.9], "p1")],
+        "id long, v array<double>, part string",
+    )
+    out = ann._pq_encode(src, [[[0.0, 0.0], [1.0, 1.0]]], m=1, sub=2)
+    assert dict(out.dtypes)["part"] == "string"
+    rows = {r["id"]: (r["part"], list(r["codes"])) for r in out.collect()}
+    assert rows == {1: ("p0", [0]), 2: ("p1", [1])}
