@@ -193,6 +193,41 @@ def test_embedding_neardup_fast_matches_exact(spark, emb):
     assert fast == exact and len(fast) > 0
 
 
+def test_embedding_neardup_gemm_matches_exact(spark, emb):
+    """Block-GEMM exact all-pairs must be pair-identical to the
+    expression-fold path — including pairs whose smaller id lives in the
+    HIGHER block (n_blocks=3 forces cross-block id inversions)."""
+    gemm = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_pairs_gemm(
+            emb, threshold=0.3, n_blocks=3
+        ).collect()
+    )
+    exact = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    )
+    assert gemm == exact and len(gemm) > 0
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
+    """LSH-prefiltered pairs are a subset of the exact pairs (same
+    threshold, same rounded cosine values) and non-empty at a low
+    threshold; every reported pair shares a bucket."""
+    exact = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs_lsh(
+            emb, threshold=0.2, n_planes=4
+        ).collect()
+    }
+    assert 0 < len(lsh) <= len(exact)
+    assert all(exact.get(k) == v for k, v in lsh.items())
+
+
 def test_simhash_dup_docs_same_hash(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "wholly different words here")],
