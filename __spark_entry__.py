@@ -1519,10 +1519,28 @@ def _ivf_flat_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    simhash_bits = "\n UNION ALL \n".join(
-        f"SELECT doc_id, {j} AS bit, CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END AS vote FROM hashed"
-        for j in range(32)
-    )
+    # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
+    # mirroring functions.hashing.h32), votes over bits 0..63; the unsigned
+    # HUGEINT sum of set-bit powers is folded to two's-complement BIGINT so
+    # it compares equal to Spark's signed fingerprint.
+    simhash_votes = """
+              SELECT doc_id, u.bit,
+                     CASE WHEN ((CASE WHEN u.bit < 32 THEN h0 ELSE h1 END)
+                                >> (u.bit % 32)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+              FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS bit) u
+    """
+    simhash_fp = """
+              SELECT doc_id,
+                     CASE WHEN u >= (1::HUGEINT << 63)
+                          THEN (u - (1::HUGEINT << 64))::BIGINT
+                          ELSE u::BIGINT END AS simhash
+              FROM (
+                SELECT doc_id,
+                       sum(CASE WHEN tally > 0 THEN (1::HUGEINT << bit)
+                                ELSE 0::HUGEINT END) AS u
+                FROM tally GROUP BY doc_id
+              )
+    """
     planes = _rp_planes_sql()
     bucket_expr = " + ".join(
         f"(CASE WHEN list_inner_product(v, {plane}) > 0 THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)"
@@ -1760,15 +1778,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, unnest(list_distinct(t)) AS term FROM toks
               WHERE len(t) > 0
             ),
-            hashed AS (SELECT doc_id, {_h32_sql('term', 0)} AS h FROM terms),
-            votes AS ({simhash_bits}),
+            hashed AS (
+              SELECT doc_id, {_h32_sql('term', 0)} AS h0, {_h32_sql('term', 1)} AS h1
+              FROM terms
+            ),
+            votes AS ({simhash_votes}),
             tally AS (
               SELECT doc_id, bit, sum(vote) AS tally
               FROM votes GROUP BY doc_id, bit
             )
-            SELECT doc_id,
-                   sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-            FROM tally GROUP BY doc_id
+            {simhash_fp}
         """,
         "simhash_pairs": f"""
             WITH {_TOKS_CTE},
@@ -1776,17 +1795,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, unnest(list_distinct(t)) AS term FROM toks
               WHERE len(t) > 0
             ),
-            hashed AS (SELECT doc_id, {_h32_sql('term', 0)} AS h FROM terms),
-            votes AS ({simhash_bits}),
+            hashed AS (
+              SELECT doc_id, {_h32_sql('term', 0)} AS h0, {_h32_sql('term', 1)} AS h1
+              FROM terms
+            ),
+            votes AS ({simhash_votes}),
             tally AS (
               SELECT doc_id, bit, sum(vote) AS tally
               FROM votes GROUP BY doc_id, bit
             ),
-            fp AS (
-              SELECT doc_id,
-                     sum(CASE WHEN tally > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-              FROM tally GROUP BY doc_id
-            )
+            fp AS ({simhash_fp})
             SELECT x.doc_id AS a, y.doc_id AS b,
                    bit_count(xor(x.simhash, y.simhash))::INT AS hamming
             FROM fp x JOIN fp y ON x.doc_id < y.doc_id

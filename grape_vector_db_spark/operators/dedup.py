@@ -571,30 +571,46 @@ def embedding_neardup_pairs_fast(
 
 
 def simhash(
-    df: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash bigint) — classic Charikar fingerprint over distinct
-    tokens: bit j of h32(term) votes +1/-1; sign of the tally sets bit j.
+    tokens: bit j of the term hash votes +1/-1; sign of the tally sets bit j.
+
+    The fingerprint is built from ceil(bits/32) independent 32-bit md5-derived
+    words (``h32(term, seed=word)``) so any width up to 64 stays
+    engine-portable (the DuckDB oracle reproduces the same words bit-for-bit).
+    Bit 63 of a 64-bit fingerprint is the BIGINT sign bit — fingerprints are
+    two's-complement signed, which is harmless: band extraction masks after
+    the arithmetic shift and bit_count(xor) is sign-agnostic.
 
     Implemented as explode(term) x explode(bit) -> groupBy(doc_id, bit) —
     all JVM expressions; at scale the bit explode multiplies rows by
     ``bits`` before a map-side-combinable sum, still shuffle-light.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    n_words = (bits + 31) // 32
     toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     terms = toked.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
-    hashed = terms.select("doc_id", h32(F.col("term")).alias("h"))
+    hashed = terms.select(
+        "doc_id",
+        F.array(*[h32(F.col("term"), seed=w) for w in range(n_words)]).alias("hw"),
+    )
     votes = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
+        "hw",
     ).select(
         "doc_id",
         "bit",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
-            "vote"
-        ),
+        F.expr(
+            "CASE WHEN (shiftright(element_at(hw, shiftright(bit, 5) + 1),"
+            " bit & 31) & 1) = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
     )
     tally = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("tally"))
+    # distinct powers of two sum exactly to the two's-complement fingerprint
+    # (shiftleft(1L, 63) is Long.MIN_VALUE; no intermediate overflow possible)
     return tally.groupBy("doc_id").agg(
         F.sum(F.expr("if(tally > 0, shiftleft(1L, bit), 0L)")).alias("simhash")
     )
@@ -603,15 +619,31 @@ def simhash(
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a, b, hamming) with Hamming(simhash) <= max_hamming.
 
     Candidate generation: split the fingerprint into (max_hamming+1) bands —
     by pigeonhole, any pair within max_hamming matches exactly on >=1 band,
     so a band-equality self-join finds all true pairs without O(n^2) work.
+
+    Scale shape: 64-bit fingerprints with max_hamming=3 give 4 bands of
+    16 bits = 65,536 keys per band, so a uniform corpus of n docs puts
+    ~n/65k docs in a bucket (vs n/256 at the old 32-bit/8-bit-band
+    parameterization, which went quadratic by ~1M docs). Real corpora are
+    NOT uniform — boilerplate-heavy near-identical docs pile into one
+    bucket in every band — so ``bucket_cap`` mirrors the hot-shingle cap
+    of :func:`ngram_jaccard_pairs`: (band, key) buckets holding more than
+    ``bucket_cap`` docs are dropped from candidate generation via a
+    broadcast anti-join (the hot-bucket list is tiny by construction).
+    This bounds per-task join fan-out at cap^2 per bucket at the cost of
+    possibly missing pairs whose every matching band is hot (near-identical
+    template cliques — exactly the pairs exact-dedup already catches).
+    Default None = exact pigeonhole guarantee, which is what the oracle
+    checks; set it (e.g. 10_000) for 100 TB runs.
     """
     nb = max_hamming + 1
     width = bits // nb
@@ -633,6 +665,14 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
+    if bucket_cap is not None:
+        hot = (
+            bandrows.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("band", "key")
+        )
+        bandrows = bandrows.join(F.broadcast(hot), ["band", "key"], "left_anti")
     pairs = (
         bandrows.alias("x")
         .join(bandrows.alias("y"), ["band", "key"])

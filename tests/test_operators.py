@@ -228,6 +228,44 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
     assert all(exact.get(k) == v for k, v in lsh.items())
 
 
+def test_simhash_pairs_bucket_cap_bounds_skewed_candidates(spark):
+    """500 near-identical docs pile into one (band, key) bucket per band —
+    the 100 TB skew shape. With bucket_cap set, the hot buckets are dropped
+    and the candidate join stays bounded; without it the full quadratic
+    pair set comes back (the pigeonhole-exact default the oracle checks)."""
+    docs = [(i, "the same boilerplate template text repeated everywhere") for i in range(500)]
+    docs += [(1000 + i, f"unique document number {i} about topic {i * 7}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = dedup.simhash_pairs(df, max_hamming=3).count()
+    assert uncapped >= 500 * 499 // 2  # the skew clique is fully quadratic
+
+    capped_df = dedup.simhash_pairs(df, max_hamming=3, bucket_cap=50)
+    capped = capped_df.count()
+    # every hot bucket (>50 members) is dropped, so the 500-doc clique
+    # cannot contribute; only small-bucket pairs survive
+    assert capped < 50 * 49 // 2 * 4
+    assert capped < uncapped
+
+
+def test_simhash_pairs_bucket_cap_noop_when_no_hot_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "wholly different words occupying space"),
+            (4, "another unrelated sentence entirely separate"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {(r["a"], r["b"]) for r in dedup.simhash_pairs(df, max_hamming=10).collect()}
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_pairs(df, max_hamming=10, bucket_cap=100).collect()
+    }
+    assert base == capped
+
+
 def test_simhash_dup_docs_same_hash(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "wholly different words here")],

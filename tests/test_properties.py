@@ -201,7 +201,8 @@ def test_minhash_signatures_match_python_replica(spark, corpus):
 @given(corpora)
 def test_simhash_matches_python_replica(spark, corpus):
     """bit j of the fingerprint = sign of the per-bit vote tally over
-    distinct tokens' h32 values (Charikar)."""
+    distinct tokens' hash bits (Charikar); 64-bit fingerprints use two
+    seeded 32-bit words and come back as two's-complement BIGINT."""
     from grape_vector_db_spark.operators.dedup import simhash
 
     df = spark.createDataFrame(
@@ -213,10 +214,14 @@ def test_simhash_matches_python_replica(spark, corpus):
         if not terms:
             continue
         fp = 0
-        for j in range(32):
-            vote = sum(1 if (py_h32(w) >> j) & 1 else -1 for w in terms)
+        for j in range(64):
+            vote = sum(
+                1 if (py_h32(w, j // 32) >> (j % 32)) & 1 else -1 for w in terms
+            )
             if vote > 0:
                 fp |= 1 << j
+        if fp >= 1 << 63:
+            fp -= 1 << 64
         assert got[i] == fp, (t, got[i], fp)
 
 
