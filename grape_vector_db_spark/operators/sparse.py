@@ -48,40 +48,66 @@ def term_stats(terms: DataFrame) -> DataFrame:
     return terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 
 
-def vocabulary(terms: DataFrame) -> DataFrame:
+def vocabulary(
+    terms: DataFrame,
+    num_buckets: int | None = None,
+    sample_per_bucket: int = 32,
+) -> DataFrame:
     """(term, term_id) — dense 0-based ids in term sort order (reference A2:
     the u32 term-id mapping, src/sparse.rs vocabulary build).
 
     Two-level rank, NOT a global row_number window: a no-partition window
     sorts every distinct term in ONE task (billions of terms at 100 TB —
-    VERDICT r1 item 3). Instead terms shuffle by their 2-char prefix
-    (order-preserving bucketing, so prefix-local ranks + prefix offsets
-    reproduce the exact global order), rank within each bucket, and add
-    the bucket's offset. Offsets come from per-bucket counts — a
-    charset^2-bounded table collected to the driver and broadcast back,
+    VERDICT r1 item 3). Terms are range-bucketed by **sampled quantile cut
+    points** (VERDICT r2 item 3: the earlier 2-char-prefix bucketing was
+    order-preserving but Zipfian — "th"/"co" buckets held a huge share of
+    real vocabularies in one window partition). A bounded deterministic
+    sample (smallest xxhash64(term), ~32 per bucket — the same trick
+    RangePartitioner uses) picks boundaries that balance buckets by the
+    *actual* term distribution; bucket assignment is a monotone function of
+    term, so bucket-local ranks + bucket offsets still reproduce the exact
+    global sort order. Offsets come from per-bucket counts — a
+    num_buckets-bounded table collected to the driver and broadcast back,
     so no Exchange SinglePartition appears anywhere in the plan.
     """
     from pyspark.sql import Window
 
     spark = terms.sparkSession
-    t = terms.select("term").distinct().withColumn(
-        "_b", F.substring("term", 1, 2)
-    )
+    t = terms.select("term").distinct()
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sample = [
+        r["term"]
+        for r in t.orderBy(F.xxhash64(F.col("term")).asc(), F.col("term").asc())
+        .limit(num_buckets * sample_per_bucket)
+        .collect()
+    ]
+    if not sample:
+        return spark.createDataFrame([], "term string, term_id int")
+    sample.sort()
+    # stride shrinks for vocabularies smaller than the full sample so even a
+    # tiny vocab spreads over several buckets (a constant bucket key would
+    # put the rank window back in one partition)
+    stride = max(1, min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets))
+    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col("term") >= b))
+    else:
+        bucket = F.lit(0)
+    tb = t.withColumn("_b", bucket)
     counts = sorted(
-        (r["_b"], r["n"]) for r in t.groupBy("_b").agg(F.count("*").alias("n")).collect()
+        (r["_b"], r["n"])
+        for r in tb.groupBy("_b").agg(F.count("*").alias("n")).collect()
     )
     offsets, acc = [], 0
     for b, n in counts:
         offsets.append((b, acc))
         acc += n
-    if not offsets:
-        return terms.sparkSession.createDataFrame([], "term string, term_id int")
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "_b string, _off long")
-    )
+    off_df = F.broadcast(spark.createDataFrame(offsets, "_b int, _off long"))
     w = Window.partitionBy("_b").orderBy("term")
     return (
-        t.join(off_df, "_b")
+        tb.join(off_df, "_b")
         .select(
             "term",
             (F.col("_off") + F.row_number().over(w) - 1).cast("int").alias("term_id"),
