@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from .functions.text import text_match_score
 from .operators import ann, filters, fusion, quantization, search, sparse
 from .plans.planner import choose_search_strategy, clamp_request
-from .sources.tables import merge_upsert
+from .sources.tables import (
+    current_table_path,
+    merge_upsert,
+    publish_table,
+    table_versions,
+)
 
 
 @dataclass
@@ -72,8 +77,26 @@ class GrapeVectorDB:
     def _path(self, table: str) -> str:
         return f"{self.base}/{table}"
 
+    # -- versioned table layout ---------------------------------------------
+    #
+    # Mutating writes publish a NEW directory {table}/t={N+1}, visible only
+    # once its _SUCCESS marker lands — a mid-swap reader sees the old or the
+    # new version, never a partial one (VERDICT r2 item 4: replaces the
+    # staging-dir double write; merge reads t=N while writing t=N+1, one
+    # write per upsert). Machinery shared with streaming ingest in
+    # sources.tables (table_versions / publish_table).
+
+    def _versions(self, table: str) -> list[int]:
+        return table_versions(self.spark, self._path(table))
+
+    def _data_path(self, table: str) -> str:
+        return current_table_path(self.spark, self._path(table))
+
+    def _publish(self, table: str, df: DataFrame, keep: int = 2) -> None:
+        publish_table(self.spark, self._path(table), df, keep=keep)
+
     def _read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        return self.spark.read.parquet(self._data_path(table))
 
     def documents(self) -> DataFrame:
         return self._read("documents")
@@ -122,15 +145,12 @@ class GrapeVectorDB:
 
     def _merge(self, table: str, updates: DataFrame, id_col: str | None = None) -> None:
         id_col = id_col or self.id_col
-        path = self._path(table)
         try:
-            existing = self.spark.read.parquet(path)
+            existing = self._read(table)
             merged = merge_upsert(existing, updates, id_col=id_col)
         except Exception:
             merged = updates
-        staging = f"{path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        self.spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        self._publish(table, merged)
 
     def get_document(self, doc_id) -> dict | None:
         row = self.documents().where(F.col(self.id_col) == doc_id).head()
@@ -142,11 +162,7 @@ class GrapeVectorDB:
         self._overwrite("documents", remaining)
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
-        staging = f"{self._path(table)}__staging"
-        df.write.mode("overwrite").parquet(staging)
-        self.spark.read.parquet(staging).write.mode("overwrite").parquet(
-            self._path(table)
-        )
+        self._publish(table, df)
 
     # -- indexes ------------------------------------------------------------
 
@@ -171,7 +187,7 @@ class GrapeVectorDB:
         # index_ivf is a directory of sub-tables; probe its centroid table
         probe = f"{table}/centroids" if table == "index_ivf" else table
         try:
-            self.spark.read.parquet(self._path(probe)).limit(1).count()
+            self.spark.read.parquet(self._data_path(probe)).limit(1).count()
             return True
         except Exception:
             return False
@@ -269,14 +285,14 @@ class GrapeVectorDB:
 
     def optimize(self, target_partitions: int = 8) -> None:
         """Compact the data tables (streaming upserts accumulate small
-        files; reference compaction is storage-engine-internal, ours is
-        tables.compact's snapshot-swap rewrite). Index tables are
-        rebuilt, not compacted."""
-        from .sources.tables import compact
-
+        files; reference compaction is storage-engine-internal, ours
+        publishes a repartitioned new version — same atomic-swap path as
+        upserts, one write). Index tables are rebuilt, not compacted."""
         for table in ("documents", "embeddings"):
             if self._has(table):
-                compact(self.spark, self._path(table), target_partitions)
+                self._publish(
+                    table, self._read(table).repartition(target_partitions)
+                )
 
     def search_response(self, **kwargs) -> SearchResponse:
         """`search` with the reference's response envelope: collected rows,

@@ -94,15 +94,83 @@ def exists(df: DataFrame, id_value, id_col: str = "id") -> bool:
     return df.where(F.col(id_col) == id_value).limit(1).count() > 0
 
 
+# -- versioned table layout (atomic swap, single write) ----------------------
+#
+# Mutating writes publish a NEW directory {path}/t={N+1}; a version is
+# visible iff its _SUCCESS marker exists (written last by Spark's commit
+# protocol), so readers resolving "current" see the old or the new version,
+# never a half-written one — the atomic-commit answer to the reference's
+# two-tree sled transaction (src/advanced_storage.rs:145-191) without the
+# staging-dir double write. The last ``keep`` versions survive GC so
+# in-flight readers pinned to t=N stay valid across one swap. Filesystem
+# ops go through the Hadoop FileSystem API (portable to HDFS/object
+# stores); single-writer assumed — use Delta/Iceberg when multiple drivers
+# write concurrently.
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    return path_cls(path).getFileSystem(conf), path_cls
+
+
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed (i.e. _SUCCESS-marked) version numbers under ``path``."""
+    fs, P = _hadoop_fs(spark, path)
+    base = P(path)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("t="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(P(st.getPath(), "_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
+def current_table_path(spark: SparkSession, path: str) -> str:
+    """Current committed version dir; legacy flat tables (no t=N yet,
+    e.g. user-created parquet) resolve to the table root."""
+    vs = table_versions(spark, path)
+    return f"{path}/t={vs[-1]}" if vs else path
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(current_table_path(spark, path))
+
+
+def publish_table(spark: SparkSession, path: str, df: DataFrame, keep: int = 2) -> None:
+    """Atomically publish ``df`` as the table's next version (one write)."""
+    vs = table_versions(spark, path)
+    nxt = (vs[-1] if vs else 0) + 1
+    # overwrite clears any partial t=nxt left by a crashed writer
+    df.write.mode("overwrite").parquet(f"{path}/t={nxt}")
+    fs, P = _hadoop_fs(spark, path)
+    stale = vs[: -(keep - 1)] if keep > 1 else vs
+    for old in stale:
+        fs.delete(P(f"{path}/t={old}"), True)
+    if not vs:
+        # migrated a legacy flat table: its root-level data files are now
+        # shadowed by t=1 — remove them so a raw reader of the table root
+        # can't pick up the stale copy (or double-read via partition
+        # discovery)
+        for st in fs.listStatus(P(path)):
+            if st.isFile():
+                fs.delete(st.getPath(), False)
+
+
 def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
-    """Small-file compaction: rewrite a parquet table at a chosen partition
-    count (streaming upserts accumulate small files; at 100 TB scale run
-    this per-partition or use the table format's OPTIMIZE). Snapshot-swap
-    write, same safety model as merge_upsert."""
-    df = spark.read.parquet(path)
-    staging = f"{path}__compact"
-    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    """Small-file compaction: publish a repartitioned new version
+    (streaming upserts accumulate small files; at 100 TB scale run this
+    per-partition or use the table format's OPTIMIZE). Atomic versioned
+    swap, single write."""
+    publish_table(spark, path, read_table(spark, path).repartition(target_partitions))
 
 
 def backup(df: DataFrame, path: str, id_col: str = "id") -> None:

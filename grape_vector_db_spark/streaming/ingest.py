@@ -12,8 +12,10 @@ O(corpus) per insert!). The Spark-native replacement:
   for late data — the streaming analogue of the batch events rollup.
 
 At scale the MERGE target should be a transactional table format
-(Delta/Iceberg); on plain parquet we rewrite the merged snapshot, which is
-safe because foreachBatch is executed serially per micro-batch.
+(Delta/Iceberg); on plain parquet each micro-batch publishes a new table
+version through sources.tables.publish_table (atomic _SUCCESS-gated swap,
+single write — a crash mid-batch leaves the previous version intact), and
+foreachBatch executes serially per micro-batch so versions never race.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.tables import merge_upsert
+from ..sources.tables import merge_upsert, publish_table, read_table
 
 
 def stream_upsert_to_parquet(
@@ -37,14 +39,11 @@ def stream_upsert_to_parquet(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         try:
-            existing = spark.read.parquet(table_path)
+            existing = read_table(spark, table_path)
+            merged = merge_upsert(existing, batch, id_col=id_col)
         except Exception:
-            batch.write.mode("overwrite").parquet(table_path)
-            return
-        merged = merge_upsert(existing, batch, id_col=id_col)
-        tmp = f"{table_path}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+            merged = batch
+        publish_table(spark, table_path, merged)
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:
@@ -82,25 +81,21 @@ def stream_upsert_with_index(
         batch = batch.persist()
         # 1) documents table
         try:
-            existing = spark.read.parquet(table_path)
+            existing = read_table(spark, table_path)
             merged = merge_upsert(existing, batch, id_col=id_col)
         except Exception:
             merged = batch
-        tmp = f"{table_path}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+        publish_table(spark, table_path, merged)
         # 2) incremental doc_terms: drop the batch ids' rows, append fresh
         fresh = build_doc_terms(batch, id_col=id_col, text_col=text_col)
         try:
-            terms = spark.read.parquet(terms_path)
+            terms = read_table(spark, terms_path)
             ids = batch.select(F.col(id_col).alias("doc_id")).distinct()
             kept = terms.join(F.broadcast(ids), "doc_id", "left_anti")
             updated = kept.unionByName(fresh)
         except Exception:
             updated = fresh
-        tmp2 = f"{terms_path}__staging_{batch_id}"
-        updated.write.mode("overwrite").parquet(tmp2)
-        spark.read.parquet(tmp2).write.mode("overwrite").parquet(terms_path)
+        publish_table(spark, terms_path, updated)
         batch.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")

@@ -177,6 +177,75 @@ def test_optimize_compacts_without_changing_data(db, docs):
 
     before = {r["doc_id"] for r in db.documents().collect()}
     db.optimize(target_partitions=2)
-    files = glob.glob(f"{db.base}/documents/part-*")
+    files = glob.glob(f"{db._data_path('documents')}/part-*")
     assert len(files) == 2
     assert {r["doc_id"] for r in db.documents().collect()} == before
+
+
+def test_versioned_swap_is_atomic_for_readers(db, docs):
+    """VERDICT r2 item 4: a reader resolved mid-swap must see the old or
+    the new table, never a partial one. Writes publish t=N+1 next to t=N
+    (visible only once _SUCCESS exists) and keep the previous version for
+    in-flight readers; no staging dir, no double write."""
+    import glob
+    import os
+
+    n0 = docs.count()
+    pinned = db.documents()  # lazy plan pinned to the current version dir
+
+    upd = db.spark.createDataFrame(
+        [(10**6, "brand new doc", "en", "test", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    db.add_documents(upd)
+
+    # the pre-swap reader still resolves (its version dir survived GC)...
+    assert pinned.count() == n0
+    # ...and a fresh reader sees the new version
+    assert db.documents().count() == n0 + 1
+
+    # every visible version is fully committed; nothing half-written
+    vdirs = glob.glob(f"{db.base}/documents/t=*")
+    assert 1 <= len(vdirs) <= 2
+    assert all(os.path.exists(f"{v}/_SUCCESS") for v in vdirs)
+    # the old staging layout must be gone for good
+    assert not glob.glob(f"{db.base}/documents__staging")
+
+
+def test_versioned_swap_gc_keeps_two_versions(db):
+    for i in range(4):
+        upd = db.spark.createDataFrame(
+            [(2 * 10**6 + i, f"doc {i}", "en", "t", 5)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        db.add_documents(upd)
+    vs = db._versions("documents")
+    assert len(vs) == 2  # keep=2: current + one for in-flight readers
+    assert vs[-1] - vs[-2] == 1
+
+
+def test_legacy_flat_table_migrates_on_first_write(spark, docs):
+    """A user-created flat parquet table is readable as-is; the first
+    upsert publishes t=1 and removes the shadowed root-level files."""
+    import glob
+    import shutil
+    import tempfile
+
+    from grape_vector_db_spark.db import GrapeVectorDB
+
+    d = tempfile.mkdtemp(prefix="gvdb_flat_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents")
+        inst = GrapeVectorDB(spark, d)
+        n0 = inst.documents().count()
+        assert n0 == docs.count()
+        upd = spark.createDataFrame(
+            [(3 * 10**6, "migrated", "en", "t", 8)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        inst.add_documents(upd)
+        assert inst.documents().count() == n0 + 1
+        assert glob.glob(f"{d}/documents/t=*")
+        assert not glob.glob(f"{d}/documents/part-*")  # flat files GC'd
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

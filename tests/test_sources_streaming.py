@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from grape_vector_db_spark.sources import tables
+from grape_vector_db_spark.sources.tables import read_table
 from grape_vector_db_spark.streaming.ingest import (
     stream_upsert_to_parquet,
     windowed_event_counts,
@@ -71,7 +72,7 @@ def test_stream_upsert(spark, tmpdir):
         checkpoint=f"{tmpdir}/ckpt",
     )
     q.awaitTermination(60)
-    assert spark.read.parquet(table).count() == 2
+    assert read_table(spark, table).count() == 2
 
     spark.createDataFrame([(2, "v2"), (3, "v1")], "doc_id int, text string").write.mode(
         "append"
@@ -83,7 +84,7 @@ def test_stream_upsert(spark, tmpdir):
         checkpoint=f"{tmpdir}/ckpt",
     )
     q.awaitTermination(60)
-    out = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    out = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
     assert out == {1: "v1", 2: "v2", 3: "v1"}
 
 
@@ -102,7 +103,7 @@ def test_stream_upsert_with_index(spark, tmpdir):
         table, terms, checkpoint=f"{tmpdir}/ck",
     )
     q.awaitTermination(60)
-    t1 = {(r["doc_id"], r["term"]) for r in spark.read.parquet(terms).collect()}
+    t1 = {(r["doc_id"], r["term"]) for r in read_table(spark, terms).collect()}
     assert (1, "alpha") in t1 and (2, "delta") in t1
 
     # update doc 2's text -> its old terms vanish, new appear; doc 1 intact
@@ -114,10 +115,10 @@ def test_stream_upsert_with_index(spark, tmpdir):
         table, terms, checkpoint=f"{tmpdir}/ck",
     )
     q.awaitTermination(60)
-    t2 = {(r["doc_id"], r["term"]) for r in spark.read.parquet(terms).collect()}
+    t2 = {(r["doc_id"], r["term"]) for r in read_table(spark, terms).collect()}
     assert (2, "omega") in t2 and (2, "delta") not in t2
     assert (1, "alpha") in t2
-    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    docs = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
     assert docs[2] == "omega only" and docs[1] == "alpha beta gamma"
 
 
