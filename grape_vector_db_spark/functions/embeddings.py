@@ -41,10 +41,15 @@ class EmbeddingProviderConfig:
     """Connection + batching config for an OpenAI-compatible endpoint.
 
     ``base_url`` is the API root (e.g. ``http://host:port/v1``); the
-    client POSTs to ``{base_url}/embeddings``. ``api_key`` (optional) is
-    sent as a Bearer token. ``dimension``, when set, validates every
+    client POSTs to ``{base_url}/embeddings`` unless ``endpoint`` gives a
+    full URL (Azure deployment URLs). ``api_key`` (optional) is sent as a
+    Bearer token; ``headers`` adds or overrides arbitrary request headers
+    (the reference's custom-header map, src/embeddings.rs:79-89 — e.g.
+    Azure's ``api-key``). ``dimension``, when set, validates every
     returned vector (mirrors the reference's dim check at insert,
-    src/index.rs:165-175).
+    src/index.rs:165-175). ``single_string_input`` mirrors the reference
+    client sending a bare string, not a 1-element array, for single-text
+    batches (src/embeddings.rs:188-196).
     """
 
     base_url: str
@@ -55,15 +60,70 @@ class EmbeddingProviderConfig:
     backoff_s: float = 0.5
     timeout_s: float = 30.0
     dimension: int | None = None
+    endpoint: str | None = None
+    headers: tuple[tuple[str, str], ...] = ()
+    single_string_input: bool = True
+
+
+#: provider name -> default endpoint, mirroring the reference factory
+#: (src/embeddings.rs:97-111, 269-288): openai has a public default, azure
+#: requires an explicit deployment endpoint, every other HTTP provider
+#: falls back to the local Ollama-style default.
+_DEFAULT_ENDPOINTS = {
+    "openai": "https://api.openai.com/v1/embeddings",
+    "nvidia": "http://localhost:11434/api/embeddings",
+    "huggingface": "http://localhost:11434/api/embeddings",
+    "ollama": "http://localhost:11434/api/embeddings",
+}
+
+
+def provider_config(
+    provider: str,
+    model: str = "",
+    endpoint: str | None = None,
+    api_key: str | None = None,
+    headers: dict[str, str] | None = None,
+    **kwargs,
+) -> EmbeddingProviderConfig | None:
+    """Reference ``create_provider`` (src/embeddings.rs:269-288): resolve a
+    provider name to a client config. All HTTP providers speak the same
+    OpenAI-compatible wire shape; the name only picks the default endpoint
+    (and Azure demands an explicit one). Returns None for ``mock`` — pass
+    it straight to :func:`embed_texts`, whose None path is the
+    deterministic mock embedder."""
+    provider = provider.lower()
+    if provider == "mock":
+        return None
+    if provider == "azure":
+        if not endpoint:
+            raise ValueError("azure provider requires an explicit endpoint")
+    elif provider in _DEFAULT_ENDPOINTS:
+        endpoint = endpoint or _DEFAULT_ENDPOINTS[provider]
+    else:
+        raise ValueError(f"unsupported embedding provider: {provider!r}")
+    return EmbeddingProviderConfig(
+        base_url="",
+        model=model,
+        api_key=api_key,
+        endpoint=endpoint,
+        headers=tuple(sorted((headers or {}).items())),
+        **kwargs,
+    )
 
 
 def _post_embeddings(cfg: EmbeddingProviderConfig, texts: list[str]) -> list[list[float]]:
     """One batched POST with retry/backoff; returns vectors in input order."""
-    body = json.dumps({"model": cfg.model, "input": texts}).encode("utf-8")
+    payload_input = (
+        texts[0] if len(texts) == 1 and cfg.single_string_input else texts
+    )
+    body = json.dumps(
+        {"model": cfg.model, "input": payload_input, "encoding_format": "float"}
+    ).encode("utf-8")
     headers = {"Content-Type": "application/json"}
     if cfg.api_key:
         headers["Authorization"] = f"Bearer {cfg.api_key}"
-    url = cfg.base_url.rstrip("/") + "/embeddings"
+    headers.update(dict(cfg.headers))
+    url = cfg.endpoint or cfg.base_url.rstrip("/") + "/embeddings"
     last_err: Exception | None = None
     for attempt in range(cfg.max_retries + 1):
         try:

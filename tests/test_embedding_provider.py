@@ -29,11 +29,15 @@ class _Handler(BaseHTTPRequestHandler):
     fail_next = 0  # respond 500 to this many requests
     bad_request = False  # respond 400 (non-retryable)
     seen_auth: list = []
+    seen_headers: list = []
+    seen_inputs: list = []
 
     def do_POST(self):
         n = int(self.headers["Content-Length"])
         body = json.loads(self.rfile.read(n))
         _Handler.seen_auth.append(self.headers.get("Authorization"))
+        _Handler.seen_headers.append(dict(self.headers))
+        _Handler.seen_inputs.append(body["input"])
         if _Handler.bad_request:
             self.send_response(400)
             self.end_headers()
@@ -43,9 +47,12 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(500)
             self.end_headers()
             return
+        # the reference client sends a bare string for single-text batches
+        # (src/embeddings.rs:188-196) — accept both wire shapes
+        texts = [body["input"]] if isinstance(body["input"], str) else body["input"]
         data = [
             {"index": i, "embedding": mock_embedding_py(t, DIM)}
-            for i, t in enumerate(body["input"])
+            for i, t in enumerate(texts)
         ]
         out = json.dumps({"model": body["model"], "data": data}).encode()
         self.send_response(200)
@@ -116,6 +123,49 @@ def test_non_retryable_4xx_raises_immediately(base_url):
 def test_dimension_validation(base_url):
     with pytest.raises(ValueError, match="dimension"):
         _post_embeddings(_cfg(base_url, dimension=16), ["x"])
+
+
+def test_provider_factory_variants(base_url):
+    """create_provider parity (src/embeddings.rs:269-288): provider name
+    picks the default endpoint; azure demands an explicit one; mock maps
+    to the no-HTTP path; unknown names are rejected."""
+    from grape_vector_db_spark.functions.embeddings import provider_config
+
+    assert (
+        provider_config("openai", "m").endpoint
+        == "https://api.openai.com/v1/embeddings"
+    )
+    for p in ("nvidia", "huggingface", "ollama"):
+        assert provider_config(p, "m").endpoint == "http://localhost:11434/api/embeddings"
+    assert provider_config("mock") is None
+    with pytest.raises(ValueError, match="azure"):
+        provider_config("azure", "m")
+    assert provider_config("azure", "m", endpoint=f"{base_url}/embeddings") is not None
+    with pytest.raises(ValueError, match="unsupported"):
+        provider_config("cohere", "m")
+
+
+def test_custom_headers_and_single_string_input(base_url):
+    """Azure-style api-key header rides the custom header map; a 1-text
+    batch goes out as a bare JSON string, not a 1-element array."""
+    from grape_vector_db_spark.functions.embeddings import provider_config
+
+    cfg = provider_config(
+        "azure",
+        "m",
+        endpoint=f"{base_url}/embeddings",
+        headers={"api-key": "azure-secret"},
+        backoff_s=0.01,
+    )
+    out = _post_embeddings(cfg, ["only one text"])
+    assert out[0] == pytest.approx(mock_embedding_py("only one text", DIM))
+    assert _Handler.seen_inputs[-1] == "only one text"  # bare string
+    got_headers = {k.lower(): v for k, v in _Handler.seen_headers[-1].items()}
+    assert got_headers.get("api-key") == "azure-secret"
+
+    out2 = _post_embeddings(cfg, ["a", "b"])
+    assert isinstance(_Handler.seen_inputs[-1], list)
+    assert len(out2) == 2
 
 
 def test_mock_fallback_no_http(spark):
