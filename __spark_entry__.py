@@ -802,7 +802,10 @@ def q_events_interval_join(spark, sf_dir):
 
     ev = _events(spark, sf_dir).select(
         "event_id",
-        F.unix_micros(F.col("ts")).alias("tsu"),
+        # parquet may carry ts as TIMESTAMP or TIMESTAMP_NTZ; unix_micros
+        # accepts only the former. Session TZ is pinned UTC, so the NTZ
+        # wall-time cast is the identity DuckDB's epoch_us(ts) applies.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
         "user_id",
         "event_type",
     )
