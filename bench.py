@@ -35,6 +35,10 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # ... and the Python worker pool: the first mapInPandas stage otherwise
+    # pays a fork-and-import storm (32 concurrent workers x pandas+numpy
+    # import), which lands on whichever Arrow query runs first
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -95,6 +99,17 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+
+
+def _warm_python_workers(spark) -> None:
+    def _noop(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n, numPartitions=n).mapInPandas(_noop, "id long").count()
 
 
 def _derived_throughputs(spark, sf_dir: str) -> dict[str, float]:

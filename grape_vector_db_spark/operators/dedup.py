@@ -361,7 +361,8 @@ def embedding_neardup_pairs_gemm(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (a < b) as a **distributed
     blocked GEMM** — the fastest exact shape at every scale:
@@ -380,13 +381,68 @@ def embedding_neardup_pairs_gemm(
     no row cap — every task holds only two blocks (size n/B*d*8 bytes;
     pick B so that's tens of MB at your corpus size). Sum order differs
     from the fold by ~1e-15; absorbed by the 6-dp round.
+
+    ``n_blocks`` defaults to ``ceil(n_rows / rows_per_block)`` from a cheap
+    count (parquet-metadata-fast), so a small corpus runs as a handful of
+    matmul tasks instead of fanning B(B+1)/2 near-empty Arrow tasks across
+    the Python worker pool — the task fan-out only grows when the data
+    does. Pass ``n_blocks`` explicitly to skip the count.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
     spark = emb.sparkSession
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(emb.count() / rows_per_block))
     v = to_double_array(vec_col)
+
+    def pairs_of(xids, yids, X, Y, same_block):
+        xn = np.sqrt((X * X).sum(axis=1))
+        yn = np.sqrt((Y * Y).sum(axis=1))
+        denom = xn[:, None] * yn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
+        S = np.round(S, 6)
+        if same_block:
+            # same block on both sides: upper triangle by id
+            mask = (S >= threshold) & (xids[:, None] < yids[None, :])
+            xi, yi = np.nonzero(mask)
+            a_out, b_out = xids[xi], yids[yi]
+        else:
+            # disjoint blocks: each unordered pair appears once, but the
+            # smaller id may sit on EITHER side — order the output pair,
+            # don't filter on side order
+            mask = S >= threshold
+            xi, yi = np.nonzero(mask)
+            a_out = np.minimum(xids[xi], yids[yi])
+            b_out = np.maximum(xids[xi], yids[yi])
+        if not len(xi):
+            return None
+        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": S[xi, yi]})
+
+    if n_blocks == 1:
+        # Small corpus: one task, zero shuffles — stream the Arrow batches
+        # into a single matrix and matmul once. Skips the collect_list
+        # aggregation + block-pair join + repartition stages whose fixed
+        # cost dominates when the whole corpus fits one block.
+        flat = emb.select(F.col(id_col).alias("id"), v.alias("v")).coalesce(1)
+
+        def run_single(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            ids = np.concatenate([c["id"].to_numpy(np.int64) for c in chunks])
+            X = np.asarray(
+                [row for c in chunks for row in c["v"]], dtype=np.float64
+            )
+            out = pairs_of(ids, ids, X, X, same_block=True)
+            if out is not None:
+                yield out
+
+        return flat.mapInPandas(run_single, "a long, b long, cosine double")
     base = emb.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
@@ -417,33 +473,15 @@ def embedding_neardup_pairs_gemm(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                xids = np.asarray(row.ids_a, dtype=np.int64)
-                yids = np.asarray(row.ids_b, dtype=np.int64)
-                X = np.asarray(list(row.vecs_a), dtype=np.float64)
-                Y = np.asarray(list(row.vecs_b), dtype=np.float64)
-                xn = np.sqrt((X * X).sum(axis=1))
-                yn = np.sqrt((Y * Y).sum(axis=1))
-                denom = xn[:, None] * yn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
-                S = np.round(S, 6)
-                if row.ba == row.bb:
-                    # same block on both sides: upper triangle by id
-                    mask = (S >= threshold) & (xids[:, None] < yids[None, :])
-                    xi, yi = np.nonzero(mask)
-                    a_out, b_out = xids[xi], yids[yi]
-                else:
-                    # disjoint blocks: each unordered pair appears once,
-                    # but the smaller id may sit on EITHER side — order
-                    # the output pair, don't filter on side order
-                    mask = S >= threshold
-                    xi, yi = np.nonzero(mask)
-                    a_out = np.minimum(xids[xi], yids[yi])
-                    b_out = np.maximum(xids[xi], yids[yi])
-                if len(xi):
-                    yield pd.DataFrame(
-                        {"a": a_out, "b": b_out, "cosine": S[xi, yi]}
-                    )
+                out = pairs_of(
+                    np.asarray(row.ids_a, dtype=np.int64),
+                    np.asarray(row.ids_b, dtype=np.int64),
+                    np.asarray(list(row.vecs_a), dtype=np.float64),
+                    np.asarray(list(row.vecs_b), dtype=np.float64),
+                    same_block=(row.ba == row.bb),
+                )
+                if out is not None:
+                    yield out
 
     return joined.mapInPandas(run, "a long, b long, cosine double")
 
