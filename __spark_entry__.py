@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grape_vector_db_spark.functions import sparsevec
+from grape_vector_db_spark.functions.hashing import h32
 from grape_vector_db_spark.functions.text import STOPWORDS
 from grape_vector_db_spark.operators import (
     ann,
+    curation,
     dedup,
     filters,
     fusion,
@@ -465,6 +467,96 @@ def q_token_counts(spark, sf_dir):
 
 def q_fingerprints(spark, sf_dir):
     return textanalysis.fingerprints(_docs(spark, sf_dir))
+
+
+# --- curation fixtures -----------------------------------------------------
+#
+# The testdata documents are single-line token soup: no newlines, no
+# terminal punctuation, no PII, no shared boilerplate — so the line-level
+# curation operators would all be exercised on degenerate input. The
+# fixture below deterministically re-shapes each document into a multi-line
+# page (7-token lines; an h32-keyed per-line decoration adds terminal
+# punctuation, two shared boilerplate lines, and a blocklist hit), and the
+# PII query appends synthetic contact strings keyed by doc_id. Both
+# transforms are pure narrow maps replicated verbatim in the DuckDB oracle
+# CTE (_SYNTH_CTE), so the operator under test — not the fixture — decides
+# the hash match.
+
+BOILER_A = "all rights reserved."
+BOILER_B = "subscribe to our newsletter now!"
+
+
+def _synth_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    n_lines = ((F.size("toks") + F.lit(6)) / F.lit(7)).cast("int")
+
+    def decorate(i):
+        h = h32(F.concat_ws(":", F.col("doc_id"), i))
+        line = F.concat_ws(" ", F.slice(F.col("toks"), i * 7 + 1, 7))
+        return (
+            F.when(h % 5 == 0, F.concat(line, F.lit(".")))
+            .when(h % 5 == 1, F.concat(line, F.lit("!")))
+            .when(h % 5 == 2, line)
+            .when(
+                h % 5 == 3,
+                F.when(h % 10 == 3, F.lit(BOILER_A)).otherwise(F.lit(BOILER_B)),
+            )
+            .otherwise(F.concat(line, F.lit(" javascript required.")))
+        )
+
+    return d.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_lines - 1), decorate), "\n"
+        ).alias("text"),
+    )
+
+
+def _pii_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did,
+            F.lit("@example.com or 10.0."), (did % 256),
+            F.lit("."), ((did * 7) % 256),
+            F.lit(" call 555-"), (did % 900 + 100),
+            F.lit("-"), (did % 9000 + 1000),
+            F.lit("."),
+        ).alias("text"),
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    return curation.repetition_signals(_synth_docs(spark, sf_dir))
+
+
+def q_c4_clean(spark, sf_dir):
+    return curation.c4_line_filter(_synth_docs(spark, sf_dir))
+
+
+def q_pii_redact(spark, sf_dir):
+    return curation.pii_redact(_pii_docs(spark, sf_dir))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    return curation.frequent_lines(_synth_docs(spark, sf_dir), min_docs=5)
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    return curation.strip_boilerplate(_synth_docs(spark, sf_dir), min_docs=5)
+
+
+def q_source_quota(spark, sf_dir):
+    return curation.source_quota(_docs(spark, sf_dir), per_group=10).select(
+        "doc_id", "source", "rk"
+    )
 
 
 def _cust_geo(spark, sf_dir):
@@ -1176,6 +1268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "repetition_signals": q_repetition_signals,
+        "c4_clean": q_c4_clean,
+        "pii_redact": q_pii_redact,
+        "boilerplate_lines": q_boilerplate_lines,
+        "strip_boilerplate": q_strip_boilerplate,
+        "source_quota": q_source_quota,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
@@ -1521,6 +1619,173 @@ def _ivf_flat_sql() -> str:
     """
 
 
+# DuckDB twin of _synth_docs: identical token-chunking and h32-keyed line
+# decoration (verified byte-for-byte against the Spark fixture).
+_SYNTH_SQL = r"""
+    _t AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    _synth AS (
+      SELECT doc_id, source,
+        array_to_string(
+          list_transform(range((len(toks)+6)//7),
+            i -> CASE (('0x' || substr(md5('0:' || doc_id || ':' || i),1,8))::BIGINT) % 5
+              WHEN 0 THEN array_to_string(toks[(i*7+1):(i*7+7)],' ') || '.'
+              WHEN 1 THEN array_to_string(toks[(i*7+1):(i*7+7)],' ') || '!'
+              WHEN 2 THEN array_to_string(toks[(i*7+1):(i*7+7)],' ')
+              WHEN 3 THEN CASE
+                WHEN (('0x' || substr(md5('0:' || doc_id || ':' || i),1,8))::BIGINT) % 10 = 3
+                THEN 'all rights reserved.' ELSE 'subscribe to our newsletter now!' END
+              ELSE array_to_string(toks[(i*7+1):(i*7+7)],' ') || ' javascript required.'
+            END),
+          chr(10)) AS text
+      FROM _t
+    ),
+    _lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM _synth, unnest(string_split(text, chr(10))) AS u(l)
+      WHERE length(trim(l)) > 0
+    ),
+    _plines AS (
+      SELECT doc_id, i, trim(ls[i+1]) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM _synth),
+           unnest(range(len(ls))) AS u(i)
+      WHERE length(trim(ls[i+1])) > 0
+    )
+"""
+
+
+def _repetition_sql() -> str:
+    def topgram(n: int) -> str:
+        join = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+        return rf"""
+          (SELECT doc_id, top{n}gram_char_frac FROM (
+            SELECT doc_id,
+                   round((c * length(gram))::DOUBLE / nc, 6) AS top{n}gram_char_frac,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS r
+            FROM (
+              SELECT doc_id, nc, gram, count(*) AS c
+              FROM (
+                SELECT doc_id, length(text) AS nc,
+                       unnest(list_transform(range(greatest(len(t) - {n - 1}, 0)),
+                                             i -> {join})) AS gram
+                FROM (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t
+                      FROM _synth)
+              ) GROUP BY 1, 2, 3
+            )) WHERE r = 1)
+        """
+
+    return rf"""
+        WITH {_SYNTH_SQL},
+        lc AS (SELECT doc_id, line, count(*) AS c FROM _lines GROUP BY 1, 2),
+        ls AS (
+          SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                 round(sum(c - 1)::DOUBLE / sum(c), 6) AS dup_line_frac,
+                 round(sum((c - 1) * length(line))::DOUBLE
+                       / greatest(sum(c * length(line)), 1), 6) AS dup_line_char_frac
+          FROM lc GROUP BY 1
+        )
+        SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+               coalesce(a.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+               coalesce(b.top3gram_char_frac, 0.0) AS top3gram_char_frac
+        FROM ls l
+        LEFT JOIN {topgram(2)} a ON l.doc_id = a.doc_id
+        LEFT JOIN {topgram(3)} b ON l.doc_id = b.doc_id
+    """
+
+
+def _c4_clean_sql() -> str:
+    blockchecks = " ".join(
+        f"AND NOT contains(lower(line), '{b}')" for b in curation.LINE_BLOCKLIST
+    )
+    return rf"""
+        WITH {_SYNTH_SQL},
+        flags AS (
+          SELECT doc_id, i, line,
+                 (len(regexp_extract_all(line, '\S+')) >= 3
+                  AND regexp_matches(line, '[.!?"'']$')
+                  {blockchecks}
+                  AND NOT contains(line, chr(123))) AS ok
+          FROM _plines
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::INT AS n_lines,
+                 coalesce(count(*) FILTER (WHERE ok), 0)::INT AS n_kept_lines,
+                 coalesce(string_agg(line, chr(10) ORDER BY i)
+                          FILTER (WHERE ok), '') AS clean_text
+          FROM flags GROUP BY 1
+        )
+        SELECT doc_id, n_lines, n_kept_lines, clean_text,
+               (n_kept_lines >= 1 AND n_kept_lines * 2 >= n_lines) AS keep
+        FROM agg
+    """
+
+
+def _pii_redact_sql() -> str:
+    email, ip, ph = curation.EMAIL_RE, curation.IPV4_RE, curation.PHONE_RE
+    return f"""
+        WITH p0 AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or 10.0.'
+                      || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                      || ' call 555-' || (doc_id % 900 + 100) || '-'
+                      || (doc_id % 9000 + 1000) || '.' AS text
+          FROM documents
+        ),
+        p1 AS (
+          SELECT doc_id, len(regexp_extract_all(text, '{email}'))::INT AS n_emails,
+                 regexp_replace(text, '{email}', '[EMAIL]', 'g') AS t
+          FROM p0
+        ),
+        p2 AS (
+          SELECT doc_id, n_emails, len(regexp_extract_all(t, '{ip}'))::INT AS n_ips,
+                 regexp_replace(t, '{ip}', '[IP]', 'g') AS t
+          FROM p1
+        )
+        SELECT doc_id, n_emails, n_ips,
+               len(regexp_extract_all(t, '{ph}'))::INT AS n_phones,
+               regexp_replace(t, '{ph}', '[PHONE]', 'g') AS clean_text
+        FROM p2
+    """
+
+
+def _boilerplate_sql() -> str:
+    return f"""
+        WITH {_SYNTH_SQL}
+        SELECT line, count(*) AS n_docs
+        FROM (SELECT DISTINCT doc_id, line FROM _lines)
+        GROUP BY 1 HAVING count(*) >= 5
+    """
+
+
+def _strip_boilerplate_sql() -> str:
+    return f"""
+        WITH {_SYNTH_SQL},
+        freq AS (
+          SELECT line FROM (SELECT DISTINCT doc_id, line FROM _lines)
+          GROUP BY 1 HAVING count(*) >= 5
+        ),
+        kept AS (SELECT p.* FROM _plines p ANTI JOIN freq f USING (line))
+        SELECT doc_id, count(*) AS n_kept_lines,
+               string_agg(line, chr(10) ORDER BY i) AS clean_text
+        FROM kept GROUP BY 1
+    """
+
+
+def _source_quota_sql() -> str:
+    return f"""
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_h32_sql('doc_id::VARCHAR', 0)} ASC, doc_id ASC
+                 )::INT AS rk
+          FROM documents
+        ) WHERE rk <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
     # mirroring functions.hashing.h32), votes over bits 0..63; the unsigned
@@ -1833,6 +2098,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
+        "repetition_signals": _repetition_sql(),
+        "c4_clean": _c4_clean_sql(),
+        "pii_redact": _pii_redact_sql(),
+        "boilerplate_lines": _boilerplate_sql(),
+        "strip_boilerplate": _strip_boilerplate_sql(),
+        "source_quota": _source_quota_sql(),
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,

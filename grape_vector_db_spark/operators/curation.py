@@ -1,0 +1,326 @@
+"""Corpus-curation operators (LLM-data-pipeline additions).
+
+The cleanup passes a large-scale training-data pipeline runs between raw
+ingest and tokenization: repetition profiling (Gopher-style quality
+signals, Rae et al. 2021 §A1.1), C4-style line filtering (Raffel et al.
+2020 §2.2), PII redaction, cross-document boilerplate-line removal, and
+per-source quota capping for mixture balancing.
+
+Scale shapes (what each pass costs at 100 TB):
+
+- ``repetition_signals``: explode + map-side-combined groupBy per signal
+  family (lines, 2-grams, 3-grams) — three shuffles keyed by doc_id, then
+  doc_id-aligned joins of tiny per-doc aggregates. No driver collect, no
+  windows over the raw corpus.
+- ``c4_line_filter`` / ``pii_redact``: single narrow map, pure JVM
+  expressions (array filter / regexp_replace) — zero shuffles.
+- ``strip_boilerplate``: one distinct-per-doc line count, a broadcast
+  anti-join against the (thresholded, therefore compact) frequent-line
+  set — the same hot-key-cap shape as dedup's hot-shingle cap — and one
+  groupBy(doc) re-assembly.
+- ``source_quota``: one shuffle by group + per-group rank. A group is
+  processed by one task, so quotas over very hot groups should cap the
+  group first (the rank never needs to see more than ``per_group`` rows
+  after AQE skew split; document-count skew is bounded by the quota).
+
+Everything is engine-portable: hashes are the repo-wide md5-derived h32,
+floats are rounded to 6 dp, and arg-max tie-breaks use (count, value)
+struct ordering so the DuckDB oracle reproduces results bit-for-bit.
+
+Reference parity: the reference's content_analysis config exposes
+quality-filter knobs (ref:src/config.rs:291-321) but has no repetition /
+boilerplate / PII pass at all — these are capability ADDITIONS per the
+build plan (SURVEY.md §2.9 spirit: what a pipeline at this scale needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32
+
+# Substrings whose presence disqualifies a line (C4 drops lines with
+# "javascript", docs with "lorem ipsum" / "{"; we apply all three at the
+# line level and surface a doc-level keep flag).
+LINE_BLOCKLIST = ["javascript", "lorem ipsum", "cookie"]
+
+# Redaction patterns — kept to syntax shared by Java regex and RE2 so the
+# DuckDB oracle applies the identical automaton.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def _lines(text_col: Column, delim: str) -> Column:
+    """Non-empty trimmed lines of ``text_col`` split on ``delim``."""
+    return F.filter(
+        F.transform(F.split(text_col, delim), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """All space-joined word ``n``-grams of a token array (empty if the
+    doc has fewer than ``n`` tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition profile per document.
+
+    Returns ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top2gram_char_frac, top3gram_char_frac)`` where
+
+    - ``dup_line_frac``    = 1 - distinct_lines / total_lines (the excess
+      occurrences of repeated lines, Rae et al. 2021 "duplicate line
+      fraction"),
+    - ``dup_line_char_frac`` = chars in those excess occurrences / total
+      line chars,
+    - ``top{n}gram_char_frac`` = occurrences-of-most-frequent-word-n-gram
+      × n-gram length / doc chars (ties broken toward the lexicographically
+      greatest gram via (count, gram) struct ordering — deterministic in
+      both engines).
+
+    Docs above the usual Gopher thresholds (e.g. dup_line_frac > 0.30,
+    top2gram_char_frac > 0.20) are candidates for removal; thresholding is
+    left to the caller so the signals stay reusable.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_txt"),
+        _lines(F.col(text_col), delim).alias("_lines"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"),
+    )
+
+    # Per-doc line repetition: explode -> groupBy(doc, line) -> per-doc agg.
+    line_counts = (
+        base.select("doc_id", F.explode("_lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+    )
+    line_stats = line_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.round(
+            F.sum(F.col("c") - 1).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("c") - 1) * F.length("line")).cast("double")
+            / F.greatest(F.sum(F.col("c") * F.length("line")), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    def top_gram_frac(n: int) -> DataFrame:
+        grams = base.select(
+            "doc_id",
+            F.length("_txt").alias("_nc"),
+            F.explode(_word_grams(F.col("_toks"), n)).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "_nc", "gram").agg(
+            F.count("*").alias("c")
+        )
+        return counts.groupBy("doc_id").agg(
+            F.round(
+                F.max(F.struct("c", "gram")).getField("c")
+                * F.length(F.max(F.struct("c", "gram")).getField("gram"))
+                / F.first("_nc").cast("double"),
+                6,
+            ).alias(f"top{n}gram_char_frac")
+        )
+
+    out = (
+        line_stats.join(top_gram_frac(2), "doc_id", "left")
+        .join(top_gram_frac(3), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.coalesce("top2gram_char_frac", F.lit(0.0)).alias(
+                "top2gram_char_frac"
+            ),
+            F.coalesce("top3gram_char_frac", F.lit(0.0)).alias(
+                "top3gram_char_frac"
+            ),
+        )
+    )
+    return out
+
+
+def c4_line_filter(
+    df: DataFrame,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2) as one
+    narrow, shuffle-free map.
+
+    A line is kept when it has ≥ ``min_words`` whitespace words, (if
+    ``require_terminal_punct``) ends in terminal punctuation, and contains
+    no blocklisted substring (case-insensitive). Returns ``(doc_id,
+    n_lines, n_kept_lines, clean_text, keep)`` where ``clean_text``
+    rejoins kept lines with newlines and ``keep`` flags docs retaining at
+    least half their lines (and at least one).
+    """
+
+    def line_ok(l: Column) -> Column:
+        ok = F.size(F.regexp_extract_all(l, F.lit(r"\S+"), 0)) >= min_words
+        if require_terminal_punct:
+            ok = ok & l.rlike("[.!?\"']$")
+        low = F.lower(l)
+        for bad in LINE_BLOCKLIST:
+            ok = ok & ~low.contains(bad)
+        return ok & ~l.contains("{")
+
+    lines = _lines(F.col(text_col), delim)
+    kept = F.filter(lines, line_ok)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    ).withColumn(
+        "keep",
+        (F.col("n_kept_lines") >= 1)
+        & (F.col("n_kept_lines") * 2 >= F.col("n_lines")),
+    )
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex PII scrub: emails → ``[EMAIL]``, IPv4 → ``[IP]``, NANP-style
+    phone numbers → ``[PHONE]``, applied in that order (email bodies may
+    contain dots that would otherwise feed the IP pattern). One narrow
+    map, zero shuffles; patterns are RE2-compatible so the oracle matches
+    byte-for-byte. Returns ``(doc_id, n_emails, n_ips, n_phones,
+    clean_text)``.
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    after_email = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    n_ip = F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0))
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "[IP]")
+    n_phone = F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(after_ip, PHONE_RE, "[PHONE]")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def frequent_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Lines appearing in ≥ ``min_docs`` DISTINCT documents — the
+    cross-document boilerplate table (nav bars, cookie banners, licence
+    headers). Distinct-per-doc first so a line repeated inside one doc
+    doesn't count as boilerplate; one map-side-combined count shuffle.
+    Returns ``(line, n_docs)``.
+    """
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_lines(F.col(text_col), delim)).alias("line"),
+        )
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove cross-document boilerplate lines and re-assemble documents
+    in original line order. Returns ``(doc_id, n_kept_lines, clean_text)``
+    — documents whose every line is boilerplate drop out entirely.
+
+    The frequent-line set is compact by construction (only lines above
+    the threshold survive), so the anti-join broadcasts — boilerplate
+    lines are exactly the hot keys a shuffled anti-join would skew on,
+    the same reasoning as dedup's hot-shingle cap
+    (operators/dedup.py hot-shingle handling).
+    """
+    freq = frequent_lines(df, min_docs, id_col, text_col, delim)
+    positioned = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_lines(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    kept = positioned.join(F.broadcast(freq), "line", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_kept_lines", "clean_text")
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    per_group: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group cap for mixture balancing: keep at most
+    ``per_group`` rows per ``group_col``, chosen by md5-hash order of the
+    id (a reproducible uniform sample, not head-of-file order — the same
+    hash-gate idiom as sampling.hash_gate). Returns the input columns
+    plus ``rk``, the 1-based hash rank within the group.
+
+    One shuffle keyed by group; ties in the 32-bit hash break on the id
+    itself so the rank is total and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(
+            h32(F.col(id_col).cast("string"), seed).asc(),
+            F.col(id_col).asc(),
+        )
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_group)
+    )

@@ -1,0 +1,139 @@
+"""Curation operators: Gopher repetition signals, C4 line filtering, PII
+redaction, boilerplate stripping, per-source quotas.
+
+Semantics pinned here on hand-built fixtures; engine-parity with the
+DuckDB oracle is covered by tools/check_correctness.py
+(repetition_signals / c4_clean / pii_redact / boilerplate_lines /
+strip_boilerplate / source_quota).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from grape_vector_db_spark.operators import curation
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_duplicate_lines(spark):
+    df = _mkdocs(spark, [(1, "a b\na b\nc d"), (2, "x y\nz w")])
+    out = {r["doc_id"]: r for r in curation.repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    # one excess occurrence of "a b" out of 3 lines
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # excess chars 3 ("a b") over total line chars 9
+    assert r1["dup_line_char_frac"] == pytest.approx(3 / 9, abs=1e-6)
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["dup_line_char_frac"] == 0.0
+
+
+def test_repetition_signals_top_ngram(spark):
+    # "go go go go" -> top 2-gram "go go" occurs 3x, len 5, doc chars 11
+    df = _mkdocs(spark, [(1, "go go go go")])
+    r = curation.repetition_signals(df).collect()[0]
+    assert r["top2gram_char_frac"] == pytest.approx(3 * 5 / 11, abs=1e-6)
+    assert r["top3gram_char_frac"] == pytest.approx(2 * 8 / 11, abs=1e-6)
+
+
+def test_repetition_signals_short_doc_zero_grams(spark):
+    df = _mkdocs(spark, [(1, "solo")])
+    r = curation.repetition_signals(df).collect()[0]
+    assert r["top2gram_char_frac"] == 0.0
+    assert r["top3gram_char_frac"] == 0.0
+
+
+def test_c4_line_filter(spark):
+    text = "\n".join(
+        [
+            "this line is long enough.",  # kept
+            "too short.",  # < 3 words
+            "no terminal punctuation here",  # no punct
+            "enable javascript to continue.",  # blocklist
+            "accept our cookie policy today.",  # blocklist
+            "a line with json { inside.",  # brace
+            "another perfectly fine sentence!",  # kept
+        ]
+    )
+    r = curation.c4_line_filter(
+        _mkdocs(spark, [(1, text)])
+    ).collect()[0]
+    assert r["n_lines"] == 7
+    assert r["n_kept_lines"] == 2
+    assert r["clean_text"] == (
+        "this line is long enough.\nanother perfectly fine sentence!"
+    )
+    assert r["keep"] is False  # 2*2 < 7
+
+
+def test_c4_keep_flag_majority(spark):
+    r = curation.c4_line_filter(
+        _mkdocs(spark, [(1, "good solid line here.\nbad")])
+    ).collect()[0]
+    assert r["n_kept_lines"] == 1 and r["keep"] is True
+
+
+def test_pii_redact(spark):
+    df = _mkdocs(
+        spark,
+        [(1, "mail a.user@test.org or b@x.io, host 10.1.2.3, tel 555-123-4567 end")],
+    )
+    r = curation.pii_redact(df).collect()[0]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 1, 1)
+    assert r["clean_text"] == (
+        "mail [EMAIL] or [EMAIL], host [IP], tel [PHONE] end"
+    )
+
+
+def test_pii_redact_email_before_ip(spark):
+    # the numeric local-part + dotted domain must be eaten by the email
+    # pass, not double-counted by the IP pass
+    r = curation.pii_redact(_mkdocs(spark, [(1, "x 1.2.3.4@ab.cd y")])).collect()[0]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 0, 0)
+    assert r["clean_text"] == "x [EMAIL] y"
+
+
+def test_strip_boilerplate(spark):
+    boiler = "all rights reserved"
+    df = _mkdocs(
+        spark,
+        [
+            (1, f"unique one\n{boiler}\nunique two"),
+            (2, f"{boiler}\nother content"),
+            (3, boiler),  # only boilerplate -> drops out
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.strip_boilerplate(df, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "unique one\nunique two"  # order kept
+    assert out[2]["n_kept_lines"] == 1
+
+
+def test_frequent_lines_distinct_per_doc(spark):
+    # repeated inside ONE doc only -> not boilerplate
+    df = _mkdocs(spark, [(1, "dup\ndup\ndup"), (2, "other")])
+    assert curation.frequent_lines(df, min_docs=2).count() == 0
+
+
+def test_source_quota_cap_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = curation.source_quota(df, per_group=5, group_col="source")
+    got1 = sorted((r["source"], r["doc_id"]) for r in out1.collect())
+    assert len(got1) == 15
+    assert max(r["rk"] for r in out1.collect()) == 5
+    # deterministic: same selection on re-run
+    got2 = sorted(
+        (r["source"], r["doc_id"])
+        for r in curation.source_quota(df, per_group=5, group_col="source").collect()
+    )
+    assert got1 == got2
+
+
+def test_source_quota_small_group_untouched(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    assert curation.source_quota(df, per_group=10, group_col="source").count() == 3
