@@ -32,3 +32,21 @@ def h32(col: Column, seed: int = 0) -> Column:
 def h32_sql(expr: str, seed: int = 0) -> str:
     """DuckDB SQL text equivalent of :func:`h32` for oracle queries."""
     return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 8))::BIGINT)"
+
+
+def h32_word(digest_col: Column, word: int) -> Column:
+    """32-bit word ``word`` (0-3) of a 128-bit md5 hex digest column as
+    BIGINT. One digest yields FOUR independent 32-bit hashes — hash
+    families (MinHash, SimHash) should derive hash ``p`` as word ``p % 4``
+    of the digest seeded ``p // 4``, quartering the md5 evaluations vs one
+    :func:`h32` call per member. Word 0 of seed s == ``h32(col, s)``.
+    """
+    return F.conv(F.substring(digest_col, 1 + 8 * word, 8), 16, 10).cast("bigint")
+
+
+def h32_word_sql(expr: str, p: int) -> str:
+    """DuckDB SQL twin of the (seed = p//4, word = p%4) family derivation."""
+    seed, w = divmod(p, 4)
+    return (
+        f"(('0x' || substr(md5('{seed}:' || {expr}), {1 + 8 * w}, 8))::BIGINT)"
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h32
+from ..functions.hashing import h32, h32_word
 from ..functions.text import tokens
 from ..functions.vector import cosine_from_parts, dot, l2_norm, to_double_array
 
@@ -198,15 +198,36 @@ def minhash_signatures(
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) — sig[p] = min over shingles of h32(shingle, p).
+    """(doc_id, sig array<bigint>) — sig[p] = word p%4 of md5 seeded p//4,
+    minimized over the doc's shingles (hashing.h32_word derivation; sig[0]
+    equals the legacy h32(shingle, 0)).
 
     Computed as one explode + groupBy with ``min`` aggregates — P min-aggs
-    in a single shuffle, map-side combined. Docs with no shingles are absent
-    (same as the tokenizer dropping empty docs).
+    in a single shuffle, map-side combined. The md5 digests are projected
+    ONCE per seed before the aggregate (ceil(P/4) md5 evals per shingle,
+    not P — md5 dominates the map side at corpus scale), and the min runs
+    over plain BIGINT columns. Docs with no shingles are absent (same as
+    the tokenizer dropping empty docs).
     """
     sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
-    aggs = [F.min(h32(F.col("shingle"), p)).alias(f"h{p}") for p in range(num_hashes)]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    n_seeds = (num_hashes + 3) // 4
+    digests = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_d{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    words = digests.select(
+        "doc_id",
+        *[
+            h32_word(F.col(f"_d{p // 4}"), p % 4).alias(f"h{p}")
+            for p in range(num_hashes)
+        ],
+    )
+    sigs = words.groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_hashes)]
+    )
     return sigs.select(
         "doc_id", F.array(*[F.col(f"h{p}") for p in range(num_hashes)]).alias("sig")
     )
@@ -301,14 +322,20 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     standard large-star/small-star simplification for small-diameter
     graphs.
     """
+    # both edge directions from ONE pass over pairs — a unionAll of two
+    # selects evaluates the (possibly expensive) upstream pair pipeline
+    # twice; explode duplicates rows after the single evaluation
+    a, b = F.col("a").cast("long"), F.col("b").cast("long")
     edges = (
-        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
-        .unionAll(
-            pairs.select(
-                F.col("b").cast("long").alias("a"),
-                F.col("a").cast("long").alias("b"),
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("a"), b.alias("b")),
+                    F.struct(b.alias("a"), a.alias("b")),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )

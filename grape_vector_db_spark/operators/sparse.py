@@ -179,29 +179,41 @@ def bm25_search(
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    # doc_terms feeds four consumers (posting join, doc stats, term stats,
-    # corpus aggregates) — persist so the tokenize+groupBy pipeline runs
-    # once, not four times. At 100 TB this is the table the ingest job
+    # doc_terms feeds three consumers (posting join, doc stats, corpus
+    # aggregates) — persist so the tokenize+groupBy pipeline runs once,
+    # not three times. At 100 TB this is the table the ingest job
     # materializes to parquet; callers with a warm index pass it via
     # ``terms``.
     if terms is None:
         terms = doc_terms(documents, id_col, text_col).persist()
-    dstats = doc_stats(terms)
-    tstats = term_stats(terms)
-    # avg_doc_length per reference: sum over (term,doc) entries of doc_length / N
-    entries = terms.join(dstats, "doc_id")
-    g = entries.agg(
-        F.countDistinct("doc_id").alias("total_docs"),
-        (F.sum("doc_length") / F.countDistinct("doc_id")).alias("avg_doc_length"),
-    )
 
+    # Postings for QUERY terms only — a literal isin predicate the scan
+    # absorbs, so document frequencies aggregate a few posting lists, not
+    # the whole vocabulary (term_stats over all terms is an index-build
+    # artifact, not a per-query cost).
     qdf = F.broadcast(
         spark.createDataFrame(list(qtf.items()), "term string, qtf double")
     )
+    post = terms.where(F.col("term").isin(list(qtf))).join(qdf, "term")
+    tstats_q = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    # One doc-level aggregate serves both per-doc lengths and the global
+    # stats: total_docs = docs with >=1 term; the reference's
+    # posting-entry-weighted avg_doc_length (see module docstring) equals
+    # sum(doc_length * n_terms) / N over this table — no (term, doc)
+    # entries join needed.
+    dstats = terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
+    )
+    g = dstats.agg(
+        F.count("*").alias("total_docs"),
+        (F.sum(F.col("doc_length") * F.col("_nt")) / F.count("*")).alias(
+            "avg_doc_length"
+        ),
+    )
     joined = (
-        terms.join(qdf, "term")
-        .join(dstats, "doc_id")
-        .join(F.broadcast(tstats.join(F.broadcast(qdf.select("term")), "term")), "term")
+        post.join(dstats.select("doc_id", "doc_length"), "doc_id")
+        .join(F.broadcast(tstats_q), "term")
         .crossJoin(F.broadcast(g))
     )
     idf = F.log(

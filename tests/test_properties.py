@@ -171,6 +171,15 @@ def py_h32(s: str, seed: int = 0) -> int:
     return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:8], 16)
 
 
+def py_h32_word(s: str, p: int) -> int:
+    """hash p of the h32_word family: word p%4 of the digest seeded p//4."""
+    import hashlib
+
+    seed, w = divmod(p, 4)
+    digest = hashlib.md5(f"{seed}:{s}".encode()).hexdigest()
+    return int(digest[8 * w : 8 * w + 8], 16)
+
+
 def py_shingles(text: str, n: int = 3) -> set[str]:
     toks = py_tokenize(text)
     if len(toks) >= n:
@@ -181,19 +190,21 @@ def py_shingles(text: str, n: int = 3) -> set[str]:
 @settings(**SETTINGS)
 @given(corpora)
 def test_minhash_signatures_match_python_replica(spark, corpus):
-    """sig[p] = min over shingles of h32(shingle, p) — replicated in pure
-    python from the same md5 derivation."""
+    """sig[p] = min over shingles of h32_word(shingle, p) (word p%4 of the
+    md5 digest seeded p//4) — replicated in pure python from the same md5
+    derivation. num_hashes=6 spans two digests so the seed rollover at
+    p=4 is exercised."""
     from grape_vector_db_spark.operators.dedup import minhash_signatures
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
-    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df, num_hashes=4).collect()}
+    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df, num_hashes=6).collect()}
     for i, t in enumerate(corpus):
         # docs with < n tokens (incl. zero) yield ONE joined shingle —
         # possibly "" — mirroring operators.dedup.shingles
         sh = py_shingles(t)
-        want = [min(py_h32(s, p) for s in sh) for p in range(4)]
+        want = [min(py_h32_word(s, p) for s in sh) for p in range(6)]
         assert got[i] == want, (t, got[i], want)
 
 
