@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grape_vector_db_spark.functions import sparsevec
-from grape_vector_db_spark.functions.hashing import h32
+from grape_vector_db_spark.functions.hashing import h32, h32_word_sql
 from grape_vector_db_spark.functions.text import STOPWORDS
 from grape_vector_db_spark.operators import (
     ann,
@@ -557,6 +557,18 @@ def q_source_quota(spark, sf_dir):
     return curation.source_quota(_docs(spark, sf_dir), per_group=10).select(
         "doc_id", "source", "rk"
     )
+
+
+def q_pack_sequences(spark, sf_dir):
+    return curation.pack_sequences(_docs(spark, sf_dir), max_tokens=512)
+
+
+def q_mixture_stats(spark, sf_dir):
+    return curation.mixture_stats(_docs(spark, sf_dir))
+
+
+def q_top_ngrams(spark, sf_dir):
+    return curation.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
 def _cust_geo(spark, sf_dir):
@@ -1274,6 +1286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "strip_boilerplate": q_strip_boilerplate,
         "source_quota": q_source_quota,
+        "pack_sequences": q_pack_sequences,
+        "mixture_stats": q_mixture_stats,
+        "top_ngrams": q_top_ngrams,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
@@ -1503,8 +1518,10 @@ WHERE round(i.n_common::DOUBLE / (za.n_sh + zb.n_sh - i.n_common), 6) >= {thresh
 
 
 def _minhash_sig_cte(num_hashes: int) -> str:
+    # hash p = 32-bit word p%4 of the md5 digest seeded p//4 — the
+    # hashing.h32_word family derivation (4 hashes per md5 eval)
     aggs = ", ".join(
-        f"min({_h32_sql('shingle', p)}) AS h{p}" for p in range(num_hashes)
+        f"min({h32_word_sql('shingle', p)}) AS h{p}" for p in range(num_hashes)
     )
     return f"sigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)"
 
@@ -1770,6 +1787,59 @@ def _strip_boilerplate_sql() -> str:
         SELECT doc_id, count(*) AS n_kept_lines,
                string_agg(line, chr(10) ORDER BY i) AS clean_text
         FROM kept GROUP BY 1
+    """
+
+
+def _pack_sequences_sql(max_tokens: int = 512) -> str:
+    return rf"""
+        WITH base AS (
+          SELECT source AS "group", doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+          FROM documents
+        ),
+        cum AS (
+          SELECT "group", doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset
+          FROM base
+        )
+        SELECT "group", doc_id, n_tokens, start_offset,
+               start_offset // {max_tokens} AS bin_first,
+               (start_offset + greatest(n_tokens, 1) - 1) // {max_tokens}
+                 AS bin_last
+        FROM cum
+    """
+
+
+def _mixture_stats_sql() -> str:
+    return rf"""
+        WITH per AS (
+          SELECT source AS "group", count(*) AS n_docs,
+                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+          FROM documents GROUP BY 1
+        )
+        SELECT "group", n_docs, n_tokens,
+               round(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM per), 6)
+                 AS token_share
+        FROM per
+    """
+
+
+def _top_ngrams_sql(n: int = 2, k: int = 20) -> str:
+    join = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return rf"""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT unnest(list_transform(range(greatest(len(t) - {n - 1}, 0)),
+                                       i -> {join})) AS gram
+          FROM toks
+        )
+        SELECT gram, count(*) AS n_occurrences FROM g GROUP BY 1
+        ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
     """
 
 
@@ -2104,6 +2174,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _boilerplate_sql(),
         "strip_boilerplate": _strip_boilerplate_sql(),
         "source_quota": _source_quota_sql(),
+        "pack_sequences": _pack_sequences_sql(),
+        "mixture_stats": _mixture_stats_sql(),
+        "top_ngrams": _top_ngrams_sql(),
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,

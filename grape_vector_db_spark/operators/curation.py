@@ -295,6 +295,110 @@ def strip_boilerplate(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign every document a token
+    offset range in its group's concatenated token stream, and the fixed
+    ``max_tokens`` windows ("bins") that range lands in — the standard
+    pre-tokenization layout for LLM training (documents are concatenated
+    in id order and the stream is sliced into equal windows; docs may
+    straddle a boundary).
+
+    Returns ``(group, doc_id, n_tokens, start_offset, bin_first,
+    bin_last)`` where ``start_offset`` is the doc's position in the
+    group stream and ``bin_* = offset // max_tokens``.
+
+    Scale shape: one window cumsum partitioned by ``group_col`` — packing
+    is inherently sequential per stream, so the group is the parallelism
+    unit (1000 sources = 1000 independent streams). If one group is too
+    hot, pre-split it into hash-bucketed subgroups
+    (``concat(source, '#', h32(id) % k)``) — packing quality is
+    unaffected because windows never span groups anyway.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+    )
+    cum = base.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.select(
+        "group",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        # integer div, not float-divide-then-floor: offsets at the 100 TB
+        # token-stream scale exceed double's 2^53 exact-integer range
+        F.expr(f"start_offset div {int(max_tokens)}").alias("bin_first"),
+        F.expr(
+            f"(start_offset + greatest(n_tokens, 1) - 1) div {int(max_tokens)}"
+        ).alias("bin_last"),
+    )
+
+
+def mixture_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group corpus share for mixture weighting: ``(group, n_docs,
+    n_tokens, token_share)`` where token_share is the group's fraction of
+    all whitespace tokens (6-dp). One map-side-combined groupBy; the
+    grand total joins back as a broadcast single row.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = df.select(F.col(group_col).alias("group"), n_tok.alias("nt")).groupBy(
+        "group"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "group",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent word ``n``-grams: ``(gram, n_occurrences)``,
+    top ``k`` by (count desc, gram asc). Map-side-combined count shuffle +
+    engine-native TakeOrdered — no global sort materializes.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = df.select(F.explode(_word_grams(toks, n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def source_quota(
     df: DataFrame,
     per_group: int,

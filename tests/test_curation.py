@@ -137,3 +137,36 @@ def test_source_quota_cap_and_determinism(spark):
 def test_source_quota_small_group_untouched(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
     assert curation.source_quota(df, per_group=10, group_col="source").count() == 3
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    rows = [
+        (1, "a " * 3, "s"),   # 4 tokens? "a a a " -> trim -> "a a a" = 3
+        (2, "b " * 5, "s"),   # 5 tokens, starts at 3
+        (3, "c " * 4, "s"),   # 4 tokens, starts at 8 -> crosses bin edge 10
+        (4, "d d", "t"),      # separate group restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in curation.pack_sequences(df, max_tokens=10).collect()}
+    assert (out[1]["start_offset"], out[1]["bin_first"], out[1]["bin_last"]) == (0, 0, 0)
+    assert (out[2]["start_offset"], out[2]["bin_first"], out[2]["bin_last"]) == (3, 0, 0)
+    # doc 3 spans tokens [8, 12) -> straddles bins 0 and 1
+    assert (out[3]["start_offset"], out[3]["bin_first"], out[3]["bin_last"]) == (8, 0, 1)
+    assert (out[4]["group"], out[4]["start_offset"]) == ("t", 0)
+
+
+def test_mixture_stats_shares_sum_to_one(spark):
+    rows = [(1, "w w w", "a"), (2, "w", "a"), (3, "w w w w", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["group"]: r for r in curation.mixture_stats(df).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_tokens"] == 4
+    assert out["a"]["token_share"] == pytest.approx(0.5, abs=1e-6)
+    assert sum(r["token_share"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_top_ngrams_order_and_ties(spark):
+    df = _mkdocs(spark, [(1, "x y x y z"), (2, "x y q")])
+    out = curation.top_ngrams(df, n=2, k=3).collect()
+    assert (out[0]["gram"], out[0]["n_occurrences"]) == ("x y", 3)
+    # ties broken ascending by gram
+    assert [r["gram"] for r in out[1:]] == ["y q", "y x"]

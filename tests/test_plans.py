@@ -228,3 +228,24 @@ def test_uniform_sample_n_is_take_ordered(spark, docs):
     plan = plan_of(sampling.uniform_sample_n(docs, 10, "doc_id", seed=5))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_c4_and_pii_are_shuffle_free(spark, docs):
+    """Curation narrow maps (line filter, PII scrub) must be pure
+    scan -> project: zero Exchange."""
+    from grape_vector_db_spark.operators import curation
+
+    assert "Exchange" not in plan_of(curation.c4_line_filter(docs))
+    assert "Exchange" not in plan_of(curation.pii_redact(docs))
+
+
+def test_strip_boilerplate_broadcasts_frequent_lines(spark, docs):
+    """The boilerplate anti-join must broadcast the (threshold-compacted)
+    frequent-line set — boilerplate lines are exactly the hot keys a
+    shuffled anti-join would skew on."""
+    from grape_vector_db_spark.operators import curation
+
+    plan = plan_of(curation.strip_boilerplate(docs, min_docs=2))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    )
