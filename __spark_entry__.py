@@ -571,6 +571,34 @@ def q_top_ngrams(spark, sf_dir):
     return curation.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation flow a training-data pipeline would run:
+    C4 line filter (doc keep flag) -> Gopher repetition gate
+    (dup_line_frac <= 0.3) -> exact-dup removal on the CLEANED text
+    (keep the smallest doc_id per md5) -> per-source quota (8). Every
+    stage is one of the registered operators; the oracle composes the
+    same CTEs, so the whole chain is value-checked end to end."""
+    from pyspark.sql import Window
+
+    synth = _synth_docs(spark, sf_dir)
+    c4 = curation.c4_line_filter(synth).where("keep")
+    rep = curation.repetition_signals(synth).where(F.col("dup_line_frac") <= 0.3)
+    base = (
+        c4.join(rep.select("doc_id"), "doc_id")
+        .join(synth.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "clean_text")
+    )
+    w = Window.partitionBy(F.md5("clean_text")).orderBy(F.col("doc_id").asc())
+    survivors = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source")
+    )
+    return curation.source_quota(survivors, per_group=8).select(
+        "doc_id", "source", "rk"
+    )
+
+
 def _cust_geo(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return cust.select(
@@ -974,11 +1002,18 @@ def q_decontamination(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     train, ev = sampling.split_train_eval(docs, 0.25, "doc_id", seed=9)
-    # slice the ONE ingest-built shingle table by the split gates —
-    # retokenizing per split would double the dominant cost
+    # slice the ONE ingest-built shingle table by the split GATE — split
+    # membership is a pure hash predicate on doc_id, so each slice is a
+    # narrow filter the cached scan absorbs. The previous semi-join
+    # against the split doc lists shuffled the shingle table once per
+    # slice evaluation (the operator evaluates the slices up to three
+    # times: hot-shingle union, eval sizes, the cross join itself).
     sh = _shingles(spark, sf_dir)
-    tsh = sh.join(train.select("doc_id"), "doc_id", "left_semi")
-    esh = sh.join(ev.select("doc_id"), "doc_id", "left_semi")
+    gate = F.coalesce(
+        sampling.hash_gate(F.col("doc_id"), 0.25, seed=9), F.lit(False)
+    )
+    tsh = sh.where(~gate)
+    esh = sh.where(gate)
     return dedup.contamination_pairs(
         train, ev, n=3, threshold=0.3, max_shingle_df=100,
         train_shingles_df=tsh, eval_shingles_df=esh,
@@ -1289,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "mixture_stats": q_mixture_stats,
         "top_ngrams": q_top_ngrams,
+        "curation_pipeline": q_curation_pipeline,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
@@ -1695,14 +1731,7 @@ def _repetition_sql() -> str:
 
     return rf"""
         WITH {_SYNTH_SQL},
-        lc AS (SELECT doc_id, line, count(*) AS c FROM _lines GROUP BY 1, 2),
-        ls AS (
-          SELECT doc_id, sum(c)::BIGINT AS n_lines,
-                 round(sum(c - 1)::DOUBLE / sum(c), 6) AS dup_line_frac,
-                 round(sum((c - 1) * length(line))::DOUBLE
-                       / greatest(sum(c * length(line)), 1), 6) AS dup_line_char_frac
-          FROM lc GROUP BY 1
-        )
+        {_repline_ctes()}
         SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
                coalesce(a.top2gram_char_frac, 0.0) AS top2gram_char_frac,
                coalesce(b.top3gram_char_frac, 0.0) AS top3gram_char_frac
@@ -1712,12 +1741,13 @@ def _repetition_sql() -> str:
     """
 
 
-def _c4_clean_sql() -> str:
+def _c4_ctes() -> str:
+    """flags + agg CTE fragment of the C4 line filter (shared by the
+    c4_clean oracle and the end-to-end curation_pipeline oracle)."""
     blockchecks = " ".join(
         f"AND NOT contains(lower(line), '{b}')" for b in curation.LINE_BLOCKLIST
     )
     return rf"""
-        WITH {_SYNTH_SQL},
         flags AS (
           SELECT doc_id, i, line,
                  (len(regexp_extract_all(line, '\S+')) >= 3
@@ -1733,6 +1763,28 @@ def _c4_clean_sql() -> str:
                           FILTER (WHERE ok), '') AS clean_text
           FROM flags GROUP BY 1
         )
+    """
+
+
+def _repline_ctes() -> str:
+    """lc + ls CTE fragment: per-doc duplicate-line stats (shared by the
+    repetition_signals oracle and the curation_pipeline oracle)."""
+    return """
+        lc AS (SELECT doc_id, line, count(*) AS c FROM _lines GROUP BY 1, 2),
+        ls AS (
+          SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                 round(sum(c - 1)::DOUBLE / sum(c), 6) AS dup_line_frac,
+                 round(sum((c - 1) * length(line))::DOUBLE
+                       / greatest(sum(c * length(line)), 1), 6) AS dup_line_char_frac
+          FROM lc GROUP BY 1
+        )
+    """
+
+
+def _c4_clean_sql() -> str:
+    return f"""
+        WITH {_SYNTH_SQL},
+        {_c4_ctes()}
         SELECT doc_id, n_lines, n_kept_lines, clean_text,
                (n_kept_lines >= 1 AND n_kept_lines * 2 >= n_lines) AS keep
         FROM agg
@@ -1840,6 +1892,38 @@ def _top_ngrams_sql(n: int = 2, k: int = 20) -> str:
         )
         SELECT gram, count(*) AS n_occurrences FROM g GROUP BY 1
         ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
+    """
+
+
+def _curation_pipeline_sql() -> str:
+    return f"""
+        WITH {_SYNTH_SQL},
+        {_c4_ctes()},
+        {_repline_ctes()},
+        c4k AS (
+          SELECT doc_id, clean_text FROM agg
+          WHERE n_kept_lines >= 1 AND n_kept_lines * 2 >= n_lines
+        ),
+        repk AS (SELECT doc_id FROM ls WHERE dup_line_frac <= 0.3),
+        base AS (
+          SELECT c.doc_id, s.source, c.clean_text
+          FROM c4k c JOIN repk USING (doc_id) JOIN _synth s USING (doc_id)
+        ),
+        dd AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY md5(clean_text)
+                                    ORDER BY doc_id) AS _rn
+          FROM base
+        ),
+        kept AS (SELECT doc_id, source FROM dd WHERE _rn = 1)
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_h32_sql('doc_id::VARCHAR', 0)} ASC, doc_id ASC
+                 )::INT AS rk
+          FROM kept
+        ) WHERE rk <= 8
     """
 
 
@@ -2177,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "mixture_stats": _mixture_stats_sql(),
         "top_ngrams": _top_ngrams_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,
