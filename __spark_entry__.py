@@ -443,13 +443,13 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """The 100 TB embedding-neardup path: random-projection bucket
-    prefilter + exact cosine verify inside buckets. The md5-derived
-    hyperplanes are deterministic, so the oracle reproduces the exact
-    bucket assignment (same literals as rp_buckets) — hash-exact despite
-    being an LSH method."""
+    """The 100 TB embedding-neardup path: OR-amplified multi-table
+    random-projection prefilter (4 planes x 4 tables) + exact cosine
+    verify over the deduped candidates. The md5-derived hyperplanes are
+    deterministic, so the oracle reproduces every bucket assignment —
+    hash-exact despite being an LSH method."""
     return dedup.embedding_neardup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.3, n_planes=8, seed=42
+        _emb(spark, sf_dir), threshold=0.3, n_planes=4, n_tables=4, seed=42
     )
 
 
@@ -1968,6 +1968,21 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN list_inner_product(v, {plane}) > 0 THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
+
+    def _rp_bucket_sql(n_planes: int, seed: int) -> str:
+        ps = _rp_planes_sql(n_planes=n_planes, seed=seed)
+        return " + ".join(
+            f"(CASE WHEN list_inner_product(v, {plane}) > 0"
+            f" THEN {1 << (len(ps) - 1 - i)} ELSE 0 END)"
+            for i, plane in enumerate(ps)
+        )
+
+    # multi-table LSH twin: table t = 4-plane family seeded 42 + t
+    lsh_tables = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl,"
+        f" ({_rp_bucket_sql(4, 42 + t)})::INT AS bucket FROM {_EMB_D}"
+        for t in range(4)
+    )
     return {
         "knn_cosine": _dense_sql(K_DEFAULT).replace("AS doc_id", "AS vec_id").replace(
             ", doc_id LIMIT", ", vec_id LIMIT"
@@ -2238,17 +2253,22 @@ def oracle_sql() -> dict[str, str]:
             FROM {_EMB_D} x JOIN {_EMB_D} y ON x.vec_id < y.vec_id
             WHERE round({_cos('x.v', 'y.v')}, 6) >= 0.5
         """,
-        # same deterministic md5 hyperplanes as rp_buckets, so the LSH
-        # prefilter is exactly reproducible relationally
+        # same deterministic md5 hyperplane families as the Spark side, so
+        # the OR-amplified multi-table prefilter is exactly reproducible
+        # relationally
         "embedding_neardup_lsh": f"""
-            WITH bk AS (
-              SELECT vec_id, v, ({bucket_expr})::INT AS bucket FROM {_EMB_D}
+            WITH bk AS ({lsh_tables}),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              FROM bk x JOIN bk y
+                ON x.tbl = y.tbl AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
             )
-            SELECT x.vec_id AS a, y.vec_id AS b,
-                   round({_cos('x.v', 'y.v')}, 6) AS cosine
-            FROM bk x JOIN bk y
-              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-            WHERE round({_cos('x.v', 'y.v')}, 6) >= 0.3
+            SELECT c.a, c.b, round({_cos('ea.v', 'eb.v')}, 6) AS cosine
+            FROM cand c
+            JOIN {_EMB_D} ea ON ea.vec_id = c.a
+            JOIN {_EMB_D} eb ON eb.vec_id = c.b
+            WHERE round({_cos('ea.v', 'eb.v')}, 6) >= 0.3
         """,
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),

@@ -848,6 +848,13 @@ def random_projection_buckets(
     """
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    v = to_double_array(vec_col)
+    bucket = _rp_bucket_expr(v, n_planes, dim, seed)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def _rp_bucket_expr(v, n_planes: int, dim: int, seed: int):
+    """Sign-bit bucket Column for one hyperplane table (MSB = plane 0)."""
     planes = []
     for p in range(n_planes):
         coords = []
@@ -855,7 +862,6 @@ def random_projection_buckets(
             hx = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
             coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
         planes.append(coords)
-    v = to_double_array(vec_col)
     bits = [
         F.when(
             F.aggregate(
@@ -871,4 +877,33 @@ def random_projection_buckets(
     bucket = F.lit(0)
     for b in bits:
         bucket = bucket * 2 + b
-    return df.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
+
+
+def random_projection_tables(
+    df: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket) — OR-amplified multi-table sign-bit LSH in ONE
+    scan: table t uses the hyperplane family seeded ``seed + t``, and a
+    pair is a candidate if it collides in ANY table. Collision probability
+    for angle theta: 1 - (1 - (1 - theta/pi)^p)^L — the standard
+    (p AND, L OR) amplification; a single p-plane table keeps candidate
+    volume down but its recall collapses below the S-curve knee (measured
+    0.14 pair recall at cosine 0.5 with one 8-plane table; see RECALL.md).
+    """
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    v = to_double_array(vec_col)
+    buckets = F.array(
+        *[_rp_bucket_expr(v, n_planes, dim, seed + t) for t in range(n_tables)]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )

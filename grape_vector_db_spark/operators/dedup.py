@@ -516,45 +516,62 @@ def embedding_neardup_pairs_gemm(
 def embedding_neardup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= threshold among vectors sharing
-    a random-projection LSH bucket — THE 100 TB embedding-neardup path.
+    ANY random-projection LSH bucket — THE 100 TB embedding-neardup path.
 
-    Shape: sign-bit bucket per vector (ann.random_projection_buckets, a
-    narrow map — deterministic md5-derived hyperplanes, so the DuckDB
-    oracle reproduces the buckets exactly), then a bucket-equality hash
-    self-join + exact cosine verify. Work is bounded by
-    sum(bucket_size^2), never all-pairs; with 2^n_planes buckets and
-    roughly uniform vectors that is ~n^2/2^n_planes candidate pairs.
-    Semantics are the documented LSH contract: a pair in different
-    buckets is (by design) not reported — recall rises with fewer planes
-    or multiple seeds OR-ed together; the exact variants below are the
+    Shape: (p AND, L OR)-amplified sign-bit buckets in one scan
+    (ann.random_projection_tables — deterministic md5-derived
+    hyperplanes, so the DuckDB oracle reproduces every bucket exactly),
+    a (table, bucket)-equality self-join, DISTINCT over the candidate id
+    pairs (a pair colliding in several tables verifies once), then the
+    exact cosine verify. Work is bounded by L * sum(bucket_size^2), never
+    all-pairs. Pair recall at angle theta is 1 - (1 - (1-theta/pi)^p)^L:
+    the (4, 8) default holds ~0.8+ at cosine 0.5 where a single 8-plane
+    table measured 0.14 (RECALL.md) — OR-amplification is what makes LSH
+    usable below the S-curve knee; the exact variants remain the
     ground-truth companions.
     """
     from . import ann
 
-    buckets = ann.random_projection_buckets(
-        emb, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    buckets = ann.random_projection_tables(
+        emb, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = (
+        buckets.select(F.col("id").alias("a"), "tbl", "bucket")
+        .join(
+            buckets.select(F.col("id").alias("b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
     v = to_double_array(vec_col)
     base = emb.select(
         F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
-    ).join(buckets, "id")
-    x = base.select(
-        F.col("id").alias("a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "bucket",
-    )
-    y = base.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "bucket",
     )
     return (
-        x.join(y, "bucket")
-        .where(F.col("a") < F.col("b"))
+        cand.join(
+            base.select(
+                F.col("id").alias("a"), F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "b",
+        )
         .select(
             "a",
             "b",

@@ -106,6 +106,63 @@ def stream_upsert_with_index(
     return writer.start()
 
 
+def stream_curate_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming curation ingest: each micro-batch is PII-scrubbed and
+    C4-line-filtered BEFORE it merges into the documents table, so the
+    stored corpus only ever contains cleaned, kept documents — the
+    streaming twin of the batch ``curation_pipeline`` front half. Both
+    passes are narrow maps (operators.curation), so the per-batch cost is
+    one scan; dropped docs (keep = false) never reach the table.
+    """
+    from ..operators.curation import c4_line_filter, pii_redact
+
+    spark = stream_df.sparkSession
+
+    def _curate(batch: DataFrame) -> DataFrame:
+        scrubbed = pii_redact(batch, id_col=id_col, text_col=text_col).select(
+            F.col("doc_id").alias(id_col), F.col("clean_text")
+        )
+        others = [c for c in batch.columns if c != text_col]
+        rejoined = batch.select(*others).join(scrubbed, id_col)
+        kept = (
+            c4_line_filter(
+                rejoined, min_words=min_words, id_col=id_col,
+                text_col="clean_text",
+            )
+            .where("keep")
+            .select(F.col("doc_id").alias(id_col), F.col("clean_text"))
+        )
+        return (
+            rejoined.drop("clean_text")
+            .join(kept, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        curated = _curate(batch)
+        try:
+            existing = read_table(spark, table_path)
+            merged = merge_upsert(existing, curated, id_col=id_col)
+        except Exception:
+            merged = curated
+        publish_table(spark, table_path, merged)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

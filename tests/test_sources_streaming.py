@@ -226,3 +226,45 @@ def test_stateful_sessionize_stream(spark, tmpdir):
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {(1, 0, 30 * M, 2), (2, 0, 0, 1)}
+
+
+def test_stream_curate_to_parquet(spark, tmpdir):
+    """Streaming curation ingest: PII scrubbed and unkeepable docs dropped
+    before the table merge — the stored corpus is born clean."""
+    from grape_vector_db_spark.streaming.ingest import stream_curate_to_parquet
+
+    src = f"{tmpdir}/incoming"
+    table = f"{tmpdir}/clean_docs"
+    spark.createDataFrame(
+        [
+            (1, "mail me at a.user@test.org for the full report today.\n"
+                "this second line is also perfectly fine."),
+            (2, "short"),  # no keepable line -> dropped entirely
+        ],
+        "doc_id int, text string",
+    ).write.parquet(src)
+    q = stream_curate_to_parquet(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        table,
+        checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(60)
+    out = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert set(out) == {1}
+    assert "[EMAIL]" in out[1] and "a.user@test.org" not in out[1]
+    assert "second line" in out[1]
+
+    # late batch: doc 2 arrives cleaned up -> upserts; doc 1 untouched
+    spark.createDataFrame(
+        [(2, "now this document has a real sentence in it.")],
+        "doc_id int, text string",
+    ).write.mode("append").parquet(src)
+    q = stream_curate_to_parquet(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        table,
+        checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(60)
+    out = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert set(out) == {1, 2}
+    assert "[EMAIL]" in out[1]

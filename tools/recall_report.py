@@ -122,9 +122,93 @@ def main() -> None:
         "embedding corpora cluster far better, so the recall/scan "
         "tradeoff above is a lower bound."
     )
+    lines += _neardup_section(spark)
     with open("/root/repo/RECALL.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
+
+
+def _neardup_section(spark) -> list[str]:
+    """Pair recall of the bucketed near-dup paths vs their exact ground
+    truth — the dedup analogue of the search-recall table above. Both LSH
+    paths verify candidates exactly, so precision is 1.0 by construction;
+    the question is how many true pairs the buckets surface."""
+    from grape_vector_db_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    sh = dedup.shingles(docs, 3).persist()
+    sh.count()
+
+    def pairset(df):
+        return {(r["a"], r["b"]) for r in df.select("a", "b").collect()}
+
+    t0 = time.time()
+    truth_j = pairset(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.2, shingles_df=sh)
+        .selectExpr("a", "b")
+    )
+    truth_j_s = time.time() - t0
+    t0 = time.time()
+    lsh_j = pairset(
+        dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.2, shingles_df=sh
+        )
+    )
+    lsh_j_s = time.time() - t0
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    t0 = time.time()
+    truth_e = pairset(dedup.embedding_neardup_pairs_gemm(emb, threshold=0.5))
+    truth_e_s = time.time() - t0
+    t0 = time.time()
+    lsh_e1 = pairset(
+        dedup.embedding_neardup_pairs_lsh(
+            emb, threshold=0.5, n_planes=8, n_tables=1
+        )
+    )
+    lsh_e1_s = time.time() - t0
+    t0 = time.time()
+    lsh_e = pairset(
+        dedup.embedding_neardup_pairs_lsh(
+            emb, threshold=0.5, n_planes=4, n_tables=8
+        )
+    )
+    lsh_e_s = time.time() - t0
+
+    def rec(approx, truth):
+        return len(approx & truth) / max(len(truth), 1)
+
+    return [
+        "",
+        "## Near-dup pair recall — bucketed paths vs exact ground truth",
+        "",
+        "Both LSH paths verify candidates with the exact measure, so",
+        "precision is 1.0 by construction; recall below is the fraction",
+        "of true pairs whose bucket collides. sf0.1 corpus.",
+        "",
+        "| path | truth pairs | found | pair recall | exact (s) | lsh (s) |",
+        "|---|---|---|---|---|---|",
+        f"| MinHash-LSH 16 hashes x 4 bands vs Jaccard>=0.2 "
+        f"| {len(truth_j)} | {len(lsh_j)} | {rec(lsh_j, truth_j):.2f} "
+        f"| {truth_j_s:.1f} | {lsh_j_s:.1f} |",
+        f"| RP-LSH single table, 8 planes vs cosine>=0.5 "
+        f"| {len(truth_e)} | {len(lsh_e1)} | {rec(lsh_e1, truth_e):.2f} "
+        f"| {truth_e_s:.1f} | {lsh_e1_s:.1f} |",
+        f"| RP-LSH OR-amplified, 4 planes x 8 tables vs cosine>=0.5 "
+        f"| {len(truth_e)} | {len(lsh_e)} | {rec(lsh_e, truth_e):.2f} "
+        f"| {truth_e_s:.1f} | {lsh_e_s:.1f} |",
+        "",
+        "The MinHash S-curve at (r=4, b=4) crosses ~0.5 collision",
+        "probability near J=0.55, so J in [0.2, 0.5) pairs are found with",
+        "the banding's tail probability — raise bands (or lower r) when",
+        "the threshold sits below the S-curve knee; the exact shared-",
+        "shingle join remains the fallback truth path at any threshold.",
+        "The single-table RP row is why embedding_neardup_pairs_lsh",
+        "defaults to (p=4, L=8) OR-amplification: collision probability",
+        "1 - (1 - (1-theta/pi)^p)^L instead of (1-theta/pi)^p, trading",
+        "candidate volume for the recall a single table forfeits below",
+        "its S-curve knee.",
+    ]
 
 
 if __name__ == "__main__":
