@@ -553,37 +553,44 @@ def embedding_neardup_pairs_lsh(
         .select("a", "b")
         .distinct()
     )
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     v = to_double_array(vec_col)
-    base = emb.select(
-        F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
-    )
-    return (
-        cand.join(
-            base.select(
-                F.col("id").alias("a"), F.col("v").alias("va"),
-                F.col("nrm").alias("na"),
-            ),
-            "a",
-        )
-        .join(
-            base.select(
-                F.col("id").alias("b"), F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            F.round(
-                cosine_from_parts(
-                    dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
-                ),
-                6,
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    paired = cand.join(
+        base.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
+    ).join(base.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+
+    # Vectorized Arrow verify: OR-amplification multiplies candidates, and
+    # a Catalyst higher-order fold evaluates its lambda per element
+    # (candidates x dim interpreted calls); one numpy einsum per batch does
+    # the same dot products in BLAS time. Sum order differs from the fold
+    # by ~1e-15 — absorbed by the 6-dp round (same note as the GEMM path).
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf["va"]), dtype=np.float64)
+            B = np.asarray(list(pdf["vb"]), dtype=np.float64)
+            denom = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(
+                    denom > 0, np.einsum("ij,ij->i", A, B) / denom, 0.0
+                )
+            cos = np.round(cos, 6)
+            m = cos >= threshold
+            if m.any():
+                yield pd.DataFrame(
+                    {
+                        "a": pdf["a"].to_numpy()[m],
+                        "b": pdf["b"].to_numpy()[m],
+                        "cosine": cos[m],
+                    }
+                )
+
+    return paired.mapInPandas(verify, "a long, b long, cosine double")
 
 
 def embedding_neardup_pairs_fast(
