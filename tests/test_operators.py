@@ -587,3 +587,26 @@ def test_pq_encode_preserves_passthrough_types(spark):
     assert dict(out.dtypes)["part"] == "string"
     rows = {r["id"]: (r["part"], list(r["codes"])) for r in out.collect()}
     assert rows == {1: ("p0", [0]), 2: ("p1", [1])}
+
+
+def test_rp_tables_deterministic_and_contains_single_table(spark, emb):
+    """Multi-table RP-LSH: (1) bucket assignment is a pure function of
+    (seed, table); (2) table t of random_projection_tables equals a
+    single-table run seeded seed+t — the OR-amplified candidate set can
+    only grow with L."""
+    from grape_vector_db_spark.operators import ann
+
+    t1 = ann.random_projection_tables(emb, n_planes=4, n_tables=3, seed=7)
+    t2 = ann.random_projection_tables(emb, n_planes=4, n_tables=3, seed=7)
+    rows1 = sorted(map(tuple, t1.collect()))
+    assert rows1 == sorted(map(tuple, t2.collect()))
+
+    single = {
+        (r["id"], r["bucket"])
+        for r in ann.random_projection_buckets(emb, n_planes=4, seed=8).collect()
+    }
+    table1 = {
+        (r["id"], r["bucket"])
+        for r in t1.where("tbl = 1").select("id", "bucket").collect()
+    }
+    assert table1 == single
