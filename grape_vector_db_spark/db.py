@@ -176,10 +176,12 @@ class GrapeVectorDB:
             ann.save_index(self._path("index_ivf"), cents, assigned)
         elif kind == "binary":
             packed = quantization.pack_bits(emb, "vec_id", self.vec_col)
-            packed.write.mode("overwrite").parquet(self._path("index_packed"))
+            # versioned swap, same as the data tables — a search running
+            # mid-rebuild reads the old or new index, never a partial one
+            self._publish("index_packed", packed)
         elif kind == "sq":
             sq = quantization.sq_quantize(emb, "vec_id", self.vec_col)
-            sq.write.mode("overwrite").parquet(self._path("index_sq"))
+            self._publish("index_sq", sq)
         else:
             raise ValueError(f"unknown index kind {kind!r}")
 
@@ -223,12 +225,12 @@ class GrapeVectorDB:
                 cents, assigned = ann.load_index(self.spark, self._path("index_ivf"))
                 return ann.ivf_search(emb, cents, assigned, vector, k=limit)
             if choice.strategy == "sq_two_stage":
-                sq = self.spark.read.parquet(self._path("index_sq"))
+                sq = self._read("index_sq")
                 return quantization.sq_search(
                     emb, vector, k=limit, sq_df=sq
                 ).drop("approx_dot")
             if choice.strategy == "binary_two_stage":
-                packed = self.spark.read.parquet(self._path("index_packed"))
+                packed = self._read("index_packed")
                 return quantization.two_stage_search(
                     emb, vector, k=limit, packed_df=packed
                 )

@@ -728,9 +728,14 @@ def save_index(path: str, cents: DataFrame, assigned: DataFrame) -> None:
     ``assigned`` carries the vector column ``v`` (ivf_build
     include_vectors=True), the layout is a full inverted list and
     ivf_search_pruned can search it with zero joins."""
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{path}/assignments"
+    from ..sources.tables import publish_table
+
+    spark = cents.sparkSession
+    # versioned swap (sources.tables): a concurrent reader mid-rebuild sees
+    # the old or the new index, never a half-written one
+    publish_table(spark, f"{path}/centroids", cents)
+    publish_table(
+        spark, f"{path}/assignments", assigned, partition_by=["cluster"]
     )
 
 
@@ -792,19 +797,27 @@ def save_pq_index(path: str, codebooks, codes: DataFrame) -> None:
         for j, book in enumerate(codebooks)
         for c, cw in enumerate(book)
     ]
-    spark.createDataFrame(
-        rows, "j int, cluster int, codeword array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    w = codes.write.mode("overwrite")
-    if "cluster" in codes.columns:
-        w = w.partitionBy("cluster")
-    w.parquet(f"{path}/codes")
+    from ..sources.tables import publish_table
+
+    publish_table(
+        spark,
+        f"{path}/codebooks",
+        spark.createDataFrame(rows, "j int, cluster int, codeword array<double>"),
+    )
+    publish_table(
+        spark,
+        f"{path}/codes",
+        codes,
+        partition_by=["cluster"] if "cluster" in codes.columns else None,
+    )
 
 
 def load_pq_index(spark, path: str):
     """Load a persisted PQ index -> (codebooks nested list, codes df);
     shape validation mirrors the reference's load-time checks."""
-    cb = spark.read.parquet(f"{path}/codebooks")
+    from ..sources.tables import read_table
+
+    cb = read_table(spark, f"{path}/codebooks")
     rows = cb.collect()
     if not rows:
         raise ValueError("empty codebook table")
@@ -817,14 +830,16 @@ def load_pq_index(spark, path: str):
         for c in range(k):
             if codebooks[j][c] is None:
                 raise ValueError(f"codebook missing entry (j={j}, cluster={c})")
-    return codebooks, spark.read.parquet(f"{path}/codes")
+    return codebooks, read_table(spark, f"{path}/codes")
 
 
 def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load persisted IVF index tables; dimension/shape validation mirrors
     the reference's load-time checks (src/query.rs:352-371)."""
-    cents = spark.read.parquet(f"{path}/centroids")
-    assigned = spark.read.parquet(f"{path}/assignments")
+    from ..sources.tables import read_table
+
+    cents = read_table(spark, f"{path}/centroids")
+    assigned = read_table(spark, f"{path}/assignments")
     for col in ("cluster", "centroid"):
         if col not in cents.columns:
             raise ValueError(f"centroid table missing column {col!r}")

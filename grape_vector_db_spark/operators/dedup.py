@@ -344,7 +344,8 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "label", F.col("id")
         )
     ).localCheckpoint()
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
@@ -370,15 +371,21 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    else:
-        # the loop exhausted max_iter with labels still changing: returning
-        # would silently hand back partially-propagated labels (distant
-        # nodes of a long chain in different clusters). Fail loudly.
-        edges.unpersist()
-        raise RuntimeError(
-            f"cluster_pairs did not converge in max_iter={max_iter} rounds; "
-            "a component's diameter exceeds max_iter — raise max_iter"
-        )
+        # count LABEL-CHANGING rounds and only give up when round
+        # max_iter+1 would still change: a component of diameter exactly
+        # max_iter makes its last change in round max_iter and is fully
+        # propagated — the old for/else raised on that converged state.
+        rounds += 1
+        if rounds > max_iter:
+            # returning would silently hand back partially-propagated
+            # labels (distant nodes of a long chain in different
+            # clusters). Fail loudly.
+            edges.unpersist()
+            raise RuntimeError(
+                f"cluster_pairs did not converge in max_iter={max_iter} "
+                "rounds; a component's diameter exceeds max_iter — raise "
+                "max_iter"
+            )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -473,7 +480,10 @@ def embedding_neardup_pairs_gemm(
     base = emb.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        (F.col(id_col) % n_blocks).cast("int").alias("block"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # id would land in a block the broadcast block-pair table doesn't
+        # cover and silently vanish from the pair output
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
     )
     mats = base.groupBy("block").agg(
         F.collect_list("id").alias("ids"),
@@ -543,14 +553,28 @@ def embedding_neardup_pairs_lsh(
         emb, n_planes=n_planes, n_tables=n_tables, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
-    cand = (
-        buckets.select(F.col("id").alias("a"), "tbl", "bucket")
-        .join(
-            buckets.select(F.col("id").alias("b"), "tbl", "bucket"),
-            ["tbl", "bucket"],
+    # Within-bucket pairs from ONE groupBy, not a self-join: each side of
+    # a self-join re-evaluates the n_tables x n_planes x dim projection
+    # over the whole corpus (AQE does not reuse the exchange here —
+    # measured 2x the dominant cost). collect_list per (tbl, bucket) is
+    # bounded by the bucket size the plane count was chosen for; pairs
+    # explode from the sorted id array so a < b by construction.
+    ids = F.array_sort(F.collect_list("id"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+    )
+    cand = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
     import numpy as np
@@ -762,14 +786,35 @@ def simhash_pairs(
             .select("band", "key")
         )
         bandrows = bandrows.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # Within-bucket pairs from ONE groupBy, not a self-join — each side of
+    # a self-join re-evaluates the whole simhash fingerprint pipeline
+    # (explode x bits, two aggregations) over the corpus; the grouped
+    # array explodes pairs after a single evaluation (same shape as
+    # embedding_neardup_pairs_lsh's candidate step). Sort by doc_id so
+    # a < b by construction.
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "simhash")))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("a"),
+                    y.getField("doc_id").alias("b"),
+                    x.getField("simhash")
+                    .bitwiseXOR(y.getField("simhash"))
+                    .alias("x"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        bandrows.alias("x")
-        .join(bandrows.alias("y"), ["band", "key"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        bandrows.groupBy("band", "key")
+        .agg(members.alias("ms"))
+        .where(F.size("ms") > 1)
+        .select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+            "p.a", "p.b", F.expr("bit_count(p.x)").alias("hamming")
         )
         .distinct()
     )

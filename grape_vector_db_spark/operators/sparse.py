@@ -73,7 +73,11 @@ def vocabulary(
     from pyspark.sql import Window
 
     spark = terms.sparkSession
-    t = terms.select("term").distinct()
+    # the distinct-terms shuffle is the dominant cost and feeds three
+    # consumers (quantile sample, per-bucket counts, the final ranked
+    # join) — persist so it runs once; this cache IS the vocabulary index
+    # table an ingest job would materialize
+    t = terms.select("term").distinct().persist()
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sample = [

@@ -145,23 +145,46 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(current_table_path(spark, path))
 
 
-def publish_table(spark: SparkSession, path: str, df: DataFrame, keep: int = 2) -> None:
-    """Atomically publish ``df`` as the table's next version (one write)."""
+def publish_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    keep: int = 2,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Atomically publish ``df`` as the table's next version (one write).
+    ``partition_by`` preserves a partitioned layout (e.g. IVF inverted
+    lists partitioned by cluster) inside the version directory, so
+    partition pruning keeps working across swaps."""
     vs = table_versions(spark, path)
     nxt = (vs[-1] if vs else 0) + 1
     # overwrite clears any partial t=nxt left by a crashed writer
-    df.write.mode("overwrite").parquet(f"{path}/t={nxt}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{path}/t={nxt}")
     fs, P = _hadoop_fs(spark, path)
     stale = vs[: -(keep - 1)] if keep > 1 else vs
     for old in stale:
         fs.delete(P(f"{path}/t={old}"), True)
     if not vs:
-        # migrated a legacy flat table: its root-level data files are now
+        # Migrated a legacy flat table: its root-level DATA files are now
         # shadowed by t=1 — remove them so a raw reader of the table root
         # can't pick up the stale copy (or double-read via partition
-        # discovery)
+        # discovery). Only parquet parts and their write markers are
+        # removed (user-placed files at the root survive). Caveat: a
+        # reader that pinned the flat root BEFORE this first migration can
+        # fail mid-scan — the versioned guarantee starts at t=1; migrate
+        # quiet tables, or pre-publish before opening them to readers.
         for st in fs.listStatus(P(path)):
-            if st.isFile():
+            name = st.getPath().getName()
+            if st.isFile() and (
+                name.startswith("part-")
+                or name.startswith("_SUCCESS")
+                or name.startswith("_committed")
+                or name.startswith("_started")
+                or name.endswith(".crc")
+            ):
                 fs.delete(st.getPath(), False)
 
 

@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 from ..sources.tables import merge_upsert, publish_table, read_table
 
 
+def _merge_publish(spark, table_path: str, batch: DataFrame, id_col: str) -> None:
+    """MERGE ``batch`` into the versioned table at ``table_path``.
+
+    The except covers ONLY the initial read (first micro-batch: the table
+    does not exist yet). A failure inside merge_upsert itself (schema
+    drift, corrupt current version) must propagate and fail the stream —
+    swallowing it would publish a version containing only the batch rows,
+    and two batches later GC would delete the last good version of the
+    corpus.
+    """
+    try:
+        existing = read_table(spark, table_path)
+    except Exception:  # first batch — nothing to merge into
+        merged = batch
+    else:
+        merged = merge_upsert(existing, batch, id_col=id_col)
+    publish_table(spark, table_path, merged)
+
+
 def stream_upsert_to_parquet(
     stream_df: DataFrame,
     table_path: str,
@@ -38,12 +57,7 @@ def stream_upsert_to_parquet(
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        try:
-            existing = read_table(spark, table_path)
-            merged = merge_upsert(existing, batch, id_col=id_col)
-        except Exception:
-            merged = batch
-        publish_table(spark, table_path, merged)
+        _merge_publish(spark, table_path, batch, id_col)
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:
@@ -80,21 +94,19 @@ def stream_upsert_with_index(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         # 1) documents table
-        try:
-            existing = read_table(spark, table_path)
-            merged = merge_upsert(existing, batch, id_col=id_col)
-        except Exception:
-            merged = batch
-        publish_table(spark, table_path, merged)
-        # 2) incremental doc_terms: drop the batch ids' rows, append fresh
+        _merge_publish(spark, table_path, batch, id_col)
+        # 2) incremental doc_terms: drop the batch ids' rows, append fresh.
+        # Same except scope rule as _merge_publish: only the initial read
+        # may fall back to batch-only content.
         fresh = build_doc_terms(batch, id_col=id_col, text_col=text_col)
         try:
             terms = read_table(spark, terms_path)
+        except Exception:  # first batch — no index table yet
+            updated = fresh
+        else:
             ids = batch.select(F.col(id_col).alias("doc_id")).distinct()
             kept = terms.join(F.broadcast(ids), "doc_id", "left_anti")
             updated = kept.unionByName(fresh)
-        except Exception:
-            updated = fresh
         publish_table(spark, terms_path, updated)
         batch.unpersist()
 
@@ -147,13 +159,7 @@ def stream_curate_to_parquet(
         )
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        curated = _curate(batch)
-        try:
-            existing = read_table(spark, table_path)
-            merged = merge_upsert(existing, curated, id_col=id_col)
-        except Exception:
-            merged = curated
-        publish_table(spark, table_path, merged)
+        _merge_publish(spark, table_path, _curate(batch), id_col)
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:
