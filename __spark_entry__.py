@@ -1244,37 +1244,70 @@ def q_events_sessions(spark, sf_dir):
 # --- rows-only checks (not SQL-expressible: iterative k-means) -------------
 
 
-def q_ivf_search(spark, sf_dir):
+def _ivf_idx(spark, sf_dir):
     # index built once per corpus (the realistic deployment: build at
     # ingest, search many) — same caching discipline as _terms/_shingles
-    emb = _emb(spark, sf_dir)
     key = ("ivf_idx", sf_dir)
     if key not in _CACHE:
-        cents, assigned = ann.ivf_build(emb, nlist=8, max_iter=3)
+        cents, assigned = ann.ivf_build(_emb(spark, sf_dir), nlist=8, max_iter=3)
         _CACHE[key] = (cents, assigned.persist())
-    cents, assigned = _CACHE[key]
-    return ann.ivf_search(emb, cents, assigned, _qv(spark, sf_dir), k=10, nprobe=2)
+    return _CACHE[key]
+
+
+def _pq_idx(spark, sf_dir):
+    key = ("pq_idx", sf_dir)
+    if key not in _CACHE:
+        cbs, codes = ann.pq_build(_emb(spark, sf_dir), m=8, k=16, max_iter=3)
+        _CACHE[key] = (cbs, codes.persist())
+    return _CACHE[key]
+
+
+def _ivfpq_idx(spark, sf_dir):
+    key = ("ivfpq_idx", sf_dir)
+    if key not in _CACHE:
+        cents, cbs, codes = ann.ivfpq_build(
+            _emb(spark, sf_dir), nlist=8, m=8, k=16, max_iter=3
+        )
+        _CACHE[key] = (cents, cbs, codes.persist())
+    return _CACHE[key]
+
+
+def warm_ingest_caches(spark, sf_dir) -> None:
+    """Materialize every ingest-built index table (inverted index, shingle
+    table, ANN index tables) so serving queries measure search, not index
+    build. The reference builds all of these at insert time
+    (src/sparse.rs:71-90, src/index.rs:164-209) and its QPS numbers are
+    steady-state serving against the warm store; bench.py calls this in
+    its untimed preamble and reports ingest throughput separately."""
+    _terms(spark, sf_dir).count()
+    _shingles(spark, sf_dir).count()
+    _, assigned = _ivf_idx(spark, sf_dir)
+    assigned.count()
+    _, codes = _pq_idx(spark, sf_dir)
+    codes.count()
+    _, _, rcodes = _ivfpq_idx(spark, sf_dir)
+    rcodes.count()
+
+
+def q_ivf_search(spark, sf_dir):
+    cents, assigned = _ivf_idx(spark, sf_dir)
+    return ann.ivf_search(
+        _emb(spark, sf_dir), cents, assigned, _qv(spark, sf_dir), k=10, nprobe=2
+    )
 
 
 def q_pq_search(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    key = ("pq_idx", sf_dir)
-    if key not in _CACHE:
-        cbs, codes = ann.pq_build(emb, m=8, k=16, max_iter=3)
-        _CACHE[key] = (cbs, codes.persist())
-    cbs, codes = _CACHE[key]
-    return ann.pq_search(emb, cbs, codes, _qv(spark, sf_dir), k=10, rescore=50)
+    cbs, codes = _pq_idx(spark, sf_dir)
+    return ann.pq_search(
+        _emb(spark, sf_dir), cbs, codes, _qv(spark, sf_dir), k=10, rescore=50
+    )
 
 
 def q_ivfpq_search(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    key = ("ivfpq_idx", sf_dir)
-    if key not in _CACHE:
-        cents, cbs, codes = ann.ivfpq_build(emb, nlist=8, m=8, k=16, max_iter=3)
-        _CACHE[key] = (cents, cbs, codes.persist())
-    cents, cbs, codes = _CACHE[key]
+    cents, cbs, codes = _ivfpq_idx(spark, sf_dir)
     return ann.ivfpq_search(
-        emb, cents, cbs, codes, _qv(spark, sf_dir), k=10, nprobe=3, rescore=50
+        _emb(spark, sf_dir), cents, cbs, codes, _qv(spark, sf_dir),
+        k=10, nprobe=3, rescore=50,
     )
 
 

@@ -165,8 +165,15 @@ def test_ivfpq_index_save_load_partitioned(spark, emb):
         want = [(r["vec_id"], r["score"]) for r in ann.ivfpq_search(
             emb, cents, cbs, codes, qv, k=5, nprobe=4, rescore=30).collect()]
         ann.save_pq_index(d, cbs, codes)
+        # codes live in a versioned dir (atomic swap on rebuild); the
+        # partitioned layout sits inside the current version
         import os
-        assert any(f.startswith("cluster=") for f in os.listdir(f"{d}/codes"))
+
+        from grape_vector_db_spark.sources.tables import current_table_path
+
+        vdir = current_table_path(spark, f"{d}/codes")
+        assert "/t=" in vdir
+        assert any(f.startswith("cluster=") for f in os.listdir(vdir))
         cbs2, codes2 = ann.load_pq_index(spark, d)
         got = [(r["vec_id"], r["score"]) for r in ann.ivfpq_search(
             emb, cents, cbs2, codes2, qv, k=5, nprobe=4, rescore=30).collect()]
