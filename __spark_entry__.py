@@ -571,6 +571,29 @@ def q_top_ngrams(spark, sf_dir):
     return curation.top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def _lm(spark, sf_dir):
+    """Ingest-built smoothed unigram LM table (CCNet-style quality
+    scoring trains the LM once per corpus snapshot)."""
+    key = ("lm", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = textanalysis.unigram_lm(_docs(spark, sf_dir)).persist()
+    return _CACHE[key]
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal: per-doc cross-entropy under the
+    corpus unigram LM. The hash-checked surface is cross_entropy (6 dp);
+    ppl = exp(H) amplifies last-ulp libm differences past the 6-dp
+    boundary, so it stays a pytest-level contract."""
+    return textanalysis.lm_cross_entropy(
+        _docs(spark, sf_dir), _lm(spark, sf_dir)
+    ).select("doc_id", "n_tokens", "cross_entropy")
+
+
+def q_mixture_rebalance(spark, sf_dir):
+    return curation.mixture_rebalance(_docs(spark, sf_dir))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation flow a training-data pipeline would run:
     C4 line filter (doc keep flag) -> Gopher repetition gate
@@ -1281,6 +1304,7 @@ def warm_ingest_caches(spark, sf_dir) -> None:
     its untimed preamble and reports ingest throughput separately."""
     _terms(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
+    _lm(spark, sf_dir).count()
     _, assigned = _ivf_idx(spark, sf_dir)
     assigned.count()
     _, codes = _pq_idx(spark, sf_dir)
@@ -1358,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": q_mixture_stats,
         "top_ngrams": q_top_ngrams,
         "curation_pipeline": q_curation_pipeline,
+        "lm_perplexity": q_lm_perplexity,
+        "mixture_rebalance": q_mixture_rebalance,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
@@ -1960,6 +1986,45 @@ def _curation_pipeline_sql() -> str:
     """
 
 
+def _lm_perplexity_sql(alpha: float = 0.5) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          FROM documents
+        ),
+        toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        counts AS (SELECT term, count(*) AS c FROM toks2 GROUP BY 1),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        lm AS (
+          SELECT term, ln((c + {alpha}) / (n + {alpha} * v)) AS logp
+          FROM counts, tot
+        ),
+        fl AS (SELECT min(logp) AS floor_logp FROM lm)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(-avg(coalesce(l.logp, fl.floor_logp)), 6) AS cross_entropy
+        FROM toks2 t LEFT JOIN lm l USING (term), fl
+        GROUP BY t.doc_id
+    """
+
+
+def _mixture_rebalance_sql() -> str:
+    return rf"""
+        WITH per AS (
+          SELECT source AS "group",
+                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS gtok
+          FROM documents GROUP BY 1
+        ),
+        frac AS (
+          SELECT "group",
+                 (SELECT min(gtok) FROM per)::DOUBLE / gtok AS frac
+          FROM per
+        )
+        SELECT d.doc_id, f."group"
+        FROM documents d JOIN frac f ON d.source = f."group"
+        WHERE {_h32_sql('d.doc_id::VARCHAR', 0)} < f.frac * 4294967296.0
+    """
+
+
 def _source_quota_sql() -> str:
     return f"""
         SELECT doc_id, source, rk FROM (
@@ -2315,6 +2380,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_stats": _mixture_stats_sql(),
         "top_ngrams": _top_ngrams_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
+        "mixture_rebalance": _mixture_rebalance_sql(),
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,

@@ -399,6 +399,45 @@ def top_ngrams(
     )
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample over-represented groups to the smallest group's token
+    mass: each group keeps rows with probability
+    ``min_group_tokens / group_tokens`` via the deterministic md5 hash
+    gate — the uniform-mixture rebalancing step after
+    :func:`mixture_stats` diagnoses the skew. Returns the kept
+    ``(doc_id, group)`` rows.
+
+    Scale shape: one groupBy for the per-group token masses (a
+    groups-sized table, broadcast back), then a pure narrow gate filter —
+    the selection is reproducible on any engine or partitioning, so the
+    SAME rows are kept when the pipeline reruns (sampling.hash_gate
+    semantics).
+    """
+    from .sampling import hash_gate
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (
+        df.select(F.col(group_col).alias("group"), n_tok.alias("nt"))
+        .groupBy("group")
+        .agg(F.sum("nt").alias("gtok"))
+    )
+    frac = per.crossJoin(
+        F.broadcast(per.agg(F.min("gtok").alias("mintok")))
+    ).select(
+        "group", (F.col("mintok") / F.col("gtok")).alias("frac")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("group"))
+    return base.join(F.broadcast(frac), "group").where(
+        hash_gate(F.col("doc_id"), F.col("frac"), seed)
+    ).select("doc_id", "group")
+
+
 def source_quota(
     df: DataFrame,
     per_group: int,

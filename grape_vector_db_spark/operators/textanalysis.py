@@ -240,3 +240,77 @@ def fingerprints(
             )
         ).alias("min_gram_hash"),
     )
+
+
+def unigram_lm(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Add-alpha-smoothed unigram language model trained on the corpus:
+    ``(term, logp)`` with ``P(w) = (c(w) + alpha) / (N + alpha * V)``.
+
+    The training pass is one map-side-combined count shuffle (the same
+    shape as doc_terms) plus a single-row (N, V) aggregate broadcast —
+    at 100 TB this is an ingest-side table, persisted like the inverted
+    index. Tokens are lowercased whitespace words, matching the other
+    textanalysis signals.
+    """
+    toks = df.select(F.explode(_ws_tokens(text_col)).alias("term")).where(
+        F.length("term") > 0
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("n") + F.lit(alpha) * F.col("v"))
+        ).alias("logp"),
+    )
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style per-document LM score: ``(doc_id, n_tokens,
+    cross_entropy, ppl)`` where cross_entropy = -mean log P(w) under the
+    unigram model and ppl = exp(cross_entropy). High-perplexity documents
+    are the classic low-quality tail a training pipeline drops (CCNet,
+    Wenzek et al. 2020 — theirs uses a 5-gram KenLM; the unigram shape
+    keeps the pipeline fully relational and the oracle exact).
+
+    Every in-vocabulary token hits the broadcast-or-shuffled ``lm`` join;
+    out-of-vocabulary tokens (scoring a NEW corpus under a trained LM)
+    get the alpha-smoothed unseen mass via the (N, V) single-row
+    aggregate of the LM itself. One explode + join + groupBy(doc).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_ws_tokens(text_col)).alias("term"),
+    ).where(F.length("term") > 0)
+    # OOV fallback when scoring a corpus the LM was not trained on: floor
+    # unseen tokens at the rarest in-vocabulary probability (a singleton
+    # count-1 term's logp is within log((1+alpha)/alpha) of the exact
+    # alpha-smoothed unseen mass). Scoring the training corpus never
+    # takes this branch.
+    floor = lm.agg(F.min("logp").alias("floor_logp"))
+    scored = (
+        toks.join(lm, "term", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp"), F.col("floor_logp")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+    )

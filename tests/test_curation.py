@@ -170,3 +170,57 @@ def test_top_ngrams_order_and_ties(spark):
     assert (out[0]["gram"], out[0]["n_occurrences"]) == ("x y", 3)
     # ties broken ascending by gram
     assert [r["gram"] for r in out[1:]] == ["y q", "y x"]
+
+
+def test_mixture_rebalance_keeps_smallest_group_whole(spark):
+    rows = [(i, "w " * 20, "big") for i in range(40)] + [
+        (100 + i, "w w w", "small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.mixture_rebalance(df)
+    kept = {r["group"]: 0 for r in out.collect()}
+    for r in out.collect():
+        kept[r["group"]] = kept.get(r["group"], 0) + 1
+    # frac = 1.0 for the smallest group -> every row kept
+    assert kept["small"] == 3
+    # the big group is downsampled toward the small group's token mass
+    assert 0 < kept["big"] < 40
+    # deterministic: identical selection on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in curation.mixture_rebalance(df).collect())
+    assert a == b
+
+
+def test_unigram_lm_and_cross_entropy(spark):
+    import math
+
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    lm = {r["term"]: r["logp"] for r in textanalysis.unigram_lm(df).collect()}
+    # counts: a=2 b=2 c=1, N=5 V=3, alpha=0.5
+    denom = 5 + 0.5 * 3
+    assert lm["a"] == pytest.approx(math.log(2.5 / denom), abs=1e-12)
+    assert lm["c"] == pytest.approx(math.log(1.5 / denom), abs=1e-12)
+    scored = {
+        r["doc_id"]: r
+    for r in textanalysis.lm_cross_entropy(
+        df, textanalysis.unigram_lm(df)
+    ).collect()}
+    h1 = -(2 * lm["a"] + lm["b"]) / 3
+    assert scored[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    assert scored[1]["ppl"] == pytest.approx(math.exp(h1), abs=1e-4)
+
+
+def test_lm_cross_entropy_oov_floor(spark):
+    from grape_vector_db_spark.operators import textanalysis
+
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    lm = textanalysis.unigram_lm(train)
+    floor = min(r["logp"] for r in lm.collect())
+    out = textanalysis.lm_cross_entropy(
+        spark.createDataFrame([(9, "zzz zzz")], "doc_id long, text string"), lm
+    ).collect()[0]
+    assert out["cross_entropy"] == pytest.approx(-floor, abs=1e-6)
