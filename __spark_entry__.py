@@ -594,6 +594,10 @@ def q_mixture_rebalance(spark, sf_dir):
     return curation.mixture_rebalance(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark, sf_dir):
+    return curation.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation flow a training-data pipeline would run:
     C4 line filter (doc keep flag) -> Gopher repetition gate
@@ -1384,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "lm_perplexity": q_lm_perplexity,
         "mixture_rebalance": q_mixture_rebalance,
+        "chunk_documents": q_chunk_documents,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
@@ -2007,6 +2012,30 @@ def _lm_perplexity_sql(alpha: float = 0.5) -> str:
     """
 
 
+def _chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    stride = chunk_tokens - overlap
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(greatest(1,
+                   (len(toks) - {overlap} + {stride} - 1) // {stride}))) AS chunk_id
+          FROM d
+        )
+        SELECT doc_id, chunk_id::INT AS chunk_id,
+               (chunk_id * {stride})::INT AS start_token,
+               least({chunk_tokens}, len(toks) - chunk_id * {stride})::INT
+                 AS n_chunk_tokens,
+               array_to_string(
+                 toks[(chunk_id * {stride} + 1):(chunk_id * {stride} + {chunk_tokens})],
+                 ' ') AS chunk_text
+        FROM c
+    """
+
+
 def _mixture_rebalance_sql() -> str:
     return rf"""
         WITH per AS (
@@ -2382,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
         "mixture_rebalance": _mixture_rebalance_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,

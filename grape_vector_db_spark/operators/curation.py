@@ -399,6 +399,53 @@ def top_ngrams(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the ingest
+    step that feeds an embedding model in a vector database (the
+    reference embeds whole documents; chunking is what real deployments
+    do so long docs stay within the model's context and retrieval hits
+    the relevant span).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; a doc shorter than one
+    window yields exactly one chunk. Returns ``(doc_id, chunk_id,
+    start_token, n_chunk_tokens, chunk_text)``. Pure narrow map (split +
+    sequence + slice), zero shuffles — the scan absorbs it.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"(size(toks) - {overlap} + {stride} - 1) div {stride}"),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_token"),
+        F.least(
+            F.lit(chunk_tokens), F.size("toks") - F.col("chunk_id") * stride
+        ).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )
+
+
 def mixture_rebalance(
     df: DataFrame,
     id_col: str = "doc_id",

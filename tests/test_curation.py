@@ -224,3 +224,30 @@ def test_lm_cross_entropy_oov_floor(spark):
         spark.createDataFrame([(9, "zzz zzz")], "doc_id long, text string"), lm
     ).collect()[0]
     assert out["cross_entropy"] == pytest.approx(-floor, abs=1e-6)
+
+
+def test_chunk_documents_windows(spark):
+    # 10 tokens, chunk=4, overlap=1 -> stride 3 -> chunks at 0,3,6 (+tail)
+    df = _mkdocs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")])
+    out = sorted(
+        curation.chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["start_token"] for r in out] == [0, 3, 6]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(r["n_chunk_tokens"] == 4 for r in out)
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = _mkdocs(spark, [(1, "only two")])
+    out = curation.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert len(out) == 1
+    assert out[0]["n_chunk_tokens"] == 2 and out[0]["chunk_text"] == "only two"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = _mkdocs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=8, overlap=8)
