@@ -598,6 +598,47 @@ def q_chunk_documents(spark, sf_dir):
     return curation.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share: NATION_0 suppliers' yearly share of
+    revenue from EUROPE customers' orders. Six-table join — the fact
+    table is scanned once and every dimension broadcasts (nation/region
+    are tiny literals; supplier/customer joins get AQE's side choice);
+    Catalyst's join reordering is the operator under test here."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cust_eu = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .where(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    supp = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("s_nation"))),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_eu, o["o_custkey"] == cust_eu["c_custkey"], "left_semi")
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            "s_nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("s_nation") == "NATION_0", F.col("rev")).otherwise(0.0))
+            / F.sum("rev"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation flow a training-data pipeline would run:
     C4 line filter (doc keep flag) -> Gopher repetition gate
@@ -1389,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "mixture_rebalance": q_mixture_rebalance,
         "chunk_documents": q_chunk_documents,
+        "market_share": q_market_share,
         "geo_within": q_geo_within,
         "geo_near": q_geo_near,
         "geo_polygon": q_geo_polygon,
@@ -2012,6 +2054,29 @@ def _lm_perplexity_sql(alpha: float = 0.5) -> str:
     """
 
 
+def _market_share_sql() -> str:
+    return """
+        SELECT year(o.o_orderdate)::INT AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                 AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE o.o_custkey IN (
+          SELECT c.c_custkey
+          FROM customer c
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region r ON cn.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        )
+        GROUP BY 1
+    """
+
+
 def _chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     stride = chunk_tokens - overlap
     return rf"""
@@ -2412,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_sql(),
         "mixture_rebalance": _mixture_rebalance_sql(),
         "chunk_documents": _chunk_documents_sql(),
+        "market_share": _market_share_sql(),
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,
