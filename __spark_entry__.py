@@ -1957,15 +1957,15 @@ def _pack_sequences_sql(max_tokens: int = 512) -> str:
         ),
         cum AS (
           SELECT "group", doc_id, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) - n_tokens
-                   AS start_offset
+                 (sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens)::BIGINT AS start_offset
           FROM base
         )
         SELECT "group", doc_id, n_tokens, start_offset,
-               start_offset // {max_tokens} AS bin_first,
-               (start_offset + greatest(n_tokens, 1) - 1) // {max_tokens}
-                 AS bin_last
+               (start_offset // {max_tokens})::BIGINT AS bin_first,
+               ((start_offset + greatest(n_tokens, 1) - 1)
+                // {max_tokens})::BIGINT AS bin_last
         FROM cum
     """
 
@@ -1974,7 +1974,8 @@ def _mixture_stats_sql() -> str:
     return rf"""
         WITH per AS (
           SELECT source AS "group", count(*) AS n_docs,
-                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+                 sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                   AS n_tokens
           FROM documents GROUP BY 1
         )
         SELECT "group", n_docs, n_tokens,
@@ -2090,8 +2091,8 @@ def _chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
                    (len(toks) - {overlap} + {stride} - 1) // {stride}))) AS chunk_id
           FROM d
         )
-        SELECT doc_id, chunk_id::INT AS chunk_id,
-               (chunk_id * {stride})::INT AS start_token,
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               (chunk_id * {stride})::BIGINT AS start_token,
                least({chunk_tokens}, len(toks) - chunk_id * {stride})::INT
                  AS n_chunk_tokens,
                array_to_string(
@@ -2568,7 +2569,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) > 0),
             cnts AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
             per_doc AS (
-              SELECT doc_id, sum(c) AS n_tokens,
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
                      sum(c * log2(c)) AS clogc
               FROM cnts GROUP BY doc_id
             )
@@ -2646,7 +2647,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, n,
                    sum(n) OVER (PARTITION BY event_type ORDER BY day
                                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING
-                                AND CURRENT ROW) AS rolling_7d
+                                AND CURRENT ROW)::BIGINT AS rolling_7d
             FROM daily
         """,
         "sample_stratified": """

@@ -25,16 +25,22 @@ from grape_vector_db_spark.session import get_spark  # noqa: E402
 from grape_vector_db_spark.sources.tables import TABLES  # noqa: E402
 
 
+# Integer widths are deliberately DISTINGUISHED: the driver's value hash is
+# type-sensitive, so a DuckDB HUGEINT sum() vs a Spark BIGINT diverges at the
+# gate even when every value is equal (this exact gap shipped two red rows in
+# CORRECTNESS_r03). An un-cast oracle sum() must FAIL here too.
 _SPARK_KIND = {
-    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64",
     "float": "float", "double": "float",
     "string": "str", "boolean": "bool", "timestamp": "ts",
     "timestamp_ntz": "ts", "date": "date", "binary": "bytes",
 }
 _DUCK_KIND = {
-    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
-    "HUGEINT": "int", "UTINYINT": "int", "USMALLINT": "int",
-    "UINTEGER": "int", "UBIGINT": "int",
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128",
+    "UTINYINT": "uint8", "USMALLINT": "uint16",
+    "UINTEGER": "uint32", "UBIGINT": "uint64",
     "FLOAT": "float", "DOUBLE": "float", "DECIMAL": "float",
     "VARCHAR": "str", "BOOLEAN": "bool",
     "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
