@@ -262,23 +262,34 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     text_col: str = "text",
     delim: str = "\n",
+    max_broadcast_lines: int = 1_000_000,
 ) -> DataFrame:
     """Remove cross-document boilerplate lines and re-assemble documents
     in original line order. Returns ``(doc_id, n_kept_lines, clean_text)``
     — documents whose every line is boilerplate drop out entirely.
 
-    The frequent-line set is compact by construction (only lines above
-    the threshold survive), so the anti-join broadcasts — boilerplate
-    lines are exactly the hot keys a shuffled anti-join would skew on,
-    the same reasoning as dedup's hot-shingle cap
-    (operators/dedup.py hot-shingle handling).
+    Boilerplate lines are exactly the hot keys a shuffled anti-join would
+    skew on (same reasoning as dedup's hot-shingle cap), so broadcasting
+    the frequent-line set is the preferred plan — but "lines in >=
+    min_docs docs" is NOT compact by construction at corpus scale with a
+    low threshold, and an unconditional F.broadcast hint bypasses the
+    autoBroadcastJoinThreshold safety. The set is therefore COUNTED
+    first: at or under ``max_broadcast_lines`` it broadcasts, above it
+    the join falls back to a shuffled anti-join and lets AQE's skew
+    handling split hot line keys. The count re-runs the frequent-line
+    aggregation once (deliberately not persisted — a cache here would
+    outlive the call, the exact leak pattern vocabulary() had); that
+    aggregation is a fraction of the posexplode+groupBy this operator
+    already pays.
     """
     freq = frequent_lines(df, min_docs, id_col, text_col, delim)
+    n_freq = freq.count()
     positioned = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_lines(F.col(text_col), delim)).alias("pos", "line"),
     )
-    kept = positioned.join(F.broadcast(freq), "line", "left_anti")
+    freq_side = F.broadcast(freq) if n_freq <= max_broadcast_lines else freq
+    kept = positioned.join(freq_side, "line", "left_anti")
     return (
         kept.groupBy("doc_id")
         .agg(

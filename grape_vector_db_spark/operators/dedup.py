@@ -531,6 +531,8 @@ def embedding_neardup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+    pair_chunk: int = 512,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= threshold among vectors sharing
     ANY random-projection LSH bucket — THE 100 TB embedding-neardup path.
@@ -546,6 +548,28 @@ def embedding_neardup_pairs_lsh(
     table measured 0.14 (RECALL.md) — OR-amplification is what makes LSH
     usable below the S-curve knee; the exact variants remain the
     ground-truth companions.
+
+    Scale guards (both needed at corpus scale — with p planes there are
+    only 2^p buckets per table, so SIZE n_planes TO THE CORPUS:
+    expected bucket size n/2^p should stay ~1e4, e.g. p>=17 for 1e9
+    vectors):
+
+    * ``bucket_cap`` mirrors :func:`simhash_pairs`: (tbl, bucket) groups
+      holding more than ``bucket_cap`` ids are dropped from candidate
+      generation via a broadcast anti-join BEFORE any per-bucket array is
+      collected, so a degenerate bucket can never materialize a
+      corpus-sized collect_list. Costs one extra count aggregation over
+      the bucket table (only when set) and may miss pairs whose every
+      shared bucket is hot. Default None = exact bucket semantics (what
+      the DuckDB oracle checks); set it (e.g. 10_000) for 100 TB runs.
+    * Pair generation is CHUNKED: the sorted per-bucket id array is cut
+      into ``pair_chunk``-sized slices and (chunk_i, chunk_j) index pairs
+      explode to one row each, so no single row ever materializes more
+      than pair_chunk^2 pair structs (~4 MB at the default 512) — the
+      previous one-array-per-bucket flatten held O(bucket^2) structs in a
+      single value, an executor OOM at exactly the bucket sizes a small
+      ``n_planes`` produces. Total pair work is unchanged; rows stream
+      through explode -> project -> DISTINCT.
     """
     from . import ann
 
@@ -553,27 +577,65 @@ def embedding_neardup_pairs_lsh(
         emb, n_planes=n_planes, n_tables=n_tables, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
+    if bucket_cap is not None:
+        hot = (
+            buckets.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("tbl", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     # Within-bucket pairs from ONE groupBy, not a self-join: each side of
     # a self-join re-evaluates the n_tables x n_planes x dim projection
     # over the whole corpus (AQE does not reuse the exchange here —
-    # measured 2x the dominant cost). collect_list per (tbl, bucket) is
-    # bounded by the bucket size the plane count was chosen for; pairs
-    # explode from the sorted id array so a < b by construction.
+    # measured 2x the dominant cost). Pairs explode from the sorted id
+    # array so a < b by construction; chunking (above) bounds per-row
+    # memory.
     ids = F.array_sort(F.collect_list("id"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    cand = (
+    c = int(pair_chunk)
+    last_chunk = f"(size(ids) - 1) div {c}"
+    chunk_pairs = (
         buckets.groupBy("tbl", "bucket")
         .agg(ids.alias("ids"))
         .where(F.size("ids") > 1)
-        .select(F.explode(pair_arr).alias("p"))
+        .select(
+            "ids",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {last_chunk}), i ->"
+                    f" transform(sequence(i, {last_chunk}), j ->"
+                    " named_struct('i', i, 'j', j))))"
+                )
+            ).alias("kp"),
+        )
+        .select(
+            F.expr(f"slice(ids, kp.i * {c} + 1, {c})").alias("ca"),
+            F.expr(f"slice(ids, kp.j * {c} + 1, {c})").alias("cb"),
+            (F.col("kp.i") == F.col("kp.j")).alias("same"),
+        )
+    )
+    cand = (
+        chunk_pairs.select(
+            F.explode(
+                F.when(
+                    F.col("same"),
+                    # same chunk: upper triangle (x at position p pairs
+                    # with every later element)
+                    F.expr(
+                        "flatten(transform(ca, (x, p) ->"
+                        " transform(slice(cb, p + 2, size(cb)), y ->"
+                        " named_struct('a', x, 'b', y))))"
+                    ),
+                ).otherwise(
+                    # distinct chunks: full cross product (ids sorted
+                    # globally, so every ca element < every cb element)
+                    F.expr(
+                        "flatten(transform(ca, x -> transform(cb, y ->"
+                        " named_struct('a', x, 'b', y))))"
+                    ),
+                )
+            ).alias("p")
+        )
         .select("p.a", "p.b")
         .distinct()
     )

@@ -75,8 +75,13 @@ def vocabulary(
     spark = terms.sparkSession
     # the distinct-terms shuffle is the dominant cost and feeds three
     # consumers (quantile sample, per-bucket counts, the final ranked
-    # join) — persist so it runs once; this cache IS the vocabulary index
-    # table an ingest job would materialize
+    # join) — persist so it runs once. The cache is RELEASED before
+    # returning: the ranked result is materialized (persist + count)
+    # through the cached distinct, then the intermediate is unpersisted,
+    # so repeated vocabulary builds in one session can't accumulate
+    # leaked executor storage. The returned (term, term_id) cache IS the
+    # vocabulary index table an ingest job would materialize; callers own
+    # its lifecycle (df.unpersist() when done).
     t = terms.select("term").distinct().persist()
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -87,6 +92,7 @@ def vocabulary(
         .collect()
     ]
     if not sample:
+        t.unpersist()
         return spark.createDataFrame([], "term string, term_id int")
     sample.sort()
     # stride shrinks for vocabularies smaller than the full sample so even a
@@ -110,13 +116,19 @@ def vocabulary(
         acc += n
     off_df = F.broadcast(spark.createDataFrame(offsets, "_b int, _off long"))
     w = Window.partitionBy("_b").orderBy("term")
-    return (
+    ranked = (
         tb.join(off_df, "_b")
         .select(
             "term",
             (F.col("_off") + F.row_number().over(w) - 1).cast("int").alias("term_id"),
         )
+        .persist()
     )
+    try:
+        ranked.count()  # materialize through the cached distinct
+    finally:
+        t.unpersist()
+    return ranked
 
 
 def corpus_stats(

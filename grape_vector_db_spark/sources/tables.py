@@ -145,6 +145,18 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(current_table_path(spark, path))
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``read_table`` would find a committed version or a legacy
+    flat table root. An explicit probe, NOT try/except around the read:
+    callers that fall back to "table absent" behavior must never take that
+    branch on a transient filesystem error (which should propagate and
+    fail/retry the caller instead — see streaming.ingest._merge_publish)."""
+    if table_versions(spark, path):
+        return True
+    fs, P = _hadoop_fs(spark, path)
+    return bool(fs.exists(P(path)))
+
+
 def publish_table(
     spark: SparkSession,
     path: str,

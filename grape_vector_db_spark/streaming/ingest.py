@@ -23,25 +23,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.tables import merge_upsert, publish_table, read_table
+from ..sources.tables import merge_upsert, publish_table, read_table, table_exists
 
 
 def _merge_publish(spark, table_path: str, batch: DataFrame, id_col: str) -> None:
     """MERGE ``batch`` into the versioned table at ``table_path``.
 
-    The except covers ONLY the initial read (first micro-batch: the table
-    does not exist yet). A failure inside merge_upsert itself (schema
-    drift, corrupt current version) must propagate and fail the stream —
-    swallowing it would publish a version containing only the batch rows,
-    and two batches later GC would delete the last good version of the
-    corpus.
+    The batch-only fallback is gated on an EXPLICIT existence probe, not a
+    try/except around the read: a blanket except would also swallow
+    transient filesystem/listing errors (table_versions does live FS
+    calls) and publish a version containing only the batch rows — two
+    publishes later GC would delete the last good version of the corpus.
+    With the probe, any error during read/merge propagates and fails the
+    micro-batch, which the stream retries from the checkpoint.
     """
-    try:
-        existing = read_table(spark, table_path)
-    except Exception:  # first batch — nothing to merge into
+    if table_exists(spark, table_path):
+        merged = merge_upsert(read_table(spark, table_path), batch, id_col=id_col)
+    else:  # first batch — nothing to merge into
         merged = batch
-    else:
-        merged = merge_upsert(existing, batch, id_col=id_col)
     publish_table(spark, table_path, merged)
 
 
@@ -96,17 +95,17 @@ def stream_upsert_with_index(
         # 1) documents table
         _merge_publish(spark, table_path, batch, id_col)
         # 2) incremental doc_terms: drop the batch ids' rows, append fresh.
-        # Same except scope rule as _merge_publish: only the initial read
-        # may fall back to batch-only content.
+        # Same existence-probe rule as _merge_publish: only a genuinely
+        # absent index table may fall back to batch-only content; FS
+        # errors propagate and the micro-batch retries.
         fresh = build_doc_terms(batch, id_col=id_col, text_col=text_col)
-        try:
+        if table_exists(spark, terms_path):
             terms = read_table(spark, terms_path)
-        except Exception:  # first batch — no index table yet
-            updated = fresh
-        else:
             ids = batch.select(F.col(id_col).alias("doc_id")).distinct()
             kept = terms.join(F.broadcast(ids), "doc_id", "left_anti")
             updated = kept.unionByName(fresh)
+        else:  # first batch — no index table yet
+            updated = fresh
         publish_table(spark, terms_path, updated)
         batch.unpersist()
 
