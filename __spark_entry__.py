@@ -1309,34 +1309,121 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
-# --- rows-only checks (not SQL-expressible: iterative k-means) -------------
+# --- trained ANN indexes: built once, PERSISTED, searched from disk --------
+#
+# The k-means builds are iterative (not SQL-expressible), but they are
+# DETERMINISTIC (seeded k-means++ over a hash-ordered bounded sample,
+# fixed iteration count), so the trained centroid/codebook/code tables can
+# be persisted as parquet and a DuckDB oracle can replay the SEARCH over
+# the very same persisted tables — which upgrades ivf_search / pq_search /
+# ivfpq_search from rows-only checks to full hash-checked rows (the build
+# is still excused; the search is not). Engine-portable ranking is
+# guaranteed by 6-dp-rounded ranking keys with id/cluster tie-breaks
+# inside ann.ivf_search / pq_search / ivfpq_search.
+
+_ANN_INDEX_VERSION = "v1-nlist8-m8-k16-iter3"  # bump when build params change
+
+
+def _ann_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".ann_index",
+        f"{tag}-{_ANN_INDEX_VERSION}",
+    )
+    names = [
+        "ivf_centroids", "ivf_assigned", "pq_codebooks", "pq_codes",
+        "ivfpq_centroids", "ivfpq_codebooks", "ivfpq_codes",
+    ]
+    p = {n: os.path.join(root, n) for n in names}
+    p["done"] = os.path.join(root, "_DONE")
+    return p
+
+
+def _codebooks_df(spark, codebooks) -> DataFrame:
+    rows = [
+        (j, c, [float(x) for x in cw])
+        for j, book in enumerate(codebooks)
+        for c, cw in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "j int, code int, cw array<double>")
+
+
+def _codebooks_py(rows) -> list[list[list[float]]]:
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    cbs: list[list[list[float]]] = [[[] for _ in range(k)] for _ in range(m)]
+    for r in rows:
+        cbs[r["j"]][r["code"]] = list(r["cw"])
+    return cbs
+
+
+def _ensure_ann_indexes(spark, sf_dir) -> dict[str, str]:
+    """Build-once persistence of the trained ANN index tables (S13: the
+    realistic deployment builds at ingest and serves many searches). The
+    _DONE marker is written only after every table committed; a version
+    tag in the directory name invalidates stale layouts when build
+    parameters change."""
+    import os
+
+    p = _ann_paths(sf_dir)
+    if os.path.exists(p["done"]):
+        return p
+    cents, assigned = ann.ivf_build(_emb(spark, sf_dir), nlist=8, max_iter=3)
+    cents.write.mode("overwrite").parquet(p["ivf_centroids"])
+    assigned.write.mode("overwrite").parquet(p["ivf_assigned"])
+    cbs, codes = ann.pq_build(_emb(spark, sf_dir), m=8, k=16, max_iter=3)
+    _codebooks_df(spark, cbs).coalesce(1).write.mode("overwrite").parquet(
+        p["pq_codebooks"]
+    )
+    codes.write.mode("overwrite").parquet(p["pq_codes"])
+    rcents, rcbs, rcodes = ann.ivfpq_build(
+        _emb(spark, sf_dir), nlist=8, m=8, k=16, max_iter=3
+    )
+    rcents.write.mode("overwrite").parquet(p["ivfpq_centroids"])
+    _codebooks_df(spark, rcbs).coalesce(1).write.mode("overwrite").parquet(
+        p["ivfpq_codebooks"]
+    )
+    rcodes.write.mode("overwrite").parquet(p["ivfpq_codes"])
+    with open(p["done"], "w") as fh:
+        fh.write(_ANN_INDEX_VERSION)
+    return p
 
 
 def _ivf_idx(spark, sf_dir):
-    # index built once per corpus (the realistic deployment: build at
-    # ingest, search many) — same caching discipline as _terms/_shingles
+    """(centroids df, assigned df) LOADED from the persisted index."""
     key = ("ivf_idx", sf_dir)
     if key not in _CACHE:
-        cents, assigned = ann.ivf_build(_emb(spark, sf_dir), nlist=8, max_iter=3)
-        _CACHE[key] = (cents, assigned.persist())
+        p = _ensure_ann_indexes(spark, sf_dir)
+        cents = spark.read.parquet(p["ivf_centroids"])
+        assigned = spark.read.parquet(p["ivf_assigned"]).persist()
+        _CACHE[key] = (cents, assigned)
     return _CACHE[key]
 
 
 def _pq_idx(spark, sf_dir):
+    """(codebooks py, codes df) LOADED from the persisted index."""
     key = ("pq_idx", sf_dir)
     if key not in _CACHE:
-        cbs, codes = ann.pq_build(_emb(spark, sf_dir), m=8, k=16, max_iter=3)
-        _CACHE[key] = (cbs, codes.persist())
+        p = _ensure_ann_indexes(spark, sf_dir)
+        cbs = _codebooks_py(spark.read.parquet(p["pq_codebooks"]).collect())
+        codes = spark.read.parquet(p["pq_codes"]).persist()
+        _CACHE[key] = (cbs, codes)
     return _CACHE[key]
 
 
 def _ivfpq_idx(spark, sf_dir):
+    """(centroids df, codebooks py, codes df) LOADED from the persisted
+    index."""
     key = ("ivfpq_idx", sf_dir)
     if key not in _CACHE:
-        cents, cbs, codes = ann.ivfpq_build(
-            _emb(spark, sf_dir), nlist=8, m=8, k=16, max_iter=3
-        )
-        _CACHE[key] = (cents, cbs, codes.persist())
+        p = _ensure_ann_indexes(spark, sf_dir)
+        cents = spark.read.parquet(p["ivfpq_centroids"])
+        cbs = _codebooks_py(spark.read.parquet(p["ivfpq_codebooks"]).collect())
+        codes = spark.read.parquet(p["ivfpq_codes"]).persist()
+        _CACHE[key] = (cents, cbs, codes)
     return _CACHE[key]
 
 
@@ -2130,6 +2217,129 @@ def _source_quota_sql() -> str:
                  )::INT AS rk
           FROM documents
         ) WHERE rk <= 10
+    """
+
+
+_SF_GATE = "/root/testdata/sf0.01"
+
+
+def _ann_oracle_paths() -> dict[str, str]:
+    """Persisted-index paths for the sf0.01 correctness gate (the driver
+    always compares Spark vs oracle at sf0.01). Builds the indexes on
+    demand so the oracle works regardless of whether the Spark queries ran
+    first in this process — the build is deterministic, so a rebuild here
+    produces bit-identical tables to one done inside queries()."""
+    import os
+
+    p = _ann_paths(_SF_GATE)
+    if not os.path.exists(p["done"]):
+        from grape_vector_db_spark.session import get_spark
+
+        _ensure_ann_indexes(get_spark(), _SF_GATE)
+    return p
+
+
+def _ivf_search_sql(k: int = 10, nprobe: int = 2) -> str:
+    """Replay ann.ivf_search over the persisted centroid/assignment tables:
+    probe ranking and exact rescore use the same 6-dp-rounded keys and
+    (key, id) total orders as the Spark side."""
+    p = _ann_oracle_paths()
+    cents = f"read_parquet('{p['ivf_centroids']}/*.parquet')"
+    assigned = f"read_parquet('{p['ivf_assigned']}/*.parquet')"
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        cents AS (SELECT cluster, centroid::DOUBLE[] AS cv FROM {cents}),
+        probe AS (
+          SELECT cluster FROM cents, q
+          ORDER BY round({_cos('cv', 'qv')}, 6) DESC, cluster ASC
+          LIMIT {nprobe}
+        ),
+        cand AS (SELECT a.id FROM {assigned} a JOIN probe USING (cluster))
+        SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+        FROM {_EMB_D} e JOIN cand ON e.vec_id = cand.id, q
+        ORDER BY score DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _pq_search_sql(k: int = 10, rescore: int = 50, sub: int = 8) -> str:
+    """Replay ann.pq_search: rebuild the ADC distance table from the
+    persisted codebooks (dist(j, code) = sum_i (qv[j*sub+i] - cw[i])^2),
+    look codes up relationally (unnest + join instead of Spark's
+    zip_with fold — both round the per-id sum to 6 dp), rescore the
+    top-``rescore`` exactly."""
+    p = _ann_oracle_paths()
+    cb = f"read_parquet('{p['pq_codebooks']}/*.parquet')"
+    codes = f"read_parquet('{p['pq_codes']}/*.parquet')"
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        dt AS (
+          SELECT cb.j, cb.code,
+                 list_sum(list_transform(range(1, {sub + 1}),
+                   i -> pow(q.qv[cb.j * {sub} + i] - cb.cw[i], 2))) AS d
+          FROM {cb} cb, q
+        ),
+        cx AS (
+          SELECT id, unnest(codes) AS code, unnest(range(len(codes))) AS j
+          FROM {codes}
+        ),
+        approx AS (
+          SELECT cx.id, round(sum(dt.d), 6) AS ad
+          FROM cx JOIN dt ON dt.j = cx.j AND dt.code = cx.code
+          GROUP BY cx.id
+        ),
+        cand AS (SELECT id FROM approx ORDER BY ad ASC, id ASC LIMIT {rescore})
+        SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+        FROM {_EMB_D} e JOIN cand ON e.vec_id = cand.id, q
+        ORDER BY score DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _ivfpq_search_sql(
+    k: int = 10, nprobe: int = 3, rescore: int = 50, sub: int = 8
+) -> str:
+    """Replay ann.ivfpq_search: per-probed-cell RESIDUAL distance tables
+    (dist = sum_i (qv[idx] - centroid[idx] - cw[i])^2), per-(id, cell)
+    sums rounded to 6 dp BEFORE the min over cells — exactly the Spark
+    operator's rounding points — then exact rescore."""
+    p = _ann_oracle_paths()
+    cents = f"read_parquet('{p['ivfpq_centroids']}/*.parquet')"
+    cb = f"read_parquet('{p['ivfpq_codebooks']}/*.parquet')"
+    codes = f"read_parquet('{p['ivfpq_codes']}/*.parquet')"
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        cents AS (SELECT cluster, centroid::DOUBLE[] AS cv FROM {cents}),
+        probe AS (
+          SELECT cluster, cv FROM cents, q
+          ORDER BY round({_cos('cv', 'qv')}, 6) DESC, cluster ASC
+          LIMIT {nprobe}
+        ),
+        dt AS (
+          SELECT p.cluster, cb.j, cb.code,
+                 list_sum(list_transform(range(1, {sub + 1}),
+                   i -> pow(q.qv[cb.j * {sub} + i] - p.cv[cb.j * {sub} + i]
+                            - cb.cw[i], 2))) AS d
+          FROM probe p, {cb} cb, q
+        ),
+        cx AS (
+          SELECT id, cluster, unnest(codes) AS code,
+                 unnest(range(len(codes))) AS j
+          FROM {codes}
+          WHERE cluster IN (SELECT cluster FROM probe)
+        ),
+        percell AS (
+          SELECT cx.id, cx.cluster, round(sum(dt.d), 6) AS ad
+          FROM cx JOIN dt ON dt.cluster = cx.cluster AND dt.j = cx.j
+                         AND dt.code = cx.code
+          GROUP BY cx.id, cx.cluster
+        ),
+        approx AS (SELECT id, min(ad) AS ad FROM percell GROUP BY id),
+        cand AS (SELECT id FROM approx ORDER BY ad ASC, id ASC LIMIT {rescore})
+        SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+        FROM {_EMB_D} e JOIN cand ON e.vec_id = cand.id, q
+        ORDER BY score DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -2932,7 +3142,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
-        # ivf_search / pq_search: iterative k-means — rows-only checks
+        # trained-ANN searches: the iterative k-means BUILD is excused, but
+        # the SEARCH replays over the persisted index tables (see
+        # _ann_oracle_paths) — full hash-checked rows, 94/94 oracled
+        "ivf_search": _ivf_search_sql(),
+        "pq_search": _pq_search_sql(),
+        "ivfpq_search": _ivfpq_search_sql(),
     }
 
 

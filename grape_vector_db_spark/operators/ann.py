@@ -370,12 +370,18 @@ def ivf_search(
     physical strategy Catalyst/AQE picks from actual sizes. The true
     100 TB path skips this join entirely: ivf_search_pruned reads only
     the probed partitions of the persisted cluster-partitioned layout.
+
+    Every ranking key (probe csim here, approx_dist in the PQ variants)
+    is rounded to 6 dp with a deterministic id/cluster tie-break — the
+    engine-portability rule every oracle-checked query follows, so an
+    oracle replaying this search over the persisted index tables ranks
+    identically even though its sums associate differently.
     """
     q = vector_lit(query_vector)
     probe = (
         cents.select(
             "cluster",
-            cosine_similarity(F.col("centroid"), q).alias("csim"),
+            F.round(cosine_similarity(F.col("centroid"), q), 6).alias("csim"),
         )
         .orderBy(F.col("csim").desc(), F.col("cluster").asc())
         .limit(nprobe)
@@ -552,11 +558,16 @@ def pq_search(
         for j in range(m)
     ]
     dt_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in dtable])
+    # 6-dp rounded ranking key (engine-portable: an oracle's re-summed
+    # distance table ranks identically; ties break by id)
     approx = codes.withColumn("dt", dt_lit).select(
         "id",
-        F.expr(
-            "aggregate(zip_with(codes, dt, (c, row) -> element_at(row, c + 1)),"
-            " 0D, (a,x) -> a+x)"
+        F.round(
+            F.expr(
+                "aggregate(zip_with(codes, dt, (c, row) -> element_at(row, c + 1)),"
+                " 0D, (a,x) -> a+x)"
+            ),
+            6,
         ).alias("approx_dist"),
     )
     cand = (
@@ -672,9 +683,10 @@ def ivfpq_search(
     cents_rows = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
     q = [float(x) for x in query_vector]
 
-    # rank cells by cosine(query, centroid), driver-side (nlist rows)
+    # rank cells by cosine(query, centroid), driver-side (nlist rows);
+    # 6-dp rounded + cluster tie-break so an oracle ranks identically
     probe = sorted(
-        cents_rows, key=lambda c: (-_cos_py(q, cents_rows[c]), c)
+        cents_rows, key=lambda c: (-round(_cos_py(q, cents_rows[c]), 6), c)
     )[:nprobe]
 
     dt_rows = []
@@ -693,11 +705,16 @@ def ivfpq_search(
             dt_rows, "cluster int, dtable array<array<double>>"
         )
     )
+    # per-(id, cell) approximation rounded to 6 dp BEFORE the min so the
+    # oracle's re-summed tables take the same min (engine-portable ranks)
     approx = codes.join(dt_df, "cluster").select(
         "id",
-        F.expr(
-            "aggregate(zip_with(codes, dtable, (c, row) -> element_at(row, c + 1)),"
-            " 0D, (a, x) -> a + x)"
+        F.round(
+            F.expr(
+                "aggregate(zip_with(codes, dtable, (c, row) -> element_at(row, c + 1)),"
+                " 0D, (a, x) -> a + x)"
+            ),
+            6,
         ).alias("approx_dist"),
     )
     # replicated layouts hold an id in several probed cells — keep the best
