@@ -312,6 +312,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    subgroups: int | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: assign every document a token
     offset range in its group's concatenated token stream, and the fixed
@@ -326,21 +327,34 @@ def pack_sequences(
 
     Scale shape: one window cumsum partitioned by ``group_col`` — packing
     is inherently sequential per stream, so the group is the parallelism
-    unit (1000 sources = 1000 independent streams). If one group is too
-    hot, pre-split it into hash-bucketed subgroups
-    (``concat(source, '#', h32(id) % k)``) — packing quality is
-    unaffected because windows never span groups anyway.
+    unit (1000 sources = 1000 independent streams). If one group holds a
+    corpus-scale share of the rows, set ``subgroups=k`` to pre-split
+    every group into ``k`` hash-bucketed streams
+    (``concat(group, '#', h32(doc_id) % k)``): the window then
+    parallelizes k-ways per source. Packing quality is unaffected —
+    windows never span groups anyway, and each subgroup is its own
+    self-consistent stream (offsets/bins are PER emitted group, which is
+    why the output's ``group`` column carries the subgroup label).
     """
     from pyspark.sql import Window
 
+    from ..functions.hashing import h32
+
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    group_expr = F.col(group_col)
+    if subgroups is not None and subgroups > 1:
+        group_expr = F.concat(
+            F.col(group_col).cast("string"),
+            F.lit("#"),
+            (h32(F.col(id_col).cast("string")) % subgroups).cast("string"),
+        )
     w = (
         Window.partitionBy("group")
         .orderBy(F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     base = df.select(
-        F.col(group_col).alias("group"),
+        group_expr.alias("group"),
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
     )

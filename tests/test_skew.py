@@ -49,3 +49,41 @@ def test_cap_hot_keys(spark):
     keys = {r["shingle"] for r in out.collect()}
     assert keys == {"rare"}
     assert out.count() == 2
+
+
+def test_pack_sequences_subgroup_presplit(spark):
+    """One giant source: subgroups=k must split the window's partition key
+    into k independent streams (the hot-group remedy) while keeping every
+    stream self-consistent."""
+    from grape_vector_db_spark.operators import curation
+
+    rows = [(i, "w " * ((i % 7) + 1), "giant") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.pack_sequences(df, max_tokens=10, subgroups=8).collect()
+
+    # every doc exactly once; the hot group split into several streams
+    assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
+    groups = {r["group"] for r in out}
+    assert len(groups) > 1 and all(g.startswith("giant#") for g in groups)
+
+    # each subgroup is a self-consistent stream: doc-id-ordered running
+    # offsets and per-subgroup bin arithmetic
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r)
+    for members in by_group.values():
+        members.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in members:
+            assert r["start_offset"] == off
+            assert r["bin_first"] == off // 10
+            assert r["bin_last"] == (off + max(r["n_tokens"], 1) - 1) // 10
+            off += r["n_tokens"]
+
+    # deterministic assignment: a second run lands every doc in the same
+    # subgroup (h32-derived, not partition-dependent)
+    again = {
+        r["doc_id"]: r["group"]
+        for r in curation.pack_sequences(df, max_tokens=10, subgroups=8).collect()
+    }
+    assert {r["doc_id"]: r["group"] for r in out} == again
