@@ -993,6 +993,25 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.blob_metadata(docs)
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode, hash-checked: each document gets a 2x2 binary
+    PPM (P6) blob whose 12 pixel bytes are the first 12 bytes of
+    md5(doc_id); multimodal.image_features decodes it with the pure-numpy
+    decoder (no image library) and emits height/width/channel means. The
+    DuckDB oracle recomputes identical features straight from the md5 hex
+    digits — an end-to-end proof the decode path is real, not plumbing."""
+    from grape_vector_db_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n2 2\n255\n").cast("binary"),
+            F.substring(F.unhex(F.md5(F.col("doc_id").cast("string"))), 1, 12),
+        ).alias("blob"),
+    )
+    return multimodal.image_features(docs)
+
+
 def q_events_interval_join(spark, sf_dir):
     """Interval join: every (purchase, click) pair within 10 minutes
     before the purchase, per user — time-bucket equi-join (hash join on
@@ -1540,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": q_upsert_merge,
         "mock_embed": q_mock_embed,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "sq_topk": q_sq_topk,
         "events_asof": q_events_asof,
@@ -2217,6 +2237,28 @@ def _source_quota_sql() -> str:
                  )::INT AS rk
           FROM documents
         ) WHERE rk <= 10
+    """
+
+
+def _multimodal_decode_sql() -> str:
+    """Twin of q_multimodal_decode: the 2x2 P6 pixel payload is bytes
+    0..11 of md5(doc_id), laid out RGB RGB / RGB RGB — so channel means
+    come straight from the hex digits (byte i = hex pair i), no blob or
+    image handling needed on the oracle side."""
+    def byte(i: int) -> str:
+        return f"(('0x' || substr(hex, {2 * i + 1}, 2))::INT)"
+
+    mean = {
+        ch: " + ".join(byte(i) for i in range(off, 12, 3))
+        for off, ch in enumerate(("r", "g", "b"))
+    }
+    return f"""
+        WITH hx AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hex FROM documents)
+        SELECT doc_id, 2 AS height, 2 AS width,
+               round(({mean['r']}) / 4.0, 6) AS mean_r,
+               round(({mean['g']}) / 4.0, 6) AS mean_g,
+               round(({mean['b']}) / 4.0, 6) AS mean_b
+        FROM hx
     """
 
 
@@ -3022,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_md5
             FROM documents
         """,
+        "multimodal_decode": _multimodal_decode_sql(),
         "sq_topk": f"""
             WITH base AS (
               SELECT vec_id, v, list_min(v) AS minv,

@@ -40,13 +40,98 @@ def blob_metadata(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob")
     )
 
 
-def decode_image(data: bytes):  # pragma: no cover - intentional stub
-    """STUB: real deployments plug Pillow/av here; the container has no
-    image/audio decode libraries. The Spark-side contract (bytes in,
-    ndarray out) is what matters."""
-    raise NotImplementedError(
-        "image decode requires Pillow/av; not available in this environment"
+def decode_image(data: bytes):
+    """Decode an image blob to an HxWx3 uint8 RGB ndarray.
+
+    REAL for the codec-free formats — binary PPM (P6), PGM (P5), and
+    uncompressed 24/32-bit BI_RGB BMP — implemented in pure numpy (these
+    formats are just a header plus raw pixels; no codec library needed).
+    Compressed formats (JPEG/PNG/...) route through Pillow when it is
+    importable and raise NotImplementedError otherwise (r4 container
+    check: ``import PIL`` still fails here, so Pillow stays an optional
+    plug-in, not a dependency).
+    """
+    import numpy as np
+
+    if data[:2] in (b"P6", b"P5"):
+        return _decode_pnm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    try:  # pragma: no cover - exercised only where Pillow exists
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "compressed image formats require Pillow; only PPM/PGM/BMP "
+            "decode without it (Pillow is not in this container)"
+        ) from None
+
+
+def _decode_pnm(data: bytes):
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale -> replicated RGB)."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        c = data[i : i + 1]
+        if c == b"":
+            raise ValueError("truncated PNM header")
+        if c == b"#":  # comment to end of line
+            while data[i : i + 1] not in (b"\n", b""):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while data[j : j + 1] != b"" and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    i += 1  # single whitespace after maxval, then raw pixels
+    magic, w, h = tokens[0], int(tokens[1]), int(tokens[2])
+    maxval = int(tokens[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(data, np.uint8, count=w * h * ch, offset=i).reshape(
+        h, w, ch
     )
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
+
+
+def _decode_bmp(data: bytes):
+    """Uncompressed (BI_RGB) 24/32-bit BMP; rows are 4-byte aligned and
+    bottom-up unless height is negative; BGR(A) -> RGB."""
+    import numpy as np
+
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        data, np.uint8, count=row_bytes * h, offset=off
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    rgb = px[:, :, [2, 1, 0]]
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
 
 
 def _fake_feature(data: bytes) -> list[float]:
@@ -129,8 +214,10 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas featurization: (id, n_bytes, feature array<float>).
 
-    ``use_stub_decoder=False`` routes through :func:`decode_image` (raises
-    here; swap in a real decoder in production).
+    ``use_stub_decoder=False`` routes through :func:`decode_image` —
+    real for PPM/PGM/BMP blobs (pure-numpy decode), NotImplementedError
+    for compressed formats unless Pillow is importable. The stub path
+    keeps arbitrary-bytes corpora featurizable.
     """
     schema = f"{id_col} long, n_bytes int, feature array<float>"
 
@@ -150,5 +237,43 @@ def extract_features(
                     "feature": feats,
                 }
             )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def image_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL decode featurization: (id, height, width, mean_r/g/b) via
+    :func:`decode_image` over an Arrow-batched ``mapInPandas``. Channel
+    means are on the raw 0-255 scale, rounded to 6 dp (oracle parity
+    rule). This is the hash-checked proof that the decode path is real:
+    the ``multimodal_decode`` query builds deterministic P6 PPM blobs and
+    a DuckDB oracle recomputes the same features from the raw bytes.
+    """
+    import numpy as np
+
+    schema = (
+        f"{id_col} long, height int, width int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "height": [], "width": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                img = decode_image(bytes(raw))
+                h, w = img.shape[:2]
+                m = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out[id_col].append(i)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)

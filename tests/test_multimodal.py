@@ -80,3 +80,105 @@ def test_resize_blob_exact_size(spark):
     assert got[1] == b"abcabcab"      # cycled
     assert got[2] == b"\x00" * 8      # empty -> zero padding
     assert got[3] == b"z" * 8         # truncated
+
+
+# --- real codec-free decode ------------------------------------------------
+
+
+def _bmp_bytes(pixels, bpp=24, top_down=False):
+    """Hand-rolled uncompressed BMP from a HxWx3 nested list (RGB)."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    rows = [] if top_down else None
+    body = b""
+    order = pixels if top_down else pixels[::-1]
+    for row in order:
+        rb = b""
+        for (r, g, b) in row:
+            rb += bytes([b, g, r] + ([0] if nch == 4 else []))
+        body += rb + b"\x00" * (row_bytes - len(rb))
+    off = 14 + 40
+    height = -h if top_down else h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, height, 1, bpp, 0, len(body),
+                      2835, 2835, 0, 0)
+        + body
+    )
+
+
+def test_decode_ppm_p6():
+    from grape_vector_db_spark.operators.multimodal import decode_image
+
+    # 2x1 image: red then green; comment + maxval in header
+    data = b"P6\n# c\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    img = decode_image(data)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+
+
+def test_decode_pgm_p5_replicates_channels():
+    from grape_vector_db_spark.operators.multimodal import decode_image
+
+    data = b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    img = decode_image(data)
+    assert img.shape == (2, 2, 3)
+    assert img[1, 1].tolist() == [255, 255, 255]
+    assert img[0, 1].tolist() == [64, 64, 64]
+
+
+def test_decode_bmp_bottom_up_and_top_down():
+    from grape_vector_db_spark.operators.multimodal import decode_image
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    for td in (False, True):
+        img = decode_image(_bmp_bytes(px, top_down=td))
+        assert img.shape == (2, 2, 3)
+        assert img[0, 0].tolist() == [1, 2, 3]
+        assert img[1, 1].tolist() == [10, 11, 12]
+
+
+def test_decode_bmp_32bpp_and_row_padding():
+    from grape_vector_db_spark.operators.multimodal import decode_image
+
+    px = [[(9, 8, 7)]]  # 1x1: 24bpp row pads 3->4 bytes; 32bpp none
+    assert decode_image(_bmp_bytes(px, bpp=24))[0, 0].tolist() == [9, 8, 7]
+    assert decode_image(_bmp_bytes(px, bpp=32))[0, 0].tolist() == [9, 8, 7]
+
+
+def test_decode_unknown_format_raises():
+    import pytest
+
+    from grape_vector_db_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_image_features_real_decode(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from grape_vector_db_spark.operators import multimodal
+
+    df = spark.createDataFrame([(7,), (42,)], "doc_id long").select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n2 2\n255\n").cast("binary"),
+            F.substring(F.unhex(F.md5(F.col("doc_id").cast("string"))), 1, 12),
+        ).alias("blob"),
+    )
+    out = {r["doc_id"]: r for r in multimodal.image_features(df).collect()}
+    for did in (7, 42):
+        raw = hashlib.md5(str(did).encode()).digest()[:12]
+        assert (out[did]["height"], out[did]["width"]) == (2, 2)
+        assert out[did]["mean_r"] == round(sum(raw[0::3]) / 4.0, 6)
+        assert out[did]["mean_g"] == round(sum(raw[1::3]) / 4.0, 6)
+        assert out[did]["mean_b"] == round(sum(raw[2::3]) / 4.0, 6)
