@@ -594,6 +594,19 @@ def q_mixture_rebalance(spark, sf_dir):
     return curation.mixture_rebalance(_docs(spark, sf_dir))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: equal-count perplexity tiers via the
+    scale-safe exact global rank (operators.rank.global_row_number — no
+    single-partition window; ref CCNet §4.3 trains on head+middle)."""
+    return textanalysis.ccnet_buckets(_docs(spark, sf_dir), _lm(spark, sf_dir))
+
+
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source sampling weights (share^(1/tau)
+    renormalized, tau=0.7 — the mT5-style mixture knob)."""
+    return curation.mixture_temperature(_docs(spark, sf_dir), tau=0.7)
+
+
 def q_chunk_documents(spark, sf_dir):
     return curation.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
 
@@ -1534,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "curation_pipeline": q_curation_pipeline,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
+        "mixture_temperature": q_mixture_temperature,
         "mixture_rebalance": q_mixture_rebalance,
         "chunk_documents": q_chunk_documents,
         "market_share": q_market_share,
@@ -2162,6 +2177,59 @@ def _lm_perplexity_sql(alpha: float = 0.5) -> str:
     """
 
 
+def _ccnet_buckets_sql(alpha: float = 0.5, n_buckets: int = 3) -> str:
+    """Same LM CTEs as _lm_perplexity_sql, then a plain global
+    row_number over (cross_entropy, doc_id) cut into equal-count tiers —
+    the oracle proving operators.rank.global_row_number's bucketed rank
+    IS the exact global order."""
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          FROM documents
+        ),
+        toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        counts AS (SELECT term, count(*) AS c FROM toks2 GROUP BY 1),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        lm AS (
+          SELECT term, ln((c + {alpha}) / (n + {alpha} * v)) AS logp
+          FROM counts, tot
+        ),
+        fl AS (SELECT min(logp) AS floor_logp FROM lm),
+        scored AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 round(-avg(coalesce(l.logp, fl.floor_logp)), 6) AS cross_entropy
+          FROM toks2 t LEFT JOIN lm l USING (term), fl
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens, cross_entropy,
+               (((row_number() OVER (ORDER BY cross_entropy, doc_id) - 1)
+                 * {n_buckets}) // (SELECT count(*) FROM scored))::INT AS tier
+        FROM scored
+    """
+
+
+def _mixture_temperature_sql(tau: float = 0.7) -> str:
+    return rf"""
+        WITH per AS (
+          SELECT source AS "group",
+                 sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                   AS n_tokens
+          FROM documents GROUP BY 1
+        ),
+        sh AS (
+          SELECT "group", n_tokens,
+                 n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM per) AS share
+          FROM per
+        ),
+        w AS (SELECT "group", n_tokens, share,
+                     pow(share, {1.0 / tau!r}) AS w
+              FROM sh)
+        SELECT "group", n_tokens, round(share, 6) AS token_share,
+               round(w / (SELECT sum(w) FROM w), 6) AS sampling_weight
+        FROM w
+    """
+
+
 def _market_share_sql() -> str:
     return """
         SELECT year(o.o_orderdate)::INT AS o_year,
@@ -2728,6 +2796,8 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _top_ngrams_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
+        "ccnet_buckets": _ccnet_buckets_sql(),
+        "mixture_temperature": _mixture_temperature_sql(),
         "mixture_rebalance": _mixture_rebalance_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "market_share": _market_share_sql(),

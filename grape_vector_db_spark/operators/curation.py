@@ -404,6 +404,47 @@ def mixture_stats(
     )
 
 
+def mixture_temperature(
+    df: DataFrame,
+    tau: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling weights (the multilingual /
+    multi-source training standard, e.g. mT5's tau=0.3 exponent
+    sampling): ``(group, n_tokens, token_share, sampling_weight)`` with
+    ``w_g ∝ share_g^(1/tau)`` renormalized to sum 1 — ``tau < 1``
+    upweights low-resource groups, ``tau = 1`` is proportional sampling.
+
+    Shape: one map-side-combined groupBy over the corpus, then two
+    single-row broadcast joins (token total, weight normalizer) over the
+    group-count-sized table — nothing corpus-sized shuffles twice.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (
+        df.select(F.col(group_col).alias("group"), n_tok.alias("nt"))
+        .groupBy("group")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    shared = per.crossJoin(F.broadcast(total)).select(
+        "group",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot")).alias("share"),
+    )
+    w = shared.withColumn("w", F.pow(F.col("share"), F.lit(1.0 / tau)))
+    wsum = w.agg(F.sum("w").alias("wsum"))
+    return w.crossJoin(F.broadcast(wsum)).select(
+        "group",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(F.col("w") / F.col("wsum"), 6).alias("sampling_weight"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -1,0 +1,95 @@
+"""Scale-safe global ordering primitives.
+
+A plain ``row_number() OVER (ORDER BY ...)`` (no PARTITION BY) is an
+Exchange SinglePartition: every row funnels through ONE task — the r1
+scale bug class this repo has eliminated everywhere (see
+sparse.vocabulary). These helpers reproduce the EXACT global rank with
+the same two-level trick, generalized beyond the vocabulary build:
+
+1. range-bucket rows by sampled quantile cut points of the leading sort
+   key (bucket assignment is a monotone function of the key, so bucket
+   order extends the total order; rows with equal keys share a bucket,
+   which keeps tie-breaks bucket-local);
+2. rank inside each bucket in parallel (`row_number` over a PARTITIONED
+   window);
+3. add per-bucket offsets computed from a num_buckets-bounded count
+   table collected to the driver and broadcast back.
+
+The rank is exact — buckets only parallelize, they never approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "rn",
+    num_buckets: int | None = None,
+    sample_per_bucket: int = 32,
+    total_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus ``out_col``: the 1-based global row number over the
+    total order ``(key_col ASC, *tiebreak_cols ASC)``.
+
+    ``tiebreak_cols`` must make the order total (end with a unique id).
+    ``total_col`` optionally adds the overall row count as a literal
+    column — it falls out of the offset computation for free, so callers
+    that need N (tier cuts, percentiles) avoid a second count job.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # bounded deterministic sample of the leading key (smallest xxhash64 —
+    # per-partition top-N, no global sort; same trick as _sampled_matrix)
+    sample = [
+        r["_k"]
+        for r in df.select(F.col(key_col).alias("_k"))
+        .orderBy(F.xxhash64(F.col("_k")).asc(), F.col("_k").asc())
+        .limit(num_buckets * sample_per_bucket)
+        .collect()
+        if r["_k"] is not None
+    ]
+    if not sample:
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        return out.withColumn(total_col, F.lit(0)) if total_col else out
+    sample.sort()
+    stride = max(
+        1,
+        min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets),
+    )
+    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(key_col) >= b))
+    else:
+        bucket = F.lit(0)
+    tb = df.withColumn("_b", bucket)
+    counts = sorted(
+        (r["_b"], r["n"])
+        for r in tb.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    out = (
+        tb.join(off_df, "_b")
+        .withColumn(out_col, F.col("_off") + F.row_number().over(w))
+        .drop("_b", "_off")
+    )
+    if total_col:
+        out = out.withColumn(total_col, F.lit(acc))
+    return out

@@ -314,3 +314,48 @@ def lm_cross_entropy(
         F.round(-F.avg("lp"), 6).alias("cross_entropy"),
         F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    lm: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    rank documents by LM score and cut into ``n_buckets`` equal-count
+    tiers — ``(doc_id, n_tokens, cross_entropy, tier)`` with tier 0 the
+    LOWEST cross-entropy (head = best quality) and ties broken by
+    doc_id. CCNet trains on head+middle and drops tail.
+
+    The rank uses :func:`rank.global_row_number` — an EXACT global order
+    with no single-partition window (sampled range buckets + offsets),
+    so the split scales to corpus size; cross_entropy is ranked at its
+    6-dp rounded value (the oracle-parity granularity). The per-doc
+    scores are persisted around the two passes the ranking makes
+    (bucket counts + final rank), so the LM join runs once.
+    """
+    from .rank import global_row_number
+
+    scored = (
+        lm_cross_entropy(df, lm, id_col, text_col)
+        .select("doc_id", "n_tokens", "cross_entropy")
+        .persist()
+    )
+    ranked = global_row_number(
+        scored, "cross_entropy", ["doc_id"], out_col="_rn", total_col="_n"
+    )
+    out = ranked.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.expr(f"cast(((_rn - 1) * {int(n_buckets)}) div _n as int)").alias(
+            "tier"
+        ),
+    ).persist()
+    try:
+        out.count()  # materialize through the cached scores
+    finally:
+        scored.unpersist()
+    return out

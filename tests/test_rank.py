@@ -1,0 +1,71 @@
+"""global_row_number: exact global order with no single-partition window;
+ccnet_buckets / mixture_temperature built on top."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.operators import curation, rank, textanalysis
+
+
+def test_global_row_number_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    rows = [(float(i % 17) / 3.0, i) for i in range(500)]  # heavy key ties
+    df = spark.createDataFrame(rows, "k double, id long")
+    got = {
+        r["id"]: r["rn"]
+        for r in rank.global_row_number(df, "k", ["id"], num_buckets=8).collect()
+    }
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_total_col_and_no_single_partition(spark):
+    df = spark.createDataFrame([(float(i), i) for i in range(100)], "k double, id long")
+    out = rank.global_row_number(df, "k", ["id"], total_col="n")
+    assert out.select("n").head()["n"] == 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_ccnet_buckets_tiers(spark):
+    docs = spark.createDataFrame(
+        [(i, ("common " * 5) if i % 3 else "rare%d token" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    lm = textanalysis.unigram_lm(docs)
+    out = textanalysis.ccnet_buckets(docs, lm).collect()
+    assert len(out) == 30
+    tiers = sorted((r["cross_entropy"], r["tier"]) for r in out)
+    # equal-count tiers, monotone in cross-entropy
+    from collections import Counter
+
+    assert Counter(r["tier"] for r in out) == {0: 10, 1: 10, 2: 10}
+    assert [t for _, t in tiers] == sorted(t for _, t in tiers)
+    # head = lowest cross-entropy (the repetitive "common" docs)
+    head = [r for r in out if r["tier"] == 0]
+    assert all(r["cross_entropy"] <= tiers[10][0] for r in head)
+
+
+def test_mixture_temperature_weights(spark):
+    docs = spark.createDataFrame(
+        [(1, "w " * 99 + "w", "big"), (2, "w", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group"]: r for r in curation.mixture_temperature(docs, tau=0.5).collect()}
+    # shares 100/101 and 1/101; tau=0.5 -> squared then renormalized
+    s_big, s_small = 100 / 101, 1 / 101
+    tot = s_big**2 + s_small**2
+    assert out["big"]["sampling_weight"] == pytest.approx(s_big**2 / tot, abs=1e-6)
+    assert out["small"]["sampling_weight"] == pytest.approx(s_small**2 / tot, abs=1e-6)
+    # tau=1 reduces to proportional sampling
+    out1 = {r["group"]: r for r in curation.mixture_temperature(docs, tau=1.0).collect()}
+    assert out1["big"]["sampling_weight"] == pytest.approx(s_big, abs=1e-6)
+    with pytest.raises(ValueError):
+        curation.mixture_temperature(docs, tau=0.0)
