@@ -594,6 +594,12 @@ def q_mixture_rebalance(spark, sf_dir):
     return curation.mixture_rebalance(_docs(spark, sf_dir))
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style denoising prep: deterministic h32 token masking, natural
+    runs -> <extra_id_k> sentinels, (input, targets) pair per doc."""
+    return curation.span_corruption(_docs(spark, sf_dir), mask_denom=5)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: equal-count perplexity tiers via the
     scale-safe exact global rank (operators.rank.global_row_number — no
@@ -1549,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_temperature": q_mixture_temperature,
+        "span_corruption": q_span_corruption,
         "mixture_rebalance": q_mixture_rebalance,
         "chunk_documents": q_chunk_documents,
         "market_share": q_market_share,
@@ -2177,6 +2184,63 @@ def _lm_perplexity_sql(alpha: float = 0.5) -> str:
     """
 
 
+def _span_corruption_sql(mask_denom: int = 5) -> str:
+    """Twin of curation.span_corruption: same h32 mask decision, lag/
+    running-sum span bookkeeping as window functions, string_agg ORDER BY
+    pos re-assembly. Window sums cast ::BIGINT (DuckDB emits HUGEINT) and
+    empty target aggregates coalesce to '' (Spark's array_join of an
+    empty array)."""
+    h = _h32_sql("doc_id::VARCHAR || ':' || pos::VARCHAR", 0)
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(t) AS term,
+                 generate_subscripts(t, 1) - 1 AS pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents)
+        ),
+        m AS (
+          SELECT doc_id, pos, term, ({h}) % {mask_denom} = 0 AS masked
+          FROM toks
+        ),
+        s AS (
+          SELECT *, masked AND NOT coalesce(
+                   lag(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+                   FALSE) AS span_start
+          FROM m
+        ),
+        sid AS (
+          SELECT *,
+                 sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS span_id
+          FROM s
+        ),
+        tokout AS (
+          SELECT doc_id, pos, masked, span_start,
+                 CASE WHEN NOT masked THEN term
+                      WHEN span_start
+                        THEN '<extra_id_' || (span_id - 1)::VARCHAR || '>'
+                      ELSE NULL END AS it,
+                 CASE WHEN masked THEN
+                   CASE WHEN span_start
+                        THEN '<extra_id_' || (span_id - 1)::VARCHAR || '> '
+                             || term
+                        ELSE term END
+                 END AS tt
+          FROM sid
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+               sum(CASE WHEN span_start THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+               coalesce(string_agg(it, ' ' ORDER BY pos)
+                        FILTER (WHERE it IS NOT NULL), '') AS input_text,
+               coalesce(string_agg(tt, ' ' ORDER BY pos)
+                        FILTER (WHERE tt IS NOT NULL), '') AS targets_text
+        FROM tokout GROUP BY doc_id
+    """
+
+
 def _ccnet_buckets_sql(alpha: float = 0.5, n_buckets: int = 3) -> str:
     """Same LM CTEs as _lm_perplexity_sql, then a plain global
     row_number over (cross_entropy, doc_id) cut into equal-count tiers —
@@ -2798,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
+        "span_corruption": _span_corruption_sql(),
         "mixture_rebalance": _mixture_rebalance_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "market_share": _market_share_sql(),

@@ -404,6 +404,98 @@ def mixture_stats(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    mask_denom: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4):
+    ``(doc_id, n_tokens, n_masked, n_spans, input_text, targets_text)``
+    where masked token runs collapse to ``<extra_id_k>`` sentinels in the
+    input and the targets are the sentinels followed by the dropped
+    tokens — the standard denoising-objective data prep.
+
+    Masking is DETERMINISTIC (oracle-checkable and reproducible across
+    runs/partitionings): token ``i`` of doc ``d`` is masked iff
+    ``h32(d || ':' || i) % mask_denom == 0`` (expected rate 1/denom);
+    natural adjacency of masked tokens forms the multi-token spans.
+
+    Shape: posexplode -> two per-doc windows (lag + running sum over
+    ``pos``) -> one groupBy(doc) re-assembly — the document is the
+    parallelism unit, same as every curation window here; the giant-doc
+    ceiling is the doc itself, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h32
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "term"
+        ),
+    )
+    masked = (
+        h32(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            )
+        )
+        % mask_denom
+        == 0
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = toks.select(
+        "doc_id", "pos", "term", masked.alias("masked")
+    ).withColumn(
+        "span_start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    ).withColumn(
+        "span_id", F.sum(F.col("span_start").cast("long")).over(wrun)
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">")
+    )
+    inp_tok = (
+        F.when(~F.col("masked"), F.col("term"))
+        .when(F.col("span_start"), sentinel)
+        .otherwise(F.lit(None))
+    )
+    tgt_tok = F.when(
+        F.col("masked"),
+        F.when(
+            F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("term"))
+        ).otherwise(F.col("term")),
+    )
+    per_tok = marked.select(
+        "doc_id", "pos", "masked", "span_start",
+        inp_tok.alias("it"), tgt_tok.alias("tt"),
+    )
+
+    def _joined(col: str) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct("pos", F.col(col).alias("t"))))
+        return F.array_join(
+            F.transform(
+                F.filter(arr, lambda s: s.getField("t").isNotNull()),
+                lambda s: s.getField("t"),
+            ),
+            " ",
+        )
+
+    return per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        F.sum(F.col("span_start").cast("long")).alias("n_spans"),
+        _joined("it").alias("input_text"),
+        _joined("tt").alias("targets_text"),
+    )
+
+
 def mixture_temperature(
     df: DataFrame,
     tau: float = 0.7,

@@ -251,3 +251,43 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = _mkdocs(spark, [(1, "x")])
     with pytest.raises(ValueError):
         curation.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_span_corruption_semantics(spark):
+    import hashlib
+
+    def masked(doc_id, pos, denom=5):
+        h = int(hashlib.md5(f"0:{doc_id}:{pos}".encode()).hexdigest()[:8], 16)
+        return h % denom == 0
+
+    text = " ".join(f"t{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from grape_vector_db_spark.operators import curation
+
+    r = curation.span_corruption(df, mask_denom=5).collect()[0]
+    flags = [masked(1, i) for i in range(40)]
+    assert r["n_tokens"] == 40 and r["n_masked"] == sum(flags)
+    spans = sum(1 for i, f in enumerate(flags) if f and (i == 0 or not flags[i - 1]))
+    assert r["n_spans"] == spans
+
+    # reconstruct expected strings
+    inp, tgt, k = [], [], 0
+    for i, f in enumerate(flags):
+        if not f:
+            inp.append(f"t{i}")
+        elif i == 0 or not flags[i - 1]:
+            inp.append(f"<extra_id_{k}>")
+            tgt.append(f"<extra_id_{k}> t{i}")
+            k += 1
+        else:
+            tgt.append(f"t{i}")
+    assert r["input_text"] == " ".join(inp)
+    assert r["targets_text"] == " ".join(tgt)
+
+    # round-trip invariant: every original token appears exactly once in
+    # input-or-targets (minus sentinels)
+    got = [
+        t for t in (r["input_text"] + " " + r["targets_text"]).split()
+        if not t.startswith("<extra_id_")
+    ]
+    assert sorted(got) == sorted(text.split())
