@@ -1093,6 +1093,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.cluster_pairs(pairs)
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/valid/test split: the hash gate is applied to the
+    near-dup CLUSTER representative (same MinHash-LSH pair graph as
+    dedup_clusters), so near-copies never straddle splits."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, n=3, threshold=0.2,
+        shingles_df=_shingles(spark, sf_dir),
+    )
+    return dedup.leakage_safe_split(_docs(spark, sf_dir), pairs)
+
+
 def q_token_entropy(spark, sf_dir):
     """Token-distribution Shannon entropy per doc — the repetitiveness
     signal (low entropy = templated/stuffed text)."""
@@ -1594,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed": q_sample_fixed,
         "token_entropy": q_token_entropy,
         "dedup_clusters": q_dedup_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
         "existence": q_existence,
@@ -2776,6 +2788,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT a AS id FROM edges GROUP BY a),
+            walk(node, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM walk GROUP BY node
+            ),
+            assigned AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN clusters c USING (doc_id)
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN {_h32_sql('cluster_id::VARCHAR', 11)}
+                          < {int(0.8 * 4294967296.0)} THEN 'train'
+                        WHEN {_h32_sql('cluster_id::VARCHAR', 11)}
+                          < {int(0.9 * 4294967296.0)} THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM assigned
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_CTE},

@@ -390,6 +390,57 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "valid", "test"),
+    id_col: str = "doc_id",
+    seed: int = 11,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/valid/test assignment where near-duplicates NEVER straddle
+    splits: the split decision is made once per near-dup CLUSTER (via its
+    representative, the minimum doc id), so a training document's
+    near-copy cannot leak into the eval split — the dedup-aware split
+    discipline from the training-data-dedup literature (a random per-doc
+    split leaks one side of almost every dup pair).
+
+    ``pairs`` is any (a, b) near-dup pair frame (MinHash-LSH, SimHash,
+    embedding cosine — the caller picks the notion of "duplicate");
+    documents in no pair are their own singleton cluster. The gate is a
+    deterministic md5 hash of the representative, so assignment is
+    reproducible across runs/engines and new unrelated documents never
+    reshuffle old ones. Returns ``(doc_id, cluster_id, split)``.
+
+    Scale: cluster_pairs label propagation over the edges (pairs-sized,
+    not corpus-sized), one left join back to the corpus, then a narrow
+    hash gate — nothing corpus-sized beyond the single join.
+    """
+    if len(fractions) != len(labels):
+        raise ValueError("fractions and labels must have the same length")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    clusters = cluster_pairs(pairs, max_iter=max_iter)
+    withc = df.select(F.col(id_col).alias("doc_id")).join(
+        clusters, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    gate = h32(F.col("cluster_id").cast("string"), seed=seed)
+    expr = None
+    acc = 0.0
+    for frac, lab in zip(fractions[:-1], labels[:-1]):
+        acc += frac
+        cond = gate < int(acc * 4294967296.0)
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    )
+    return withc.select("doc_id", "cluster_id", expr.alias("split"))
+
+
 def embedding_neardup_pairs_gemm(
     emb: DataFrame,
     threshold: float = 0.95,

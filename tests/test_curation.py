@@ -291,3 +291,37 @@ def test_span_corruption_semantics(spark):
         if not t.startswith("<extra_id_")
     ]
     assert sorted(got) == sorted(text.split())
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    import pytest as _pytest
+
+    from grape_vector_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # pair graph: chains {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (10, 11)], "a long, b long")
+    out = {r["doc_id"]: r for r in dedup.leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 100
+    # whole cluster shares one split and one representative
+    assert {out[i]["cluster_id"] for i in (0, 1, 2)} == {0}
+    assert len({out[i]["split"] for i in (0, 1, 2)}) == 1
+    assert {out[i]["cluster_id"] for i in (10, 11)} == {10}
+    assert len({out[i]["split"] for i in (10, 11)}) == 1
+    # singletons represent themselves; all three splits appear over 100 docs
+    assert out[50]["cluster_id"] == 50
+    assert {r["split"] for r in out.values()} == {"train", "valid", "test"}
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["split"]
+        for r in dedup.leakage_safe_split(docs, pairs).collect()
+    }
+    assert {k: v["split"] for k, v in out.items()} == again
+    with _pytest.raises(ValueError):
+        dedup.leakage_safe_split(docs, pairs, fractions=(0.5, 0.2))
+    with _pytest.raises(ValueError):
+        dedup.leakage_safe_split(
+            docs, pairs, fractions=(0.5, 0.2), labels=("a", "b", "c")
+        )
