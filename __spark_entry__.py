@@ -594,6 +594,12 @@ def q_mixture_rebalance(spark, sf_dir):
     return curation.mixture_rebalance(_docs(spark, sf_dir))
 
 
+def q_pack_bins(spark, sf_dir):
+    """Materialized packed windows: per (source, bin) token content from
+    the concat-then-chunk layout (docs straddle boundaries)."""
+    return curation.pack_bins(_docs(spark, sf_dir), max_tokens=512)
+
+
 def q_span_corruption(spark, sf_dir):
     """T5-style denoising prep: deterministic h32 token masking, natural
     runs -> <extra_id_k> sentinels, (input, targets) pair per doc."""
@@ -1567,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_temperature": q_mixture_temperature,
         "span_corruption": q_span_corruption,
+        "pack_bins": q_pack_bins,
         "mixture_rebalance": q_mixture_rebalance,
         "chunk_documents": q_chunk_documents,
         "market_share": q_market_share,
@@ -2193,6 +2200,55 @@ def _lm_perplexity_sql(alpha: float = 0.5) -> str:
                round(-avg(coalesce(l.logp, fl.floor_logp)), 6) AS cross_entropy
         FROM toks2 t LEFT JOIN lm l USING (term), fl
         GROUP BY t.doc_id
+    """
+
+
+def _pack_bins_sql(max_tokens: int = 512) -> str:
+    """Twin of curation.pack_bins: the pack_sequences cumsum CTE, a join
+    to the token arrays, per-doc bin range unnest, 1-based inclusive list
+    slices, and a string_agg ORDER BY start_offset per (group, bin)."""
+    return rf"""
+        WITH base AS (
+          SELECT source AS "group", doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+          FROM documents
+        ),
+        cum AS (
+          SELECT "group", doc_id, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens)::BIGINT AS start_offset
+          FROM base
+        ),
+        packed AS (
+          SELECT "group", doc_id, n_tokens, start_offset,
+                 (start_offset // {max_tokens})::BIGINT AS bin_first,
+                 ((start_offset + greatest(n_tokens, 1) - 1)
+                  // {max_tokens})::BIGINT AS bin_last
+          FROM cum
+        ),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        seg AS (
+          SELECT p."group", p.doc_id, p.start_offset, p.n_tokens, t.toks,
+                 unnest(range(p.bin_first, p.bin_last + 1)) AS bin
+          FROM packed p JOIN toks t USING (doc_id)
+        ),
+        sliced AS (
+          SELECT "group", bin, start_offset,
+                 greatest(0, bin * {max_tokens} - start_offset) AS lo,
+                 least(n_tokens, (bin + 1) * {max_tokens} - start_offset)
+                   AS hi,
+                 toks
+          FROM seg
+        )
+        SELECT "group", bin::BIGINT AS bin, count(*) AS n_docs,
+               sum(hi - lo)::BIGINT AS n_tokens,
+               string_agg(array_to_string(toks[(lo + 1):hi], ' '), ' '
+                          ORDER BY start_offset) AS bin_text
+        FROM sliced GROUP BY "group", bin
     """
 
 
@@ -2918,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _ccnet_buckets_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "span_corruption": _span_corruption_sql(),
+        "pack_bins": _pack_bins_sql(),
         "mixture_rebalance": _mixture_rebalance_sql(),
         "chunk_documents": _chunk_documents_sql(),
         "market_share": _market_share_sql(),

@@ -404,6 +404,82 @@ def mixture_stats(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    subgroups: int | None = None,
+) -> DataFrame:
+    """Materialize the packed training windows that :func:`pack_sequences`
+    only addresses: one row per ``(group, bin)`` with the window's actual
+    token content — ``(group, bin, n_docs, n_tokens, bin_text)``.
+
+    A document straddling a window boundary contributes its intersecting
+    token slice to each window it touches (token ``t`` of the group
+    stream lands in bin ``t div max_tokens``); every bin holds exactly
+    ``max_tokens`` tokens except each stream's last. Shape: the
+    pack_sequences window cumsum, a join back to the tokenized docs, a
+    per-doc explode over the (usually 1..2) touched bins, and one
+    groupBy(group, bin) re-assembly — all narrow except the two keyed
+    shuffles.
+    """
+    packed = pack_sequences(
+        df, max_tokens, id_col, text_col, group_col, subgroups
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    mt = int(max_tokens)
+    seg = (
+        packed.join(toks, "doc_id")
+        .select(
+            "group",
+            "doc_id",
+            "start_offset",
+            "n_tokens",
+            "toks",
+            F.explode(F.sequence("bin_first", "bin_last")).alias("bin"),
+        )
+        .select(
+            "group",
+            "bin",
+            "start_offset",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("bin") * mt - F.col("start_offset"),
+            ).alias("lo"),
+            F.least(
+                F.col("n_tokens").cast("long"),
+                (F.col("bin") + 1) * mt - F.col("start_offset"),
+            ).alias("hi"),
+            "toks",
+        )
+    )
+    sliced = seg.select(
+        "group",
+        "bin",
+        "start_offset",
+        (F.col("hi") - F.col("lo")).alias("seg_len"),
+        F.slice(
+            "toks",
+            (F.col("lo") + 1).cast("int"),
+            (F.col("hi") - F.col("lo")).cast("int"),
+        ).alias("segment"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("start_offset", "segment")))
+    return sliced.groupBy("group", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("seg_len").alias("n_tokens"),
+        F.array_join(
+            F.flatten(F.transform(ordered, lambda s: s.getField("segment"))),
+            " ",
+        ).alias("bin_text"),
+    )
+
+
 def span_corruption(
     df: DataFrame,
     mask_denom: int = 5,

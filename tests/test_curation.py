@@ -325,3 +325,29 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
         dedup.leakage_safe_split(
             docs, pairs, fractions=(0.5, 0.2), labels=("a", "b", "c")
         )
+
+
+def test_pack_bins_materializes_exact_windows(spark):
+    from grape_vector_db_spark.operators import curation
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(7)), "s"),   # tokens 0..6
+        (2, " ".join(f"b{i}" for i in range(6)), "s"),   # tokens 7..12
+        (3, "c0 c1", "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["group"], r["bin"]): r for r in curation.pack_bins(df, max_tokens=5).collect()}
+    # group s stream: a0..a6 b0..b5 -> bins of 5: [a0..a4], [a5 a6 b0 b1 b2], [b3 b4 b5]
+    assert out[("s", 0)]["bin_text"] == "a0 a1 a2 a3 a4"
+    assert out[("s", 1)]["bin_text"] == "a5 a6 b0 b1 b2"
+    assert out[("s", 2)]["bin_text"] == "b3 b4 b5"
+    assert out[("s", 1)]["n_docs"] == 2 and out[("s", 1)]["n_tokens"] == 5
+    assert out[("s", 2)]["n_tokens"] == 3  # last partial window
+    assert out[("t", 0)]["bin_text"] == "c0 c1"
+    # full windows hold exactly max_tokens; stream reassembles exactly
+    full = " ".join(
+        out[("s", b)]["bin_text"] for b in range(3)
+    )
+    assert full == " ".join(f"a{i}" for i in range(7)) + " " + " ".join(
+        f"b{i}" for i in range(6)
+    )
