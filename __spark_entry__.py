@@ -580,6 +580,23 @@ def _lm(spark, sf_dir):
     return _CACHE[key]
 
 
+def _bilm(spark, sf_dir):
+    """Ingest-built smoothed bigram LM table (trained once per corpus
+    snapshot, like _lm)."""
+    key = ("bilm", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = textanalysis.bigram_lm(_docs(spark, sf_dir)).persist()
+    return _CACHE[key]
+
+
+def q_bigram_perplexity(spark, sf_dir):
+    """Bigram cross-entropy with stupid backoff to the unigram LM — one
+    step toward CCNet's n-gram KenLM, still relational/oracle-exact."""
+    return textanalysis.lm_cross_entropy_bigram(
+        _docs(spark, sf_dir), _bilm(spark, sf_dir), _lm(spark, sf_dir)
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality signal: per-doc cross-entropy under the
     corpus unigram LM. The hash-checked surface is cross_entropy (6 dp);
@@ -1570,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "curation_pipeline": q_curation_pipeline,
         "lm_perplexity": q_lm_perplexity,
+        "bigram_perplexity": q_bigram_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
         "mixture_temperature": q_mixture_temperature,
         "span_corruption": q_span_corruption,
@@ -2309,6 +2327,57 @@ def _span_corruption_sql(mask_denom: int = 5) -> str:
     """
 
 
+def _bigram_perplexity_sql(alpha: float = 0.5, backoff: float = 0.4) -> str:
+    """Twin of textanalysis.lm_cross_entropy_bigram: bigram counts from a
+    lag window over position-ordered non-empty tokens, context totals +
+    vocab-size smoothing, stupid backoff (Python's math.log(backoff)
+    literal inlined so both engines add the identical double)."""
+    import math
+
+    lnb = math.log(backoff)
+    return rf"""
+        WITH toks0 AS (
+          SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(text), '\s+') AS t
+                FROM documents)
+        ),
+        toks AS (SELECT * FROM toks0 WHERE length(term) > 0),
+        trans0 AS (
+          SELECT doc_id, term,
+                 lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks
+        ),
+        trans AS (SELECT * FROM trans0 WHERE prev IS NOT NULL),
+        bcounts AS (
+          SELECT prev, term, count(*) AS c FROM trans GROUP BY 1, 2
+        ),
+        ctx AS (SELECT prev, sum(c) AS ctx_c FROM bcounts GROUP BY 1),
+        vv AS (SELECT count(DISTINCT term) AS v FROM toks),
+        bi AS (
+          SELECT b.prev, b.term,
+                 ln((b.c + {alpha}) / (x.ctx_c + {alpha} * vv.v)) AS bi_lp
+          FROM bcounts b JOIN ctx x USING (prev), vv
+        ),
+        ucounts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        utot AS (SELECT sum(c) AS n, count(*) AS v FROM ucounts),
+        uni AS (
+          SELECT term, ln((c + {alpha}) / (n + {alpha} * v)) AS uni_lp
+          FROM ucounts, utot
+        ),
+        fl AS (SELECT min(uni_lp) AS floor_lp FROM uni)
+        SELECT t.doc_id, count(*) AS n_transitions,
+               round(-avg(coalesce(b.bi_lp,
+                                   {lnb!r} + coalesce(u.uni_lp,
+                                                      fl.floor_lp))), 6)
+                 AS cross_entropy
+        FROM trans t
+        LEFT JOIN bi b ON b.prev = t.prev AND b.term = t.term
+        LEFT JOIN uni u ON u.term = t.term, fl
+        GROUP BY t.doc_id
+    """
+
+
 def _ccnet_buckets_sql(alpha: float = 0.5, n_buckets: int = 3) -> str:
     """Same LM CTEs as _lm_perplexity_sql, then a plain global
     row_number over (cross_entropy, doc_id) cut into equal-count tiers —
@@ -2971,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _top_ngrams_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
+        "bigram_perplexity": _bigram_perplexity_sql(),
         "ccnet_buckets": _ccnet_buckets_sql(),
         "mixture_temperature": _mixture_temperature_sql(),
         "span_corruption": _span_corruption_sql(),

@@ -316,6 +316,102 @@ def lm_cross_entropy(
     )
 
 
+def bigram_lm(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Add-alpha-smoothed bigram model over the corpus: ``(prev, term,
+    logp)`` with ``P(w2|w1) = (c(w1,w2) + alpha) / (c(w1,·) + alpha*V)``
+    — one step toward CCNet's real 5-gram KenLM from the unigram shape,
+    still fully relational (and so oracle-exact).
+
+    Shape: posexplode -> per-doc lag window (adjacent pairs) -> one
+    map-side-combined count shuffle; context totals and the vocabulary
+    size V join back (the (V) single-row aggregate broadcasts).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_ws_tokens(text_col)).alias("pos", "term"),
+    ).where(F.length("term") > 0)
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    pairs = toks.withColumn("prev", F.lag("term").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    counts = pairs.groupBy("prev", "term").agg(F.count("*").alias("c"))
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("ctx_c"))
+    v = toks.agg(F.countDistinct("term").alias("v"))
+    return (
+        counts.join(ctx, "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev",
+            "term",
+            F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("ctx_c") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+
+
+def lm_cross_entropy_bigram(
+    df: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    backoff: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram cross-entropy with STUPID BACKOFF (Brants et
+    al. 2007): a transition scores the bigram logp when the bigram was
+    seen, else ``ln(backoff) + unigram_logp(term)`` (OOV terms floor at
+    the rarest unigram, as in :func:`lm_cross_entropy`). Returns
+    ``(doc_id, n_transitions, cross_entropy)`` over documents with at
+    least one transition (single-token docs have no bigram signal and
+    drop out — same on the oracle side by construction).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_ws_tokens(text_col)).alias("pos", "term"),
+    ).where(F.length("term") > 0)
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    trans = toks.withColumn("prev", F.lag("term").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    floor = uni.agg(F.min("logp").alias("floor_logp"))
+    scored = (
+        trans.join(
+            bi.select("prev", "term", F.col("logp").alias("bi_lp")),
+            ["prev", "term"],
+            "left",
+        )
+        .join(
+            uni.select("term", F.col("logp").alias("uni_lp")), "term", "left"
+        )
+        .crossJoin(F.broadcast(floor))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("bi_lp"),
+                F.lit(math.log(backoff))
+                + F.coalesce(F.col("uni_lp"), F.col("floor_logp")),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     lm: DataFrame,

@@ -168,6 +168,68 @@ def stream_curate_to_parquet(
     return writer.start()
 
 
+def stream_dedup_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """Dedup-on-ingest: each micro-batch is deduplicated BEFORE it merges,
+    so the stored corpus stays duplicate-free without ever re-deduping
+    the whole table — the streaming twin of the batch dedup family.
+
+    Per batch: (1) batch-internal exact dedup (keep the smallest id per
+    md5(text)); (2) cross-corpus near-dup drop — batch docs whose n-gram
+    shingle overlap with ANY stored document reaches ``threshold`` are
+    rejected (operators.dedup.contamination_pairs with the stored corpus
+    as the reference side — the shared-shingle equi-join, never
+    batch x corpus). Batches are micro-batch-sized, so the join's batch
+    side is small by construction; the corpus side streams through the
+    equi-join shuffle.
+    """
+    from ..operators.dedup import contamination_pairs
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+            F.col(id_col).asc()
+        )
+        uniq = (
+            batch.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+            .persist()
+        )
+        try:
+            if table_exists(spark, table_path):
+                corpus = read_table(spark, table_path)
+                dupes = contamination_pairs(
+                    corpus, uniq, n=n, threshold=threshold,
+                    id_col=id_col, text_col=text_col,
+                ).select(F.col("eval_id").alias(id_col)).distinct()
+                fresh = uniq.join(F.broadcast(dupes), id_col, "left_anti")
+                merged = merge_upsert(corpus, fresh, id_col=id_col)
+            else:  # first batch — only the internal exact dedup applies
+                merged = uniq
+            publish_table(spark, table_path, merged)
+        finally:
+            uniq.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

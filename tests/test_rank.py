@@ -69,3 +69,36 @@ def test_mixture_temperature_weights(spark):
     assert out1["big"]["sampling_weight"] == pytest.approx(s_big, abs=1e-6)
     with pytest.raises(ValueError):
         curation.mixture_temperature(docs, tau=0.0)
+
+
+def test_bigram_lm_and_backoff(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    bi = textanalysis.bigram_lm(docs, alpha=0.5)
+    got = {(r["prev"], r["term"]): r["logp"] for r in bi.collect()}
+    # transitions: a->b x3, b->a x1, b->c x1; V=3
+    # P(b|a) = (3 + .5) / (3 + .5*3)
+    assert got[("a", "b")] == pytest.approx(math.log(3.5 / 4.5), abs=1e-9)
+    assert got[("b", "a")] == pytest.approx(math.log(1.5 / 3.5), abs=1e-9)
+
+    uni = textanalysis.unigram_lm(docs, alpha=0.5)
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.lm_cross_entropy_bigram(docs, bi, uni).collect()
+    }
+    assert out[1]["n_transitions"] == 3 and out[2]["n_transitions"] == 2
+    # doc 2's a->b and b->c are both seen bigrams: exact cross-entropy
+    want2 = -(math.log(3.5 / 4.5) + math.log(1.5 / 3.5)) / 2
+    assert out[2]["cross_entropy"] == pytest.approx(want2, abs=1e-6)
+    # unseen bigram backs off: score a doc with a novel transition
+    probe = spark.createDataFrame([(9, "c a")], "doc_id long, text string")
+    r9 = textanalysis.lm_cross_entropy_bigram(probe, bi, uni).collect()[0]
+    # c->a unseen -> ln(0.4) + uni(a); uni(a) = ln((3+.5)/(7+.5*3))
+    want9 = -(math.log(0.4) + math.log(3.5 / 8.5))
+    assert r9["cross_entropy"] == pytest.approx(want9, abs=1e-6)
+    # single-token docs drop out (no transitions)
+    single = spark.createDataFrame([(5, "only")], "doc_id long, text string")
+    assert textanalysis.lm_cross_entropy_bigram(single, bi, uni).count() == 0

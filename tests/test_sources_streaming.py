@@ -268,3 +268,36 @@ def test_stream_curate_to_parquet(spark, tmpdir):
     out = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
     assert set(out) == {1, 2}
     assert "[EMAIL]" in out[1]
+
+
+def test_stream_dedup_to_parquet(spark, tmpdir):
+    from grape_vector_db_spark.streaming.ingest import stream_dedup_to_parquet
+
+    src, tbl, ckpt = f"{tmpdir}/src", f"{tmpdir}/tbl", f"{tmpdir}/ck"
+    # batch 1: two exact dups (1, 2) and a distinct doc (3)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different text here")],
+        "doc_id int, text string",
+    ).write.parquet(src)
+    q = stream_dedup_to_parquet(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        tbl, checkpoint=ckpt,
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in read_table(spark, tbl).collect()}
+    assert got == {1, 3}  # exact dup 2 dropped inside the batch
+
+    # batch 2: near-copy of doc 1 (41) + genuinely new doc (42)
+    spark.createDataFrame(
+        [(41, "alpha beta gamma delta epsilon"),
+         (42, "nothing shares shingles with this")],
+        "doc_id int, text string",
+    ).write.mode("append").parquet(src)
+    q = stream_dedup_to_parquet(
+        spark.readStream.schema("doc_id int, text string").parquet(src),
+        tbl, checkpoint=ckpt,
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in read_table(spark, tbl).collect()}
+    assert got == {1, 3, 42}  # 41 rejected: shingle overlap vs stored doc 1
