@@ -31,6 +31,7 @@ from grape_vector_db_spark.operators import (
     geo,
     quantization,
     search,
+    selection,
     sparse,
     textanalysis,
     topk,
@@ -1539,6 +1540,71 @@ def q_ivfpq_search(spark, sf_dir):
     )
 
 
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the "in-domain" slice for dsir_weights
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR log importance weights (Xie et al. 2023) of every document
+    against a target domain defined as sources src0/src1."""
+    return selection.dsir_log_weights(
+        _docs(spark, sf_dir),
+        F.col("source").isin(*DSIR_TARGET_SOURCES),
+        n_buckets=1024,
+        alpha=1.0,
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup prune list over the persisted IVF k-means clustering: for
+    every embedding with a smaller-id same-cluster neighbor at cosine
+    >= 0.3, its canonical keeper and duplicate count."""
+    _, assigned = _ivf_idx(spark, sf_dir)
+    pairs = dedup.semdedup_pairs(
+        _emb(spark, sf_dir), assigned, threshold=0.3
+    )
+    return dedup.semdedup_prune(pairs)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Top-50 BPE merge-candidate symbol pairs over the corpus."""
+    return textanalysis.bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Per-document duplicated-n-gram coverage (Lee et al. 2022 style)."""
+    return dedup.dup_span_coverage(_docs(spark, sf_dir), n=5, min_df=2)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-100 importance resampling over the DSIR weights — the
+    complete DSIR pipeline (weights -> deterministic weighted sample)."""
+    wts = selection.dsir_log_weights(
+        _docs(spark, sf_dir),
+        F.col("source").isin(*DSIR_TARGET_SOURCES),
+        n_buckets=1024,
+        alpha=1.0,
+    )
+    return selection.dsir_sample(wts, n=100)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard negatives: top-10 different-label neighbors for
+    each of the first 5 vectors."""
+    emb = _emb(spark, sf_dir)
+    return search.hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """k-NN majority-label prediction for the first 20 vectors."""
+    emb = _emb(spark, sf_dir)
+    return search.knn_label_vote(emb, emb.where(F.col("vec_id") < 20), k=10)
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints of every document."""
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=10, w=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1642,6 +1708,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
+        "dsir_weights": q_dsir_weights,
+        "semdedup": q_semdedup,
+        "bpe_pairs": q_bpe_pairs,
+        "dup_spans": q_dup_spans,
+        "dsir_sample": q_dsir_sample,
+        "hard_negatives": q_hard_negatives,
+        "knn_label_vote": q_knn_label_vote,
+        "winnow_fingerprints": q_winnow,
     }
 
 
@@ -2654,6 +2728,247 @@ def _ivfpq_search_sql(
     """
 
 
+def _dsir_weights_sql(n_buckets: int = 1024, alpha: float = 1.0) -> str:
+    """DuckDB twin of selection.dsir_log_weights: identical hashed-bigram
+    buckets (h32 % B), identical Laplace-smoothed ln-ratio; only the final
+    per-doc sum is rounded (6 dp), matching the Spark side."""
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, (source IN ({srcs})) AS is_t,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, is_t,
+                 unnest(list_transform(range(len(toks) - 1),
+                                       i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM t WHERE len(toks) >= 2
+        ),
+        f AS (
+          SELECT doc_id, is_t, ({_h32_sql('gram', 0)} % {n_buckets}) AS bucket
+          FROM g
+        ),
+        c AS (
+          SELECT bucket,
+                 sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+          FROM f GROUP BY bucket
+        ),
+        tot AS (SELECT sum(ct) AS tot_t, sum(cr) AS tot_r FROM c),
+        r AS (
+          SELECT bucket,
+                 ln((ct + {alpha}) / (tot_t + {alpha * n_buckets}))
+                 - ln((cr + {alpha}) / (tot_r + {alpha * n_buckets})) AS lr
+          FROM c, tot
+        ),
+        w AS (
+          SELECT doc_id, round(sum(lr), 6) AS log_weight,
+                 count(*)::INT AS n_feats
+          FROM f JOIN r USING (bucket) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(w.log_weight, 0.0) AS log_weight,
+               coalesce(w.n_feats, 0) AS n_feats
+        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    """
+
+
+def _semdedup_sql(threshold: float = 0.3) -> str:
+    """Replay dedup.semdedup_pairs + semdedup_prune over the SAME
+    persisted IVF assignment table the Spark query uses: same-cluster
+    pairs at round(cosine, 6) >= threshold, min-id keeper per removed
+    doc."""
+    p = _ann_oracle_paths()
+    assigned = f"read_parquet('{p['ivf_assigned']}/*.parquet')"
+    return f"""
+        WITH a AS (SELECT id, cluster FROM {assigned}),
+        p AS (
+          SELECT x.id AS ka, y.id AS kb, x.cluster AS cluster
+          FROM a x JOIN a y ON x.cluster = y.cluster AND x.id < y.id
+          JOIN {_EMB_D} ex ON ex.vec_id = x.id
+          JOIN {_EMB_D} ey ON ey.vec_id = y.id
+          WHERE round({_cos('ex.v', 'ey.v')}, 6) >= {threshold}
+        )
+        SELECT kb AS vec_id, cluster, min(ka) AS kept_by,
+               count(*) AS n_dups
+        FROM p GROUP BY kb, cluster
+    """
+
+
+def _bpe_pairs_sql(top_k: int = 50, end_token: str = "</w>") -> str:
+    """DuckDB twin of textanalysis.bpe_pair_counts — both engines index
+    characters 1-based and count code points, so substr/substring agree
+    on the multilingual corpus."""
+    return rf"""
+        WITH w0 AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents
+        ),
+        wc AS (
+          SELECT w, count(*) AS c FROM w0 WHERE length(w) > 0 GROUP BY w
+        ),
+        s AS (
+          SELECT c,
+                 list_append(
+                   list_transform(range(length(w)), i -> substr(w, i + 1, 1)),
+                   '{end_token}') AS syms
+          FROM wc
+        ),
+        p AS (
+          SELECT c,
+                 unnest(list_transform(range(1, len(syms)),
+                                       i -> syms[i] || ' ' || syms[i+1])) AS pair
+          FROM s
+        )
+        SELECT pair, sum(c)::BIGINT AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT {top_k}
+    """
+
+
+def _dup_spans_sql(n: int = 5, min_df: int = 2) -> str:
+    """DuckDB twin of dedup.dup_span_coverage (frequent-n-gram token
+    coverage)."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        base AS (SELECT doc_id, toks, len(toks)::INT AS n_tokens FROM t),
+        g AS (
+          SELECT doc_id, unnest(range(len(toks) - {n} + 1)) AS pos,
+                 toks
+          FROM base WHERE n_tokens >= {n}
+        ),
+        g2 AS (
+          SELECT doc_id, pos,
+                 array_to_string(toks[pos + 1 : pos + {n}], ' ') AS gram
+          FROM g
+        ),
+        freq AS (
+          SELECT gram FROM g2 GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= {min_df}
+        ),
+        hits AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN freq USING (gram)),
+        cov AS (
+          SELECT doc_id, count(DISTINCT ti) AS covered
+          FROM (SELECT doc_id, unnest(range(pos, pos + {n})) AS ti FROM hits)
+          GROUP BY doc_id
+        ),
+        nd AS (SELECT doc_id, count(*) AS n_dup FROM hits GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(nd.n_dup, 0)::INT AS n_dup_ngrams,
+               round(coalesce(cov.covered, 0)::DOUBLE / b.n_tokens, 6)
+                 AS dup_token_frac
+        FROM base b
+        LEFT JOIN nd ON nd.doc_id = b.doc_id
+        LEFT JOIN cov ON cov.doc_id = b.doc_id
+    """
+
+
+def _dsir_sample_sql(n: int = 100, seed: int = 0) -> str:
+    """DuckDB twin of selection.dsir_sample over the dsir_weights oracle:
+    identical md5-derived Gumbel noise, identical (key desc, id) order."""
+    u = f"(({_h32_sql('doc_id::VARCHAR', seed)} + 0.5) / 4294967296.0)"
+    return f"""
+        SELECT doc_id, log_weight,
+               round(log_weight + - ln(- ln({u})), 6) AS sample_key
+        FROM ({_dsir_weights_sql()}) b
+        ORDER BY sample_key DESC, doc_id ASC LIMIT {n}
+    """
+
+
+def _hard_negatives_sql(k: int = 10, max_anchor: int = 5) -> str:
+    return f"""
+        WITH a AS (
+          SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv,
+                 label AS anchor_label
+          FROM embeddings WHERE vec_id < {max_anchor}
+        ),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+        s AS (
+          SELECT a.anchor_id, a.anchor_label, c.vec_id, c.label,
+                 round({_cos('c.cv', 'a.qv')}, 6) AS score
+          FROM c, a
+          WHERE c.label <> a.anchor_label AND c.vec_id <> a.anchor_id
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY score DESC, vec_id ASC)::INT AS rank
+          FROM s
+        )
+        SELECT anchor_id, anchor_label, vec_id, label, score, rank
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _knn_label_vote_sql(k: int = 10, max_anchor: int = 20) -> str:
+    return f"""
+        WITH a AS (
+          SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv,
+                 label AS true_label
+          FROM embeddings WHERE vec_id < {max_anchor}
+        ),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+        s AS (
+          SELECT a.anchor_id, a.true_label, c.vec_id AS nbr_id,
+                 c.label AS nbr_label,
+                 round({_cos('c.cv', 'a.qv')}, 6) AS score
+          FROM c, a WHERE c.vec_id <> a.anchor_id
+        ),
+        t AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY anchor_id
+                     ORDER BY score DESC, nbr_id ASC) AS rn
+            FROM s) WHERE rn <= {k}
+        ),
+        v AS (
+          SELECT anchor_id, true_label, nbr_label, count(*) AS n_votes
+          FROM t GROUP BY 1, 2, 3
+        ),
+        p AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY n_votes DESC, nbr_label ASC) AS r
+          FROM v
+        )
+        SELECT anchor_id AS vec_id, true_label, nbr_label AS pred_label,
+               n_votes
+        FROM p WHERE r = 1
+    """
+
+
+def _winnow_sql(k: int = 10, w: int = 16) -> str:
+    """DuckDB twin of dedup.winnow_fingerprints — both engines hash the
+    same 1-based character k-grams and take 1-based inclusive w-slices."""
+    gram = _h32_sql(f"substr(s, i + 1, {k})", 0)
+    return rf"""
+        WITH nrm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+          FROM documents
+        ),
+        hl AS (
+          SELECT doc_id,
+                 list_transform(range(greatest(length(s) - {k - 1}, 1)),
+                                i -> {gram}) AS hl
+          FROM nrm
+        ),
+        fps AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   list_transform(range(greatest(len(hl) - {w - 1}, 1)),
+                                  j -> list_min(hl[j + 1 : j + {w}])))) AS fp
+          FROM hl
+        )
+        SELECT doc_id, fp FROM fps
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
     # mirroring functions.hashing.h32), votes over bits 0..63; the unsigned
@@ -3508,6 +3823,14 @@ def oracle_sql() -> dict[str, str]:
         "ivf_search": _ivf_search_sql(),
         "pq_search": _pq_search_sql(),
         "ivfpq_search": _ivfpq_search_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "semdedup": _semdedup_sql(),
+        "bpe_pairs": _bpe_pairs_sql(),
+        "dup_spans": _dup_spans_sql(),
+        "dsir_sample": _dsir_sample_sql(),
+        "hard_negatives": _hard_negatives_sql(),
+        "knn_label_vote": _knn_label_vote_sql(),
+        "winnow_fingerprints": _winnow_sql(),
     }
 
 

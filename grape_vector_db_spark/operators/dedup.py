@@ -991,3 +991,236 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    assigned: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540) candidate pairs:
+    semantic near-duplicates (cosine >= threshold, a < b) restricted to
+    pairs that land in the SAME k-means cluster of a prebuilt IVF
+    assignment table (``assigned``: (id, cluster), e.g. from
+    ann.ivf_build — the very table the IVF search index persists, so the
+    clustering is paid once at ingest and shared).
+
+    Scale design: the cluster assignment IS the blocking — pairing cost
+    drops from O(n^2) to sum_c n_c^2, and each cluster is further
+    sub-blocked by ``pmod(id, nb)`` into the same blocked-GEMM shape as
+    embedding_neardup_pairs_gemm: one BLAS matmul per (cluster, i <= j)
+    block pair, pairs streamed out via Arrow. ``nb`` scales with the
+    LARGEST cluster so a hot cluster fans out across tasks instead of
+    pinning one.
+    """
+    import math
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    v = to_double_array(vec_col)
+    base = (
+        emb.select(F.col(id_col).alias("id"), v.alias("v"))
+        .join(assigned.select("id", "cluster"), "id")
+    )
+    max_c = base.groupBy("cluster").count().agg(F.max("count")).first()[0]
+    nb = max(1, math.ceil((max_c or 0) / rows_per_block))
+    base = base.withColumn(
+        "block", F.pmod(F.col("id"), F.lit(nb)).cast("int")
+    )
+    mats = base.groupBy("cluster", "block").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("v").alias("vecs"),
+    )
+    a = mats.select(
+        "cluster", F.col("block").alias("ba"),
+        F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"),
+    )
+    b = mats.select(
+        "cluster", F.col("block").alias("bb"),
+        F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"),
+    )
+    block_pairs = F.broadcast(
+        spark.createDataFrame(
+            [(i, j) for i in range(nb) for j in range(i, nb)],
+            "ba int, bb int",
+        )
+    )
+    joined = (
+        a.join(block_pairs, "ba")
+        .join(b, ["cluster", "bb"])
+        .repartition("cluster", "ba", "bb")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                xids = np.asarray(row.ids_a, dtype=np.int64)
+                yids = np.asarray(row.ids_b, dtype=np.int64)
+                X = np.asarray(list(row.vecs_a), dtype=np.float64)
+                Y = np.asarray(list(row.vecs_b), dtype=np.float64)
+                xn = np.sqrt((X * X).sum(axis=1))
+                yn = np.sqrt((Y * Y).sum(axis=1))
+                denom = xn[:, None] * yn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
+                S = np.round(S, 6)
+                if row.ba == row.bb:
+                    mask = (S >= threshold) & (xids[:, None] < yids[None, :])
+                    xi, yi = np.nonzero(mask)
+                    a_out, b_out = xids[xi], yids[yi]
+                else:
+                    mask = S >= threshold
+                    xi, yi = np.nonzero(mask)
+                    a_out = np.minimum(xids[xi], yids[yi])
+                    b_out = np.maximum(xids[xi], yids[yi])
+                if not len(xi):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "a": a_out,
+                        "b": b_out,
+                        "cluster": np.full(len(xi), row.cluster),
+                        "cosine": S[xi, yi],
+                    }
+                )
+
+    return joined.mapInPandas(run, "a long, b long, cluster int, cosine double")
+
+
+def semdedup_prune(pairs: DataFrame) -> DataFrame:
+    """SemDeDup's keep-one policy over candidate pairs: a document is
+    REMOVED iff some same-cluster neighbor with a smaller id matches it
+    (deterministic canonical-survivor rule — the paper keeps an arbitrary
+    exemplar per connected group; min-id is the engine-portable choice).
+    Returns (vec_id, cluster, kept_by, n_dups): the removed id, its
+    cluster, the smallest matching neighbor, and how many smaller-id
+    neighbors matched. One map-side-combined groupBy on the pair stream.
+    """
+    return pairs.groupBy(
+        F.col("b").alias("vec_id"), "cluster"
+    ).agg(
+        F.min("a").alias("kept_by"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-text coverage in the spirit of exact
+    substring dedup (Lee et al., 2022, arXiv:2107.06499, "Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    DUPLICATED if some corpus-frequent token n-gram (appearing in
+    >= min_df distinct documents) covers it. Returns
+    (doc_id, n_tokens, n_dup_ngrams, dup_token_frac) for every document —
+    the fraction drives span-level filtering policies the same way the
+    suffix-array pass does in the paper, at a bounded n-gram granularity
+    that stays relational.
+
+    Scale: positions explode n-grams once (corpus token count rows), the
+    document-frequency pass is one map-side-combined groupBy on the gram,
+    and coverage re-explodes ONLY the matched positions (n rows each).
+    No driver state; frequent-gram table stays distributed (it is NOT
+    broadcast — its size is corpus-dependent).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    grams = (
+        base.where(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    freq = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .where(F.col("df_docs") >= min_df)
+        .select("gram")
+    )
+    hits = grams.join(freq, "gram")
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("ti"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    ndup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(ndup, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("int").alias("n_dup_ngrams"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 10,
+    w: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    — the MOSS algorithm): hash every character k-gram of the
+    whitespace-normalized lowercased text, slide a window of ``w``
+    consecutive hashes, and keep each window's minimum. Guarantees every
+    match of length >= k + w - 1 shares a fingerprint, with expected
+    density 2/(w+1) — the standard local fingerprinting scheme for
+    near-dup and plagiarism detection. Returns the distinct
+    (doc_id, fp) pairs — a join on fp yields candidate pairs exactly like
+    the MinHash band buckets.
+
+    Scale: ENTIRELY narrow — per-row array expressions, zero shuffles
+    (the terminal distinct is per-doc inside the array). Documents
+    shorter than k or with fewer than w k-grams degrade gracefully to a
+    single whole-text window, matching textanalysis.fingerprints'
+    min_gram_hash convention.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("s"))
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("s") - (k - 1), F.lit(1))),
+        lambda i: h32(F.col("s").substr(i, F.lit(k))),
+    )
+    withh = base.select("doc_id", hs.alias("hl"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("hl") - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice("hl", j, w)),
+        )
+    )
+    return withh.select("doc_id", F.explode(fps).alias("fp"))

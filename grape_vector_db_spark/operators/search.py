@@ -192,3 +192,134 @@ def similarity_threshold_scan(
     return df.select(
         F.col(id_col), F.round(cosine_vs_query(v, query_vector), 6).alias("score")
     ).where(F.col("score") >= threshold)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``k`` most cosine-similar corpus vectors carrying a
+    DIFFERENT label (the "hard" negatives — close in embedding space,
+    wrong in class). Same scale shape as knn_batch: broadcast the small
+    anchor set, scan the corpus once shuffle-free, per-anchor window
+    top-k. Output: (anchor_id, anchor_label, vec_id, label, score, rank).
+    """
+    qv = to_double_array(vec_col)
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            qv.alias("_qv"),
+            l2_norm(qv).alias("_qn"),
+            F.col(label_col).alias("anchor_label"),
+        )
+    )
+    cv = to_double_array(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        cv.alias("_cv"),
+        l2_norm(cv).alias("_cn"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        c.crossJoin(a)
+        .where(
+            (F.col("label") != F.col("anchor_label"))
+            & (F.col("vec_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("_cv"), F.col("_qv")), F.col("_cn"), F.col("_qn")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label prediction over the embedding table (the classic
+    embedding-quality probe): each anchor is classified by the majority
+    label of its ``k`` nearest neighbors (cosine, self excluded); ties
+    break to the smallest label. Output:
+    (vec_id, true_label, pred_label, n_votes).
+
+    Scale: broadcast anchors x one corpus scan, window top-k, then a
+    map-side-combined vote count — no shuffle touches the corpus side.
+    """
+    qv = to_double_array(vec_col)
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            qv.alias("_qv"),
+            l2_norm(qv).alias("_qn"),
+            F.col(label_col).alias("true_label"),
+        )
+    )
+    cv = to_double_array(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        cv.alias("_cv"),
+        l2_norm(cv).alias("_cn"),
+        F.col(label_col).alias("nbr_label"),
+    )
+    scored = (
+        c.crossJoin(a)
+        .where(F.col("nbr_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "true_label",
+            "nbr_id",
+            "nbr_label",
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("_cv"), F.col("_qv")), F.col("_cn"), F.col("_qn")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("anchor_id", "true_label", "nbr_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("anchor_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("anchor_id").alias("vec_id"),
+            "true_label",
+            F.col("nbr_label").alias("pred_label"),
+            "n_votes",
+        )
+    )

@@ -1,0 +1,140 @@
+"""Data selection via importance resampling (DSIR).
+
+DSIR (Xie et al., NeurIPS 2023, arXiv:2302.03169) scores every raw
+document by how target-domain-like it is under two hashed bag-of-ngrams
+unigram models: a target model fit on a (small) in-domain corpus and a
+raw model fit on everything else. The per-document log importance weight
+
+    log w(d) = sum_{g in ngrams(d)} [ log p_t(bucket(g)) - log p_r(bucket(g)) ]
+
+uses Laplace-smoothed bucket probabilities p(b) = (c_b + a) / (C + a*B).
+Sampling proportional to w(d) then selects pretraining data that matches
+the target distribution; here we emit the weights (the expensive, corpus-
+wide part) and leave the sampling policy to the caller (sampling.py's
+deterministic hash-gates compose directly).
+
+Scale design: the feature space is B hashed buckets (default 1024), so
+the two "models" are ONE groupBy over the exploded bigrams producing a
+B-row table that broadcasts everywhere; per-document scoring is a
+broadcast join + one map-side-combined groupBy sum. Two shuffles total,
+both on keys with bounded cardinality (bucket, doc_id) — no vocabulary
+pass, no skew (md5 buckets are uniform by construction). The hash is
+functions.hashing.h32 so a DuckDB oracle reproduces weights exactly.
+
+The reference has no selection surface (it stops at per-query filtering);
+this is a pipeline addition in the spirit of its quality gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR log importance weights.
+
+    ``target`` is a boolean Column selecting the in-domain rows (e.g.
+    ``F.col("source").isin("wiki", "books")``); every other row is the
+    raw distribution. Returns (doc_id, log_weight, n_feats) for EVERY
+    input row — documents with fewer than 2 whitespace tokens have no
+    bigram features and score 0.0 (weight 1: indistinguishable).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        toks.alias("toks"),
+    )
+    grams = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    feats = grams.select(
+        "doc_id",
+        "is_target",
+        F.pmod(h32(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r")
+    )
+    # B rows; the additive-smoothed log-ratio per bucket. Broadcast both:
+    # totals is one row, ratio is n_buckets rows.
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / (F.col("tot_t") + F.lit(alpha * n_buckets)))
+            - F.log((F.col("cr") + F.lit(alpha)) / (F.col("tot_r") + F.lit(alpha * n_buckets)))
+        ).alias("lr"),
+    )
+    doc_w = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+            F.count("*").cast("int").alias("n_feats"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(doc_w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        )
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    n: int = 100,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """The RESAMPLING half of DSIR: Gumbel-top-n selection of ``n``
+    documents with probability proportional to their importance weight
+    exp(log_weight). The Gumbel-max trick makes weighted sampling a plain
+    top-n: key = log_weight + Gumbel(0,1), where the Gumbel noise is
+    derived DETERMINISTICALLY from the document id via the md5 hash
+    (u = (h32(id) + 0.5) / 2^32, g = -ln(-ln(u))) — reproducible across
+    engines and runs, no RNG state.
+
+    Scale: one narrow map to compute keys + a TakeOrderedAndProject for
+    the top-n (per-partition heaps, no global sort). Returns
+    (doc_id, log_weight, sample_key), key-descending.
+    """
+    u = (h32(F.col(id_col).cast("string"), seed) + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    key = F.round(
+        F.col(weight_col) + -F.log(-F.log(u)), 6
+    ).alias("sample_key")
+    return (
+        weights.select(F.col(id_col).alias("doc_id"), F.col(weight_col), key)
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(n)
+    )

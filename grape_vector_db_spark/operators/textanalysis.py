@@ -455,3 +455,53 @@ def ccnet_buckets(
     finally:
         scored.unpersist()
     return out
+
+
+def bpe_pair_counts(
+    df, text_col: str = "text", top_k: int = 50, end_token: str = "</w>"
+) -> "DataFrame":
+    """The inner loop of BPE tokenizer training (Sennrich et al., 2016,
+    arXiv:1508.07909) as a distributed aggregation: frequency of every
+    adjacent symbol pair over the initial character-level vocabulary,
+    weighted by word frequency, with words terminated by ``end_token``.
+    The max-count pair is the next merge a BPE trainer would apply;
+    emitting the top-``top_k`` (count desc, pair asc — a total order, so
+    the LIMIT cut is deterministic) gives the trainer its whole candidate
+    frontier in one pass.
+
+    Scale: the corpus collapses to the DISTINCT-WORD table first (Zipf
+    makes that orders of magnitude smaller than the token stream), then
+    character pairs explode off words, not documents. Two shuffles, both
+    map-side combined; top-k is a TakeOrdered, never a full sort.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.length("w") > 0)
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("c"))
+    syms = wc.withColumn(
+        "syms",
+        F.concat(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            F.array(F.lit(end_token)),
+        ),
+    )
+    pairs = syms.select(
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )
