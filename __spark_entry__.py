@@ -1605,6 +1605,62 @@ def q_winnow(spark, sf_dir):
     return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=10, w=16)
 
 
+def _wav_header_hex(n_samples: int = 8, rate: int = 8000) -> str:
+    """Hex of a canonical PCM16-mono RIFF/WAVE header for ``n_samples``
+    (shared by the Spark blob synthesis and the DuckDB oracle)."""
+    nbytes = 2 * n_samples
+    h = (
+        b"RIFF" + (36 + nbytes).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (2 * rate).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + nbytes.to_bytes(4, "little")
+    )
+    return h.hex()
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """REAL decode + nearest-neighbor resize, hash-checked: each document
+    gets a 4x4 binary PPM (P6) whose 48 pixel bytes come from three md5
+    digests of the doc id; multimodal.resize_image decodes it (pure
+    numpy), NN-downsamples to 2x2 with the integer pixel-center rule, and
+    emits the resized channel means. The DuckDB oracle recomputes the
+    identical means straight from the md5 hex digits of the selected
+    source pixels."""
+    from grape_vector_db_spark.operators import multimodal
+
+    payload = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}"))))
+            for i in range(3)
+        ]
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("P6\n4 4\n255\n").cast("binary"), payload).alias("blob"),
+    )
+    return multimodal.resize_image(docs, out_h=2, out_w=2)
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode, hash-checked: each document gets a PCM16-mono
+    RIFF/WAVE blob (canonical 44-byte header + 8 samples = 16 md5 bytes);
+    multimodal.audio_features parses the chunks and emits the int16 RMS.
+    The DuckDB oracle rebuilds the same little-endian signed samples from
+    the md5 hex digits."""
+    from grape_vector_db_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(_wav_header_hex())),
+            F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":a")))),
+        ).alias("blob"),
+    )
+    return multimodal.audio_features(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1716,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "knn_label_vote": q_knn_label_vote,
         "winnow_fingerprints": q_winnow,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -2969,6 +3027,57 @@ def _winnow_sql(k: int = 10, w: int = 16) -> str:
     """
 
 
+def _md5_byte_sql(j: int) -> str:
+    """Byte ``j`` (0-based) of the 48-byte payload concat(md5(id:0),
+    md5(id:1), md5(id:2)) as an INT — two hex digits of digest j//16."""
+    i, o = divmod(j, 16)
+    return (
+        f"(('0x' || substr(md5(doc_id::VARCHAR || ':{i}'), {2 * o + 1}, 2))::INT)"
+    )
+
+
+def _multimodal_resize_sql() -> str:
+    """Twin of q_multimodal_resize: NN 4x4 -> 2x2 keeps source rows/cols
+    {1,3} (pixel-center rule), i.e. pixel indices {5,7,13,15}; channel k
+    of pixel p is payload byte 3p+k, recomputed from the md5 hex."""
+    sel_pix = [5, 7, 13, 15]
+
+    def mean(k: int) -> str:
+        terms = " + ".join(_md5_byte_sql(3 * p + k) for p in sel_pix)
+        return f"round(({terms}) / 4.0, 6)"
+
+    return f"""
+        SELECT doc_id, 2::INT AS height, 2::INT AS width,
+               {mean(0)} AS mean_r, {mean(1)} AS mean_g, {mean(2)} AS mean_b
+        FROM documents
+    """
+
+
+def _multimodal_audio_sql(n_samples: int = 8, rate: int = 8000) -> str:
+    """Twin of q_multimodal_audio: rebuild the 8 little-endian signed
+    int16 samples from md5(doc_id:a) hex and take sqrt(mean(v^2))."""
+
+    def byte(j: int) -> str:
+        return (
+            f"(('0x' || substr(md5(doc_id::VARCHAR || ':a'), {2 * j + 1}, 2))::INT)"
+        )
+
+    def sample(t: int) -> str:
+        lsb, msb = byte(2 * t), byte(2 * t + 1)
+        return (
+            f"({lsb} + 256 * {msb} - CASE WHEN {msb} >= 128 "
+            f"THEN 65536 ELSE 0 END)"
+        )
+
+    sq = " + ".join(f"pow({sample(t)}, 2)" for t in range(n_samples))
+    return f"""
+        SELECT doc_id, {rate}::INT AS sample_rate,
+               {n_samples}::INT AS n_samples,
+               round(sqrt(({sq}) / {n_samples}.0), 6) AS rms
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
     # mirroring functions.hashing.h32), votes over bits 0..63; the unsigned
@@ -3831,6 +3940,8 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(),
         "knn_label_vote": _knn_label_vote_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "multimodal_resize": _multimodal_resize_sql(),
+        "multimodal_audio": _multimodal_audio_sql(),
     }
 
 

@@ -182,3 +182,78 @@ def test_image_features_real_decode(spark):
         assert out[did]["mean_r"] == round(sum(raw[0::3]) / 4.0, 6)
         assert out[did]["mean_g"] == round(sum(raw[1::3]) / 4.0, 6)
         assert out[did]["mean_b"] == round(sum(raw[2::3]) / 4.0, 6)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: NN resize + WAV audio decode
+
+
+def _p6(w, h, pixels: bytes) -> bytes:
+    return f"P6\n{w} {h}\n255\n".encode() + pixels
+
+
+def test_resize_image_nn_picks_center_pixels(spark):
+    from grape_vector_db_spark.operators import multimodal
+
+    # 4x4 image whose pixel (r, c) has value r*16+c in all channels;
+    # NN 4->2 keeps rows/cols {1, 3}
+    px = bytes(b for r in range(4) for c in range(4) for b in [r * 16 + c] * 3)
+    df = spark.createDataFrame([(1, _p6(4, 4, px))], "doc_id long, blob binary")
+    row = multimodal.resize_image(df, 2, 2).collect()[0]
+    expect = (17 + 19 + 49 + 51) / 4.0  # pixels (1,1),(1,3),(3,1),(3,3)
+    assert row["height"] == 2 and row["width"] == 2
+    assert row["mean_r"] == expect == row["mean_g"] == row["mean_b"]
+
+
+def test_decode_wav_roundtrip():
+    import struct
+
+    import numpy as np
+
+    from grape_vector_db_spark.operators.multimodal import decode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 7, -7, 1]
+    data = struct.pack("<8h", *samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    rate, arr = decode_wav(hdr + data)
+    assert rate == 8000
+    assert np.array_equal(arr, np.array(samples, dtype=np.int16))
+
+
+def test_decode_wav_rejects_non_pcm():
+    import struct
+
+    import pytest as _pytest
+
+    from grape_vector_db_spark.operators.multimodal import decode_wav
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 44100, 352800, 8, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_wav(hdr)
+
+
+def test_audio_features_rms(spark):
+    import struct
+
+    from grape_vector_db_spark.operators import multimodal
+
+    samples = [3, -4, 0, 0, 0, 0, 0, 0]  # mean square = 25/8
+    data = struct.pack("<8h", *samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    df = spark.createDataFrame([(1, hdr + data)], "doc_id long, blob binary")
+    row = multimodal.audio_features(df).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["n_samples"] == 8
+    assert row["rms"] == round((25 / 8) ** 0.5, 6)
