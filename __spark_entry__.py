@@ -1643,6 +1643,36 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize_image(docs, out_h=2, out_w=2)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality score per document (deterministic
+    md5-derived weight vector; see selection.quality_classifier_score)."""
+    return selection.quality_classifier_score(_docs(spark, sf_dir))
+
+
+def q_late_orders(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority check: 1996 orders with at least
+    one lineitem shipped more than 60 days after the order date, counted
+    by priority. The EXISTS becomes a LEFT SEMI hash join on the order
+    key (never a per-row subquery), the canonical Spark shape for
+    exists-style predicates."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio decode, hash-checked: each document gets a PCM16-mono
     RIFF/WAVE blob (canonical 44-byte header + 8 samples = 16 md5 bytes);
@@ -1774,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
+        "quality_classifier": q_quality_classifier,
+        "late_orders": q_late_orders,
     }
 
 
@@ -3078,6 +3110,54 @@ def _multimodal_audio_sql(n_samples: int = 8, rate: int = 8000) -> str:
     """
 
 
+def _quality_classifier_sql(n_buckets: int = 1024, seed: int = 17) -> str:
+    """DuckDB twin of selection.quality_classifier_score: identical
+    hashed buckets, identical md5-derived weights, sigmoid(avg(w))."""
+    wexpr = (
+        f"(({_h32_sql('bucket::VARCHAR', seed)} / 4294967296.0) * 2.0 - 1.0)"
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(len(toks) - 1),
+                                       i -> toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM t WHERE len(toks) >= 2
+        ),
+        f AS (
+          SELECT doc_id, ({_h32_sql('gram', 0)} % {n_buckets}) AS bucket
+          FROM g
+        ),
+        w AS (
+          SELECT doc_id, avg({wexpr}) AS logit, count(*)::INT AS n_feats
+          FROM f GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-coalesce(w.logit, 0.0))), 6) AS score,
+               coalesce(w.n_feats, 0) AS n_feats
+        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    """
+
+
+def _late_orders_sql() -> str:
+    return """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
     # mirroring functions.hashing.h32), votes over bits 0..63; the unsigned
@@ -3942,6 +4022,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "multimodal_resize": _multimodal_resize_sql(),
         "multimodal_audio": _multimodal_audio_sql(),
+        "quality_classifier": _quality_classifier_sql(),
+        "late_orders": _late_orders_sql(),
     }
 
 

@@ -138,3 +138,61 @@ def dsir_sample(
         .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
         .limit(n)
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    seed: int = 17,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016,
+    arXiv:1607.01759 — the model class CCNet/LLaMA/RedPajama use for
+    their "wiki-like" page gate): mean of per-feature weights over the
+    document's hashed-bigram features, squashed by a sigmoid. The weight
+    vector is DETERMINISTIC — w(b) = h32("qw:" || b)/2^32 * 2 - 1 in
+    [-1, 1) — standing in for trained weights so the scoring path is
+    engine-portable and oracle-checkable; a trained B-row weight table
+    drops into the same plan as a broadcast join.
+
+    Scale: the weight is computed INLINE from the bucket id (map-side
+    expression, no weight table, no join); one groupBy(doc) average.
+    Returns (doc_id, score, n_feats) for every document; featureless
+    docs score sigmoid(0) = 0.5.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    bucket = F.pmod(h32(F.col("gram")), F.lit(n_buckets))
+    w = (
+        h32(bucket.cast("string"), seed) / F.lit(4294967296.0)
+    ) * F.lit(2.0) - F.lit(1.0)
+    doc_w = grams.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.avg("w").alias("logit"),
+        F.count("*").cast("int").alias("n_feats"),
+    )
+    return (
+        base.select("doc_id")
+        .join(doc_w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce("logit", F.lit(0.0)))),
+                6,
+            ).alias("score"),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        )
+    )

@@ -271,3 +271,33 @@ def test_winnow_short_doc_single_fp(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     out = dedup.winnow_fingerprints(df, k=10, w=16).collect()
     assert len(out) == 1  # one whole-text window
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+
+
+def test_quality_classifier_bounds_and_default(spark):
+    from grape_vector_db_spark.operators import selection as sel
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sel.quality_classifier_score(df).collect()}
+    assert 0.0 < out[1]["score"] < 1.0
+    assert out[1]["n_feats"] == 4
+    # featureless doc gets the sigmoid(0) prior
+    assert out[2]["score"] == 0.5
+    assert out[2]["n_feats"] == 0
+
+
+def test_quality_classifier_deterministic(spark):
+    from grape_vector_db_spark.operators import selection as sel
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    a = sel.quality_classifier_score(df).collect()[0]["score"]
+    b = sel.quality_classifier_score(df).collect()[0]["score"]
+    assert a == b
