@@ -1643,6 +1643,35 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize_image(docs, out_h=2, out_w=2)
 
 
+BPE_N_MERGES = 8
+
+
+def _bpe(spark, sf_dir):
+    """Train-once cache of the corpus BPE merge list (vocabulary-sized
+    metadata, like k-means centroids)."""
+    key = ("bpe", sf_dir, BPE_N_MERGES)
+    if key not in _CACHE:
+        _CACHE[key] = textanalysis.bpe_train(
+            _docs(spark, sf_dir), n_merges=BPE_N_MERGES
+        )
+    return _CACHE[key]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The trained BPE merge table: rank, pair, weighted pair count. The
+    oracle replays the whole training loop independently in DuckDB."""
+    return spark.createDataFrame(
+        _bpe(spark, sf_dir), "rank int, a string, b string, n long"
+    )
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Apply the trained merges to every document: the BPE token count
+    an LLM tokenizer would produce (chained narrow replaces, zero
+    shuffles)."""
+    return textanalysis.bpe_segment_counts(_docs(spark, sf_dir), _bpe(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style linear quality score per document (deterministic
     md5-derived weight vector; see selection.quality_classifier_score)."""
@@ -1806,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "quality_classifier": q_quality_classifier,
         "late_orders": q_late_orders,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
     }
 
 
@@ -3143,6 +3174,113 @@ def _quality_classifier_sql(n_buckets: int = 1024, seed: int = 17) -> str:
     """
 
 
+_BPE_ORACLE_CACHE: dict = {}
+
+
+def _duck_bpe_train(n_merges: int = 8):
+    """INDEPENDENT replay of textanalysis.bpe_train in DuckDB against the
+    gate corpus (no Spark artifacts involved): same distinct-word state,
+    same double-separator encoding, same (count desc, pair asc) argmax,
+    same replace-based merge application. The learned merges are inlined
+    into the bpe_merges / bpe_segment oracle SQL as literals — the
+    oracle-build-time loop is the iterative half SQL alone cannot
+    express, exactly like the k-means builds behind the IVF oracles."""
+    key = (_SF_GATE, n_merges)
+    if key not in _BPE_ORACLE_CACHE:
+        import duckdb as _duck
+
+        from grape_vector_db_spark.operators.textanalysis import BPE_END, BPE_SEP
+
+        ss = BPE_SEP * 2
+        con = _duck.connect()
+        con.execute(
+            rf"""
+            CREATE TABLE st AS
+            SELECT w, count(*)::BIGINT AS c,
+                   '{ss}' || array_to_string(
+                     list_transform(range(length(w)), i -> substr(w, i + 1, 1)),
+                     '{ss}') || '{ss}{BPE_END}{ss}' AS s
+            FROM (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM '{_SF_GATE}/documents.parquet'
+            ) WHERE length(w) > 0 GROUP BY w
+            """
+        )
+        merges = []
+        for rank in range(n_merges):
+            top = con.execute(
+                f"""
+                SELECT p['a'] AS a, p['b'] AS b, sum(c)::BIGINT AS n
+                FROM (
+                  SELECT c, unnest(list_transform(range(1, len(sy)),
+                           i -> {{'a': sy[i], 'b': sy[i+1]}})) AS p
+                  FROM (SELECT c, list_filter(string_split(s, '{ss}'),
+                                              x -> length(x) > 0) AS sy
+                        FROM st)
+                  WHERE len(sy) >= 2
+                ) GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1
+                """
+            ).fetchone()
+            if top is None:
+                break
+            a, b, n = top
+            merges.append((rank, a, b, int(n)))
+            pat = BPE_SEP + a + ss + b + BPE_SEP
+            rep = BPE_SEP + a + b + BPE_SEP
+            con.execute("UPDATE st SET s = replace(s, ?, ?)", [pat, rep])
+        con.close()
+        _BPE_ORACLE_CACHE[key] = merges
+    return _BPE_ORACLE_CACHE[key]
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a DuckDB single-quoted literal."""
+    return s.replace("'", "''")
+
+
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    merges = _duck_bpe_train(n_merges)
+    vals = ", ".join(
+        f"({r}::INT, '{_sq(a)}', '{_sq(b)}', {n}::BIGINT)"
+        for r, a, b, n in merges
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(rank, a, b, n)"
+
+
+def _bpe_segment_sql(n_merges: int = 8) -> str:
+    from grape_vector_db_spark.operators.textanalysis import BPE_END, BPE_SEP
+
+    ss = BPE_SEP * 2
+    merges = _duck_bpe_train(n_merges)
+    s_expr = "s"
+    for _r, a, b, _n in merges:
+        pat = _sq(BPE_SEP + a + ss + b + BPE_SEP)
+        rep = _sq(BPE_SEP + a + b + BPE_SEP)
+        s_expr = f"replace({s_expr}, '{pat}', '{rep}')"
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             w -> length(w) > 0) AS toks
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, len(toks)::INT AS n_words,
+                 array_to_string(list_transform(toks,
+                   w -> '{ss}' || array_to_string(
+                          list_transform(range(length(w)),
+                                         i -> substr(w, i + 1, 1)), '{ss}')
+                        || '{ss}{BPE_END}{ss}'), '') AS s
+          FROM t
+        ),
+        m AS (SELECT doc_id, n_words, {s_expr} AS s FROM e)
+        SELECT doc_id, n_words,
+               ((length(s) - length(replace(s, '{ss}', ''))) // 2
+                - n_words)::INT AS n_subwords
+        FROM m
+    """
+
+
 def _late_orders_sql() -> str:
     return """
         SELECT o_orderpriority, count(*) AS order_count
@@ -4024,6 +4162,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _multimodal_audio_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "late_orders": _late_orders_sql(),
+        "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
+        "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
     }
 
 

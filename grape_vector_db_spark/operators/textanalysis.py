@@ -505,3 +505,145 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / application (Sennrich et al. 2016)
+
+BPE_SEP = "\x1f"  # unit separator: symbol delimiter in the string encoding
+BPE_END = "</w>"
+
+
+def _bpe_word_state(df, text_col: str):
+    """Distinct-word table with the encoded symbol string: (w, c, s).
+
+    The encoding ``SS c1 SS c2 ... SS </w> SS`` (SS = double separator)
+    makes applying merge (a, b) ONE engine-portable left-to-right
+    ``replace(S, ␟a␟␟b␟, ␟ab␟)`` — exactly BPE's leftmost-first
+    non-overlapping semantics, with the flanking single separators
+    preserving symbol boundaries (and the 4-separator run between words
+    making cross-word merges unmatchable)."""
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ss = BPE_SEP * 2
+    enc = F.concat(
+        F.lit(ss),
+        F.array_join(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            ss,
+        ),
+        F.lit(ss + BPE_END + ss),
+    )
+    return words.select("w", "c", enc.alias("s"))
+
+
+def bpe_merge_replace(s_col, a: str, b: str):
+    """The merge-application expression: replace(␟a␟␟b␟ -> ␟ab␟)."""
+    pat = BPE_SEP + a + BPE_SEP * 2 + b + BPE_SEP
+    rep = BPE_SEP + a + b + BPE_SEP
+    return F.replace(s_col, F.lit(pat), F.lit(rep))
+
+
+def bpe_train(df, n_merges: int = 8, text_col: str = "text"):
+    """Train ``n_merges`` BPE merges over the corpus: repeatedly count
+    adjacent symbol pairs (weighted by word frequency) and merge the
+    most frequent pair, ties to the lexicographically smallest — fully
+    deterministic. Returns [(rank, a, b, count)] driver-side (the merge
+    table is vocabulary-sized metadata, like k-means centroids).
+
+    Scale: the state is the DISTINCT-WORD table (Zipf-small); each
+    iteration is one map-side-combined groupBy over its exploded symbol
+    pairs plus a narrow replace — the same driver-iterative shape as
+    k-means (ref: the reference trains nothing; this is a pipeline
+    addition). The state is cached per iteration so iteration m does not
+    replay m replaces."""
+    state = _bpe_word_state(df, text_col).persist()
+    ss = BPE_SEP * 2
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            syms = F.filter(F.split("s", ss), lambda x: F.length(x) > 0)
+            with_syms = state.select("c", syms.alias("sy"))
+            pairs = with_syms.select(
+                "c",
+                F.explode(
+                    F.when(
+                        F.size("sy") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("sy") - 1),
+                            lambda i: F.struct(
+                                F.element_at("sy", i).alias("a"),
+                                F.element_at("sy", i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.expr("array()"))
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("c").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+            merges.append((rank, a, b, int(n)))
+            nxt = state.withColumn("s", bpe_merge_replace(F.col("s"), a, b)).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return merges
+
+
+def bpe_segment_counts(df, merges, id_col: str = "doc_id", text_col: str = "text"):
+    """Apply a trained merge list to every document and report
+    (doc_id, n_words, n_subwords): the token count a BPE-tokenized LLM
+    would see. Merges apply in rank order as chained narrow replaces —
+    zero shuffles, the whole segmentation is a per-row expression.
+    Subword count falls out of the encoding: each word contributes
+    (symbols + 1) double-separators and each merge removes exactly one,
+    so n_subwords = #SS - n_words."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    s_col, n_words = (
+        F.concat_ws(
+            "",
+            F.transform(
+                F.filter(F.col("toks"), lambda w: F.length(w) > 0),
+                lambda w: F.concat(
+                    F.lit(BPE_SEP * 2),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(w)),
+                            lambda i: w.substr(i, F.lit(1)),
+                        ),
+                        BPE_SEP * 2,
+                    ),
+                    F.lit(BPE_SEP * 2 + BPE_END + BPE_SEP * 2),
+                ),
+            ),
+        ),
+        F.size(F.filter(F.col("toks"), lambda w: F.length(w) > 0)),
+    )
+    enc = base.select("doc_id", s_col.alias("s"), n_words.alias("n_words"))
+    for _, a, b, _n in merges:
+        enc = enc.withColumn("s", bpe_merge_replace(F.col("s"), a, b))
+    ss = BPE_SEP * 2
+    ss_count = (
+        F.length("s") - F.length(F.replace(F.col("s"), F.lit(ss), F.lit("")))
+    ) / 2
+    return enc.select(
+        "doc_id",
+        "n_words",
+        (ss_count - F.col("n_words")).cast("int").alias("n_subwords"),
+    )

@@ -301,3 +301,49 @@ def test_quality_classifier_deterministic(spark):
     a = sel.quality_classifier_score(df).collect()[0]["score"]
     b = sel.quality_classifier_score(df).collect()[0]["score"]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# BPE training / segmentation
+
+
+def test_bpe_train_golden_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = textanalysis.bpe_train(df, n_merges=4)
+    # hand-derived: l+o (6), lo+w (6), low+</w> (4), then the 3-way tie
+    # (e,w)/(n,e)/... breaks to the lexicographically smallest pair
+    assert merges == [
+        (0, "l", "o", 6),
+        (1, "lo", "w", 6),
+        (2, "low", "</w>", 4),
+        (3, "e", "w", 3),
+    ]
+
+
+def test_bpe_segment_counts_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = textanalysis.bpe_train(df, n_merges=4)
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.bpe_segment_counts(df, merges).collect()
+    }
+    # doc1: low->1 sym x3, lower->[low,e,r,</w>]=4, lowest->5 => 12
+    assert (out[1]["n_words"], out[1]["n_subwords"]) == (5, 12)
+    # doc2: new->[n,ew,</w>]=3, newer->5, newest->6, low->1 => 15
+    assert (out[2]["n_words"], out[2]["n_subwords"]) == (4, 15)
+
+
+def test_bpe_merge_leftmost_first(spark):
+    # "aaa": merge (a,a) applies leftmost-first non-overlapping -> [aa, a]
+    df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    merges = textanalysis.bpe_train(df, n_merges=1)
+    assert merges[0][1:3] == ("a", "a")
+    out = textanalysis.bpe_segment_counts(df, merges).collect()[0]
+    # each "aaa" -> [aa, a, </w>] = 3 subwords
+    assert out["n_subwords"] == 6
