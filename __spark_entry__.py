@@ -1678,6 +1678,11 @@ def q_quality_classifier(spark, sf_dir):
     return selection.quality_classifier_score(_docs(spark, sf_dir))
 
 
+def q_ctfidf(spark, sf_dir):
+    """c-TF-IDF: the 5 most characteristic terms of every source."""
+    return sparse.class_tfidf_top_terms(_docs(spark, sf_dir), top_k=5)
+
+
 def q_late_orders(spark, sf_dir):
     """TPC-H Q4-shaped order-priority check: 1996 orders with at least
     one lineitem shipped more than 60 days after the order date, counted
@@ -1837,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders": q_late_orders,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "ctfidf": q_ctfidf,
     }
 
 
@@ -4164,6 +4170,31 @@ def oracle_sql() -> dict[str, str]:
         "late_orders": _late_orders_sql(),
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
+        "ctfidf": rf"""
+            WITH {_TOKS_CTE},
+            x AS (
+              SELECT d.source AS class, unnest(toks.t) AS term
+              FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+            ),
+            ctf AS (SELECT class, term, count(*) AS ctf FROM x GROUP BY 1, 2),
+            ftot AS (SELECT term, sum(ctf) AS f FROM ctf GROUP BY 1),
+            am AS (
+              SELECT avg(mass) AS a_mass
+              FROM (SELECT class, sum(ctf) AS mass FROM ctf GROUP BY 1)
+            ),
+            s AS (
+              SELECT class, term,
+                     round(ctf * ln(1.0 + a_mass / f), 6) AS ctfidf
+              FROM ctf JOIN ftot USING (term), am
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY class
+                       ORDER BY ctfidf DESC, term ASC)::INT AS rank
+              FROM s
+            )
+            SELECT class, term, ctfidf, rank FROM r WHERE rank <= 5
+        """,
     }
 
 

@@ -32,7 +32,9 @@ from collections import Counter
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, doc_terms
+from pyspark.sql import Window
+
+from ..functions.text import STOPWORDS, doc_terms, tokens
 
 K1 = 1.2
 B = 0.75
@@ -247,4 +249,56 @@ def bm25_search(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def class_tfidf_top_terms(
+    df: DataFrame,
+    class_col: str = "source",
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """c-TF-IDF (Grootendorst 2022, arXiv:2203.05794 — BERTopic's
+    class-based TF-IDF): the terms that CHARACTERIZE each class of
+    documents, weighted W(t, c) = tf(t, c) * ln(1 + A / f(t)) with
+    tf(t, c) the term count inside class c, f(t) the corpus-wide count,
+    and A the average per-class token mass. The per-source top-k is the
+    standard corpus-analytics readout ("what is each source about").
+
+    Scale: ONE shuffle on (class, term) with map-side combine; corpus
+    term totals and the A scalar derive from that aggregate (groupBy
+    term, then a broadcast single-row join); top-k per class is a
+    bounded window. Uses the shared stopword tokenizer so the inverted-
+    index tokenization and the analytics agree.
+    """
+    toked = df.select(
+        F.col(class_col).alias("class"), tokens(text_col).alias("toks")
+    )
+    exploded = toked.select("class", F.explode("toks").alias("term"))
+    ctf = exploded.groupBy("class", "term").agg(F.count("*").alias("ctf"))
+    ftot = ctf.groupBy("term").agg(F.sum("ctf").alias("f"))
+    a_row = ctf.groupBy("class").agg(F.sum("ctf").alias("mass")).agg(
+        F.avg("mass").alias("a_mass")
+    )
+    scored = (
+        ctf.join(ftot, "term")
+        .crossJoin(F.broadcast(a_row))
+        .select(
+            "class",
+            "term",
+            F.round(
+                F.col("ctf")
+                * F.log(F.lit(1.0) + F.col("a_mass") / F.col("f")),
+                6,
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy("class").orderBy(
+        F.col("ctfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("class", "term", "ctfidf", "rank")
     )

@@ -347,3 +347,25 @@ def test_bpe_merge_leftmost_first(spark):
     out = textanalysis.bpe_segment_counts(df, merges).collect()[0]
     # each "aaa" -> [aa, a, </w>] = 3 subwords
     assert out["n_subwords"] == 6
+
+
+# ---------------------------------------------------------------------------
+# c-TF-IDF
+
+
+def test_ctfidf_surfaces_class_terms(spark):
+    from grape_vector_db_spark.operators import sparse as sp
+
+    df = spark.createDataFrame(
+        [
+            (1, "wolves wolves wolves howling", "animals"),
+            (2, "wolves hunting prey tonight", "animals"),
+            (3, "stocks stocks stocks rally", "finance"),
+            (4, "stocks falling market panic", "finance"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = sp.class_tfidf_top_terms(df, top_k=1).collect()
+    top = {r["class"]: r["term"] for r in out}
+    assert top == {"animals": "wolves", "finance": "stocks"}
+    assert all(r["rank"] == 1 for r in out)
