@@ -249,3 +249,37 @@ def test_strip_boilerplate_broadcasts_frequent_lines(spark, docs):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti" in plan and "BroadcastExchange" in plan
     )
+
+
+def test_winnow_fingerprints_is_shuffle_free(spark):
+    """Winnowing must stay a narrow per-row expression chain: the k-gram
+    hash and window-min selection never justify an Exchange."""
+    from grape_vector_db_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "some document text for winnowing")], "doc_id long, text string"
+    )
+    plan = plan_of(dedup.winnow_fingerprints(df, k=5, w=4))
+    assert "Exchange" not in plan
+
+
+def test_bpe_segment_is_shuffle_free(spark):
+    """Applying trained BPE merges is chained replaces — zero Exchange
+    regardless of merge-list length."""
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest")], "doc_id long, text string"
+    )
+    merges = [(0, "l", "o", 3), (1, "lo", "w", 3)]
+    plan = plan_of(textanalysis.bpe_segment_counts(df, merges))
+    assert "Exchange" not in plan
+
+
+def test_hard_negatives_broadcasts_anchors(spark, emb):
+    """Anchor set must ride a broadcast; the corpus is scanned once."""
+    from grape_vector_db_spark.operators import search as s
+
+    anchors = emb.where(F.col("vec_id") < 3)
+    plan = plan_of(s.hard_negatives(emb, anchors, k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
