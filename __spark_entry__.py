@@ -1683,6 +1683,13 @@ def q_ctfidf(spark, sf_dir):
     return sparse.class_tfidf_top_terms(_docs(spark, sf_dir), top_k=5)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Dolma-style paragraph-level exact dedup + document reassembly over
+    the multi-line synthetic corpus (the same fixture the boilerplate
+    family uses — raw documents are single-line)."""
+    return curation.paragraph_dedup(_synth_docs(spark, sf_dir))
+
+
 def q_late_orders(spark, sf_dir):
     """TPC-H Q4-shaped order-priority check: 1996 orders with at least
     one lineitem shipped more than 60 days after the order date, counted
@@ -1843,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "ctfidf": q_ctfidf,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -4170,6 +4178,34 @@ def oracle_sql() -> dict[str, str]:
         "late_orders": _late_orders_sql(),
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
+        "paragraph_dedup": f"""
+            WITH {_SYNTH_SQL},
+            paras AS (
+              SELECT doc_id, i AS idx, line AS para, md5(line) AS h
+              FROM _plines
+            ),
+            firsts AS (
+              SELECT doc_id, idx FROM (
+                SELECT doc_id, idx,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, idx) AS rn
+                FROM paras) WHERE rn = 1
+            ),
+            kept AS (SELECT p.* FROM paras p JOIN firsts USING (doc_id, idx)),
+            counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+            rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(para, chr(10) ORDER BY idx) AS kept_text
+              FROM kept GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(c.n_paras, 0)::INT AS n_paras,
+                   coalesce(r.n_kept, 0)::INT AS n_kept,
+                   coalesce(r.kept_text, '') AS kept_text
+            FROM documents d
+            LEFT JOIN counts c ON c.doc_id = d.doc_id
+            LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        """,
         "ctfidf": rf"""
             WITH {_TOKS_CTE},
             x AS (

@@ -748,3 +748,63 @@ def source_quota(
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= per_group)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (the Dolma /
+    RefinedWeb recipe: near-dup removal at document level misses the
+    boilerplate paragraph repeated across millions of pages — dedup the
+    PARAGRAPHS, keep each one's globally FIRST occurrence, and stitch
+    documents back together). First = smallest (doc_id, position), a
+    total order, so the survivor set is deterministic on any partitioning.
+
+    Returns (doc_id, n_paras, n_kept, kept_text) for every document.
+
+    Scale: the first-occurrence pass is a groupBy(md5) with min(struct
+    (doc_id, idx)) — map-side combinable, so a paragraph repeated in 10M
+    docs costs one combiner row per input partition, NOT a 10M-row window
+    partition (the window formulation would pin one task per hot hash).
+    Reassembly is one shuffle on doc_id with an in-array sort.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "p"),
+        )
+        .select("doc_id", "idx", F.trim("p").alias("para"))
+        .where(F.length("para") > 0)
+        .withColumn("h", F.md5("para"))
+    )
+    firsts = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    kept = paras.join(firsts, "h").where(
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("idx") == F.col("first.idx"))
+    )
+    counts = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(counts, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("int").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

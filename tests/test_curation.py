@@ -351,3 +351,34 @@ def test_pack_bins_materializes_exact_windows(spark):
     assert full == " ".join(f"a{i}" for i in range(7)) + " " + " ".join(
         f"b{i}" for i in range(6)
     )
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    df = _mkdocs(
+        spark,
+        [
+            (1, "unique one\nshared para\nunique two"),
+            (2, "shared para\nonly here"),
+            (3, "shared para"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.paragraph_dedup(df).collect()}
+    # doc 1 holds the first occurrence of "shared para" -> keeps all 3
+    assert out[1]["n_kept"] == 3
+    assert out[1]["kept_text"] == "unique one\nshared para\nunique two"
+    # doc 2 loses the duplicate but keeps its own line, order preserved
+    assert out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "only here"
+    # doc 3 is fully deduplicated away
+    assert out[3]["n_kept"] == 0
+    assert out[3]["kept_text"] == ""
+    assert out[3]["n_paras"] == 1
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    df = _mkdocs(spark, [(1, "a\nb\na\na")])
+    out = curation.paragraph_dedup(df).collect()[0]
+    # repeated "a" inside one doc also dedups to its first position
+    assert out["n_paras"] == 4
+    assert out["n_kept"] == 2
+    assert out["kept_text"] == "a\nb"
