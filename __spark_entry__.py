@@ -1683,6 +1683,45 @@ def q_ctfidf(spark, sf_dir):
     return sparse.class_tfidf_top_terms(_docs(spark, sf_dir), top_k=5)
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """The reference's BenchmarkSuite readout (src/benchmark.rs:213-277)
+    as one job: evaluate binary-quantized hamming retrieval against exact
+    cosine ground truth — per-query precision/recall/NDCG@10 for 10
+    anchor queries. This is precisely the reference's published
+    binary-recall experiment (BASELINE.md), reproduced as an oracled
+    query through operators.evaluation.retrieval_metrics."""
+    from pyspark.sql import Window
+
+    from grape_vector_db_spark.operators import evaluation, quantization
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 10)
+    q = anchors.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = search.knn_batch(emb, q, k=10).select(
+        "query_id", F.col("id").alias("doc_id")
+    )
+    bits = quantization.pack_bits(emb)
+    abits = F.broadcast(
+        quantization.pack_bits(anchors).select(
+            F.col("vec_id").alias("query_id"), F.col("packed").alias("qpacked")
+        )
+    )
+    scored = bits.crossJoin(abits).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        quantization.hamming_distance(F.col("packed"), F.col("qpacked")).alias("hd"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hd").asc(), F.col("doc_id").asc()
+    )
+    results = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    return evaluation.retrieval_metrics(results, truth, k=10)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Dolma-style paragraph-level exact dedup + document reassembly over
     the multi-line synthetic corpus (the same fixture the boilerplate
@@ -1851,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "ctfidf": q_ctfidf,
         "paragraph_dedup": q_paragraph_dedup,
+        "retrieval_eval": q_retrieval_eval,
     }
 
 
@@ -3295,6 +3335,60 @@ def _bpe_segment_sql(n_merges: int = 8) -> str:
     """
 
 
+def _retrieval_eval_sql(k: int = 10, n_anchors: int = 10) -> str:
+    """Twin of q_retrieval_eval: cosine truth and hamming results are the
+    same windowed top-k shapes as the knn_batch / hamming_topk oracles;
+    the IDCG constant is written as the same left-associated sum the
+    Spark fold computes."""
+    idcg = " + ".join(f"1.0 / log2({i}.0 + 1.0)" for i in range(1, k + 1))
+    return f"""
+        WITH {_PACK_CTE},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM {_EMB_D}
+              WHERE vec_id < {n_anchors}),
+        truth AS (
+          SELECT query_id, id AS doc_id FROM (
+            SELECT q.query_id, e.vec_id AS id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round({_cos('e.v', 'q.qv')}, 6) DESC,
+                              e.vec_id) AS rn
+            FROM {_EMB_D} e, q) WHERE rn <= {k}
+        ),
+        qp AS (
+          SELECT p.vec_id AS query_id, p.word_idx, p.word AS qword
+          FROM packed p JOIN q ON q.query_id = p.vec_id
+        ),
+        ham AS (
+          SELECT qp.query_id, p.vec_id AS doc_id,
+                 sum(bit_count(xor(p.word, qp.qword))) AS hd
+          FROM packed p JOIN qp USING (word_idx)
+          GROUP BY 1, 2
+        ),
+        res AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hd ASC, doc_id ASC) AS rank
+            FROM ham) WHERE rank <= {k}
+        ),
+        j AS (
+          SELECT r.query_id, r.rank,
+                 CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+          FROM res r LEFT JOIN truth t
+            ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        ),
+        perq AS (
+          SELECT query_id, sum(rel) AS n_hit,
+                 sum(rel / log2(rank + 1.0)) AS dcg
+          FROM j GROUP BY 1
+        )
+        SELECT query_id,
+               round(n_hit / {k}.0, 6) AS precision_{k},
+               round(n_hit / {k}.0, 6) AS recall_{k},
+               round(dcg / ({idcg}), 6) AS ndcg_{k}
+        FROM perq
+    """
+
+
 def _late_orders_sql() -> str:
     return """
         SELECT o_orderpriority, count(*) AS order_count
@@ -4176,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _multimodal_audio_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "late_orders": _late_orders_sql(),
+        "retrieval_eval": _retrieval_eval_sql(),
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
         "paragraph_dedup": f"""
