@@ -3240,7 +3240,22 @@ def _duck_bpe_train(n_merges: int = 8):
     oracle-build-time loop is the iterative half SQL alone cannot
     express, exactly like the k-means builds behind the IVF oracles."""
     key = (_SF_GATE, n_merges)
-    if key not in _BPE_ORACLE_CACHE:
+    if key in _BPE_ORACLE_CACHE:
+        return _BPE_ORACLE_CACHE[key]
+    import json
+    import os
+
+    cache_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".ann_index",
+        f"bpe-{os.path.basename(os.path.normpath(_SF_GATE))}-m{n_merges}.json",
+    )
+    if os.path.exists(cache_file):
+        with open(cache_file) as fh:
+            merges = [tuple(m) for m in json.load(fh)]
+        _BPE_ORACLE_CACHE[key] = merges
+        return merges
+    if True:
         import duckdb as _duck
 
         from grape_vector_db_spark.operators.textanalysis import BPE_END, BPE_SEP
@@ -3283,6 +3298,11 @@ def _duck_bpe_train(n_merges: int = 8):
             rep = BPE_SEP + a + b + BPE_SEP
             con.execute("UPDATE st SET s = replace(s, ?, ?)", [pat, rep])
         con.close()
+        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+        tmp = cache_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(merges, fh)
+        os.replace(tmp, cache_file)
         _BPE_ORACLE_CACHE[key] = merges
     return _BPE_ORACLE_CACHE[key]
 

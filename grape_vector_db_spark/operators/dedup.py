@@ -441,6 +441,36 @@ def leakage_safe_split(
     return withc.select("doc_id", "cluster_id", expr.alias("split"))
 
 
+def _gemm_pairs(xids, yids, X, Y, same_block: bool, threshold: float):
+    """The shared blocked-GEMM pair kernel (used by both
+    embedding_neardup_pairs_gemm and semdedup_pairs so the rounding,
+    zero-norm guard, and id-ordering conventions cannot diverge): one
+    BLAS matmul, cosine rounded to 6 dp, then either the upper triangle
+    by id (same block) or min/max-ordered pairs (disjoint blocks).
+    Returns (a_ids, b_ids, cosines) numpy arrays, or None when no pair
+    clears the threshold."""
+    import numpy as np
+
+    xn = np.sqrt((X * X).sum(axis=1))
+    yn = np.sqrt((Y * Y).sum(axis=1))
+    denom = xn[:, None] * yn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
+    S = np.round(S, 6)
+    if same_block:
+        mask = (S >= threshold) & (xids[:, None] < yids[None, :])
+        xi, yi = np.nonzero(mask)
+        a_out, b_out = xids[xi], yids[yi]
+    else:
+        mask = S >= threshold
+        xi, yi = np.nonzero(mask)
+        a_out = np.minimum(xids[xi], yids[yi])
+        b_out = np.maximum(xids[xi], yids[yi])
+    if not len(xi):
+        return None
+    return a_out, b_out, S[xi, yi]
+
+
 def embedding_neardup_pairs_gemm(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -485,28 +515,11 @@ def embedding_neardup_pairs_gemm(
     v = to_double_array(vec_col)
 
     def pairs_of(xids, yids, X, Y, same_block):
-        xn = np.sqrt((X * X).sum(axis=1))
-        yn = np.sqrt((Y * Y).sum(axis=1))
-        denom = xn[:, None] * yn[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
-        S = np.round(S, 6)
-        if same_block:
-            # same block on both sides: upper triangle by id
-            mask = (S >= threshold) & (xids[:, None] < yids[None, :])
-            xi, yi = np.nonzero(mask)
-            a_out, b_out = xids[xi], yids[yi]
-        else:
-            # disjoint blocks: each unordered pair appears once, but the
-            # smaller id may sit on EITHER side — order the output pair,
-            # don't filter on side order
-            mask = S >= threshold
-            xi, yi = np.nonzero(mask)
-            a_out = np.minimum(xids[xi], yids[yi])
-            b_out = np.maximum(xids[xi], yids[yi])
-        if not len(xi):
+        out = _gemm_pairs(xids, yids, X, Y, same_block, threshold)
+        if out is None:
             return None
-        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": S[xi, yi]})
+        a_out, b_out, cos = out
+        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": cos})
 
     if n_blocks == 1:
         # Small corpus: one task, zero shuffles — stream the Arrow batches
@@ -1024,12 +1037,16 @@ def semdedup_pairs(
 
     spark = emb.sparkSession
     v = to_double_array(vec_col)
+    # size nb from the assignment table ALONE (id -> cluster, no vectors):
+    # a cheap aggregate instead of an extra full emb-join pass.
+    max_c = (
+        assigned.groupBy("cluster").count().agg(F.max("count")).first()[0]
+    )
+    nb = max(1, math.ceil((max_c or 0) / rows_per_block))
     base = (
         emb.select(F.col(id_col).alias("id"), v.alias("v"))
         .join(assigned.select("id", "cluster"), "id")
     )
-    max_c = base.groupBy("cluster").count().agg(F.max("count")).first()[0]
-    nb = max(1, math.ceil((max_c or 0) / rows_per_block))
     base = base.withColumn(
         "block", F.pmod(F.col("id"), F.lit(nb)).cast("int")
     )
@@ -1060,33 +1077,23 @@ def semdedup_pairs(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                xids = np.asarray(row.ids_a, dtype=np.int64)
-                yids = np.asarray(row.ids_b, dtype=np.int64)
-                X = np.asarray(list(row.vecs_a), dtype=np.float64)
-                Y = np.asarray(list(row.vecs_b), dtype=np.float64)
-                xn = np.sqrt((X * X).sum(axis=1))
-                yn = np.sqrt((Y * Y).sum(axis=1))
-                denom = xn[:, None] * yn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
-                S = np.round(S, 6)
-                if row.ba == row.bb:
-                    mask = (S >= threshold) & (xids[:, None] < yids[None, :])
-                    xi, yi = np.nonzero(mask)
-                    a_out, b_out = xids[xi], yids[yi]
-                else:
-                    mask = S >= threshold
-                    xi, yi = np.nonzero(mask)
-                    a_out = np.minimum(xids[xi], yids[yi])
-                    b_out = np.maximum(xids[xi], yids[yi])
-                if not len(xi):
+                out = _gemm_pairs(
+                    np.asarray(row.ids_a, dtype=np.int64),
+                    np.asarray(row.ids_b, dtype=np.int64),
+                    np.asarray(list(row.vecs_a), dtype=np.float64),
+                    np.asarray(list(row.vecs_b), dtype=np.float64),
+                    same_block=(row.ba == row.bb),
+                    threshold=threshold,
+                )
+                if out is None:
                     continue
+                a_out, b_out, cos = out
                 yield pd.DataFrame(
                     {
                         "a": a_out,
                         "b": b_out,
-                        "cluster": np.full(len(xi), row.cluster),
-                        "cosine": S[xi, yi],
+                        "cluster": np.full(len(a_out), row.cluster),
+                        "cosine": cos,
                     }
                 )
 

@@ -194,6 +194,24 @@ def similarity_threshold_scan(
     ).where(F.col("score") >= threshold)
 
 
+def _partition_local_topk(df: DataFrame, group_col: str, *order, k: int) -> DataFrame:
+    """Exact two-stage top-k pre-reduction: keep each input partition's
+    local top-k per group before the global per-group window. The global
+    top-k is a subset of the union of partition-local top-ks, so the
+    final ranking is unchanged — but the global window now sorts at most
+    k * n_partitions rows per group instead of the full candidate set,
+    so a popular group can never pin one task with a corpus-sized sort.
+    The pre-stage shuffles on (group, input-partition) — keys spread
+    evenly across the cluster by construction."""
+    pre = Window.partitionBy(group_col, "_pid").orderBy(*order)
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(pre))
+        .where(F.col("_pr") <= k)
+        .drop("_pid", "_pr")
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,
@@ -205,9 +223,13 @@ def hard_negatives(
     """Hard-negative mining for contrastive training: for each anchor
     vector, the ``k`` most cosine-similar corpus vectors carrying a
     DIFFERENT label (the "hard" negatives — close in embedding space,
-    wrong in class). Same scale shape as knn_batch: broadcast the small
-    anchor set, scan the corpus once shuffle-free, per-anchor window
-    top-k. Output: (anchor_id, anchor_label, vec_id, label, score, rank).
+    wrong in class). The corpus is scanned once against the broadcast
+    anchor set; the top-k is TWO-STAGE: a per-(anchor, input-partition)
+    pre-reduction caps every candidate stream at k rows per scan
+    partition BEFORE the global per-anchor window, so the final window
+    sorts at most k * n_partitions rows per anchor — never a full scored
+    corpus copy in one task. Output:
+    (anchor_id, anchor_label, vec_id, label, score, rank).
     """
     qv = to_double_array(vec_col)
     a = F.broadcast(
@@ -244,6 +266,9 @@ def hard_negatives(
             ).alias("score"),
         )
     )
+    scored = _partition_local_topk(
+        scored, "anchor_id", F.col("score").desc(), F.col("vec_id").asc(), k=k
+    )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -266,8 +291,10 @@ def knn_label_vote(
     break to the smallest label. Output:
     (vec_id, true_label, pred_label, n_votes).
 
-    Scale: broadcast anchors x one corpus scan, window top-k, then a
-    map-side-combined vote count — no shuffle touches the corpus side.
+    Scale: broadcast anchors x one corpus scan; the neighbor top-k is
+    the same two-stage reduction as hard_negatives (per-partition cap,
+    then a bounded global window), and the vote count is a map-side-
+    combined groupBy over at most k rows per anchor.
     """
     qv = to_double_array(vec_col)
     a = F.broadcast(
@@ -300,6 +327,9 @@ def knn_label_vote(
                 6,
             ).alias("score"),
         )
+    )
+    scored = _partition_local_topk(
+        scored, "anchor_id", F.col("score").desc(), F.col("nbr_id").asc(), k=k
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc()

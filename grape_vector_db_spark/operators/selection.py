@@ -33,6 +33,47 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h32
 
 
+def _bigram_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Shared hashed-bigram featurizer for the selection family:
+    (doc_id[, extra...], bucket) — one exploded row per word bigram,
+    bucket = h32(gram) % n_buckets. Documents with fewer than 2
+    whitespace tokens produce no rows (callers re-attach them with a
+    left join). Kept in ONE place so dsir_log_weights and
+    quality_classifier_score (and their DuckDB oracle twins) can never
+    disagree on the feature definition."""
+    extra = extra or {}
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(n) for n, c in extra.items()],
+        toks.alias("toks"),
+    )
+    grams = base.select(
+        "doc_id",
+        *extra.keys(),
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    return grams.select(
+        "doc_id",
+        *extra.keys(),
+        F.pmod(h32(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     target: Column,
@@ -49,29 +90,8 @@ def dsir_log_weights(
     input row — documents with fewer than 2 whitespace tokens have no
     bigram features and score 0.0 (weight 1: indistinguishable).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        target.alias("is_target"),
-        toks.alias("toks"),
-    )
-    grams = base.select(
-        "doc_id",
-        "is_target",
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
-    feats = grams.select(
-        "doc_id",
-        "is_target",
-        F.pmod(h32(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+    feats = _bigram_buckets(
+        df, n_buckets, id_col, text_col, extra={"is_target": target}
     )
     counts = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
@@ -98,7 +118,7 @@ def dsir_log_weights(
         )
     )
     return (
-        base.select("doc_id")
+        df.select(F.col(id_col).alias("doc_id"))
         .join(doc_w, "doc_id", "left")
         .select(
             "doc_id",
@@ -161,30 +181,16 @@ def quality_classifier_score(
     Returns (doc_id, score, n_feats) for every document; featureless
     docs score sigmoid(0) = 0.5.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
-    bucket = F.pmod(h32(F.col("gram")), F.lit(n_buckets))
+    feats = _bigram_buckets(df, n_buckets, id_col, text_col)
     w = (
-        h32(bucket.cast("string"), seed) / F.lit(4294967296.0)
+        h32(F.col("bucket").cast("string"), seed) / F.lit(4294967296.0)
     ) * F.lit(2.0) - F.lit(1.0)
-    doc_w = grams.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+    doc_w = feats.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
         F.avg("w").alias("logit"),
         F.count("*").cast("int").alias("n_feats"),
     )
     return (
-        base.select("doc_id")
+        df.select(F.col(id_col).alias("doc_id"))
         .join(doc_w, "doc_id", "left")
         .select(
             "doc_id",
