@@ -1771,6 +1771,21 @@ def q_multimodal_audio(spark, sf_dir):
     return multimodal.audio_features(docs)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified rerank over the over-fetched dense candidates of
+    4 anchor queries: one shuffle on query_id, O(n^2) greedy kernel per
+    bounded candidate group (Carbonell & Goldstein, SIGIR 1998)."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = search.knn_batch(emb, anchors, k=30).drop("rank")
+    with_vec = F.broadcast(cands).join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    return search.mmr_rerank(with_vec, k=10, lam=0.7).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1891,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctfidf": q_ctfidf,
         "paragraph_dedup": q_paragraph_dedup,
         "retrieval_eval": q_retrieval_eval,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -4291,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "late_orders": _late_orders_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
+        "mmr_rerank": _mmr_sql(),
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
         "paragraph_dedup": f"""
@@ -4437,4 +4454,53 @@ def _quality_sql() -> str:
                  + 0.25 * (length(regexp_replace(text, '[^\pL]', '', 'g'))::DOUBLE
                            / greatest(length(text), 1)), 6) AS quality
         FROM m
+    """
+
+
+def _mmr_sql(k: int = 10, n_cand: int = 30, n_q: int = 4, lam: float = 0.7) -> str:
+    """Recursive-CTE replay of search.mmr_rerank: all query groups advance
+    in lockstep, each step's LATERAL picks the argmax of
+    lam*rel - (1-lam)*max_sim_to_selected over the same 6-dp-rounded
+    relevance / pairwise-cosine values the pandas kernel uses."""
+    return f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {n_q}),
+    cand0 AS (
+      SELECT q.query_id, e.vec_id AS id, round({_cos('e.v', 'q.qv')}, 6) AS rel, e.v
+      FROM {_EMB_D} e, q
+    ),
+    cand AS (
+      SELECT query_id, id, rel, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, id) AS rnk
+        FROM cand0) WHERE rnk <= {n_cand}
+    ),
+    sim AS (
+      SELECT a.query_id, a.id AS i, b.id AS j, round({_cos('a.v', 'b.v')}, 6) AS s
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+    ),
+    steps AS (
+      (SELECT query_id, 1 AS r, [id] AS sel, id AS picked,
+              round({lam} * rel, 6) AS mmr
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, id) AS rr
+             FROM cand) WHERE rr = 1)
+      UNION ALL
+      SELECT steps.query_id, steps.r + 1, list_append(steps.sel, nxt.id),
+             nxt.id, nxt.mmr
+      FROM steps, LATERAL (
+         SELECT c.id, round({lam} * c.rel - {1.0 - lam} * max(s.s), 6) AS mmr
+         FROM cand c JOIN sim s
+           ON s.query_id = steps.query_id AND s.i = c.id
+          AND list_contains(steps.sel, s.j)
+         WHERE c.query_id = steps.query_id
+           AND NOT list_contains(steps.sel, c.id)
+         GROUP BY c.id, c.rel
+         ORDER BY mmr DESC, c.id ASC LIMIT 1
+      ) nxt
+      WHERE steps.r < {k}
+    )
+    SELECT query_id, picked AS id, mmr, r AS rank
+    FROM steps ORDER BY query_id, rank
     """

@@ -353,3 +353,92 @@ def knn_label_vote(
             "n_votes",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    group_col: str = "query_id",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    ``lam * relevance - (1 - lam) * max cosine to already-picked`` —
+    the standard diversity pass a retrieval stack runs AFTER dense /
+    hybrid retrieval (the reference stops at fusion, src/hybrid.rs;
+    MMR extends that surface).
+
+    Scale shape: ``candidates`` is the OVER-FETCHED result table —
+    bounded rows per query by construction (<= the 2k over-fetch cap,
+    §2.6) — so the O(n^2) greedy kernel runs per query group inside
+    one ``applyInPandas`` task while the parallelism axis is the
+    NUMBER of queries: 1 query or 10M queries shuffle exactly once on
+    ``group_col`` and fan out across the cluster. No driver collect.
+
+    Determinism / oracle parity: relevance comes in 6-dp rounded (knn
+    convention), pairwise cosines are rounded to 6 dp BEFORE the
+    greedy loop, and every mmr value is rounded to 6 dp — so the
+    argmax sequence is reproducible bit-for-bit by the DuckDB
+    recursive-CTE oracle on the same rounded values. Ties break on
+    smallest id.
+
+    Returns (group_col, id_col, mmr double, rank int) — rank is the
+    1-based pick order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    group_field = candidates.schema[group_col]
+    id_field = candidates.schema[id_col]
+    out_schema = (
+        f"{group_col} {group_field.dataType.simpleString()}, "
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "mmr double, rank int"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {group_col: [], id_col: [], "mmr": [], "rank": []}
+            )
+        X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        S = np.round((X @ X.T) / np.outer(norms, norms), 6)
+        rel = np.round(pdf[score_col].to_numpy(np.float64), 6)
+        ids = pdf[id_col].to_numpy()
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                div = S[:, picked].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = np.round(lam * rel - (1.0 - lam) * div, 6)
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = mmr_masked.max()
+            # ties -> smallest id (rows are id-sorted within equal rel,
+            # but equal mmr can span rel values, so resolve explicitly)
+            tied = np.flatnonzero(mmr_masked == best)
+            j = tied[np.argmin(ids[tied])]
+            picked.append(int(j))
+            scores.append(float(mmr[j]))
+            avail[j] = False
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[picked].to_numpy(),
+                id_col: ids[picked],
+                "mmr": scores,
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return candidates.groupBy(group_col).applyInPandas(kernel, out_schema)

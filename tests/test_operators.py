@@ -610,3 +610,56 @@ def test_rp_tables_deterministic_and_contains_single_table(spark, emb):
         for r in t1.where("tbl = 1").select("id", "bucket").collect()
     }
     assert table1 == single
+
+
+class TestMMRRerank:
+    def _cands(self, spark, rows):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def test_mmr_defers_near_duplicate(self, spark):
+        """A clone of the #1 hit outranks everything on relevance but must
+        be pushed below a less-similar candidate by the diversity term."""
+        from grape_vector_db_spark.operators.search import mmr_rerank
+
+        rows = [
+            (0, 1, 0.99, [1.0, 0.0]),   # top hit
+            (0, 2, 0.98, [1.0, 0.001]), # near-clone of id 1
+            (0, 3, 0.80, [0.0, 1.0]),   # orthogonal, lower relevance
+        ]
+        out = mmr_rerank(self._cands(spark, rows), k=3, lam=0.5)
+        picks = [r["id"] for r in out.orderBy("rank").collect()]
+        assert picks == [1, 3, 2]
+
+    def test_mmr_pure_relevance_at_lam_one(self, spark):
+        from grape_vector_db_spark.operators.search import mmr_rerank
+
+        rows = [
+            (0, 1, 0.9, [1.0, 0.0]),
+            (0, 2, 0.8, [1.0, 0.0]),
+            (0, 3, 0.7, [0.0, 1.0]),
+        ]
+        out = mmr_rerank(self._cands(spark, rows), k=3, lam=1.0)
+        picks = [r["id"] for r in out.orderBy("rank").collect()]
+        assert picks == [1, 2, 3]
+
+    def test_mmr_groups_independent(self, spark):
+        from grape_vector_db_spark.operators.search import mmr_rerank
+
+        rows = [
+            (0, 1, 0.9, [1.0, 0.0]),
+            (0, 2, 0.8, [0.0, 1.0]),
+            (1, 7, 0.5, [1.0, 1.0]),
+        ]
+        out = mmr_rerank(self._cands(spark, rows), k=2, lam=0.7)
+        got = {(r["query_id"], r["rank"]): r["id"] for r in out.collect()}
+        assert got == {(0, 1): 1, (0, 2): 2, (1, 1): 7}
