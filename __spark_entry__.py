@@ -1786,6 +1786,31 @@ def q_mmr_rerank(spark, sf_dir):
     return search.mmr_rerank(with_vec, k=10, lam=0.7).orderBy("query_id", "rank")
 
 
+def q_chunk_embed_pool(spark, sf_dir):
+    """chunk -> mock-embed -> mean-pool -> renormalize: the full chunked
+    ingest pipeline as one job. Raw embedding trees are persisted before
+    normalization (q_mock_embed idiom) so the ascii/CASE tree evaluates
+    once per chunk; pooling is a single groupBy(doc) with a zip_with sum
+    fold (no explode on the dim axis)."""
+    from grape_vector_db_spark.functions.text import (
+        mock_embedding_raw,
+        normalize_vector,
+    )
+
+    docs = _docs(spark, sf_dir)
+    chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    base = chunks.select(
+        "doc_id", mock_embedding_raw("chunk_text", 8).alias("r")
+    ).persist()
+    emb = base.select("doc_id", normalize_vector(F.col("r")).alias("embedding"))
+    pooled = curation.pool_chunk_embeddings(emb)
+    return pooled.select(
+        "doc_id",
+        "n_chunks",
+        F.transform("pooled", lambda x: F.round(x, 6)).alias("v"),
+    ).selectExpr("doc_id", "n_chunks", "posexplode(v) as (i, val)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1907,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "retrieval_eval": q_retrieval_eval,
         "mmr_rerank": q_mmr_rerank,
+        "chunk_embed_pool": q_chunk_embed_pool,
     }
 
 
@@ -4308,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         "late_orders": _late_orders_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
+        "chunk_embed_pool": _chunk_embed_pool_sql(),
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
         "paragraph_dedup": f"""
@@ -4503,4 +4530,39 @@ def _mmr_sql(k: int = 10, n_cand: int = 30, n_q: int = 4, lam: float = 0.7) -> s
     )
     SELECT query_id, picked AS id, mmr, r AS rank
     FROM steps ORDER BY query_id, rank
+    """
+
+
+def _chunk_embed_pool_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Replay chunk -> mock-embed(8) -> mean-pool -> L2 renormalize."""
+    return f"""
+    WITH chunks AS ({_chunk_documents_sql(chunk_tokens, overlap)}),
+    raw AS (
+      SELECT doc_id, list_transform(range(0, 8), i ->
+        CASE WHEN length(chunk_text) = 0 THEN 0.0
+        ELSE (ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
+              + i * 0.01)
+             - floor(ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
+                     + i * 0.01)
+             - 0.5 END) AS r
+      FROM chunks
+    ),
+    nc AS (
+      SELECT doc_id, r, sqrt(list_inner_product(r, r)) AS nrm FROM raw
+    ),
+    flat AS (
+      SELECT doc_id, (generate_subscripts(r, 1) - 1)::INT AS i,
+             CASE WHEN nrm = 0 THEN 0.0 ELSE unnest(r) / nrm END AS val
+      FROM nc
+    ),
+    mean AS (
+      SELECT doc_id, i, sum(val) / count(*) AS m, count(*) AS n_chunks
+      FROM flat GROUP BY doc_id, i
+    ),
+    dn AS (
+      SELECT doc_id, sqrt(sum(m * m)) AS dnrm FROM mean GROUP BY doc_id
+    )
+    SELECT mean.doc_id, n_chunks::INT AS n_chunks, i,
+           round(CASE WHEN dn.dnrm = 0 THEN 0.0 ELSE mean.m / dn.dnrm END, 6) AS val
+    FROM mean JOIN dn ON mean.doc_id = dn.doc_id
     """

@@ -808,3 +808,43 @@ def paragraph_dedup(
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+def pool_chunk_embeddings(
+    chunks: DataFrame,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Pool per-chunk embeddings back into one document vector (mean
+    pooling + L2 renormalization) — the read side of the chunk -> embed
+    -> pool ingest pipeline that pairs with :func:`chunk_documents`.
+    (The reference embeds whole documents, src/embeddings.rs; pooling is
+    how real deployments aggregate chunked long docs.)
+
+    ONE shuffle (groupBy doc): chunk vectors are gathered with
+    collect_list — bounded per doc because chunk counts are
+    ceil(doc_tokens / stride) and document length is capped upstream —
+    then summed element-wise with a zip_with fold, divided by the chunk
+    count, and renormalized. No explode: the dim axis never multiplies
+    the row count, so shuffle bytes are exactly the input embedding
+    bytes. Returns (doc_col, n_chunks int, pooled array<double>).
+    """
+    from ..functions.text import normalize_vector
+
+    agg = chunks.groupBy(doc_col).agg(
+        F.collect_list(vec_col).alias("_vs"), F.count("*").alias("n_chunks")
+    )
+    dim = F.size(F.element_at("_vs", 1))
+    summed = F.aggregate(
+        "_vs",
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    mean = F.transform(summed, lambda s: s / F.col("n_chunks"))
+    pooled = normalize_vector(mean) if normalize else mean
+    return agg.select(
+        doc_col,
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        pooled.alias("pooled"),
+    )

@@ -382,3 +382,43 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     assert out["n_paras"] == 4
     assert out["n_kept"] == 2
     assert out["kept_text"] == "a\nb"
+
+
+class TestPoolChunkEmbeddings:
+    def test_mean_pool_and_renormalize(self, spark):
+        from grape_vector_db_spark.operators.curation import pool_chunk_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [3.0, 4.0])],
+            "doc_id long, embedding array<double>",
+        )
+        out = {r["doc_id"]: r for r in pool_chunk_embeddings(df).collect()}
+        import math
+
+        v1 = out[1]["pooled"]
+        assert out[1]["n_chunks"] == 2
+        # mean (0.5, 0.5) renormalized -> (1/sqrt2, 1/sqrt2)
+        assert abs(v1[0] - 1 / math.sqrt(2)) < 1e-12
+        assert abs(v1[1] - 1 / math.sqrt(2)) < 1e-12
+        v2 = out[2]["pooled"]
+        assert abs(v2[0] - 0.6) < 1e-12 and abs(v2[1] - 0.8) < 1e-12
+
+    def test_zero_vectors_stay_zero(self, spark):
+        from grape_vector_db_spark.operators.curation import pool_chunk_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (1, [0.0, 0.0])],
+            "doc_id long, embedding array<double>",
+        )
+        row = pool_chunk_embeddings(df).collect()[0]
+        assert row["pooled"] == [0.0, 0.0]
+
+    def test_no_normalize_returns_mean(self, spark):
+        from grape_vector_db_spark.operators.curation import pool_chunk_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [2.0, 4.0]), (1, [0.0, 0.0])],
+            "doc_id long, embedding array<double>",
+        )
+        row = pool_chunk_embeddings(df, normalize=False).collect()[0]
+        assert row["pooled"] == [1.0, 2.0]
