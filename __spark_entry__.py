@@ -1811,6 +1811,13 @@ def q_chunk_embed_pool(spark, sf_dir):
     ).selectExpr("doc_id", "n_chunks", "posexplode(v) as (i, val)")
 
 
+def q_matryoshka_topk(spark, sf_dir):
+    """MRL prefix-dim coarse scan (16 of 64 dims) + full-dim rescore."""
+    return search.matryoshka_search(
+        _emb(spark, sf_dir), _qv(spark, sf_dir), dims=16, k=10, rescore=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1933,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "mmr_rerank": q_mmr_rerank,
         "chunk_embed_pool": q_chunk_embed_pool,
+        "matryoshka_topk": q_matryoshka_topk,
     }
 
 
@@ -4335,6 +4343,19 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
+        "matryoshka_topk": f"""
+            WITH q AS (SELECT qv, qv[1:16] AS qp FROM {_QV}),
+            stage1 AS (
+              SELECT e.vec_id,
+                     round({_cos('(e.v[1:16])', 'q.qp')}, 6) AS approx_score
+              FROM {_EMB_D} e, q
+              ORDER BY approx_score DESC, e.vec_id LIMIT 50
+            )
+            SELECT s.vec_id, round({_cos('e.v', 'q2.qv')}, 6) AS score,
+                   s.approx_score
+            FROM stage1 s JOIN {_EMB_D} e ON e.vec_id = s.vec_id, q AS q2
+            ORDER BY score DESC, s.vec_id LIMIT {K_DEFAULT}
+        """,
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_segment": _bpe_segment_sql(BPE_N_MERGES),
         "paragraph_dedup": f"""

@@ -442,3 +442,52 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(group_col).applyInPandas(kernel, out_schema)
+
+
+def matryoshka_search(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    dims: int = 16,
+    k: int = 10,
+    rescore: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL, arXiv:2205.13147) two-stage serving: stage 1
+    scores the corpus on cosine over the FIRST ``dims`` components only
+    (cosine over slices is self-normalizing, so no stored-norm table is
+    needed), keeps the ``rescore`` best candidates, and stage 2 re-scores
+    just those on the full vector.
+
+    Scale shape: the stage-1 scan folds over ``dims`` elements instead of
+    the full dimension — per-row cost shrinks proportionally — and ends
+    in a TakeOrderedAndProject (zero shuffle). Stage 2 broadcasts the
+    ``rescore``-row candidate list back against the corpus, so the full
+    vectors of only those rows are touched. Mirrors
+    quantization.two_stage_search's budget-capped shape with the prefix
+    slice as the coarse code.
+
+    Returns (id, score, approx_score) — exact full-dim cosine plus the
+    stage-1 prefix cosine, both 6-dp rounded.
+    """
+    v = to_double_array(vec_col)
+    prefix = F.slice(v, 1, dims)
+    q_prefix = [float(x) for x in query_vector[:dims]]
+    stage1 = (
+        corpus.select(
+            F.col(id_col),
+            F.round(cosine_vs_query(prefix, q_prefix), 6).alias("approx_score"),
+        )
+        .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
+        .limit(rescore)
+    )
+    rescored = F.broadcast(stage1).join(
+        corpus.select(
+            F.col(id_col),
+            F.round(cosine_vs_query(v, query_vector), 6).alias("score"),
+        ),
+        id_col,
+    )
+    return rescored.select(id_col, "score", "approx_score").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)

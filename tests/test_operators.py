@@ -663,3 +663,28 @@ class TestMMRRerank:
         out = mmr_rerank(self._cands(spark, rows), k=2, lam=0.7)
         got = {(r["query_id"], r["rank"]): r["id"] for r in out.collect()}
         assert got == {(0, 1): 1, (0, 2): 2, (1, 1): 7}
+
+
+def test_matryoshka_recall_reasonable(spark, emb):
+    """Prefix-dim coarse + full rescore must recover most of the exact
+    top-10 (16/64 dims keeps most of the signal on this data)."""
+    from grape_vector_db_spark.operators.search import (
+        knn,
+        matryoshka_search,
+        query_vector_of,
+    )
+
+    qv = query_vector_of(emb, 0)
+    exact = {r["vec_id"] for r in knn(emb, qv, k=10).collect()}
+    n = emb.count()
+    # rescore >= corpus: stage 2 sees every row, so the result IS exact
+    full = {
+        r["vec_id"]
+        for r in matryoshka_search(emb, qv, dims=16, k=10, rescore=n).collect()
+    }
+    assert full == exact
+    # budgeted prefix scan still recovers a usable share of the exact
+    # top-10 (synthetic embeddings spread signal evenly across dims —
+    # the worst case for a prefix code; real MRL models concentrate it)
+    mrl = {r["vec_id"] for r in matryoshka_search(emb, qv, dims=16, k=10).collect()}
+    assert len(exact & mrl) >= 4

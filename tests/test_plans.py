@@ -283,3 +283,19 @@ def test_hard_negatives_broadcasts_anchors(spark, emb):
     anchors = emb.where(F.col("vec_id") < 3)
     plan = plan_of(s.hard_negatives(emb, anchors, k=2))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_matryoshka_stage1_is_take_ordered_with_broadcast_rescore(spark, emb):
+    """MRL serving shape: prefix coarse scan must end in a bounded
+    TakeOrdered (no global sort, no shuffle) and the rescore join must
+    broadcast the candidate side."""
+    from grape_vector_db_spark.operators.search import (
+        matryoshka_search,
+        query_vector_of,
+    )
+
+    qv = query_vector_of(emb, 0)
+    plan = plan_of(matryoshka_search(emb, qv, dims=16, k=5, rescore=20))
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
