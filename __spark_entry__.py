@@ -1818,6 +1818,11 @@ def q_matryoshka_topk(spark, sf_dir):
     )
 
 
+def q_length_outliers(spark, sf_dir):
+    """Per-source [p5, p95] length band; docs outside it, with bounds."""
+    return textanalysis.length_outliers(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1941,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "chunk_embed_pool": q_chunk_embed_pool,
         "matryoshka_topk": q_matryoshka_topk,
+        "length_outliers": q_length_outliers,
     }
 
 
@@ -4343,6 +4349,21 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
+        "length_outliers": """
+            WITH bounds AS (
+              SELECT source,
+                     round(percentile_cont(0.05) WITHIN GROUP
+                           (ORDER BY n_chars), 6) AS p_lo,
+                     round(percentile_cont(0.95) WITHIN GROUP
+                           (ORDER BY n_chars), 6) AS p_hi
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars, b.p_lo, b.p_hi,
+                   CASE WHEN d.n_chars < b.p_lo THEN 'short'
+                        ELSE 'long' END AS side
+            FROM documents d JOIN bounds b ON d.source = b.source
+            WHERE d.n_chars < b.p_lo OR d.n_chars > b.p_hi
+        """,
         "matryoshka_topk": f"""
             WITH q AS (SELECT qv, qv[1:16] AS qp FROM {_QV}),
             stage1 AS (

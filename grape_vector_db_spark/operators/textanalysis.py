@@ -647,3 +647,54 @@ def bpe_segment_counts(df, merges, id_col: str = "doc_id", text_col: str = "text
         "n_words",
         (ss_count - F.col("n_words")).cast("int").alias("n_subwords"),
     )
+
+
+def length_outliers(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group distribution gate: flag documents whose ``value_col``
+    falls outside the group's [lo, hi] quantile band — the standard
+    length/outlier filter a curation pipeline applies per SOURCE (each
+    crawl has its own length distribution, so one global cutoff
+    over/under-prunes).
+
+    ``exact=True`` uses Spark's exact ``percentile`` — one shuffle on
+    the group key, fine when the number of groups is large relative to
+    rows-per-group. At 100 TB with millions of rows per group, pass
+    ``exact=False``: ``approx_percentile`` (t-digest sketch, map-side
+    combinable, bounded memory) computes the bounds without gathering
+    any group's values in one place; the gate semantics are unchanged,
+    the cut points are approximate (documented epsilon 1e-4).
+
+    The bounds table is one row per group — broadcast back, so the
+    gate itself is a narrow scan. Returns
+    (id, group, value, p_lo, p_hi, side in {'short','long'}).
+    """
+    pct = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, 10000)
+    )
+    bounds = df.groupBy(group_col).agg(
+        F.round(pct(F.col(value_col), F.lit(lo)), 6).alias("p_lo"),
+        F.round(pct(F.col(value_col), F.lit(hi)), 6).alias("p_hi"),
+    )
+    joined = df.select(id_col, group_col, value_col).join(
+        F.broadcast(bounds), group_col
+    )
+    return joined.where(
+        (F.col(value_col) < F.col("p_lo")) | (F.col(value_col) > F.col("p_hi"))
+    ).select(
+        id_col,
+        group_col,
+        value_col,
+        "p_lo",
+        "p_hi",
+        F.when(F.col(value_col) < F.col("p_lo"), F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("side"),
+    )

@@ -422,3 +422,36 @@ class TestPoolChunkEmbeddings:
         )
         row = pool_chunk_embeddings(df, normalize=False).collect()[0]
         assert row["pooled"] == [1.0, 2.0]
+
+
+class TestLengthOutliers:
+    def test_bounds_and_sides(self, spark):
+        from grape_vector_db_spark.operators.textanalysis import length_outliers
+
+        rows = [(i, "a", v) for i, v in enumerate([1, 10, 11, 12, 13, 14, 15, 16, 17, 100])]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = {r["doc_id"]: r["side"] for r in length_outliers(df).collect()}
+        # p5 of 1..100 spread cuts the 1; p95 cuts the 100
+        assert out[0] == "short" and out[9] == "long"
+        assert len(out) == 2
+
+    def test_groups_get_independent_bands(self, spark):
+        from grape_vector_db_spark.operators.textanalysis import length_outliers
+
+        rows = [(i, "a", 10 + i) for i in range(20)] + [
+            (100 + i, "b", 1000 + i) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = length_outliers(df).collect()
+        # a 1000-char doc is normal for source b — only each group's own
+        # tails are flagged
+        assert all(r["n_chars"] < 1000 or r["source"] == "b" for r in out)
+        assert {r["source"] for r in out} == {"a", "b"}
+
+    def test_approx_path_runs(self, spark):
+        from grape_vector_db_spark.operators.textanalysis import length_outliers
+
+        rows = [(i, "a", i) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = length_outliers(df, exact=False).collect()
+        assert 0 < len(out) < 40
