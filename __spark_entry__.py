@@ -1823,6 +1823,33 @@ def q_length_outliers(spark, sf_dir):
     return textanalysis.length_outliers(_docs(spark, sf_dir))
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: unshipped-revenue top-10 for
+    one market segment. Classic selective-dimension star join — customer
+    filter broadcasts into orders, orders into lineitem, and the final
+    top-10 is a TakeOrdered over the grouped revenue."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(o.where(F.col("o_orderdate") < "1998-01-01"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.where(F.col("l_shipdate") > "2000-12-01"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1947,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_embed_pool": q_chunk_embed_pool,
         "matryoshka_topk": q_matryoshka_topk,
         "length_outliers": q_length_outliers,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -4349,6 +4377,20 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '2000-12-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+            LIMIT 10
+        """,
         "length_outliers": """
             WITH bounds AS (
               SELECT source,
