@@ -1850,6 +1850,38 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_filtered_knn(spark, sf_dir):
+    """Filtered vector search: metadata predicate FIRST (pushed into the
+    parquet scan), exact cosine top-k over the survivors — the
+    pre-filter strategy every production vector DB applies when the
+    filter is selective (the reference composes Filter + search the same
+    way, src/query.rs). One scan, zero shuffles, TakeOrdered k."""
+    emb = _emb(spark, sf_dir).where(F.col("label") == 3)
+    return search.knn(emb, _qv(spark, sf_dir), k=10)
+
+
+def q_label_topk(spark, sf_dir):
+    """Grouped retrieval: top-3 most similar vectors PER label for one
+    query — the 'diverse by category' read pattern. Scan once, partial
+    per-partition top-k per group, then one bounded window."""
+    from grape_vector_db_spark.operators import topk
+
+    emb = _emb(spark, sf_dir)
+    scored = emb.select(
+        "label",
+        "vec_id",
+        F.round(
+            search.cosine_vs_query(
+                F.col("embedding").cast("array<double>"), _qv(spark, sf_dir)
+            ),
+            6,
+        ).alias("score"),
+    )
+    return topk.topk_per_group(
+        scored, ["label"], "score", k=3, ascending=False, tiebreak_col="vec_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -1975,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_topk": q_matryoshka_topk,
         "length_outliers": q_length_outliers,
         "shipping_priority": q_shipping_priority,
+        "filtered_knn": q_filtered_knn,
+        "label_topk": q_label_topk,
     }
 
 
@@ -4377,6 +4411,28 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
+        "filtered_knn": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE label = 3)
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "label_topk": f"""
+            WITH s AS (
+              SELECT label, e.vec_id,
+                     round({_cos('e.v', 'q.qv')}, 6) AS score
+              FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings) e, {_QV} q
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY label
+                        ORDER BY score DESC, vec_id) AS rank
+              FROM s
+            )
+            SELECT label, vec_id, score, rank::INT AS rank
+            FROM r WHERE rank <= 3
+        """,
         "shipping_priority": """
             SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)

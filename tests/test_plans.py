@@ -299,3 +299,17 @@ def test_matryoshka_stage1_is_take_ordered_with_broadcast_rescore(spark, emb):
     assert "TakeOrderedAndProject(limit=20" in plan
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_filtered_knn_pushes_label_filter_to_scan(spark):
+    """Filtered vector search: the metadata predicate must reach the
+    parquet scan (PushedFilters), not sit above the cosine projection."""
+    from pyspark.sql import functions as F
+
+    from grape_vector_db_spark.operators.search import knn, query_vector_of
+
+    fresh = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = query_vector_of(fresh, 0)
+    df = knn(fresh.where(F.col("label") == 3), qv, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(label,3)" in plan  # inside PushedFilters of the scan
