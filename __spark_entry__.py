@@ -1882,6 +1882,14 @@ def q_label_topk(spark, sf_dir):
     )
 
 
+def q_rp_project(spark, sf_dir):
+    """JL random-projection 64 -> 16 dims; deterministic md5 planes."""
+    proj = ann.rp_project(_emb(spark, sf_dir), n_out=16, dim=64)
+    return proj.select(
+        "id", F.transform("proj", lambda x: F.round(x, 6)).alias("p")
+    ).selectExpr("id", "posexplode(p) as (i, val)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2009,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "filtered_knn": q_filtered_knn,
         "label_topk": q_label_topk,
+        "rp_project": q_rp_project,
     }
 
 
@@ -4411,6 +4420,17 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
+        "rp_project": f"""
+            WITH pl AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"({p}, {plane})"
+                  for p, plane in enumerate(_rp_planes_sql(16, 64, 42))
+              )}) t(i, plane)
+            )
+            SELECT e.vec_id AS id, pl.i::INT AS i,
+                   round(list_inner_product(e.v, pl.plane) * 0.25, 6) AS val
+            FROM {_EMB_D} e CROSS JOIN pl
+        """,
         "filtered_knn": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE label = 3)

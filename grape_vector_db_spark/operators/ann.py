@@ -33,6 +33,7 @@ tables as parquet; loading = reading them.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -939,3 +940,50 @@ def random_projection_tables(
         F.col(id_col).alias("id"),
         F.posexplode(buckets).alias("tbl", "bucket"),
     )
+
+
+def rp_project(
+    df: DataFrame,
+    n_out: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection dimensionality reduction:
+    project each vector onto ``n_out`` deterministic md5-derived
+    hyperplanes (the same plane family as ``random_projection_buckets``,
+    kept as dot products instead of sign bits) and scale by
+    1/sqrt(n_out), so squared distances are preserved in expectation.
+
+    The planes are derived, not stored — any engine regenerates them
+    from (seed, plane, dim-index), which is what makes the DuckDB oracle
+    replay exact. Pure narrow map: zero shuffles, no model table, cost
+    n_out x dim multiply-adds per row inside codegen. At 100 TB this is
+    the cheap pre-pass that shrinks embedding bytes 4x before a
+    downstream ANN build or near-dup pass.
+
+    Returns (id, proj array<double>).
+    """
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    v = to_double_array(vec_col)
+    factor = (1.0 / math.sqrt(n_out)) if scale else 1.0
+    comps = []
+    for p in range(n_out):
+        coords = []
+        for i in range(dim):
+            hx = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
+            coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
+        comps.append(
+            F.aggregate(
+                F.zip_with(
+                    v, F.array(*[F.lit(c) for c in coords]), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * F.lit(factor)
+        )
+    return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))

@@ -688,3 +688,35 @@ def test_matryoshka_recall_reasonable(spark, emb):
     # the worst case for a prefix code; real MRL models concentrate it)
     mrl = {r["vec_id"] for r in matryoshka_search(emb, qv, dims=16, k=10).collect()}
     assert len(exact & mrl) >= 4
+
+
+def test_rp_project_preserves_norms_in_expectation(spark, emb):
+    """JL guarantee sanity: with 1/sqrt(n_out) scaling, projected squared
+    norms track original squared norms on average (loose band — n_out=16
+    is a 4x compression)."""
+    import numpy as np
+
+    from grape_vector_db_spark.operators.ann import rp_project
+
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in emb.limit(50).collect()
+    }
+    proj = {
+        r["id"]: np.asarray(r["proj"], dtype=float)
+        for r in rp_project(emb.limit(50), n_out=16, dim=64).collect()
+    }
+    # E[|Px|^2] = |x|^2 * E[c^2] where c ~ U[-1,1] per coord => factor 1/3
+    ratios = [
+        (proj[k] ** 2).sum() / ((orig[k] ** 2).sum() / 3.0) for k in orig
+    ]
+    m = float(np.mean(ratios))
+    assert 0.6 < m < 1.6
+
+
+def test_rp_project_deterministic_across_calls(spark, emb):
+    from grape_vector_db_spark.operators.ann import rp_project
+
+    a = rp_project(emb.limit(5), n_out=4, dim=64).collect()
+    b = rp_project(emb.limit(5), n_out=4, dim=64).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
