@@ -1890,6 +1890,13 @@ def q_rp_project(spark, sf_dir):
     ).selectExpr("id", "posexplode(p) as (i, val)")
 
 
+def q_mixture_apply(spark, sf_dir):
+    """Temperature weights realized as a deterministic hash-gate sample
+    inside an 8k-token budget (selective at every SF)."""
+    return curation.mixture_apply(_docs(spark, sf_dir), tau=0.7,
+                                  token_budget=8_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2018,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn": q_filtered_knn,
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
+        "mixture_apply": q_mixture_apply,
     }
 
 
@@ -4420,6 +4428,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_sql(),
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
+        "mixture_apply": _mixture_apply_sql(budget=8_000),
         "rp_project": f"""
             WITH pl AS (
               SELECT * FROM (VALUES {", ".join(
@@ -4725,4 +4734,32 @@ def _chunk_embed_pool_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     SELECT mean.doc_id, n_chunks::INT AS n_chunks, i,
            round(CASE WHEN dn.dnrm = 0 THEN 0.0 ELSE mean.m / dn.dnrm END, 6) AS val
     FROM mean JOIN dn ON mean.doc_id = dn.doc_id
+    """
+
+
+def _mixture_apply_sql(tau: float = 0.7, budget: int = 50_000) -> str:
+    """Replay mixture_temperature -> keep_frac -> md5 hash gate."""
+    return rf"""
+        WITH per AS (
+          SELECT source AS "group",
+                 sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                   AS n_tokens
+          FROM documents GROUP BY 1
+        ),
+        w AS (
+          SELECT "group", n_tokens,
+                 pow(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM per),
+                     {1.0 / tau!r}) AS w
+          FROM per
+        ),
+        frac AS (
+          SELECT "group",
+                 round(least(1.0, {float(budget)!r}
+                             * round(w / (SELECT sum(w) FROM w), 6)
+                             / n_tokens), 6) AS keep_frac
+          FROM w
+        )
+        SELECT d.doc_id, f."group", f.keep_frac
+        FROM documents d JOIN frac f ON d.source = f."group"
+        WHERE {_h32_sql('d.doc_id::VARCHAR', 0)} < f.keep_frac * 4294967296.0
     """

@@ -580,10 +580,13 @@ def mixture_temperature(
     group_col: str = "source",
 ) -> DataFrame:
     """Temperature-scaled mixture sampling weights (the multilingual /
-    multi-source training standard, e.g. mT5's tau=0.3 exponent
-    sampling): ``(group, n_tokens, token_share, sampling_weight)`` with
-    ``w_g ∝ share_g^(1/tau)`` renormalized to sum 1 — ``tau < 1``
-    upweights low-resource groups, ``tau = 1`` is proportional sampling.
+    multi-source training standard; mT5's ``share^alpha`` with
+    ``alpha = 0.3`` corresponds to ``tau = 1/alpha ≈ 3.3`` here):
+    ``(group, n_tokens, token_share, sampling_weight)`` with
+    ``w_g ∝ share_g^(1/tau)`` renormalized to sum 1 — softmax-temperature
+    convention, so ``tau > 1`` flattens the mixture (upweights
+    low-resource groups), ``tau = 1`` is proportional sampling, and
+    ``tau < 1`` sharpens toward the dominant group.
 
     Shape: one map-side-combined groupBy over the corpus, then two
     single-row broadcast joins (token total, weight normalizer) over the
@@ -847,4 +850,52 @@ def pool_chunk_embeddings(
         doc_col,
         F.col("n_chunks").cast("int").alias("n_chunks"),
         pooled.alias("pooled"),
+    )
+
+
+def mixture_apply(
+    df: DataFrame,
+    tau: float = 0.7,
+    token_budget: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize a temperature mixture: compute the
+    :func:`mixture_temperature` weights, turn them into per-group keep
+    fractions ``f_g = min(1, budget * w_g / tokens_g)`` (the fraction of
+    each group's token mass that realizes the target mixture inside a
+    ``token_budget``), and select rows with the deterministic md5 hash
+    gate — same reproducible-selection semantics as
+    :func:`mixture_rebalance`, but sampling TO the temperature weights
+    instead of to the smallest group.
+
+    Scale shape: weights come from one map-side-combined groupBy plus
+    two single-row broadcast joins; the selection is a pure narrow gate
+    over a broadcast groups-sized fraction table. Returns
+    ``(doc_id, group, keep_frac)``.
+    """
+    from .sampling import hash_gate
+
+    w = mixture_temperature(
+        df, tau=tau, id_col=id_col, text_col=text_col, group_col=group_col
+    )
+    frac = w.select(
+        "group",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget))
+                * F.col("sampling_weight")
+                / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("keep_frac"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("group"))
+    return (
+        base.join(F.broadcast(frac), "group")
+        .where(hash_gate(F.col("doc_id"), F.col("keep_frac"), seed))
+        .select("doc_id", "group", "keep_frac")
     )

@@ -455,3 +455,35 @@ class TestLengthOutliers:
         df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
         out = length_outliers(df, exact=False).collect()
         assert 0 < len(out) < 40
+
+
+class TestMixtureApply:
+    def test_budget_caps_kept_mass_and_flattens_mixture(self, spark):
+        from grape_vector_db_spark.operators.curation import mixture_apply
+
+        # 3 sources: 400/80/20 ten-token docs -> shares 0.8/0.16/0.04
+        rows = []
+        for g, n in [("big", 400), ("mid", 80), ("small", 20)]:
+            for i in range(n):
+                rows.append((hash((g, i)) % 10**9, " ".join(["w"] * 10), g))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        kept = mixture_apply(df, tau=2.0, token_budget=2000).collect()
+        by_g = {}
+        for r in kept:
+            by_g.setdefault(r["group"], 0)
+            by_g[r["group"]] += 1
+        # tau=2 takes sqrt of shares: the mixture flattens, so the big
+        # group must be cut much harder than the small one
+        frac_big = by_g.get("big", 0) / 400
+        frac_small = by_g.get("small", 0) / 20
+        assert frac_big < frac_small
+        # kept token mass is in the budget's ballpark (hash gate is
+        # probabilistic per group, so allow wide tolerance)
+        assert sum(by_g.values()) * 10 < 2 * 2000
+
+    def test_deterministic(self, spark, docs):
+        from grape_vector_db_spark.operators.curation import mixture_apply
+
+        a = sorted(r["doc_id"] for r in mixture_apply(docs, token_budget=3000).collect())
+        b = sorted(r["doc_id"] for r in mixture_apply(docs, token_budget=3000).collect())
+        assert a == b and len(a) > 0
