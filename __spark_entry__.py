@@ -1897,6 +1897,13 @@ def q_mixture_apply(spark, sf_dir):
                                   token_budget=8_000)
 
 
+def q_sq_dim_topk(spark, sf_dir):
+    """Per-dimension SQ8 (FAISS ScalarQuantizer layout) two-stage search."""
+    return quantization.sq_dim_search(
+        _emb(spark, sf_dir), _qv(spark, sf_dir), k=10, rescore=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2026,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
         "mixture_apply": q_mixture_apply,
+        "sq_dim_topk": q_sq_dim_topk,
     }
 
 
@@ -4429,6 +4437,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _mmr_sql(),
         "chunk_embed_pool": _chunk_embed_pool_sql(),
         "mixture_apply": _mixture_apply_sql(budget=8_000),
+        "sq_dim_topk": _sq_dim_sql(),
         "rp_project": f"""
             WITH pl AS (
               SELECT * FROM (VALUES {", ".join(
@@ -4762,4 +4771,39 @@ def _mixture_apply_sql(tau: float = 0.7, budget: int = 50_000) -> str:
         SELECT d.doc_id, f."group", f.keep_frac
         FROM documents d JOIN frac f ON d.source = f."group"
         WHERE {_h32_sql('d.doc_id::VARCHAR', 0)} < f.keep_frac * 4294967296.0
+    """
+
+
+def _sq_dim_sql(k: int = 10, rescore: int = 50) -> str:
+    """Replay per-dim SQ8: corpus min/range per dimension, half-up codes,
+    coefficient-array dot reconstruction, exact-cosine rescore."""
+    return f"""
+    WITH d AS (
+      SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM {_EMB_D}
+    ),
+    mm AS (SELECT i, min(x) AS mn, max(x) - min(x) AS rg FROM d GROUP BY i),
+    mml AS (SELECT list(mn ORDER BY i) AS mins, list(rg ORDER BY i) AS rngs
+            FROM mm),
+    q AS (SELECT qv FROM {_QV}),
+    codes AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(e.v) + 1), i -> floor(
+               CASE WHEN m.rngs[i] = 0 THEN 0.0
+                    ELSE (e.v[i] - m.mins[i]) / m.rngs[i] * 255.0 END
+               + 0.5)) AS c
+      FROM {_EMB_D} e, mml m
+    ),
+    stage1 AS (
+      SELECT codes.vec_id,
+             list_inner_product(codes.c,
+               list_transform(range(1, len(codes.c) + 1),
+                              i -> m.rngs[i] * q.qv[i] / 255.0))
+             + list_inner_product(m.mins, q.qv) AS approx_dot
+      FROM codes, mml m, q
+      ORDER BY approx_dot DESC, codes.vec_id LIMIT {rescore}
+    )
+    SELECT s.vec_id, round({_cos('e.v', 'q2.qv')}, 6) AS score,
+           round(s.approx_dot, 6) AS approx_dot
+    FROM stage1 s JOIN {_EMB_D} e ON e.vec_id = s.vec_id, {_QV} q2
+    ORDER BY score DESC, s.vec_id LIMIT {k}
     """

@@ -720,3 +720,34 @@ def test_rp_project_deterministic_across_calls(spark, emb):
     a = rp_project(emb.limit(5), n_out=4, dim=64).collect()
     b = rp_project(emb.limit(5), n_out=4, dim=64).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_sq_dim_codes_bounds_and_reconstruction(spark, emb):
+    """Per-dim SQ8: codes in [0,255]; dequantized values within one step
+    of the original in every dimension."""
+    from grape_vector_db_spark.operators.quantization import (
+        sq_dim_quantize,
+        sq_dim_train,
+    )
+
+    mins, rngs = sq_dim_train(emb)
+    rows = sq_dim_quantize(emb, mins, rngs).limit(20).collect()
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(200).collect()}
+    for r in rows:
+        cs = r["codes"]
+        assert all(0 <= c <= 255 for c in cs)
+        v = orig[r["vec_id"]]
+        for i, c in enumerate(cs):
+            deq = mins[i] + c / 255.0 * rngs[i]
+            assert abs(deq - v[i]) <= rngs[i] / 255.0 + 1e-9
+
+
+def test_sq_dim_search_recall(spark, emb):
+    from grape_vector_db_spark.operators.quantization import sq_dim_search
+    from grape_vector_db_spark.operators.search import knn, query_vector_of
+
+    qv = query_vector_of(emb, 0)
+    exact = {r["vec_id"] for r in knn(emb, qv, k=10).collect()}
+    got = {r["vec_id"] for r in sq_dim_search(emb, qv, k=10, rescore=50).collect()}
+    assert 0 in got  # self-match survives quantization
+    assert len(exact & got) >= 7
