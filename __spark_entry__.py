@@ -1904,6 +1904,12 @@ def q_sq_dim_topk(spark, sf_dir):
     )
 
 
+def q_trim_dup_spans(spark, sf_dir):
+    """Exact-substring span removal: frequent 5-grams survive only in
+    their owner (min doc_id) document."""
+    return dedup.trim_duplicate_spans(_docs(spark, sf_dir), n=5, min_df=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2034,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "mixture_apply": q_mixture_apply,
         "sq_dim_topk": q_sq_dim_topk,
+        "trim_dup_spans": q_trim_dup_spans,
     }
 
 
@@ -4438,6 +4445,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_embed_pool": _chunk_embed_pool_sql(),
         "mixture_apply": _mixture_apply_sql(budget=8_000),
         "sq_dim_topk": _sq_dim_sql(),
+        "trim_dup_spans": _trim_dup_spans_sql(),
         "rp_project": f"""
             WITH pl AS (
               SELECT * FROM (VALUES {", ".join(
@@ -4806,4 +4814,54 @@ def _sq_dim_sql(k: int = 10, rescore: int = 50) -> str:
            round(s.approx_dot, 6) AS approx_dot
     FROM stage1 s JOIN {_EMB_D} e ON e.vec_id = s.vec_id, {_QV} q2
     ORDER BY score DESC, s.vec_id LIMIT {k}
+    """
+
+
+def _trim_dup_spans_sql(n: int = 5, min_df: int = 2) -> str:
+    """Replay trim_duplicate_spans: owner = min(doc_id) per frequent
+    gram; cut covered positions in non-owners; reassemble in order."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        base AS (SELECT doc_id, toks, len(toks)::INT AS n_tokens FROM t),
+        g2 AS (
+          SELECT doc_id, pos,
+                 array_to_string(toks[pos + 1 : pos + {n}], ' ') AS gram
+          FROM (SELECT doc_id, unnest(range(len(toks) - {n} + 1)) AS pos,
+                       toks
+                FROM base WHERE n_tokens >= {n})
+        ),
+        owners AS (
+          SELECT gram, min(doc_id) AS owner FROM g2 GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= {min_df}
+        ),
+        cut AS (
+          SELECT DISTINCT doc_id, ti FROM (
+            SELECT g2.doc_id, unnest(range(g2.pos, g2.pos + {n})) AS ti
+            FROM g2 JOIN owners USING (gram)
+            WHERE g2.doc_id <> owners.owner
+          )
+        ),
+        pos_toks AS (
+          SELECT doc_id, generate_subscripts(toks, 1) - 1 AS ti,
+                 unnest(toks) AS tok
+          FROM base
+        ),
+        kept AS (
+          SELECT p.doc_id, p.ti, p.tok
+          FROM pos_toks p ANTI JOIN cut c
+            ON p.doc_id = c.doc_id AND p.ti = c.ti
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS trimmed_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               (b.n_tokens - coalesce(r.n_kept, 0))::INT AS n_removed,
+               coalesce(r.trimmed_text, '') AS trimmed_text
+        FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
     """

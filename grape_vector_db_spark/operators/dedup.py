@@ -1231,3 +1231,95 @@ def winnow_fingerprints(
         )
     )
     return withh.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (the action half of
+    :func:`dup_span_coverage`, after Lee et al. 2022, arXiv:2107.06499):
+    every corpus-frequent token n-gram (>= ``min_df`` distinct docs)
+    keeps its text only in the OWNER document — the smallest doc_id
+    containing the gram — and the covered token positions are cut from
+    every other document, so one copy of each duplicated span survives
+    corpus-wide. Returns (doc_id, n_tokens, n_removed, trimmed_text)
+    for every input document.
+
+    Scale shape: the gram table explodes once (corpus token count
+    rows); ownership is the same map-side-combined groupBy that
+    computes document frequency (min(doc_id) rides along for free);
+    non-owner coverage re-explodes only matched positions. Reassembly
+    is one posexplode + anti-join + sort-in-group concat — the single
+    token-granular shuffle, bounded by corpus token count. No driver
+    state, no broadcast of corpus-sized tables.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    grams = (
+        base.where(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("df_docs"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("df_docs") >= min_df)
+        .select("gram", "owner")
+    )
+    cut = (
+        grams.join(owners, "gram")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("ti"),
+        )
+        .distinct()
+    )
+    pos_toks = base.select(
+        "doc_id", F.posexplode("toks").alias("ti", "tok")
+    )
+    kept = pos_toks.join(cut, ["doc_id", "ti"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ti"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("trimmed_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )

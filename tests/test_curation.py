@@ -487,3 +487,33 @@ class TestMixtureApply:
         a = sorted(r["doc_id"] for r in mixture_apply(docs, token_budget=3000).collect())
         b = sorted(r["doc_id"] for r in mixture_apply(docs, token_budget=3000).collect())
         assert a == b and len(a) > 0
+
+
+class TestTrimDuplicateSpans:
+    def test_owner_keeps_span_others_lose_it(self, spark):
+        from grape_vector_db_spark.operators.dedup import trim_duplicate_spans
+
+        shared = "one two three four five"
+        rows = [
+            (1, f"{shared} alpha beta"),
+            (2, f"gamma delta {shared}"),
+            (3, "totally different text here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in trim_duplicate_spans(df, n=5).collect()}
+        assert out[1]["n_removed"] == 0 and shared in out[1]["trimmed_text"]
+        assert out[2]["n_removed"] == 5
+        assert shared not in out[2]["trimmed_text"]
+        assert out[2]["trimmed_text"] == "gamma delta"
+        assert out[3]["n_removed"] == 0
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from grape_vector_db_spark.operators.dedup import trim_duplicate_spans
+
+        text = "a b c d e"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in trim_duplicate_spans(df, n=5).collect()}
+        assert out[1]["trimmed_text"] == text
+        assert out[2]["trimmed_text"] == "" and out[2]["n_removed"] == 5
