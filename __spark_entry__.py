@@ -1910,6 +1910,13 @@ def q_trim_dup_spans(spark, sf_dir):
     return dedup.trim_duplicate_spans(_docs(spark, sf_dir), n=5, min_df=2)
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid cohesion + nearest-centroid accuracy probe."""
+    from grape_vector_db_spark.operators import evaluation
+
+    return evaluation.class_centroid_metrics(_emb(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2041,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_apply": q_mixture_apply,
         "sq_dim_topk": q_sq_dim_topk,
         "trim_dup_spans": q_trim_dup_spans,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -4446,6 +4454,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_apply": _mixture_apply_sql(budget=8_000),
         "sq_dim_topk": _sq_dim_sql(),
         "trim_dup_spans": _trim_dup_spans_sql(),
+        "label_centroids": _label_centroids_sql(),
         "rp_project": f"""
             WITH pl AS (
               SELECT * FROM (VALUES {", ".join(
@@ -4864,4 +4873,50 @@ def _trim_dup_spans_sql(n: int = 5, min_df: int = 2) -> str:
                (b.n_tokens - coalesce(r.n_kept, 0))::INT AS n_removed,
                coalesce(r.trimmed_text, '') AS trimmed_text
         FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """
+
+
+def _label_centroids_sql() -> str:
+    """Replay class_centroid_metrics: element-mean centroids, member
+    cosine vs own centroid (6-dp before averaging), nearest-centroid
+    argmax with label-asc tie-break."""
+    return f"""
+    WITH flat AS (
+      SELECT label, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e
+    ),
+    cm AS (
+      SELECT label, i, sum(x) / count(*) AS m, count(*) AS n
+      FROM flat GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid, min(n) AS n_members
+      FROM cm GROUP BY label
+    ),
+    scored AS (
+      SELECT b.vec_id AS id, b.label, c.label AS clabel,
+             round({_cos('b.v', 'c.centroid')}, 6) AS cos
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) b
+      CROSS JOIN cent c
+    ),
+    nearest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY cos DESC, clabel ASC) AS r
+        FROM scored) WHERE r = 1
+    ),
+    intra AS (
+      SELECT label, round(avg(cos), 6) AS mean_intra_cosine
+      FROM scored WHERE label = clabel GROUP BY label
+    ),
+    acc AS (
+      SELECT label,
+             round(avg(CASE WHEN clabel = label THEN 1.0 ELSE 0.0 END), 6)
+               AS nn_accuracy
+      FROM nearest GROUP BY label
+    )
+    SELECT cent.label, cent.n_members::INT AS n_members,
+           intra.mean_intra_cosine, acc.nn_accuracy
+    FROM cent JOIN intra ON cent.label = intra.label
+    JOIN acc ON cent.label = acc.label
     """

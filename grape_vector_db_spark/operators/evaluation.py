@@ -98,3 +98,111 @@ def compare_fusion_strategies(
     return spark.createDataFrame(
         rows, f"strategy string, precision_{k} double, recall_{k} double, ndcg_{k} double"
     )
+
+
+def class_centroid_metrics(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality readout per class: the label centroid (element
+    mean), the mean cosine of members to their OWN centroid (intra-class
+    cohesion), and nearest-centroid accuracy (fraction of members whose
+    most-similar centroid is their own label) — the cheap linear probe a
+    training pipeline runs to sanity-check an embedding space before
+    spending GPU time on it.
+
+    Scale shape: centroids come from a dim-fanout posexplode + one
+    map-side-combined groupBy((label, dim)) — never a per-label
+    collect_list, so a billion-member class cannot pin one task. The
+    centroid table is classes x dim (tiny) and broadcast for both the
+    cohesion join and the all-centroids scoring cross join; per-row work
+    is one fold per centroid. Returns
+    (label, n_members, mean_intra_cosine, nn_accuracy), 6-dp rounded.
+    """
+    from ..functions.vector import to_double_array
+
+    v = to_double_array(vec_col)
+    flat = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("i", "x")
+    )
+    cent = (
+        flat.groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("i"), (F.col("s") / F.col("n")).alias("m"))
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+            F.first("n").alias("n_members"),
+        )
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label"), v.alias("v")
+    )
+    # cosine of each member vs EVERY centroid (centroid table broadcast)
+    scored = base.crossJoin(
+        F.broadcast(
+            cent.select(
+                F.col("label").alias("clabel"), F.col("centroid").alias("cv")
+            )
+        )
+    ).select(
+        "id",
+        "label",
+        "clabel",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("v"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("cv"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                )
+            ),
+            6,
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("clabel").asc())
+    nearest = scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+    own = scored.where(F.col("label") == F.col("clabel"))
+    intra = own.groupBy("label").agg(
+        F.round(F.avg("cos"), 6).alias("mean_intra_cosine")
+    )
+    acc = nearest.groupBy("label").agg(
+        F.round(
+            F.avg(F.when(F.col("clabel") == F.col("label"), 1.0).otherwise(0.0)), 6
+        ).alias("nn_accuracy")
+    )
+    return (
+        cent.select("label", "n_members")
+        .join(intra, "label")
+        .join(acc, "label")
+        .select(
+            "label",
+            F.col("n_members").cast("int").alias("n_members"),
+            "mean_intra_cosine",
+            "nn_accuracy",
+        )
+    )

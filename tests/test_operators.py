@@ -751,3 +751,33 @@ def test_sq_dim_search_recall(spark, emb):
     got = {r["vec_id"] for r in sq_dim_search(emb, qv, k=10, rescore=50).collect()}
     assert 0 in got  # self-match survives quantization
     assert len(exact & got) >= 7
+
+
+def test_class_centroid_metrics_separable_clusters(spark):
+    """Two orthogonal clusters: perfect cohesion and accuracy."""
+    from grape_vector_db_spark.operators.evaluation import class_centroid_metrics
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [1.0, 0.05], 0),
+        (4, [0.0, 1.0], 1), (5, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in class_centroid_metrics(df).collect()}
+    assert out[0]["n_members"] == 3 and out[1]["n_members"] == 2
+    assert out[0]["nn_accuracy"] == 1.0 and out[1]["nn_accuracy"] == 1.0
+    assert out[0]["mean_intra_cosine"] > 0.95
+    assert out[1]["mean_intra_cosine"] > 0.95
+
+
+def test_class_centroid_metrics_mislabeled_member(spark):
+    from grape_vector_db_spark.operators.evaluation import class_centroid_metrics
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.01], 0), (3, [1.0, 0.02], 0),
+        (4, [0.0, 1.0], 1), (5, [0.0, 0.9], 1),
+        (6, [1.0, 0.0], 1),  # lives in cluster 0 but labeled 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in class_centroid_metrics(df).collect()}
+    assert out[0]["nn_accuracy"] == 1.0
+    assert out[1]["nn_accuracy"] < 1.0  # the impostor votes for cluster 0
