@@ -1917,6 +1917,59 @@ def q_label_centroids(spark, sf_dir):
     return evaluation.class_centroid_metrics(_emb(spark, sf_dir))
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of events.value: 20 equal bins over the
+    observed [min, max] — two-pass (bounds reduce -> narrow bucket map +
+    map-side-combined count), the scale-safe histogram shape."""
+    ev = _events(spark, sf_dir)
+    b = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).head()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    width = (hi - lo) / 20.0
+    bucket = F.least(
+        F.lit(19), F.floor((F.col("value") - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "bin_lo", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6)
+        )
+        .withColumn(
+            "bin_hi",
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6),
+        )
+    )
+
+
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10-shaped rollup: per-customer revenue on RETURNED items
+    ('R' return flag), top 20 — fact scan once, broadcast customer dim."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("c_acctbal"), "revenue"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2049,6 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_dim_topk": q_sq_dim_topk,
         "trim_dup_spans": q_trim_dup_spans,
         "label_centroids": q_label_centroids,
+        "value_histogram": q_value_histogram,
+        "returned_revenue": q_returned_revenue,
     }
 
 
@@ -4455,6 +4510,36 @@ def oracle_sql() -> dict[str, str]:
         "sq_dim_topk": _sq_dim_sql(),
         "trim_dup_spans": _trim_dup_spans_sql(),
         "label_centroids": _label_centroids_sql(),
+        "value_histogram": """
+            WITH w AS (
+              SELECT min(value) AS lo,
+                     (max(value) - min(value)) / 20.0 AS width
+              FROM events
+            ),
+            bk AS (
+              SELECT least(19, floor((e.value - w.lo) / w.width))::INT
+                       AS bucket
+              FROM events e, w
+            )
+            SELECT bucket, count(*) AS n,
+                   round(w.lo + bucket * w.width, 6) AS bin_lo,
+                   round(w.lo + (bucket + 1) * w.width, 6) AS bin_hi
+            FROM bk, w
+            GROUP BY bucket, w.lo, w.width
+        """,
+        "returned_revenue": """
+            WITH rev AS (
+              SELECT o.o_custkey,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS revenue
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+              GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, rev.revenue
+            FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+            ORDER BY rev.revenue DESC, c.c_custkey ASC LIMIT 20
+        """,
         "rp_project": f"""
             WITH pl AS (
               SELECT * FROM (VALUES {", ".join(
