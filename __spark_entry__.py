@@ -1970,6 +1970,13 @@ def q_returned_revenue(spark, sf_dir):
     )
 
 
+def q_ivf_stats(spark, sf_dir):
+    """IVF index-health probe over the persisted index: per-cell
+    occupancy, share, and member-to-centroid cohesion."""
+    cents, assigned = _ivf_idx(spark, sf_dir)
+    return ann.ivf_index_stats(_emb(spark, sf_dir), cents, assigned)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2104,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "value_histogram": q_value_histogram,
         "returned_revenue": q_returned_revenue,
+        "ivf_stats": q_ivf_stats,
     }
 
 
@@ -4527,6 +4535,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bk, w
             GROUP BY bucket, w.lo, w.width
         """,
+        "ivf_stats": _ivf_stats_sql(),
         "returned_revenue": """
             WITH rev AS (
               SELECT o.o_custkey,
@@ -5004,4 +5013,31 @@ def _label_centroids_sql() -> str:
            intra.mean_intra_cosine, acc.nn_accuracy
     FROM cent JOIN intra ON cent.label = intra.label
     JOIN acc ON cent.label = acc.label
+    """
+
+
+def _ivf_stats_sql() -> str:
+    """Replay ivf_index_stats from the persisted centroid/assignment
+    tables (same 6-dp member-centroid cosine before averaging)."""
+    p = _ann_oracle_paths()
+    cents = f"read_parquet('{p['ivf_centroids']}/*.parquet')"
+    assigned = f"read_parquet('{p['ivf_assigned']}/*.parquet')"
+    return f"""
+    WITH j AS (
+      SELECT a.cluster,
+             round({_cos('e.v', 'c.cv')}, 6) AS cos
+      FROM {assigned} a
+      JOIN {_EMB_D} e ON e.vec_id = a.id
+      JOIN (SELECT cluster, centroid::DOUBLE[] AS cv FROM {cents}) c
+        ON c.cluster = a.cluster
+    ),
+    per AS (
+      SELECT cluster, count(*) AS n_members,
+             round(avg(cos), 6) AS mean_cosine
+      FROM j GROUP BY cluster
+    )
+    SELECT cluster, n_members::INT AS n_members,
+           round(n_members / (SELECT sum(n_members) FROM per), 6) AS share,
+           mean_cosine
+    FROM per
     """

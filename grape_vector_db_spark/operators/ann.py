@@ -987,3 +987,41 @@ def rp_project(
             * F.lit(factor)
         )
     return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
+
+
+def ivf_index_stats(
+    emb: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-health readout over a persisted IVF index: per cluster the
+    member count, occupancy share, and mean member-to-centroid cosine
+    (6-dp before averaging — engine-reproducible). This is the
+    maintenance probe that decides WHEN to re-train: occupancy skew
+    (hot cells slow probes) and falling cohesion (drifted centroids cut
+    recall) are the two re-cluster triggers.
+
+    Scale shape: one equi-join of the assignment table with the corpus
+    on id (co-partitioned when both are bucketed by id), broadcast of
+    the nlist-sized centroid table, then a map-side-combined groupBy
+    over nlist keys. Nothing corpus-sized is collected or broadcast.
+    """
+    v = to_double_array(vec_col)
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    joined = assigned.select("id", "cluster").join(base, "id").join(
+        F.broadcast(centroids.select("cluster", "centroid")), "cluster"
+    )
+    cos = F.round(cosine_similarity(F.col("v"), F.col("centroid")), 6)
+    per = joined.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg(cos), 6).alias("mean_cosine"),
+    )
+    total = per.agg(F.sum("n_members").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cluster",
+        F.col("n_members").cast("int").alias("n_members"),
+        F.round(F.col("n_members") / F.col("tot"), 6).alias("share"),
+        "mean_cosine",
+    )
