@@ -308,7 +308,11 @@ def test_filtered_knn_pushes_label_filter_to_scan(spark):
 
     from grape_vector_db_spark.operators.search import knn, query_vector_of
 
-    fresh = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # sf0.01, NOT sf0.001: the session-scoped emb fixture caches the
+    # sf0.001 read, and Spark's CacheManager would substitute the
+    # InMemoryRelation for any matching plan — hiding the scan pushdown
+    # this test pins.
+    fresh = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     qv = query_vector_of(fresh, 0)
     df = knn(fresh.where(F.col("label") == 3), qv, k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
