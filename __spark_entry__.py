@@ -1977,6 +1977,11 @@ def q_ivf_stats(spark, sf_dir):
     return ann.ivf_index_stats(_emb(spark, sf_dir), cents, assigned)
 
 
+def q_mixed_language(spark, sf_dir):
+    """Per-line lang-id aggregated to a code-switching readout."""
+    return textanalysis.mixed_language(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2112,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "returned_revenue": q_returned_revenue,
         "ivf_stats": q_ivf_stats,
+        "mixed_language": q_mixed_language,
     }
 
 
@@ -4536,6 +4542,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bucket, w.lo, w.width
         """,
         "ivf_stats": _ivf_stats_sql(),
+        "mixed_language": _mixed_language_sql(),
         "returned_revenue": """
             WITH rev AS (
               SELECT o.o_custkey,
@@ -5040,4 +5047,64 @@ def _ivf_stats_sql() -> str:
            round(n_members / (SELECT sum(n_members) FROM per), 6) AS share,
            mean_cosine
     FROM per
+    """
+
+
+def _mixed_language_sql(min_ratio: float = 0.05) -> str:
+    """Replay mixed_language: per-line marker argmax with floor, then
+    per-doc language-mix aggregates."""
+    from grape_vector_db_spark.operators.textanalysis import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"round(len(list_filter(t, w -> list_contains({markers}, w)))::DOUBLE"
+            f" / greatest(len(t), 1), 6) AS s_{lang}"
+        )
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return rf"""
+        WITH lines AS (
+          SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS line
+          FROM documents
+        ),
+        ne AS (SELECT doc_id, line FROM lines WHERE length(trim(line)) > 0),
+        base AS (
+          SELECT doc_id, regexp_split_to_array(lower(line), '\s+') AS t
+          FROM ne
+        ),
+        scored AS (SELECT doc_id, {", ".join(score_cols)} FROM base),
+        best AS (SELECT doc_id, {greatest} AS best, * FROM scored),
+        tagged AS (
+          SELECT doc_id,
+                 CASE WHEN best < {min_ratio!r} THEN 'unk' ELSE {case} END
+                   AS line_lang
+          FROM best
+        ),
+        per_lang AS (
+          SELECT doc_id, line_lang, count(*) AS n
+          FROM tagged GROUP BY doc_id, line_lang
+        ),
+        totals AS (
+          SELECT doc_id, sum(n)::INT AS n_lines,
+                 count(CASE WHEN line_lang <> 'unk' THEN 1 END)::INT
+                   AS n_langs
+          FROM per_lang GROUP BY doc_id
+        ),
+        main AS (
+          SELECT doc_id, line_lang AS main_lang FROM (
+            SELECT doc_id, line_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, line_lang ASC) AS r
+            FROM per_lang WHERE line_lang <> 'unk'
+          ) WHERE r = 1
+        )
+        SELECT t.doc_id, t.n_lines, t.n_langs,
+               coalesce(m.main_lang, 'unk') AS main_lang,
+               (t.n_langs >= 2) AS is_mixed
+        FROM totals t LEFT JOIN main m ON t.doc_id = m.doc_id
     """

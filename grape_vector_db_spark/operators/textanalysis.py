@@ -698,3 +698,86 @@ def length_outliers(
         .otherwise(F.lit("long"))
         .alias("side"),
     )
+
+
+def mixed_language(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.05,
+) -> DataFrame:
+    """Per-LINE language identification aggregated to a code-switching
+    readout: each non-empty line gets the :func:`language_id` marker
+    argmax (floor ``min_ratio`` -> 'unk'), and the document reports how
+    many confident languages it mixes — real curation pipelines route
+    mixed-language docs to separate handling rather than trusting one
+    doc-level label.
+
+    Scale shape: lines explode once (corpus line count rows), the
+    per-line scoring is a narrow expression, and both aggregates are
+    map-side-combined groupBys keyed by doc. Returns
+    (doc_id, n_lines, n_langs, main_lang, is_mixed).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).where(F.length(F.trim(F.col("line"))) > 0)
+    toks = F.split(F.lower(F.col("line")), r"\s+")
+    base = lines.select("doc_id", toks.alias("_t"))
+    langs = sorted(LANG_MARKERS)
+    scores = [
+        F.round(
+            F.size(
+                F.filter(
+                    F.col("_t"),
+                    lambda w: F.array_contains(
+                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
+                    ),
+                )
+            ).cast("double")
+            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"_s_{lang}")
+        for lang in langs
+    ]
+    scored = base.select("doc_id", *scores).withColumn(
+        "_best", F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    )
+    lang_case = None
+    for lang in langs:
+        cond = (F.col(f"_s_{lang}") == F.col("_best"), F.lit(lang))
+        lang_case = F.when(*cond) if lang_case is None else lang_case.when(*cond)
+    tagged = scored.select(
+        "doc_id",
+        F.when(F.col("_best") < min_ratio, F.lit("unk"))
+        .otherwise(lang_case)
+        .alias("line_lang"),
+    )
+    per_lang = tagged.groupBy("doc_id", "line_lang").agg(
+        F.count("*").alias("n")
+    )
+    totals = per_lang.groupBy("doc_id").agg(
+        F.sum("n").cast("int").alias("n_lines"),
+        F.count(F.when(F.col("line_lang") != "unk", True)).cast("int").alias("n_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("line_lang").asc()
+    )
+    main = (
+        per_lang.where(F.col("line_lang") != "unk")
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("doc_id", F.col("line_lang").alias("main_lang"))
+    )
+    return (
+        totals.join(main, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_langs",
+            F.coalesce("main_lang", F.lit("unk")).alias("main_lang"),
+            (F.col("n_langs") >= 2).alias("is_mixed"),
+        )
+    )

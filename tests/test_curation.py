@@ -517,3 +517,29 @@ class TestTrimDuplicateSpans:
         out = {r["doc_id"]: r for r in trim_duplicate_spans(df, n=5).collect()}
         assert out[1]["trimmed_text"] == text
         assert out[2]["trimmed_text"] == "" and out[2]["n_removed"] == 5
+
+
+class TestMixedLanguage:
+    def test_mixed_doc_flagged(self, spark):
+        from grape_vector_db_spark.operators.textanalysis import mixed_language
+
+        rows = [
+            (1, "the quick brown fox and the dog\nder hund und die katze sind da"),
+            (2, "the cat and the hat is here\nthe dog and the fox are there"),
+            (3, "zzz qqq xxx\nvvv www yyy"),  # no markers anywhere
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in mixed_language(df).collect()}
+        assert out[1]["is_mixed"] is True and out[1]["n_langs"] == 2
+        assert out[2]["is_mixed"] is False and out[2]["main_lang"] == "en"
+        assert out[3]["main_lang"] == "unk" and out[3]["n_langs"] == 0
+
+    def test_empty_lines_ignored(self, spark):
+        from grape_vector_db_spark.operators.textanalysis import mixed_language
+
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog\n\n\nthe fox and the hen")],
+            "doc_id long, text string",
+        )
+        r = mixed_language(df).collect()[0]
+        assert r["n_lines"] == 2
