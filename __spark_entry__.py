@@ -1982,6 +1982,75 @@ def q_mixed_language(spark, sf_dir):
     return textanalysis.mixed_language(_docs(spark, sf_dir))
 
 
+def q_event_anomalies(spark, sf_dir):
+    """Per-type z-score outliers: |value - mean| > 3*stddev_pop. Group
+    stats are a types-sized table broadcast back; the gate is a narrow
+    scan — the standard streaming-adjacent anomaly shape."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_pop("value").alias("_sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 6).alias(
+                "zscore"
+            ),
+        )
+        # gate on the ROUNDED zscore so the boundary is engine-stable
+        .where(F.abs(F.col("zscore")) > 3)
+    )
+
+
+def q_event_funnel(spark, sf_dir):
+    """Funnel: per event type present in the stream, how many users
+    reach it AFTER their first 'click' (within 1 hour) — one pass for
+    the anchor step (min ts per user), broadcast back, then a
+    map-side-combined count. The two-step conversion readout."""
+    ev = _events(spark, sf_dir)
+    first_a = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    steps = (
+        ev.join(F.broadcast(first_a), "user_id")
+        .where(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return steps.orderBy(F.col("n_users").desc(), F.col("event_type").asc())
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Retention: users cohorted by first-activity day, counted per
+    (cohort_day, days_since) activity offset — first-touch table is
+    per-user (broadcastable at bench SF; co-partitioned join at scale),
+    offsets aggregate map-side."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date(F.col("ts")), F.col("cohort_day")).alias(
+                "days_since"
+            ),
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2118,6 +2187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": q_returned_revenue,
         "ivf_stats": q_ivf_stats,
         "mixed_language": q_mixed_language,
+        "event_anomalies": q_event_anomalies,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -4543,6 +4615,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_stats": _ivf_stats_sql(),
         "mixed_language": _mixed_language_sql(),
+        "event_anomalies": """
+            WITH st AS (
+              SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+              FROM events GROUP BY event_type
+            ),
+            z AS (
+              SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+                     round((e.value - st.mu) / st.sd, 6) AS zscore
+              FROM events e JOIN st USING (event_type)
+            )
+            SELECT * FROM z WHERE abs(zscore) > 3
+        """,
+        "event_funnel": """
+            WITH fa AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'click' GROUP BY user_id
+            )
+            SELECT e.event_type, count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN fa USING (user_id)
+            WHERE e.ts > fa.t0 AND e.ts <= fa.t0 + INTERVAL 1 HOUR
+            GROUP BY e.event_type
+            ORDER BY n_users DESC, e.event_type ASC
+        """,
+        "retention_cohorts": """
+            WITH first AS (
+              SELECT user_id, min(ts)::DATE AS cohort_day
+              FROM events GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, e.ts::DATE)::INT
+                     AS days_since,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN first f USING (user_id)
+            GROUP BY f.cohort_day, days_since
+        """,
         "returned_revenue": """
             WITH rev AS (
               SELECT o.o_custkey,
