@@ -2051,6 +2051,79 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_rare_tokens(spark, sf_dir):
+    """OOV/noise gate: per-doc fraction of token occurrences whose corpus
+    document frequency is < 2 (term-keyed co-partitioned join; no
+    driver state)."""
+    return textanalysis.rare_token_ratio(_docs(spark, sf_dir), min_df=2)
+
+
+def q_collocations(spark, sf_dir):
+    """PMI-scored bigram collocations, ordered by the integer pair count
+    so result order never rides a float boundary."""
+    return textanalysis.collocations(_docs(spark, sf_dir), min_count=5, top_k=50)
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source unigram KL divergence vs the corpus distribution —
+    the mixture-design domain-shift readout."""
+    return textanalysis.source_unigram_kl(_docs(spark, sf_dir))
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle-set containment pairs (subset duplication that
+    Jaccard misses); same hot-shingle-capped candidate join as
+    dedup_ngram, reusing the shared ingest shingle table."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir),
+        n=3,
+        threshold=0.6,
+        shingles_df=_shingles(spark, sf_dir),
+        max_shingle_df=100,
+    )
+
+
+def q_within_doc_dedup(spark, sf_dir):
+    """Within-document repeated-line removal (order-preserving
+    array_distinct) — a pure narrow zero-shuffle pass."""
+    return curation.dedup_doc_lines(_docs(spark, sf_dir))
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std/min/max over the embedding column —
+    embedding-health monitoring as one map-side-combined groupBy."""
+    from grape_vector_db_spark.operators import evaluation
+
+    return evaluation.embedding_dim_stats(_emb(spark, sf_dir))
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-HAVING over the fact table, then the
+    qualifying-order keys join back against broadcast dimensions."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2190,6 +2263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": q_event_anomalies,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "rare_tokens": q_rare_tokens,
+        "collocations": q_collocations,
+        "source_kl": q_source_kl,
+        "containment": q_containment,
+        "within_doc_dedup": q_within_doc_dedup,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "large_orders": q_large_orders,
     }
 
 
@@ -4792,6 +4872,151 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT class, term, ctfidf, rank FROM r WHERE rank <= 5
+        """,
+        "containment": f"""
+            WITH {_SHINGLE_CTE},
+            shf AS (
+              SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+            ),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+              FROM shf x
+              JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   round(i.n_common::DOUBLE / least(za.n_sh, zb.n_sh), 6)
+                     AS containment
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.a
+            JOIN sizes zb ON zb.doc_id = i.b
+            WHERE round(i.n_common::DOUBLE / least(za.n_sh, zb.n_sh), 6) >= 0.6
+        """,
+        "rare_tokens": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            dfq AS (
+              SELECT term, count(DISTINCT doc_id) AS dfreq FROM t GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN dfq.dfreq < 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_rare,
+                   round(sum(CASE WHEN dfq.dfreq < 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS rare_ratio
+            FROM t JOIN dfq USING (term)
+            GROUP BY t.doc_id
+        """,
+        "collocations": r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+            big AS (
+              SELECT unnest(list_transform(range(len(t) - 1),
+                            i -> {'w1': t[i+1], 'w2': t[i+2]})) AS p
+              FROM toks WHERE len(t) >= 2
+            ),
+            pc AS (
+              SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+              FROM big GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            tot AS (
+              SELECT (SELECT count(*) FROM uni)::BIGINT AS n_tok,
+                     (SELECT count(*) FROM big)::BIGINT AS n_pairs_total
+            )
+            SELECT pc.w1, pc.w2, pc.n_pair,
+                   round(log2((pc.n_pair::DOUBLE * tot.n_tok * tot.n_tok)
+                              / (tot.n_pairs_total::DOUBLE * c1.c * c2.c)),
+                         6) AS pmi
+            FROM pc
+            JOIN uc c1 ON c1.w = pc.w1
+            JOIN uc c2 ON c2.w = pc.w2
+            CROSS JOIN tot
+            ORDER BY pc.n_pair DESC, pc.w1 ASC, pc.w2 ASC LIMIT 50
+        """,
+        "source_kl": r"""
+            WITH occ AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            st AS (SELECT source, term, count(*) AS c_st FROM occ GROUP BY 1, 2),
+            t AS (SELECT term, count(*) AS c_t FROM occ GROUP BY 1),
+            s AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+            tot AS (SELECT sum(c_t)::BIGINT AS n FROM t)
+            SELECT st.source AS source,
+                   s.n_s AS n_tokens,
+                   round(sum((st.c_st::DOUBLE / s.n_s)
+                             * log2((st.c_st::DOUBLE * tot.n)
+                                    / (s.n_s::DOUBLE * t.c_t))), 6)
+                     AS kl_bits
+            FROM st JOIN t USING (term)
+            JOIN s ON s.source = st.source
+            CROSS JOIN tot
+            GROUP BY 1, 2
+        """,
+        "within_doc_dedup": r"""
+            WITH l AS (
+              SELECT doc_id, regexp_split_to_array(text, '\n') AS ls
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(ls)),
+                            i -> {'i': i, 's': ls[i+1]})) AS x
+              FROM l
+            ),
+            r AS (
+              SELECT doc_id, x.i AS i, x.s AS s,
+                     row_number() OVER (PARTITION BY doc_id, x.s
+                                        ORDER BY x.i) AS rn
+              FROM e
+            )
+            SELECT doc_id,
+                   count(*)::INT AS n_lines,
+                   (count(*) FILTER (WHERE rn = 1))::INT AS n_kept,
+                   string_agg(s, chr(10) ORDER BY i) FILTER (WHERE rn = 1)
+                     AS clean_text
+            FROM r GROUP BY doc_id
+        """,
+        "embedding_dim_stats": f"""
+            WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+            x AS (
+              SELECT unnest(list_transform(range(len(v)),
+                            i -> {{'dim': i, 'val': v[i+1]}})) AS p
+              FROM e
+            )
+            SELECT p.dim::INT AS dim,
+                   round(avg(p.val), 6) AS mean,
+                   round(stddev(p.val), 6) AS std,
+                   round(min(p.val), 6) AS lo,
+                   round(max(p.val), 6) AS hi
+            FROM x GROUP BY 1
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 6) > 180
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   o.o_orderdate::DATE AS o_orderdate, o.o_totalprice,
+                   big.total_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY big.total_qty DESC, o.o_orderkey ASC LIMIT 20
         """,
     }
 

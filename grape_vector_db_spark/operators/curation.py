@@ -899,3 +899,31 @@ def mixture_apply(
         .where(hash_gate(F.col("doc_id"), F.col("keep_frac"), seed))
         .select("doc_id", "group", "keep_frac")
     )
+
+
+def dedup_doc_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """WITHIN-document exact line dedup: drop every repeat of a line the
+    same document already emitted, keeping first occurrence order —
+    navigation menus, cookie banners, and pagination footers repeat
+    inside a single scraped page, which per-doc repetition *signals*
+    flag but don't fix, and cross-doc boilerplate removal
+    (:func:`strip_boilerplate`) can't see.
+
+    Scale shape: a pure narrow map — ``array_distinct`` is
+    order-preserving (first occurrence wins) and runs per row, so the
+    whole pass is zero-shuffle regardless of corpus size.
+    Returns (doc_id, n_lines, n_kept, clean_text).
+    """
+    lines = F.split(F.col(text_col), delim)
+    kept = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, delim).alias("clean_text"),
+    )

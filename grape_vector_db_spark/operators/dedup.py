@@ -1323,3 +1323,67 @@ def trim_duplicate_spans(
             F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_df: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs: (a, b, containment) with a < b
+    and containment = |A ∩ B| / min(|A|, |B|) >= threshold over distinct
+    token n-gram shingle sets. Jaccard misses subset duplication — a doc
+    quoted whole inside a much larger doc scores |A|/|B| ≈ 0 Jaccard but
+    1.0 containment — and subset duplication is exactly what
+    quote-heavy / scraped-concatenation corpora are full of.
+
+    Same candidate generation as :func:`ngram_jaccard_pairs` (shared
+    shingle equi-join, so cost is bounded by shingle df, not corpus^2),
+    same ``max_shingle_df`` hot-shingle broadcast anti-join cap; only
+    the normalizer differs (min instead of union).
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, n, id_col, text_col).persist()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"),
+            "a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common")
+                / F.least(F.col("na"), F.col("nb")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -206,3 +206,35 @@ def class_centroid_metrics(
             "nn_accuracy",
         )
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION statistics over an embedding column: (dim, mean,
+    std, lo, hi). The standard embedding-health readout — a dimension
+    with near-zero variance is dead capacity, wildly off-center means
+    break cosine vs dot-product assumptions, and distribution drift
+    across ingest batches is how silently-broken embedding providers get
+    caught.
+
+    Scale shape: posexplode multiplies rows by dim (a narrow map), then
+    ONE map-side-combined groupBy on the dim key — at 100 TB the
+    aggregate state is (n_dims x partitions) tiny partial rows, never
+    the exploded data itself. No driver-side state, no collect.
+    """
+    exploded = emb.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev("v"), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+        .select("dim", "mean", "std", "lo", "hi")
+    )

@@ -781,3 +781,177 @@ def mixed_language(
             (F.col("n_langs") >= 2).alias("is_mixed"),
         )
     )
+
+
+def rare_token_ratio(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fraction of token OCCURRENCES whose corpus document
+    frequency is below ``min_df`` — a cheap OOV/noise signal: docs made
+    of tokens nothing else uses are usually mojibake, hashes, or
+    minified blobs, and they also blow up tokenizer vocab tails.
+
+    Scale shape: one explode, one distinct+groupBy to get the df table
+    (term-keyed shuffle), one term-keyed equi-join back (both sides are
+    term-partitioned — no replication), and a map-side-combined per-doc
+    aggregate. No driver-side state; the df table never collects.
+    Returns (doc_id, n_tokens, n_rare, rare_ratio).
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    occ = toked.select("doc_id", F.explode("_t").alias("term"))
+    dfreq = (
+        occ.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    joined = occ.join(dfreq, "term")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("dfreq") < min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_tokens"), 6
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by count, PMI-scored (Church & Hanks
+    1990): pmi = log2( p(xy) / (p(x)p(y)) ) with all probabilities from
+    corpus counts. ``min_count`` drops noise bigrams; ordering is by the
+    INTEGER count (then words) so the result order never hinges on a
+    float boundary — pmi rides along as a rounded readout column.
+
+    Scale shape: one explode to bigram occurrences, one map-side-combined
+    count per bigram, a term-keyed join against the unigram count table
+    (twice: left word, right word), two broadcast single-row totals, and
+    a TakeOrdered top-k. Returns (w1, w2, n_pair, pmi).
+    """
+    toked = df.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t")
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    uni = (
+        toked.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = toked.where(F.size("_t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - 2),
+                lambda i: F.struct(
+                    F.col("_t")[i].alias("w1"), F.col("_t")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p")
+    )
+    pair_counts = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_tok"))
+    n_big = pairs.groupBy().agg(F.count("*").alias("n_pairs_total"))
+    scored = (
+        pair_counts.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log2(
+                    (
+                        F.col("n_pair").cast("double")
+                        * F.col("n_tok")
+                        * F.col("n_tok")
+                    )
+                    / (
+                        F.col("n_pairs_total").cast("double")
+                        * F.col("c1")
+                        * F.col("c2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+
+
+def source_unigram_kl(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence (bits) of the source's unigram token
+    distribution from the whole-corpus distribution — the standard
+    domain-shift readout for mixture design: a source with near-zero KL
+    adds little diversity; an extreme-KL source is an outlier domain.
+    KL(s||corpus) is finite here by construction (every source term is
+    in the corpus distribution).
+
+    Scale shape: one explode; (source, term) and (term) count tables off
+    the same pass (map-side combined); a term-keyed equi-join between
+    them (co-partitioned, no replication); broadcast single-row corpus
+    total; one final per-source aggregate. Returns
+    (source, n_tokens, kl_bits).
+    """
+    occ = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    st = occ.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    t = occ.groupBy("term").agg(F.count("*").alias("c_t"))
+    s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    total = t.agg(F.sum("c_t").alias("n"))
+    contrib = (
+        st.join(t, "term")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            (
+                (F.col("c_st") / F.col("n_s"))
+                * F.log2(
+                    (F.col("c_st").cast("double") * F.col("n"))
+                    / (F.col("n_s").cast("double") * F.col("c_t"))
+                )
+            ).alias("_kl_term"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(F.round(F.sum("_kl_term"), 6).alias("kl_bits"))
+        .join(F.broadcast(s.select("source", F.col("n_s").alias("n_tokens"))), "source")
+        .select("source", "n_tokens", "kl_bits")
+    )

@@ -1,0 +1,146 @@
+"""Tests for the round-4 additions: rare-token ratio, PMI collocations,
+per-source KL, shingle containment, within-doc line dedup, and
+per-dimension embedding stats."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.operators import curation, dedup, textanalysis
+from grape_vector_db_spark.operators.evaluation import embedding_dim_stats
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestRareTokenRatio:
+    def test_unique_tokens_are_rare(self, spark):
+        df = _docs_df(
+            spark,
+            [
+                (1, "shared shared qzx1"),
+                (2, "shared other qzx2"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textanalysis.rare_token_ratio(df, min_df=2).collect()
+        }
+        # 'shared' appears in both docs; 'other', 'qzx1', 'qzx2' in one.
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["n_rare"] == 1  # qzx1 only (shared occurrences not rare)
+        assert math.isclose(out[1]["rare_ratio"], 1 / 3, abs_tol=1e-6)
+        assert out[2]["n_rare"] == 2  # other + qzx2
+
+    def test_occurrences_not_types(self, spark):
+        # A rare token repeated in ONE doc still has df=1 but 2 occurrences.
+        df = _docs_df(spark, [(1, "zzz zzz common"), (2, "common")])
+        row = (
+            textanalysis.rare_token_ratio(df, min_df=2)
+            .where(F.col("doc_id") == 1)
+            .collect()[0]
+        )
+        assert row["n_tokens"] == 3 and row["n_rare"] == 2
+
+
+class TestCollocations:
+    def test_pmi_favors_exclusive_pair(self, spark):
+        rows = [(i, "aa bb") for i in range(5)] + [
+            (100 + i, "cc dd cc ee cc ff") for i in range(5)
+        ]
+        out = textanalysis.collocations(
+            _docs_df(spark, rows), min_count=5, top_k=10
+        ).collect()
+        by_pair = {(r["w1"], r["w2"]): r for r in out}
+        assert ("aa", "bb") in by_pair
+        # aa bb always co-occur and never appear apart -> highest PMI.
+        best = max(out, key=lambda r: r["pmi"])
+        assert (best["w1"], best["w2"]) == ("aa", "bb")
+
+    def test_min_count_filters(self, spark):
+        out = textanalysis.collocations(
+            _docs_df(spark, [(1, "xx yy")]), min_count=2, top_k=10
+        ).collect()
+        assert out == []
+
+
+class TestSourceUnigramKL:
+    def test_identical_sources_zero_kl(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "a b c", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        for r in textanalysis.source_unigram_kl(df).collect():
+            assert abs(r["kl_bits"]) < 1e-9
+
+    def test_disjoint_sources_positive_kl(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a", "s1"), (2, "b b b", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        out = {r["source"]: r for r in textanalysis.source_unigram_kl(df).collect()}
+        # p_s(t)=1, p(t)=0.5 -> KL = log2(2) = 1 bit for both sources.
+        assert math.isclose(out["s1"]["kl_bits"], 1.0, abs_tol=1e-6)
+        assert math.isclose(out["s2"]["kl_bits"], 1.0, abs_tol=1e-6)
+        assert out["s1"]["n_tokens"] == 3
+
+
+class TestContainmentPairs:
+    def test_subset_doc_scores_full_containment(self, spark):
+        # doc 1 is a strict prefix of doc 2: Jaccard is low but
+        # containment (normalized by the smaller set) is 1.0.
+        small = "alpha beta gamma delta epsilon"
+        big = small + " " + " ".join(f"word{i} filler{i} extra{i}" for i in range(20))
+        df = _docs_df(spark, [(1, small), (2, big)])
+        out = dedup.containment_pairs(df, n=3, threshold=0.9).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["a"], r["b"]) == (1, 2)
+        assert math.isclose(r["containment"], 1.0, abs_tol=1e-6)
+        # Jaccard on the same pair stays far below the containment score.
+        jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+        assert jac and jac[0]["jaccard"] < 0.2
+
+    def test_unrelated_docs_no_pair(self, spark):
+        df = _docs_df(
+            spark,
+            [(1, "completely different words here now"), (2, "nothing shared at all today")],
+        )
+        assert dedup.containment_pairs(df, n=3, threshold=0.1).collect() == []
+
+
+class TestDedupDocLines:
+    def test_first_occurrence_kept_in_order(self, spark):
+        df = _docs_df(spark, [(1, "a\nb\na\nc\nb")])
+        r = curation.dedup_doc_lines(df).collect()[0]
+        assert r["n_lines"] == 5 and r["n_kept"] == 3
+        assert r["clean_text"] == "a\nb\nc"
+
+    def test_no_duplicates_untouched(self, spark):
+        df = _docs_df(spark, [(1, "x\ny\nz")])
+        r = curation.dedup_doc_lines(df).collect()[0]
+        assert r["clean_text"] == "x\ny\nz" and r["n_kept"] == 3
+
+    def test_zero_shuffle_plan(self, spark):
+        df = _docs_df(spark, [(1, "a\na")])
+        plan = curation.dedup_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestEmbeddingDimStats:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 10.0]), (2, [3.0, 10.0])],
+            ["vec_id", "embedding"],
+        )
+        out = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+        assert out[0]["mean"] == 2.0 and out[0]["lo"] == 1.0 and out[0]["hi"] == 3.0
+        assert math.isclose(out[0]["std"], math.sqrt(2.0), abs_tol=1e-6)
+        assert out[1]["std"] == 0.0 and out[1]["mean"] == 10.0
+
+    def test_dim_count_matches(self, spark, emb):
+        dim = len(emb.select("embedding").first()[0])
+        assert embedding_dim_stats(emb).count() == dim
