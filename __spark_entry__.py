@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from grape_vector_db_spark.functions import sparsevec
-from grape_vector_db_spark.functions.hashing import h32, h32_word_sql
+from grape_vector_db_spark.functions.hashing import h32, h32_sql, h32_word_sql
 from grape_vector_db_spark.functions.text import STOPWORDS
 from grape_vector_db_spark.operators import (
     ann,
@@ -2124,6 +2124,37 @@ def q_large_orders(spark, sf_dir):
     )
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Log-log Zipf fit over the top-1000 token frequencies; the global
+    rank rides the two-level bucketed rank primitive (no
+    single-partition window)."""
+    return textanalysis.zipf_fit(_docs(spark, sf_dir), top_n=1000)
+
+
+def q_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic over events.user_id — the measurement
+    that decides whether a key needs salting before a big shuffle."""
+    from grape_vector_db_spark.operators import skew
+
+    return skew.key_skew_report(_events(spark, sf_dir), "user_id")
+
+
+def q_kfold(spark, sf_dir):
+    """Deterministic hash-keyed k-fold assignment — stable under
+    repartition/append, zero shuffle."""
+    from grape_vector_db_spark.operators import sampling
+
+    return sampling.kfold_assign(_docs(spark, sf_dir), k=5, seed=0)
+
+
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dim z-scored embeddings: one broadcast stats row + a pure
+    narrow transform."""
+    from grape_vector_db_spark.operators import evaluation
+
+    return evaluation.standardize_embeddings(_emb(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2270,6 +2301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_doc_dedup": q_within_doc_dedup,
         "embedding_dim_stats": q_embedding_dim_stats,
         "large_orders": q_large_orders,
+        "zipf_slope": q_zipf_slope,
+        "key_skew": q_key_skew,
+        "kfold": q_kfold,
+        "embedding_standardize": q_embedding_standardize,
     }
 
 
@@ -5004,6 +5039,72 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p.val), 6) AS lo,
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
+        """,
+        "zipf_slope": r"""
+            WITH c AS (
+              SELECT term, count(*) AS c FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                         AS term
+                FROM documents WHERE length(trim(text)) > 0)
+              GROUP BY 1
+            ),
+            r AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rank
+              FROM c
+            ),
+            p AS (
+              SELECT log2(rank::DOUBLE) AS x, log2(c::DOUBLE) AS y
+              FROM r WHERE rank <= 1000
+            ),
+            m AS (
+              SELECT count(*)::BIGINT AS n_terms, avg(x) AS mx, avg(y) AS my,
+                     avg(x*y) AS mxy, avg(x*x) AS mxx
+              FROM p
+            )
+            SELECT n_terms,
+                   round((mxy - mx*my) / (mxx - mx*mx), 6) AS slope,
+                   round(my - ((mxy - mx*my) / (mxx - mx*mx)) * mx, 6)
+                     AS intercept
+            FROM m
+        """,
+        "key_skew": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum(n)::BIGINT AS n_rows,
+                   max(n)::BIGINT AS max_n,
+                   round(avg(n), 6) AS avg_n,
+                   round(stddev(n) / avg(n), 6) AS cv,
+                   round(max(n)::DOUBLE / sum(n), 6) AS top1_share,
+                   round(quantile_cont(n, 0.99), 6) AS p99_n
+            FROM c
+        """,
+        "kfold": f"""
+            SELECT doc_id, source,
+                   ({h32_sql('doc_id::VARCHAR', 0)} % 5)::INT AS fold
+            FROM documents
+        """,
+        "embedding_standardize": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            x AS (
+              SELECT unnest(list_transform(range(len(v)),
+                            i -> {{'dim': i, 'val': v[i+1]}})) AS p
+              FROM e
+            ),
+            st AS (
+              SELECT p.dim AS dim, round(avg(p.val), 6) AS m,
+                     round(stddev(p.val), 6) AS s
+              FROM x GROUP BY 1
+            ),
+            arrs AS (
+              SELECT list(m ORDER BY dim) AS ms, list(s ORDER BY dim) AS ss
+              FROM st
+            )
+            SELECT e.vec_id,
+                   list_transform(range(len(e.v)),
+                     i -> round(CASE WHEN ss[i+1] = 0 THEN 0
+                                ELSE (e.v[i+1] - ms[i+1]) / ss[i+1] END, 6))
+                     AS zvec
+            FROM e CROSS JOIN arrs
         """,
         "large_orders": """
             WITH big AS (

@@ -173,12 +173,27 @@ def _derived_throughputs(spark, sf_dir: str) -> dict[str, float]:
     )
     n_big = big.count()
 
+    # Each throughput below is the MEDIAN of 3 timed runs — the same
+    # de-noising rule the per-query timings use. Single-shot rates swung
+    # 3x run-to-run (r4 observed 40k-158k rows/s on the identical write)
+    # depending on page-cache state and GC pressure left by the 140+
+    # queries that ran first; the reference's numbers are steady-state
+    # rates, so the median of a warm triple is the honest comparison.
+    def _median_dt(fn) -> float:
+        dts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            dts.append(time.time() - t0)
+        return sorted(dts)[1]
+
     # bulk ingest (vs 13,240 writes/s): parquet write of the corpus
     d = tempfile.mkdtemp(prefix="gvdb_bench_")
     try:
-        t0 = time.time()
-        big.write.mode("overwrite").parquet(f"{d}/embeddings")
-        out["ingest_rows_per_s"] = round(n_big / (time.time() - t0), 1)
+        dt = _median_dt(
+            lambda: big.write.mode("overwrite").parquet(f"{d}/embeddings")
+        )
+        out["ingest_rows_per_s"] = round(n_big / dt, 1)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -187,16 +202,13 @@ def _derived_throughputs(spark, sf_dir: str) -> dict[str, float]:
     queries = emb.where(Fn.col("vec_id") < 32).select(
         Fn.col("vec_id").alias("query_id"), Fn.col("embedding").alias("query_vec")
     )
-    t0 = time.time()
-    search.knn_batch(big, queries, k=10).count()
-    dt = time.time() - t0
+    dt = _median_dt(lambda: search.knn_batch(big, queries, k=10).count())
     out["scored_pairs_per_s"] = round(32 * n_big / dt, 1)
     out["exact_queries_per_s_10k_equiv"] = round(32 * n_big / 10_000 / dt, 2)
 
     # quantization rate (vs 10k x 512-dim in 926 ms = 10,799 vec/s)
-    t0 = time.time()
-    quantization.pack_bits(big).count()
-    out["quantize_vectors_per_s"] = round(n_big / (time.time() - t0), 1)
+    dt = _median_dt(lambda: quantization.pack_bits(big).count())
+    out["quantize_vectors_per_s"] = round(n_big / dt, 1)
     big.unpersist()
     return out
 

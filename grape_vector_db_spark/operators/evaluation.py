@@ -238,3 +238,36 @@ def embedding_dim_stats(
         )
         .select("dim", "mean", "std", "lo", "hi")
     )
+
+
+def standardize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-scoring of an embedding column: zvec[i] =
+    (v[i] - mean_i) / std_i with the corpus stats from
+    :func:`embedding_dim_stats`. Whitening per dimension is the standard
+    pre-step before isotropy-sensitive downstream use (PCA/JL
+    projection, product quantization codebook training).
+
+    Scale shape: the 64-row stats table collapses to ONE row of sorted
+    (dim, mean, std) structs and broadcasts; the z-transform is then a
+    pure narrow ``transform`` over every vector — one tiny aggregate
+    plus a zero-shuffle map, no matter the corpus size. Stats are
+    rounded to 6 dp BEFORE the transform so the result is reproducible
+    bit-for-bit across engines and re-runs.
+    """
+    stats = embedding_dim_stats(emb, id_col=id_col, vec_col=vec_col)
+    row = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean", "std"))
+        ).alias("_s")
+    )
+    return emb.crossJoin(F.broadcast(row)).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, (v, i) -> round(CASE WHEN _s[i].std = 0.0 "
+            f"THEN 0.0 ELSE (cast(v AS double) - _s[i].mean) / _s[i].std END, 6))"
+        ).alias("zvec"),
+    )

@@ -78,3 +78,26 @@ def split_train_eval(
         hash_gate(F.col(id_col), float(eval_fraction), seed), F.lit(False)
     )
     return df.where(~gate), df.where(gate)
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    h32(id, seed) % k. Hash-keyed (not row-number-keyed) so the
+    assignment is stable under re-partitioning, re-ordering, and
+    incremental appends — the property a 100 TB pipeline needs to
+    re-derive the same folds on every run without storing them.
+    Pure narrow map, zero shuffle.
+    """
+    from ..functions.hashing import h32
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *keep_cols,
+        (h32(F.col(id_col).cast("string"), seed) % k).cast("int").alias("fold"),
+    )

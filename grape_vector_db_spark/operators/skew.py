@@ -74,3 +74,32 @@ def cap_hot_keys(
     freq = df.groupBy(key_col).agg(F.count("*").alias("_f"))
     keep = freq.where(F.col("_f") <= max_freq).select(key_col)
     return df.join(F.broadcast(keep), key_col, "left_semi")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """ONE-row skew diagnostic for a prospective join/groupBy key:
+    (n_keys, n_rows, max_n, avg_n, cv, top1_share, p99_n). This is the
+    measurement that decides whether a key needs salting before a 100 TB
+    shuffle — cv (stddev/mean of per-key counts) near 0 means uniform,
+    top1_share approaching a whole partition's share means one hot key
+    serializes a task.
+
+    Scale shape: one map-side-combined count per key, then one aggregate
+    over the (already small) per-key count table. The exact interpolated
+    percentile runs on counts, not rows.
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("n")
+    )
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+        F.round(F.stddev("n") / F.avg("n"), 6).alias("cv"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_n"),
+    )

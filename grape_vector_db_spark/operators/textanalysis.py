@@ -955,3 +955,56 @@ def source_unigram_kl(
         .join(F.broadcast(s.select("source", F.col("n_s").alias("n_tokens"))), "source")
         .select("source", "n_tokens", "kl_bits")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Least-squares fit of the corpus rank-frequency curve in log-log
+    space over the ``top_n`` most frequent tokens — natural text tracks
+    Zipf's law with slope near -1; a much flatter slope flags synthetic
+    or templated corpora, a steeper one flags collapsed vocabulary.
+    Returns ONE row (n_terms, slope, intercept).
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    global frequency rank uses :func:`rank.global_row_number` (two-level
+    bucketed rank — NO single-partition window); the regression moments
+    are one tiny aggregate over <= top_n rows.
+    """
+    from .rank import global_row_number
+
+    counts = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term")
+        )
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .withColumn("_negc", -F.col("c"))
+    )
+    ranked = global_row_number(counts, "_negc", ["term"], out_col="rank").where(
+        F.col("rank") <= top_n
+    )
+    pts = ranked.select(
+        F.log2(F.col("rank").cast("double")).alias("x"),
+        F.log2(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n_terms"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    return m.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+    )

@@ -144,3 +144,101 @@ class TestEmbeddingDimStats:
     def test_dim_count_matches(self, spark, emb):
         dim = len(emb.select("embedding").first()[0])
         assert embedding_dim_stats(emb).count() == dim
+
+
+class TestZipfFit:
+    def test_perfect_zipf_slope(self, spark):
+        # Construct counts ~ 1000 / rank exactly: slope in log-log space
+        # must come out -1 (intercept log2(1000)).
+        rows = []
+        doc = 0
+        for rank in range(1, 21):
+            c = 1000 // rank
+            for _ in range(c):
+                rows.append((doc, f"tok{rank:02d}"))
+                doc += 1
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        r = textanalysis.zipf_fit(df, top_n=20).collect()[0]
+        assert r["n_terms"] == 20
+        # 1000//rank truncation makes it near-exact, not exact.
+        assert -1.05 < r["slope"] < -0.95
+
+    def test_no_single_partition_exchange(self, spark, docs):
+        plan = (
+            textanalysis.zipf_fit(docs, top_n=100)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+class TestKeySkewReport:
+    def test_uniform_vs_hot_key(self, spark):
+        from grape_vector_db_spark.operators import skew
+
+        uniform = spark.createDataFrame(
+            [(i % 10,) for i in range(100)], ["k"]
+        )
+        hot = spark.createDataFrame(
+            [(0,)] * 91 + [(i,) for i in range(1, 10)], ["k"]
+        )
+        u = skew.key_skew_report(uniform, "k").collect()[0]
+        h = skew.key_skew_report(hot, "k").collect()[0]
+        assert u["n_keys"] == 10 and u["n_rows"] == 100
+        assert u["cv"] == 0.0 and u["top1_share"] == 0.1
+        assert h["top1_share"] == 0.91 and h["max_n"] == 91
+        assert h["cv"] > 1.0
+
+
+class TestKfoldAssign:
+    def test_folds_partition_and_are_stable(self, spark, docs):
+        from grape_vector_db_spark.operators import sampling
+
+        out = sampling.kfold_assign(docs, k=5, seed=0)
+        counts = {r["fold"]: r["n"] for r in out.groupBy("fold").agg(
+            F.count("*").alias("n")).collect()}
+        assert set(counts) == {0, 1, 2, 3, 4}
+        assert sum(counts.values()) == docs.count()
+        # stable under repartition
+        a = {r["doc_id"]: r["fold"] for r in out.collect()}
+        b = {
+            r["doc_id"]: r["fold"]
+            for r in sampling.kfold_assign(docs.repartition(7), k=5, seed=0).collect()
+        }
+        assert a == b
+
+    def test_seed_changes_assignment(self, spark, docs):
+        from grape_vector_db_spark.operators import sampling
+
+        a = {r["doc_id"]: r["fold"] for r in sampling.kfold_assign(docs, 5, 0).collect()}
+        b = {r["doc_id"]: r["fold"] for r in sampling.kfold_assign(docs, 5, 1).collect()}
+        assert a != b
+
+
+class TestStandardizeEmbeddings:
+    def test_zscores_known_values(self, spark):
+        from grape_vector_db_spark.operators.evaluation import (
+            standardize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 5.0]), (2, [3.0, 5.0])], ["vec_id", "embedding"]
+        )
+        out = {r["vec_id"]: r["zvec"] for r in standardize_embeddings(df).collect()}
+        # dim0: mean 2, std sqrt(2) -> z = ∓1/sqrt(2); dim1: std 0 -> 0.
+        assert abs(out[1][0] + 0.707107) < 1e-5
+        assert abs(out[2][0] - 0.707107) < 1e-5
+        assert out[1][1] == 0.0 and out[2][1] == 0.0
+
+    def test_result_is_standardized(self, spark, emb):
+        from grape_vector_db_spark.operators.evaluation import (
+            embedding_dim_stats,
+            standardize_embeddings,
+        )
+
+        z = standardize_embeddings(emb).withColumnRenamed("zvec", "embedding")
+        stats = embedding_dim_stats(z).collect()
+        for r in stats:
+            assert abs(r["mean"]) < 1e-3
+            assert abs(r["std"] - 1.0) < 1e-3

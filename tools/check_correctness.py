@@ -49,10 +49,14 @@ _DUCK_KIND = {
 
 
 def kind_of_spark(dtype: str) -> str:
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return f"list<{kind_of_spark(dtype[6:-1])}>"
     return _SPARK_KIND.get(dtype, dtype)
 
 
 def kind_of_duck(dtype: str) -> str:
+    if dtype.endswith("[]"):
+        return f"list<{kind_of_duck(dtype[:-2])}>"
     base = dtype.split("(")[0].strip()
     return _DUCK_KIND.get(base, base)
 
