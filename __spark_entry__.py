@@ -2155,6 +2155,32 @@ def q_embedding_standardize(spark, sf_dir):
     return evaluation.standardize_embeddings(_emb(spark, sf_dir))
 
 
+def q_curriculum_shards(spark, sf_dir):
+    """Quality-ranked equal-size shard assignment (curriculum order);
+    global rank via the two-level bucketed primitive."""
+    return curation.curriculum_shards(_docs(spark, sf_dir), n_shards=10)
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix + per-state entropy over
+    per-user event streams — one partitioned window pass."""
+    from grape_vector_db_spark.operators import sequence
+
+    return sequence.event_transitions(_events(spark, sf_dir))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease with regex sentence/syllable heuristics —
+    pure narrow map."""
+    return textanalysis.readability(_docs(spark, sf_dir))
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard — term-keyed join whose
+    fan-out is bounded by the source count, not corpus size."""
+    return textanalysis.source_vocab_overlap(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2305,6 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "kfold": q_kfold,
         "embedding_standardize": q_embedding_standardize,
+        "curriculum_shards": q_curriculum_shards,
+        "event_transitions": q_event_transitions,
+        "readability": q_readability,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -5039,6 +5069,89 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p.val), 6) AS lo,
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
+        """,
+        "curriculum_shards": f"""
+            WITH q AS ({_quality_sql()}),
+            r AS (
+              SELECT doc_id, quality,
+                     row_number() OVER (ORDER BY quality ASC, doc_id ASC)
+                       AS rn,
+                     count(*) OVER () AS n
+              FROM q
+            )
+            SELECT doc_id, quality, ((rn - 1) * 10 // n)::INT AS shard
+            FROM r
+        """,
+        "event_transitions": """
+            WITH t AS (
+              SELECT event_type AS cur_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC)
+                       AS next_type
+              FROM events
+            ),
+            c AS (
+              SELECT cur_type, next_type, count(*) AS n
+              FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT cur_type, sum(n)::BIGINT AS tt FROM c GROUP BY 1),
+            e AS (
+              SELECT c.cur_type,
+                     round(-sum((c.n::DOUBLE / tot.tt)
+                                * log2(c.n::DOUBLE / tot.tt)), 6)
+                       AS cur_entropy
+              FROM c JOIN tot USING (cur_type) GROUP BY 1
+            )
+            SELECT c.cur_type, c.next_type, c.n,
+                   round(c.n::DOUBLE / tot.tt, 6) AS p, e.cur_entropy
+            FROM c JOIN tot USING (cur_type) JOIN e USING (cur_type)
+        """,
+        "readability": r"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(w)::INT AS n_words,
+                     greatest(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> length(trim(s)) > 0)), 1)::INT AS n_sentences,
+                     list_sum(list_transform(w,
+                       x -> len(regexp_split_to_array(x, '[aeiouy]+')) - 1))
+                       ::INT AS n_syllables
+              FROM b
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (n_words::DOUBLE / n_sentences)
+                         - 84.6 * (n_syllables::DOUBLE
+                                   / greatest(n_words, 1)), 6) AS flesch
+            FROM m
+        """,
+        "source_overlap": r"""
+            WITH st AS (
+              SELECT DISTINCT source, term FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                         AS term
+                FROM documents WHERE length(trim(text)) > 0)
+            ),
+            sizes AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+            inter AS (
+              SELECT x.source AS source_a, y.source AS source_b,
+                     count(*) AS n_common
+              FROM st x
+              JOIN st y ON x.term = y.term AND x.source < y.source
+              GROUP BY 1, 2
+            )
+            SELECT i.source_a, i.source_b, i.n_common,
+                   round(i.n_common::DOUBLE / (a.n + b.n - i.n_common), 6)
+                     AS jaccard
+            FROM inter i
+            JOIN sizes a ON a.source = i.source_a
+            JOIN sizes b ON b.source = i.source_b
         """,
         "zipf_slope": r"""
             WITH c AS (

@@ -927,3 +927,39 @@ def dedup_doc_lines(
         F.size(kept).alias("n_kept"),
         F.array_join(kept, delim).alias("clean_text"),
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    n_shards: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum-ordered shard assignment: documents ranked by the
+    :func:`textanalysis.quality_score` heuristic and cut into
+    ``n_shards`` equal-size shards — shard 0 is the lowest-quality
+    decile, shard n-1 the highest. Training loaders that warm up on
+    clean text then anneal onto the full mix read shards in order.
+
+    Scale shape: the quality pass is a narrow map; the global rank uses
+    the two-level bucketed rank (:func:`rank.global_row_number` — no
+    single-partition window); the shard cut is pure arithmetic on
+    (rank, total), so the assignment is deterministic and equal-size by
+    construction. Returns (doc_id, quality, shard).
+    """
+    from .rank import global_row_number
+    from .textanalysis import quality_score
+
+    q = quality_score(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "quality"
+    )
+    ranked = global_row_number(
+        q, "quality", ["doc_id"], out_col="_rn", total_col="_n"
+    )
+    return ranked.select(
+        "doc_id",
+        "quality",
+        F.floor((F.col("_rn") - 1) * n_shards / F.col("_n"))
+        .cast("int")
+        .alias("shard"),
+    )

@@ -1008,3 +1008,126 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document (206.835 - 1.015·words/sentences
+    - 84.6·syllables/words) with regex-heuristic sentence and syllable
+    counts (vowel-group runs ≈ syllables) — the classic
+    audience-targeting signal for corpus curation, and a cheap proxy
+    that separates prose from listings/code.
+
+    Pure narrow map, zero shuffle. Returns
+    (doc_id, n_words, n_sentences, n_syllables, flesch).
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sents = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    sylls = F.aggregate(
+        F.transform(
+            words, lambda w: F.size(F.split(w, "[aeiouy]+")) - F.lit(1)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.greatest(sents, F.lit(1)).alias("n_sentences"),
+        sylls.alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ),
+            6,
+        ).alias("flesch"),
+    )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: (source_a, source_b,
+    n_common, jaccard) with a < b — near-1 overlap means two "sources"
+    are really the same crawl twice (merge or drop one before mixture
+    weighting); near-0 means disjoint domains.
+
+    Scale shape: distinct (source, term) is one shuffle; the self-join
+    key is the term, whose per-key fan-out is bounded by the NUMBER OF
+    SOURCES (each term appears once per source after distinct), so the
+    join is linear in vocabulary size — not corpus size, not quadratic.
+    """
+    st = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.length(F.trim(F.col(text_col))) > 0)
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_terms"))
+    inter = (
+        st.alias("x")
+        .join(st.alias("y"), "term")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_terms").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_terms").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -242,3 +242,92 @@ class TestStandardizeEmbeddings:
         for r in stats:
             assert abs(r["mean"]) < 1e-3
             assert abs(r["std"] - 1.0) < 1e-3
+
+
+class TestCurriculumShards:
+    def test_equal_shards_ordered_by_quality(self, spark, docs):
+        out = curation.curriculum_shards(docs, n_shards=5)
+        rows = out.collect()
+        n = len(rows)
+        counts = {}
+        for r in rows:
+            counts[r["shard"]] = counts.get(r["shard"], 0) + 1
+        assert set(counts) == {0, 1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1
+        # every doc in shard 4 has quality >= every doc in shard 0
+        lo = max(r["quality"] for r in rows if r["shard"] == 0)
+        hi = min(r["quality"] for r in rows if r["shard"] == 4)
+        assert hi >= lo
+        assert n == docs.count()
+
+
+class TestEventTransitions:
+    def test_known_chain(self, spark):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            # user 1: a -> b -> a ; user 2: a -> b
+            (1, t0, 1, "a"),
+            (1, t0 + datetime.timedelta(seconds=1), 2, "b"),
+            (1, t0 + datetime.timedelta(seconds=2), 3, "a"),
+            (2, t0, 4, "a"),
+            (2, t0 + datetime.timedelta(seconds=1), 5, "b"),
+        ]
+        ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+        from grape_vector_db_spark.operators import sequence
+
+        out = {
+            (r["cur_type"], r["next_type"]): r
+            for r in sequence.event_transitions(ev).collect()
+        }
+        assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
+        # terminal events carry no outgoing edge (lead() is null there),
+        # so b's only observed transition is b -> a with p = 1.
+        assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+        # single-outcome distributions have zero entropy
+        assert out[("a", "b")]["cur_entropy"] == 0.0
+        assert out[("b", "a")]["cur_entropy"] == 0.0
+
+
+class TestReadability:
+    def test_simple_prose_scores_sane(self, spark):
+        df = _docs_df(
+            spark, [(1, "The cat sat on the mat. The dog ran away.")]
+        )
+        r = textanalysis.readability(df).collect()[0]
+        assert r["n_sentences"] == 2 and r["n_words"] == 10
+        # short common words -> high reading ease
+        assert r["flesch"] > 80
+
+    def test_no_sentence_punctuation_clamped(self, spark):
+        df = _docs_df(spark, [(1, "just words no punctuation")])
+        r = textanalysis.readability(df).collect()[0]
+        assert r["n_sentences"] == 1
+
+    def test_zero_shuffle(self, spark, docs):
+        plan = (
+            textanalysis.readability(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestSourceVocabOverlap:
+    def test_identical_and_disjoint(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "s1"),
+                (2, "alpha beta gamma", "s2"),
+                (3, "delta epsilon zeta", "s3"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        out = {
+            (r["source_a"], r["source_b"]): r["jaccard"]
+            for r in textanalysis.source_vocab_overlap(df).collect()
+        }
+        assert out[("s1", "s2")] == 1.0
+        assert ("s1", "s3") not in out  # no shared terms -> no row
