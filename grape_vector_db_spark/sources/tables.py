@@ -229,3 +229,68 @@ def restore(spark: SparkSession, path: str) -> DataFrame:
     if bad.count() > 0:
         raise ValueError(f"backup checksum mismatch under {path}")
     return df.select(*data_cols)
+
+
+# ---------------------------------------------------------------------------
+# persistent bucketed tables — the exchange-free co-located join
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int,
+    key_col: str,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) external parquet
+    table. Every later equi-join or aggregation keyed on ``key_col``
+    between tables sharing (n_buckets, key) reads co-located buckets and
+    skips the shuffle Exchange entirely — the persistent analogue of the
+    reference's consistent-hash shard ring, and THE way to amortize one
+    shuffle across every downstream run at 100 TB. With ``sort`` the
+    sort-merge join also skips its per-task Sort.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key_col)
+    )
+    if sort:
+        w = w.sortBy(key_col)
+    w.saveAsTable(table_name)
+
+
+def drop_bucketed(spark: SparkSession, table_name: str) -> None:
+    """Drop the catalog entry (external data files are left in place)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+# ---------------------------------------------------------------------------
+# multi-format IO (sinks beyond parquet)
+
+_TEXT_OPTS = {
+    # documents carry embedded newlines/quotes — CSV needs full quoting
+    "csv": {"header": "true", "quote": '"', "escape": '"', "multiLine": "true"},
+}
+
+
+def write_format(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Write ``df`` at ``path`` as parquet/orc/json/csv. Parquet/ORC are
+    the only formats that carry types + pushdown at scale; JSON/CSV exist
+    for interchange and are written with the options that survive
+    embedded newlines."""
+    opts = {**_TEXT_OPTS.get(fmt, {}), **options}
+    df.write.mode("overwrite").format(fmt).options(**opts).save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options):
+    """Read ``path`` in ``fmt``; pass ``schema`` for the schemaless text
+    formats (CSV/JSON infer types lossily — BIGINT vs INT, timestamps as
+    strings — so production readers must pin the schema)."""
+    opts = {**_TEXT_OPTS.get(fmt, {}), **options}
+    r = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
