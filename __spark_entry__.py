@@ -2181,6 +2181,59 @@ def q_source_overlap(spark, sf_dir):
     return textanalysis.source_vocab_overlap(_docs(spark, sf_dir))
 
 
+MAXSIM_QUERIES = ("vector database", "hybrid search", "spark")
+
+
+def q_maxsim(spark, sf_dir):
+    """ColBERT-style MaxSim late interaction: multi-vector docs (one
+    mock embedding per chunk), score = sum over query vectors of the
+    per-doc max chunk cosine. Query vectors fold into the scan as
+    literals; one groupBy(doc) shuffle total."""
+    from grape_vector_db_spark.functions.text import (
+        mock_embedding_py,
+        mock_embedding_raw,
+    )
+
+    docs = _docs(spark, sf_dir)
+    chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    emb = chunks.select(
+        "doc_id", mock_embedding_raw("chunk_text", 8).alias("embedding")
+    )
+    qvecs = [mock_embedding_py(s, 8) for s in MAXSIM_QUERIES]
+    return search.maxsim_search(emb, qvecs, k=10)
+
+
+def q_dup_report(spark, sf_dir):
+    """Per-source exact-duplication rate over whitespace-normalized md5
+    hashes — only 16-byte digests ever shuffle."""
+    return dedup.duplication_report(_docs(spark, sf_dir))
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level diff between two table snapshots (added / deleted /
+    changed / unchanged) — the audit surface for versioned publishes,
+    exercised on a deterministic synthetic second snapshot."""
+    from grape_vector_db_spark.sources.tables import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    new = docs.where("lang <> 'de'").withColumn(
+        "text",
+        F.when(F.col("lang") == "en", F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.where("lang = 'fr'").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return snapshot_diff(docs, new.unionByName(added), id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2335,6 +2388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "readability": q_readability,
         "source_overlap": q_source_overlap,
+        "maxsim": q_maxsim,
+        "dup_report": q_dup_report,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5070,6 +5126,44 @@ def oracle_sql() -> dict[str, str]:
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
         """,
+        "maxsim": _maxsim_sql(),
+        "dup_report": r"""
+            WITH h AS (
+              SELECT source AS "group",
+                     md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS hh
+              FROM documents
+            ),
+            ph AS (SELECT "group", hh, count(*) AS n FROM h GROUP BY 1, 2)
+            SELECT "group", sum(n)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_unique,
+                   round(1.0 - count(*)::DOUBLE / sum(n), 6) AS dup_rate
+            FROM ph GROUP BY 1
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN upper(text) ELSE text END
+                       AS text,
+                     lang, source, n_chars
+              FROM documents WHERE lang <> 'de'
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE lang = 'fr'
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'deleted'
+                        WHEN o.text IS DISTINCT FROM n.text
+                             OR o.lang IS DISTINCT FROM n.lang
+                             OR o.source IS DISTINCT FROM n.source
+                             OR o.n_chars IS DISTINCT FROM n.n_chars
+                          THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
         "curriculum_shards": f"""
             WITH q AS ({_quality_sql()}),
             r AS (
@@ -5407,6 +5501,40 @@ def _chunk_embed_pool_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     SELECT mean.doc_id, n_chunks::INT AS n_chunks, i,
            round(CASE WHEN dn.dnrm = 0 THEN 0.0 ELSE mean.m / dn.dnrm END, 6) AS val
     FROM mean JOIN dn ON mean.doc_id = dn.doc_id
+    """
+
+
+def _maxsim_sql(k: int = 10) -> str:
+    """Replay chunk -> mock-embed(8) -> MaxSim late interaction: the
+    query vectors are computed once in Python (mock_embedding_py) and
+    inlined as literals in BOTH engines, so parity is by construction."""
+    from grape_vector_db_spark.functions.text import mock_embedding_py
+
+    qs = [mock_embedding_py(s, 8) for s in MAXSIM_QUERIES]
+    qlits = [
+        "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]" for v in qs
+    ]
+    cols = ", ".join(
+        f"round({_cos('r', q)}, 6) AS c{i}" for i, q in enumerate(qlits)
+    )
+    maxes = ", ".join(f"max(c{i}) AS m{i}" for i in range(len(qs)))
+    total = " + ".join(f"m{i}" for i in range(len(qs)))
+    return f"""
+    WITH chunks AS ({_chunk_documents_sql(64, 16)}),
+    raw AS (
+      SELECT doc_id, list_transform(range(0, 8), i ->
+        CASE WHEN length(chunk_text) = 0 THEN 0.0
+        ELSE (ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
+              + i * 0.01)
+             - floor(ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
+                     + i * 0.01)
+             - 0.5 END) AS r
+      FROM chunks
+    ),
+    scored AS (SELECT doc_id, {cols} FROM raw),
+    mx AS (SELECT doc_id, {maxes} FROM scored GROUP BY doc_id)
+    SELECT doc_id, round({total}, 6) AS score FROM mx
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
 

@@ -1387,3 +1387,32 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def duplication_report(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group exact-duplication report: (group, n_docs, n_unique,
+    dup_rate) with dup_rate = 1 - unique/docs over whitespace-normalized
+    md5 text hashes — the first number a curation run reports per source,
+    and the input to "drop source X, it's a mirror" decisions.
+
+    One map-side-combined groupBy over (group, hash) then one over
+    group; no text ever shuffles (only 16-byte digests).
+    """
+    normed = F.md5(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+    per_hash = df.select(
+        F.col(group_col).alias("group"), normed.alias("_h")
+    ).groupBy("group", "_h").agg(F.count("*").alias("n"))
+    return per_hash.groupBy("group").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("n").cast("double"), 6
+        ).alias("dup_rate"),
+    )

@@ -491,3 +491,43 @@ def matryoshka_search(
     return rescored.select(id_col, "score", "approx_score").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def maxsim_search(
+    chunk_emb: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): documents are MULTI-vector (one embedding per chunk /
+    token block) and score(doc) = Σ_q max_chunk cos(chunk, q) — the
+    max-similarity ("MaxSim") operator that preserves term-level
+    matching that single-vector pooling blurs.
+
+    Scale shape: the query vectors are literals folded into the chunk
+    scan (narrow — no join), so the chunk table is scanned ONCE for all
+    query vectors; the per-doc max-per-query and the final sum ride a
+    single map-side-combined groupBy(doc). One shuffle total,
+    proportional to docs × n_query_vectors partial rows, then
+    TakeOrderedAndProject for the top-k.
+    """
+    v = to_double_array(vec_col)
+    cos_cols = [
+        F.round(cosine_vs_query(v, q), 6).alias(f"_c{i}")
+        for i, q in enumerate(query_vecs)
+    ]
+    scored = chunk_emb.select(F.col(id_col).alias("doc_id"), *cos_cols)
+    maxes = scored.groupBy("doc_id").agg(
+        *[F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(query_vecs))]
+    )
+    total = None
+    for i in range(len(query_vecs)):
+        c = F.col(f"_m{i}")
+        total = c if total is None else total + c
+    return (
+        maxes.select("doc_id", F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

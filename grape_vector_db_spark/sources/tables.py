@@ -294,3 +294,46 @@ def read_format(spark: SparkSession, path: str, fmt: str = "parquet", schema=Non
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """Row-level diff between two table snapshots: (id, status) with
+    status in {added, deleted, changed, unchanged} — the audit surface
+    for versioned publishes (what did this batch actually do?) and the
+    input to incremental index refresh (only 'added'/'changed' rows need
+    re-embedding).
+
+    Full outer join on the id key (co-partitioned — one shuffle each
+    side, or zero against bucketed tables); change detection compares
+    columns directly, null-safely, so no row-serialization format needs
+    to match across engines.
+    """
+    data_cols = [c for c in old.columns if c != id_col]
+    # presence flags come from a per-side sentinel computed before the
+    # join, not value nullness (a legitimately all-null row still exists)
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in data_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in data_cols],
+    )
+    joined = o.join(n, "_id", "full_outer")
+    changed = None
+    for c in data_cols:
+        neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -331,3 +331,75 @@ class TestSourceVocabOverlap:
         }
         assert out[("s1", "s2")] == 1.0
         assert ("s1", "s3") not in out  # no shared terms -> no row
+
+
+class TestMaxsimSearch:
+    def test_chunk_level_match_beats_pooled(self, spark):
+        from grape_vector_db_spark.operators import search
+
+        # doc 1 has one chunk exactly equal to query q0 and one orthogonal
+        # chunk; doc 2's chunks are both mediocre matches. MaxSim must
+        # rank doc 1 first (its best chunk wins), even though doc 2's
+        # MEAN similarity is higher.
+        q0 = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.6, 0.5, 0.0, 0.0]),
+            (2, [0.6, 0.5, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+        out = search.maxsim_search(df, [q0], k=2).collect()
+        assert out[0]["doc_id"] == 1 and out[0]["score"] == 1.0
+        assert out[1]["doc_id"] == 2 and out[1]["score"] < 1.0
+
+    def test_multi_query_sums_maxes(self, spark):
+        from grape_vector_db_spark.operators import search
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (1, [0.0, 1.0])], ["doc_id", "embedding"]
+        )
+        out = search.maxsim_search(
+            df, [[1.0, 0.0], [0.0, 1.0]], k=1
+        ).collect()[0]
+        # each query vector finds its perfect chunk: score = 1 + 1
+        assert out["score"] == 2.0
+
+
+class TestDuplicationReport:
+    def test_rates(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "same text", "a"),
+                (2, "same   text", "a"),  # whitespace-normalized dup
+                (3, "other", "a"),
+                (4, "unique", "b"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        out = {r["group"]: r for r in dedup.duplication_report(df).collect()}
+        assert out["a"]["n_docs"] == 3 and out["a"]["n_unique"] == 2
+        assert abs(out["a"]["dup_rate"] - (1 - 2 / 3)) < 1e-6
+        assert out["b"]["dup_rate"] == 0.0
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        from grape_vector_db_spark.sources.tables import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], ["id", "v"]
+        )
+        out = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert out == {1: "unchanged", 2: "changed", 3: "deleted", 4: "added"}
+
+    def test_null_safe_compare(self, spark):
+        from grape_vector_db_spark.sources.tables import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+        new = spark.createDataFrame([(1, None), (2, None)], "id int, v string")
+        out = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert out == {1: "unchanged", 2: "changed"}
