@@ -14,6 +14,7 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2234,6 +2235,27 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(docs, new.unionByName(added), id_col="doc_id")
 
 
+PHRASE_QUERY = "table hash"
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def q_phrase_match(spark, sf_dir):
+    """Positional-postings exact phrase search: selective per-term
+    filters + adjacency equi-joins on (doc, position)."""
+    return sparse.phrase_search(_docs(spark, sf_dir), PHRASE_QUERY, k=10)
+
+
+def q_user_decay(spark, sf_dir):
+    """Exponentially time-decayed per-user activity score (feature-store
+    recency aggregate): broadcast max-ts row + one map-side-combined
+    groupBy."""
+    from grape_vector_db_spark.operators import sequence
+
+    return sequence.decayed_user_scores(
+        _events(spark, sf_dir), half_life_days=DECAY_HALF_LIFE_DAYS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2391,6 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": q_maxsim,
         "dup_report": q_dup_report,
         "snapshot_diff": q_snapshot_diff,
+        "phrase_match": q_phrase_match,
+        "user_decay": q_user_decay,
     }
 
 
@@ -5125,6 +5149,34 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p.val), 6) AS lo,
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
+        """,
+        "phrase_match": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+                       AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            p AS (
+              SELECT doc_id, x.pos AS pos, x.term AS term
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(len(t)),
+                                  i -> {'pos': i, 'term': t[i+1]})) AS x
+                    FROM toks)
+            ),
+            m0 AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
+            m1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'hash')
+            SELECT m0.doc_id, count(*) AS n_matches
+            FROM m0 JOIN m1 USING (doc_id, pos)
+            GROUP BY 1 ORDER BY n_matches DESC, doc_id ASC LIMIT 10
+        """,
+        "user_decay": f"""
+            WITH tm AS (SELECT max(ts) AS tmax FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   round(sum(value * exp(-{math.log(2.0) / DECAY_HALF_LIFE_DAYS!r}
+                         * ((epoch_us(tm.tmax) - epoch_us(ts))
+                            / 86400000000.0))), 6) AS decayed_score
+            FROM events CROSS JOIN tm
+            GROUP BY 1
         """,
         "maxsim": _maxsim_sql(),
         "dup_report": r"""

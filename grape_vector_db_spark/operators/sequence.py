@@ -65,3 +65,46 @@ def event_transitions(
     return withp.join(ent, "cur_type").select(
         "cur_type", "next_type", "n", "p", "cur_entropy"
     )
+
+
+def decayed_user_scores(
+    events: DataFrame,
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially time-decayed per-user activity score — the
+    feature-store recency aggregate: score = Σ value·2^(-Δdays/half_life)
+    with Δ measured to the corpus max timestamp, so recent activity
+    dominates without a cutoff cliff.
+
+    Scale shape: one single-row max-timestamp broadcast, then the decay
+    weight is a narrow expression folded into ONE map-side-combined
+    groupBy(user) — the exponential form is associative, which is what
+    makes this a one-shuffle aggregate instead of a sequential fold.
+    Returns (user_id, n_events, decayed_score).
+    """
+    import math as _math
+
+    tmax = events.agg(F.max(ts_col).alias("_tmax"))
+    lam = _math.log(2.0) / float(half_life_days)
+    # cast through TIMESTAMP so NTZ-typed event times work too —
+    # unix_micros rejects TIMESTAMP_NTZ, and the cast shifts both ends
+    # of the difference identically, so the delta is timezone-invariant
+    delta_days = (
+        F.unix_micros(F.col("_tmax").cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).cast("double") / F.lit(86_400_000_000.0)
+    return (
+        events.crossJoin(F.broadcast(tmax))
+        .select(
+            F.col(user_col).alias("user_id"),
+            (F.col(value_col) * F.exp(-F.lit(lam) * delta_days)).alias("_w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("_w"), 6).alias("decayed_score"),
+        )
+    )

@@ -302,3 +302,45 @@ def class_tfidf_top_terms(
         .where(F.col("rank") <= top_k)
         .select("class", "term", "ctfidf", "rank")
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching over a POSITIONAL postings list — the IR
+    capability bag-of-words BM25 cannot express: "new york" must match
+    adjacent tokens in order, not co-occurrence. Returns the top-k
+    (doc_id, n_matches) by occurrence count.
+
+    Scale shape: the postings table is one posexplode; each phrase term
+    contributes a SELECTIVE filter of that table (term equality pushes
+    into the scan), and adjacency is m-1 equi-joins on (doc, position)
+    keys — co-partitioned, fan-out-free (a position holds one token), so
+    cost is proportional to the rarest term's posting list, the classic
+    positional-index bound. The final count is map-side combined.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    ).where(F.length(F.trim(F.col(text_col))) > 0)
+    match = toked.where(F.col("term") == terms[0]).select("doc_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toked.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        match = match.join(nxt, ["doc_id", "pos"])
+    return (
+        match.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

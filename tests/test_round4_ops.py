@@ -403,3 +403,54 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, None), (2, None)], "id int, v string")
         out = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
         assert out == {1: "unchanged", 2: "changed"}
+
+
+class TestPhraseSearch:
+    def test_adjacency_and_order_required(self, spark):
+        from grape_vector_db_spark.operators import sparse
+
+        df = _docs_df(
+            spark,
+            [
+                (1, "the quick brown fox"),
+                (2, "brown quick the fox"),   # words present, wrong order
+                (3, "quick stop brown fox"),  # not adjacent
+                (4, "quick brown then quick brown again"),
+            ],
+        )
+        out = {r["doc_id"]: r["n_matches"]
+               for r in sparse.phrase_search(df, "quick brown", k=10).collect()}
+        assert out == {1: 1, 4: 2}
+
+    def test_three_term_phrase(self, spark):
+        from grape_vector_db_spark.operators import sparse
+
+        df = _docs_df(
+            spark,
+            [(1, "one two three four"), (2, "one two four three")],
+        )
+        out = sparse.phrase_search(df, "one two three", k=10).collect()
+        assert [(r["doc_id"], r["n_matches"]) for r in out] == [(1, 1)]
+
+
+class TestDecayedUserScores:
+    def test_half_life_weights(self, spark):
+        import datetime
+
+        from grape_vector_db_spark.operators import sequence
+
+        t0 = datetime.datetime(2024, 1, 8)
+        rows = [
+            # user 1: one event at tmax (weight 1), one 7 days earlier
+            # (weight 0.5 at half_life=7)
+            (1, t0, 10.0),
+            (1, t0 - datetime.timedelta(days=7), 10.0),
+            # user 2: only the old event
+            (2, t0 - datetime.timedelta(days=7), 8.0),
+        ]
+        ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        out = {r["user_id"]: r for r in
+               sequence.decayed_user_scores(ev, half_life_days=7.0).collect()}
+        assert abs(out[1]["decayed_score"] - 15.0) < 1e-6
+        assert abs(out[2]["decayed_score"] - 4.0) < 1e-6
+        assert out[1]["n_events"] == 2
