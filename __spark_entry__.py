@@ -2256,6 +2256,29 @@ def q_user_decay(spark, sf_dir):
     )
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Index quality AS a query: recall@10 of the persisted IVF index
+    (nprobe=2) against exact brute force — the continuous-monitoring
+    number an ANN deployment alerts on. Both arms are deterministic, so
+    the overlap is exactly reproducible."""
+    cents, assigned = _ivf_idx(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = _qv(spark, sf_dir)
+    approx = ann.ivf_search(emb, cents, assigned, qv, k=10, nprobe=2).select(
+        "vec_id"
+    )
+    exact = search.knn(emb, qv, k=10).select("vec_id")
+    return (
+        approx.join(exact, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2415,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "phrase_match": q_phrase_match,
         "user_decay": q_user_decay,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -5149,6 +5173,19 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p.val), 6) AS lo,
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
+        """,
+        "ivf_recall": f"""
+            WITH approx AS ({_ivf_search_sql(10, 2)}),
+            exact AS (
+              {_dense_sql(10).replace("AS doc_id", "AS vec_id").replace(", doc_id LIMIT", ", vec_id LIMIT")}
+            ),
+            hits AS (
+              SELECT count(*) AS n_hits
+              FROM approx JOIN exact USING (vec_id)
+            )
+            SELECT 10::INT AS k, n_hits,
+                   round(n_hits::DOUBLE / 10, 6) AS recall
+            FROM hits
         """,
         "phrase_match": r"""
             WITH toks AS (
