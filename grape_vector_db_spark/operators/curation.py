@@ -918,8 +918,14 @@ def dedup_doc_lines(
     order-preserving (first occurrence wins) and runs per row, so the
     whole pass is zero-shuffle regardless of corpus size.
     Returns (doc_id, n_lines, n_kept, clean_text).
+
+    ``delim`` is a LITERAL string: it is regex-escaped before the split
+    so it always matches the literal join on output (an unescaped '|'
+    would regex-split between every character).
     """
-    lines = F.split(F.col(text_col), delim)
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(delim))
     kept = F.array_distinct(lines)
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -68,6 +68,44 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
     return sh.distinct()
 
 
+def _shingle_candidates(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    shingles_df: DataFrame | None,
+    max_shingle_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate generation for set-overlap dedup: the (possibly
+    hot-capped) shingle table's per-doc sizes and the a<b pair
+    intersection counts. Shingles with df > ``max_shingle_df`` are
+    non-discriminative and dropped via a broadcast anti-join (the hot
+    list is tiny by construction), bounding the self-join fan-out.
+    Returns (sizes(doc_id, n_sh), inter(a, b, n_common))."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, n, id_col, text_col).persist()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return sizes, inter
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -91,22 +129,8 @@ def ngram_jaccard_pairs(
     (only keys above the cap), so it rides a broadcast anti-join — the big
     shingle table is never reshuffled for the filter.
     """
-    sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col).persist()
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("n_common"))
+    sizes, inter = _shingle_candidates(
+        df, n, id_col, text_col, shingles_df, max_shingle_df
     )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
@@ -1341,31 +1365,13 @@ def containment_pairs(
     1.0 containment — and subset duplication is exactly what
     quote-heavy / scraped-concatenation corpora are full of.
 
-    Same candidate generation as :func:`ngram_jaccard_pairs` (shared
-    shingle equi-join, so cost is bounded by shingle df, not corpus^2),
-    same ``max_shingle_df`` hot-shingle broadcast anti-join cap; only
-    the normalizer differs (min instead of union).
+    Candidate generation is the SAME code path as
+    :func:`ngram_jaccard_pairs` (:func:`_shingle_candidates` — shared
+    shingle equi-join bounded by shingle df, hot-shingle broadcast
+    anti-join cap); only the normalizer differs (min instead of union).
     """
-    sh = (
-        shingles_df
-        if shingles_df is not None
-        else shingles(df, n, id_col, text_col).persist()
-    )
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("n_common"))
+    sizes, inter = _shingle_candidates(
+        df, n, id_col, text_col, shingles_df, max_shingle_df
     )
     return (
         inter.join(

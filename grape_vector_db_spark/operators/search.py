@@ -513,6 +513,8 @@ def maxsim_search(
     proportional to docs × n_query_vectors partial rows, then
     TakeOrderedAndProject for the top-k.
     """
+    if not query_vecs:
+        raise ValueError("query_vecs must contain at least one vector")
     v = to_double_array(vec_col)
     cos_cols = [
         F.round(cosine_vs_query(v, q), 6).alias(f"_c{i}")

@@ -89,12 +89,12 @@ def decayed_user_scores(
 
     tmax = events.agg(F.max(ts_col).alias("_tmax"))
     lam = _math.log(2.0) / float(half_life_days)
-    # cast through TIMESTAMP so NTZ-typed event times work too —
-    # unix_micros rejects TIMESTAMP_NTZ, and the cast shifts both ends
-    # of the difference identically, so the delta is timezone-invariant
-    delta_days = (
-        F.unix_micros(F.col("_tmax").cast("timestamp"))
-        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike and
+    # subtracts within the input type — no timezone conversion, so the
+    # delta is correct even across DST transitions (a cast-to-TIMESTAMP
+    # would shift the two ends by different UTC offsets there)
+    delta_days = F.expr(
+        f"timestampdiff(MICROSECOND, {ts_col}, _tmax)"
     ).cast("double") / F.lit(86_400_000_000.0)
     return (
         events.crossJoin(F.broadcast(tmax))

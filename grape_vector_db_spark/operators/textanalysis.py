@@ -865,14 +865,18 @@ def collocations(
             )
         ).alias("p")
     )
-    pair_counts = (
+    # one bigram explode only: the total-pair count derives from the
+    # per-pair count table (sum of n), and because both branches share
+    # the identical groupBy subplan, ReuseExchange materializes the
+    # corpus-wide explode+shuffle once at the physical level
+    all_pairs = (
         pairs.select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
-        .where(F.col("n_pair") >= min_count)
     )
+    pair_counts = all_pairs.where(F.col("n_pair") >= min_count)
     n_uni = uni.agg(F.sum("c").alias("n_tok"))
-    n_big = pairs.groupBy().agg(F.count("*").alias("n_pairs_total"))
+    n_big = all_pairs.agg(F.sum("n_pair").alias("n_pairs_total"))
     scored = (
         pair_counts.join(
             uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
@@ -931,7 +935,9 @@ def source_unigram_kl(
         ).alias("term"),
     ).where(F.length(F.trim(F.col(text_col))) > 0)
     st = occ.groupBy("source", "term").agg(F.count("*").alias("c_st"))
-    t = occ.groupBy("term").agg(F.count("*").alias("c_t"))
+    # global term counts derive from the (source, term) table — far
+    # smaller than re-aggregating the corpus-sized occurrence stream
+    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     total = t.agg(F.sum("c_t").alias("n"))
     contrib = (

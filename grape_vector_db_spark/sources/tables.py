@@ -326,10 +326,11 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in data_cols],
     )
     joined = o.join(n, "_id", "full_outer")
-    changed = None
+    # id-only tables degrade to a membership diff (nothing can 'change')
+    changed = F.lit(False)
     for c in data_cols:
         neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        changed = neq if changed is None else (changed | neq)
+        changed = changed | neq
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("deleted"))

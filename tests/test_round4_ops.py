@@ -454,3 +454,29 @@ class TestDecayedUserScores:
         assert abs(out[1]["decayed_score"] - 15.0) < 1e-6
         assert abs(out[2]["decayed_score"] - 4.0) < 1e-6
         assert out[1]["n_events"] == 2
+
+
+class TestReviewRegressions:
+    def test_dedup_doc_lines_metachar_delim(self, spark):
+        # '|' must be treated as a literal delimiter, not regex alternation
+        df = _docs_df(spark, [(1, "a|b|a")])
+        r = curation.dedup_doc_lines(df, delim="|").collect()[0]
+        assert r["n_lines"] == 3 and r["n_kept"] == 2
+        assert r["clean_text"] == "a|b"
+
+    def test_snapshot_diff_id_only_tables(self, spark):
+        from grape_vector_db_spark.sources.tables import snapshot_diff
+
+        old = spark.createDataFrame([(1,), (2,)], ["id"])
+        new = spark.createDataFrame([(2,), (3,)], ["id"])
+        out = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert out == {1: "deleted", 2: "unchanged", 3: "added"}
+
+    def test_maxsim_empty_queries_raises(self, spark):
+        import pytest as _pytest
+
+        from grape_vector_db_spark.operators import search
+
+        df = spark.createDataFrame([(1, [1.0])], ["doc_id", "embedding"])
+        with _pytest.raises(ValueError):
+            search.maxsim_search(df, [])
