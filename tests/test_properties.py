@@ -256,3 +256,70 @@ def test_sq_quantize_reconstruction_bound(spark, vecs):
         for x, c in zip(stored, r["codes"]):
             recon = r["minv"] + c * step
             assert abs(x - recon) <= step / 2 + 1e-9, (x, recon, step)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_dedup_doc_lines_idempotent_and_counted(spark, batch):
+    """Applying within-doc line dedup to its own output changes nothing,
+    and n_kept always equals the Python-side count of distinct lines."""
+    from grape_vector_db_spark.operators.curation import dedup_doc_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    once = dedup_doc_lines(df)
+    rows = {r["doc_id"]: r for r in once.collect()}
+    for i, t in enumerate(batch):
+        lines = t.split("\n")
+        uniq = list(dict.fromkeys(lines))
+        assert rows[i]["n_lines"] == len(lines)
+        assert rows[i]["n_kept"] == len(uniq)
+        assert rows[i]["clean_text"] == "\n".join(uniq)
+    twice = dedup_doc_lines(
+        once.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    for r in twice.collect():
+        assert r["n_lines"] == r["n_kept"]
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_snapshot_diff_self_is_unchanged(spark, batch):
+    """diff(x, x) reports every row unchanged — including null/empty."""
+    from grape_vector_db_spark.sources.tables import snapshot_diff
+
+    df = spark.createDataFrame(
+        [(i, t if t else None) for i, t in enumerate(batch)],
+        "id long, v string",
+    )
+    out = snapshot_diff(df, df).collect()
+    assert len(out) == len(batch)
+    assert all(r["status"] == "unchanged" for r in out)
+
+
+@settings(**SETTINGS)
+@given(texts, st.integers(min_value=2, max_value=7))
+def test_kfold_covers_range_and_partitions(spark, batch, k):
+    from grape_vector_db_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(len(batch))], "doc_id long, source string"
+    )
+    out = kfold_assign(df, k=k).collect()
+    assert len(out) == len(batch)
+    assert all(0 <= r["fold"] < k for r in out)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_containment_bounded_and_symmetric_keys(spark, batch):
+    """containment is in (0, 1] and pair keys are strictly ordered."""
+    from grape_vector_db_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    for r in containment_pairs(df, n=3, threshold=0.0).collect():
+        assert r["a"] < r["b"]
+        assert 0.0 < r["containment"] <= 1.0
