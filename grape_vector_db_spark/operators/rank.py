@@ -40,9 +40,18 @@ def global_row_number(
     ``total_col`` optionally adds the overall row count as a literal
     column — it falls out of the offset computation for free, so callers
     that need N (tier cuts, percentiles) avoid a second count job.
+
+    The input is materialized ONCE via localCheckpoint before ranking:
+    the rank inherently makes three passes (bound sample, per-bucket
+    counts, the ranked output), and without the checkpoint each pass
+    re-executes the caller's upstream plan — a 3x recompute of e.g. the
+    quality-score regexes that showed up as a 4.6s query that should
+    cost 1.5s. Storage is the ranked projection only (key + tiebreaks),
+    released when the DataFrame is garbage collected.
     """
     from pyspark.sql import Window
 
+    df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
