@@ -3328,7 +3328,16 @@ def _multimodal_decode_sql() -> str:
     """
 
 
-_SF_GATE = "/root/testdata/sf0.01"
+def _gate_sf_dir() -> str:
+    """sf_dir the oracles read artifacts from. The driver's gate is
+    always sf0.01; tools/check_correctness.py exports
+    SPARK_GRAFT_GATE_SF_DIR when invoked with another sf_dir so the
+    ANN-index and BPE oracles build/read artifacts for the SAME corpus
+    the Spark side runs on (a hardcoded sf0.01 here silently compared
+    cross-corpus on every other scale factor)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _ann_oracle_paths() -> dict[str, str]:
@@ -3339,11 +3348,11 @@ def _ann_oracle_paths() -> dict[str, str]:
     produces bit-identical tables to one done inside queries()."""
     import os
 
-    p = _ann_paths(_SF_GATE)
+    p = _ann_paths(_gate_sf_dir())
     if not os.path.exists(p["done"]):
         from grape_vector_db_spark.session import get_spark
 
-        _ensure_ann_indexes(get_spark(), _SF_GATE)
+        _ensure_ann_indexes(get_spark(), _gate_sf_dir())
     return p
 
 
@@ -3787,7 +3796,7 @@ def _duck_bpe_train(n_merges: int = 8):
     into the bpe_merges / bpe_segment oracle SQL as literals — the
     oracle-build-time loop is the iterative half SQL alone cannot
     express, exactly like the k-means builds behind the IVF oracles."""
-    key = (_SF_GATE, n_merges)
+    key = (_gate_sf_dir(), n_merges)
     if key in _BPE_ORACLE_CACHE:
         return _BPE_ORACLE_CACHE[key]
     import json
@@ -3796,62 +3805,61 @@ def _duck_bpe_train(n_merges: int = 8):
     cache_file = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".ann_index",
-        f"bpe-{os.path.basename(os.path.normpath(_SF_GATE))}-m{n_merges}.json",
+        f"bpe-{os.path.basename(os.path.normpath(_gate_sf_dir()))}-m{n_merges}.json",
     )
     if os.path.exists(cache_file):
         with open(cache_file) as fh:
             merges = [tuple(m) for m in json.load(fh)]
         _BPE_ORACLE_CACHE[key] = merges
         return merges
-    if True:
-        import duckdb as _duck
+    import duckdb as _duck
 
-        from grape_vector_db_spark.operators.textanalysis import BPE_END, BPE_SEP
+    from grape_vector_db_spark.operators.textanalysis import BPE_END, BPE_SEP
 
-        ss = BPE_SEP * 2
-        con = _duck.connect()
-        con.execute(
-            rf"""
-            CREATE TABLE st AS
-            SELECT w, count(*)::BIGINT AS c,
-                   '{ss}' || array_to_string(
-                     list_transform(range(length(w)), i -> substr(w, i + 1, 1)),
-                     '{ss}') || '{ss}{BPE_END}{ss}' AS s
+    ss = BPE_SEP * 2
+    con = _duck.connect()
+    con.execute(
+        rf"""
+        CREATE TABLE st AS
+        SELECT w, count(*)::BIGINT AS c,
+               '{ss}' || array_to_string(
+                 list_transform(range(length(w)), i -> substr(w, i + 1, 1)),
+                 '{ss}') || '{ss}{BPE_END}{ss}' AS s
+        FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM '{_gate_sf_dir()}/documents.parquet'
+        ) WHERE length(w) > 0 GROUP BY w
+        """
+    )
+    merges = []
+    for rank in range(n_merges):
+        top = con.execute(
+            f"""
+            SELECT p['a'] AS a, p['b'] AS b, sum(c)::BIGINT AS n
             FROM (
-              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-              FROM '{_SF_GATE}/documents.parquet'
-            ) WHERE length(w) > 0 GROUP BY w
+              SELECT c, unnest(list_transform(range(1, len(sy)),
+                       i -> {{'a': sy[i], 'b': sy[i+1]}})) AS p
+              FROM (SELECT c, list_filter(string_split(s, '{ss}'),
+                                          x -> length(x) > 0) AS sy
+                    FROM st)
+              WHERE len(sy) >= 2
+            ) GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1
             """
-        )
-        merges = []
-        for rank in range(n_merges):
-            top = con.execute(
-                f"""
-                SELECT p['a'] AS a, p['b'] AS b, sum(c)::BIGINT AS n
-                FROM (
-                  SELECT c, unnest(list_transform(range(1, len(sy)),
-                           i -> {{'a': sy[i], 'b': sy[i+1]}})) AS p
-                  FROM (SELECT c, list_filter(string_split(s, '{ss}'),
-                                              x -> length(x) > 0) AS sy
-                        FROM st)
-                  WHERE len(sy) >= 2
-                ) GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1
-                """
-            ).fetchone()
-            if top is None:
-                break
-            a, b, n = top
-            merges.append((rank, a, b, int(n)))
-            pat = BPE_SEP + a + ss + b + BPE_SEP
-            rep = BPE_SEP + a + b + BPE_SEP
-            con.execute("UPDATE st SET s = replace(s, ?, ?)", [pat, rep])
-        con.close()
-        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
-        tmp = cache_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(merges, fh)
-        os.replace(tmp, cache_file)
-        _BPE_ORACLE_CACHE[key] = merges
+        ).fetchone()
+        if top is None:
+            break
+        a, b, n = top
+        merges.append((rank, a, b, int(n)))
+        pat = BPE_SEP + a + ss + b + BPE_SEP
+        rep = BPE_SEP + a + b + BPE_SEP
+        con.execute("UPDATE st SET s = replace(s, ?, ?)", [pat, rep])
+    con.close()
+    os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+    tmp = cache_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merges, fh)
+    os.replace(tmp, cache_file)
+    _BPE_ORACLE_CACHE[key] = merges
     return _BPE_ORACLE_CACHE[key]
 
 
@@ -4822,7 +4830,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # trained-ANN searches: the iterative k-means BUILD is excused, but
         # the SEARCH replays over the persisted index tables (see
-        # _ann_oracle_paths) — full hash-checked rows, 94/94 oracled
+        # _ann_oracle_paths) — full hash-checked rows, every registry query oracled
         "ivf_search": _ivf_search_sql(),
         "pq_search": _pq_search_sql(),
         "ivfpq_search": _ivfpq_search_sql(),
@@ -5536,7 +5544,8 @@ def _mmr_sql(k: int = 10, n_cand: int = 30, n_q: int = 4, lam: float = 0.7) -> s
       (SELECT query_id, 1 AS r, [id] AS sel, id AS picked,
               round({lam} * rel, 6) AS mmr
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                          ORDER BY rel DESC, id) AS rr
+                                          ORDER BY round({lam} * rel, 6)
+                                            DESC, id) AS rr
              FROM cand) WHERE rr = 1)
       UNION ALL
       SELECT steps.query_id, steps.r + 1, list_append(steps.sel, nxt.id),

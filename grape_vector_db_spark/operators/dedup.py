@@ -1141,6 +1141,44 @@ def semdedup_prune(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _positional_grams(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared token/gram extraction for the exact-substring span family:
+    (base(doc_id, toks, n_tokens), grams(doc_id, pos, gram)) with grams
+    exploded from every token position (0-based) of the
+    whitespace-lowered token stream. One explode, corpus-token-count
+    rows — both span operators read the SAME construction so their
+    owner/coverage pairing can never drift."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    grams = (
+        base.where(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("toks", i + 1, n)).alias(
+                            "gram"
+                        ),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id",
+            F.col("pg.pos").alias("pos"),
+            F.col("pg.gram").alias("gram"),
+        )
+    )
+    return base, grams
+
+
 def dup_span_coverage(
     df: DataFrame,
     n: int = 5,
@@ -1164,26 +1202,7 @@ def dup_span_coverage(
     No driver state; frequent-gram table stays distributed (it is NOT
     broadcast — its size is corpus-dependent).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
-        "doc_id", "toks", F.size("toks").alias("n_tokens")
-    )
-    grams = (
-        base.where(F.col("n_tokens") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - n),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("gram"),
-                    ),
-                )
-            ).alias("pg"),
-        )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    )
+    base, grams = _positional_grams(df, n, id_col, text_col)
     freq = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df_docs"))
@@ -1281,26 +1300,7 @@ def trim_duplicate_spans(
     token-granular shuffle, bounded by corpus token count. No driver
     state, no broadcast of corpus-sized tables.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
-        "doc_id", "toks", F.size("toks").alias("n_tokens")
-    )
-    grams = (
-        base.where(F.col("n_tokens") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - n),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("gram"),
-                    ),
-                )
-            ).alias("pg"),
-        )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    )
+    base, grams = _positional_grams(df, n, id_col, text_col)
     owners = (
         grams.groupBy("gram")
         .agg(

@@ -158,24 +158,52 @@ def class_centroid_metrics(
         "label",
         "clabel",
         F.round(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col("v"), lambda x: x * x),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
+            # zero-norm convention matches functions.vector.cosine_similarity
+            # and the oracle's CASE: cosine vs a zero vector is 0.0, never
+            # NULL (a NULL here would be skipped by avg and re-sort the
+            # nearest-centroid window)
+            F.when(
+                (
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(F.col("v"), lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
                     )
+                    == 0.0
                 )
-                * F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col("cv"), lambda x: x * x),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
+                | (
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(F.col("cv"), lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    )
+                    == 0.0
+                ),
+                F.lit(0.0),
+            ).otherwise(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(F.col("v"), lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.transform(F.col("cv"), lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
                     )
                 )
             ),

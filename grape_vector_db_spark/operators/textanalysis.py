@@ -428,33 +428,27 @@ def ccnet_buckets(
     The rank uses :func:`rank.global_row_number` — an EXACT global order
     with no single-partition window (sampled range buckets + offsets),
     so the split scales to corpus size; cross_entropy is ranked at its
-    6-dp rounded value (the oracle-parity granularity). The per-doc
-    scores are persisted around the two passes the ranking makes
-    (bucket counts + final rank), so the LM join runs once.
+    6-dp rounded value (the oracle-parity granularity). The rank
+    primitive checkpoints its input once, so the LM join runs exactly
+    once and nothing here stays persisted after the call (repeated
+    calls used to leak a cached score table per invocation).
     """
     from .rank import global_row_number
 
-    scored = (
-        lm_cross_entropy(df, lm, id_col, text_col)
-        .select("doc_id", "n_tokens", "cross_entropy")
-        .persist()
+    scored = lm_cross_entropy(df, lm, id_col, text_col).select(
+        "doc_id", "n_tokens", "cross_entropy"
     )
     ranked = global_row_number(
         scored, "cross_entropy", ["doc_id"], out_col="_rn", total_col="_n"
     )
-    out = ranked.select(
+    return ranked.select(
         "doc_id",
         "n_tokens",
         "cross_entropy",
         F.expr(f"cast(((_rn - 1) * {int(n_buckets)}) div _n as int)").alias(
             "tier"
         ),
-    ).persist()
-    try:
-        out.count()  # materialize through the cached scores
-    finally:
-        scored.unpersist()
-    return out
+    )
 
 
 def bpe_pair_counts(

@@ -84,6 +84,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the ANN-index/BPE oracles read persisted artifacts keyed by sf_dir;
+    # export the gate dir BEFORE oracle_sql() is called so they build for
+    # the same corpus the Spark side runs on
+    import os
+
+    os.environ["SPARK_GRAFT_GATE_SF_DIR"] = sf_dir
+
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
