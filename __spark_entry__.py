@@ -2279,6 +2279,52 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + aggregate with every predicate
+    pushable to the parquet scan — the canonical pushdown probe."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: month-filtered fact scan, broadcast part
+    dimension, conditional-aggregate share."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2439,6 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "user_decay": q_user_decay,
         "ivf_recall": q_ivf_recall,
+        "forecast_revenue": q_forecast_revenue,
+        "promo_revenue": q_promo_revenue,
     }
 
 
@@ -5181,6 +5229,27 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p.val), 6) AS lo,
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue": """
+            SELECT round(100.0
+                   * sum(CASE WHEN p.p_type = 'ECONOMY'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS promo_share,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
         """,
         "ivf_recall": f"""
             WITH approx AS ({_ivf_search_sql(10, 2)}),

@@ -480,3 +480,25 @@ class TestReviewRegressions:
         df = spark.createDataFrame([(1, [1.0])], ["doc_id", "embedding"])
         with _pytest.raises(ValueError):
             search.maxsim_search(df, [])
+
+
+class TestTpchQ6Q14:
+    def test_q6_filters_pushed_to_scan(self, spark):
+        import __spark_entry__ as m
+
+        plan = (
+            m.q_forecast_revenue(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan
+        # the selective predicates reach the parquet reader
+        assert "l_discount" in plan.split("PushedFilters")[1][:300]
+
+    def test_q14_share_bounded(self, spark):
+        import __spark_entry__ as m
+
+        r = m.q_promo_revenue(spark, "/root/testdata/sf0.001").collect()[0]
+        assert 0.0 <= r["promo_share"] <= 100.0
+        assert r["n_items"] > 0
