@@ -39,6 +39,35 @@ _FUNCTIONS: dict[str, str] = {
         RETURN aggregate(zip_with(a, b, (x, y) -> bigint(bit_count(x ^ y))),
                          0L, (s, x) -> s + x)
     """,
+    "dot_product": """
+        CREATE OR REPLACE TEMPORARY FUNCTION dot_product(
+            a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
+        RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)
+    """,
+    # functions.hashing.h32 as SQL — same md5 derivation, so SQL users
+    # get the SAME deterministic gates/folds as the DataFrame kit
+    "h32": """
+        CREATE OR REPLACE TEMPORARY FUNCTION h32(s STRING, seed INT)
+        RETURNS BIGINT
+        RETURN cast(conv(substr(md5(concat(cast(seed AS STRING), ':', s)),
+                         1, 8), 16, 10) AS BIGINT)
+    """,
+    # sequence.decayed_user_scores' per-event weight as a scalar:
+    # 2^(-age_days / half_life) relative to an anchor timestamp
+    "decay_weight": """
+        CREATE OR REPLACE TEMPORARY FUNCTION decay_weight(
+            ts TIMESTAMP, anchor TIMESTAMP, half_life_days DOUBLE)
+        RETURNS DOUBLE
+        RETURN pow(0.5D, (cast(timestampdiff(MICROSECOND, ts, anchor)
+                               AS DOUBLE) / 86400000000D) / half_life_days)
+    """,
+    "jaccard_tokens": """
+        CREATE OR REPLACE TEMPORARY FUNCTION jaccard_tokens(
+            a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE
+        RETURN coalesce(try_divide(
+            cast(size(array_intersect(a, b)) AS DOUBLE),
+            cast(size(array_union(a, b)) AS DOUBLE)), 0D)
+    """,
 }
 
 

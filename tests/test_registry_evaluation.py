@@ -82,3 +82,29 @@ def test_compare_fusion_strategies(spark, docs, emb):
         assert 0.0 <= r["recall_10"] <= 1.0
     # linear with default 0.7 dense weight must recover most dense hits
     assert rows["linear"]["recall_10"] >= 0.5
+
+
+def test_sql_registry_round4_functions(spark):
+    names = register_sql_functions(spark)
+    assert {"dot_product", "h32", "decay_weight", "jaccard_tokens"} <= set(names)
+    r = spark.sql(
+        """
+        SELECT dot_product(array(1D, 2D), array(3D, 4D)) AS d,
+               jaccard_tokens(array('a','b'), array('b','c')) AS j,
+               decay_weight(timestamp'2024-01-01', timestamp'2024-01-08', 7D) AS w,
+               h32('x', 0) AS h
+        """
+    ).head()
+    assert r["d"] == 11.0
+    assert abs(r["j"] - 1 / 3) < 1e-9
+    assert abs(r["w"] - 0.5) < 1e-12
+    # SQL h32 must equal the DataFrame kit's h32
+    from grape_vector_db_spark.functions.hashing import h32 as kit_h32
+    from pyspark.sql import functions as F
+
+    kit = (
+        spark.range(1)
+        .select(kit_h32(F.lit("x"), 0).alias("h"))
+        .head()["h"]
+    )
+    assert r["h"] == kit
