@@ -145,6 +145,20 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(current_table_path(spark, path))
 
 
+def read_table_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time-travel read of a specific committed version — the audit /
+    rollback companion to the versioned-swap publish (combine with
+    :func:`snapshot_diff` to see exactly what a publish changed). Only
+    versions still inside the publish retention (``keep``) are readable;
+    raises ValueError naming the available versions otherwise."""
+    vs = table_versions(spark, path)
+    if version not in vs:
+        raise ValueError(
+            f"version {version} not committed under {path}; available: {vs}"
+        )
+    return spark.read.parquet(f"{path}/t={version}")
+
+
 def table_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``read_table`` would find a committed version or a legacy
     flat table root. An explicit probe, NOT try/except around the read:

@@ -79,3 +79,41 @@ class TestMultiFormatIO:
         back = read_format(spark, f"{d}/t", "csv", schema=df.schema)
         vals = {r["id"]: r["s"] for r in back.collect()}
         assert vals[1] == "x" and vals[2] in ("", None)
+
+
+class TestPartitionPruning:
+    def test_date_partitioned_scan_prunes(self, spark, docs):
+        # partition the corpus by source and filter one source: the scan
+        # must show a PartitionFilters entry (directory-level pruning),
+        # the scale analogue of reading 1 day out of 3 years of events
+        d = tempfile.mkdtemp(prefix="gvdb_part_")
+        docs.write.mode("overwrite").partitionBy("source").parquet(f"{d}/t")
+        one = spark.read.parquet(f"{d}/t").where(F.col("source") == "web")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        seg = plan.split("PartitionFilters")[1][:200]
+        assert "source" in seg
+
+
+class TestTimeTravel:
+    def test_read_back_versions_and_diff(self, spark):
+        from grape_vector_db_spark.sources.tables import (
+            publish_table,
+            read_table_version,
+            snapshot_diff,
+            table_versions,
+        )
+
+        d = tempfile.mkdtemp(prefix="gvdb_tt_")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        v2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["id", "v"])
+        publish_table(spark, f"{d}/t", v1)
+        publish_table(spark, f"{d}/t", v2)
+        vs = table_versions(spark, f"{d}/t")
+        assert len(vs) == 2
+        old = read_table_version(spark, f"{d}/t", vs[0])
+        new = read_table_version(spark, f"{d}/t", vs[1])
+        diff = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert diff == {1: "unchanged", 2: "changed", 3: "added"}
+        with pytest.raises(ValueError):
+            read_table_version(spark, f"{d}/t", 999)
