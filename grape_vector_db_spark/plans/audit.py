@@ -1,0 +1,71 @@
+"""Programmatic physical-plan audit — the library form of the checks
+`tests/test_plans.py` pins and SCALE.md documents, so pipeline authors
+can assert the plan properties their job depends on (zero shuffles, a
+pushed filter, no cross join) in THEIR OWN tests instead of discovering
+a regression at 100 TB.
+
+Everything works on the executed-plan string; Spark exposes no stable
+structured plan API in Python, and the string form is what the plan
+tests in this repo already key on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    """Formatted executed physical plan (post-AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@dataclass(frozen=True)
+class PlanAudit:
+    """Counts of the plan features that matter at scale."""
+
+    exchanges: int
+    single_partition_exchanges: int
+    broadcast_exchanges: int
+    sort_merge_joins: int
+    broadcast_hash_joins: int
+    nested_loop_joins: int
+    cartesian_products: int
+    scans: int
+    pushed_filters: bool
+    partition_filters: bool
+    python_evals: int
+
+    @property
+    def shuffles(self) -> int:
+        """Data-moving exchanges (broadcasts excluded — they ship a
+        built table, not a repartition of the stream)."""
+        return self.exchanges - self.broadcast_exchanges
+
+
+def audit_plan(df: DataFrame) -> PlanAudit:
+    """Inspect ``df``'s physical plan and count the properties a
+    scale-review asks about. Typical assertions::
+
+        a = audit_plan(my_pipeline)
+        assert a.shuffles <= 2
+        assert a.single_partition_exchanges == 0
+        assert a.cartesian_products == 0 and a.python_evals == 0
+    """
+    p = plan_string(df)
+    return PlanAudit(
+        exchanges=p.count("Exchange"),
+        single_partition_exchanges=p.count("Exchange SinglePartition"),
+        broadcast_exchanges=p.count("BroadcastExchange"),
+        sort_merge_joins=p.count("SortMergeJoin"),
+        broadcast_hash_joins=p.count("BroadcastHashJoin"),
+        nested_loop_joins=p.count("BroadcastNestedLoopJoin"),
+        cartesian_products=p.count("CartesianProduct"),
+        scans=p.count("Scan parquet") + p.count("Scan orc"),
+        pushed_filters="PushedFilters: [" in p
+        and "PushedFilters: []" not in p,
+        partition_filters="PartitionFilters: [" in p
+        and "PartitionFilters: []" not in p,
+        python_evals=p.count("BatchEvalPython") + p.count("ArrowEvalPython"),
+    )

@@ -117,3 +117,35 @@ class TestTimeTravel:
         assert diff == {1: "unchanged", 2: "changed", 3: "added"}
         with pytest.raises(ValueError):
             read_table_version(spark, f"{d}/t", 999)
+
+
+class TestPlanAudit:
+    def test_counts_match_known_shapes(self, spark, docs):
+        from grape_vector_db_spark.plans.audit import audit_plan
+
+        # narrow map: zero everything
+        narrow = docs.select("doc_id", F.length("text").alias("n"))
+        a = audit_plan(narrow)
+        assert a.shuffles == 0 and a.cartesian_products == 0
+        assert a.python_evals == 0 and a.scans == 1
+
+        # groupBy: exactly one data-moving shuffle
+        agg = docs.groupBy("source").count()
+        b = audit_plan(agg)
+        assert b.shuffles == 1 and b.single_partition_exchanges == 0
+
+        # broadcast join: a broadcast exchange but no data shuffle
+        small = docs.select("doc_id").limit(10)
+        j = docs.join(F.broadcast(small), "doc_id")
+        c = audit_plan(j)
+        assert c.broadcast_hash_joins == 1
+        assert c.broadcast_exchanges >= 1
+
+    def test_pushed_filter_flag(self, spark):
+        from grape_vector_db_spark.plans.audit import audit_plan
+
+        # lineitem is NOT cached by any fixture — a cached table would
+        # resolve to InMemoryTableScan and hide the parquet scan node
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        assert audit_plan(df.where(F.col("l_orderkey") == 7)).pushed_filters
+        assert not audit_plan(df).pushed_filters
