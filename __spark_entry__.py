@@ -2325,6 +2325,109 @@ def q_promo_revenue(spark, sf_dir):
     )
 
 
+def _pca_components(sf_dir, k: int = 4):
+    """Principal components for the projection queries, computed ONCE in
+    Python (pyarrow + numpy eigh over the exact covariance) and inlined
+    as 6-dp literals in BOTH engines — the same parity-by-construction
+    trick the maxsim query vectors use. Sign convention: each component's
+    largest-|x| entry is positive, so the eigvecs are unique."""
+    key = ("pca", sf_dir, k)
+    if key not in _CACHE:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mu = X.mean(axis=0)
+        C = (X - mu).T @ (X - mu) / len(X)
+        w, V = np.linalg.eigh(C)
+        comps = []
+        for idx in np.argsort(w)[::-1][:k]:
+            vec = V[:, idx]
+            if vec[int(np.argmax(np.abs(vec)))] < 0:
+                vec = -vec
+            comps.append([round(float(x), 6) for x in vec])
+        _CACHE[key] = ([round(float(m), 6) for m in mu], comps)
+    return _CACHE[key]
+
+
+def q_pca_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding column (upper triangle) —
+    the input to PCA/whitening/Mahalanobis, computed via a dim-pair
+    explode into one map-side-combined groupBy."""
+    from grape_vector_db_spark.operators import evaluation
+
+    return evaluation.embedding_covariance(_emb(spark, sf_dir))
+
+
+def q_pca_project(spark, sf_dir):
+    """PCA projection onto the top-4 components (literal matrix shared
+    with the oracle): center then 4 dot folds per row — pure narrow."""
+    mu, comps = _pca_components(sf_dir, k=4)
+    emb = _emb(spark, sf_dir)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    cols = [
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        centered,
+                        F.array(*[F.lit(c) for c in comp]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            )
+            + F.lit(0.0)  # normalize -0.0 (sign-of-zero hash sensitivity)
+        ).alias(f"p{c}")
+        for c, comp in enumerate(comps)
+    ]
+    return emb.select("vec_id", *cols)
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram: how much of the corpus sits in
+    2-doc pairs vs large templated families — the readout that decides
+    between pair-trimming and whole-cluster dropping."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=16,
+        bands=4,
+        n=3,
+        threshold=0.2,
+        shingles_df=_shingles(spark, sf_dir),
+    )
+    clusters = dedup.cluster_pairs(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+
+
+def q_window_heavy_hitters(spark, sf_dir):
+    """Per-hour top-3 event types by count — the windowed heavy-hitter
+    report (grouped TakeOrdered per window, no global sort)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("hour").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("hour", "event_type", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2487,6 +2590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "forecast_revenue": q_forecast_revenue,
         "promo_revenue": q_promo_revenue,
+        "pca_covariance": q_pca_covariance,
+        "pca_project": q_pca_project,
+        "cluster_sizes": q_cluster_sizes,
+        "window_heavy_hitters": q_window_heavy_hitters,
     }
 
 
@@ -5230,6 +5337,80 @@ def oracle_sql() -> dict[str, str]:
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
         """,
+        "pca_covariance": f"""
+            WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+            x AS (
+              SELECT unnest(list_transform(range(len(v)),
+                            i -> {{'i': i, 'x': v[i+1]}})) AS p
+              FROM e
+            ),
+            mu AS (SELECT p.i AS i, avg(p.x) AS m FROM x GROUP BY 1),
+            muarr AS (SELECT list(m ORDER BY i) AS ma FROM mu),
+            c AS (
+              SELECT list_transform(range(len(v)), i -> v[i+1] - ma[i+1])
+                       AS cv
+              FROM e CROSS JOIN muarr
+            ),
+            pairs AS (
+              SELECT unnest(flatten(list_transform(range(len(cv)),
+                       i -> list_transform(range(i, len(cv)),
+                              j -> {{'i': i, 'j': j,
+                                     'p': cv[i+1] * cv[j+1]}})))) AS q
+              FROM c
+            )
+            SELECT q.i::INT AS i, q.j::INT AS j, round(avg(q.p), 6) + 0 AS cov
+            FROM pairs GROUP BY 1, 2
+        """,
+        "pca_project": _pca_project_sql(),
+        "cluster_sizes": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT a AS id FROM edges GROUP BY a),
+            walk(node, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM walk GROUP BY node
+            ),
+            sz AS (
+              SELECT cluster_id, count(*) AS size FROM clusters GROUP BY 1
+            )
+            SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1
+        """,
+        "window_heavy_hitters": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY hour
+                        ORDER BY n DESC, event_type ASC) AS rank
+              FROM c
+            )
+            SELECT hour, event_type, n, rank::INT AS rank
+            FROM r WHERE rank <= 3
+        """,
         "forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
                    count(*) AS n_items
@@ -5668,6 +5849,25 @@ def _chunk_embed_pool_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     SELECT mean.doc_id, n_chunks::INT AS n_chunks, i,
            round(CASE WHEN dn.dnrm = 0 THEN 0.0 ELSE mean.m / dn.dnrm END, 6) AS val
     FROM mean JOIN dn ON mean.doc_id = dn.doc_id
+    """
+
+
+def _pca_project_sql() -> str:
+    """PCA projection with the SAME Python-computed 6-dp component
+    literals the Spark query uses (parity by construction)."""
+    mu, comps = _pca_components(_gate_sf_dir(), k=4)
+    mu_lit = "[" + ", ".join(repr(float(m)) for m in mu) + "]::DOUBLE[]"
+    cols = ", ".join(
+        "round(list_inner_product("
+        "list_transform(range(len(e.v)), i -> e.v[i+1] - mu[i+1]), "
+        f"[{', '.join(repr(float(x)) for x in comp)}]::DOUBLE[]), 6) + 0 AS p{c}"
+        for c, comp in enumerate(comps)
+    )
+    return f"""
+        WITH m AS (SELECT {mu_lit} AS mu),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT e.vec_id, {cols}
+        FROM e CROSS JOIN m
     """
 
 

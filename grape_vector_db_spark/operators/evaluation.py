@@ -299,3 +299,67 @@ def standardize_embeddings(
             f"THEN 0.0 ELSE (cast(v AS double) - _s[i].mean) / _s[i].std END, 6))"
         ).alias("zvec"),
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed covariance of an embedding column: (i, j, cov) for
+    the upper triangle (i <= j), cov = E[(x_i - mu_i)(x_j - mu_j)]
+    (population). The input every PCA / whitening / Mahalanobis step
+    needs, computed without ever materializing a row matrix.
+
+    Scale shape: the mean vector is ONE tiny aggregate (dim values,
+    broadcast back as literals via the second pass's expression); the
+    cross-moment explode emits dim*(dim+1)/2 rows per vector but feeds a
+    map-side-combined groupBy((i, j)) — executor traffic is partitions x
+    dim^2 partial sums, never the exploded stream. For very high dims,
+    swap the explode for a per-batch numpy X^T X inside mapInPandas —
+    same output, fewer rows; at dim<=256 the pure-JVM explode wins on
+    simplicity and stays whole-stage-codegen.
+    """
+    v = F.col(vec_col)
+    d = emb.select(F.size(v).alias("d")).first()["d"]
+    # mean per dimension via one posexplode aggregate (map-side combined)
+    mu_rows = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["i"]] = float(r["mu"])
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = emb.select(
+        F.zip_with(
+            v.cast("array<double>"), mu_lit, lambda x, m: x - m
+        ).alias("c")
+    )
+    pairs = centered.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(d - 1)),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            (F.element_at(F.col("c"), i + 1)
+                             * F.element_at(F.col("c"), j + 1)).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    )
+    return (
+        pairs.select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        # + 0.0 normalizes IEEE negative zero: a tiny negative moment
+        # rounds to -0.0 in one engine and 0.0 in the other, and the
+        # hash gate is sign-of-zero sensitive
+        .agg((F.round(F.avg("p"), 6) + F.lit(0.0)).alias("cov"))
+    )

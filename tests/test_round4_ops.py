@@ -502,3 +502,51 @@ class TestTpchQ6Q14:
         r = m.q_promo_revenue(spark, "/root/testdata/sf0.001").collect()[0]
         assert 0.0 <= r["promo_share"] <= 100.0
         assert r["n_items"] > 0
+
+
+class TestEmbeddingCovariance:
+    def test_known_values(self, spark):
+        from grape_vector_db_spark.operators.evaluation import (
+            embedding_covariance,
+        )
+
+        # X = [(1, 0), (3, 4)]: mu = (2, 2); cov = [[1, 2], [2, 4]]
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+        )
+        out = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df).collect()}
+        assert out[(0, 0)] == 1.0
+        assert out[(0, 1)] == 2.0
+        assert out[(1, 1)] == 4.0
+        assert (1, 0) not in out  # upper triangle only
+
+    def test_diagonal_matches_dim_stats_variance(self, spark, emb):
+        from grape_vector_db_spark.operators.evaluation import (
+            embedding_covariance,
+            embedding_dim_stats,
+        )
+
+        n = emb.count()
+        cov = {
+            (r["i"], r["j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+            if r["i"] == r["j"]
+        }
+        stats = {r["dim"]: r["std"] for r in embedding_dim_stats(emb).collect()}
+        # population variance = sample std^2 * (n-1)/n
+        for d, std in list(stats.items())[:8]:
+            expect = std * std * (n - 1) / n
+            assert abs(cov[(d, d)] - expect) < 1e-4
+
+
+class TestPcaProject:
+    def test_components_capture_variance_order(self, spark, emb):
+        import numpy as np
+
+        import __spark_entry__ as m
+
+        rows = m.q_pca_project(spark, "/root/testdata/sf0.001").collect()
+        P = np.asarray([[r["p0"], r["p1"], r["p2"], r["p3"]] for r in rows])
+        var = P.var(axis=0)
+        # projections onto eigvecs sorted by eigenvalue: non-increasing variance
+        assert var[0] >= var[1] >= var[2] >= var[3] > 0
