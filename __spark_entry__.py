@@ -2428,6 +2428,84 @@ def q_window_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_semantic_outliers(spark, sf_dir):
+    """Vectors below best-centroid cosine 0.2 — the out-of-distribution
+    gate over a labeled embedding store."""
+    from grape_vector_db_spark.operators import evaluation
+
+    return evaluation.semantic_outliers(_emb(spark, sf_dir), threshold=0.2)
+
+
+def q_rfm_segments(spark, sf_dir):
+    """Classic RFM customer segmentation: per-customer recency /
+    frequency / monetary, quintile-scored against exact interpolated
+    percentile thresholds (broadcast single row). Monetary is rounded
+    BEFORE thresholding so boundary comparisons see identical doubles
+    in both engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+    )
+    anchor = per.agg(F.max("_last").alias("_maxd"))
+    per = per.crossJoin(F.broadcast(anchor)).select(
+        "c_custkey",
+        F.datediff(F.col("_maxd"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    cuts = per.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"_{c}_{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def score(c):
+        s = F.lit(1)
+        for q in (20, 40, 60, 80):
+            s = s + F.when(F.col(c) > F.col(f"_{c}_{q}"), 1).otherwise(0)
+        return s
+
+    out = per.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency: smaller = better, so invert the quintile
+        (F.lit(6) - score("recency_days")).cast("int").alias("r_score"),
+        score("frequency").cast("int").alias("f_score"),
+        score("monetary").cast("int").alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def q_orders_backlog(spark, sf_dir):
+    """Cumulative order count per day: the windowed running total runs
+    over the already-aggregated DAILY series (calendar-bounded — a few
+    thousand rows at any corpus size), so the no-partition window is
+    safe by construction."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_orders", F.sum("n_orders").over(w).alias("cum_orders")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2594,6 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "cluster_sizes": q_cluster_sizes,
         "window_heavy_hitters": q_window_heavy_hitters,
+        "semantic_outliers": q_semantic_outliers,
+        "rfm_segments": q_rfm_segments,
+        "orders_backlog": q_orders_backlog,
     }
 
 
@@ -5336,6 +5417,95 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p.val), 6) AS lo,
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
+        """,
+        "semantic_outliers": f"""
+            WITH flat AS (
+              SELECT label, generate_subscripts(e.v, 1) AS i,
+                     unnest(e.v) AS x
+              FROM (SELECT label, embedding::DOUBLE[] AS v
+                    FROM embeddings) e
+            ),
+            cm AS (SELECT label, i, avg(x) AS m FROM flat GROUP BY label, i),
+            cent AS (
+              SELECT label AS clabel, list(m ORDER BY i) AS cv
+              FROM cm GROUP BY label
+            ),
+            scored AS (
+              SELECT b.vec_id AS id, b.label, c.clabel,
+                     round({_cos('b.v', 'c.cv')}, 6) AS cos
+              FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings) b
+              CROSS JOIN cent c
+            ),
+            best AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY id
+                          ORDER BY cos DESC, clabel ASC) AS r
+                FROM scored) WHERE r = 1
+            )
+            SELECT id, label, clabel AS best_label, cos AS best_cos
+            FROM best WHERE cos < 0.2
+        """,
+        "rfm_segments": """
+            WITH per AS (
+              SELECT o_custkey AS c_custkey,
+                     max(o_orderdate::DATE) AS last_d,
+                     count(*) AS frequency,
+                     round(sum(o_totalprice), 6) AS monetary
+              FROM orders GROUP BY 1
+            ),
+            a AS (SELECT max(last_d) AS maxd FROM per),
+            p2 AS (
+              SELECT c_custkey,
+                     date_diff('day', last_d, a.maxd)::INT AS recency_days,
+                     frequency, monetary
+              FROM per CROSS JOIN a
+            ),
+            cuts AS (
+              SELECT quantile_cont(recency_days, 0.2) AS r20,
+                     quantile_cont(recency_days, 0.4) AS r40,
+                     quantile_cont(recency_days, 0.6) AS r60,
+                     quantile_cont(recency_days, 0.8) AS r80,
+                     quantile_cont(frequency, 0.2) AS f20,
+                     quantile_cont(frequency, 0.4) AS f40,
+                     quantile_cont(frequency, 0.6) AS f60,
+                     quantile_cont(frequency, 0.8) AS f80,
+                     quantile_cont(monetary, 0.2) AS m20,
+                     quantile_cont(monetary, 0.4) AS m40,
+                     quantile_cont(monetary, 0.6) AS m60,
+                     quantile_cont(monetary, 0.8) AS m80
+              FROM p2
+            ),
+            s AS (
+              SELECT c_custkey, recency_days, frequency, monetary,
+                     (6 - (1 + (recency_days > r20)::INT
+                             + (recency_days > r40)::INT
+                             + (recency_days > r60)::INT
+                             + (recency_days > r80)::INT))::INT AS r_score,
+                     (1 + (frequency > f20)::INT + (frequency > f40)::INT
+                        + (frequency > f60)::INT
+                        + (frequency > f80)::INT)::INT AS f_score,
+                     (1 + (monetary > m20)::INT + (monetary > m40)::INT
+                        + (monetary > m60)::INT
+                        + (monetary > m80)::INT)::INT AS m_score
+              FROM p2 CROSS JOIN cuts
+            )
+            SELECT c_custkey, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                     AS rfm
+            FROM s
+        """,
+        "orders_backlog": """
+            WITH d AS (
+              SELECT o_orderdate::DATE AS day, count(*) AS n_orders
+              FROM orders GROUP BY 1
+            )
+            SELECT day, n_orders,
+                   (sum(n_orders) OVER (ORDER BY day
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT
+                     AS cum_orders
+            FROM d
         """,
         "pca_covariance": f"""
             WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

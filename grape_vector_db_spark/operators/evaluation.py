@@ -363,3 +363,90 @@ def embedding_covariance(
         # hash gate is sign-of-zero sensitive
         .agg((F.round(F.avg("p"), 6) + F.lit(0.0)).alias("cov"))
     )
+
+
+def semantic_outliers(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Vectors far from EVERY class centroid: (id, label, best_label,
+    best_cos) where best_cos = max cosine over all label centroids is
+    below ``threshold`` — the novelty/garbage detector a labeled
+    embedding store runs to catch out-of-distribution rows before they
+    poison retrieval or training.
+
+    Scale shape: same as :func:`class_centroid_metrics` — dim-fanout
+    centroid aggregate (map-side combined), classes-sized centroid table
+    broadcast, one fold per centroid per row, then a per-row greatest.
+    """
+    from ..functions.vector import to_double_array
+
+    v = to_double_array(vec_col)
+    flat = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("i", "x")
+    )
+    cent = (
+        flat.groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
+                lambda st: st["m"],
+            ).alias("cv")
+        )
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label"), v.alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cv"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    scored = base.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cv"))
+    ).select(
+        "id",
+        "label",
+        "clabel",
+        F.round(
+            F.when((nv == 0.0) | (nc == 0.0), F.lit(0.0)).otherwise(
+                dot / (nv * nc)
+            ),
+            6,
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("clabel").asc()
+    )
+    best = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "id",
+            "label",
+            F.col("clabel").alias("best_label"),
+            F.col("cos").alias("best_cos"),
+        )
+    )
+    return best.where(F.col("best_cos") < threshold)

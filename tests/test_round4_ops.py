@@ -550,3 +550,52 @@ class TestPcaProject:
         var = P.var(axis=0)
         # projections onto eigvecs sorted by eigenvalue: non-increasing variance
         assert var[0] >= var[1] >= var[2] >= var[3] > 0
+
+
+class TestSemanticOutliers:
+    def test_far_vector_flagged(self, spark):
+        from grape_vector_db_spark.operators.evaluation import semantic_outliers
+
+        # two tight clusters on axes 0/1; one vector on axis 2 is far
+        # from both centroids
+        rows = [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.1, 0.9, 0.0], 1),
+            (5, [0.0, 0.0, 1.0], 0),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = semantic_outliers(df, threshold=0.5).collect()
+        assert [r["id"] for r in out] == [5]
+        assert out[0]["best_cos"] < 0.5
+
+
+class TestRfmSegments:
+    def test_scores_in_range_and_monotone(self, spark):
+        import __spark_entry__ as m
+
+        rows = m.q_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["r_score"] <= 5
+            assert 1 <= r["f_score"] <= 5
+            assert 1 <= r["m_score"] <= 5
+            assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        # top monetary quintile really holds the biggest spenders
+        top = [r["monetary"] for r in rows if r["m_score"] == 5]
+        bottom = [r["monetary"] for r in rows if r["m_score"] == 1]
+        assert min(top) >= max(bottom)
+
+
+class TestOrdersBacklog:
+    def test_cumsum_monotone_and_totals(self, spark):
+        import __spark_entry__ as m
+
+        rows = sorted(
+            m.q_orders_backlog(spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r["day"],
+        )
+        assert rows[-1]["cum_orders"] == sum(r["n_orders"] for r in rows)
+        for a, b in zip(rows, rows[1:]):
+            assert b["cum_orders"] == a["cum_orders"] + b["n_orders"]
