@@ -2506,6 +2506,77 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_bm25_feedback(spark, sf_dir):
+    """Pseudo-relevance feedback (Rocchio query expansion): BM25 top-3
+    feed their 5 heaviest terms back at beta=0.5, rescore."""
+    return sparse.bm25_feedback_search(
+        _docs(spark, sf_dir),
+        BM25_QUERY,
+        k=10,
+        fb_docs=3,
+        fb_terms=5,
+        beta=0.5,
+        terms=_terms(spark, sf_dir),
+    )
+
+
+def q_event_mad_anomalies(spark, sf_dir):
+    """Robust per-type anomaly gate: |value - median| > k * MAD (median
+    absolute deviation). Unlike the z-score gate (event_anomalies),
+    medians don't move when the outliers themselves are extreme — the
+    standard robust alternative. Exact interpolated medians via two
+    grouped percentile passes; the per-type stats table broadcasts back
+    into a narrow filter."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("_ad") > 3.0 * F.col("mad"))
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+def q_top_paths(spark, sf_dir):
+    """Behavioral path mining: the 20 most frequent 3-step event-type
+    sequences across user streams — one user-partitioned window pass
+    (two leads), then a map-side-combined count + TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    paths = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    return (
+        paths.groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -2675,6 +2746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_outliers": q_semantic_outliers,
         "rfm_segments": q_rfm_segments,
         "orders_backlog": q_orders_backlog,
+        "event_mad_anomalies": q_event_mad_anomalies,
+        "top_paths": q_top_paths,
+        "bm25_feedback": q_bm25_feedback,
     }
 
 
@@ -5418,6 +5492,40 @@ def oracle_sql() -> dict[str, str]:
                    round(max(p.val), 6) AS hi
             FROM x GROUP BY 1
         """,
+        "bm25_feedback": _bm25_feedback_sql(),
+        "event_mad_anomalies": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ),
+            dev AS (
+              SELECT e.event_type, e.event_id, e.value, med.med,
+                     abs(e.value - med.med) AS ad
+              FROM events e JOIN med USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, quantile_cont(ad, 0.5) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT d.event_type, d.event_id, d.value,
+                   round(d.med, 6) AS med, round(m.mad, 6) AS mad
+            FROM dev d JOIN mad m USING (event_type)
+            WHERE d.ad > 3.0 * m.mad
+        """,
+        "top_paths": """
+            WITH p AS (
+              SELECT event_type AS s1,
+                     lead(event_type, 1) OVER w AS s2,
+                     lead(event_type, 2) OVER w AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT s1, s2, s3, count(*) AS n
+            FROM p WHERE s3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, s1, s2, s3 LIMIT 20
+        """,
         "semantic_outliers": f"""
             WITH flat AS (
               SELECT label, generate_subscripts(e.v, 1) AS i,
@@ -6039,6 +6147,62 @@ def _pca_project_sql() -> str:
         SELECT e.vec_id, {cols}
         FROM e CROSS JOIN m
     """
+
+
+def _bm25_feedback_sql(
+    k: int = 10, fb_docs: int = 3, fb_terms: int = 5, beta: float = 0.5
+) -> str:
+    """Two-stage pseudo-relevance-feedback replay: stage-1 BM25 top
+    fb_docs, their heaviest fb_terms (rounded sums, term tie-break) join
+    the query model at beta*w, stage-2 rescore — same formula text as
+    _BM25_SQL in both stages."""
+    contrib = """
+         q.qtf * (dt.tf * (1.2 + 1.0)) /
+           (dt.tf + 1.2 * (1.0 - 0.75 + 0.75 * dstats.doc_length / g.avg_doc_length))
+           * ln((g.total_docs - tstats.df + 0.5) / (tstats.df + 0.5)) AS contrib
+    """
+    tail = """
+  FROM dt JOIN {Q} q ON dt.term = q.term
+  JOIN dstats USING (doc_id)
+  JOIN tstats ON dt.term = tstats.term
+  CROSS JOIN g
+    """
+    return rf"""
+WITH {_TERMS_CTE},
+dstats AS (SELECT doc_id, sum(tf) AS doc_length FROM dt GROUP BY doc_id),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term),
+g AS (
+  SELECT count(DISTINCT dt.doc_id) AS total_docs,
+         sum(dstats.doc_length) / count(DISTINCT dt.doc_id) AS avg_doc_length
+  FROM dt JOIN dstats USING (doc_id)
+),
+q1 AS (SELECT * FROM {_bm25_query_terms_sql(BM25_QUERY)}),
+sc1 AS (
+  SELECT dt.doc_id, {contrib}
+  {tail.format(Q="q1")}
+),
+s1 AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score
+  FROM sc1 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {fb_docs}
+),
+fb AS (
+  SELECT dt.term, round(sum(dt.tf), 6) AS w
+  FROM dt JOIN s1 USING (doc_id)
+  GROUP BY dt.term ORDER BY w DESC, term ASC LIMIT {fb_terms}
+),
+q2 AS (
+  SELECT term, sum(qtf) AS qtf FROM (
+    SELECT term, qtf FROM q1
+    UNION ALL SELECT term, {beta} * w AS qtf FROM fb
+  ) GROUP BY term
+),
+sc2 AS (
+  SELECT dt.doc_id, {contrib}
+  {tail.format(Q="q2")}
+)
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM sc2 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}
+"""
 
 
 def _maxsim_sql(k: int = 10) -> str:

@@ -196,6 +196,25 @@ def bm25_search(
     qtf = tokenize_query_py(query)
     if not qtf:
         return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_search_weighted(
+        documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms
+    )
+
+
+def bm25_search_weighted(
+    documents: DataFrame,
+    qtf: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 with an explicit term -> weight query model — the scoring
+    core behind :func:`bm25_search` and the expanded-query second pass
+    of :func:`bm25_feedback_search`."""
+    spark = documents.sparkSession
+    if not qtf:
+        return spark.createDataFrame([], "doc_id long, score double")
 
     # doc_terms feeds three consumers (posting join, doc stats, corpus
     # aggregates) — persist so the tokenize+groupBy pipeline runs once,
@@ -343,4 +362,50 @@ def phrase_search(
         .agg(F.count("*").alias("n_matches"))
         .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def bm25_feedback_search(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    beta: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion, the
+    classic two-stage IR loop): BM25 first pass -> assume the top
+    ``fb_docs`` are relevant -> their ``fb_terms`` heaviest terms (sum
+    of relative tf, 6-dp rounded, term-asc tie-break) join the query
+    with weight ``beta * w`` -> rescore. Recovers vocabulary-mismatch
+    docs ("automobile" when the query said "car") that single-pass
+    lexical scoring cannot reach.
+
+    Scale shape: stage 1 is the normal BM25 plan; the feedback-term
+    derivation aggregates ≤ fb_docs posting lists (k-row driver
+    collect — bounded by parameters, not data); stage 2 is the same
+    BM25 plan over the expanded (still tiny, broadcast) query model.
+    """
+    if terms is None:
+        terms = doc_terms(documents, id_col, text_col).persist()
+    top = bm25_search(
+        documents, query, k=fb_docs, id_col=id_col, text_col=text_col,
+        terms=terms,
+    ).select("doc_id")
+    fb = (
+        terms.join(F.broadcast(top), "doc_id")
+        .groupBy("term")
+        .agg(F.round(F.sum("tf"), 6).alias("w"))
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(fb_terms)
+        .collect()
+    )
+    qtf = dict(tokenize_query_py(query))
+    for r in fb:
+        qtf[r["term"]] = qtf.get(r["term"], 0.0) + beta * r["w"]
+    return bm25_search_weighted(
+        documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms
     )

@@ -599,3 +599,41 @@ class TestOrdersBacklog:
         assert rows[-1]["cum_orders"] == sum(r["n_orders"] for r in rows)
         for a, b in zip(rows, rows[1:]):
             assert b["cum_orders"] == a["cum_orders"] + b["n_orders"]
+
+
+class TestBm25Feedback:
+    def test_expansion_recovers_synonym_doc(self, spark):
+        from grape_vector_db_spark.operators import sparse
+
+        # 'automobile' docs never contain 'car', but co-occur with
+        # 'engine' in the top car doc -> feedback pulls them in
+        docs = _docs_df(
+            spark,
+            [
+                (1, "car engine repair manual"),
+                (2, "engine automobile maintenance"),
+                (3, "automobile engine overhaul"),
+                (4, "cooking pasta recipe tonight"),
+            ],
+        )
+        base = sparse.bm25_search(docs, "car", k=4).collect()
+        fb = sparse.bm25_feedback_search(
+            docs, "car", k=4, fb_docs=1, fb_terms=2, beta=1.0
+        ).collect()
+        base_ids = {r["doc_id"] for r in base}
+        fb_ids = {r["doc_id"] for r in fb}
+        assert base_ids == {1}  # lexical match only
+        assert {2, 3} <= fb_ids  # expansion reached the synonym docs
+        assert 4 not in fb_ids
+
+    def test_weighted_core_matches_string_path(self, spark, docs):
+        from grape_vector_db_spark.operators import sparse
+
+        q = "merge join"
+        a = sparse.bm25_search(docs, q, k=5).collect()
+        b = sparse.bm25_search_weighted(
+            docs, sparse.tokenize_query_py(q), k=5
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
