@@ -2506,6 +2506,47 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_bpe_coverage(spark, sf_dir):
+    """Tokenizer-efficiency report for the trained BPE merges: corpus
+    totals and mean pieces-per-word — the number that decides whether a
+    vocabulary is worth its size before committing a training run to
+    it. One aggregate over the zero-shuffle segmentation pass."""
+    seg = textanalysis.bpe_segment_counts(
+        _docs(spark, sf_dir), _bpe(spark, sf_dir)
+    )
+    return seg.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        F.round(
+            F.sum("n_subwords") / F.sum("n_words").cast("double"), 6
+        ).alias("pieces_per_word"),
+    )
+
+
+def q_seasonal_error(spark, sf_dir):
+    """Forecast-baseline evaluation: seasonal-naive (the value 24 series
+    steps back — 24 hours when the hourly series is gap-free, as this
+    synthetic one is) vs actual per event type, reported as MAE and
+    bias — the baseline every real forecasting deployment must beat.
+    One window lag over the type-partitioned aggregated series."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.withColumn("pred", F.lag("v", 24).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("pred"))), 6).alias("mae"),
+        F.round(F.avg(F.col("v") - F.col("pred")), 6).alias("bias"),
+    )
+
+
 def q_bm25_feedback(spark, sf_dir):
     """Pseudo-relevance feedback (Rocchio query expansion): BM25 top-3
     feed their 5 heaviest terms back at beta=0.5, rescore."""
@@ -2749,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_mad_anomalies": q_event_mad_anomalies,
         "top_paths": q_top_paths,
         "bm25_feedback": q_bm25_feedback,
+        "bpe_coverage": q_bpe_coverage,
+        "seasonal_error": q_seasonal_error,
     }
 
 
@@ -5493,6 +5536,33 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY 1
         """,
         "bm25_feedback": _bm25_feedback_sql(),
+        "bpe_coverage": f"""
+            WITH seg AS ({_bpe_segment_sql(BPE_N_MERGES)})
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(n_words)::BIGINT AS n_words,
+                   sum(n_subwords)::BIGINT AS n_subwords,
+                   round(sum(n_subwords)::DOUBLE / sum(n_words), 6)
+                     AS pieces_per_word
+            FROM seg
+        """,
+        "seasonal_error": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     round(avg(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT event_type, v,
+                     lag(v, 24) OVER (PARTITION BY event_type
+                                      ORDER BY hour) AS pred
+              FROM hourly
+            )
+            SELECT event_type, count(*)::BIGINT AS n_hours,
+                   round(avg(abs(v - pred)), 6) AS mae,
+                   round(avg(v - pred), 6) AS bias
+            FROM lagged WHERE pred IS NOT NULL
+            GROUP BY 1
+        """,
         "event_mad_anomalies": """
             WITH med AS (
               SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -637,3 +637,50 @@ class TestBm25Feedback:
         assert [(r["doc_id"], r["score"]) for r in a] == [
             (r["doc_id"], r["score"]) for r in b
         ]
+
+
+class TestBpeCoverageSeasonal:
+    def test_bpe_coverage_sane(self, spark):
+        import __spark_entry__ as m
+
+        r = m.q_bpe_coverage(spark, "/root/testdata/sf0.001").collect()[0]
+        assert r["n_docs"] > 0 and r["n_words"] > 0
+        # merges can only reduce pieces; raw chars/word would be ~5
+        assert 1.0 <= r["pieces_per_word"] < 10.0
+        assert r["n_subwords"] >= r["n_words"]
+
+    def test_seasonal_error_perfect_on_periodic_series(self, spark):
+        import datetime
+
+        from grape_vector_db_spark.operators import sequence  # noqa: F401
+
+        import __spark_entry__ as m
+
+        # build a perfectly 24h-periodic series: seasonal-naive is exact
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day in range(3):
+            for h in range(24):
+                rows.append(
+                    (eid, t0 + datetime.timedelta(days=day, hours=h),
+                     1, "x", float(h))
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        from pyspark.sql import Window, functions as FF
+
+        hourly = ev.groupBy(
+            "event_type", FF.date_trunc("hour", FF.col("ts")).alias("hour")
+        ).agg(FF.round(FF.avg("value"), 6).alias("v"))
+        w = Window.partitionBy("event_type").orderBy("hour")
+        lagged = hourly.withColumn("pred", FF.lag("v", 24).over(w)).where(
+            FF.col("pred").isNotNull()
+        )
+        out = lagged.groupBy("event_type").agg(
+            FF.round(FF.avg(FF.abs(FF.col("v") - FF.col("pred"))), 6).alias("mae")
+        ).collect()[0]
+        assert out["mae"] == 0.0
