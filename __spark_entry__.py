@@ -2506,6 +2506,79 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event type: cumulative sum of
+    daily-mean deviations from the type's overall mean; the day where
+    |CUSUM| peaks is the most likely level-shift point (Page 1954).
+    Windows run over the type-partitioned DAILY series — calendar-
+    bounded, so the per-type window is small by construction."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    mean = daily.groupBy("event_type").agg(
+        F.round(F.avg("v"), 6).alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.join(F.broadcast(mean), "event_type")
+        .withColumn(
+            "cusum", F.round(F.sum(F.col("v") - F.col("mu")).over(w), 6)
+        )
+    )
+    peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("_r", F.row_number().over(peak))
+        .where(F.col("_r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "cusum",
+            F.col("mu").alias("series_mean"),
+        )
+    )
+
+
+def q_corpus_profile(spark, sf_dir):
+    """ONE-row corpus profile: doc/token/char totals, mean doc length,
+    language count, and the Shannon entropy (bits) of the language
+    distribution — the first table in any dataset card."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    total = per_lang.agg(F.sum("n").alias("t"))
+    lang_ent = (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            (
+                (F.col("n") / F.col("t"))
+                * F.log2(F.col("n").cast("double") / F.col("t"))
+            ).alias("_e")
+        )
+        .agg(F.round(-F.sum("_e"), 6).alias("lang_entropy"))
+    )
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.round(
+            F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))), 6
+        ).alias("mean_doc_tokens"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+    )
+    return base.crossJoin(F.broadcast(lang_ent))
+
+
 def q_bpe_coverage(spark, sf_dir):
     """Tokenizer-efficiency report for the trained BPE merges: corpus
     totals and mean pieces-per-word — the number that decides whether a
@@ -2792,6 +2865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_feedback": q_bm25_feedback,
         "bpe_coverage": q_bpe_coverage,
         "seasonal_error": q_seasonal_error,
+        "cusum_changepoint": q_cusum_changepoint,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -5544,6 +5619,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_subwords)::DOUBLE / sum(n_words), 6)
                      AS pieces_per_word
             FROM seg
+        """,
+        "cusum_changepoint": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS day, round(avg(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT event_type, round(avg(v), 6) AS mu
+              FROM daily GROUP BY 1
+            ),
+            c AS (
+              SELECT d.event_type, d.day, m.mu,
+                     round(sum(d.v - m.mu) OVER (PARTITION BY d.event_type
+                           ORDER BY d.day ROWS UNBOUNDED PRECEDING), 6)
+                       AS cusum
+              FROM daily d JOIN m USING (event_type)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(cusum) DESC, day ASC) AS rr
+              FROM c
+            )
+            SELECT event_type, day AS change_day, cusum,
+                   mu AS series_mean
+            FROM r WHERE rr = 1
+        """,
+        "corpus_profile": r"""
+            WITH pl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS t FROM pl),
+            ent AS (
+              SELECT round(-sum((pl.n::DOUBLE / t.t)
+                                * log2(pl.n::DOUBLE / t.t)), 6)
+                       AS lang_entropy
+              FROM pl CROSS JOIN t
+            )
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                     AS n_tokens,
+                   sum(length(text))::BIGINT AS n_chars,
+                   round(avg(len(regexp_split_to_array(trim(text), '\s+'))),
+                         6) AS mean_doc_tokens,
+                   count(DISTINCT lang)::INT AS n_langs,
+                   count(DISTINCT source)::INT AS n_sources,
+                   (SELECT lang_entropy FROM ent) AS lang_entropy
+            FROM documents
         """,
         "seasonal_error": """
             WITH hourly AS (

@@ -684,3 +684,49 @@ class TestBpeCoverageSeasonal:
             FF.round(FF.avg(FF.abs(FF.col("v") - FF.col("pred"))), 6).alias("mae")
         ).collect()[0]
         assert out["mae"] == 0.0
+
+
+class TestCusumProfile:
+    def test_cusum_finds_injected_level_shift(self, spark):
+        import datetime
+
+        import __spark_entry__ as m  # noqa: F401
+        from pyspark.sql import Window, functions as FF
+
+        # 20 days at level 0, then 20 days at level 10: |CUSUM| peaks at
+        # the shift boundary
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for d in range(40):
+            v = 0.0 if d < 20 else 10.0
+            rows.append((d, t0 + datetime.timedelta(days=d), 1, "x", v))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        daily = ev.groupBy(
+            "event_type", FF.to_date("ts").alias("day")
+        ).agg(FF.round(FF.avg("value"), 6).alias("v"))
+        mean = daily.groupBy("event_type").agg(FF.round(FF.avg("v"), 6).alias("mu"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cusum = daily.join(FF.broadcast(mean), "event_type").withColumn(
+            "cusum", FF.round(FF.sum(FF.col("v") - FF.col("mu")).over(w), 6)
+        )
+        peak = (
+            cusum.orderBy(FF.abs(FF.col("cusum")).desc(), FF.col("day").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        assert peak["day"] == datetime.date(2024, 1, 20)  # last pre-shift day
+
+    def test_corpus_profile_consistency(self, spark):
+        import __spark_entry__ as m
+
+        r = m.q_corpus_profile(spark, "/root/testdata/sf0.001").collect()[0]
+        assert r["n_docs"] > 0 and r["n_tokens"] > r["n_docs"]
+        assert 0.0 <= r["lang_entropy"] <= 6.0
+        assert r["n_langs"] >= 1 and r["n_sources"] >= 1
