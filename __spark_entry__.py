@@ -2336,10 +2336,23 @@ def _pca_components(sf_dir, k: int = 4):
         import numpy as np
         import pyarrow.parquet as pq
 
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        mu = X.mean(axis=0)
-        C = (X - mu).T @ (X - mu) / len(X)
+        # stream the file in bounded batches: driver state is the dim^2
+        # moment matrix + one batch, never the N x dim row matrix (the
+        # cluster-scale derivation is evaluation.embedding_covariance +
+        # the same eigh; this streaming form keeps the literal
+        # derivation deterministic across processes at fixed file order)
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        n, s, ss = 0, None, None
+        for batch in pf.iter_batches(columns=["embedding"], batch_size=8192):
+            X = np.asarray(batch.column(0).to_pylist(), dtype=np.float64)
+            if s is None:
+                s = np.zeros(X.shape[1])
+                ss = np.zeros((X.shape[1], X.shape[1]))
+            n += len(X)
+            s += X.sum(axis=0)
+            ss += X.T @ X
+        mu = s / n
+        C = ss / n - np.outer(mu, mu)
         w, V = np.linalg.eigh(C)
         comps = []
         for idx in np.argsort(w)[::-1][:k]:

@@ -320,7 +320,13 @@ def embedding_covariance(
     simplicity and stays whole-stage-codegen.
     """
     v = F.col(vec_col)
-    d = emb.select(F.size(v).alias("d")).first()["d"]
+    head = emb.select(F.size(v).alias("d")).first()
+    if head is None or head["d"] is None:
+        raise ValueError(
+            "embedding_covariance needs a non-empty input with a "
+            "non-null vector in the first row"
+        )
+    d = head["d"]
     # mean per dimension via one posexplode aggregate (map-side combined)
     mu_rows = (
         emb.select(F.posexplode(v).alias("i", "x"))

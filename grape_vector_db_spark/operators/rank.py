@@ -41,13 +41,17 @@ def global_row_number(
     column — it falls out of the offset computation for free, so callers
     that need N (tier cuts, percentiles) avoid a second count job.
 
-    The input is materialized ONCE via localCheckpoint before ranking:
-    the rank inherently makes three passes (bound sample, per-bucket
-    counts, the ranked output), and without the checkpoint each pass
-    re-executes the caller's upstream plan — a 3x recompute of e.g. the
-    quality-score regexes that showed up as a 4.6s query that should
-    cost 1.5s. Storage is the ranked projection only (key + tiebreaks),
-    released when the DataFrame is garbage collected.
+    The FULL input DataFrame is materialized ONCE via an eager
+    localCheckpoint before ranking: the rank inherently makes three
+    passes (bound sample, per-bucket counts, the ranked output), and
+    without the checkpoint each pass re-executes the caller's upstream
+    plan — a 3x recompute of e.g. the quality-score regexes that showed
+    up as a 4.6s query that should cost 1.5s. Two costs callers must
+    know: (1) storage is the WHOLE input width for the GC lifetime of
+    the result — pass a projection of just the key, tiebreaks, and the
+    columns you need ranked, not a raw corpus row; (2) the checkpoint
+    is eager, so merely BUILDING the ranked plan runs a job — don't
+    call this for a branch you may discard.
     """
     from pyspark.sql import Window
 

@@ -388,9 +388,16 @@ def bm25_feedback_search(
     derivation aggregates ≤ fb_docs posting lists (k-row driver
     collect — bounded by parameters, not data); stage 2 is the same
     BM25 plan over the expanded (still tiny, broadcast) query model.
+    When no warm ``terms`` index is passed, the tokenization is
+    materialized via localCheckpoint (NOT persist): the three consumers
+    still read it once, and the storage is released when the returned
+    plan is garbage collected — repeated calls can't accumulate
+    orphaned cached tables.
     """
     if terms is None:
-        terms = doc_terms(documents, id_col, text_col).persist()
+        terms = doc_terms(documents, id_col, text_col).localCheckpoint(
+            eager=True
+        )
     top = bm25_search(
         documents, query, k=fb_docs, id_col=id_col, text_col=text_col,
         terms=terms,

@@ -53,7 +53,15 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         assert a.single_partition_exchanges == 0
         assert a.cartesian_products == 0 and a.python_evals == 0
     """
+    import re
+
     p = plan_string(df)
+    # per-scan flags: ANY scan carrying a non-empty list counts — a
+    # whole-string check would false-negative whenever a second,
+    # legitimately-unfiltered scan prints 'PushedFilters: []' (union or
+    # join pipelines)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
     return PlanAudit(
         exchanges=p.count("Exchange"),
         single_partition_exchanges=p.count("Exchange SinglePartition"),
@@ -63,9 +71,7 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         nested_loop_joins=p.count("BroadcastNestedLoopJoin"),
         cartesian_products=p.count("CartesianProduct"),
         scans=p.count("Scan parquet") + p.count("Scan orc"),
-        pushed_filters="PushedFilters: [" in p
-        and "PushedFilters: []" not in p,
-        partition_filters="PartitionFilters: [" in p
-        and "PartitionFilters: []" not in p,
+        pushed_filters=any(m.strip() for m in pushed),
+        partition_filters=any(m.strip() for m in parts),
         python_evals=p.count("BatchEvalPython") + p.count("ArrowEvalPython"),
     )
