@@ -253,3 +253,31 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def anomaly_alert_stream(
+    stream_df: DataFrame,
+    stats: DataFrame,
+    n_sigma: float = 3.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming z-score anomaly gate: events whose value deviates more
+    than ``n_sigma`` standard deviations from the historical per-type
+    mean pass through as an alert stream. The classic lambda shape —
+    stats come from a BATCH table (e.g. the event_anomalies query's
+    per-type aggregates, refreshed on the batch cadence) and join the
+    live stream stream-static, so the hot path is a broadcast lookup +
+    a narrow filter with NO streaming state at all.
+
+    ``stats``: batch DataFrame (event_type, mu, sigma). Returns the
+    filtered streaming DataFrame with mu/sigma/z attached; attach a
+    sink (foreachBatch, kafka, memory) downstream.
+    """
+    joined = stream_df.join(F.broadcast(stats), type_col)
+    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        joined.where(F.col("sigma") > 0)
+        .withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) > n_sigma)
+    )

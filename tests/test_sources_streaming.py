@@ -301,3 +301,36 @@ def test_stream_dedup_to_parquet(spark, tmpdir):
     q.awaitTermination(60)
     got = {r["doc_id"] for r in read_table(spark, tbl).collect()}
     assert got == {1, 3, 42}  # 41 rejected: shingle overlap vs stored doc 1
+
+
+def test_anomaly_alert_stream(spark, tmpdir):
+    """Stream-static z-score gate: only the outlier event crosses it."""
+    from grape_vector_db_spark.streaming.ingest import anomaly_alert_stream
+
+    src = f"{tmpdir}/anom_in"
+    out = f"{tmpdir}/anom_out"
+    ck = f"{tmpdir}/anom_ck"
+    spark.createDataFrame(
+        [(1, "click", 10.0), (2, "click", 11.0), (3, "click", 99.0),
+         (4, "view", 5.0)],
+        "event_id long, event_type string, value double",
+    ).write.parquet(src)
+    stats = spark.createDataFrame(
+        [("click", 10.0, 1.0), ("view", 5.0, 1.0)],
+        "event_type string, mu double, sigma double",
+    )
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(src)
+    q = (
+        anomaly_alert_stream(stream, stats, n_sigma=3.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["event_id"], r["z"]) for r in rows] == [(3, 89.0)]
