@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # in local mode this single JVM holds every cached index table;
+        # at 8g the bench tail ran under GC pressure (trivial queries
+        # stretching 0.6s -> 3.7s after ~170 cached-table queries) —
+        # 24g removed it (total 139s -> 129s). On a cluster this sizes
+        # only the driver; executors are sized by spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
