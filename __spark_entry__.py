@@ -2519,6 +2519,56 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID accuracy eval: confusion matrix of the heuristic
+    prediction vs the corpus's lang column — the self-measurement that
+    tells a pipeline owner whether the cheap classifier is good enough
+    before routing on it. (On THIS synthetic corpus the text is
+    English-ish regardless of the lang tag, and the matrix reports
+    exactly that — the measurement surface is the point.)"""
+    pred = textanalysis.language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang"
+    )
+    truth = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_lsh_pair_eval(spark, sf_dir):
+    """In-registry quality eval of the banded MinHash candidate
+    generator: precision/recall of its candidate pairs against the
+    EXACT Jaccard>=0.2 pair set (exact = capped shared-shingle join —
+    feasible because only docs sharing a shingle can overlap at all).
+    One row: (n_candidates, n_true, n_hit, precision, recall)."""
+    docs, sh = _docs(spark, sf_dir), _shingles(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, n=3, shingles_df=sh
+    ).select("a", "b")
+    truth = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, shingles_df=sh, max_shingle_df=100
+    ).select("a", "b")
+    n_cand = cand.count()
+    n_true = truth.count()
+    n_hit = cand.join(truth, ["a", "b"]).count()
+    spark_ = docs.sparkSession
+    return spark_.createDataFrame(
+        [
+            (
+                n_cand,
+                n_true,
+                n_hit,
+                round(n_hit / n_cand, 6) if n_cand else 0.0,
+                round(n_hit / n_true, 6) if n_true else 0.0,
+            )
+        ],
+        "n_candidates long, n_true long, n_hit long, "
+        "precision double, recall double",
+    )
+
+
 def q_cusum_changepoint(spark, sf_dir):
     """CUSUM change-point detection per event type: cumulative sum of
     daily-mean deviations from the type's overall mean; the day where
@@ -2880,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_error": q_seasonal_error,
         "cusum_changepoint": q_cusum_changepoint,
         "corpus_profile": q_corpus_profile,
+        "lang_confusion": q_lang_confusion,
+        "lsh_pair_eval": q_lsh_pair_eval,
     }
 
 
@@ -5632,6 +5684,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_subwords)::DOUBLE / sum(n_words), 6)
                      AS pieces_per_word
             FROM seg
+        """,
+        "lang_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "lsh_pair_eval": f"""
+            WITH {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            shf AS (
+              SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id
+            ),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+              FROM shf x
+              JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            m AS (
+              SELECT (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+                     (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                     (SELECT count(*)
+                      FROM cand JOIN truth USING (a, b))::BIGINT AS n_hit
+            )
+            SELECT n_candidates, n_true, n_hit,
+                   round(n_hit::DOUBLE / n_candidates, 6) AS precision,
+                   round(n_hit::DOUBLE / n_true, 6) AS recall
+            FROM m
         """,
         "cusum_changepoint": """
             WITH daily AS (

@@ -257,23 +257,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
-    threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH, verified by exact
-    n-gram Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold.
-
-    rows-per-band R = num_hashes/bands; a pair collides iff some band's R
-    hashes all match — P(collide) = 1-(1-j^R)^B, the standard S-curve.
-    Shuffles: shingle-agg, band-bucket join, verification join.
-    """
+    """Distinct candidate pairs (a, b) with a < b from the banded
+    MinHash buckets — the UNVERIFIED stage of :func:`minhash_lsh_pairs`,
+    exposed so candidate quality (precision/recall vs exact Jaccard)
+    can be measured directly."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
@@ -294,12 +290,34 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    cand = (
+    return (
         bandrows.alias("x")
         .join(bandrows.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, verified by exact
+    n-gram Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    rows-per-band R = num_hashes/bands; a pair collides iff some band's R
+    hashes all match — P(collide) = 1-(1-j^R)^B, the standard S-curve.
+    Shuffles: shingle-agg, band-bucket join, verification join.
+    """
+    cand = minhash_lsh_candidates(
+        df, num_hashes, bands, n, id_col, text_col, shingles_df
     )
     # Verify candidates with exact Jaccard over shingle sets.
     sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)

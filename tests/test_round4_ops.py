@@ -730,3 +730,19 @@ class TestCusumProfile:
         assert r["n_docs"] > 0 and r["n_tokens"] > r["n_docs"]
         assert 0.0 <= r["lang_entropy"] <= 6.0
         assert r["n_langs"] >= 1 and r["n_sources"] >= 1
+
+
+class TestEvalQueries:
+    def test_lsh_candidates_superset_shape(self, spark, docs):
+        # banded candidates must contain every verified pair (the
+        # verify step only FILTERS candidates)
+        cand = dedup.minhash_lsh_candidates(docs, 16, 4, n=3)
+        pairs = dedup.minhash_lsh_pairs(docs, 16, 4, n=3, threshold=0.2)
+        missing = pairs.select("a", "b").exceptAll(cand.select("a", "b"))
+        assert missing.count() == 0
+
+    def test_lang_confusion_counts_total(self, spark, docs):
+        import __spark_entry__ as m
+
+        out = m.q_lang_confusion(spark, "/root/testdata/sf0.001")
+        assert out.agg(F.sum("n")).first()[0] == docs.count()
