@@ -2519,6 +2519,42 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_dedup_savings(spark, sf_dir):
+    """Curation ROI report: documents and characters removed by each
+    dedup tier applied in sequence — exact (normalized-md5, min-id
+    keeps) then near (MinHash-verified Jaccard>=0.2 clusters over the
+    exact survivors, cluster-min keeps). The number a pipeline owner
+    reads before paying for the next, more expensive tier."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    normed = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    ranked = docs.select("doc_id", "n_chars", "text", normed.alias("_h")).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    exact_removed = ranked.where(F.col("_rn") > 1)
+    survivors = ranked.where(F.col("_rn") == 1).select(
+        "doc_id", "n_chars", "text"
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        survivors, num_hashes=16, bands=4, n=3, threshold=0.2
+    )
+    clusters = dedup.cluster_pairs(pairs)
+    near_removed = clusters.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).join(survivors.select("doc_id", "n_chars"), "doc_id")
+    e = exact_removed.agg(
+        F.count("*").alias("n_docs_removed"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars_removed"),
+    ).select(F.lit("exact").alias("stage"), "n_docs_removed", "n_chars_removed")
+    n = near_removed.agg(
+        F.count("*").alias("n_docs_removed"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars_removed"),
+    ).select(F.lit("near").alias("stage"), "n_docs_removed", "n_chars_removed")
+    return e.unionByName(n)
+
+
 def q_lang_confusion(spark, sf_dir):
     """Language-ID accuracy eval: confusion matrix of the heuristic
     prediction vs the corpus's lang column — the self-measurement that
@@ -2932,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "lang_confusion": q_lang_confusion,
         "lsh_pair_eval": q_lsh_pair_eval,
+        "dedup_savings": q_dedup_savings,
     }
 
 
@@ -5684,6 +5721,60 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_subwords)::DOUBLE / sum(n_words), 6)
                      AS pieces_per_word
             FROM seg
+        """,
+        "dedup_savings": f"""
+            WITH RECURSIVE ranked AS (
+              SELECT doc_id, n_chars, text,
+                     row_number() OVER (
+                       PARTITION BY md5(regexp_replace(trim(text),
+                                                       '\\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            surv AS (SELECT doc_id, n_chars, text FROM ranked WHERE rn = 1),
+            er AS (
+              SELECT count(*)::BIGINT AS n_docs_removed,
+                     coalesce(sum(n_chars), 0)::BIGINT AS n_chars_removed
+              FROM ranked WHERE rn > 1
+            ),
+            {_SHINGLE_CTE.replace("FROM documents", "FROM surv")},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT a AS id FROM edges GROUP BY a),
+            walk(node, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM walk GROUP BY node
+            ),
+            nr AS (
+              SELECT count(*)::BIGINT AS n_docs_removed,
+                     coalesce(sum(s.n_chars), 0)::BIGINT AS n_chars_removed
+              FROM clusters c JOIN surv s USING (doc_id)
+              WHERE c.doc_id <> c.cluster_id
+            )
+            SELECT 'exact' AS stage, n_docs_removed, n_chars_removed FROM er
+            UNION ALL
+            SELECT 'near' AS stage, n_docs_removed, n_chars_removed FROM nr
         """,
         "lang_confusion": f"""
             WITH pred AS ({_lang_id_sql()})

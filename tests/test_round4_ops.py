@@ -746,3 +746,34 @@ class TestEvalQueries:
 
         out = m.q_lang_confusion(spark, "/root/testdata/sf0.001")
         assert out.agg(F.sum("n")).first()[0] == docs.count()
+
+
+class TestDedupSavings:
+    def test_stages_remove_the_planted_dups(self, spark):
+        import __spark_entry__ as m
+        from grape_vector_db_spark.operators import dedup as dd
+        from pyspark.sql import Window, functions as FF
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base, 10),
+            (2, base, 10),                    # exact dup of 1
+            (3, base + " iota", 12),          # near dup of 1
+            (4, "totally different words here now", 8),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+        normed = FF.md5(FF.regexp_replace(FF.trim(FF.col("text")), r"\s+", " "))
+        w = Window.partitionBy("_h").orderBy("doc_id")
+        ranked = docs.select("doc_id", "n_chars", "text", normed.alias("_h")).withColumn(
+            "_rn", FF.row_number().over(w)
+        )
+        exact_removed = {r["doc_id"] for r in ranked.where("_rn > 1").collect()}
+        assert exact_removed == {2}
+        surv = ranked.where("_rn = 1").select("doc_id", "n_chars", "text")
+        pairs = dd.minhash_lsh_pairs(surv, 16, 4, n=3, threshold=0.2)
+        clusters = dd.cluster_pairs(pairs)
+        near_removed = {
+            r["doc_id"]
+            for r in clusters.where("doc_id <> cluster_id").collect()
+        }
+        assert near_removed == {3}
