@@ -2530,15 +2530,22 @@ def q_dedup_savings(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     normed = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     w = Window.partitionBy("_h").orderBy("doc_id")
-    ranked = docs.select("doc_id", "n_chars", "text", normed.alias("_h")).withColumn(
-        "_rn", F.row_number().over(w)
+    # ranked feeds three consumers (exact agg, survivors, their shingle
+    # table) — checkpoint so the md5 window runs once; same for the
+    # survivor shingles, which both LSH stages (signatures + verify) read
+    ranked = (
+        docs.select("doc_id", "n_chars", "text", normed.alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)
     )
     exact_removed = ranked.where(F.col("_rn") > 1)
     survivors = ranked.where(F.col("_rn") == 1).select(
         "doc_id", "n_chars", "text"
     )
+    surv_sh = dedup.shingles(survivors, 3).localCheckpoint(eager=True)
     pairs = dedup.minhash_lsh_pairs(
-        survivors, num_hashes=16, bands=4, n=3, threshold=0.2
+        survivors, num_hashes=16, bands=4, n=3, threshold=0.2,
+        shingles_df=surv_sh,
     )
     clusters = dedup.cluster_pairs(pairs)
     near_removed = clusters.where(
@@ -2582,13 +2589,20 @@ def q_lsh_pair_eval(spark, sf_dir):
     docs, sh = _docs(spark, sf_dir), _shingles(spark, sf_dir)
     cand = dedup.minhash_lsh_candidates(
         docs, num_hashes=16, bands=4, n=3, shingles_df=sh
-    ).select("a", "b")
+    ).select("a", "b").persist()
     truth = dedup.ngram_jaccard_pairs(
         docs, n=3, threshold=0.2, shingles_df=sh, max_shingle_df=100
-    ).select("a", "b")
-    n_cand = cand.count()
-    n_true = truth.count()
-    n_hit = cand.join(truth, ["a", "b"]).count()
+    ).select("a", "b").persist()
+    try:
+        # each pipeline evaluates ONCE; the three counts read the cache,
+        # and the caches release immediately (the result is a literal
+        # row, no lineage back to them)
+        n_cand = cand.count()
+        n_true = truth.count()
+        n_hit = cand.join(truth, ["a", "b"]).count()
+    finally:
+        cand.unpersist()
+        truth.unpersist()
     spark_ = docs.sparkSession
     return spark_.createDataFrame(
         [
@@ -5813,8 +5827,12 @@ def oracle_sql() -> dict[str, str]:
                       FROM cand JOIN truth USING (a, b))::BIGINT AS n_hit
             )
             SELECT n_candidates, n_true, n_hit,
-                   round(n_hit::DOUBLE / n_candidates, 6) AS precision,
-                   round(n_hit::DOUBLE / n_true, 6) AS recall
+                   CASE WHEN n_candidates = 0 THEN 0.0
+                        ELSE round(n_hit::DOUBLE / n_candidates, 6)
+                   END AS precision,
+                   CASE WHEN n_true = 0 THEN 0.0
+                        ELSE round(n_hit::DOUBLE / n_true, 6)
+                   END AS recall
             FROM m
         """,
         "cusum_changepoint": """

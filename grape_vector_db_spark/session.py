@@ -18,6 +18,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """SPARK_GRAFT_DRIVER_MEM if set; else half the host's physical
+    memory, clamped to [4g, 24g] — enough to keep the cached-index bench
+    out of GC thrash on a big box without requesting a heap a small CI
+    container cannot back."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(fh.readline().split()[1])
+        half_gb = total_kb // (2 * 1024 * 1024)
+    except (OSError, ValueError, IndexError):  # non-Linux fallback
+        half_gb = 8
+    return f"{max(4, min(24, half_gb))}g"
+
+
 def get_spark(
     app_name: str = "grape-vector-db-spark",
     master: str | None = None,
@@ -47,9 +64,11 @@ def get_spark(
         # in local mode this single JVM holds every cached index table;
         # at 8g the bench tail ran under GC pressure (trivial queries
         # stretching 0.6s -> 3.7s after ~170 cached-table queries) —
-        # 24g removed it (total 139s -> 129s). On a cluster this sizes
-        # only the driver; executors are sized by spark-submit.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 24g removed it (total 139s -> 129s). Sized to the HOST so a
+        # 16 GB CI container is not handed an -Xmx24g it cannot honor
+        # (the cgroup OOM-killer fires where GC throttling should).
+        # On a cluster this sizes only the driver.
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

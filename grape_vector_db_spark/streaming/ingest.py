@@ -271,13 +271,24 @@ def anomaly_alert_stream(
     a narrow filter with NO streaming state at all.
 
     ``stats``: batch DataFrame (event_type, mu, sigma). Returns the
-    filtered streaming DataFrame with mu/sigma/z attached; attach a
-    sink (foreachBatch, kafka, memory) downstream.
+    filtered streaming DataFrame with mu/sigma/z attached (z is NULL
+    for the two non-finite cases below); attach a sink (foreachBatch,
+    kafka, memory) downstream.
+
+    Edge semantics — both err toward ALERTING, never silent drops:
+    - event types with no stats row (never seen in the batch history)
+      are alerts by definition;
+    - sigma = 0 types (constant history) alert on ANY deviation from
+      mu — the z-score is infinite, not computable.
     """
-    joined = stream_df.join(F.broadcast(stats), type_col)
-    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
-    return (
-        joined.where(F.col("sigma") > 0)
-        .withColumn("z", F.round(z, 6))
-        .where(F.abs(F.col("z")) > n_sigma)
+    joined = stream_df.join(F.broadcast(stats), type_col, "left")
+    z = F.when(
+        F.col("sigma") > 0,
+        F.round((F.col(value_col) - F.col("mu")) / F.col("sigma"), 6),
     )
+    alert = (
+        F.col("sigma").isNull()
+        | ((F.col("sigma") == 0) & (F.col(value_col) != F.col("mu")))
+        | (F.abs(z) > n_sigma)
+    )
+    return joined.withColumn("z", z).where(alert)

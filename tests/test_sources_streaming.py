@@ -312,11 +312,13 @@ def test_anomaly_alert_stream(spark, tmpdir):
     ck = f"{tmpdir}/anom_ck"
     spark.createDataFrame(
         [(1, "click", 10.0), (2, "click", 11.0), (3, "click", 99.0),
-         (4, "view", 5.0)],
+         (4, "view", 5.0),
+         (5, "heartbeat", 7.0),   # constant history (sigma=0), deviates
+         (6, "brandnew", 1.0)],   # type with no stats row at all
         "event_id long, event_type string, value double",
     ).write.parquet(src)
     stats = spark.createDataFrame(
-        [("click", 10.0, 1.0), ("view", 5.0, 1.0)],
+        [("click", 10.0, 1.0), ("view", 5.0, 1.0), ("heartbeat", 5.0, 0.0)],
         "event_type string, mu double, sigma double",
     )
     stream = spark.readStream.schema(
@@ -332,5 +334,7 @@ def test_anomaly_alert_stream(spark, tmpdir):
         .start()
     )
     q.awaitTermination(120)
-    rows = spark.read.parquet(out).collect()
-    assert [(r["event_id"], r["z"]) for r in rows] == [(3, 89.0)]
+    rows = {r["event_id"]: r["z"] for r in spark.read.parquet(out).collect()}
+    # z-score alert, sigma=0 deviation alert, unknown-type alert —
+    # and nothing else
+    assert rows == {3: 89.0, 5: None, 6: None}
