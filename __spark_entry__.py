@@ -1018,9 +1018,12 @@ def q_mock_embed(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
+    # localCheckpoint, NOT persist: the raw tree must evaluate once
+    # (normalize references r per element), but bench re-runs each query
+    # up to 3x and a returned-plan persist leaks a cached copy per run
     base = docs.select(
         "doc_id", mock_embedding_raw("text", 8).alias("r")
-    ).persist()
+    ).localCheckpoint(eager=True)
     return base.select(
         "doc_id",
         F.transform(normalize_vector(F.col("r")), lambda x: F.round(x, 6)).alias("v"),
@@ -1802,7 +1805,7 @@ def q_chunk_embed_pool(spark, sf_dir):
     chunks = curation.chunk_documents(docs, chunk_tokens=64, overlap=16)
     base = chunks.select(
         "doc_id", mock_embedding_raw("chunk_text", 8).alias("r")
-    ).persist()
+    ).localCheckpoint(eager=True)  # see q_mock_embed: no leaked persist
     emb = base.select("doc_id", normalize_vector(F.col("r")).alias("embedding"))
     pooled = curation.pool_chunk_embeddings(emb)
     return pooled.select(

@@ -85,7 +85,9 @@ def _shingle_candidates(
     sh = (
         shingles_df
         if shingles_df is not None
-        else shingles(df, n, id_col, text_col).persist()
+        # localCheckpoint (not persist): both consumers (sizes, the
+        # self-join) read it once and storage releases with the result
+        else shingles(df, n, id_col, text_col).localCheckpoint(eager=True)
     )
     if max_shingle_df is not None:
         hot = (

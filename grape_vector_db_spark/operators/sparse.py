@@ -222,7 +222,12 @@ def bm25_search_weighted(
     # materializes to parquet; callers with a warm index pass it via
     # ``terms``.
     if terms is None:
-        terms = doc_terms(documents, id_col, text_col).persist()
+        # localCheckpoint (not persist): three consumers read it once,
+        # storage releases with the returned plan — repeated API calls
+        # can't accumulate orphaned cached tables
+        terms = doc_terms(documents, id_col, text_col).localCheckpoint(
+            eager=True
+        )
 
     # Postings for QUERY terms only — a literal isin predicate the scan
     # absorbs, so document frequencies aggregate a few posting lists, not
