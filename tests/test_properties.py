@@ -323,3 +323,43 @@ def test_containment_bounded_and_symmetric_keys(spark, batch):
     for r in containment_pairs(df, n=3, threshold=0.0).collect():
         assert r["a"] < r["b"]
         assert 0.0 < r["containment"] <= 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_phrase_search_matches_python_replica(spark, batch, plen):
+    """Positional phrase counts equal a naive Python sliding scan for
+    arbitrary small-alphabet corpora and phrase lengths."""
+    from grape_vector_db_spark.operators.sparse import phrase_search
+
+    phrase_toks = ["a" * plen, "b"][:plen] if plen <= 2 else ["a", "b", "a"]
+    phrase = " ".join(phrase_toks)
+
+    def py_counts(text):
+        toks = [t for t in text.strip().lower().split()]
+        if not text.strip():
+            return None
+        m = 0
+        for i in range(len(toks) - len(phrase_toks) + 1):
+            if toks[i : i + len(phrase_toks)] == phrase_toks:
+                m += 1
+        return m or None
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(df, phrase, k=100).collect()
+    }
+    want = {
+        i: c for i, t in enumerate(batch) if (c := py_counts(t)) is not None
+    }
+    assert got == want
