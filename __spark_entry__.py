@@ -2522,6 +2522,35 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_interarrival(spark, sf_dir):
+    """Per-type inter-arrival time statistics (median / p95 seconds
+    between consecutive events of a type) — the ops metric behind
+    capacity planning and dead-stream alerting. One type-partitioned
+    window lag, then grouped exact percentiles over the gap column."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("_gap_us"),
+    ).where(F.col("_gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(_gap_us, 0.5)") / 1e6, 6).alias(
+            "median_gap_s"
+        ),
+        F.round(F.expr("percentile(_gap_us, 0.95)") / 1e6, 6).alias(
+            "p95_gap_s"
+        ),
+    )
+
+
 def q_dedup_savings(spark, sf_dir):
     """Curation ROI report: documents and characters removed by each
     dedup tier applied in sequence — exact (normalized-md5, min-id
@@ -2986,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "lsh_pair_eval": q_lsh_pair_eval,
         "dedup_savings": q_dedup_savings,
+        "interarrival": q_interarrival,
     }
 
 
@@ -5738,6 +5768,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_subwords)::DOUBLE / sum(n_words), 6)
                      AS pieces_per_word
             FROM seg
+        """,
+        "interarrival": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts ASC, event_id ASC) AS gap_us
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   round(quantile_cont(gap_us, 0.5) / 1e6, 6)
+                     AS median_gap_s,
+                   round(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1
         """,
         "dedup_savings": f"""
             WITH RECURSIVE ranked AS (

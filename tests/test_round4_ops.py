@@ -778,3 +778,29 @@ class TestDedupSavings:
             for r in clusters.where("doc_id <> cluster_id").collect()
         }
         assert near_removed == {3}
+
+
+class TestPartitioningInvariance:
+    """Results must be identical under different shuffle-partition
+    counts — the property that makes sf0.01 correctness transfer to a
+    1000-executor cluster, asserted on three shuffle-heavy shapes."""
+
+    def _collect(self, spark, name, sf="/root/testdata/sf0.001"):
+        import __spark_entry__ as m
+
+        rows = m.queries()[name](spark, sf).collect()
+        return sorted(tuple(r) for r in rows)
+
+    def test_invariant_under_shuffle_partitions(self, spark):
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            results = {}
+            for n in ("3", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                results[n] = {
+                    q: self._collect(spark, q)
+                    for q in ("dedup_minhash", "bm25", "pack_sequences")
+                }
+            assert results["3"] == results["17"]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
