@@ -2522,6 +2522,12 @@ def q_orders_backlog(spark, sf_dir):
     )
 
 
+def q_sq_error(spark, sf_dir):
+    """Per-dim SQ8 reconstruction error (MSE / max) — the codec-quality
+    readout before committing a corpus to 8-bit storage."""
+    return quantization.sq_dim_error_report(_emb(spark, sf_dir))
+
+
 def q_interarrival(spark, sf_dir):
     """Per-type inter-arrival time statistics (median / p95 seconds
     between consecutive events of a type) — the ops metric behind
@@ -3016,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pair_eval": q_lsh_pair_eval,
         "dedup_savings": q_dedup_savings,
         "interarrival": q_interarrival,
+        "sq_error": q_sq_error,
     }
 
 
@@ -5768,6 +5775,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_subwords)::DOUBLE / sum(n_words), 6)
                      AS pieces_per_word
             FROM seg
+        """,
+        "sq_error": f"""
+            WITH d AS (
+              SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x
+              FROM {_EMB_D}
+            ),
+            mm AS (
+              SELECT i, min(x) AS mn, max(x) - min(x) AS rg FROM d GROUP BY i
+            ),
+            mml AS (
+              SELECT list(mn ORDER BY i) AS mins, list(rg ORDER BY i) AS rngs
+              FROM mm
+            ),
+            err AS (
+              SELECT x.i AS dim, x.e AS e FROM (
+                SELECT unnest(list_transform(range(len(e.v)), i ->
+                  {{'i': i,
+                    'e': e.v[i+1] - (m.mins[i+1] +
+                         floor(CASE WHEN m.rngs[i+1] = 0.0 THEN 0.0
+                               ELSE (e.v[i+1] - m.mins[i+1]) / m.rngs[i+1]
+                                    * 255.0 END + 0.5)
+                         * m.rngs[i+1] / 255.0)}})) AS x
+                FROM {_EMB_D} e CROSS JOIN mml m)
+            )
+            SELECT dim::INT AS dim, round(avg(e * e), 6) AS mse,
+                   round(max(abs(e)), 6) AS max_err
+            FROM err GROUP BY 1
         """,
         "interarrival": """
             WITH g AS (

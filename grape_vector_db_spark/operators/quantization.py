@@ -307,3 +307,47 @@ def sq_dim_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq_dim_error_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Per-dimension SQ8 reconstruction-error report: (dim, mse, max_err)
+    of dequantize(quantize(x)) vs x — the codec-quality readout that
+    decides whether 8-bit storage is acceptable for a corpus before
+    rewriting it. Theoretical bound per dim is (range/255)^2/12 (uniform
+    quantization noise); a dim far above it means outliers are stretching
+    the range and per-dim trimming is warranted.
+
+    Scale shape: encode and decode are one narrow expression over
+    broadcast per-dim bounds; the error aggregate is a dim-keyed
+    posexplode + map-side-combined groupBy (dims x partitions partials).
+    """
+    mins, rngs = bounds if bounds is not None else sq_dim_train(df, vec_col)
+    mins_l = F.array(*[F.lit(float(m)) for m in mins])
+    rngs_l = F.array(*[F.lit(float(r)) for r in rngs])
+    v = F.col(vec_col).cast("array<double>")
+    # reconstruct: min_i + code_i * rng_i / 255 with the same half-up code
+    recon = F.expr(
+        "transform(sequence(0, size(_v) - 1), i -> _mn[i] + "
+        "floor(CASE WHEN _rg[i] = 0.0 THEN 0.0 "
+        "ELSE (_v[i] - _mn[i]) / _rg[i] * 255.0 END + 0.5) "
+        "* _rg[i] / 255.0)"
+    )
+    errs = (
+        df.select(
+            v.alias("_v"), mins_l.alias("_mn"), rngs_l.alias("_rg")
+        )
+        .select(
+            F.posexplode(
+                F.zip_with(F.col("_v"), recon, lambda a, b: a - b)
+            ).alias("dim", "e")
+        )
+    )
+    return errs.groupBy("dim").agg(
+        F.round(F.avg(F.col("e") * F.col("e")), 6).alias("mse"),
+        F.round(F.max(F.abs(F.col("e"))), 6).alias("max_err"),
+    )

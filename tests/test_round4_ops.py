@@ -804,3 +804,22 @@ class TestPartitioningInvariance:
             assert results["3"] == results["17"]
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+class TestSqErrorReport:
+    def test_error_within_quantization_bound(self, spark, emb):
+        from grape_vector_db_spark.operators.quantization import (
+            sq_dim_error_report,
+            sq_dim_train,
+        )
+
+        mins, rngs = sq_dim_train(emb)
+        rows = {r["dim"]: r for r in sq_dim_error_report(emb, bounds=(mins, rngs)).collect()}
+        assert len(rows) == len(mins)
+        for d, r in rows.items():
+            # half-up rounding keeps every error within half a step;
+            # reported values are 6-dp rounded, so allow that half-ulp
+            step = rngs[d] / 255.0
+            assert r["max_err"] <= step / 2 + 5e-7
+            # and MSE near the uniform-noise bound step^2/12 (allow 3x)
+            assert r["mse"] <= step * step / 4 + 5e-7
