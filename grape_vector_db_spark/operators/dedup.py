@@ -85,9 +85,11 @@ def _shingle_candidates(
     sh = (
         shingles_df
         if shingles_df is not None
-        # localCheckpoint (not persist): both consumers (sizes, the
-        # self-join) read it once and storage releases with the result
-        else shingles(df, n, id_col, text_col).localCheckpoint(eager=True)
+        # LAZY persist, deliberately (see sparse.bm25_search_weighted):
+        # checkpointing would run jobs at plan-construction time and cut
+        # lineage; callers making repeated calls should build the
+        # shingle table once and pass ``shingles_df``
+        else shingles(df, n, id_col, text_col).persist()
     )
     if max_shingle_df is not None:
         hot = (

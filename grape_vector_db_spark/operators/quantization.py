@@ -236,6 +236,17 @@ def sq_dim_train(
     return mins, rngs
 
 
+# shared per-dim SQ8 code expression over columns _v/_mn/_rg (1-based i):
+# the single source of truth for the codec's half-up rounding rule —
+# sq_dim_quantize encodes with it and sq_dim_error_report measures it,
+# so a rounding-rule change cannot silently diverge the two
+_SQ_DIM_CODE = (
+    "floor(CASE WHEN element_at(_rg, i) = 0 THEN 0.0 "
+    "ELSE (element_at(_v, i) - element_at(_mn, i)) / element_at(_rg, i)"
+    " * 255.0 END + 0.5D)"
+)
+
+
 def sq_dim_quantize(
     df: DataFrame,
     mins: list[float],
@@ -251,10 +262,7 @@ def sq_dim_quantize(
     mins_l = F.array(*[F.lit(m) for m in mins])
     rngs_l = F.array(*[F.lit(r) for r in rngs])
     codes = F.expr(
-        "transform(sequence(1, size(_v)), i -> int(floor("
-        "CASE WHEN element_at(_rg, i) = 0 THEN 0.0 "
-        "ELSE (element_at(_v, i) - element_at(_mn, i)) / element_at(_rg, i)"
-        " * 255.0 END + 0.5D)))"
+        f"transform(sequence(1, size(_v)), i -> int({_SQ_DIM_CODE}))"
     )
     return df.select(
         F.col(id_col), v.alias("_v"), mins_l.alias("_mn"), rngs_l.alias("_rg")
@@ -329,13 +337,13 @@ def sq_dim_error_report(
     mins, rngs = bounds if bounds is not None else sq_dim_train(df, vec_col)
     mins_l = F.array(*[F.lit(float(m)) for m in mins])
     rngs_l = F.array(*[F.lit(float(r)) for r in rngs])
-    v = F.col(vec_col).cast("array<double>")
-    # reconstruct: min_i + code_i * rng_i / 255 with the same half-up code
+    v = to_double_array(vec_col)
+    # reconstruct min_i + code_i * rng_i / 255 with THE codec's code
+    # expression (shared _SQ_DIM_CODE), so the report always measures
+    # the codec that actually ships
     recon = F.expr(
-        "transform(sequence(0, size(_v) - 1), i -> _mn[i] + "
-        "floor(CASE WHEN _rg[i] = 0.0 THEN 0.0 "
-        "ELSE (_v[i] - _mn[i]) / _rg[i] * 255.0 END + 0.5) "
-        "* _rg[i] / 255.0)"
+        "transform(sequence(1, size(_v)), i -> element_at(_mn, i) + "
+        f"{_SQ_DIM_CODE} * element_at(_rg, i) / 255.0)"
     )
     errs = (
         df.select(

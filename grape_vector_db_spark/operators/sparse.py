@@ -222,12 +222,14 @@ def bm25_search_weighted(
     # materializes to parquet; callers with a warm index pass it via
     # ``terms``.
     if terms is None:
-        # localCheckpoint (not persist): three consumers read it once,
-        # storage releases with the returned plan — repeated API calls
-        # can't accumulate orphaned cached tables
-        terms = doc_terms(documents, id_col, text_col).localCheckpoint(
-            eager=True
-        )
+        # LAZY persist, deliberately: a localCheckpoint here would make
+        # plan construction run jobs and truncate lineage (no recompute
+        # after executor loss on a real cluster). The cost is that
+        # repeated no-warm-index API calls each cache a copy — callers
+        # doing that should build doc_terms once and pass ``terms``
+        # (every registry/bench path does; this fallback is the
+        # one-off-call convenience).
+        terms = doc_terms(documents, id_col, text_col).persist()
 
     # Postings for QUERY terms only — a literal isin predicate the scan
     # absorbs, so document frequencies aggregate a few posting lists, not
