@@ -363,3 +363,47 @@ def test_phrase_search_matches_python_replica(spark, batch, plen):
         i: c for i, t in enumerate(batch) if (c := py_counts(t)) is not None
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_readability_matches_python_replica(spark, batch):
+    """Flesch components equal an independent Python computation on
+    arbitrary BMP text (empty docs are excluded by the operator)."""
+    import re
+
+    from grape_vector_db_spark.operators.textanalysis import readability
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    for i, t in enumerate(batch):
+        if not t.strip():
+            assert i not in got
+            continue
+        words = re.split(r"\s+", t.strip().lower())
+        sents = [s for s in re.split(r"[.!?]+", t) if s.strip()]
+        sylls = sum(len(re.split(r"[aeiouy]+", w)) - 1 for w in words)
+        r = got[i]
+        assert r["n_words"] == len(words)
+        assert r["n_sentences"] == max(len(sents), 1)
+        assert r["n_syllables"] == sylls
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_duplication_report_matches_python_replica(spark, batch):
+    import re
+    from collections import Counter
+
+    from grape_vector_db_spark.operators.dedup import duplication_report
+
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(batch)],
+        "doc_id long, text string, source string",
+    )
+    r = duplication_report(df).collect()[0]
+    normed = Counter(re.sub(r"\s+", " ", t.strip()) for t in batch)
+    assert r["n_docs"] == len(batch)
+    assert r["n_unique"] == len(normed)
