@@ -4260,19 +4260,37 @@ def _knn_label_vote_sql(k: int = 10, max_anchor: int = 20) -> str:
 
 def _winnow_sql(k: int = 10, w: int = 16) -> str:
     """DuckDB twin of dedup.winnow_fingerprints — both engines hash the
-    same 1-based character k-grams and take 1-based inclusive w-slices."""
-    gram = _h32_sql(f"substr(s, i + 1, {k})", 0)
+    same 1-based character k-grams (polynomial code-point hash, weights
+    from dedup.winnow_gram_powers) and take 1-based inclusive w-slices.
+    ascii() returns the code point of the first character, matching the
+    kernel's utf-32 view; short grams (length m < k) use weights
+    BASE^(m-1)..BASE^0 via the (length(g) - t) 1-based index; the empty
+    gram hashes to 0 (list_sum of [] is NULL -> coalesce)."""
+    from grape_vector_db_spark.operators.dedup import winnow_gram_powers
+
+    pwlist = "[" + ", ".join(str(p) for p in winnow_gram_powers(k)) + "]::BIGINT[]"
+    gram_hash = (
+        "CASE WHEN length(g) = 0 THEN 0 ELSE "
+        "(list_sum(list_transform(range(length(g)), t -> "
+        f"ascii(substr(g, t + 1, 1))::BIGINT * ({pwlist})[length(g) - t]"
+        ")) % 4294967296)::BIGINT END"
+    )
     return rf"""
         WITH nrm AS (
           SELECT doc_id,
                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
           FROM documents
         ),
-        hl AS (
+        grams AS (
           SELECT doc_id,
                  list_transform(range(greatest(length(s) - {k - 1}, 1)),
-                                i -> {gram}) AS hl
+                                i -> substr(s, i + 1, {k})) AS gl
           FROM nrm
+        ),
+        hl AS (
+          SELECT doc_id,
+                 list_transform(gl, g -> {gram_hash}) AS hl
+          FROM grams
         ),
         fps AS (
           SELECT doc_id,

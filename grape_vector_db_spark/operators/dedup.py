@@ -1259,6 +1259,24 @@ def dup_span_coverage(
     )
 
 
+#: Karp-Rabin base for the winnowing k-gram hash. Odd, so the family is
+#: well-mixed mod 2^32; shared with the DuckDB oracle's literal power
+#: list (``__spark_entry__._winnow_sql``).
+WINNOW_HASH_BASE = 1000003
+_WINNOW_MOD = 1 << 32
+
+
+def winnow_gram_powers(k: int, base: int = WINNOW_HASH_BASE) -> list[int]:
+    """``[base^0, ..., base^(k-1)] mod 2^32`` — the per-character weights
+    of the winnowing polynomial k-gram hash, exported so the DuckDB
+    oracle can embed them as literals and reproduce the hash exactly."""
+    out, p = [], 1
+    for _ in range(k):
+        out.append(p)
+        p = (p * base) % _WINNOW_MOD
+    return out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 10,
@@ -1276,26 +1294,81 @@ def winnow_fingerprints(
     (doc_id, fp) pairs — a join on fp yields candidate pairs exactly like
     the MinHash band buckets.
 
-    Scale: ENTIRELY narrow — per-row array expressions, zero shuffles
-    (the terminal distinct is per-doc inside the array). Documents
+    The k-gram hash is a degree-(k-1) polynomial over unicode code
+    points, ``sum(cp[t] * BASE^(m-1-t)) mod 2^32`` (BASE =
+    :data:`WINNOW_HASH_BASE`) — engine-portable like ``h32`` but, unlike
+    md5, computable as a vectorized numpy sliding dot product. The
+    previous Catalyst-lambda form (one interpreted substr+md5 per
+    CHARACTER plus an O(L*w) slice-min) burned ~2.5 ms of CPU per 5 KB
+    doc and was the single slowest bench query (12.3 s at sf0.1); this
+    mapInPandas kernel does the same work in O(L) numpy ops per doc.
+
+    Scale: ENTIRELY narrow — one Arrow-batched map over the corpus, zero
+    shuffles (the terminal distinct is per-doc via np.unique). Documents
     shorter than k or with fewer than w k-grams degrade gracefully to a
     single whole-text window, matching textanalysis.fingerprints'
     min_gram_hash convention.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("s"))
-    hs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("s") - (k - 1), F.lit(1))),
-        lambda i: h32(F.col("s").substr(i, F.lit(k))),
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pw = np.array(winnow_gram_powers(k), dtype=np.uint64)
+    wts = pw[::-1].copy()  # B^(k-1) ... B^0: weight of char t in a k-gram
+    ws_re = re.compile(r"\s+")
+    mod = np.uint64(_WINNOW_MOD)
+    swv = np.lib.stride_tricks.sliding_window_view
+
+    def kernel(batches):
+        for pdf in batches:
+            ids_out: list[str] = []
+            fp_chunks: list[np.ndarray] = []
+            for did, txt in zip(pdf["doc_id"], pdf["s"]):
+                s = ws_re.sub(" ", (txt or "").lower()).strip()
+                # utf-32 view = unicode code points, matching DuckDB's
+                # ascii() / Spark's substr character semantics
+                cp = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                ln = cp.shape[0]
+                if ln == 0:
+                    h = np.zeros(1, dtype=np.uint64)
+                elif ln < k:
+                    # single short gram: weights B^(L-1) ... B^0
+                    h = np.array(
+                        [(cp * pw[ln - 1 :: -1]).sum() % mod], dtype=np.uint64
+                    )
+                else:
+                    # exact in uint64: cp < 2^21, weight < 2^32, k sums
+                    h = (swv(cp, k) @ wts) % mod
+                if h.shape[0] <= w:
+                    fp = h.min(keepdims=True)
+                else:
+                    fp = swv(h, w).min(axis=1)
+                fp = np.unique(fp)
+                ids_out.extend([did] * fp.shape[0])
+                fp_chunks.append(fp)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids_out, dtype=pdf["doc_id"].dtype),
+                        "fp": np.concatenate(fp_chunks).astype(np.int64),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].iloc[:0],
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("s")
     )
-    withh = base.select("doc_id", hs.alias("hl"))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("hl") - (w - 1), F.lit(1))),
-            lambda j: F.array_min(F.slice("hl", j, w)),
-        )
-    )
-    return withh.select("doc_id", F.explode(fps).alias("fp"))
+    id_type = base.schema["doc_id"].dataType.simpleString()
+    return base.mapInPandas(kernel, f"doc_id {id_type}, fp bigint")
 
 
 def trim_duplicate_spans(

@@ -294,8 +294,14 @@ def standardize_embeddings(
     )
     return emb.crossJoin(F.broadcast(row)).select(
         F.col(id_col),
+        # coalesce: sample stddev is NULL on a single row (or one
+        # non-null value per dim); without it the NULL comparison falls
+        # through to the ELSE branch and yields an all-NULL zvec —
+        # degenerate inputs must z-score to 0.0 per the zero-variance
+        # convention
         F.expr(
-            f"transform({vec_col}, (v, i) -> round(CASE WHEN _s[i].std = 0.0 "
+            f"transform({vec_col}, (v, i) -> "
+            f"round(CASE WHEN coalesce(_s[i].std, 0.0D) = 0.0 "
             f"THEN 0.0 ELSE (cast(v AS double) - _s[i].mean) / _s[i].std END, 6))"
         ).alias("zvec"),
     )

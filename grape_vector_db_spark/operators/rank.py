@@ -32,6 +32,7 @@ def global_row_number(
     num_buckets: int | None = None,
     sample_per_bucket: int = 32,
     total_col: str | None = None,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """``df`` plus ``out_col``: the 1-based global row number over the
     total order ``(key_col ASC, *tiebreak_cols ASC)``.
@@ -41,21 +42,39 @@ def global_row_number(
     column — it falls out of the offset computation for free, so callers
     that need N (tier cuts, percentiles) avoid a second count job.
 
-    The FULL input DataFrame is materialized ONCE via an eager
-    localCheckpoint before ranking: the rank inherently makes three
-    passes (bound sample, per-bucket counts, the ranked output), and
-    without the checkpoint each pass re-executes the caller's upstream
-    plan — a 3x recompute of e.g. the quality-score regexes that showed
-    up as a 4.6s query that should cost 1.5s. Two costs callers must
-    know: (1) storage is the WHOLE input width for the GC lifetime of
-    the result — pass a projection of just the key, tiebreaks, and the
-    columns you need ranked, not a raw corpus row; (2) the checkpoint
-    is eager, so merely BUILDING the ranked plan runs a job — don't
-    call this for a branch you may discard.
+    The rank inherently makes three passes over ``df`` (bound sample,
+    per-bucket counts, the ranked output); without materialization each
+    pass re-executes the caller's upstream plan — a 3x recompute of e.g.
+    the quality-score regexes that showed up as a 4.6s query that should
+    cost 1.5s. ``materialize`` picks the strategy:
+
+    - ``"local_checkpoint"`` (default): eager localCheckpoint. Fastest
+      locally, but NON-REPLAYABLE — on a real cluster an executor loss
+      after the checkpoint fails the job instead of recomputing, and
+      building the plan already runs a job. Two costs callers must know:
+      (1) storage is the WHOLE input width for the GC lifetime of the
+      result — pass a projection of just the key, tiebreaks, and the
+      columns you need ranked; (2) the checkpoint is eager, so don't
+      call this for a branch you may discard.
+    - ``"persist"``: MEMORY_AND_DISK persist — lineage is kept, so
+      executor loss recomputes (the cluster-safe choice). The cached
+      blocks are released by Spark's ContextCleaner when the returned
+      DataFrame is garbage-collected, or immediately if the caller keeps
+      and unpersists ``df`` itself.
+    - ``"none"``: fully lazy — correct but 3x recompute of the upstream
+      plan; use when the input is already a cheap table scan.
     """
     from pyspark.sql import Window
 
-    df = df.localCheckpoint(eager=True)
+    if materialize == "local_checkpoint":
+        df = df.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        df = df.persist()
+    elif materialize != "none":
+        raise ValueError(
+            "materialize must be 'local_checkpoint', 'persist', or 'none',"
+            f" got {materialize!r}"
+        )
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

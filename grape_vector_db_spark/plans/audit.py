@@ -28,6 +28,7 @@ class PlanAudit:
     exchanges: int
     single_partition_exchanges: int
     broadcast_exchanges: int
+    reused_exchanges: int
     sort_merge_joins: int
     broadcast_hash_joins: int
     nested_loop_joins: int
@@ -40,7 +41,9 @@ class PlanAudit:
     @property
     def shuffles(self) -> int:
         """Data-moving exchanges (broadcasts excluded — they ship a
-        built table, not a repartition of the stream)."""
+        built table, not a repartition of the stream; ReusedExchange
+        excluded — a reuse reads an already-shuffled output, it moves
+        nothing new)."""
         return self.exchanges - self.broadcast_exchanges
 
 
@@ -62,10 +65,35 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     # join pipelines)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
     parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+    # Classify exchanges by the NODE NAME at the head of each plan line,
+    # not by substring over the whole string: a ReusedExchange node
+    # contains 'Exchange' (and its simpleString repeats the reused
+    # child's description, e.g. '... BroadcastExchange ...'), so naive
+    # p.count() both inflates `exchanges` and misclassifies a reused
+    # broadcast as a data-moving shuffle. AQE wrappers (ShuffleQueryStage,
+    # AQEShuffleRead, BroadcastQueryStage) are deliberately NOT counted —
+    # they re-describe an Exchange node that is itself printed on its own
+    # line in the same plan.
+    node_re = re.compile(r"^[\s:+\-*]*(?:\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
+    fresh_ex = broadcast_ex = reused_ex = single_ex = 0
+    for line in p.splitlines():
+        m = node_re.match(line)
+        if not m:
+            continue
+        name = m.group(1)
+        if name == "ReusedExchange":
+            reused_ex += 1
+        elif name == "BroadcastExchange":
+            broadcast_ex += 1
+        elif name == "Exchange":
+            fresh_ex += 1
+            if "SinglePartition" in line:
+                single_ex += 1
     return PlanAudit(
-        exchanges=p.count("Exchange"),
-        single_partition_exchanges=p.count("Exchange SinglePartition"),
-        broadcast_exchanges=p.count("BroadcastExchange"),
+        exchanges=fresh_ex + broadcast_ex,
+        single_partition_exchanges=single_ex,
+        broadcast_exchanges=broadcast_ex,
+        reused_exchanges=reused_ex,
         sort_merge_joins=p.count("SortMergeJoin"),
         broadcast_hash_joins=p.count("BroadcastHashJoin"),
         nested_loop_joins=p.count("BroadcastNestedLoopJoin"),

@@ -18,18 +18,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_limit_bytes() -> int | None:
+    """The container's memory limit, if one is set. /proc/meminfo reports
+    the HOST's memory even inside a cgroup-limited container (Docker/K8s
+    without lxcfs), so sizing the heap from it alone hands a 16 GB
+    container an -Xmx24g the OOM-killer will enforce. cgroup v2 first,
+    v1 fallback; "max" / the v1 no-limit sentinel mean unlimited."""
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            val = int(raw)
+        except ValueError:
+            continue
+        # v1 reports ~2^63 when unlimited
+        if 0 < val < 1 << 60:
+            return val
+    return None
+
+
 def _default_driver_mem() -> str:
-    """SPARK_GRAFT_DRIVER_MEM if set; else half the host's physical
-    memory, clamped to [4g, 24g] — enough to keep the cached-index bench
-    out of GC thrash on a big box without requesting a heap a small CI
-    container cannot back."""
+    """SPARK_GRAFT_DRIVER_MEM if set; else half the *available* physical
+    memory — min(host MemTotal, cgroup limit) — clamped to [4g, 24g]:
+    enough to keep the cached-index bench out of GC thrash on a big box
+    without requesting a heap a small CI container cannot back."""
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
     try:
         with open("/proc/meminfo") as fh:
-            total_kb = int(fh.readline().split()[1])
-        half_gb = total_kb // (2 * 1024 * 1024)
+            total = int(fh.readline().split()[1]) * 1024
+        limit = _cgroup_limit_bytes()
+        if limit is not None:
+            total = min(total, limit)
+        half_gb = total // (2 * 1024**3)
     except (OSError, ValueError, IndexError):  # non-Linux fallback
         half_gb = 8
     return f"{max(4, min(24, half_gb))}g"
