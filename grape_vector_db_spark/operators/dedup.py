@@ -633,16 +633,48 @@ def embedding_neardup_pairs_gemm(
     return joined.mapInPandas(run, "a long, b long, cosine double")
 
 
+#: Target expected bucket size for auto-sized RP-LSH: n / 2^p ~ 1e4
+#: keeps per-bucket pair work at ~1e8 comparable ops — large enough for
+#: recall, small enough that one bucket never dominates an executor.
+LSH_TARGET_BUCKET = 10_000
+
+#: Auto mode defaults ``bucket_cap`` to 10x the target expected bucket
+#: once the corpus is big enough that a degenerate bucket is plausible.
+LSH_AUTO_CAP_THRESHOLD = 1_000_000
+
+
+def lsh_autosize_planes(
+    n: int,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    min_planes: int = 4,
+    max_planes: int = 30,
+) -> int:
+    """Hyperplanes per RP-LSH table sized to the corpus: the smallest
+    ``p`` with expected bucket size ``n / 2^p <= target_bucket``, floored
+    at ``min_planes`` (recall amplification needs a few planes even on a
+    tiny corpus) and capped at ``max_planes`` (beyond ~2^30 buckets the
+    bucket key itself is the bottleneck). Examples the sizing test pins:
+    1e4 -> 4 (floor), 1e7 -> 10, 1e9 -> 17 — the docstring rule
+    'p >= 17 for 1e9 vectors' is now enforced, not advisory."""
+    import math
+
+    if n <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(n / target_bucket, 1.0)))
+    return max(min_planes, min(max_planes, need))
+
+
 def embedding_neardup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
     pair_chunk: int = 512,
+    known_count: int | None = None,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= threshold among vectors sharing
     ANY random-projection LSH bucket — THE 100 TB embedding-neardup path.
@@ -660,18 +692,28 @@ def embedding_neardup_pairs_lsh(
     ground-truth companions.
 
     Scale guards (both needed at corpus scale — with p planes there are
-    only 2^p buckets per table, so SIZE n_planes TO THE CORPUS:
+    only 2^p buckets per table, so n_planes MUST be sized to the corpus;
     expected bucket size n/2^p should stay ~1e4, e.g. p>=17 for 1e9
     vectors):
 
+    * ``n_planes=None`` (the default) AUTO-SIZES: p =
+      :func:`lsh_autosize_planes` of the corpus count (``known_count``
+      if the caller already has it, else one count job), and
+      ``bucket_cap`` — if also left None — defaults to
+      ``10 * LSH_TARGET_BUCKET`` once the corpus exceeds
+      :data:`LSH_AUTO_CAP_THRESHOLD` rows. Passing an explicit
+      ``n_planes`` pins the bucket semantics exactly (what the DuckDB
+      oracle checks) and applies no implicit cap — the previous unsafe
+      shape (p=4 at 1e9 rows => ~4e15 candidate pairs per table) is now
+      only reachable by writing it out.
     * ``bucket_cap`` mirrors :func:`simhash_pairs`: (tbl, bucket) groups
       holding more than ``bucket_cap`` ids are dropped from candidate
       generation via a broadcast anti-join BEFORE any per-bucket array is
       collected, so a degenerate bucket can never materialize a
       corpus-sized collect_list. Costs one extra count aggregation over
       the bucket table (only when set) and may miss pairs whose every
-      shared bucket is hot. Default None = exact bucket semantics (what
-      the DuckDB oracle checks); set it (e.g. 10_000) for 100 TB runs.
+      shared bucket is hot. None + explicit n_planes = exact bucket
+      semantics; set it (e.g. 10_000) for 100 TB runs.
     * Pair generation is CHUNKED: the sorted per-bucket id array is cut
       into ``pair_chunk``-sized slices and (chunk_i, chunk_j) index pairs
       explode to one row each, so no single row ever materializes more
@@ -683,6 +725,11 @@ def embedding_neardup_pairs_lsh(
     """
     from . import ann
 
+    if n_planes is None:
+        n = known_count if known_count is not None else emb.count()
+        n_planes = lsh_autosize_planes(n)
+        if bucket_cap is None and n > LSH_AUTO_CAP_THRESHOLD:
+            bucket_cap = 10 * LSH_TARGET_BUCKET
     buckets = ann.random_projection_tables(
         emb, n_planes=n_planes, n_tables=n_tables, seed=seed,
         id_col=id_col, vec_col=vec_col,

@@ -228,6 +228,37 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
     assert all(exact.get(k) == v for k, v in lsh.items())
 
 
+def test_lsh_autosize_planes_pins():
+    """The sizing rule the embedding_neardup_pairs_lsh docstring states
+    (expected bucket n/2^p ~ 1e4) is enforced, not advisory: p floors at
+    4 on small corpora, 1e7 -> 10, and 1e9 -> 17 — the published
+    'p >= 17 for 1e9 vectors' rule."""
+    assert dedup.lsh_autosize_planes(10_000) == 4
+    assert dedup.lsh_autosize_planes(10_000_000) == 10
+    assert dedup.lsh_autosize_planes(1_000_000_000) == 17
+    assert dedup.lsh_autosize_planes(0) == 4
+    # cap: absurd n never asks for more than 30 planes
+    assert dedup.lsh_autosize_planes(10**18) == 30
+
+
+def test_embedding_neardup_lsh_autosizes_from_known_count(spark, emb):
+    """n_planes=None derives p from the corpus (known_count skips the
+    count job) and still returns a subset of the exact pairs; beyond the
+    auto-cap threshold a finite bucket_cap is applied by default."""
+    exact = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.2).collect()
+    }
+    auto = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs_lsh(
+            emb, threshold=0.2, known_count=emb.count()
+        ).collect()
+    }
+    assert 0 < len(auto) <= len(exact)
+    assert all(exact.get(k) == v for k, v in auto.items())
+
+
 def test_simhash_pairs_bucket_cap_bounds_skewed_candidates(spark):
     """500 near-identical docs pile into one (band, key) bucket per band —
     the 100 TB skew shape. With bucket_cap set, the hot buckets are dropped

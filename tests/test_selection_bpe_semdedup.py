@@ -339,6 +339,54 @@ def test_bpe_segment_counts_golden(spark):
     assert (out[2]["n_words"], out[2]["n_subwords"]) == (4, 15)
 
 
+def test_bpe_batched_exact_equals_sequential(spark):
+    """The default exact batching must be bit-identical to the old
+    one-merge-per-scan loop (batch_merges=1) — the batch is a provable
+    prefix of the sequential argmax sequence — while spending strictly
+    fewer pair-count scans on a corpus with disjoint frequent pairs."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta " * 3),
+            (2, "alpha beta gamma omega sigma theta " * 2),
+            (3, "kappa lambda mu nu xi omicron pi rho"),
+        ],
+        "doc_id long, text string",
+    )
+    seq = textanalysis.bpe_train(df, n_merges=12, batch_merges=1)
+    seq_scans = textanalysis._last_bpe_scan_count
+    assert seq_scans == 12
+    batched = textanalysis.bpe_train(df, n_merges=12, batch_merges=8)
+    assert batched == seq
+    assert textanalysis._last_bpe_scan_count < seq_scans
+
+
+def test_bpe_greedy_batches_bound_scan_count(spark):
+    """greedy=True fills whole batches (the approximate distributed-BPE
+    mode for big vocabularies): 24 merges in at most a handful of scans,
+    every merge structurally valid and deterministic."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 4),
+            (2, "pack my box with five dozen liquor jugs " * 3),
+            (3, "sphinx of black quartz judge my vow " * 3),
+            (4, "how vexingly quick daft zebras jump " * 2),
+        ],
+        "doc_id long, text string",
+    )
+    merges = textanalysis.bpe_train(
+        df, n_merges=24, batch_merges=12, greedy=True
+    )
+    assert len(merges) == 24
+    assert [m[0] for m in merges] == list(range(24))
+    # 24 merges at up to 12 per scan: far fewer scans than merges
+    assert textanalysis._last_bpe_scan_count <= 6
+    # deterministic: retraining reproduces the list exactly
+    again = textanalysis.bpe_train(
+        df, n_merges=24, batch_merges=12, greedy=True
+    )
+    assert again == merges
+
+
 def test_bpe_merge_leftmost_first(spark):
     # "aaa": merge (a,a) applies leftmost-first non-overlapping -> [aa, a]
     df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
