@@ -269,15 +269,24 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
+    signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a, b) with a < b from the banded
     MinHash buckets — the UNVERIFIED stage of :func:`minhash_lsh_pairs`,
     exposed so candidate quality (precision/recall vs exact Jaccard)
-    can be measured directly."""
+    can be measured directly. ``signatures_df`` (a cached
+    :func:`minhash_signatures` output with matching num_hashes) skips
+    the signature build — the signature table is an ingest-maintained
+    index exactly like doc_terms, so report/serving queries should
+    thread the shared copy instead of re-aggregating the corpus."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, shingles_df)
+    sigs = (
+        signatures_df
+        if signatures_df is not None
+        else minhash_signatures(df, num_hashes, n, id_col, text_col, shingles_df)
+    )
     bandrows = sigs.select(
         "doc_id",
         F.explode(
@@ -312,6 +321,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
+    signatures_df: DataFrame | None = None,
+    candidates_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified by exact
     n-gram Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold.
@@ -319,9 +330,18 @@ def minhash_lsh_pairs(
     rows-per-band R = num_hashes/bands; a pair collides iff some band's R
     hashes all match — P(collide) = 1-(1-j^R)^B, the standard S-curve.
     Shuffles: shingle-agg, band-bucket join, verification join.
+    ``shingles_df``/``signatures_df``/``candidates_df`` thread the
+    ingest-maintained index tables (and a cached candidate set from
+    :func:`minhash_lsh_candidates`) so chained report queries reuse one
+    scan each.
     """
-    cand = minhash_lsh_candidates(
-        df, num_hashes, bands, n, id_col, text_col, shingles_df
+    cand = (
+        candidates_df
+        if candidates_df is not None
+        else minhash_lsh_candidates(
+            df, num_hashes, bands, n, id_col, text_col, shingles_df,
+            signatures_df,
+        )
     )
     # Verify candidates with exact Jaccard over shingle sets.
     sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)

@@ -57,17 +57,22 @@ def decode_image(data: bytes):
         return _decode_pnm(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
-    try:  # pragma: no cover - exercised only where Pillow exists
+    try:
         import io
 
-        from PIL import Image
-
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        from PIL import Image, UnidentifiedImageError
     except ImportError:
         raise NotImplementedError(
             "compressed image formats require Pillow; only PPM/PGM/BMP "
             "decode without it (Pillow is not in this container)"
         ) from None
+    try:  # pragma: no cover - exercised only where Pillow exists
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except UnidentifiedImageError as e:
+        # distinct from the no-library case: the codec stack IS present,
+        # the bytes are just not an image — a data error, not a capability
+        # gap, so corrupt-blob handling (filter/quarantine) can key on it
+        raise ValueError(f"undecodable image blob: {e}") from e
 
 
 def _decode_pnm(data: bytes):

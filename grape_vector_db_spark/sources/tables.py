@@ -90,6 +90,116 @@ def delete_where(df: DataFrame, predicate: str) -> DataFrame:
     return df.where(f"NOT ({predicate})")
 
 
+# -- optional Delta Lake table format ----------------------------------------
+#
+# The versioned-parquet swap below is atomic but rewrites the WHOLE table
+# per merge — O(corpus) per micro-batch, which at 100 TB is the wrong
+# shape. Delta's MERGE/DELETE rewrite only the touched files and give
+# multi-writer commits, mapping the reference's sled transactions
+# (src/advanced_storage.rs:177-191) to a lakehouse log. delta-spark is not
+# in this container, so the format is a FLAG: parquet stays the default
+# (byte-identical behavior), fmt="delta" routes through the native
+# operations and raises a clear NotImplementedError where the package is
+# absent. A Delta session also needs the extension configs — see
+# delta_session_builder_configs().
+
+
+def delta_available() -> bool:
+    """True iff the delta-spark python package is importable (the JVM jars
+    ride along with the pip package via configure_spark_with_delta_pip)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def delta_session_builder_configs() -> dict[str, str]:
+    """The two session configs a Delta-capable SparkSession needs; apply
+    them in get_spark (or spark-submit --conf) before first use."""
+    return {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        ),
+    }
+
+
+def _require_delta():
+    if not delta_available():
+        raise NotImplementedError(
+            "fmt='delta' requires the delta-spark package (not in this "
+            "container); parquet mode is the default and fully supported"
+        )
+    from delta.tables import DeltaTable
+
+    return DeltaTable
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    id_col: str = "id",
+    fmt: str = "parquet",
+    keep: int = 2,
+) -> None:
+    """Table-level MERGE (S7): update wins per id, null update fields
+    preserve the existing value — identical semantics in both formats.
+
+    fmt="parquet": read + :func:`merge_upsert` + :func:`publish_table`
+    (atomic versioned swap; O(table) rewrite per call). fmt="delta":
+    native ``MERGE INTO`` — only files containing matched ids rewrite,
+    the scale shape for frequent small merges."""
+    if fmt == "parquet":
+        if table_exists(spark, path):
+            merged = merge_upsert(read_table(spark, path), updates, id_col=id_col)
+        else:
+            merged = updates
+        publish_table(spark, path, merged, keep=keep)
+        return
+    if fmt != "delta":
+        raise ValueError(f"fmt must be 'parquet' or 'delta', got {fmt!r}")
+    DeltaTable = _require_delta()
+    if not DeltaTable.isDeltaTable(spark, path):
+        updates.write.format("delta").mode("overwrite").save(path)
+        return
+    dt = DeltaTable.forPath(spark, path)
+    cols = dt.toDF().columns
+    (
+        dt.alias("t")
+        .merge(updates.alias("s"), f"t.`{id_col}` = s.`{id_col}`")
+        .whenMatchedUpdate(
+            set={
+                c: F.coalesce(F.col(f"s.`{c}`"), F.col(f"t.`{c}`"))
+                for c in cols
+            }
+        )
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def delete_table_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    fmt: str = "parquet",
+    keep: int = 2,
+) -> None:
+    """Table-level DELETE WHERE (S8/S9). parquet: complement-filter +
+    versioned swap; delta: native file-pruning DELETE."""
+    if fmt == "parquet":
+        publish_table(
+            spark, path, delete_where(read_table(spark, path), predicate), keep=keep
+        )
+        return
+    if fmt != "delta":
+        raise ValueError(f"fmt must be 'parquet' or 'delta', got {fmt!r}")
+    DeltaTable = _require_delta()
+    DeltaTable.forPath(spark, path).delete(predicate)
+
+
 def exists(df: DataFrame, id_value, id_col: str = "id") -> bool:
     return df.where(F.col(id_col) == id_value).limit(1).count() > 0
 

@@ -23,13 +23,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.tables import merge_upsert, publish_table, read_table, table_exists
+from ..sources.tables import (
+    merge_upsert,
+    publish_table,
+    read_table,
+    table_exists,
+    upsert_table,
+)
 
 
-def _merge_publish(spark, table_path: str, batch: DataFrame, id_col: str) -> None:
-    """MERGE ``batch`` into the versioned table at ``table_path``.
+def _merge_publish(
+    spark, table_path: str, batch: DataFrame, id_col: str, fmt: str = "parquet"
+) -> None:
+    """MERGE ``batch`` into the table at ``table_path``.
 
-    The batch-only fallback is gated on an EXPLICIT existence probe, not a
+    parquet mode publishes a versioned swap; fmt="delta" issues a native
+    MERGE (only touched files rewrite — the scale shape; requires
+    delta-spark). In parquet mode the batch-only fallback inside
+    upsert_table is gated on an EXPLICIT existence probe, not a
     try/except around the read: a blanket except would also swallow
     transient filesystem/listing errors (table_versions does live FS
     calls) and publish a version containing only the batch rows — two
@@ -37,11 +48,7 @@ def _merge_publish(spark, table_path: str, batch: DataFrame, id_col: str) -> Non
     With the probe, any error during read/merge propagates and fails the
     micro-batch, which the stream retries from the checkpoint.
     """
-    if table_exists(spark, table_path):
-        merged = merge_upsert(read_table(spark, table_path), batch, id_col=id_col)
-    else:  # first batch — nothing to merge into
-        merged = batch
-    publish_table(spark, table_path, merged)
+    upsert_table(spark, table_path, batch, id_col=id_col, fmt=fmt)
 
 
 def stream_upsert_to_parquet(
@@ -50,13 +57,15 @@ def stream_upsert_to_parquet(
     id_col: str = "doc_id",
     checkpoint: str | None = None,
     trigger_once: bool = True,
+    fmt: str = "parquet",
 ):
     """writeStream.foreachBatch MERGE of a streaming micro-batch into a
-    parquet table (swap-on-write). Returns the StreamingQuery."""
+    parquet table (swap-on-write) or, with fmt="delta", a Delta table
+    (transactional MERGE). Returns the StreamingQuery."""
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        _merge_publish(spark, table_path, batch, id_col)
+        _merge_publish(spark, table_path, batch, id_col, fmt=fmt)
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:

@@ -152,13 +152,49 @@ def test_decode_bmp_32bpp_and_row_padding():
     assert decode_image(_bmp_bytes(px, bpp=32))[0, 0].tolist() == [9, 8, 7]
 
 
-def test_decode_unknown_format_raises():
+def test_decode_compressed_format_routes_through_hook():
+    """The compressed-codec hook, exercised in BOTH environments: without
+    Pillow a PNG-magic blob raises NotImplementedError (capability gap);
+    with Pillow present the same truncated blob raises ValueError (data
+    error) — the two cases corrupt-blob handling must distinguish."""
     import pytest
 
     from grape_vector_db_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    try:
+        import PIL  # noqa: F401
+
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+    expected = ValueError if have_pillow else NotImplementedError
+    with pytest.raises(expected):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_decode_png_with_pillow():
+    """Real compressed decode through the optional Pillow path — skipped
+    gracefully wherever the library is absent (this container), green
+    wherever it lands."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from grape_vector_db_spark.operators.multimodal import decode_image
+
+    img = PIL_Image.new("RGB", (2, 1))
+    img.putpixel((0, 0), (10, 20, 30))
+    img.putpixel((1, 0), (40, 50, 60))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = decode_image(buf.getvalue())
+    assert out.shape == (1, 2, 3)
+    assert np.array_equal(
+        out, np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    )
 
 
 def test_image_features_real_decode(spark):

@@ -37,6 +37,63 @@ def test_merge_upsert_preserves_unset_fields(spark):
     assert out[3]["lang"] == "fr"
 
 
+def test_upsert_table_parquet_mode_versioned_swap(spark, tmpdir):
+    """The fmt='parquet' default of the table-level MERGE must behave
+    exactly like the old merge_upsert+publish_table path: versioned swap,
+    update-wins-per-id, null update fields preserved, first call seeds."""
+    p = f"{tmpdir}/tbl"
+    first = spark.createDataFrame(
+        [(1, "old", "en"), (2, "keep", "de")], "id int, title string, lang string"
+    )
+    tables.upsert_table(spark, p, first)
+    upd = spark.createDataFrame(
+        [(1, "new", None), (3, "fresh", "fr")], "id int, title string, lang string"
+    )
+    tables.upsert_table(spark, p, upd)
+    assert tables.table_versions(spark, p) == [1, 2]
+    out = {r["id"]: r for r in tables.read_table(spark, p).collect()}
+    assert out[1]["title"] == "new" and out[1]["lang"] == "en"
+    assert out[2]["title"] == "keep" and out[3]["lang"] == "fr"
+    tables.delete_table_where(spark, p, "lang = 'de'")
+    assert sorted(
+        r["id"] for r in tables.read_table(spark, p).collect()
+    ) == [1, 3]
+
+
+def test_table_format_delta_mode_gated(spark, tmpdir):
+    """fmt='delta' either works end-to-end (delta-spark present: MERGE
+    preserves unset fields, DELETE prunes) or raises a clear
+    NotImplementedError (this container) — never a silent fallback."""
+    import pytest
+
+    p = f"{tmpdir}/dtbl"
+    df = spark.createDataFrame([(1, "a")], "id int, title string")
+    if not tables.delta_available():
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            tables.upsert_table(spark, p, df, fmt="delta")
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            tables.delete_table_where(spark, p, "id = 1", fmt="delta")
+        return
+    tables.upsert_table(spark, p, df, fmt="delta")  # pragma: no cover
+    upd = spark.createDataFrame([(1, None), (2, "b")], "id int, title string")
+    tables.upsert_table(spark, p, upd, fmt="delta")
+    out = {
+        r["id"]: r
+        for r in spark.read.format("delta").load(p).collect()
+    }
+    assert out[1]["title"] == "a" and out[2]["title"] == "b"
+    tables.delete_table_where(spark, p, "id = 2", fmt="delta")
+    assert spark.read.format("delta").load(p).count() == 1
+
+
+def test_upsert_table_rejects_unknown_format(spark, tmpdir):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="fmt"):
+        tables.upsert_table(spark, f"{tmpdir}/x", df, fmt="iceberg")
+
+
 def test_delete_where(spark, docs):
     remaining = tables.delete_where(docs, "lang = 'en'")
     assert remaining.where("lang = 'en'").count() == 0
