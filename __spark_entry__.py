@@ -540,6 +540,14 @@ BOILER_B = "subscribe to our newsletter now!"
 
 
 def _synth_docs(spark, sf_dir):
+    """Line-decorated corpus variant shared by the curation family (C4 /
+    Gopher / boilerplate / paragraph-dedup queries). The per-line md5
+    decoration is an interpreted Catalyst lambda — cheap once, wasteful
+    six times — so the derived table persists like the other
+    ingest-built tables (one consumer pays, the family reads the cache)."""
+    key = ("synth_docs", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
     docs = _docs(spark, sf_dir)
     d = docs.select(
         "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
@@ -560,13 +568,14 @@ def _synth_docs(spark, sf_dir):
             .otherwise(F.concat(line, F.lit(" javascript required.")))
         )
 
-    return d.select(
+    _CACHE[key] = d.select(
         "doc_id",
         "source",
         F.array_join(
             F.transform(F.sequence(F.lit(0), n_lines - 1), decorate), "\n"
         ).alias("text"),
-    )
+    ).persist()
+    return _CACHE[key]
 
 
 def _pii_docs(spark, sf_dir):

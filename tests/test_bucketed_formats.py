@@ -141,6 +141,26 @@ class TestPlanAudit:
         assert c.broadcast_hash_joins == 1
         assert c.broadcast_exchanges >= 1
 
+    def test_reused_exchange_not_counted_as_shuffle(self, spark, docs):
+        """A self-joined aggregate reuses one shuffle: the ReusedExchange
+        node contains the substring 'Exchange' (and repeats its child's
+        description), but it moves no new data — it must count in
+        reused_exchanges, not inflate shuffles."""
+        from grape_vector_db_spark.plans.audit import audit_plan, plan_string
+
+        agg = docs.groupBy("source").agg(F.count("*").alias("n"))
+        joined = agg.alias("x").join(
+            agg.alias("y"), F.col("x.source") == F.col("y.source")
+        )
+        p = plan_string(joined)
+        a = audit_plan(joined)
+        if "ReusedExchange" in p:
+            assert a.reused_exchanges >= 1
+            # naive substring counting would report one more shuffle per
+            # reuse; node-name classification keeps them apart
+            assert a.shuffles + a.reused_exchanges <= p.count("Exchange")
+            assert a.shuffles < p.count("Exchange") - a.broadcast_exchanges
+
     def test_pushed_filter_flag(self, spark):
         from grape_vector_db_spark.plans.audit import audit_plan
 

@@ -26,6 +26,32 @@ def test_global_row_number_matches_plain_window(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("materialize", ["local_checkpoint", "persist", "none"])
+def test_global_row_number_materialize_modes_agree(spark, materialize):
+    """All three materialization strategies produce the identical exact
+    rank — 'persist' keeps lineage for executor-loss recompute on
+    clusters, 'none' stays fully lazy, 'local_checkpoint' is the fast
+    local default."""
+    df = spark.createDataFrame(
+        [(float(i % 7), i) for i in range(200)], "k double, id long"
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in rank.global_row_number(
+            df, "k", ["id"], num_buckets=4, materialize=materialize
+        ).collect()
+    }
+    assert sorted(got.values()) == list(range(1, 201))
+    # k=0 smallest id ranks first; the largest k=6 id (195) ranks last
+    assert got[0] == 1 and got[195] == 200
+
+
+def test_global_row_number_rejects_unknown_materialize(spark):
+    df = spark.createDataFrame([(1.0, 1)], "k double, id long")
+    with pytest.raises(ValueError, match="materialize"):
+        rank.global_row_number(df, "k", ["id"], materialize="eager")
+
+
 def test_global_row_number_total_col_and_no_single_partition(spark):
     df = spark.createDataFrame([(float(i), i) for i in range(100)], "k double, id long")
     out = rank.global_row_number(df, "k", ["id"], total_col="n")

@@ -231,6 +231,17 @@ class TestStandardizeEmbeddings:
         assert abs(out[2][0] - 0.707107) < 1e-5
         assert out[1][1] == 0.0 and out[2][1] == 0.0
 
+    def test_single_row_zscores_to_zero(self, spark):
+        """Sample stddev is NULL on one row; the zero-variance convention
+        (z = 0.0) must apply, not NULL propagation into the whole zvec."""
+        from grape_vector_db_spark.operators.evaluation import (
+            standardize_embeddings,
+        )
+
+        df = spark.createDataFrame([(1, [2.0, -3.0])], ["vec_id", "embedding"])
+        [row] = standardize_embeddings(df).collect()
+        assert row["zvec"] == [0.0, 0.0]
+
     def test_result_is_standardized(self, spark, emb):
         from grape_vector_db_spark.operators.evaluation import (
             embedding_dim_stats,
