@@ -506,6 +506,35 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Daily-delta dedup: docs with doc_id % 10 == 0 play the incoming
+    batch, the rest the standing corpus. The corpus side reads ONLY the
+    ingest-maintained shingle + signature index tables (filtered by
+    membership — both are per-doc, so the cached full-corpus tables
+    restrict exactly); the batch side is computed fresh, delta-sized."""
+    is_batch = F.col("doc_id") % 10 == 0
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_neardup_pairs(
+        docs.where(is_batch),
+        threshold=0.2,
+        corpus_shingles_df=_shingles(spark, sf_dir).where(~is_batch),
+        corpus_signatures_df=_sigs(spark, sf_dir).where(~is_batch),
+    )
+
+
+def q_incremental_admission(spark, sf_dir):
+    """The admission gate in front of the daily append: per batch doc,
+    how many corpus near-dups it has and whether it may enter."""
+    is_batch = F.col("doc_id") % 10 == 0
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_admission(
+        docs.where(is_batch),
+        threshold=0.2,
+        corpus_shingles_df=_shingles(spark, sf_dir).where(~is_batch),
+        corpus_signatures_df=_sigs(spark, sf_dir).where(~is_batch),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textanalysis.language_id(_docs(spark, sf_dir))
 
@@ -2916,6 +2945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
+        "incremental_neardup": q_incremental_neardup,
+        "incremental_admission": q_incremental_admission,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -3261,9 +3292,9 @@ def _minhash_sig_cte(num_hashes: int) -> str:
     return f"sigs AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)"
 
 
-# banded MinHash bucket + candidate CTEs (16 hashes / 4 bands) — shared by
-# the dedup_minhash and dedup_clusters oracles
-_MINHASH_BANDS_CTE = """
+# banded MinHash bucket CTE (16 hashes / 4 bands) — shared by the
+# dedup_minhash / dedup_clusters / incremental oracles
+_MINHASH_BANDROWS_CTE = """
 bands AS (
   SELECT doc_id, b.band,
          CASE b.band
@@ -3273,11 +3304,25 @@ bands AS (
            ELSE h12::VARCHAR || ',' || h13::VARCHAR || ',' || h14::VARCHAR || ',' || h15::VARCHAR
          END AS bucket
   FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
-),
+)
+"""
+
+_MINHASH_BANDS_CTE = _MINHASH_BANDROWS_CTE.strip() + """,
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+"""
+
+# batch = doc_id % 10 == 0 probing the remaining corpus: same bands, the
+# candidate join crosses the membership split instead of ordering ids
+_MINHASH_INCR_CAND_CTE = _MINHASH_BANDROWS_CTE.strip() + """,
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
 )
 """
 
@@ -4858,6 +4903,61 @@ def oracle_sql() -> dict[str, str]:
             {_minhash_sig_cte(16)},
             {_MINHASH_BANDS_CTE},
             {_jaccard_tail_sql(0.2, "SELECT a, b FROM cand")}
+        """,
+        "incremental_neardup": f"""
+            WITH {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_INCR_CAND_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            )
+            SELECT i.a AS batch_id, i.b AS corpus_id,
+                   round(i.n_common::DOUBLE
+                         / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.a
+            JOIN sizes zb ON zb.doc_id = i.b
+            WHERE round(i.n_common::DOUBLE
+                        / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+        """,
+        "incremental_admission": f"""
+            WITH {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_INCR_CAND_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a,
+                     round(i.n_common::DOUBLE
+                           / (za.n_sh + zb.n_sh - i.n_common), 6) AS jaccard
+              FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            agg AS (
+              SELECT a, count(*)::INT AS n_dups,
+                     round(max(jaccard), 6) AS max_jaccard
+              FROM pairs GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(g.n_dups, 0)::INT AS n_dups,
+                   coalesce(g.max_jaccard, 0.0)::DOUBLE AS max_jaccard,
+                   coalesce(g.n_dups, 0) = 0 AS admit
+            FROM documents d LEFT JOIN agg g ON g.a = d.doc_id
+            WHERE d.doc_id % 10 = 0
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE},

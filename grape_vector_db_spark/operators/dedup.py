@@ -281,13 +281,33 @@ def minhash_lsh_candidates(
     thread the shared copy instead of re-aggregating the corpus."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
     sigs = (
         signatures_df
         if signatures_df is not None
         else minhash_signatures(df, num_hashes, n, id_col, text_col, shingles_df)
     )
-    bandrows = sigs.select(
+    bandrows = minhash_band_rows(sigs, num_hashes, bands)
+    return (
+        bandrows.alias("x")
+        .join(bandrows.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_band_rows(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band, bucket) rows from a :func:`minhash_signatures`
+    table: bucket = the comma-joined signature slice of the band. Narrow
+    (one explode per doc); at corpus scale persist this AS the LSH index
+    table, bucketed by (band, bucket), so candidate probes are
+    co-located joins."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -303,13 +323,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    return (
-        bandrows.alias("x")
-        .join(bandrows.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
 
 
 def minhash_lsh_pairs(
@@ -365,6 +378,135 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_neardup_pairs(
+    batch_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_shingles_df: DataFrame | None = None,
+    corpus_signatures_df: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dups of a NEW batch against the EXISTING corpus — the daily
+    operation of a 100 TB pipeline: never re-dedup the corpus, probe the
+    ingest-maintained index with the day's delta. Returns
+    ``(batch_id, corpus_id, jaccard)`` with exact n-gram Jaccard >=
+    ``threshold``, candidate-filtered by the same banded MinHash scheme
+    as :func:`minhash_lsh_pairs` (identical S-curve, identical hashes —
+    a batch/corpus pair surfaces here iff the batched run over the union
+    would surface it).
+
+    Scale shape: the batch side is delta-sized, so every stage is
+    "probe the index": batch shingles/signatures are computed fresh
+    (narrow over the delta); the corpus side MUST be threaded via
+    ``corpus_shingles_df``/``corpus_signatures_df`` (the persisted index
+    tables — with them ``corpus_df`` itself is never read). The band
+    join hits the corpus band table on (band, bucket) — bucketed, this
+    is a co-located probe; the Jaccard verify touches only the
+    candidate corpus docs' shingle rows (the join key restricts the
+    scan). Batch docs identical to a corpus doc id will self-match with
+    jaccard 1.0 — dedup the batch internally first.
+    """
+    if corpus_df is None and (
+        corpus_shingles_df is None or corpus_signatures_df is None
+    ):
+        raise ValueError(
+            "pass corpus_df or BOTH corpus_shingles_df and corpus_signatures_df"
+        )
+    bsh = shingles(batch_df, n, id_col, text_col)
+    bsig = minhash_signatures(
+        batch_df, num_hashes, n, id_col, text_col, shingles_df=bsh
+    )
+    csh = (
+        corpus_shingles_df
+        if corpus_shingles_df is not None
+        else shingles(corpus_df, n, id_col, text_col)
+    )
+    csig = (
+        corpus_signatures_df
+        if corpus_signatures_df is not None
+        else minhash_signatures(
+            corpus_df, num_hashes, n, id_col, text_col, shingles_df=csh
+        )
+    )
+    cand = (
+        minhash_band_rows(bsig, num_hashes, bands)
+        .alias("x")
+        .join(minhash_band_rows(csig, num_hashes, bands).alias("y"),
+              ["band", "bucket"])
+        .select(
+            F.col("x.doc_id").alias("batch_id"),
+            F.col("y.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    bsizes = bsh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    csizes = csh.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    inter = (
+        cand.join(bsh.selectExpr("doc_id as batch_id", "shingle"), "batch_id")
+        .join(
+            csh.selectExpr("doc_id as corpus_id", "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(bsizes.selectExpr("doc_id as batch_id", "nb"), "batch_id")
+        .join(csizes.selectExpr("doc_id as corpus_id", "nc"), "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("nb") + F.col("nc") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_admission(
+    batch_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_shingles_df: DataFrame | None = None,
+    corpus_signatures_df: DataFrame | None = None,
+) -> DataFrame:
+    """Admission verdict per batch document: ``(doc_id, n_dups,
+    max_jaccard, admit)`` — admit iff the doc has NO corpus near-dup at
+    ``threshold`` (the gate in front of :func:`incremental_neardup_pairs`
+    a pipeline applies before appending the day's delta). max_jaccard is
+    0.0 for clean docs so the column is total and sortable."""
+    pairs = incremental_neardup_pairs(
+        batch_df, corpus_df, num_hashes, bands, n, threshold,
+        id_col, text_col, corpus_shingles_df, corpus_signatures_df,
+    )
+    per_doc = pairs.groupBy("batch_id").agg(
+        F.count("*").alias("n_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        batch_df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.withColumnRenamed("batch_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
+            F.round(F.coalesce("max_jaccard", F.lit(0.0)), 6).alias("max_jaccard"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("admit"),
+        )
     )
 
 

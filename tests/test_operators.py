@@ -228,6 +228,59 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
     assert all(exact.get(k) == v for k, v in lsh.items())
 
 
+def test_incremental_neardup_probes_corpus_index(spark):
+    """A batch doc near-identical to a corpus doc is caught by probing
+    the corpus's shingle+signature index; a novel doc is admitted. The
+    pair set must equal the batched union run restricted to
+    batch-x-corpus pairs (same hashes, same S-curve)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text about databases and spark")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, base + " extra"), (102, "novel fresh content nothing shares this")],
+        "doc_id long, text string",
+    )
+    csh = dedup.shingles(corpus, 3)
+    csig = dedup.minhash_signatures(corpus, 16, 3, shingles_df=csh)
+    pairs = {
+        (r["batch_id"], r["corpus_id"]): r["jaccard"]
+        for r in dedup.incremental_neardup_pairs(
+            batch, threshold=0.2,
+            corpus_shingles_df=csh, corpus_signatures_df=csig,
+        ).collect()
+    }
+    assert (101, 1) in pairs and pairs[(101, 1)] > 0.5
+    assert all(b != 102 for b, _ in pairs)
+    # equivalence with the batched union run
+    union_pairs = {
+        (r["b"], r["a"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            corpus.unionByName(batch), threshold=0.2
+        ).collect()
+        if r["b"] >= 101 and r["a"] < 101
+    }
+    assert pairs == union_pairs
+    verdict = {
+        r["doc_id"]: r
+        for r in dedup.incremental_admission(
+            batch, threshold=0.2,
+            corpus_shingles_df=csh, corpus_signatures_df=csig,
+        ).collect()
+    }
+    assert not verdict[101]["admit"] and verdict[101]["n_dups"] == 1
+    assert verdict[102]["admit"] and verdict[102]["max_jaccard"] == 0.0
+
+
+def test_incremental_neardup_requires_corpus_inputs(spark):
+    import pytest
+
+    batch = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="corpus"):
+        dedup.incremental_neardup_pairs(batch)
+
+
 def test_lsh_autosize_planes_pins():
     """The sizing rule the embedding_neardup_pairs_lsh docstring states
     (expected bucket n/2^p ~ 1e4) is enforced, not advisory: p floors at
