@@ -407,3 +407,71 @@ def test_duplication_report_matches_python_replica(spark, batch):
     normed = Counter(re.sub(r"\s+", " ", t.strip()) for t in batch)
     assert r["n_docs"] == len(batch)
     assert r["n_unique"] == len(normed)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_winnow_kernel_matches_python_replica(spark, batch):
+    """The numpy mapInPandas winnowing kernel vs a direct Python
+    replica of the spec: normalize, polynomial k-gram hash over code
+    points (weights winnow_gram_powers), window minima, distinct.
+    Arbitrary BMP text exercises the utf-32 code-point path, empty and
+    shorter-than-k docs the degenerate single-window branches."""
+    import re
+
+    from grape_vector_db_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_gram_powers,
+    )
+
+    k, w = 4, 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {i: set() for i in range(len(batch))}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got[r["doc_id"]].add(r["fp"])
+    pw = winnow_gram_powers(k)
+    for i, t in enumerate(batch):
+        s = re.sub(r"\s+", " ", t.lower()).strip()
+        cps = [ord(c) for c in s]
+        grams = (
+            [cps[j : j + k] for j in range(len(cps) - k + 1)]
+            if len(cps) >= k
+            else [cps]
+        )
+        hs = [
+            sum(c * pw[len(g) - 1 - j] for j, c in enumerate(g)) % (1 << 32)
+            for g in grams
+        ]
+        wins = (
+            [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+            if len(hs) > w
+            else [min(hs)]
+        )
+        assert got[i] == set(wins), (t, got[i], set(wins))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+def test_bpe_batched_always_equals_sequential(spark, batch, n_merges):
+    """The exact-mode batch selection must be bit-identical to
+    one-merge-per-scan training on ARBITRARY corpora — the provable-
+    prefix guards (disjointness stop, merged-symbol recreation stop,
+    strict tie guard) cover every adversarial tie/recreation case the
+    tiny alphabet manufactures."""
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    seq = textanalysis.bpe_train(df, n_merges=n_merges, batch_merges=1)
+    batched = textanalysis.bpe_train(df, n_merges=n_merges, batch_merges=4)
+    assert batched == seq, (batch, n_merges, batched, seq)
