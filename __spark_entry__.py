@@ -535,6 +535,19 @@ def q_incremental_admission(spark, sf_dir):
     )
 
 
+def q_incremental_embedding_neardup(spark, sf_dir):
+    """Embedding-space daily-delta dedup: new vectors (vec_id % 10 == 0)
+    probe the standing corpus's RP-LSH bucket index; candidates verify
+    with exact cosine. Explicit (p=4, L=4, seed=42) pins the oracle's
+    bucket literals, same as embedding_neardup_lsh."""
+    is_batch = F.col("vec_id") % 10 == 0
+    emb = _emb(spark, sf_dir)
+    return dedup.incremental_embedding_neardup(
+        emb.where(is_batch), emb.where(~is_batch),
+        threshold=0.3, n_planes=4, n_tables=4, seed=42,
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textanalysis.language_id(_docs(spark, sf_dir))
 
@@ -2947,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "incremental_neardup": q_incremental_neardup,
         "incremental_admission": q_incremental_admission,
+        "incremental_embedding_neardup": q_incremental_embedding_neardup,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -5099,6 +5113,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN {_EMB_D} ea ON ea.vec_id = c.a
             JOIN {_EMB_D} eb ON eb.vec_id = c.b
+            WHERE round({_cos('ea.v', 'eb.v')}, 6) >= 0.3
+        """,
+        "incremental_embedding_neardup": f"""
+            WITH bk AS ({lsh_tables}),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
+              FROM bk x JOIN bk y
+                ON x.tbl = y.tbl AND x.bucket = y.bucket
+              WHERE x.vec_id % 10 = 0 AND y.vec_id % 10 != 0
+            )
+            SELECT c.batch_id, c.corpus_id,
+                   round({_cos('ea.v', 'eb.v')}, 6) AS cosine
+            FROM cand c
+            JOIN {_EMB_D} ea ON ea.vec_id = c.batch_id
+            JOIN {_EMB_D} eb ON eb.vec_id = c.corpus_id
             WHERE round({_cos('ea.v', 'eb.v')}, 6) >= 0.3
         """,
         "lang_id": _lang_id_sql(),

@@ -958,21 +958,31 @@ def embedding_neardup_pairs_lsh(
         .select("p.a", "p.b")
         .distinct()
     )
-    import numpy as np
-    import pandas as pd
-    from collections.abc import Iterator
-
     v = to_double_array(vec_col)
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     paired = cand.join(
         base.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
     ).join(base.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+    return _arrow_cosine_verify(paired, threshold)
 
-    # Vectorized Arrow verify: OR-amplification multiplies candidates, and
-    # a Catalyst higher-order fold evaluates its lambda per element
-    # (candidates x dim interpreted calls); one numpy einsum per batch does
-    # the same dot products in BLAS time. Sum order differs from the fold
-    # by ~1e-15 — absorbed by the 6-dp round (same note as the GEMM path).
+
+def _arrow_cosine_verify(
+    paired: DataFrame,
+    threshold: float,
+    a_name: str = "a",
+    b_name: str = "b",
+) -> DataFrame:
+    """Vectorized Arrow verify over ``(a_name, b_name, va, vb)`` rows:
+    OR-amplification multiplies candidates, and a Catalyst higher-order
+    fold evaluates its lambda per element (candidates x dim interpreted
+    calls); one numpy einsum per batch does the same dot products in
+    BLAS time. Sum order differs from the fold by ~1e-15 — absorbed by
+    the 6-dp round (same note as the GEMM path). Zero-norm vectors
+    score 0.0 per the engine convention."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -989,13 +999,82 @@ def embedding_neardup_pairs_lsh(
             if m.any():
                 yield pd.DataFrame(
                     {
-                        "a": pdf["a"].to_numpy()[m],
-                        "b": pdf["b"].to_numpy()[m],
+                        a_name: pdf[a_name].to_numpy()[m],
+                        b_name: pdf[b_name].to_numpy()[m],
                         "cosine": cos[m],
                     }
                 )
 
-    return paired.mapInPandas(verify, "a long, b long, cosine double")
+    return paired.mapInPandas(
+        verify, f"{a_name} long, {b_name} long, cosine double"
+    )
+
+
+def incremental_embedding_neardup(
+    batch_emb: DataFrame,
+    corpus_emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_buckets_df: DataFrame | None = None,
+    known_count: int | None = None,
+) -> DataFrame:
+    """Embedding-space twin of :func:`incremental_neardup_pairs`: cosine
+    near-dups of a NEW batch against the EXISTING corpus via the
+    corpus's RP-LSH bucket index. Returns ``(batch_id, corpus_id,
+    cosine)`` with cosine >= ``threshold`` among cross pairs sharing ANY
+    (tbl, bucket) — identical hashes to the batched
+    :func:`embedding_neardup_pairs_lsh` run over the union, restricted
+    to batch-x-corpus pairs.
+
+    Scale shape: the batch bucket rows are delta-sized and probe the
+    corpus bucket table on (tbl, bucket) (thread the PERSISTED index via
+    ``corpus_buckets_df`` — then the corpus is only read to hydrate the
+    candidate ids' vectors for the exact verify, a semi-join-restricted
+    scan). ``n_planes=None`` auto-sizes to the CORPUS count exactly like
+    the batched path."""
+    from . import ann
+
+    if n_planes is None:
+        n = known_count if known_count is not None else corpus_emb.count()
+        n_planes = lsh_autosize_planes(n)
+    cb = (
+        corpus_buckets_df
+        if corpus_buckets_df is not None
+        else ann.random_projection_tables(
+            corpus_emb, n_planes=n_planes, n_tables=n_tables, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    bb = ann.random_projection_tables(
+        batch_emb, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = (
+        bb.selectExpr("id as batch_id", "tbl", "bucket")
+        .join(cb.selectExpr("id as corpus_id", "tbl", "bucket"),
+              ["tbl", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    v = to_double_array(vec_col)
+    paired = cand.join(
+        batch_emb.select(
+            F.col(id_col).alias("batch_id"), v.alias("va")
+        ),
+        "batch_id",
+    ).join(
+        corpus_emb.select(
+            F.col(id_col).alias("corpus_id"), v.alias("vb")
+        ),
+        "corpus_id",
+    )
+    return _arrow_cosine_verify(
+        paired, threshold, a_name="batch_id", b_name="corpus_id"
+    )
 
 
 def embedding_neardup_pairs_fast(

@@ -273,6 +273,35 @@ def test_incremental_neardup_probes_corpus_index(spark):
     assert verdict[102]["admit"] and verdict[102]["max_jaccard"] == 0.0
 
 
+def test_incremental_embedding_neardup_equals_union_cross_pairs(spark, emb):
+    """The batch-vs-corpus embedding probe must equal the batched
+    union LSH run restricted to cross pairs (same planes, same verify),
+    and auto-size planes from the corpus when n_planes is omitted."""
+    is_batch = F.col("vec_id") % 7 == 0
+    batch, corpus = emb.where(is_batch), emb.where(~is_batch)
+    inc = {
+        (r["batch_id"], r["corpus_id"]): r["cosine"]
+        for r in dedup.incremental_embedding_neardup(
+            batch, corpus, threshold=0.2, n_planes=4, n_tables=4
+        ).collect()
+    }
+    assert inc
+    union = {}
+    for r in dedup.embedding_neardup_pairs_lsh(
+        emb, threshold=0.2, n_planes=4, n_tables=4
+    ).collect():
+        a, b = r["a"], r["b"]
+        if a % 7 == 0 and b % 7 != 0:
+            union[(a, b)] = r["cosine"]
+        elif b % 7 == 0 and a % 7 != 0:
+            union[(b, a)] = r["cosine"]
+    assert inc == union
+    auto = dedup.incremental_embedding_neardup(
+        batch, corpus, threshold=0.2, known_count=corpus.count()
+    ).collect()
+    assert len(auto) > 0
+
+
 def test_incremental_neardup_requires_corpus_inputs(spark):
     import pytest
 
