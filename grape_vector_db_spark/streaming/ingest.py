@@ -239,6 +239,105 @@ def stream_dedup_to_parquet(
     return writer.start()
 
 
+def stream_admit_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    shingles_path: str,
+    sigs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """Admission-gated ingestion against a MAINTAINED near-dup index —
+    the streaming composition of :func:`dedup.incremental_admission`:
+    each micro-batch probes the corpus's persisted shingle + MinHash
+    signature tables (never the corpus text), appends only admitted
+    docs, and extends the index with exactly those docs' rows. Unlike
+    :func:`stream_dedup_to_parquet` (shared-shingle containment join
+    against the stored text), the corpus side here is the INDEX — the
+    per-batch cost is the banded probe, independent of corpus text
+    width, which is the shape that holds when the corpus is 100 TB and
+    the index tables are its distilled KBs-per-doc summary.
+
+    Per batch: (1) batch-internal exact dedup (keep the smallest id per
+    md5(text)); (2) admission verdict vs the index (banded MinHash
+    candidates, exact Jaccard >= ``threshold`` kills); (3) upsert the
+    admitted docs; (4) publish the admitted docs' shingle/signature rows
+    into the index tables. All four are versioned swaps on plain
+    parquet (transactional MERGE/append under fmt='delta' — see
+    sources.tables); a mid-batch crash leaves every table at its prior
+    committed version and the stream retries from the checkpoint.
+    """
+    from ..operators.dedup import (
+        incremental_admission,
+        minhash_signatures,
+        shingles,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+            F.col(id_col).asc()
+        )
+        uniq = (
+            batch.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+            .persist()
+        )
+        try:
+            if table_exists(spark, shingles_path):
+                verdict = incremental_admission(
+                    uniq,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    n=n,
+                    threshold=threshold,
+                    id_col=id_col,
+                    text_col=text_col,
+                    corpus_shingles_df=read_table(spark, shingles_path),
+                    corpus_signatures_df=read_table(spark, sigs_path),
+                )
+                keep_ids = verdict.where("admit").select(
+                    F.col("doc_id").alias(id_col)
+                )
+                admitted = uniq.join(F.broadcast(keep_ids), id_col).persist()
+            else:  # first batch — no index yet, everything enters
+                admitted = uniq
+            fresh_sh = shingles(admitted, n, id_col, text_col)
+            fresh_sig = minhash_signatures(
+                admitted, num_hashes, n, id_col, text_col,
+                shingles_df=fresh_sh,
+            )
+            upsert_table(spark, table_path, admitted, id_col=id_col)
+            for path, fresh in ((shingles_path, fresh_sh), (sigs_path, fresh_sig)):
+                if table_exists(spark, path):
+                    publish_table(
+                        spark, path, read_table(spark, path).unionByName(fresh)
+                    )
+                else:
+                    publish_table(spark, path, fresh)
+            if admitted is not uniq:
+                admitted.unpersist()
+        finally:
+            uniq.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_admit).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

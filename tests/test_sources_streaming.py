@@ -285,6 +285,46 @@ def test_stateful_sessionize_stream(spark, tmpdir):
     assert rows == {(1, 0, 30 * M, 2), (2, 0, 0, 1)}
 
 
+def test_stream_admit_to_parquet(spark, tmpdir):
+    """Admission-gated streaming ingest: batch 1 seeds the corpus and its
+    shingle/signature index; batch 2's near-copy of a stored doc is
+    rejected by probing the INDEX (not the corpus text) while its novel
+    doc enters, and the index tables grow by exactly the admitted doc."""
+    from grape_vector_db_spark.streaming.ingest import stream_admit_to_parquet
+
+    src = f"{tmpdir}/incoming"
+    table, sh, sig = f"{tmpdir}/docs", f"{tmpdir}/sh_idx", f"{tmpdir}/sig_idx"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def run_once(ck):
+        q = stream_admit_to_parquet(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            table, sh, sig,
+            threshold=0.2,
+            checkpoint=ck,
+        )
+        q.awaitTermination(60)
+
+    spark.createDataFrame(
+        [(1, base), (2, "totally different corpus text about spark tables")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    run_once(f"{tmpdir}/ck1")
+    assert {r["doc_id"] for r in read_table(spark, table).collect()} == {1, 2}
+    idx_docs = {r["doc_id"] for r in read_table(spark, sig).collect()}
+    assert idx_docs == {1, 2}
+
+    spark.createDataFrame(
+        [(11, base + " extra"), (12, "novel fresh content nothing shares this")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run_once(f"{tmpdir}/ck1")
+    stored = {r["doc_id"] for r in read_table(spark, table).collect()}
+    assert stored == {1, 2, 12}  # 11 rejected as a near-dup of 1
+    idx_docs = {r["doc_id"] for r in read_table(spark, sig).collect()}
+    assert idx_docs == {1, 2, 12}  # index grew by the admitted doc only
+
+
 def test_stream_curate_to_parquet(spark, tmpdir):
     """Streaming curation ingest: PII scrubbed and unkeepable docs dropped
     before the table merge — the stored corpus is born clean."""
