@@ -392,6 +392,7 @@ def incremental_neardup_pairs(
     text_col: str = "text",
     corpus_shingles_df: DataFrame | None = None,
     corpus_signatures_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against the EXISTING corpus — the daily
     operation of a 100 TB pipeline: never re-dedup the corpus, probe the
@@ -412,6 +413,14 @@ def incremental_neardup_pairs(
     candidate corpus docs' shingle rows (the join key restricts the
     scan). Batch docs identical to a corpus doc id will self-match with
     jaccard 1.0 — dedup the batch internally first.
+
+    ``bucket_cap`` mirrors the batched family's skew guard: corpus
+    (band, bucket) groups holding more than ``bucket_cap`` members (a
+    templated-document pileup) are dropped from candidate generation via
+    a broadcast anti-join BEFORE the probe, bounding a single hot bucket
+    to ``bucket_cap`` candidate rows per batch doc. May miss pairs whose
+    every shared bucket is hot; None (default) keeps exact banding
+    semantics — what the oracle checks.
     """
     if corpus_df is None and (
         corpus_shingles_df is None or corpus_signatures_df is None
@@ -435,11 +444,19 @@ def incremental_neardup_pairs(
             corpus_df, num_hashes, n, id_col, text_col, shingles_df=csh
         )
     )
+    cband = minhash_band_rows(csig, num_hashes, bands)
+    if bucket_cap is not None:
+        hot = (
+            cband.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("band", "bucket")
+        )
+        cband = cband.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     cand = (
         minhash_band_rows(bsig, num_hashes, bands)
         .alias("x")
-        .join(minhash_band_rows(csig, num_hashes, bands).alias("y"),
-              ["band", "bucket"])
+        .join(cband.alias("y"), ["band", "bucket"])
         .select(
             F.col("x.doc_id").alias("batch_id"),
             F.col("y.doc_id").alias("corpus_id"),
@@ -484,6 +501,7 @@ def incremental_admission(
     text_col: str = "text",
     corpus_shingles_df: DataFrame | None = None,
     corpus_signatures_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Admission verdict per batch document: ``(doc_id, n_dups,
     max_jaccard, admit)`` — admit iff the doc has NO corpus near-dup at
@@ -493,6 +511,7 @@ def incremental_admission(
     pairs = incremental_neardup_pairs(
         batch_df, corpus_df, num_hashes, bands, n, threshold,
         id_col, text_col, corpus_shingles_df, corpus_signatures_df,
+        bucket_cap,
     )
     per_doc = pairs.groupBy("batch_id").agg(
         F.count("*").alias("n_dups"),
@@ -1035,10 +1054,25 @@ def incremental_embedding_neardup(
     ``corpus_buckets_df`` — then the corpus is only read to hydrate the
     candidate ids' vectors for the exact verify, a semi-join-restricted
     scan). ``n_planes=None`` auto-sizes to the CORPUS count exactly like
-    the batched path."""
+    the batched path — but ONLY when the buckets are computed here:
+    with a prebuilt ``corpus_buckets_df`` the index's plane count must
+    be passed explicitly (auto-sizing against a grown corpus would hash
+    the batch with a different plane family than the index)."""
     from . import ann
 
     if n_planes is None:
+        if corpus_buckets_df is not None:
+            # Auto-sizing hashes the batch with a plane count derived
+            # from TODAY's corpus size — if the prebuilt index was cut
+            # at a different p, the joined buckets come from different
+            # plane families and candidate matches are hash-meaningless
+            # (silently missed/spurious pairs). The index's p is not
+            # recoverable from its rows, so demand it explicitly.
+            raise ValueError(
+                "pass the n_planes the prebuilt corpus_buckets_df was "
+                "built with — auto-sizing cannot know the index's plane "
+                "family"
+            )
         n = known_count if known_count is not None else corpus_emb.count()
         n_planes = lsh_autosize_planes(n)
     cb = (
@@ -1604,7 +1638,11 @@ def winnow_fingerprints(
 
     pw = np.array(winnow_gram_powers(k), dtype=np.uint64)
     wts = pw[::-1].copy()  # B^(k-1) ... B^0: weight of char t in a k-gram
-    ws_re = re.compile(r"\s+")
+    # explicit ASCII class, NOT \s: Python's \s is unicode-aware
+    # (U+00A0, U+2028, ...) while the DuckDB oracle's RE2 \s is exactly
+    # [\t\n\f\r ] — a unicode-whitespace doc would fingerprint
+    # differently per engine; likewise strip(" ") mirrors SQL trim()
+    ws_re = re.compile(r"[\t\n\f\r ]+")
     mod = np.uint64(_WINNOW_MOD)
     swv = np.lib.stride_tricks.sliding_window_view
 
@@ -1613,7 +1651,7 @@ def winnow_fingerprints(
             ids_out: list[str] = []
             fp_chunks: list[np.ndarray] = []
             for did, txt in zip(pdf["doc_id"], pdf["s"]):
-                s = ws_re.sub(" ", (txt or "").lower()).strip()
+                s = ws_re.sub(" ", (txt or "").lower()).strip(" ")
                 # utf-32 view = unicode code points, matching DuckDB's
                 # ascii() / Spark's substr character semantics
                 cp = np.frombuffer(

@@ -573,13 +573,22 @@ def _select_merge_batch(
     2. stop after a pick whose merged string already exists as a symbol
        (``prior_symbols``): only then can a live pair's count INCREASE
        mid-batch (merging (e,r) re-creates (x, er) adjacencies), which
-       would invalidate bound 3;
-    3. tie guard: drop trailing picks not STRICTLY above every scanned
+       would invalidate bound 4;
+    3. stop after a SELF-pair pick (a, a): its merge creates pairs
+       (aa, aa) / (aa, a) whose only old-pair proxy is (a, a) ITSELF —
+       a chosen pair, outside bound 4's non-chosen set — so nothing
+       scanned bounds them (real counterexample: 'aaaaaa' + 'bcbc',
+       where sequential training picks (aa, aa) second via the
+       lexicographic tie but a guard-less batch picks (b, c));
+    4. tie guard: drop trailing picks not STRICTLY above every scanned
        non-chosen pair sharing a symbol with the batch and — when
-       truncated — the K-th count: a merge can create new pairs (x, ab)
-       with count up to the old (x, a) count, and at equal counts the new
-       pair could win the lexicographic tie-break in true sequential
-       order. Worst case the batch degrades to 1 pick = plain argmax.
+       truncated — the K-th count: a merge of (a, b), a != b, can
+       create new pairs (x, ab) / (ab, ab) with count up to the old
+       (x, a) / (b, a) count — always a NON-chosen conflicting pair
+       (chosen pairs are disjoint), so it is in the scanned remainder
+       or under the truncation bound — and at equal counts the new pair
+       could win the lexicographic tie-break in true sequential order.
+       Worst case the batch degrades to 1 pick = plain argmax.
 
     ``greedy=True``: skip conflicting pairs and fill ``m`` disjoint picks
     — the standard batched-BPE approximation (deterministic, but counts
@@ -603,6 +612,8 @@ def _select_merge_batch(
         d.update((a, b))
         if a + b in seen_merged:
             break  # rule 2: this pick may inflate live pair counts
+        if a == b:
+            break  # rule 3: self-merge spawns pairs only bounded by itself
         seen_merged.add(a + b)
     tail_min = rows[-1][2] if truncated else None
     while len(chosen) > 1:

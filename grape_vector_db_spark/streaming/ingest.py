@@ -239,6 +239,114 @@ def stream_dedup_to_parquet(
     return writer.start()
 
 
+def admit_merge_batch(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    shingles_path: str,
+    sigs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """One admission-gated merge (the foreachBatch body of
+    :func:`stream_admit_to_parquet`, exported so idempotence is directly
+    testable): probe the corpus's persisted shingle + MinHash signature
+    tables with the batch, upsert what passes, and rewrite exactly those
+    docs' index rows.
+
+    RETRY-SAFE BY CONSTRUCTION — foreachBatch redelivers a batch after
+    any crash, and the three tables commit in separate (individually
+    atomic) versioned swaps, so every step must converge when replayed
+    against ANY prefix of the previous attempt's commits:
+
+    - ids already in the docs table are split off as UPDATES: they
+      bypass admission (they were admitted when first stored — also
+      exactly what a replayed batch's own docs look like after a crash
+      past the docs upsert) and proceed to the index rewrite;
+    - admission runs only for NEWCOMER ids, and only when BOTH index
+      tables exist (a crash between the two index publishes leaves one
+      stale; gating on both keeps a half-built first index from being
+      probed, and later batches repair it because...);
+    - index maintenance is a REWRITE, not an append: per table,
+      anti-join out the written ids' old rows, union the freshly
+      computed ones. Replays and changed-text updates land exactly one
+      copy of each doc's rows — the blind-append alternative doubles
+      n_sh on every retry and strands deleted text's shingles forever.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import (
+        incremental_admission,
+        minhash_signatures,
+        shingles,
+    )
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(id_col).asc()
+    )
+    uniq = (
+        batch.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .persist()
+    )
+    to_write = None
+    try:
+        if table_exists(spark, table_path):
+            stored_ids = read_table(spark, table_path).select(id_col)
+            updates = uniq.join(stored_ids, id_col, "left_semi")
+            newcomers = uniq.join(stored_ids, id_col, "left_anti")
+        else:
+            updates = uniq.limit(0)
+            newcomers = uniq
+        index_ready = table_exists(spark, shingles_path) and table_exists(
+            spark, sigs_path
+        )
+        if index_ready:
+            verdict = incremental_admission(
+                newcomers,
+                num_hashes=num_hashes,
+                bands=bands,
+                n=n,
+                threshold=threshold,
+                id_col=id_col,
+                text_col=text_col,
+                corpus_shingles_df=read_table(spark, shingles_path),
+                corpus_signatures_df=read_table(spark, sigs_path),
+            )
+            keep_ids = verdict.where("admit").select(
+                F.col("doc_id").alias(id_col)
+            )
+            admitted = newcomers.join(F.broadcast(keep_ids), id_col)
+        else:  # no (complete) index yet — everything enters
+            admitted = newcomers
+        to_write = updates.unionByName(admitted).persist()
+        if to_write.isEmpty():
+            return
+        fresh_sh = shingles(to_write, n, id_col, text_col)
+        fresh_sig = minhash_signatures(
+            to_write, num_hashes, n, id_col, text_col, shingles_df=fresh_sh
+        )
+        upsert_table(spark, table_path, to_write, id_col=id_col)
+        ids = to_write.select(F.col(id_col).alias("doc_id"))
+        for path, fresh in ((shingles_path, fresh_sh), (sigs_path, fresh_sig)):
+            if table_exists(spark, path):
+                kept = read_table(spark, path).join(
+                    F.broadcast(ids), "doc_id", "left_anti"
+                )
+                publish_table(spark, path, kept.unionByName(fresh))
+            else:
+                publish_table(spark, path, fresh)
+    finally:
+        if to_write is not None:
+            to_write.unpersist()
+        uniq.unpersist()
+
+
 def stream_admit_to_parquet(
     stream_df: DataFrame,
     table_path: str,
@@ -257,78 +365,24 @@ def stream_admit_to_parquet(
     the streaming composition of :func:`dedup.incremental_admission`:
     each micro-batch probes the corpus's persisted shingle + MinHash
     signature tables (never the corpus text), appends only admitted
-    docs, and extends the index with exactly those docs' rows. Unlike
+    docs, and rewrites exactly those docs' index rows. Unlike
     :func:`stream_dedup_to_parquet` (shared-shingle containment join
     against the stored text), the corpus side here is the INDEX — the
     per-batch cost is the banded probe, independent of corpus text
     width, which is the shape that holds when the corpus is 100 TB and
     the index tables are its distilled KBs-per-doc summary.
 
-    Per batch: (1) batch-internal exact dedup (keep the smallest id per
-    md5(text)); (2) admission verdict vs the index (banded MinHash
-    candidates, exact Jaccard >= ``threshold`` kills); (3) upsert the
-    admitted docs; (4) publish the admitted docs' shingle/signature rows
-    into the index tables. All four are versioned swaps on plain
-    parquet (transactional MERGE/append under fmt='delta' — see
-    sources.tables); a mid-batch crash leaves every table at its prior
-    committed version and the stream retries from the checkpoint.
+    Batch semantics and the retry-convergence argument live on
+    :func:`admit_merge_batch` (the exported foreachBatch body).
     """
-    from ..operators.dedup import (
-        incremental_admission,
-        minhash_signatures,
-        shingles,
-    )
-
     spark = stream_df.sparkSession
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
-            F.col(id_col).asc()
+        admit_merge_batch(
+            spark, batch, table_path, shingles_path, sigs_path,
+            id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
         )
-        uniq = (
-            batch.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .drop("_rk")
-            .persist()
-        )
-        try:
-            if table_exists(spark, shingles_path):
-                verdict = incremental_admission(
-                    uniq,
-                    num_hashes=num_hashes,
-                    bands=bands,
-                    n=n,
-                    threshold=threshold,
-                    id_col=id_col,
-                    text_col=text_col,
-                    corpus_shingles_df=read_table(spark, shingles_path),
-                    corpus_signatures_df=read_table(spark, sigs_path),
-                )
-                keep_ids = verdict.where("admit").select(
-                    F.col("doc_id").alias(id_col)
-                )
-                admitted = uniq.join(F.broadcast(keep_ids), id_col).persist()
-            else:  # first batch — no index yet, everything enters
-                admitted = uniq
-            fresh_sh = shingles(admitted, n, id_col, text_col)
-            fresh_sig = minhash_signatures(
-                admitted, num_hashes, n, id_col, text_col,
-                shingles_df=fresh_sh,
-            )
-            upsert_table(spark, table_path, admitted, id_col=id_col)
-            for path, fresh in ((shingles_path, fresh_sh), (sigs_path, fresh_sig)):
-                if table_exists(spark, path):
-                    publish_table(
-                        spark, path, read_table(spark, path).unionByName(fresh)
-                    )
-                else:
-                    publish_table(spark, path, fresh)
-            if admitted is not uniq:
-                admitted.unpersist()
-        finally:
-            uniq.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_admit).outputMode("update")
     if checkpoint:

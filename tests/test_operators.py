@@ -302,12 +302,63 @@ def test_incremental_embedding_neardup_equals_union_cross_pairs(spark, emb):
     assert len(auto) > 0
 
 
+def test_incremental_neardup_bucket_cap_drops_hot_corpus_buckets(spark):
+    """A templated corpus piles into one bucket per band; with
+    bucket_cap the probe skips those buckets (bounded candidates, pairs
+    lost by design), without it the full pair set returns."""
+    tmpl = "identical templated corpus document body repeated verbatim"
+    corpus = spark.createDataFrame(
+        [(i, tmpl) for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, tmpl)], "doc_id long, text string"
+    )
+    csh = dedup.shingles(corpus, 3)
+    csig = dedup.minhash_signatures(corpus, 16, 3, shingles_df=csh)
+    full = dedup.incremental_neardup_pairs(
+        batch, threshold=0.5,
+        corpus_shingles_df=csh, corpus_signatures_df=csig,
+    ).count()
+    capped = dedup.incremental_neardup_pairs(
+        batch, threshold=0.5,
+        corpus_shingles_df=csh, corpus_signatures_df=csig,
+        bucket_cap=10,
+    ).count()
+    assert full == 30 and capped == 0
+
+
 def test_incremental_neardup_requires_corpus_inputs(spark):
     import pytest
 
     batch = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="corpus"):
         dedup.incremental_neardup_pairs(batch)
+
+
+def test_incremental_embedding_prebuilt_index_demands_explicit_planes(
+    spark, emb
+):
+    """Auto-sizing against a prebuilt bucket index could hash the batch
+    with a different plane family than the index was cut with — the
+    call must refuse rather than silently join mismatched buckets."""
+    import pytest
+
+    from grape_vector_db_spark.operators import ann
+
+    idx = ann.random_projection_tables(emb, n_planes=4, n_tables=4)
+    with pytest.raises(ValueError, match="n_planes"):
+        dedup.incremental_embedding_neardup(
+            emb, emb, corpus_buckets_df=idx
+        )
+    # explicit p matching the index works
+    out = dedup.incremental_embedding_neardup(
+        emb.where("vec_id % 7 = 0"), emb.where("vec_id % 7 != 0"),
+        threshold=0.2, n_planes=4, n_tables=4,
+        corpus_buckets_df=ann.random_projection_tables(
+            emb.where("vec_id % 7 != 0"), n_planes=4, n_tables=4
+        ),
+    )
+    assert out.count() > 0
 
 
 def test_lsh_autosize_planes_pins():

@@ -251,6 +251,28 @@ def test_strip_boilerplate_broadcasts_frequent_lines(spark, docs):
     )
 
 
+def test_incremental_probe_bounded_shuffles_no_cartesian(spark):
+    """The batch-vs-corpus probe must stay a keyed equi-join pipeline:
+    no CartesianProduct / nested-loop join anywhere, and no
+    single-partition exchange — the properties that keep the daily
+    delta probe linear in index size at 100 TB."""
+    from grape_vector_db_spark.operators import dedup
+    from grape_vector_db_spark.plans.audit import audit_plan
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "corpus document number 3 body text")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.incremental_neardup_pairs(batch, corpus, threshold=0.2)
+    a = audit_plan(pairs)
+    assert a.cartesian_products == 0 and a.nested_loop_joins == 0
+    assert a.single_partition_exchanges == 0
+
+
 def test_winnow_fingerprints_is_shuffle_free(spark):
     """Winnowing must stay a narrow per-row expression chain: the k-gram
     hash and window-min selection never justify an Exchange."""

@@ -433,7 +433,9 @@ def test_winnow_kernel_matches_python_replica(spark, batch):
         got[r["doc_id"]].add(r["fp"])
     pw = winnow_gram_powers(k)
     for i, t in enumerate(batch):
-        s = re.sub(r"\s+", " ", t.lower()).strip()
+        # ASCII class + space-only strip: the oracle-matching RE2/trim
+        # semantics (unicode whitespace is DATA, not a separator)
+        s = re.sub(r"[\t\n\f\r ]+", " ", t.lower()).strip(" ")
         cps = [ord(c) for c in s]
         grams = (
             [cps[j : j + k] for j in range(len(cps) - k + 1)]
@@ -455,7 +457,7 @@ def test_winnow_kernel_matches_python_replica(spark, batch):
 @settings(**SETTINGS)
 @given(
     st.lists(
-        st.text(alphabet="abcde ", min_size=0, max_size=40),
+        st.text(alphabet="abc ", min_size=0, max_size=40),
         min_size=1,
         max_size=6,
     ),

@@ -360,6 +360,20 @@ def test_bpe_batched_exact_equals_sequential(spark):
     assert textanalysis._last_bpe_scan_count < seq_scans
 
 
+def test_bpe_batched_exact_self_pair_counterexample(spark):
+    """Regression (r5 review): a self-pair merge (a,a) -> 'aa' spawns
+    (aa,aa) pairs whose only old-pair proxy is the chosen pair itself,
+    invisible to the tie guard — sequential training then picks (aa,aa)
+    second via the lexicographic tie while a guard-less batch picked
+    (b,c). The self-pair stop restores bit-identity."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaa"), (2, "bcbc")], "doc_id long, text string"
+    )
+    seq = textanalysis.bpe_train(df, n_merges=3, batch_merges=1)
+    assert seq == [(0, "a", "a", 5), (1, "aa", "aa", 2), (2, "b", "c", 2)]
+    assert textanalysis.bpe_train(df, n_merges=3, batch_merges=4) == seq
+
+
 def test_bpe_greedy_batches_bound_scan_count(spark):
     """greedy=True fills whole batches (the approximate distributed-BPE
     mode for big vocabularies): 24 merges in at most a handful of scans,

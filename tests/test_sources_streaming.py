@@ -325,6 +325,44 @@ def test_stream_admit_to_parquet(spark, tmpdir):
     assert idx_docs == {1, 2, 12}  # index grew by the admitted doc only
 
 
+def test_admit_merge_batch_retry_and_update_idempotent(spark, tmpdir):
+    """The foreachBatch body replayed verbatim (crash-retry) must leave
+    every table unchanged — index rows are REWRITTEN per written doc,
+    never appended — and re-ingesting an existing id with new text must
+    replace both its stored row and its index rows (no stale shingles
+    of the deleted text, no doubled n_sh)."""
+    from grape_vector_db_spark.streaming.ingest import admit_merge_batch
+
+    table, sh, sig = f"{tmpdir}/d", f"{tmpdir}/sh", f"{tmpdir}/sg"
+    b1 = spark.createDataFrame(
+        [(1, "first stored document body with several words here"),
+         (2, "second stored document entirely different content")],
+        "doc_id long, text string",
+    )
+    admit_merge_batch(spark, b1, table, sh, sig, threshold=0.2)
+
+    def snapshot():
+        return (
+            sorted(read_table(spark, table).collect()),
+            sorted(read_table(spark, sh).collect()),
+            sorted(read_table(spark, sig).collect()),
+        )
+
+    before = snapshot()
+    admit_merge_batch(spark, b1, table, sh, sig, threshold=0.2)  # replay
+    assert snapshot() == before  # byte-identical: no doubled index rows
+
+    new_text = "completely replaced text sharing nothing with before"
+    upd = spark.createDataFrame([(1, new_text)], "doc_id long, text string")
+    admit_merge_batch(spark, upd, table, sh, sig, threshold=0.2)
+    docs = {r["doc_id"]: r["text"] for r in read_table(spark, table).collect()}
+    assert docs[1] == new_text
+    # index rows for doc 1 describe ONLY the new text
+    sh1 = {r["shingle"] for r in read_table(spark, sh).where("doc_id = 1").collect()}
+    assert sh1 and all("stored" not in s for s in sh1)
+    assert read_table(spark, sig).where("doc_id = 1").count() == 1
+
+
 def test_stream_curate_to_parquet(spark, tmpdir):
     """Streaming curation ingest: PII scrubbed and unkeepable docs dropped
     before the table merge — the stored corpus is born clean."""
