@@ -535,6 +535,20 @@ def q_incremental_admission(spark, sf_dir):
     )
 
 
+def q_margin_mine(spark, sf_dir):
+    """Margin-based pair mining (Artetxe & Schwenk 2019): a mining wave
+    of query vectors (vec_id % 100 == 0) against the rest of the corpus;
+    per query, the best-margin match where margin normalizes the raw
+    cosine by both sides' k-NN neighborhood density. margin_threshold=0
+    keeps every wave member's best pair so the measurement surface (the
+    margins themselves) is fully hash-checked."""
+    is_x = F.col("vec_id") % 100 == 0
+    emb = _emb(spark, sf_dir)
+    return search.margin_mine(
+        emb.where(is_x), emb.where(~is_x), k=4, margin_threshold=0.0
+    )
+
+
 def q_incremental_embedding_neardup(spark, sf_dir):
     """Embedding-space daily-delta dedup: new vectors (vec_id % 10 == 0)
     probe the standing corpus's RP-LSH bucket index; candidates verify
@@ -2961,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "incremental_admission": q_incremental_admission,
         "incremental_embedding_neardup": q_incremental_embedding_neardup,
+        "margin_mine": q_margin_mine,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -5114,6 +5129,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_EMB_D} ea ON ea.vec_id = c.a
             JOIN {_EMB_D} eb ON eb.vec_id = c.b
             WHERE round({_cos('ea.v', 'eb.v')}, 6) >= 0.3
+        """,
+        "margin_mine": f"""
+            WITH x AS (SELECT vec_id AS xid, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 100 = 0),
+            y AS (SELECT vec_id AS yid, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 100 != 0),
+            s AS (SELECT x.xid, y.yid,
+                         round({_cos('x.v', 'y.v')}, 6) AS cosine
+                  FROM x, y),
+            nnx AS (
+              SELECT xid, round(avg(cosine), 6) AS mx FROM (
+                SELECT xid, cosine,
+                       row_number() OVER (PARTITION BY xid
+                         ORDER BY cosine DESC, yid ASC) AS rk
+                FROM s) WHERE rk <= 4 GROUP BY xid),
+            nny AS (
+              SELECT yid, round(avg(cosine), 6) AS my FROM (
+                SELECT yid, cosine,
+                       row_number() OVER (PARTITION BY yid
+                         ORDER BY cosine DESC, xid ASC) AS rk
+                FROM s) WHERE rk <= 4 GROUP BY yid),
+            m AS (SELECT s.xid, s.yid, s.cosine,
+                         round(s.cosine / ((nnx.mx + nny.my) / 2), 6) AS margin
+                  FROM s JOIN nnx USING (xid) JOIN nny USING (yid)),
+            best AS (SELECT xid, yid, cosine, margin,
+                            row_number() OVER (PARTITION BY xid
+                              ORDER BY margin DESC, yid ASC) AS rk
+                     FROM m)
+            SELECT xid, yid, cosine, margin
+            FROM best WHERE rk = 1 AND margin >= 0.0
         """,
         "incremental_embedding_neardup": f"""
             WITH bk AS ({lsh_tables}),

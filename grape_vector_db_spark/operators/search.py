@@ -533,3 +533,105 @@ def maxsim_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def margin_mine(
+    x_emb: DataFrame,
+    y_emb: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    x_id: str = "vec_id",
+    y_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — the
+    standard bitext-mining criterion behind CCMatrix/LASER-mined
+    parallel corpora): for every x in ``x_emb``, the best-margin y in
+    ``y_emb``, where
+
+        margin(x, y) = cos(x, y) / ((meanK_x + meanK_y) / 2)
+
+    with meanK_x = mean of x's top-``k`` cosines over Y and meanK_y =
+    mean of y's top-``k`` cosines over X — raw cosine divided by the
+    average of both neighborhoods' density, which suppresses hub
+    vectors that score high against EVERYTHING. Returns
+    ``(x_id, y_id, cosine, margin)``; rows with margin below
+    ``margin_threshold`` (1.0 = "closer than the neighborhoods") drop.
+
+    Engine determinism: cosines, the two k-NN means, and the margin are
+    each rounded to 6 dp, and the per-x argmax orders by (ROUNDED
+    margin desc, y_id asc) — so the winning pair never depends on
+    sub-6dp float noise that could differ across engines.
+
+    Scale shape: the score table is |X| x |Y| — this exact form is for
+    an X that fits a broadcast (a mining WAVE; the 100 TB corpus is the
+    Y side, scanned once per wave with zero shuffle into the score
+    stream). The two top-k reductions are windowed per xid / per yid
+    over the scored stream (two bounded shuffles). For corpus-x-corpus
+    mining, run waves of X, or prefilter candidate pairs with the ANN
+    tier (ann.random_projection_tables / ivf_search) and compute the
+    margin only on candidates — the criterion itself is unchanged.
+    """
+    dim_row = x_emb.select(F.size(vec_col).alias("d")).head()
+    dim = dim_row["d"] if dim_row else None
+    xv = to_double_array(vec_col)
+    x = F.broadcast(
+        x_emb.select(
+            F.col(x_id).alias("xid"), xv.alias("_xv"),
+            l2_norm(xv, dim=dim).alias("_xn"),
+        )
+    )
+    y = y_emb.select(
+        F.col(y_id).alias("yid"), xv.alias("_yv"),
+        l2_norm(xv, dim=dim).alias("_yn"),
+    )
+    s = y.crossJoin(x).select(
+        "xid",
+        "yid",
+        F.round(
+            cosine_from_parts(
+                dot(F.col("_xv"), F.col("_yv"), dim=dim),
+                F.col("_xn"),
+                F.col("_yn"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    wx = Window.partitionBy("xid").orderBy(
+        F.col("cosine").desc(), F.col("yid").asc()
+    )
+    nnx = (
+        s.withColumn("_rk", F.row_number().over(wx))
+        .where(F.col("_rk") <= k)
+        .groupBy("xid")
+        .agg(F.round(F.avg("cosine"), 6).alias("_mx"))
+    )
+    wy = Window.partitionBy("yid").orderBy(
+        F.col("cosine").desc(), F.col("xid").asc()
+    )
+    nny = (
+        s.withColumn("_rk", F.row_number().over(wy))
+        .where(F.col("_rk") <= k)
+        .groupBy("yid")
+        .agg(F.round(F.avg("cosine"), 6).alias("_my"))
+    )
+    m = (
+        s.join(nnx, "xid")
+        .join(nny, "yid")
+        .select(
+            "xid",
+            "yid",
+            "cosine",
+            F.round(
+                F.col("cosine") / ((F.col("_mx") + F.col("_my")) / 2.0), 6
+            ).alias("margin"),
+        )
+    )
+    best = Window.partitionBy("xid").orderBy(
+        F.col("margin").desc(), F.col("yid").asc()
+    )
+    return (
+        m.withColumn("_rk", F.row_number().over(best))
+        .where((F.col("_rk") == 1) & (F.col("margin") >= margin_threshold))
+        .select("xid", "yid", "cosine", "margin")
+    )

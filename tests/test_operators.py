@@ -392,6 +392,32 @@ def test_embedding_neardup_lsh_autosizes_from_known_count(spark, emb):
     assert all(exact.get(k) == v for k, v in auto.items())
 
 
+def test_margin_mine_hand_computed_and_hub_suppressed(spark):
+    """Orthogonal pairs mine each other with margin 1/((1+1)/2)... and a
+    hub vector moderately close to everything loses to the true match
+    once the neighborhood means normalize it (the Artetxe-Schwenk
+    point)."""
+    x = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    y = spark.createDataFrame(
+        [(11, [1.0, 0.0]), (12, [0.0, 1.0]), (13, [0.8, 0.6])],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["xid"]: r
+        for r in search.margin_mine(x, y, k=2, margin_threshold=0.0).collect()
+    }
+    # true matches win despite the hub y13 scoring 0.8/0.6 everywhere
+    assert out[1]["yid"] == 11 and out[2]["yid"] == 12
+    assert out[1]["cosine"] == 1.0 and out[2]["cosine"] == 1.0
+    # margins exceed 1: the pair is closer than either neighborhood mean
+    assert out[1]["margin"] > 1.0 and out[2]["margin"] > 1.0
+    # hand check x1: meanK_x = avg(1.0, 0.8) = 0.9; meanK_y(11) =
+    # avg(1.0, 0.0) = 0.5; margin = 1 / 0.7
+    assert abs(out[1]["margin"] - round(1.0 / 0.7, 6)) < 1e-6
+
+
 def test_simhash_pairs_bucket_cap_bounds_skewed_candidates(spark):
     """500 near-identical docs pile into one (band, key) bucket per band —
     the 100 TB skew shape. With bucket_cap set, the hot buckets are dropped
