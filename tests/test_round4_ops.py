@@ -810,7 +810,15 @@ class TestPartitioningInvariance:
                 spark.conf.set("spark.sql.shuffle.partitions", n)
                 results[n] = {
                     q: self._collect(spark, q)
-                    for q in ("dedup_minhash", "bm25", "pack_sequences")
+                    for q in (
+                        "dedup_minhash",
+                        "bm25",
+                        "pack_sequences",
+                        # round-5 shapes: index-probe dedup (band join +
+                        # verify) and double-windowed margin mining
+                        "incremental_neardup",
+                        "margin_mine",
+                    )
                 }
             assert results["3"] == results["17"]
         finally:
