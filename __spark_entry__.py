@@ -545,7 +545,8 @@ def q_margin_mine(spark, sf_dir):
     is_x = F.col("vec_id") % 100 == 0
     emb = _emb(spark, sf_dir)
     return search.margin_mine(
-        emb.where(is_x), emb.where(~is_x), k=4, margin_threshold=0.0
+        emb.where(is_x), emb.where(~is_x), k=4, margin_threshold=0.0,
+        materialize="local_checkpoint",
     )
 
 

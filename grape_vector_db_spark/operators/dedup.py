@@ -358,19 +358,38 @@ def minhash_lsh_pairs(
     )
     # Verify candidates with exact Jaccard over shingle sets.
     sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return _jaccard_verify(cand, sh, sh, threshold)
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    a_sh: DataFrame,
+    b_sh: DataFrame,
+    threshold: float,
+    a_name: str = "a",
+    b_name: str = "b",
+) -> DataFrame:
+    """Shared exact-Jaccard verify tail: per-doc shingle sizes +
+    shared-shingle intersection counts over candidate ``(a_name,
+    b_name)`` pairs, jaccard = |∩| / (|A| + |B| - |∩|) rounded to 6 dp,
+    kept at >= ``threshold``. ONE definition so the batched
+    (minhash_lsh_pairs) and incremental (incremental_neardup_pairs)
+    paths can never silently diverge on the convention."""
+    a_sizes = a_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    b_sizes = b_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
     inter = (
-        cand.join(sh.selectExpr("doc_id as a", "shingle"), "a")
-        .join(sh.selectExpr("doc_id as b", "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
+        cand.join(a_sh.selectExpr(f"doc_id as {a_name}", "shingle"), a_name)
+        .join(b_sh.selectExpr(f"doc_id as {b_name}", "shingle"),
+              [b_name, "shingle"])
+        .groupBy(a_name, b_name)
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(sizes.selectExpr("doc_id as a", "n_sh as na"), "a")
-        .join(sizes.selectExpr("doc_id as b", "n_sh as nb"), "b")
+        inter.join(a_sizes.selectExpr(f"doc_id as {a_name}", "na"), a_name)
+        .join(b_sizes.selectExpr(f"doc_id as {b_name}", "nb"), b_name)
         .select(
-            "a",
-            "b",
+            a_name,
+            b_name,
             F.round(
                 F.col("n_common")
                 / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
@@ -463,30 +482,8 @@ def incremental_neardup_pairs(
         )
         .distinct()
     )
-    bsizes = bsh.groupBy("doc_id").agg(F.count("*").alias("nb"))
-    csizes = csh.groupBy("doc_id").agg(F.count("*").alias("nc"))
-    inter = (
-        cand.join(bsh.selectExpr("doc_id as batch_id", "shingle"), "batch_id")
-        .join(
-            csh.selectExpr("doc_id as corpus_id", "shingle"),
-            ["corpus_id", "shingle"],
-        )
-        .groupBy("batch_id", "corpus_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        inter.join(bsizes.selectExpr("doc_id as batch_id", "nb"), "batch_id")
-        .join(csizes.selectExpr("doc_id as corpus_id", "nc"), "corpus_id")
-        .select(
-            "batch_id",
-            "corpus_id",
-            F.round(
-                F.col("n_common")
-                / (F.col("nb") + F.col("nc") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return _jaccard_verify(
+        cand, bsh, csh, threshold, a_name="batch_id", b_name="corpus_id"
     )
 
 
@@ -1057,7 +1054,11 @@ def incremental_embedding_neardup(
     the batched path — but ONLY when the buckets are computed here:
     with a prebuilt ``corpus_buckets_df`` the index's plane count must
     be passed explicitly (auto-sizing against a grown corpus would hash
-    the batch with a different plane family than the index)."""
+    the batch with a different plane family than the index), and
+    ``n_tables``/``seed`` must equal the index build's values for the
+    same reason — none of the three is recoverable from the bucket rows,
+    so persist them alongside the index (the hyperplanes are fully
+    determined by (n_planes, n_tables, seed, dim))."""
     from . import ann
 
     if n_planes is None:
@@ -1071,7 +1072,8 @@ def incremental_embedding_neardup(
             raise ValueError(
                 "pass the n_planes the prebuilt corpus_buckets_df was "
                 "built with — auto-sizing cannot know the index's plane "
-                "family"
+                "family (likewise n_tables and seed MUST match the index "
+                "build; none of the three is recoverable from its rows)"
             )
         n = known_count if known_count is not None else corpus_emb.count()
         n_planes = lsh_autosize_planes(n)
@@ -1631,18 +1633,11 @@ def winnow_fingerprints(
     single whole-text window, matching textanalysis.fingerprints'
     min_gram_hash convention.
     """
-    import re
-
     import numpy as np
     import pandas as pd
 
     pw = np.array(winnow_gram_powers(k), dtype=np.uint64)
     wts = pw[::-1].copy()  # B^(k-1) ... B^0: weight of char t in a k-gram
-    # explicit ASCII class, NOT \s: Python's \s is unicode-aware
-    # (U+00A0, U+2028, ...) while the DuckDB oracle's RE2 \s is exactly
-    # [\t\n\f\r ] — a unicode-whitespace doc would fingerprint
-    # differently per engine; likewise strip(" ") mirrors SQL trim()
-    ws_re = re.compile(r"[\t\n\f\r ]+")
     mod = np.uint64(_WINNOW_MOD)
     swv = np.lib.stride_tricks.sliding_window_view
 
@@ -1650,8 +1645,8 @@ def winnow_fingerprints(
         for pdf in batches:
             ids_out: list[str] = []
             fp_chunks: list[np.ndarray] = []
-            for did, txt in zip(pdf["doc_id"], pdf["s"]):
-                s = ws_re.sub(" ", (txt or "").lower()).strip(" ")
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                s = s or ""
                 # utf-32 view = unicode code points, matching DuckDB's
                 # ascii() / Spark's substr character semantics
                 cp = np.frombuffer(
@@ -1690,9 +1685,13 @@ def winnow_fingerprints(
                     }
                 )
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("s")
-    )
+    # Normalization stays a CATALYST expression (lower + \s+ collapse +
+    # trim), NOT Python string ops: Python's unicode-aware \s / .strip()
+    # / one-to-many .lower() ('İ' -> 'i' + combining dot) all diverge
+    # from the SQL engines' semantics — the kernel receives text already
+    # normalized on the same surface the DuckDB oracle replicates.
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("s"))
     id_type = base.schema["doc_id"].dataType.simpleString()
     return base.mapInPandas(kernel, f"doc_id {id_type}, fp bigint")
 

@@ -543,6 +543,7 @@ def margin_mine(
     x_id: str = "vec_id",
     y_id: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: str = "none",
 ) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — the
     standard bitext-mining criterion behind CCMatrix/LASER-mined
@@ -565,12 +566,19 @@ def margin_mine(
 
     Scale shape: the score table is |X| x |Y| — this exact form is for
     an X that fits a broadcast (a mining WAVE; the 100 TB corpus is the
-    Y side, scanned once per wave with zero shuffle into the score
-    stream). The two top-k reductions are windowed per xid / per yid
-    over the scored stream (two bounded shuffles). For corpus-x-corpus
-    mining, run waves of X, or prefilter candidate pairs with the ANN
-    tier (ann.random_projection_tables / ivf_search) and compute the
-    margin only on candidates — the criterion itself is unchanged.
+    Y side). The scored stream feeds THREE consumers (per-xid top-k,
+    per-yid top-k, the margin join), so without materialization the
+    Y-side scan and cosine arithmetic run ~3x. ``materialize`` picks the
+    trade, mirroring rank.global_row_number: ``"none"`` (default) —
+    recompute; the safe choice when |X| x |Y| is too big to hold (the
+    corpus-wave case: 3 scans beat spilling a trillion-row score table);
+    ``"persist"`` — lineage-kept cache, right when the wave's score
+    table fits memory/disk and released by the ContextCleaner when the
+    result is dropped; ``"local_checkpoint"`` — fastest locally,
+    non-replayable on executor loss. For corpus-x-corpus mining, run
+    waves of X, or prefilter candidate pairs with the ANN tier
+    (ann.random_projection_tables / ivf_search) and compute the margin
+    only on candidates — the criterion itself is unchanged.
     """
     dim_row = x_emb.select(F.size(vec_col).alias("d")).head()
     dim = dim_row["d"] if dim_row else None
@@ -597,6 +605,15 @@ def margin_mine(
             6,
         ).alias("cosine"),
     )
+    if materialize == "persist":
+        s = s.persist()
+    elif materialize == "local_checkpoint":
+        s = s.localCheckpoint(eager=True)
+    elif materialize != "none":
+        raise ValueError(
+            "materialize must be 'none', 'persist', or 'local_checkpoint',"
+            f" got {materialize!r}"
+        )
     wx = Window.partitionBy("xid").orderBy(
         F.col("cosine").desc(), F.col("yid").asc()
     )

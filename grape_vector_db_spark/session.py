@@ -45,6 +45,13 @@ def _cgroup_limit_bytes() -> int | None:
     return None
 
 
+def _host_mem_bytes() -> int:
+    """Physical memory per /proc/meminfo (the HOST's view — cap with
+    :func:`_cgroup_limit_bytes` before trusting it in a container)."""
+    with open("/proc/meminfo") as fh:
+        return int(fh.readline().split()[1]) * 1024
+
+
 def _default_driver_mem() -> str:
     """SPARK_GRAFT_DRIVER_MEM if set; else half the *available* physical
     memory — min(host MemTotal, cgroup limit) — clamped to [4g, 24g]:
@@ -54,8 +61,7 @@ def _default_driver_mem() -> str:
     if env:
         return env
     try:
-        with open("/proc/meminfo") as fh:
-            total = int(fh.readline().split()[1]) * 1024
+        total = _host_mem_bytes()
         limit = _cgroup_limit_bytes()
         if limit is not None:
             total = min(total, limit)

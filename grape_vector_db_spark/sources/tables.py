@@ -136,6 +136,29 @@ def _require_delta():
     return DeltaTable
 
 
+def _check_format(spark: SparkSession, path: str, fmt: str) -> None:
+    """Refuse silent format forks: writing fmt='parquet' onto a Delta
+    root would raw-read its part files (including deleted versions) and
+    publish a plain-parquet version beside an ignored delta log, while
+    fmt='delta' onto an existing versioned/flat parquet table would seed
+    a delta log containing ONLY the current batch, stranding the prior
+    data outside the log. Both are detectable cheaply (_delta_log dir /
+    table_exists probe) and both must be an error, not a data loss."""
+    fs, p = _hadoop_fs(spark, path)
+    has_log = bool(fs.exists(p(f"{path}/_delta_log")))
+    if fmt == "parquet" and has_log:
+        raise ValueError(
+            f"{path} holds a Delta table (_delta_log present); pass "
+            "fmt='delta' — parquet mode would fork the data outside the log"
+        )
+    if fmt == "delta" and not has_log and table_exists(spark, path):
+        raise ValueError(
+            f"{path} holds a non-Delta table; migrate it explicitly "
+            "(read + full delta write) before using fmt='delta' — a MERGE "
+            "here would seed a delta log containing only the batch"
+        )
+
+
 def upsert_table(
     spark: SparkSession,
     path: str,
@@ -152,6 +175,7 @@ def upsert_table(
     native ``MERGE INTO`` — only files containing matched ids rewrite,
     the scale shape for frequent small merges."""
     if fmt == "parquet":
+        _check_format(spark, path, fmt)
         if table_exists(spark, path):
             merged = merge_upsert(read_table(spark, path), updates, id_col=id_col)
         else:
@@ -161,6 +185,7 @@ def upsert_table(
     if fmt != "delta":
         raise ValueError(f"fmt must be 'parquet' or 'delta', got {fmt!r}")
     DeltaTable = _require_delta()
+    _check_format(spark, path, fmt)
     if not DeltaTable.isDeltaTable(spark, path):
         updates.write.format("delta").mode("overwrite").save(path)
         return
@@ -190,6 +215,7 @@ def delete_table_where(
     """Table-level DELETE WHERE (S8/S9). parquet: complement-filter +
     versioned swap; delta: native file-pruning DELETE."""
     if fmt == "parquet":
+        _check_format(spark, path, fmt)
         publish_table(
             spark, path, delete_where(read_table(spark, path), predicate), keep=keep
         )
@@ -197,6 +223,7 @@ def delete_table_where(
     if fmt != "delta":
         raise ValueError(f"fmt must be 'parquet' or 'delta', got {fmt!r}")
     DeltaTable = _require_delta()
+    _check_format(spark, path, fmt)
     DeltaTable.forPath(spark, path).delete(predicate)
 
 

@@ -276,20 +276,37 @@ def admit_merge_batch(
       computed ones. Replays and changed-text updates land exactly one
       copy of each doc's rows — the blind-append alternative doubles
       n_sh on every retry and strands deleted text's shingles forever.
+
+    Batch-internal dedup runs at THREE levels before the corpus probe,
+    so the stored invariant ("no stored doc is a near-dup of another at
+    ``threshold``") cannot depend on where the stream happened to cut
+    batches: (1) one deterministic row per doc_id (smallest md5(text)
+    wins) — two texts for one id in a batch must not emit two
+    docs-table rows or doubled signature rows; (2) exact-text dedup
+    across ids (smallest id per md5); (3) near-dup dedup among the
+    NEWCOMERS themselves (same banded MinHash + exact-Jaccard criterion,
+    the larger id of each pair drops) — two near-copies arriving in one
+    batch previously both passed because neither was in the index yet.
     """
     from pyspark.sql import Window
 
     from ..operators.dedup import (
         incremental_admission,
+        minhash_lsh_pairs,
         minhash_signatures,
         shingles,
     )
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+    one_per_id = Window.partitionBy(id_col).orderBy(
+        F.md5(F.col(text_col)).asc()
+    )
+    one_per_text = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
         F.col(id_col).asc()
     )
     uniq = (
-        batch.withColumn("_rk", F.row_number().over(w))
+        batch.withColumn("_rk", F.row_number().over(one_per_id))
+        .where(F.col("_rk") == 1)
+        .withColumn("_rk", F.row_number().over(one_per_text))
         .where(F.col("_rk") == 1)
         .drop("_rk")
         .persist()
@@ -303,6 +320,11 @@ def admit_merge_batch(
         else:
             updates = uniq.limit(0)
             newcomers = uniq
+        internal = minhash_lsh_pairs(
+            newcomers, num_hashes=num_hashes, bands=bands, n=n,
+            threshold=threshold, id_col=id_col, text_col=text_col,
+        ).select(F.col("b").alias(id_col)).distinct()
+        newcomers = newcomers.join(F.broadcast(internal), id_col, "left_anti")
         index_ready = table_exists(spark, shingles_path) and table_exists(
             spark, sigs_path
         )

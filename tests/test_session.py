@@ -20,13 +20,18 @@ def test_driver_mem_format_and_clamp(monkeypatch):
 
 
 def test_cgroup_limit_caps_host_memory(monkeypatch):
-    """A 16 GiB cgroup limit on a big host must cap the heap at half the
-    LIMIT (8g), not half the host memory."""
+    """A 16 GiB cgroup limit on a (stubbed) 128 GiB host must cap the
+    heap at half the LIMIT (8g), not half the host memory — both sides
+    stubbed so the assertion holds on any machine."""
     monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    monkeypatch.setattr(session, "_host_mem_bytes", lambda: 128 * 1024**3)
     monkeypatch.setattr(
         session, "_cgroup_limit_bytes", lambda: 16 * 1024**3
     )
     assert session._default_driver_mem() == "8g"
+    # and without a limit, half the (stubbed) host, clamped to 24g
+    monkeypatch.setattr(session, "_cgroup_limit_bytes", lambda: None)
+    assert session._default_driver_mem() == "24g"
 
 
 def test_cgroup_unlimited_is_ignored(monkeypatch):

@@ -94,6 +94,32 @@ def test_upsert_table_rejects_unknown_format(spark, tmpdir):
         tables.upsert_table(spark, f"{tmpdir}/x", df, fmt="iceberg")
 
 
+def test_format_mismatch_refused_not_forked(spark, tmpdir):
+    """fmt='parquet' on a Delta root (detected by _delta_log) must raise
+    rather than raw-read part files outside the log; fmt='delta' on an
+    existing parquet table must raise rather than seed a log holding
+    only the batch. (The delta->parquet direction is checkable without
+    delta-spark — only a directory probe is involved.)"""
+    import os
+
+    import pytest
+
+    p = f"{tmpdir}/t"
+    df = spark.createDataFrame([(1, "a")], "id int, title string")
+    # fake delta root: parquet data beside a _delta_log dir
+    df.write.parquet(p)
+    os.makedirs(f"{p}/_delta_log", exist_ok=True)
+    with pytest.raises(ValueError, match="_delta_log"):
+        tables.upsert_table(spark, p, df, fmt="parquet")
+    with pytest.raises(ValueError, match="_delta_log"):
+        tables.delete_table_where(spark, p, "id = 1", fmt="parquet")
+    if tables.delta_available():  # pragma: no cover - needs delta-spark
+        q = f"{tmpdir}/pq"
+        tables.upsert_table(spark, q, df)  # plain parquet table
+        with pytest.raises(ValueError, match="non-Delta"):
+            tables.upsert_table(spark, q, df, fmt="delta")
+
+
 def test_delete_where(spark, docs):
     remaining = tables.delete_where(docs, "lang = 'en'")
     assert remaining.where("lang = 'en'").count() == 0
@@ -361,6 +387,32 @@ def test_admit_merge_batch_retry_and_update_idempotent(spark, tmpdir):
     sh1 = {r["shingle"] for r in read_table(spark, sh).where("doc_id = 1").collect()}
     assert sh1 and all("stored" not in s for s in sh1)
     assert read_table(spark, sig).where("doc_id = 1").count() == 1
+
+
+def test_admit_merge_batch_internal_dedup_levels(spark, tmpdir):
+    """The stored invariant must not depend on batch boundaries: two
+    near-copies arriving in ONE batch keep only the smaller id; a batch
+    carrying two texts for one doc_id lands exactly one docs-table row
+    and one signature row."""
+    from grape_vector_db_spark.streaming.ingest import admit_merge_batch
+
+    table, sh, sig = f"{tmpdir}/d", f"{tmpdir}/sh", f"{tmpdir}/sg"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b = spark.createDataFrame(
+        [
+            (3, base),                    # near-copies in the SAME batch:
+            (4, base + " extra"),         # only min id 3 may survive
+            (7, "version one of the doc seven body text"),
+            (7, "version two of the doc seven body text"),  # same id twice
+        ],
+        "doc_id long, text string",
+    )
+    admit_merge_batch(spark, b, table, sh, sig, threshold=0.2)
+    stored = sorted(r["doc_id"] for r in read_table(spark, table).collect())
+    assert stored == [3, 7]
+    assert read_table(spark, table).where("doc_id = 7").count() == 1
+    assert read_table(spark, sig).where("doc_id = 7").count() == 1
+    assert read_table(spark, sig).where("doc_id = 4").count() == 0
 
 
 def test_stream_curate_to_parquet(spark, tmpdir):
