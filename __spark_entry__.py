@@ -550,16 +550,33 @@ def q_margin_mine(spark, sf_dir):
     )
 
 
+def _rp_index(spark, sf_dir):
+    """Ingest-maintained RP-LSH bucket index over the embedding corpus
+    (p=4, L=4, seed=42 — the family every bucketed embedding query
+    pins). Per-vector rows, so subset consumers filter by membership."""
+    key = ("rp_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = ann.random_projection_tables(
+            _emb(spark, sf_dir), n_planes=4, n_tables=4, seed=42
+        ).persist()
+    return _CACHE[key]
+
+
 def q_incremental_embedding_neardup(spark, sf_dir):
     """Embedding-space daily-delta dedup: new vectors (vec_id % 10 == 0)
-    probe the standing corpus's RP-LSH bucket index; candidates verify
-    with exact cosine. Explicit (p=4, L=4, seed=42) pins the oracle's
-    bucket literals, same as embedding_neardup_lsh."""
+    probe the standing corpus's PERSISTED RP-LSH bucket index (the
+    cached table, membership-filtered); candidates verify with exact
+    cosine. Explicit (p=4, L=4, seed=42) pins the oracle's bucket
+    literals — and is mandatory with a prebuilt index, whose plane
+    family is not recoverable from its rows."""
     is_batch = F.col("vec_id") % 10 == 0
     emb = _emb(spark, sf_dir)
     return dedup.incremental_embedding_neardup(
         emb.where(is_batch), emb.where(~is_batch),
         threshold=0.3, n_planes=4, n_tables=4, seed=42,
+        corpus_buckets_df=_rp_index(spark, sf_dir).where(
+            F.col("id") % 10 != 0
+        ),
     )
 
 
