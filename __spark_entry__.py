@@ -2962,6 +2962,92 @@ def q_top_paths(spark, sf_dir):
     )
 
 
+def _knn_graph_edges(spark, sf_dir):
+    """Ingest-built directed k=5 kNN graph over the embedding corpus
+    (blocked-GEMM, block-local top-k) — built once, read by both graph
+    queries the way the dedup family shares its pair tables."""
+    key = ("knn_graph", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = ann.knn_graph(_emb(spark, sf_dir), k=5).persist()
+    return _CACHE[key]
+
+
+def q_knn_graph(spark, sf_dir):
+    """Exact directed 5-NN graph of the whole corpus: per-src top-5 by
+    (cosine desc, dst asc) from per-block local top-k — candidates per
+    node stay k x n_blocks regardless of corpus size. Oracle: the full
+    cross-join ranked with the same tie-break."""
+    return _knn_graph_edges(spark, sf_dir)
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN sparsification of the 5-NN graph (a < b, both
+    directions present) — the precision-biased edge set graph dedup /
+    clustering builds on."""
+    return ann.mutual_knn_pairs(_knn_graph_edges(spark, sf_dir))
+
+
+def q_classifier_eval(spark, sf_dir):
+    """Classifier-validation harness on a real pipeline classifier: the
+    en-marker-ratio language scorer against the corpus's true lang
+    labels — exact P/R/F1/accuracy at threshold 0.05 plus tie-aware
+    Mann-Whitney AUC, ranks via the scale-safe two-level global rank
+    (no single-partition window)."""
+    from grape_vector_db_spark.operators import evaluation
+
+    docs = _docs(spark, sf_dir)
+    scored = textanalysis.language_scores(docs).select(
+        "doc_id", F.col("s_en").alias("score")
+    ).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")),
+        "doc_id",
+    )
+    return evaluation.binary_classifier_metrics(scored, threshold=0.05)
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source distinct-2-gram diversity (Li et al. 2016) — the
+    aggregated self-repetition signal a mixture decision reads."""
+    return curation.ngram_diversity(_docs(spark, sf_dir), n=2)
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Duplicate-debiased Bernoulli sample: keep each doc with
+    probability 1/|near-dup cluster| (clusters from the shared
+    MinHash-LSH pair graph), emitting Horvitz-Thompson weights — the
+    soft-dedup alternative to keep-one-per-cluster."""
+    from grape_vector_db_spark.operators import sampling
+
+    clusters = dedup.cluster_pairs(_minhash_pairs(spark, sf_dir))
+    return sampling.cluster_debiased_sample(
+        _docs(spark, sf_dir), clusters, seed=3, keep_cols=("source",)
+    )
+
+
+#: Perturbation suffix for the normalize_text query: decomposed accents
+#: (e + U+0301), a zero-width space (Cf), a bell control (Cc), tab and
+#: double-space runs, trailing spaces — every rule fires on every row so
+#: the oracle pins the whole pipeline, not just the identity path.
+NORM_SUFFIX = " Cafe\u0301\u200b  re\u0301sume\u0301\tdu\x07jour  "
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode canonicalization (strip Cc/Cf -> NFC -> collapse space
+    runs -> trim) over corpus text perturbed with NORM_SUFFIX; surfaces
+    (n_norm, changed, md5) so the oracle hash-checks the normalized
+    bytes themselves."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(NORM_SUFFIX)).alias("_raw")
+    )
+    out = curation.normalize_text(d, text_col="_raw", out_col="_n")
+    return out.select(
+        "doc_id",
+        F.length("_n").cast("int").alias("n_norm"),
+        (F.col("_n") != F.col("_raw")).alias("changed"),
+        F.md5(F.col("_n").cast("binary")).alias("h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -3147,6 +3233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings": q_dedup_savings,
         "interarrival": q_interarrival,
         "sq_error": q_sq_error,
+        "knn_graph": q_knn_graph,
+        "mutual_knn": q_mutual_knn,
+        "classifier_eval": q_classifier_eval,
+        "ngram_diversity": q_ngram_diversity,
+        "cluster_sample": q_cluster_sample,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -4719,6 +4811,163 @@ def _late_orders_sql() -> str:
         ORDER BY o_orderpriority
     """
 
+
+
+def _sql_str_expr(s: str) -> str:
+    """DuckDB expression reproducing the Python string ``s`` exactly,
+    non-printable / non-ASCII codepoints via chr() so the oracle module
+    stays pure-ASCII regardless of what the constant holds."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        o = ord(ch)
+        if 32 <= o < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({o})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+_KNN_GRAPH_CTE = f"""
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 round({_cos('a.v', 'b.v')}, 6) AS cosine
+          FROM e a, e b WHERE a.vec_id != b.vec_id
+        ),
+        r AS (
+          SELECT src, dst, cosine,
+                 row_number() OVER (
+                   PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+          FROM p
+        )
+"""
+
+
+def _knn_graph_sql(k: int = 5) -> str:
+    return f"""
+        WITH {_KNN_GRAPH_CTE}
+        SELECT src, dst, rank::INT AS rank, cosine FROM r WHERE rank <= {k}
+    """
+
+
+def _mutual_knn_sql(k: int = 5) -> str:
+    return f"""
+        WITH {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst, cosine FROM r WHERE rank <= {k})
+        SELECT x.src AS a, x.dst AS b, x.cosine
+        FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+        WHERE x.src < x.dst
+    """
+
+
+def _classifier_eval_sql(threshold: float = 0.05) -> str:
+    from grape_vector_db_spark.operators.textanalysis import LANG_MARKERS
+
+    markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS["en"]) + "]"
+    return rf"""
+        WITH s AS (
+          SELECT doc_id,
+                 round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       w -> list_contains({markers}, w)))::DOUBLE
+                       / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1),
+                       6) AS sc,
+                 lang = 'en' AS y
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, sc, y,
+                 row_number() OVER (ORDER BY sc ASC, doc_id ASC) AS rn
+          FROM s
+        ),
+        g AS (
+          SELECT sc, (min(rn) + max(rn)) / 2.0 AS avg_rank,
+                 sum(CASE WHEN y THEN 1 ELSE 0 END) AS npos_at
+          FROM r GROUP BY sc
+        ),
+        agg AS (
+          SELECT count(*)::BIGINT AS n,
+                 coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0)::BIGINT AS n_pos,
+                 coalesce(sum(CASE WHEN sc >= {threshold} AND y THEN 1 ELSE 0 END), 0)::BIGINT AS tp,
+                 coalesce(sum(CASE WHEN sc >= {threshold} AND NOT y THEN 1 ELSE 0 END), 0)::BIGINT AS fp,
+                 coalesce(sum(CASE WHEN sc < {threshold} AND y THEN 1 ELSE 0 END), 0)::BIGINT AS fn,
+                 coalesce(sum(CASE WHEN sc < {threshold} AND NOT y THEN 1 ELSE 0 END), 0)::BIGINT AS tn
+          FROM s
+        ),
+        rs AS (
+          SELECT coalesce(sum(npos_at * avg_rank), 0.0)::DOUBLE AS r_pos FROM g
+        ),
+        pr AS (
+          SELECT *,
+                 CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS p_,
+                 CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END AS r_
+          FROM agg CROSS JOIN rs
+        )
+        SELECT n, n_pos, tp, fp, fn, tn,
+               round(p_, 6) AS precision,
+               round(r_, 6) AS recall,
+               round(CASE WHEN p_ + r_ > 0
+                          THEN 2.0 * p_ * r_ / (p_ + r_) ELSE 0.0 END, 6) AS f1,
+               round(CASE WHEN n > 0
+                          THEN (tp + tn)::DOUBLE / n ELSE 0.0 END, 6) AS accuracy,
+               round(CASE WHEN n_pos > 0 AND n - n_pos > 0
+                          THEN (r_pos - n_pos::DOUBLE * (n_pos + 1) / 2.0)
+                               / (n_pos::DOUBLE * (n - n_pos))
+                          ELSE 0.5 END, 6) AS auc
+        FROM pr
+    """
+
+
+def _ngram_diversity_sql(n: int = 2) -> str:
+    join = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return rf"""
+        WITH toks AS (
+          SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT source,
+                 unnest(list_transform(range(greatest(len(t) - {n - 1}, 0)),
+                                       i -> {join})) AS gram
+          FROM toks
+        ),
+        pg AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        st AS (
+          SELECT source, sum(c)::BIGINT AS total_ngrams,
+                 count(*)::BIGINT AS distinct_ngrams
+          FROM pg GROUP BY 1
+        ),
+        d AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+        SELECT d.source, d.n_docs,
+               coalesce(st.total_ngrams, 0)::BIGINT AS total_ngrams,
+               coalesce(st.distinct_ngrams, 0)::BIGINT AS distinct_ngrams,
+               round(coalesce(st.distinct_ngrams, 0)::DOUBLE
+                     / greatest(coalesce(st.total_ngrams, 0), 1), 6) AS diversity
+        FROM d LEFT JOIN st USING (source)
+    """
+
+
+def _normalize_text_sql() -> str:
+    from grape_vector_db_spark.operators.curation import CONTROL_CHAR_RE
+
+    sfx = _sql_str_expr(NORM_SUFFIX)
+    norm = (
+        "trim(regexp_replace(nfc_normalize(regexp_replace(regexp_replace("
+        f"raw, '{CONTROL_CHAR_RE}', '', 'g'), "
+        r"'\p{Cf}', '', 'g')), '[ \t]+', ' ', 'g'), ' ')"
+    )
+    return f"""
+        WITH r0 AS (SELECT doc_id, text || {sfx} AS raw FROM documents),
+        n0 AS (SELECT doc_id, raw, {norm} AS nn FROM r0)
+        SELECT doc_id, length(nn)::INT AS n_norm, nn != raw AS changed,
+               md5(nn) AS h
+        FROM n0
+    """
 
 def oracle_sql() -> dict[str, str]:
     # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
@@ -6693,6 +6942,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON big.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             ORDER BY big.total_qty DESC, o.o_orderkey ASC LIMIT 20
+        """,
+        "knn_graph": _knn_graph_sql(5),
+        "mutual_knn": _mutual_knn_sql(5),
+        "classifier_eval": _classifier_eval_sql(0.05),
+        "ngram_diversity": _ngram_diversity_sql(2),
+        "normalize_text": _normalize_text_sql(),
+        "cluster_sample": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT a AS id FROM edges GROUP BY a),
+            walk(node, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+            ),
+            cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+                   FROM walk GROUP BY node),
+            csz AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM cl GROUP BY 1),
+            j AS (
+              SELECT d.doc_id, d.source, cl.cluster_id,
+                     coalesce(csz.cluster_size, 1) AS size
+              FROM documents d
+              LEFT JOIN cl USING (doc_id)
+              LEFT JOIN csz USING (cluster_id)
+            )
+            SELECT doc_id, source,
+                   coalesce(cluster_id, doc_id) AS cluster_id,
+                   size::INT AS cluster_size, size::INT AS weight
+            FROM j
+            WHERE {_h32_sql('doc_id::VARCHAR', 3)}
+                  < (1.0 / size) * 4294967296.0
         """,
     }
 

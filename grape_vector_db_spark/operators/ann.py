@@ -1025,3 +1025,172 @@ def ivf_index_stats(
         F.round(F.col("n_members") / F.col("tot"), 6).alias("share"),
         "mean_cosine",
     )
+
+
+def _block_local_topk(xids, yids, X, Y, k: int, same_block: bool):
+    """Per-row local top-``k`` of the cosine matrix ``X @ Y.T`` by
+    (cosine DESC, dst id ASC) — the block kernel behind
+    :func:`knn_graph`. ``yids`` MUST be sorted ascending: the tie-break
+    then falls out of a single stable argsort on the negated rounded
+    scores (no per-row lexsort loop). Cosine follows the repo
+    convention (_gemm_pairs): 6-dp round, zero-norm rows score 0.0.
+    Self-pairs (same id on both sides) are excluded. Returns a pandas
+    DataFrame (src, dst, cosine) or None."""
+    xn = np.sqrt((X * X).sum(axis=1))
+    yn = np.sqrt((Y * Y).sum(axis=1))
+    denom = xn[:, None] * yn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = np.where(denom > 0, (X @ Y.T) / denom, 0.0)
+    S = np.round(S, 6)
+    if same_block:
+        S = S.copy()
+        S[xids[:, None] == yids[None, :]] = -np.inf
+    kk = min(k, S.shape[1])
+    if kk <= 0:
+        return None
+    order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+    sel = np.take_along_axis(S, order, axis=1)
+    src = np.repeat(xids, kk)
+    dst = yids[order.ravel()]
+    cos = sel.ravel()
+    keep = np.isfinite(cos)
+    if not keep.any():
+        return None
+    return pd.DataFrame(
+        {"src": src[keep], "dst": dst[keep], "cosine": cos[keep]}
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Exact directed k-nearest-neighbor graph over the whole corpus —
+    ``(src, dst, rank, cosine)`` with rank 1..k by (cosine DESC, dst
+    ASC), self excluded. The foundation for graph-based dedup
+    communities, NN-descent seeding, and dataset-cartography maps.
+
+    Scale shape (the same distributed blocked GEMM as
+    ``dedup.embedding_neardup_pairs_gemm``, reshaped for top-k instead
+    of a threshold): vectors hash into B row-blocks, a broadcast
+    (i <= j) block-pair table fans B(B+1)/2 matmul tasks out, and each
+    task emits only its block-LOCAL top-k per row (both directions for
+    an off-diagonal pair). The global per-src reduce then sees at most
+    k*B candidates per node — corpus-size-independent — and a
+    partitioned window (never a single-partition sort) cuts the final
+    top-k. No driver collect, no row cap; every task holds two blocks.
+
+    The block-local cut loses nothing: the global top-k by (cosine,
+    dst) is a subset of the union of per-block top-k under the SAME
+    order, because each global winner is within the top-k of its own
+    block pair (the kernel tie-breaks identically, so boundary ties
+    survive too).
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(emb.count() / rows_per_block))
+    v = to_double_array(vec_col)
+
+    if n_blocks == 1:
+        flat = emb.select(F.col(id_col).alias("id"), v.alias("v")).coalesce(1)
+
+        def run_single(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            ids = np.concatenate([c["id"].to_numpy(np.int64) for c in chunks])
+            X = np.asarray(
+                [row for c in chunks for row in c["v"]], dtype=np.float64
+            )
+            o = np.argsort(ids)
+            ids, X = ids[o], X[o]
+            out = _block_local_topk(ids, ids, X, X, k, same_block=True)
+            if out is not None:
+                yield out
+
+        cand = flat.mapInPandas(run_single, "src long, dst long, cosine double")
+    else:
+        base = emb.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
+        )
+        mats = base.groupBy("block").agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+        a = mats.select(
+            F.col("block").alias("ba"), F.col("ids").alias("ids_a"),
+            F.col("vecs").alias("vecs_a"),
+        )
+        b = mats.select(
+            F.col("block").alias("bb"), F.col("ids").alias("ids_b"),
+            F.col("vecs").alias("vecs_b"),
+        )
+        block_pairs = F.broadcast(
+            spark.createDataFrame(
+                [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+                "ba int, bb int",
+            )
+        )
+        joined = a.join(block_pairs, "ba").join(b, "bb").repartition(
+            n_blocks * (n_blocks + 1) // 2, "ba", "bb"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    ai = np.asarray(row.ids_a, dtype=np.int64)
+                    bi = np.asarray(row.ids_b, dtype=np.int64)
+                    A = np.asarray(list(row.vecs_a), dtype=np.float64)
+                    B = np.asarray(list(row.vecs_b), dtype=np.float64)
+                    oa, ob = np.argsort(ai), np.argsort(bi)
+                    ai, A = ai[oa], A[oa]
+                    bi, B = bi[ob], B[ob]
+                    same = row.ba == row.bb
+                    out = _block_local_topk(ai, bi, A, B, k, same_block=same)
+                    if out is not None:
+                        yield out
+                    if not same:
+                        rev = _block_local_topk(
+                            bi, ai, B, A, k, same_block=False
+                        )
+                        if rev is not None:
+                            yield rev
+
+        cand = joined.mapInPandas(run, "src long, dst long, cosine double")
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cosine")
+    )
+
+
+def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
+    """Mutual-kNN pairs from a directed :func:`knn_graph` edge list:
+    ``(a, b, cosine)`` with a < b where each endpoint appears in the
+    other's top-k. The standard sparsifier for graph-clustering /
+    community-dedup (mutual edges are far more precise than one-way
+    ones). One shuffle equi-join of the edge list with its own reverse
+    on the composite (src, dst) key — edge-count-sized, never
+    corpus-squared."""
+    fwd = edges.select("src", "dst", "cosine").where(F.col("src") < F.col("dst"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).where(F.col("src") < F.col("dst"))
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), "cosine"
+        )
+    )

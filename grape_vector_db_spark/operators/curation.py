@@ -35,6 +35,7 @@ build plan (SURVEY.md §2.9 spirit: what a pipeline at this scale needs).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -636,6 +637,62 @@ def top_ngrams(
     )
 
 
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical diversity of word ``n``-grams: ``(group,
+    n_docs, total_ngrams, distinct_ngrams, diversity)`` where diversity
+    = distinct/total (the distinct-n metric of Li et al. 2016,
+    arXiv:1510.03055 §5, applied corpus-side) — LOW diversity flags a
+    templated / self-repetitive source that will dominate gradient
+    updates with near-identical sequences, the same signal
+    repetition_signals computes per-document but aggregated where the
+    mixture decision is made (per source).
+
+    Scale shape: explode n-grams -> two map-side-combined aggregations
+    ((group, gram) counts, then per-group reduce). The (group, gram)
+    shuffle is df-bounded (distinct grams per group), and no window or
+    driver materialization appears anywhere. Tokenization matches
+    top_ngrams (trim, lower, split on whitespace) so the two read the
+    same corpus the same way.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(text_col),
+        F.explode(_word_grams(toks, n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("grp", "gram").agg(F.count("*").alias("cnt"))
+    stats = per_gram.groupBy("grp").agg(
+        F.sum("cnt").alias("total_ngrams"),
+        F.count("*").alias("distinct_ngrams"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        docs.join(stats, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs"),
+            F.coalesce(F.col("total_ngrams"), F.lit(0)).alias("total_ngrams"),
+            F.coalesce(F.col("distinct_ngrams"), F.lit(0)).alias(
+                "distinct_ngrams"
+            ),
+            F.round(
+                F.coalesce(F.col("distinct_ngrams"), F.lit(0)).cast("double")
+                / F.greatest(
+                    F.coalesce(F.col("total_ngrams"), F.lit(0)), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("diversity"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,
@@ -969,3 +1026,61 @@ def curriculum_shards(
         .cast("int")
         .alias("shard"),
     )
+
+
+#: Cc control characters minus the text-bearing \t \n \r (Cc is exactly
+#: U+0000-001F + U+007F-009F, so explicit ranges express "Cc except
+#: whitespace controls" without the regex class intersection RE2 lacks).
+CONTROL_CHAR_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode text normalization — the canonicalization pass every
+    web-scale corpus runs before dedup/tokenization (CCNet, OSCAR, C4
+    all normalize first; without it, byte-identical prose with
+    different encodings of "é" or stray zero-width marks defeats exact
+    dedup and splinters the BPE vocabulary). Appends ``out_col``:
+
+    1. strip Cc control characters except ``\\t \\n \\r``
+       (:data:`CONTROL_CHAR_RE`) and all Cf format characters
+       (zero-width space/joiner, BOM, bidi marks),
+    2. Unicode ``form`` canonicalization (NFC default: combining
+       sequences compose, so e + U+0301 == é — one token, one hash),
+    3. collapse space/tab runs to a single space,
+    4. trim leading/trailing spaces.
+
+    Python has no JVM-side NFC, so this is the repo's designated slow
+    path done right: ONE vectorized Arrow-batched pandas UDF (never
+    per-row Python), purely narrow — zero shuffles, the scan absorbs
+    it. The rule set is deliberately RE2-expressible so the DuckDB
+    oracle (nfc_normalize + the same regexes) replays it exactly;
+    NBSP (Zs) is deliberately NOT collapsed — it is meaningful
+    typography, and C4-style filters handle it downstream.
+    """
+    import re as _re
+    import unicodedata as _ud
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile(CONTROL_CHAR_RE)
+    runs = _re.compile(r"[ \t]+")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            x = ctrl.sub("", x)
+            x = "".join(c for c in x if _ud.category(c) != "Cf")
+            x = _ud.normalize(form, x)
+            x = runs.sub(" ", x)
+            return x.strip(" ")
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

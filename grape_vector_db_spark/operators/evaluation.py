@@ -462,3 +462,111 @@ def semantic_outliers(
         )
     )
     return best.where(F.col("best_cos") < threshold)
+
+
+def binary_classifier_metrics(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """One-row evaluation of a binary scorer against boolean labels:
+    ``(n, n_pos, tp, fp, fn, tn, precision, recall, f1, accuracy,
+    auc)`` — the harness every quality-classifier / lang-ID /
+    dedup-admission model in a data pipeline is validated with before
+    its threshold gates a corpus.
+
+    - Threshold metrics: predicted positive iff ``score >= threshold``.
+      Degenerate denominators (no predicted / no actual positives)
+      yield 0.0, and an empty input yields a single all-zero row with
+      auc 0.5.
+    - AUC is the exact Mann-Whitney statistic with AVERAGE ranks for
+      tied scores (scores are ranked at their 6-dp rounded value, the
+      repo's oracle-parity granularity). One class absent -> 0.5.
+
+    Scale shape: ranks come from :func:`rank.global_row_number`
+    (sampled range buckets + offsets — no single-partition window),
+    then a per-distinct-score aggregate derives each tie group's
+    average rank as (min(rn) + max(rn)) / 2. Everything after the rank
+    is a two-level reduce to one row; nothing corpus-sized moves to
+    the driver. ``materialize`` passes through to the rank primitive
+    (use "persist" on a real cluster — see global_row_number's
+    docstring for the executor-loss tradeoff).
+    """
+    from .rank import global_row_number
+
+    base = scored.select(
+        F.col(id_col).alias("_id"),
+        F.round(F.col(score_col).cast("double"), 6).alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    ranked = global_row_number(
+        base, "_s", ["_id"], out_col="_rn", materialize=materialize
+    )
+    per_score = ranked.groupBy("_s").agg(
+        ((F.min("_rn") + F.max("_rn")) / F.lit(2.0)).alias("_avg_rank"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_npos_at"),
+        F.count("*").alias("_n_at"),
+    )
+    pred = F.col("_s") >= F.lit(float(threshold))
+
+    def _cnt(cond):
+        # coalesce: sum() over ZERO rows is NULL, and the empty-input
+        # contract promises an all-zero row
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        _cnt(F.col("_y")).alias("n_pos"),
+        _cnt(pred & F.col("_y")).alias("tp"),
+        _cnt(pred & ~F.col("_y")).alias("fp"),
+        _cnt(~pred & F.col("_y")).alias("fn"),
+        _cnt(~pred & ~F.col("_y")).alias("tn"),
+    )
+    rank_sum = per_score.agg(
+        F.coalesce(
+            F.sum(F.col("_npos_at") * F.col("_avg_rank")), F.lit(0.0)
+        ).alias("_r_pos")
+    )
+    j = agg.crossJoin(F.broadcast(rank_sum))
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        (
+            F.col("_r_pos")
+            - F.col("n_pos").cast("double")
+            * (F.col("n_pos") + 1).cast("double")
+            / F.lit(2.0)
+        )
+        / (F.col("n_pos").cast("double") * n_neg.cast("double")),
+    ).otherwise(F.lit(0.5))
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        (F.col("tp") + F.col("fn")) > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    acc = F.when(
+        F.col("n") > 0,
+        (F.col("tp") + F.col("tn")) / F.col("n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n",
+        "n_pos",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(acc, 6).alias("accuracy"),
+        F.round(auc, 6).alias("auc"),
+    )

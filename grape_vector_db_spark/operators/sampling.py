@@ -101,3 +101,55 @@ def kfold_assign(
         *keep_cols,
         (h32(F.col(id_col).cast("string"), seed) % k).cast("int").alias("fold"),
     )
+
+
+def cluster_debiased_sample(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Duplicate-cluster-debiased Bernoulli sample: keep each document
+    with probability ``1 / |its near-dup cluster|`` so every cluster
+    contributes ~one document in expectation — the soft alternative to
+    hard dedup (keep-one-per-cluster) that preserves intra-cluster
+    variety while removing the frequency bias near-duplicates inject
+    into the training mix (Lee et al. 2022 §1 motivation).
+
+    ``clusters`` is ``(doc_id, cluster_id)`` from
+    :func:`dedup.cluster_pairs` — it only lists documents that appear
+    in some near-dup pair; everything else is a singleton (probability
+    1, always kept). Returns kept rows as ``(doc_id, *keep_cols,
+    cluster_id, cluster_size, weight)`` where ``cluster_id`` coalesces
+    to the doc's own id for singletons and ``weight`` = cluster_size is
+    the Horvitz-Thompson inverse-probability weight that keeps
+    downstream statistics unbiased.
+
+    The gate is the repo-wide deterministic ``hash_gate`` (pure
+    function of (doc_id, seed) — engine-portable, replayable). Scale
+    shape: one df-sized equi-join with the (pair-bounded, much smaller)
+    cluster table + a broadcast-sized per-cluster count join; the gate
+    itself is a narrow filter.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    cl = clusters.join(sizes, "cluster_id")
+    out = df.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in keep_cols]
+    ).join(cl, "doc_id", "left")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1)).cast("int")
+    prob = F.lit(1.0) / size.cast("double")
+    return (
+        out.where(hash_gate(F.col("doc_id"), prob, seed))
+        .select(
+            "doc_id",
+            *keep_cols,
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            size.alias("cluster_size"),
+            size.alias("weight"),
+        )
+    )

@@ -38,6 +38,35 @@ def _ws_tokens(text_col):
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
+def language_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, s_<lang>...) — the full marker-hit-ratio score vector
+    behind :func:`language_id`, one column per language in
+    :data:`LANG_MARKERS` (6-dp rounded). Exposed so downstream
+    consumers (classifier evaluation, confidence thresholds, mixed-
+    language detection) can read the raw per-class scores instead of
+    just the argmax. Same single narrow zero-shuffle map."""
+    toks = _ws_tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    scores = [
+        F.round(
+            F.size(
+                F.filter(
+                    F.col("_t"),
+                    lambda w: F.array_contains(
+                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
+                    ),
+                )
+            ).cast("double")
+            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"s_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    return base.select("doc_id", *scores)
+
+
 def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1,0 +1,258 @@
+"""Round-5 additions: kNN graph, classifier eval, n-gram diversity,
+cluster-debiased sampling, Unicode normalization."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.operators import ann, curation, dedup, sampling
+from grape_vector_db_spark.operators.evaluation import binary_classifier_metrics
+from grape_vector_db_spark.operators.textanalysis import language_scores
+
+
+# ---------------------------------------------------------------- knn graph
+
+
+def _brute_knn(ids, X, k):
+    norm = np.sqrt((X * X).sum(axis=1))
+    denom = norm[:, None] * norm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = np.where(denom > 0, X @ X.T / denom, 0.0)
+    S = np.round(S, 6)
+    expect = {}
+    for i in range(len(ids)):
+        cands = sorted(
+            (-S[i, j], ids[j]) for j in range(len(ids)) if ids[j] != ids[i]
+        )
+        expect[ids[i]] = [
+            (int(d), round(-c, 6), r + 1) for r, (c, d) in enumerate(cands[:k])
+        ]
+    return expect
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3])
+def test_knn_graph_matches_brute_force(spark, emb, n_blocks):
+    rows = emb.limit(80).collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    sub = emb.limit(80)
+    got = {}
+    for r in ann.knn_graph(sub, k=4, n_blocks=n_blocks).collect():
+        got.setdefault(r.src, []).append((r.dst, round(r.cosine, 6), r.rank))
+    for s in got:
+        got[s].sort(key=lambda t: t[2])
+    assert got == _brute_knn(ids, X, 4)
+
+
+def test_knn_graph_k_larger_than_corpus(spark, emb):
+    sub = emb.limit(5)
+    out = ann.knn_graph(sub, k=10, n_blocks=2).collect()
+    # every node sees all 4 others, never itself, ranks contiguous
+    per = {}
+    for r in out:
+        assert r.src != r.dst
+        per.setdefault(r.src, []).append(r.rank)
+    assert len(per) == 5
+    for ranks in per.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_mutual_knn_pairs_subset_and_symmetry(spark, emb):
+    edges = ann.knn_graph(emb.limit(60), k=3, n_blocks=2)
+    eset = {(r.src, r.dst) for r in edges.collect()}
+    mut = ann.mutual_knn_pairs(edges).collect()
+    seen = set()
+    for r in mut:
+        assert r.a < r.b
+        assert (r.a, r.b) in eset and (r.b, r.a) in eset
+        seen.add((r.a, r.b))
+    # completeness: every reciprocated edge appears
+    expect = {
+        (min(a, b), max(a, b))
+        for (a, b) in eset
+        if (b, a) in eset
+    }
+    assert seen == expect
+
+
+# ---------------------------------------------------------- classifier eval
+
+
+def test_binary_classifier_metrics_vs_pandas(spark):
+    rng = np.random.default_rng(11)
+    n = 300
+    y = rng.random(n) < 0.35
+    s = np.round(np.where(y, rng.normal(0.6, 0.2, n), rng.normal(0.4, 0.2, n)), 2)
+    df = spark.createDataFrame(
+        [(i, float(s[i]), bool(y[i])) for i in range(n)],
+        "doc_id long, score double, label boolean",
+    )
+    row = binary_classifier_metrics(df, threshold=0.5).collect()[0]
+    ranks = pd.Series(s).rank(method="average")
+    npos = int(y.sum())
+    auc = (ranks[y].sum() - npos * (npos + 1) / 2) / (npos * (n - npos))
+    tp = int(((s >= 0.5) & y).sum())
+    fp = int(((s >= 0.5) & ~y).sum())
+    fn = int(((s < 0.5) & y).sum())
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert (row.n, row.n_pos, row.tp, row.fp, row.fn) == (n, npos, tp, fp, fn)
+    assert row.auc == round(auc, 6)
+    assert row.f1 == round(2 * prec * rec / (prec + rec), 6)
+
+
+def test_binary_classifier_metrics_degenerate(spark):
+    # empty input -> zero row with auc 0.5
+    empty = spark.createDataFrame([], "doc_id long, score double, label boolean")
+    row = binary_classifier_metrics(empty).collect()[0]
+    assert (row.n, row.tp, row.auc) == (0, 0, 0.5)
+    # single class -> auc 0.5, recall well-defined
+    one = spark.createDataFrame(
+        [(1, 0.9, True), (2, 0.1, True)],
+        "doc_id long, score double, label boolean",
+    )
+    r1 = binary_classifier_metrics(one, threshold=0.5).collect()[0]
+    assert r1.auc == 0.5 and r1.recall == 0.5 and r1.precision == 1.0
+
+
+def test_language_scores_consistent_with_language_id(spark, docs):
+    from grape_vector_db_spark.operators.textanalysis import language_id
+
+    sc = language_scores(docs.limit(50))
+    lid = language_id(docs.limit(50))
+    j = sc.join(lid, "doc_id").collect()
+    langs = ["de", "en", "es", "fr", "zh"]
+    for r in j:
+        best = max(r[f"s_{lang}"] for lang in langs)
+        assert r.lang_score == best
+        # argmax ties break alphabetically
+        first = next(lang for lang in langs if r[f"s_{lang}"] == best)
+        assert r.pred_lang == first
+
+
+# --------------------------------------------------------- ngram diversity
+
+
+def test_ngram_diversity_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x y x y"),       # grams: "x y","y x","x y" -> 3 total 2 distinct
+            (2, "a", "z"),             # too short: no grams, still counted as doc
+            (3, "b", "p q r"),         # "p q","q r"
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in curation.ngram_diversity(df, n=2).collect()}
+    assert rows["a"].n_docs == 2
+    assert rows["a"].total_ngrams == 3
+    assert rows["a"].distinct_ngrams == 2
+    assert rows["a"].diversity == round(2 / 3, 6)
+    assert rows["b"].total_ngrams == 2 and rows["b"].diversity == 1.0
+
+
+def test_ngram_diversity_all_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "one"), (2, "s", "two")],
+        "doc_id long, source string, text string",
+    )
+    r = curation.ngram_diversity(df, n=2).collect()[0]
+    assert (r.n_docs, r.total_ngrams, r.distinct_ngrams, r.diversity) == (
+        2, 0, 0, 0.0,
+    )
+
+
+# ----------------------------------------------------------- cluster sample
+
+
+def test_cluster_debiased_sample_semantics(spark, docs):
+    sub = docs.limit(120)
+    pairs = dedup.minhash_lsh_pairs(sub, num_hashes=16, threshold=0.2)
+    clusters = dedup.cluster_pairs(pairs)
+    out = sampling.cluster_debiased_sample(
+        sub, clusters, seed=3, keep_cols=("source",)
+    ).collect()
+    cl = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    sizes: dict = {}
+    for cid in cl.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    for r in out:
+        exp_cid = cl.get(r.doc_id, r.doc_id)
+        exp_size = sizes.get(exp_cid, 1) if r.doc_id in cl else 1
+        assert r.cluster_id == exp_cid
+        assert r.cluster_size == exp_size == r.weight
+        # gate replayed (python twin of functions.hashing.h32, seed 3)
+        h = int(hashlib.md5(f"3:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        assert h < (1.0 / exp_size) * (2**32)
+    # singletons (prob 1) are all kept
+    kept = {r.doc_id for r in out}
+    all_ids = {r.doc_id for r in sub.select("doc_id").collect()}
+    singletons = all_ids - set(cl)
+    assert singletons <= kept
+
+
+# ----------------------------------------------------------- normalization
+
+
+def _py_norm(s: str) -> str:
+    s = re.sub(curation.CONTROL_CHAR_RE, "", s)
+    s = "".join(c for c in s if unicodedata.category(c) != "Cf")
+    s = unicodedata.normalize("NFC", s)
+    s = re.sub(r"[ \t]+", " ", s)
+    return s.strip(" ")
+
+
+def test_normalize_text_rules(spark):
+    cases = [
+        "Cafe\u0301",               # decomposed -> composed
+        "a\u200bb",                 # ZWSP (Cf) stripped
+        "x\x07y\x00z",                     # Cc stripped
+        "keep\tthese\nlines\r\n",          # \t collapsed, \n \r kept
+        "  lots   of\t\tspace  ",
+        "nbsp\u00a0stays",          # Zs is NOT whitespace-collapsed
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.norm_text
+        for r in curation.normalize_text(df).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == (None if c is None else _py_norm(c)), (i, c)
+    assert got[0] == "Caf\u00e9"
+    assert got[1] == "ab"
+    assert got[2] == "xyz"
+    assert got[5] == "nbsp\u00a0stays"
+
+
+def test_normalize_text_matches_duckdb(spark):
+    import duckdb
+
+    cases = ["Cafe\u0301 et cre\u0300me", "a\u200b\tb  c\x07", " plain ascii "]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id long, text string"
+    )
+    srows = {
+        r.doc_id: r.norm_text for r in curation.normalize_text(df).collect()
+    }
+    con = duckdb.connect()
+    norm = (
+        "trim(regexp_replace(nfc_normalize(regexp_replace(regexp_replace("
+        f"?, '{curation.CONTROL_CHAR_RE}', '', 'g'), "
+        r"'\p{Cf}', '', 'g')), '[ \t]+', ' ', 'g'), ' ')"
+    )
+    for i, c in enumerate(cases):
+        d = con.execute(f"select {norm}", [c]).fetchone()[0]
+        assert srows[i] == d, (i, c)
+        assert (
+            hashlib.md5(srows[i].encode()).hexdigest()
+            == con.execute("select md5(?)", [srows[i]]).fetchone()[0]
+        )
