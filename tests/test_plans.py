@@ -339,3 +339,40 @@ def test_filtered_knn_pushes_label_filter_to_scan(spark):
     df = knn(fresh.where(F.col("label") == 3), qv, k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(label,3)" in plan  # inside PushedFilters of the scan
+
+
+def test_normalize_text_is_shuffle_free(spark):
+    """Unicode normalization is ONE Arrow-batched pandas UDF in a narrow
+    map — no Exchange, exactly one ArrowEvalPython stage."""
+    from grape_vector_db_spark.operators import curation
+
+    df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    plan = plan_of(curation.normalize_text(df))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_knn_graph_broadcasts_block_pairs(spark, emb):
+    """The kNN-graph fan-out must broadcast the (tiny) block-pair table,
+    never shuffle-join it, and the final per-src top-k must be a
+    PARTITIONED window (no single-partition Exchange)."""
+    from grape_vector_db_spark.operators import ann
+
+    sub = emb.where(F.col("vec_id") < 64)  # limit() would inject its own
+    plan = plan_of(ann.knn_graph(sub, k=3, n_blocks=4))  # SinglePartition
+    assert "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the per-src top-k is pushed below the shuffle (partial group limit),
+    # so each task ships at most k rows per src
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_graph_single_block_is_exchange_free(spark, emb):
+    """A corpus that fits one block runs as coalesce(1) + one matmul
+    task + the per-src window — the only Exchange is the window's hash
+    partitioning."""
+    from grape_vector_db_spark.operators import ann
+    from grape_vector_db_spark.plans.audit import audit_plan
+
+    a = audit_plan(ann.knn_graph(emb.limit(32), k=3, n_blocks=1))
+    assert a.shuffles <= 1
