@@ -3048,6 +3048,33 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_knn_hubness(spark, sf_dir):
+    """Hubness diagnostic (Radovanovic 2010): in-degree histogram of the
+    directed 5-NN graph, anti-hubs included as in_degree 0 via a left
+    join from the corpus id set."""
+    return ann.knn_in_degree_histogram(
+        _knn_graph_edges(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
+def q_knn_communities(spark, sf_dir):
+    """Semantic communities: connected components (min-label
+    propagation) over mutual-5-NN edges with cosine >= 0.3 — the
+    embedding-space analogue of the MinHash dedup clusters, built from
+    the same cached graph as knn_graph/mutual_knn."""
+    pairs = ann.mutual_knn_pairs(_knn_graph_edges(spark, sf_dir)).where(
+        F.col("cosine") >= 0.3
+    ).select("a", "b")
+    return dedup.cluster_pairs(pairs)
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-document topic tags: top-3 terms by smoothed TF-IDF (rounded
+    before ranking so the tie-break is engine-exact), from the shared
+    ingest-built term table."""
+    return sparse.doc_keywords(_terms(spark, sf_dir), top_k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -3239,6 +3266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "cluster_sample": q_cluster_sample,
         "normalize_text": q_normalize_text,
+        "knn_hubness": q_knn_hubness,
+        "knn_communities": q_knn_communities,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -4968,6 +4998,64 @@ def _normalize_text_sql() -> str:
                md5(nn) AS h
         FROM n0
     """
+
+
+def _knn_hubness_sql(k: int = 5) -> str:
+    return f"""
+        WITH {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst FROM r WHERE rank <= {k}),
+        deg AS (SELECT dst AS id, count(*) AS d FROM topk GROUP BY 1),
+        fulldeg AS (
+          SELECT e2.vec_id, coalesce(deg.d, 0)::INT AS in_degree
+          FROM embeddings e2 LEFT JOIN deg ON deg.id = e2.vec_id
+        )
+        SELECT in_degree, count(*)::BIGINT AS n_nodes
+        FROM fulldeg GROUP BY 1
+    """
+
+
+def _knn_communities_sql(k: int = 5, threshold: float = 0.3) -> str:
+    return f"""
+        WITH RECURSIVE {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst, cosine FROM r WHERE rank <= {k}),
+        mp AS (
+          SELECT x.src AS a, x.dst AS b
+          FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+          WHERE x.src < x.dst AND x.cosine >= {threshold}
+        ),
+        edges AS (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+        nodes AS (SELECT a AS id FROM edges GROUP BY a),
+        walk(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM walk GROUP BY node
+    """
+
+
+def _doc_keywords_sql(top_k: int = 3) -> str:
+    return f"""
+        WITH {_TERMS_CTE},
+        dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        nq AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+        s AS (
+          SELECT dt.doc_id, dt.term,
+                 round(dt.tf * (ln((nq.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+          FROM dt JOIN dfq USING (term) CROSS JOIN nq
+        ),
+        rk AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM s
+        )
+        SELECT doc_id, term, rank::INT AS rank, tfidf
+        FROM rk WHERE rank <= {top_k}
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     # 64-bit simhash oracle: two 32-bit md5-derived words (seeds 0 and 1,
@@ -6946,6 +7034,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _knn_graph_sql(5),
         "mutual_knn": _mutual_knn_sql(5),
         "classifier_eval": _classifier_eval_sql(0.05),
+        "knn_hubness": _knn_hubness_sql(5),
+        "knn_communities": _knn_communities_sql(5, 0.3),
+        "doc_keywords": _doc_keywords_sql(3),
         "ngram_diversity": _ngram_diversity_sql(2),
         "normalize_text": _normalize_text_sql(),
         "cluster_sample": f"""

@@ -1194,3 +1194,34 @@ def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
             F.col("src").alias("a"), F.col("dst").alias("b"), "cosine"
         )
     )
+
+
+def knn_in_degree_histogram(
+    edges: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hubness diagnostic over a directed :func:`knn_graph`:
+    ``(in_degree, n_nodes)`` — how many corpus vectors are "pointed at"
+    by 0, 1, 2, ... others' top-k lists. High-dimensional spaces grow
+    hub vectors (in-degree >> k) that dominate retrieval results and
+    anti-hubs (in-degree 0) that never surface (Radovanovic et al.
+    2010, JMLR 11); a heavy right tail here is the signal to re-embed,
+    whiten, or switch to mutual-kNN edges.
+
+    Scale shape: one map-side-combined count by dst, a LEFT join from
+    the corpus id set (so anti-hubs appear as 0), then a histogram
+    reduce over at most max_in_degree+1 keys. Nothing is collected.
+    """
+    deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    ids = corpus.select(F.col(id_col).alias("id"))
+    full = ids.join(deg, "id", "left").select(
+        F.coalesce(F.col("in_degree"), F.lit(0)).cast("int").alias("in_degree")
+    )
+    return (
+        full.groupBy("in_degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("in_degree")
+    )

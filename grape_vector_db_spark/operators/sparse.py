@@ -423,3 +423,54 @@ def bm25_feedback_search(
     return bm25_search_weighted(
         documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms
     )
+
+
+def doc_keywords(
+    terms: DataFrame,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` terms by smoothed
+    TF-IDF — ``(doc_id, term, rank, tfidf)`` with
+    ``idf = ln((N+1)/(df+1)) + 1`` (the sklearn smooth-idf form: always
+    positive, new-document-safe) and tfidf 6-dp rounded BEFORE ranking
+    so the (tfidf DESC, term ASC) order is engine-reproducible. The
+    doc-level sibling of class_tfidf_top_terms — the metadata-enrichment
+    pass that gives every document searchable topic tags.
+
+    Scale shape: document frequencies are one map-side-combined groupBy
+    over the (already doc-distinct) term table; N is a one-row reduce
+    crossJoin-broadcast back; the final cut is a PARTITIONED window
+    (per doc), pushed below its shuffle as a partial group limit. The
+    df table join shuffles by term once — bounded by distinct terms.
+    """
+    from pyspark.sql import Window
+
+    df_tbl = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = terms.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        terms.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "term", "rank", "tfidf")
+    )

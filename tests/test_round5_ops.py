@@ -256,3 +256,85 @@ def test_normalize_text_matches_duckdb(spark):
             hashlib.md5(srows[i].encode()).hexdigest()
             == con.execute("select md5(?)", [srows[i]]).fetchone()[0]
         )
+
+
+# ------------------------------------------------------ hubness / keywords
+
+
+def test_knn_in_degree_histogram(spark, emb):
+    sub = emb.where(F.col("vec_id") < 40)
+    edges = ann.knn_graph(sub, k=3, n_blocks=2)
+    hist = {
+        r.in_degree: r.n_nodes
+        for r in ann.knn_in_degree_histogram(edges, sub).collect()
+    }
+    # hand-count from the edge list
+    deg: dict = {}
+    ids = {r.vec_id for r in sub.collect()}
+    for r in edges.collect():
+        deg[r.dst] = deg.get(r.dst, 0) + 1
+    expect: dict = {}
+    for i in ids:
+        d = deg.get(i, 0)
+        expect[d] = expect.get(d, 0) + 1
+    assert hist == expect
+    # mass conservation: every node appears exactly once
+    assert sum(hist.values()) == len(ids)
+    # total in-degree == total edges (k per src)
+    assert sum(d * n for d, n in hist.items()) == len(list(edges.collect()))
+
+
+def test_doc_keywords_formula_and_ranks(spark):
+    from grape_vector_db_spark.operators import sparse
+    import math
+
+    # three docs with known term tables
+    terms = spark.createDataFrame(
+        [
+            (1, "apple", 0.5), (1, "pie", 0.5),
+            (2, "apple", 0.25), (2, "zebra", 0.75),
+            (3, "apple", 1.0),
+        ],
+        "doc_id long, term string, tf double",
+    )
+    out = sparse.doc_keywords(terms, top_k=2).collect()
+    n = 3
+    df = {"apple": 3, "pie": 1, "zebra": 1}
+
+    def tfidf(tf, t):
+        return round(tf * (math.log((n + 1) / (df[t] + 1)) + 1), 6)
+
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in out}
+    # doc 1: pie (idf 1.693..) * .5 beats apple (idf 1.0) * .5
+    assert got[(1, 1)] == ("pie", tfidf(0.5, "pie"))
+    assert got[(1, 2)] == ("apple", tfidf(0.5, "apple"))
+    # doc 3: single term still emitted, rank 1
+    assert got[(3, 1)] == ("apple", tfidf(1.0, "apple"))
+    assert (3, 2) not in got
+
+
+def test_knn_communities_are_valid_components(spark, emb):
+    from grape_vector_db_spark.operators import dedup
+
+    sub = emb.where(F.col("vec_id") < 100)
+    pairs = ann.mutual_knn_pairs(ann.knn_graph(sub, k=4, n_blocks=2)).where(
+        F.col("cosine") >= 0.25
+    ).select("a", "b")
+    prows = [(r.a, r.b) for r in pairs.collect()]
+    comp = {r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    # union-find reference
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in prows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert comp == expect
