@@ -33,6 +33,7 @@ from grape_vector_db_spark.operators import (
     quantization,
     search,
     selection,
+    sequence,
     sparse,
     textanalysis,
     topk,
@@ -3075,6 +3076,15 @@ def q_doc_keywords(spark, sf_dir):
     return sparse.doc_keywords(_terms(spark, sf_dir), top_k=3)
 
 
+def q_session_rollups(spark, sf_dir):
+    """Gaps-and-islands sessionization with per-session rollups (ordinal,
+    event count, type diversity, duration, value sum) — the analytic
+    companion to events_sessions' session_window counts, sharing the
+    strict > 30-min boundary rule with streaming.sessionize_stream so a
+    batch backfill agrees with the live path."""
+    return sequence.sessionize(_events(spark, sf_dir), gap_minutes=30.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -3269,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hubness": q_knn_hubness,
         "knn_communities": q_knn_communities,
         "doc_keywords": q_doc_keywords,
+        "session_rollups": q_session_rollups,
     }
 
 
@@ -7037,6 +7048,30 @@ def oracle_sql() -> dict[str, str]:
         "knn_hubness": _knn_hubness_sql(5),
         "knn_communities": _knn_communities_sql(5, 0.3),
         "doc_keywords": _doc_keywords_sql(3),
+        "session_rollups": """
+            WITH g AS (
+              SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS gap_us
+              FROM events
+            ),
+            m AS (
+              SELECT *,
+                     sum(CASE WHEN gap_us IS NULL
+                              OR gap_us > 30 * 60000000 THEN 1
+                         ELSE 0 END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us ASC, event_id ASC) AS session_idx
+              FROM g
+            )
+            SELECT user_id, session_idx::INT AS session_idx,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT event_type)::BIGINT AS n_types,
+                   round((max(us) - min(us)) / 1e6, 6) AS duration_s,
+                   round(sum(value), 6) AS total_value
+            FROM m GROUP BY 1, 2
+        """,
         "ngram_diversity": _ngram_diversity_sql(2),
         "normalize_text": _normalize_text_sql(),
         "cluster_sample": f"""

@@ -67,6 +67,66 @@ def event_transitions(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization — the batch twin of
+    ``streaming.sessionize_stream``: consecutive events of a user belong
+    to one session while the inter-event gap is <= ``gap_minutes``; a
+    STRICTLY larger gap opens a new one (the same boundary rule the
+    streaming operator applies, so a backfill recomputation agrees with
+    the live path). Returns per-session rollups
+    ``(user_id, session_idx, n_events, n_types, duration_s,
+    total_value)`` with ``session_idx`` 1-based in (ts, tiebreak) order.
+
+    Scale shape: ONE window shuffle partitioned by user computes both
+    the lag gap and the running new-session cumsum; the per-session
+    groupBy then needs NO second shuffle — hash partitioning on
+    ``user_col`` already clusters every (user, session) group, which
+    Spark recognizes (ClusteredDistribution over a superset of the
+    partitioning keys). Users parallelize; nothing is global.
+    """
+    gap_us = int(gap_minutes * 60_000_000)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    marked = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col),
+        F.col(value_col),
+        t.alias("_us"),
+        F.when(
+            (t - F.lag(t).over(w)).isNull() | ((t - F.lag(t).over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+        F.col(tiebreak_col),
+    ).withColumn(
+        "session_idx",
+        F.sum("_new")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("_us").asc(), F.col(tiebreak_col).asc()
+            )
+        )
+        .cast("int"),
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(type_col).alias("n_types"),
+        F.round((F.max("_us") - F.min("_us")) / 1e6, 6).alias("duration_s"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    )
+
+
 def decayed_user_scores(
     events: DataFrame,
     half_life_days: float = 7.0,

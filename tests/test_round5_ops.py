@@ -338,3 +338,57 @@ def test_knn_communities_are_valid_components(spark, emb):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
     assert comp == expect
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def test_sessionize_boundary_and_rollups(spark):
+    from grape_vector_db_spark.operators import sequence
+
+    M = 60_000_000  # one minute in epoch micros
+    rows = [
+        # user 1: events at 0, 30min (exactly the gap -> SAME session),
+        # then 61min (31min gap -> new session)
+        (1, 1, 0 * M, "view", 1.0),
+        (2, 1, 30 * M, "click", 2.0),
+        (3, 1, 61 * M, "view", 4.0),
+        # user 2: single event
+        (4, 2, 5 * M, "buy", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, value double"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type", "value",
+    )
+    out = {
+        (r.user_id, r.session_idx): (
+            r.n_events, r.n_types, r.duration_s, r.total_value
+        )
+        for r in sequence.sessionize(ev, gap_minutes=30.0).collect()
+    }
+    assert out == {
+        (1, 1): (2, 2, 1800.0, 3.0),
+        (1, 2): (1, 1, 0.0, 4.0),
+        (2, 1): (1, 1, 0.0, 8.0),
+    }
+
+
+def test_sessionize_agrees_with_streaming_boundary(spark):
+    """The strict > gap rule: a gap of exactly gap_minutes merges, one
+    microsecond more splits — identical to sessionize_stream's
+    `ts - last > gap_us` closure."""
+    from grape_vector_db_spark.operators import sequence
+
+    gap_us = 30 * 60_000_000
+    ev = spark.createDataFrame(
+        [(1, 1, 0, "a", 0.0), (2, 1, gap_us + 1, "a", 0.0)],
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+        "event_type", "value",
+    )
+    got = sequence.sessionize(ev, gap_minutes=30.0).collect()
+    assert sorted(r.session_idx for r in got) == [1, 2]
