@@ -3076,6 +3076,13 @@ def q_doc_keywords(spark, sf_dir):
     return sparse.doc_keywords(_terms(spark, sf_dir), top_k=3)
 
 
+def q_memorization_risk(spark, sf_dir):
+    """Per-doc fraction of 3-gram content shared with other documents —
+    the regurgitation-amplifier report (Lee 2022 / Carlini 2022), from
+    the same ingest-built shingle table the dedup tiers share."""
+    return dedup.memorization_risk(shingles_df=_shingles(spark, sf_dir))
+
+
 def q_session_rollups(spark, sf_dir):
     """Gaps-and-islands sessionization with per-session rollups (ordinal,
     event count, type diversity, duration, value sum) — the analytic
@@ -3280,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_communities": q_knn_communities,
         "doc_keywords": q_doc_keywords,
         "session_rollups": q_session_rollups,
+        "memorization_risk": q_memorization_risk,
     }
 
 
@@ -7048,6 +7056,20 @@ def oracle_sql() -> dict[str, str]:
         "knn_hubness": _knn_hubness_sql(5),
         "knn_communities": _knn_communities_sql(5, 0.3),
         "doc_keywords": _doc_keywords_sql(3),
+        "memorization_risk": f"""
+            WITH {_SHINGLE_CTE},
+            dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+            per AS (
+              SELECT s.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)
+                       AS n_shared
+              FROM sh s JOIN dfreq USING (shingle) GROUP BY 1
+            )
+            SELECT doc_id, n_grams::BIGINT AS n_grams,
+                   n_shared::BIGINT AS n_shared,
+                   round(n_shared::DOUBLE / n_grams, 6) AS mem_risk
+            FROM per
+        """,
         "session_rollups": """
             WITH g AS (
               SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id,

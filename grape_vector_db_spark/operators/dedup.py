@@ -1842,3 +1842,55 @@ def duplication_report(
             F.lit(1.0) - F.count("*") / F.sum("n").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+def memorization_risk(
+    df: DataFrame | None = None,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document memorization-risk report: what fraction of a doc's
+    distinct token n-grams also occur in at least one OTHER document.
+    Duplicated text is what language models memorize (and leak) first —
+    Lee et al. 2022 (arXiv:2107.06499) and Carlini et al. 2022
+    (arXiv:2202.07646) both tie verbatim regurgitation to training-set
+    repetition — so a doc whose n-gram content is largely shared is a
+    regurgitation amplifier even when no single whole-doc duplicate
+    exists. Returns ``(doc_id, n_grams, n_shared, mem_risk)`` with
+    ``mem_risk = n_shared / n_grams`` rounded to 6dp.
+
+    Scale shape: reuses the ingest-built doc-distinct shingle table
+    (pass ``shingles_df``); the n-gram document frequency is one
+    map-side-combined groupBy(shingle); the join back happens on the
+    same shingle hash partitioning (no extra exchange); the per-doc
+    rollup is one groupBy(doc_id) shuffle bounded by the shingle-table
+    size. Nothing is pairwise — cost is linear in total shingles, which
+    is what lets the report run corpus-wide at 100 TB while the
+    pair-based dedup tiers run on LSH candidates only.
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, n, id_col, text_col).persist()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_df") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_grams").cast("double"), 6
+            ).alias("mem_risk"),
+        )
+    )

@@ -392,3 +392,29 @@ def test_sessionize_agrees_with_streaming_boundary(spark):
     )
     got = sequence.sessionize(ev, gap_minutes=30.0).collect()
     assert sorted(r.session_idx for r in got) == [1, 2]
+
+
+# ------------------------------------------------------ memorization risk
+
+
+def test_memorization_risk_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # verbatim pair -> every 3-gram shared -> risk 1.0
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            # unique vocabulary -> risk 0.0
+            (3, "unique words nowhere else repeated"),
+            # 4 shingles, shares only "alpha beta gamma" -> 1/4
+            (4, "alpha beta gamma zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_shared, r.mem_risk)
+        for r in dedup.memorization_risk(docs, n=3).collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 2, 1.0)
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (4, 1, 0.25)
