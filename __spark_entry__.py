@@ -3076,6 +3076,18 @@ def q_doc_keywords(spark, sf_dir):
     return sparse.doc_keywords(_terms(spark, sf_dir), top_k=3)
 
 
+def q_knn_pagerank(spark, sf_dir):
+    """PageRank centrality (d=0.85, 3 power iterations) over the shared
+    directed 5-NN graph — density/coreset signal per vector; anti-hubs
+    bottom out at the teleport floor (1-d)/n."""
+    return ann.knn_pagerank(
+        _knn_graph_edges(spark, sf_dir),
+        _emb(spark, sf_dir),
+        damping=0.85,
+        iterations=3,
+    )
+
+
 def q_memorization_risk(spark, sf_dir):
     """Per-doc fraction of 3-gram content shared with other documents —
     the regurgitation-amplifier report (Lee 2022 / Carlini 2022), from
@@ -3288,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "session_rollups": q_session_rollups,
         "memorization_risk": q_memorization_risk,
+        "knn_pagerank": q_knn_pagerank,
     }
 
 
@@ -5051,6 +5064,42 @@ def _knn_communities_sql(k: int = 5, threshold: float = 0.3) -> str:
         )
         SELECT node AS doc_id, min(label) AS cluster_id
         FROM walk GROUP BY node
+    """
+
+
+def _knn_pagerank_sql(
+    k: int = 5, damping: float = 0.85, iterations: int = 3
+) -> str:
+    """Unrolled power iterations as chained CTEs — one rK per iteration,
+    each the exact SQL mirror of the Spark step (left join from the id
+    set so no-in-edge nodes get the teleport floor)."""
+    teleport = f"((1.0 - {damping}) / (SELECT n FROM nn))"
+    body = ""
+    for i in range(1, iterations + 1):
+        body += f""",
+        r{i} AS (
+          SELECT ids.id,
+                 {teleport} + {damping} * coalesce(c.s, 0.0) AS pr
+          FROM ids
+          LEFT JOIN (
+            SELECT ew.dst AS id, sum(r{i - 1}.pr * ew.w) AS s
+            FROM ew JOIN r{i - 1} ON r{i - 1}.id = ew.src
+            GROUP BY 1
+          ) c USING (id)
+        )"""
+    return f"""
+        WITH {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst FROM r WHERE rank <= {k}),
+        deg AS (SELECT src, count(*) AS od FROM topk GROUP BY 1),
+        ew AS (
+          SELECT t.src, t.dst, 1.0 / deg.od AS w
+          FROM topk t JOIN deg USING (src)
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        ids AS (SELECT vec_id AS id FROM embeddings),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM ids){body}
+        SELECT id AS vec_id, round(pr, 6) AS pagerank
+        FROM r{iterations}
     """
 
 
@@ -7056,6 +7105,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hubness": _knn_hubness_sql(5),
         "knn_communities": _knn_communities_sql(5, 0.3),
         "doc_keywords": _doc_keywords_sql(3),
+        "knn_pagerank": _knn_pagerank_sql(5, 0.85, 3),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

@@ -1225,3 +1225,54 @@ def knn_in_degree_histogram(
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("in_degree")
     )
+
+
+def knn_pagerank(
+    edges: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank centrality over a directed :func:`knn_graph` — a fixed
+    number of power iterations of ``pr = (1-d)/n + d * sum_in(pr/out)``.
+    Central (high-pr) vectors sit in dense, well-connected regions and
+    make good cluster prototypes / coreset picks; low-pr vectors are
+    fringe or outlier mass. A bounded-iteration variant (not
+    run-to-convergence) keeps the job count fixed and the result exactly
+    reproducible, which is what lets a DuckDB oracle replay it.
+
+    Scale shape: each iteration is one hash join of the rank table
+    (n rows) with the weighted edge table (n*k rows) plus a
+    map-side-combined groupBy(dst) — the textbook distributed PageRank
+    step, shuffling only by id. Anti-hub nodes (no in-edges) get the
+    teleport floor via a left join from the corpus id set. The single
+    driver-side scalar is n (one count job on the usually-cached
+    corpus). ``edges`` is scanned every iteration — pass a persisted
+    table (the ingest cache does); the function deliberately does NOT
+    persist internally so it never owns cache blocks it cannot release
+    (the vocabulary-build lesson).
+    """
+    ids = corpus.select(F.col(id_col).alias("id"))
+    n = ids.count()
+    deg = edges.groupBy("src").agg(F.count("*").alias("_od"))
+    ew = edges.join(deg, "src").select(
+        F.col("src"), F.col("dst"), (F.lit(1.0) / F.col("_od")).alias("w")
+    )
+    ranks = ids.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("_s"))
+        )
+        ranks = ids.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks.select(
+        F.col("id").alias(id_col), F.round("pr", 6).alias("pagerank")
+    )

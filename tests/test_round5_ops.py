@@ -418,3 +418,34 @@ def test_memorization_risk_planted(spark):
     assert out[2] == (2, 2, 1.0)
     assert out[3] == (3, 0, 0.0)
     assert out[4] == (4, 1, 0.25)
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_knn_pagerank_matches_numpy(spark, emb):
+    sub = emb.where(F.col("vec_id") < 50)
+    edges = ann.knn_graph(sub, k=3, n_blocks=2)
+    got = {
+        r.vec_id: r.pagerank
+        for r in ann.knn_pagerank(
+            edges, sub, damping=0.85, iterations=3
+        ).collect()
+    }
+    ids = sorted(r.vec_id for r in sub.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    erows = [(r.src, r.dst) for r in edges.collect()]
+    od: dict = {}
+    for s, _ in erows:
+        od[s] = od.get(s, 0) + 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        s = np.zeros(n)
+        for a, b in erows:
+            s[idx[b]] += pr[idx[a]] / od[a]
+        pr = 0.15 / n + 0.85 * s
+    for v in ids:
+        assert got[v] == pytest.approx(round(pr[idx[v]], 6), abs=2e-6)
+    # mass conservation: out-degree k everywhere -> no dangling leakage
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
