@@ -25,6 +25,7 @@ from grape_vector_db_spark.functions.hashing import h32, h32_sql, h32_word_sql
 from grape_vector_db_spark.functions.text import STOPWORDS
 from grape_vector_db_spark.operators import (
     ann,
+    classifier,
     curation,
     dedup,
     filters,
@@ -3076,6 +3077,125 @@ def q_doc_keywords(spark, sf_dir):
     return sparse.doc_keywords(_terms(spark, sf_dir), top_k=3)
 
 
+# --- trained quality classifier: one build, persisted weights ------------
+#
+# The logistic-regression curation gate follows the persisted-ANN-index
+# recipe exactly: the iterative TRAIN (not SQL-expressible) runs once and
+# writes a tiny weight table; the SCORING pass is a narrow fold the
+# DuckDB oracle replays from the very same parquet. Labels distill the
+# rule-based quality gate (quality_score >= 0.75) into a 64-slot hashed
+# bag-of-words model with log1p damping — the fastText-quality-classifier
+# recipe at its smallest: expensive curation rules run once to label,
+# the cheap linear model then scores every future batch. (The corpus
+# lang tag is NOT used: the synthetic testdata draws one shared
+# vocabulary for all langs, so is-English is unlearnable by
+# construction — quality is the honest learnable target here.)
+
+_LOGREG_VERSION = "logreg-v4-quality-ws-d64-i100-lr05"
+_LOGREG_DIM = 64
+
+
+def _logreg_paths(sf_dir: str) -> dict[str, str]:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".ann_index",
+        f"{tag}-{_LOGREG_VERSION}",
+    )
+    return {
+        "weights": os.path.join(root, "weights"),
+        "done": os.path.join(root, "_DONE"),
+    }
+
+
+def _logreg_features(spark, sf_dir) -> DataFrame:
+    """(doc_id, features array<double>, label) — log1p of 64-dim hashed
+    whitespace-token counts (stopwords kept: function words ARE the
+    style signal) + the rule-gate label quality >= 0.75; cached like
+    the other ingest tables. Docs with zero tokens have no feature row
+    (consistent with the oracle's sparse slot join)."""
+    key = ("logreg_feats", sf_dir)
+    if key not in _CACHE:
+        hf = textanalysis.hashed_features(
+            _docs(spark, sf_dir), dim=_LOGREG_DIM, tokenizer="whitespace"
+        )
+        feats = hf.select(
+            "doc_id",
+            F.transform(
+                "features", lambda c: F.log1p(c.cast("double"))
+            ).alias("features"),
+        )
+        labels = textanalysis.quality_score(_docs(spark, sf_dir)).select(
+            "doc_id", (F.col("quality") >= 0.75).cast("int").alias("label")
+        )
+        _CACHE[key] = feats.join(labels, "doc_id").persist()
+    return _CACHE[key]
+
+
+def _ensure_logreg(spark, sf_dir) -> dict[str, str]:
+    import os
+
+    p = _logreg_paths(sf_dir)
+    if os.path.exists(p["done"]):
+        return p
+    w, b = classifier.logreg_train(
+        _logreg_features(spark, sf_dir),
+        dim=_LOGREG_DIM,
+        lr=0.5,
+        iterations=100,
+        l2=1e-4,
+    )
+    rows = [(j, float(wj)) for j, wj in enumerate(w)] + [(-1, float(b))]
+    spark.createDataFrame(rows, "j int, w double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p["weights"])
+    with open(p["done"], "w") as fh:
+        fh.write(_LOGREG_VERSION)
+    return p
+
+
+def _logreg_weights(spark, sf_dir) -> tuple[list[float], float]:
+    key = ("logreg_w", sf_dir)
+    if key not in _CACHE:
+        p = _ensure_logreg(spark, sf_dir)
+        rows = spark.read.parquet(p["weights"]).collect()
+        w = [0.0] * _LOGREG_DIM
+        b = 0.0
+        for r in rows:
+            if r["j"] < 0:
+                b = r["w"]
+            else:
+                w[r["j"]] = r["w"]
+        _CACHE[key] = (w, b)
+    return _CACHE[key]
+
+
+def q_logreg_scores(spark, sf_dir):
+    """Corpus-wide scoring pass of the persisted quality classifier —
+    the model-in-the-loop curation gate (narrow fold of the broadcast
+    weight array; the oracle replays it from the weight parquet)."""
+    w, b = _logreg_weights(spark, sf_dir)
+    return classifier.logreg_score(_logreg_features(spark, sf_dir), w, b)
+
+
+def q_logreg_eval(spark, sf_dir):
+    """Held-in eval of the trained classifier: the standard one-row
+    metric set (P/R/F1/accuracy/tie-aware AUC) at threshold 0.5 —
+    the readout that decides whether the gate ships."""
+    from grape_vector_db_spark.operators import evaluation
+
+    w, b = _logreg_weights(spark, sf_dir)
+    feats = _logreg_features(spark, sf_dir)
+    scored = classifier.logreg_score(feats, w, b).join(
+        feats.select("doc_id", "label"), "doc_id"
+    )
+    return evaluation.binary_classifier_metrics(
+        scored, score_col="score", label_col="label", threshold=0.5
+    )
+
+
 def q_knn_pagerank(spark, sf_dir):
     """PageRank centrality (d=0.85, 3 power iterations) over the shared
     directed 5-NN graph — density/coreset signal per vector; anti-hubs
@@ -3301,6 +3421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_rollups": q_session_rollups,
         "memorization_risk": q_memorization_risk,
         "knn_pagerank": q_knn_pagerank,
+        "logreg_scores": q_logreg_scores,
+        "logreg_eval": q_logreg_eval,
     }
 
 
@@ -4928,20 +5050,12 @@ def _mutual_knn_sql(k: int = 5) -> str:
     """
 
 
-def _classifier_eval_sql(threshold: float = 0.05) -> str:
-    from grape_vector_db_spark.operators.textanalysis import LANG_MARKERS
-
-    markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS["en"]) + "]"
-    return rf"""
-        WITH s AS (
-          SELECT doc_id,
-                 round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                       w -> list_contains({markers}, w)))::DOUBLE
-                       / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1),
-                       6) AS sc,
-                 lang = 'en' AS y
-          FROM documents
-        ),
+def _binary_metrics_tail_sql(threshold: float) -> str:
+    """CTE chain from a score table ``s(doc_id, sc, y)`` — sc already
+    6-dp rounded — to the one-row metric set of
+    evaluation.binary_classifier_metrics (threshold counts + tie-aware
+    Mann-Whitney AUC). Shared by every trained-scorer eval oracle."""
+    return f"""
         r AS (
           SELECT doc_id, sc, y,
                  row_number() OVER (ORDER BY sc ASC, doc_id ASC) AS rn
@@ -4983,6 +5097,23 @@ def _classifier_eval_sql(threshold: float = 0.05) -> str:
                           ELSE 0.5 END, 6) AS auc
         FROM pr
     """
+
+
+def _classifier_eval_sql(threshold: float = 0.05) -> str:
+    from grape_vector_db_spark.operators.textanalysis import LANG_MARKERS
+
+    markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS["en"]) + "]"
+    return rf"""
+        WITH s AS (
+          SELECT doc_id,
+                 round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       w -> list_contains({markers}, w)))::DOUBLE
+                       / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1),
+                       6) AS sc,
+                 lang = 'en' AS y
+          FROM documents
+        ),
+        {_binary_metrics_tail_sql(threshold)}"""
 
 
 def _ngram_diversity_sql(n: int = 2) -> str:
@@ -5065,6 +5196,72 @@ def _knn_communities_sql(k: int = 5, threshold: float = 0.3) -> str:
         SELECT node AS doc_id, min(label) AS cluster_id
         FROM walk GROUP BY node
     """
+
+
+def _logreg_oracle_path() -> str:
+    """Persisted weight-table path for the gate sf_dir, built on demand
+    (same contract as _ann_oracle_paths: one build per version dir, so
+    the Spark queries and the oracle always read the identical
+    artifact)."""
+    import os
+
+    p = _logreg_paths(_gate_sf_dir())
+    if not os.path.exists(p["done"]):
+        from grape_vector_db_spark.session import get_spark
+
+        _ensure_logreg(get_spark(), _gate_sf_dir())
+    return p["weights"]
+
+
+def _logreg_scores_cte() -> str:
+    """CTE chain ending in ``scored(doc_id, score)``: rebuild the hashed
+    log1p features sparsely (absent slots contribute log1p(0)=0, so the
+    slot join equals Spark's dense fold), fold in the persisted weights,
+    round the margin BEFORE the sigmoid — the same 6-dp pin
+    classifier.logreg_score applies."""
+    wp = f"read_parquet('{_logreg_oracle_path()}/*.parquet')"
+    return rf"""
+        tt AS (SELECT doc_id,
+                      unnest(list_filter(
+                        regexp_split_to_array(lower(text), '\s+'),
+                        w -> w != '')) AS term
+               FROM documents),
+        sl AS (SELECT doc_id,
+                      ({_h32_sql('term', 0)}) % {_LOGREG_DIM} AS slot
+               FROM tt),
+        cnts AS (SELECT doc_id, slot, count(*) AS cnt FROM sl GROUP BY 1, 2),
+        wts AS (SELECT j, w FROM {wp} WHERE j >= 0),
+        bias AS (SELECT w AS b FROM {wp} WHERE j = -1),
+        mg AS (
+          SELECT c.doc_id,
+                 round(sum(w.w * ln(1 + c.cnt)) + (SELECT b FROM bias), 6)
+                   AS m
+          FROM cnts c JOIN wts w ON w.j = c.slot GROUP BY 1
+        ),
+        scored AS (
+          SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS score FROM mg
+        )"""
+
+
+def _logreg_scores_sql() -> str:
+    return f"""
+        WITH {_logreg_scores_cte()}
+        SELECT doc_id, score,
+               (score >= 0.5)::INT AS pred
+        FROM scored
+    """
+
+
+def _logreg_eval_sql() -> str:
+    return f"""
+        WITH {_logreg_scores_cte()},
+        s AS (
+          SELECT sc0.doc_id, sc0.score AS sc, q.quality >= 0.75 AS y
+          FROM scored sc0
+          JOIN (SELECT doc_id, quality FROM ({_quality_sql()})) q
+            USING (doc_id)
+        ),
+        {_binary_metrics_tail_sql(0.5)}"""
 
 
 def _knn_pagerank_sql(
@@ -7106,6 +7303,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_communities": _knn_communities_sql(5, 0.3),
         "doc_keywords": _doc_keywords_sql(3),
         "knn_pagerank": _knn_pagerank_sql(5, 0.85, 3),
+        "logreg_scores": _logreg_scores_sql(),
+        "logreg_eval": _logreg_eval_sql(),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

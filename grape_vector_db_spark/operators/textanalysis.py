@@ -194,6 +194,7 @@ def hashed_features(
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "reference",
 ) -> DataFrame:
     """Feature-hashing vectorizer (the hashing trick, Weinberger et al.
     2009): (doc_id, features array<long>) where features[j] counts the
@@ -205,11 +206,26 @@ def hashed_features(
     combined) -> dense array fill. Counts are integers — exact in any
     engine; h32 is the repo-wide md5 hash, so the oracle reproduces slots
     bit-for-bit.
+
+    ``tokenizer``: "reference" (default) runs the stopword-stripping
+    reference tokenizer — right for topical similarity features;
+    "whitespace" keeps raw lowercased whitespace tokens INCLUDING
+    stopwords — required when the downstream model needs function words
+    (language ID, style/quality classifiers: stripping 'the'/'and'
+    removes exactly the signal a lang classifier learns from).
     """
     from ..functions.hashing import h32
     from ..functions.text import tokens
 
-    toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
+    if tokenizer == "whitespace":
+        tok = F.filter(_ws_tokens(text_col), lambda w: w != "")
+    elif tokenizer == "reference":
+        tok = tokens(text_col)
+    else:
+        raise ValueError(
+            f"tokenizer must be 'reference' or 'whitespace', got {tokenizer!r}"
+        )
+    toked = df.select(F.col(id_col).alias("doc_id"), tok.alias("_t"))
     slots = toked.select(
         "doc_id", F.explode("_t").alias("term")
     ).select("doc_id", (h32(F.col("term")) % dim).alias("slot"))

@@ -449,3 +449,73 @@ def test_knn_pagerank_matches_numpy(spark, emb):
         assert got[v] == pytest.approx(round(pr[idx[v]], 6), abs=2e-6)
     # mass conservation: out-degree k everywhere -> no dangling leakage
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+# ------------------------------------------------------ logreg classifier
+
+
+def test_logreg_learns_separable(spark):
+    from grape_vector_db_spark.operators import classifier
+
+    # dim 2, y = 1 iff x0 > x1 — linearly separable
+    rows = [
+        (i, [float(a), float(b)], 1 if a > b else 0)
+        for i, (a, b) in enumerate(
+            [(3, 0), (2, 1), (5, 2), (4, 0), (0, 3), (1, 2), (2, 5), (0, 4)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, features array<double>, label int"
+    )
+    w, b = classifier.logreg_train(df, dim=2, lr=1.0, iterations=100, l2=0.0)
+    assert w[0] > 0 > w[1]
+    preds = {
+        r.doc_id: r.pred
+        for r in classifier.logreg_score(df, w, b).collect()
+    }
+    assert preds == {i: y for i, (_, _, y) in zip(range(8), rows)} or preds == {
+        r[0]: r[2] for r in rows
+    }
+    # loss at the trained point beats the zero model
+    l_trained = classifier.train_loss(df, w, b, l2=0.0)
+    l_zero = classifier.train_loss(df, [0.0, 0.0], 0.0, l2=0.0)
+    assert l_trained < l_zero / 4
+
+
+def test_logreg_score_pinned(spark):
+    import math
+
+    from grape_vector_db_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -1.0])], "doc_id long, features array<double>"
+    )
+    w, b = [0.5, 0.25], -0.3
+    r = classifier.logreg_score(df, w, b).collect()[0]
+    m = round(2.0 * 0.5 + (-1.0) * 0.25 + b, 6)
+    assert r.score == round(1.0 / (1.0 + math.exp(-m)), 6)
+    assert r.pred == (1 if r.score >= 0.5 else 0)
+
+
+def test_logreg_empty_raises(spark):
+    from grape_vector_db_spark.operators import classifier
+
+    df = spark.createDataFrame([], "doc_id long, features array<double>, label int")
+    with pytest.raises(ValueError):
+        classifier.logreg_train(df, dim=2, iterations=1)
+
+
+def test_hashed_features_tokenizer_modes(spark):
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "the THE quick the")], "doc_id long, text string"
+    )
+    # whitespace mode keeps stopwords: 4 tokens total
+    ws = textanalysis.hashed_features(df, dim=8, tokenizer="whitespace").collect()[0]
+    assert sum(ws.features) == 4
+    # reference mode strips 'the' (EN stopword): only 'quick' survives
+    ref = textanalysis.hashed_features(df, dim=8, tokenizer="reference").collect()[0]
+    assert sum(ref.features) == 1
+    with pytest.raises(ValueError):
+        textanalysis.hashed_features(df, dim=8, tokenizer="nope")
