@@ -3196,6 +3196,19 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_logreg_calibration(spark, sf_dir):
+    """Reliability diagram of the persisted quality classifier: 10
+    equal-width probability bins vs empirical positive rate — the
+    calibration check run before a probability threshold gates a
+    corpus."""
+    w, b = _logreg_weights(spark, sf_dir)
+    feats = _logreg_features(spark, sf_dir)
+    scored = classifier.logreg_score(feats, w, b).join(
+        feats.select("doc_id", "label"), "doc_id"
+    )
+    return classifier.calibration_report(scored, n_bins=10)
+
+
 def q_knn_pagerank(spark, sf_dir):
     """PageRank centrality (d=0.85, 3 power iterations) over the shared
     directed 5-NN graph — density/coreset signal per vector; anti-hubs
@@ -3423,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": q_knn_pagerank,
         "logreg_scores": q_logreg_scores,
         "logreg_eval": q_logreg_eval,
+        "logreg_calibration": q_logreg_calibration,
     }
 
 
@@ -5262,6 +5276,24 @@ def _logreg_eval_sql() -> str:
             USING (doc_id)
         ),
         {_binary_metrics_tail_sql(0.5)}"""
+
+
+def _logreg_calibration_sql(n_bins: int = 10) -> str:
+    return f"""
+        WITH {_logreg_scores_cte()},
+        s AS (
+          SELECT sc0.score AS sc,
+                 CASE WHEN q.quality >= 0.75 THEN 1.0 ELSE 0.0 END AS y
+          FROM scored sc0
+          JOIN (SELECT doc_id, quality FROM ({_quality_sql()})) q
+            USING (doc_id)
+        )
+        SELECT least(floor(sc * {n_bins}), {n_bins - 1})::INT AS bin,
+               count(*)::BIGINT AS n,
+               round(avg(sc), 6) AS mean_score,
+               round(avg(y), 6) AS frac_pos
+        FROM s GROUP BY 1
+    """
 
 
 def _knn_pagerank_sql(
@@ -7305,6 +7337,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pagerank": _knn_pagerank_sql(5, 0.85, 3),
         "logreg_scores": _logreg_scores_sql(),
         "logreg_eval": _logreg_eval_sql(),
+        "logreg_calibration": _logreg_calibration_sql(10),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

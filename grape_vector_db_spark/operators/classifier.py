@@ -140,6 +140,41 @@ def logreg_score(
     )
 
 
+def calibration_report(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram table: bucket predictions into ``n_bins``
+    equal-width probability bins and compare the mean predicted score
+    with the empirical positive rate — ``(bin, n, mean_score,
+    frac_pos)``. A calibrated scorer hugs the diagonal; a gate
+    thresholding an uncalibrated score keeps a different corpus
+    fraction than its operator thinks. Bin = floor(score * n_bins)
+    clamped to the top bin (score 1.0 joins bin n_bins-1).
+
+    Scale shape: one narrow bin expression + one map-side-combined
+    groupBy over at most ``n_bins`` keys — runs corpus-wide at any
+    size."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_y"), 6).alias("frac_pos"),
+        )
+    )
+
+
 def train_loss(
     features_df: DataFrame,
     weights: list[float],

@@ -519,3 +519,60 @@ def test_hashed_features_tokenizer_modes(spark):
     assert sum(ref.features) == 1
     with pytest.raises(ValueError):
         textanalysis.hashed_features(df, dim=8, tokenizer="nope")
+
+
+def test_calibration_report_bins(spark):
+    from grape_vector_db_spark.operators import classifier
+
+    rows = [
+        # bin 0: two rows, one positive
+        (1, 0.05, 1), (2, 0.02, 0),
+        # score 1.0 lands in the TOP bin (9), not a phantom bin 10
+        (3, 1.0, 1),
+        # bin 5
+        (4, 0.55, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    out = {
+        r.bin: (r.n, r.mean_score, r.frac_pos)
+        for r in classifier.calibration_report(df, n_bins=10).collect()
+    }
+    assert out[0] == (2, 0.035, 0.5)
+    assert out[9] == (1, 1.0, 1.0)
+    assert out[5] == (1, 0.55, 0.0)
+    assert set(out) == {0, 5, 9}
+
+
+def test_logreg_score_runs_on_stream(spark, tmpdir):
+    """The scoring pass is a stateless narrow map, so the SAME operator
+    runs unchanged on a readStream — the model-gated ingest path: new
+    batches get scored by the persisted model with zero extra code."""
+    from grape_vector_db_spark.operators import classifier
+
+    src = f"{tmpdir}/feats"
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0])], "doc_id long, features array<double>"
+    )
+    batch.write.parquet(src)
+    w, b = [1.5, -1.0], 0.1
+    stream = spark.readStream.schema("doc_id long, features array<double>").parquet(
+        src
+    )
+    q = (
+        classifier.logreg_score(stream, w, b)
+        .writeStream.format("memory")
+        .queryName("scored_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: (r.score, r.pred)
+        for r in spark.sql("select * from scored_stream").collect()
+    }
+    expect = {
+        r.doc_id: (r.score, r.pred)
+        for r in classifier.logreg_score(batch, w, b).collect()
+    }
+    assert got == expect and len(got) == 2
