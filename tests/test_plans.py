@@ -376,3 +376,33 @@ def test_knn_graph_single_block_is_exchange_free(spark, emb):
 
     a = audit_plan(ann.knn_graph(emb.limit(32), k=3, n_blocks=1))
     assert a.shuffles <= 1
+
+
+def test_sessionize_single_exchange(spark):
+    """The gaps-and-islands rollup must reuse the window's hash
+    partitioning on user_id for the (user, session) groupBy — exactly
+    ONE Exchange in the whole plan."""
+    from grape_vector_db_spark.operators import sequence
+
+    ev = spark.createDataFrame(
+        [(1, 1, 0, "a", 1.0)],
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+        "event_type", "value",
+    )
+    plan = plan_of(sequence.sessionize(ev))
+    assert plan.count("Exchange") == 1
+
+
+def test_logreg_score_is_shuffle_free(spark):
+    """Scoring with a trained model is a pure narrow fold of the
+    broadcast-literal weight array — zero Exchange (which is also what
+    makes it run unchanged on a readStream)."""
+    from grape_vector_db_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "doc_id long, features array<double>"
+    )
+    plan = plan_of(classifier.logreg_score(df, [0.5, -0.5], 0.1))
+    assert "Exchange" not in plan
