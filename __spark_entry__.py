@@ -35,6 +35,7 @@ from grape_vector_db_spark.operators import (
     search,
     selection,
     sequence,
+    sketches,
     sparse,
     textanalysis,
     topk,
@@ -3196,6 +3197,50 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_hll_shingles(spark, sf_dir):
+    """Deterministic HyperLogLog (md5-register) estimate of the
+    corpus's distinct 3-shingle count (p=12: the production
+    default precision, ~1.6% expected std) vs the exact answer — the
+    mergeable fixed-size sketch that replaces a full shingle shuffle
+    when only the cardinality is needed (dedup planning: candidate-pair
+    budgets are sized off this number; shard/day sketches combine by
+    register max). The term vocabulary would be the other natural
+    target, but the synthetic corpus holds only ~29 distinct terms —
+    the ~16k shingles actually exercise the estimator's raw branch."""
+    terms = _shingles(spark, sf_dir)
+    regs = sketches.hll_registers(terms, "shingle", p=12)
+    est = sketches.hll_estimate(regs, p=12)
+    exact = terms.agg(F.countDistinct("shingle").alias("exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_used",
+        "estimate",
+        "exact",
+        F.round(F.col("estimate") / F.col("exact") - 1.0, 6).alias("rel_err"),
+    )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min (4x256, md5-seeded) document-frequency estimates for
+    the 10 true heaviest terms — the one-sided (estimate >= truth)
+    sketch that finds skew/salting candidates from depth*width cells
+    instead of a vocabulary-sized shuffle."""
+    terms = _terms(spark, sf_dir)
+    sk = sketches.cms_table(terms, "term", depth=4, width=256)
+    top = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    est = sketches.cms_estimate(
+        sk, top.select("term"), "term", depth=4, width=256
+    )
+    return top.join(est, top.term == est.value).select(
+        "term", "true_cnt", "estimate"
+    )
+
+
 def q_logreg_calibration(spark, sf_dir):
     """Reliability diagram of the persisted quality classifier: 10
     equal-width probability bins vs empirical positive rate — the
@@ -3437,6 +3482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_scores": q_logreg_scores,
         "logreg_eval": q_logreg_eval,
         "logreg_calibration": q_logreg_calibration,
+        "hll_shingles": q_hll_shingles,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -5276,6 +5323,82 @@ def _logreg_eval_sql() -> str:
             USING (doc_id)
         ),
         {_binary_metrics_tail_sql(0.5)}"""
+
+
+def _hll_vocab_sql(p: int = 8) -> str:
+    m = 2**p
+    lower = 32 - p
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""
+        WITH {_SHINGLE_CTE},
+        h AS (SELECT ({_h32_sql('shingle', 0)}) AS h FROM sh),
+        rw AS (SELECT h // {2**lower} AS register,
+                      h % {2**lower} AS w FROM h),
+        rho AS (
+          SELECT register,
+                 CASE WHEN w = 0 THEN {lower + 1}
+                      ELSE position('1' IN lpad(bin(w), {lower}, '0'))
+                 END AS r
+          FROM rw
+        ),
+        regs AS (SELECT register, max(r) AS max_rho FROM rho GROUP BY 1),
+        agg AS (
+          SELECT count(*)::BIGINT AS n_used,
+                 sum(power(2.0, -max_rho)) AS s_used
+          FROM regs
+        ),
+        ex AS (SELECT count(DISTINCT shingle)::BIGINT AS exact FROM sh),
+        est AS (
+          SELECT n_used,
+                 {alpha_m2!r} / (s_used + ({m} - n_used)) AS raw,
+                 {m} - n_used AS zeros
+          FROM agg
+        )
+        SELECT {m}::INT AS m, n_used,
+               round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          ELSE raw END, 6) AS estimate,
+               ex.exact,
+               round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          ELSE raw END / ex.exact - 1.0, 6) AS rel_err
+        FROM est, ex
+    """
+
+
+def _cms_heavy_hitters_sql(depth: int = 4, width: int = 256, k: int = 10) -> str:
+    seeds = ", ".join(f"({r})" for r in range(depth))
+    # the seed interpolates per row via the VALUES join:
+    # md5(r::VARCHAR || ':' || term) — h32's "{seed}:" prefix convention
+    return f"""
+        WITH {_TERMS_CTE},
+        sd AS (SELECT * FROM (VALUES {seeds}) s(r)),
+        cells AS (
+          SELECT sd.r AS row,
+                 (('0x' || substr(md5(sd.r::VARCHAR || ':' || dt.term), 1, 8))::BIGINT)
+                   % {width} AS cell
+          FROM dt, sd
+        ),
+        sk AS (SELECT row, cell, count(*)::BIGINT AS cnt
+               FROM cells GROUP BY 1, 2),
+        top AS (
+          SELECT term, count(*)::BIGINT AS true_cnt
+          FROM dt GROUP BY 1
+          ORDER BY true_cnt DESC, term ASC LIMIT {k}
+        ),
+        qc AS (
+          SELECT top.term, sd.r AS row,
+                 (('0x' || substr(md5(sd.r::VARCHAR || ':' || top.term), 1, 8))::BIGINT)
+                   % {width} AS cell
+          FROM top, sd
+        ),
+        est AS (
+          SELECT qc.term, min(coalesce(sk.cnt, 0))::BIGINT AS estimate
+          FROM qc LEFT JOIN sk USING (row, cell) GROUP BY 1
+        )
+        SELECT t.term, t.true_cnt, e.estimate
+        FROM top t JOIN est e USING (term)
+    """
 
 
 def _logreg_calibration_sql(n_bins: int = 10) -> str:
@@ -7338,6 +7461,8 @@ def oracle_sql() -> dict[str, str]:
         "logreg_scores": _logreg_scores_sql(),
         "logreg_eval": _logreg_eval_sql(),
         "logreg_calibration": _logreg_calibration_sql(10),
+        "hll_shingles": _hll_vocab_sql(12),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(4, 256, 10),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

@@ -1,0 +1,174 @@
+"""Mergeable, engine-replayable streaming sketches: HyperLogLog
+cardinality and Count-Min frequency.
+
+At 100 TB the questions "how many distinct X" and "how often does Y
+occur" are asked constantly (vocabulary growth curves, dedup planning,
+heavy-hitter detection for skew salting) and an exact answer costs a
+full shuffle keyed by X every time. Sketches answer them from a
+fixed-size summary that (a) is built with ONE map-side-combined
+aggregation, (b) MERGES across partitions / days / corpora by cell-wise
+max (HLL) or sum (CMS), and (c) here is fully deterministic: both use
+the repo's md5-derived ``h32`` (`functions/hashing.py`) and integer/
+power-of-two arithmetic, so a DuckDB oracle reproduces every register
+bit-for-bit — unlike Spark's built-in approx_count_distinct (HLL++
+with a JVM-private hash), which is faster but unauditable from outside
+the engine. The built-ins remain the right choice when you don't need
+cross-engine replay; these are the right choice when the sketch itself
+is a persisted, shareable artifact.
+
+References (public): Flajolet et al. 2007 (HyperLogLog, the analysis
+and the alpha_m bias constant); Heule et al. 2013 (HLL++ small-range
+correction regime); Cormode & Muthukrishnan 2005 (Count-Min).
+
+Why the register sums replay exactly in fp: every 2^-M term is an exact
+double, and all partial sums are multiples of 2^-rho_max bounded by m,
+so the accumulated sum needs < 53 mantissa bits regardless of the order
+either engine adds them in — the indicator sum is order-independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32
+
+
+def _rho(w: Column, bits: int) -> Column:
+    """Position (1-based) of the leftmost 1-bit of ``w`` seen as a
+    ``bits``-wide word; ``bits + 1`` when w == 0. Computed via the
+    binary-string representation (conv -> lpad -> instr) — exact
+    integer/string ops only, no float log2 whose edge rounding could
+    disagree between engines at exact powers of two."""
+    s = F.lpad(F.conv(w.cast("string"), 10, 2), bits, "0")
+    return F.when(w == 0, F.lit(bits + 1)).otherwise(
+        F.instr(s, "1").cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, p: int = 8, seed: int = 0
+) -> DataFrame:
+    """Build the HyperLogLog register table ``(register, max_rho)`` for
+    a column: register = top ``p`` bits of h32(value), rho = leading-
+    zero rank of the remaining ``32 - p`` bits. The sketch is the
+    m = 2^p registers' MAX — one map-side-combined groupBy; registers
+    never seen are absent (they read as rho 0 at estimate time).
+
+    Merging two corpora's sketches = union + groupBy(register) max —
+    the property that lets every partition / day / shard summarize
+    independently and combine losslessly."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    h = h32(F.col(value_col).cast("string"), seed)
+    lower_bits = 32 - p
+    reg = F.shiftright(h, lower_bits).cast("bigint")
+    w = h % F.lit(2**lower_bits)
+    return (
+        df.select(reg.alias("register"), _rho(w, lower_bits).alias("_r"))
+        .groupBy("register")
+        .agg(F.max("_r").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row cardinality estimate from a register table:
+    ``(m, n_used, estimate)`` where estimate applies the standard
+    HyperLogLog formula alpha_m * m^2 / sum(2^-rho_j) (absent registers
+    contribute 2^0 = 1) with the small-range linear-counting correction
+    (E <= 2.5m and empty registers exist -> m * ln(m / V)). Estimate is
+    6-dp rounded; the raw indicator sum is fp-exact (module docstring),
+    so the round is engine-stable."""
+    m = 2**p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s_used"),
+    )
+    # absent registers: (m - n_used) each contribute 2^0 = 1
+    s = F.col("_s_used") + (F.lit(m) - F.col("n_used"))
+    zeros = F.lit(m) - F.col("n_used")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_used").cast("bigint").alias("n_used"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch as a ``(row, cell, cnt)`` table:
+    ``depth`` independent h32 seeds, cell = h32_r(value) % width,
+    cnt = sum of weights (1 per occurrence by default). At most
+    depth * width rows regardless of input size.
+
+    Shape: one narrow projection fans each input row into ``depth``
+    (row, cell) pairs via an inline posexplode of the seed array, then
+    ONE map-side-combined groupBy — with depth*width distinct keys the
+    combiners collapse virtually everything map-side, so the shuffle
+    carries ~depth*width rows per partition. Merging sketches is
+    cell-wise sum (union + groupBy sum)."""
+    if depth < 1 or width < 2:
+        raise ValueError("cms_table: need depth >= 1, width >= 2")
+    v = F.col(value_col).cast("string")
+    wcol = (
+        F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), (h32(v, r) % width).alias("cell")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_rc"), wcol.alias("_w"))
+        .groupBy(F.col("_rc.row").alias("row"), F.col("_rc.cell").alias("cell"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for a (small) query set from a CMS
+    table: ``(value, estimate)`` with estimate = min over the sketch's
+    ``depth`` rows of the value's cell count (the one-sided Count-Min
+    guarantee: estimate >= true count; overshoot <= e/width * total
+    with prob 1 - e^-depth). The query side re-derives its cells with
+    the same seeds and joins the sketch on (row, cell) — broadcast-
+    sized by construction (depth*width cells)."""
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), (h32(v, r) % width).alias("cell")
+            )
+            for r in range(depth)
+        ]
+    )
+    q = queries.select(
+        F.col(value_col).alias("value"), F.explode(cells).alias("_rc")
+    ).select("value", F.col("_rc.row").alias("row"), F.col("_rc.cell").alias("cell"))
+    return (
+        q.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )

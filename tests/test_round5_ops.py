@@ -576,3 +576,92 @@ def test_logreg_score_runs_on_stream(spark, tmpdir):
         for r in classifier.logreg_score(batch, w, b).collect()
     }
     assert got == expect and len(got) == 2
+
+
+# --------------------------------------------------------------- sketches
+
+
+def _py_hll_regs(vals, p, seed=0):
+    import hashlib
+
+    lower = 32 - p
+    regs: dict = {}
+    for v in vals:
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:8], 16)
+        j, w = h >> lower, h % (1 << lower)
+        rho = (lower + 1) if w == 0 else (lower - w.bit_length() + 1)
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_reference(spark):
+    from grape_vector_db_spark.operators import sketches
+
+    vals = [f"tok-{i}" for i in range(200)] + ["tok-0", "tok-5"]  # dups
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.register: r.max_rho
+        for r in sketches.hll_registers(df, "v", p=6).collect()
+    }
+    assert got == _py_hll_regs(set(vals), 6)
+
+
+def test_hll_merge_is_register_max(spark):
+    from grape_vector_db_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "v string")
+    both = a.union(b)
+    merged = (
+        sketches.hll_registers(a, "v", p=6)
+        .union(sketches.hll_registers(b, "v", p=6))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = sketches.hll_registers(both, "v", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and the merged estimate is sane
+    est = sketches.hll_estimate(merged, p=6).collect()[0]
+    assert abs(est.estimate / 600 - 1) < 0.25  # p=6 -> std ~13%
+
+
+def test_hll_estimate_accuracy_p10(spark):
+    from grape_vector_db_spark.operators import sketches
+
+    n = 5000
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(n)], "v string")
+    est = sketches.hll_estimate(
+        sketches.hll_registers(df, "v", p=10), p=10
+    ).collect()[0]
+    assert abs(est.estimate / n - 1) < 0.12
+
+
+def test_cms_one_sided_guarantee_and_merge(spark):
+    from grape_vector_db_spark.operators import sketches
+
+    # skewed multiset: token-i appears i+1 times
+    rows = [(f"t{i}",) for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = sketches.cms_table(df, "v", depth=4, width=64)
+    qs = spark.createDataFrame([(f"t{i}",) for i in range(40)], "v string")
+    est = {
+        r.value: r.estimate
+        for r in sketches.cms_estimate(sk, qs, "v", depth=4, width=64).collect()
+    }
+    for i in range(40):
+        assert est[f"t{i}"] >= i + 1  # never undercounts
+    assert sum(est.values()) <= 2 * sum(range(1, 41))  # bounded overshoot
+    # merge = cell-wise sum: sketch(a+b) == merge(sketch(a), sketch(b))
+    half1 = spark.createDataFrame(rows[:400], "v string")
+    half2 = spark.createDataFrame(rows[400:], "v string")
+    merged = (
+        sketches.cms_table(half1, "v", depth=4, width=64)
+        .union(sketches.cms_table(half2, "v", depth=4, width=64))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
