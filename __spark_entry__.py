@@ -2490,12 +2490,14 @@ def _pca_components(sf_dir, k: int = 4):
         C = ss / n - np.outer(mu, mu)
         w, V = np.linalg.eigh(C)
         comps = []
+        eigs = []
         for idx in np.argsort(w)[::-1][:k]:
             vec = V[:, idx]
             if vec[int(np.argmax(np.abs(vec)))] < 0:
                 vec = -vec
             comps.append([round(float(x), 6) for x in vec])
-        _CACHE[key] = ([round(float(m), 6) for m in mu], comps)
+            eigs.append(round(float(w[idx]), 6))
+        _CACHE[key] = ([round(float(m), 6) for m in mu], comps, eigs)
     return _CACHE[key]
 
 
@@ -2511,7 +2513,7 @@ def q_pca_covariance(spark, sf_dir):
 def q_pca_project(spark, sf_dir):
     """PCA projection onto the top-4 components (literal matrix shared
     with the oracle): center then 4 dot folds per row — pure narrow."""
-    mu, comps = _pca_components(sf_dir, k=4)
+    mu, comps, _ = _pca_components(sf_dir, k=4)
     emb = _emb(spark, sf_dir)
     mu_lit = F.array(*[F.lit(m) for m in mu])
     centered = F.zip_with(
@@ -3197,6 +3199,42 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_pca_whiten(spark, sf_dir):
+    """PCA-whitening onto the top-16 components: y_c = (x-mu)·v_c /
+    sqrt(lambda_c + 1e-6) — decorrelated unit-variance coordinates, the
+    standard hubness/anisotropy mitigation for embedding retrieval
+    (whitening post-processing, Su et al. 2021 arXiv:2103.15316; also
+    the re-embed fix knn_hubness's docstring points at). Literal
+    mu/components/eigenvalues shared with the oracle; pure narrow — 16
+    dot folds per row, zero shuffle."""
+    mu, comps, eigs = _pca_components(sf_dir, k=16)
+    emb = _emb(spark, sf_dir)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    )
+    cols = [
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        centered,
+                        F.array(*[F.lit(c) for c in comp]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.lit(math.sqrt(ev + 1e-6)),
+                6,
+            )
+            + F.lit(0.0)  # normalize -0.0 (sign-of-zero hash sensitivity)
+        ).alias(f"w{c}")
+        for c, (comp, ev) in enumerate(zip(comps, eigs))
+    ]
+    return emb.select("vec_id", *cols)
+
+
 def q_hll_shingles(spark, sf_dir):
     """Deterministic HyperLogLog (md5-register) estimate of the
     corpus's distinct 3-shingle count (p=12: the production
@@ -3484,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_calibration": q_logreg_calibration,
         "hll_shingles": q_hll_shingles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "pca_whiten": q_pca_whiten,
     }
 
 
@@ -7463,6 +7502,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_calibration": _logreg_calibration_sql(10),
         "hll_shingles": _hll_vocab_sql(12),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(4, 256, 10),
+        "pca_whiten": _pca_whiten_sql(16),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
@@ -7729,13 +7769,37 @@ def _chunk_embed_pool_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
 def _pca_project_sql() -> str:
     """PCA projection with the SAME Python-computed 6-dp component
     literals the Spark query uses (parity by construction)."""
-    mu, comps = _pca_components(_gate_sf_dir(), k=4)
+    mu, comps, _ = _pca_components(_gate_sf_dir(), k=4)
     mu_lit = "[" + ", ".join(repr(float(m)) for m in mu) + "]::DOUBLE[]"
     cols = ", ".join(
         "round(list_inner_product("
         "list_transform(range(len(e.v)), i -> e.v[i+1] - mu[i+1]), "
         f"[{', '.join(repr(float(x)) for x in comp)}]::DOUBLE[]), 6) + 0 AS p{c}"
         for c, comp in enumerate(comps)
+    )
+    return f"""
+        WITH m AS (SELECT {mu_lit} AS mu),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT e.vec_id, {cols}
+        FROM e CROSS JOIN m
+    """
+
+
+def _pca_whiten_sql(k: int = 16) -> str:
+    """PCA-whitening with the identical Python-computed literals
+    (mu / components / 6-dp eigenvalues) as q_pca_whiten; the divisor
+    sqrt(lambda + 1e-6) is computed in Python once so both engines
+    divide by the same double."""
+    import math as _math
+
+    mu, comps, eigs = _pca_components(_gate_sf_dir(), k=k)
+    mu_lit = "[" + ", ".join(repr(float(m)) for m in mu) + "]::DOUBLE[]"
+    cols = ", ".join(
+        "round(list_inner_product("
+        "list_transform(range(len(e.v)), i -> e.v[i+1] - mu[i+1]), "
+        f"[{', '.join(repr(float(x)) for x in comp)}]::DOUBLE[]) / "
+        f"{_math.sqrt(ev + 1e-6)!r}, 6) + 0 AS w{c}"
+        for c, (comp, ev) in enumerate(zip(comps, eigs))
     )
     return f"""
         WITH m AS (SELECT {mu_lit} AS mu),

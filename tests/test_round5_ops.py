@@ -665,3 +665,20 @@ def test_cms_one_sided_guarantee_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sk.collect())
     )
+
+
+def test_pca_whiten_decorrelates(spark):
+    """Whitened coordinates must be ~unit-variance and ~uncorrelated on
+    the gate corpus — the property that mitigates hubness."""
+    import __spark_entry__ as entry
+
+    sd = "/root/testdata/sf0.001"
+    out = entry.q_pca_whiten(spark, sd)
+    cols = [c for c in out.columns if c.startswith("w")]
+    X = np.array([[r[c] for c in cols] for r in out.collect()])
+    C = np.cov(X, rowvar=False)
+    d = np.diag(C)
+    # unit variance within tolerance (eps + 6dp literal rounding)
+    assert np.all(np.abs(d - 1.0) < 0.05)
+    off = C - np.diag(d)
+    assert np.max(np.abs(off)) < 0.05
