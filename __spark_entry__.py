@@ -3199,6 +3199,20 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_event_value_quantiles(spark, sf_dir):
+    """Per-event-type p50/p95/p99 of value via a 128-bin histogram
+    sketch — the bounded-memory replacement for the exact `percentile`
+    aggregate (which buffers every value per group): max error one bin
+    width, sketch mergeable across days by cell sum."""
+    ev = _events(spark, sf_dir)
+    hist = sketches.histogram_sketch(
+        ev, "value", bins=128, group_col="event_type"
+    )
+    return sketches.histogram_quantiles(
+        hist, (0.5, 0.95, 0.99), bins=128, group_col="event_type"
+    )
+
+
 def q_pca_whiten(spark, sf_dir):
     """PCA-whitening onto the top-16 components: y_c = (x-mu)·v_c /
     sqrt(lambda_c + 1e-6) — decorrelated unit-variance coordinates, the
@@ -3523,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shingles": q_hll_shingles,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pca_whiten": q_pca_whiten,
+        "event_value_quantiles": q_event_value_quantiles,
     }
 
 
@@ -7503,6 +7518,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_shingles": _hll_vocab_sql(12),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(4, 256, 10),
         "pca_whiten": _pca_whiten_sql(16),
+        "event_value_quantiles": _event_value_quantiles_sql(128),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
@@ -7782,6 +7798,55 @@ def _pca_project_sql() -> str:
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT e.vec_id, {cols}
         FROM e CROSS JOIN m
+    """
+
+
+def _event_value_quantiles_sql(bins: int = 128) -> str:
+    """Replay the histogram sketch + interpolation with the identical
+    double arithmetic (same parenthesization: w = (hi-lo)/bins, inside =
+    lo + w * (bin + (q*n - cum_before)/cnt)) so every cell and estimate
+    is engine-exact."""
+    top = bins - 1
+    return f"""
+        WITH s AS (
+          SELECT event_type, min(value) AS lo, max(value) AS hi,
+                 count(value) AS n
+          FROM events GROUP BY 1
+        ),
+        b AS (
+          SELECT e.event_type,
+                 (CASE WHEN s.hi = s.lo THEN 0
+                       ELSE least(greatest(
+                         floor((e.value - s.lo) / ((s.hi - s.lo) / {bins}.0)),
+                         0), {top})
+                  END)::INT AS bin
+          FROM events e JOIN s USING (event_type)
+          WHERE e.value IS NOT NULL
+        ),
+        h AS (SELECT event_type, bin, count(*)::BIGINT AS cnt
+              FROM b GROUP BY 1, 2),
+        c AS (
+          SELECT h.event_type, h.bin, h.cnt, s.lo, s.hi, s.n,
+                 sum(h.cnt) OVER (PARTITION BY h.event_type
+                                  ORDER BY h.bin) - h.cnt AS cum_before
+          FROM h JOIN s USING (event_type)
+        ),
+        qs AS (SELECT q::DOUBLE AS q
+               FROM (VALUES (0.5), (0.95), (0.99)) t(q)),
+        hit AS (
+          SELECT c.event_type, qs.q,
+                 CASE WHEN c.hi = c.lo THEN c.lo
+                      ELSE least(greatest(
+                        c.lo + (c.hi - c.lo) / {bins}.0
+                             * (c.bin + (qs.q * c.n - c.cum_before) / c.cnt),
+                        c.lo), c.hi)
+                 END AS est
+          FROM c, qs
+          WHERE qs.q * c.n <= c.cum_before + c.cnt
+            AND qs.q * c.n > c.cum_before
+        )
+        SELECT event_type, q, round(min(est), 6) AS est
+        FROM hit GROUP BY 1, 2
     """
 
 

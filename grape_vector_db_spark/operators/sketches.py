@@ -172,3 +172,109 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-grid histogram as a mergeable sketch: ``(group?, bin, cnt,
+    lo, hi, n)`` with bin = clamp(floor((x - lo) / w), 0, bins - 1) over
+    the [lo, hi] range from a one-row (per-group) min/max pass. The
+    scale answer to quantile questions: the exact ``percentile``
+    aggregate buffers every value per group, which at 100 TB per key is
+    the memory wall — the histogram carries at most ``bins`` rows per
+    group through one map-side-combined groupBy, and same-grid
+    histograms merge by cell sum.
+
+    Binning is engine-exact: lo/hi/w and the floor are the same double
+    arithmetic on the same values in any engine, so a DuckDB oracle
+    reproduces every cell (same idiom as the sketch hashes — no
+    engine-private internals in the artifact)."""
+    if bins < 2:
+        raise ValueError("histogram_sketch: need bins >= 2")
+    gcols = [group_col] if group_col else []
+    stats = df.groupBy(*gcols).agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+        F.count(value_col).alias("n"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    raw_bin = F.floor(
+        (F.col(value_col).cast("double") - F.col("lo")) / w
+    )
+    b = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(F.least(F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1)))
+        .cast("int")
+    )
+    return (
+        joined.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols, b.alias("bin"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.first("n").alias("n"),
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`histogram_sketch` table:
+    ``(group?, q, est)`` — est interpolates linearly inside the first
+    bin whose cumulative count reaches ceil-less q*n:
+    est = lo + w * (bin + (q*n - cum_before) / cnt). Max error is one
+    bin width (hi - lo) / bins. Everything happens on the ≤bins-row
+    sketch: a per-group window cumsum plus one small join — nothing
+    corpus-sized moves."""
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    win = Window.partitionBy(*gcols).orderBy("bin") if gcols else (
+        Window.orderBy("bin")
+    )
+    cum = hist.select(
+        *gcols,
+        "bin",
+        "cnt",
+        "lo",
+        "hi",
+        "n",
+        (F.sum("cnt").over(win) - F.col("cnt")).alias("cum_before"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    target = F.col("q") * F.col("n")
+    inside = (
+        F.col("lo")
+        + w
+        * (
+            F.col("bin")
+            + (target - F.col("cum_before")) / F.col("cnt")
+        )
+    )
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.least(F.greatest(inside, F.col("lo")), F.col("hi"))
+    )
+    hit = cum.crossJoin(F.broadcast(qdf)).where(
+        (target <= F.col("cum_before") + F.col("cnt"))
+        & (target > F.col("cum_before"))
+    )
+    return hit.groupBy(*gcols, "q").agg(
+        F.round(F.min(est), 6).alias("est")
+    )

@@ -682,3 +682,40 @@ def test_pca_whiten_decorrelates(spark):
     assert np.all(np.abs(d - 1.0) < 0.05)
     off = C - np.diag(d)
     assert np.max(np.abs(off)) < 0.05
+
+
+def test_histogram_quantiles_error_bound(spark):
+    from grape_vector_db_spark.operators import sketches
+
+    rng = np.random.RandomState(7)
+    vals = rng.exponential(scale=10.0, size=4000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    hist = sketches.histogram_sketch(df, "value", bins=128)
+    got = {
+        r.q: r.est
+        for r in sketches.histogram_quantiles(
+            hist, (0.5, 0.95, 0.99), bins=128
+        ).collect()
+    }
+    w = (vals.max() - vals.min()) / 128
+    for q in (0.5, 0.95, 0.99):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= w + 1e-9, (q, got[q], exact, w)
+
+
+def test_histogram_quantiles_grouped_and_constant(spark):
+    from grape_vector_db_spark.operators import sketches
+
+    rows = [("a", float(v)) for v in range(101)] + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "g string, value double")
+    hist = sketches.histogram_sketch(df, "value", bins=16, group_col="g")
+    got = {
+        (r.g, r.q): r.est
+        for r in sketches.histogram_quantiles(
+            hist, (0.5,), bins=16, group_col="g"
+        ).collect()
+    }
+    # group a: uniform 0..100, p50 within one bin width (6.25)
+    assert abs(got[("a", 0.5)] - 50.0) <= 100 / 16 + 1e-9
+    # constant group: degenerate hi==lo -> exact value
+    assert got[("b", 0.5)] == 5.0
