@@ -476,3 +476,48 @@ def anomaly_alert_stream(
         | (F.abs(z) > n_sigma)
     )
     return joined.withColumn("z", z).where(alert)
+
+
+def stream_hll_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    value_col: str,
+    p: int = 12,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """Maintain a standing HyperLogLog register table over a stream:
+    each micro-batch sketches ITSELF (one tiny map-side-combined agg
+    over the batch) and merges into the published table by register
+    max — the mergeability that makes the sketch the right streaming
+    cardinality state: the standing table is <= 2^p rows forever, the
+    merge cost is sketch-sized, and the result equals sketching the
+    whole history in one batch (pinned by test). Published via the
+    same versioned swap as the corpus tables, so readers see an atomic
+    register set and a crashed batch retries cleanly from the
+    checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import hll_registers
+    from ..sources.tables import publish_table, read_table, table_versions
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sk = hll_registers(batch, value_col, p=p)
+        if table_versions(spark, table_path):
+            sk = (
+                read_table(spark, table_path)
+                .union(sk)
+                .groupBy("register")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+        publish_table(spark, table_path, sk)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

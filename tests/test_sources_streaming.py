@@ -525,3 +525,41 @@ def test_anomaly_alert_stream(spark, tmpdir):
     # z-score alert, sigma=0 deviation alert, unknown-type alert —
     # and nothing else
     assert rows == {3: 89.0, 5: None, 6: None}
+
+
+def test_stream_hll_equals_batch_sketch(spark, tmpdir):
+    """Two micro-batches maintaining the standing register table must
+    end at EXACTLY the register set of one batch sketch over all data —
+    the HLL mergeability contract, streaming edition."""
+    from grape_vector_db_spark.operators import sketches
+    from grape_vector_db_spark.sources.tables import read_table
+    from grape_vector_db_spark.streaming.ingest import stream_hll_to_parquet
+
+    src = f"{tmpdir}/src"
+    tbl = f"{tmpdir}/hll"
+    ck = f"{tmpdir}/ck"
+    spark.createDataFrame(
+        [(f"item-{i}",) for i in range(300)], "v string"
+    ).write.parquet(src)
+
+    def run_once():
+        q = stream_hll_to_parquet(
+            spark.readStream.schema("v string").parquet(src),
+            tbl, "v", p=8, checkpoint=ck,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(
+        [(f"item-{i}",) for i in range(200, 500)], "v string"  # overlap 200-299
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    standing = sorted(map(tuple, read_table(spark, tbl).collect()))
+    full = spark.createDataFrame([(f"item-{i}",) for i in range(500)], "v string")
+    direct = sorted(
+        map(tuple, sketches.hll_registers(full, "v", p=8).collect())
+    )
+    assert standing == direct
+    est = sketches.hll_estimate(read_table(spark, tbl), p=8).collect()[0]
+    assert abs(est.estimate / 500 - 1) < 0.2
