@@ -3199,6 +3199,18 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_knn_triangles(spark, sf_dir):
+    """Triangle census / global clustering coefficient of the SAME
+    mutual-kNN graph knn_communities partitions — clique-like
+    neighborhoods vs hub-and-spoke structure in one number."""
+    pairs = (
+        ann.mutual_knn_pairs(_knn_graph_edges(spark, sf_dir))
+        .where(F.col("cosine") >= 0.3)
+        .select("a", "b")
+    )
+    return ann.graph_triangle_stats(pairs)
+
+
 def q_event_value_quantiles(spark, sf_dir):
     """Per-event-type p50/p95/p99 of value via a 128-bin histogram
     sketch — the bounded-memory replacement for the exact `percentile`
@@ -3538,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "pca_whiten": q_pca_whiten,
         "event_value_quantiles": q_event_value_quantiles,
+        "knn_triangles": q_knn_triangles,
     }
 
 
@@ -7519,6 +7532,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_heavy_hitters_sql(4, 256, 10),
         "pca_whiten": _pca_whiten_sql(16),
         "event_value_quantiles": _event_value_quantiles_sql(128),
+        "knn_triangles": _knn_triangles_sql(5, 0.3),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
@@ -7798,6 +7812,39 @@ def _pca_project_sql() -> str:
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT e.vec_id, {cols}
         FROM e CROSS JOIN m
+    """
+
+
+def _knn_triangles_sql(k: int = 5, threshold: float = 0.3) -> str:
+    return f"""
+        WITH {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst, cosine FROM r WHERE rank <= {k}),
+        mp AS (
+          SELECT x.src AS a, x.dst AS b
+          FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+          WHERE x.src < x.dst AND x.cosine >= {threshold}
+        ),
+        deg AS (
+          SELECT v, count(*) AS d
+          FROM (SELECT a AS v FROM mp UNION ALL SELECT b AS v FROM mp)
+          GROUP BY 1
+        ),
+        wed AS (
+          SELECT coalesce(sum(d * (d - 1) / 2), 0.0) AS n_wedges FROM deg
+        ),
+        tri AS (
+          SELECT count(*)::BIGINT AS n_triangles
+          FROM mp e1
+          JOIN mp e2 ON e2.a = e1.b
+          JOIN mp e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        ed AS (SELECT count(*)::BIGINT AS n_edges FROM mp)
+        SELECT ed.n_edges, wed.n_wedges::BIGINT AS n_wedges,
+               tri.n_triangles,
+               round(CASE WHEN wed.n_wedges > 0
+                          THEN (3.0 * tri.n_triangles) / wed.n_wedges
+                          ELSE 0.0 END, 6) AS clustering_coefficient
+        FROM ed, tri, wed
     """
 
 

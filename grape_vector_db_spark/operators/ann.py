@@ -1276,3 +1276,59 @@ def knn_pagerank(
     return ranks.select(
         F.col("id").alias(id_col), F.round("pr", 6).alias("pagerank")
     )
+
+
+def graph_triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected pair graph (columns
+    ``a < b``): one row ``(n_edges, n_wedges, n_triangles,
+    clustering_coefficient)`` with the global (transitivity) coefficient
+    3*triangles / wedges — near 1 the graph is clique-like (dense
+    near-dup neighborhoods), near 0 it is hub-and-spoke (hubs again).
+    The standard embedding-graph health readout next to hubness and
+    community structure.
+
+    Scale shape: triangles enumerate via the ordered two-join (e1.b =
+    e2.a joined back against the edge set on (a, c)) so every triangle
+    a<b<c counts exactly once; cost is sum over nodes of deg^2, which a
+    k-NN graph bounds by n*k^2. Wedges are a per-node degree aggregate
+    (choose-2 sum). Everything shuffles by node id; nothing is
+    quadratic in n.
+    """
+    e = pairs.select("a", "b")
+    # wedges: degree from both endpoints
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+        ).alias("n_wedges")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(closing, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            F.col("n_edges").cast("bigint"),
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.col("n_triangles").cast("bigint"),
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coefficient"),
+        )
+    )

@@ -719,3 +719,27 @@ def test_histogram_quantiles_grouped_and_constant(spark):
     assert abs(got[("a", 0.5)] - 50.0) <= 100 / 16 + 1e-9
     # constant group: degenerate hi==lo -> exact value
     assert got[("b", 0.5)] == 5.0
+
+
+def test_graph_triangle_stats_hand_counted(spark):
+    # 4-clique on {1,2,3,4} plus a pendant edge 4-5:
+    # edges=7, triangles=C(4,3)=4, wedges: deg 3,3,3,4,1 -> 3+3+3+6+0=15
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long",
+    )
+    r = ann.graph_triangle_stats(pairs).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (7, 15, 4)
+    assert r.clustering_coefficient == round(3.0 * 4 / 15, 6)
+
+
+def test_graph_triangle_stats_triangle_free(spark):
+    # star graph: wedges but zero triangles
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
+    r = ann.graph_triangle_stats(pairs).collect()[0]
+    assert r.n_triangles == 0 and r.clustering_coefficient == 0.0
+    # empty graph: all zeros, no NULLs
+    empty = spark.createDataFrame([], "a long, b long")
+    r0 = ann.graph_triangle_stats(empty).collect()[0]
+    assert (r0.n_edges, r0.n_wedges, r0.n_triangles) == (0, 0, 0)
+    assert r0.clustering_coefficient == 0.0
