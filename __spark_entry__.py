@@ -3199,6 +3199,19 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_knn_probe(spark, sf_dir):
+    """Leave-one-out 5-NN label-probe accuracy per class — the standard
+    embedding-quality eval, from the shared ingest kNN graph. (On the
+    synthetic corpus the labels are independent of the geometry, so the
+    probe honestly reads ~1/n_classes — the harness is exercised on
+    separable clusters in tests.)"""
+    from grape_vector_db_spark.operators import evaluation
+
+    return evaluation.knn_label_probe(
+        _knn_graph_edges(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
 def q_knn_triangles(spark, sf_dir):
     """Triangle census / global clustering coefficient of the SAME
     mutual-kNN graph knn_communities partitions — clique-like
@@ -3551,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_whiten": q_pca_whiten,
         "event_value_quantiles": q_event_value_quantiles,
         "knn_triangles": q_knn_triangles,
+        "knn_probe": q_knn_probe,
     }
 
 
@@ -7533,6 +7547,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_whiten": _pca_whiten_sql(16),
         "event_value_quantiles": _event_value_quantiles_sql(128),
         "knn_triangles": _knn_triangles_sql(5, 0.3),
+        "knn_probe": _knn_probe_sql(5),
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
@@ -7812,6 +7827,32 @@ def _pca_project_sql() -> str:
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT e.vec_id, {cols}
         FROM e CROSS JOIN m
+    """
+
+
+def _knn_probe_sql(k: int = 5) -> str:
+    return f"""
+        WITH {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst FROM r WHERE rank <= {k}),
+        nb AS (
+          SELECT t.src, e2.label AS nb FROM topk t
+          JOIN embeddings e2 ON e2.vec_id = t.dst
+        ),
+        votes AS (SELECT src, nb, count(*) AS cnt FROM nb GROUP BY 1, 2),
+        pred AS (
+          SELECT src, nb AS pred
+          FROM (SELECT src, nb, row_number() OVER (
+                  PARTITION BY src ORDER BY cnt DESC, nb ASC) AS rn
+                FROM votes)
+          WHERE rn = 1
+        )
+        SELECT e3.label, count(*)::BIGINT AS n,
+               sum(CASE WHEN p.pred = e3.label THEN 1 ELSE 0 END)::BIGINT
+                 AS n_correct,
+               round(sum(CASE WHEN p.pred = e3.label THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS accuracy
+        FROM pred p JOIN embeddings e3 ON e3.vec_id = p.src
+        GROUP BY 1
     """
 
 

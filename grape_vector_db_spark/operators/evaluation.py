@@ -570,3 +570,64 @@ def binary_classifier_metrics(
         F.round(acc, 6).alias("accuracy"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+def knn_label_probe(
+    edges: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out kNN-classification probe over a directed
+    :func:`ann.knn_graph` — THE standard embedding-quality eval: each
+    vector is classified by the majority label of its k neighbors
+    (excluding itself, which the graph already does) and scored against
+    its own label. Returns per-class ``(label, n, n_correct,
+    accuracy)``; a good embedding separates classes, so accuracy far
+    above 1/n_classes means the geometry carries the label signal.
+    Ties break (count DESC, label ASC) — deterministic on any engine.
+
+    Scale shape: one join of the edge table against the label column
+    (shuffle by id), a map-side-combined vote count per (src, label),
+    then an argmax via max(struct) — no windows, nothing quadratic;
+    cost is linear in edges (n*k).
+    """
+    nb = edges.join(
+        corpus.select(
+            F.col(id_col).alias("dst"), F.col(label_col).alias("_nb")
+        ),
+        "dst",
+    )
+    votes = nb.groupBy("src", "_nb").agg(F.count("*").alias("_cnt"))
+    pred = (
+        votes.groupBy("src")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cnt"), (-F.col("_nb")).alias("_neg")
+                )
+            ).alias("_m")
+        )
+        .select("src", (-F.col("_m._neg")).alias("_pred"))
+    )
+    truth = corpus.select(
+        F.col(id_col).alias("src"), F.col(label_col).alias("label")
+    )
+    return (
+        pred.join(truth, "src")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("_pred") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n").cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )

@@ -743,3 +743,41 @@ def test_graph_triangle_stats_triangle_free(spark):
     r0 = ann.graph_triangle_stats(empty).collect()[0]
     assert (r0.n_edges, r0.n_wedges, r0.n_triangles) == (0, 0, 0)
     assert r0.clustering_coefficient == 0.0
+
+
+def test_knn_label_probe_separable_clusters(spark):
+    from grape_vector_db_spark.operators.evaluation import knn_label_probe
+
+    rng = np.random.RandomState(3)
+    rows = []
+    centers = {0: np.array([10.0, 0.0]), 1: np.array([-10.0, 0.0]),
+               2: np.array([0.0, 10.0])}
+    i = 0
+    for lab, c in centers.items():
+        for _ in range(20):
+            v = c + rng.normal(0, 0.5, 2)
+            rows.append((i, [float(v[0]), float(v[1])], lab))
+            i += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    edges = ann.knn_graph(emb, k=5, n_blocks=2)
+    out = {r.label: r for r in knn_label_probe(edges, emb).collect()}
+    for lab in centers:
+        assert out[lab].n == 20
+        assert out[lab].accuracy == 1.0
+
+
+def test_knn_label_probe_tiebreak(spark):
+    """2-NN with one neighbor of each label -> tie -> lowest label wins."""
+    from grape_vector_db_spark.operators.evaluation import knn_label_probe
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3)], "src long, dst long"
+    )
+    corpus = spark.createDataFrame(
+        [(1, 7), (2, 9), (3, 7)], "vec_id long, label long"
+    )
+    out = knn_label_probe(edges, corpus).collect()
+    # neighbors have labels {9, 7}: tie on count, label 7 wins -> correct
+    assert len(out) == 1 and out[0].label == 7 and out[0].n_correct == 1
