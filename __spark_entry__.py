@@ -3199,6 +3199,28 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    """view -> click -> purchase conversion funnel (strictly-ordered
+    first occurrences): per-step reach, conversion vs step 1, and
+    step-over-step rate."""
+    return sequence.funnel(
+        _events(spark, sf_dir), steps=("view", "click", "purchase")
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: fraction of each first-seen
+    cohort active k weeks later."""
+    return sequence.cohort_retention(_events(spark, sf_dir))
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    """Typo-tolerant vocabulary expansion: indexed terms within edit
+    distance 2 of the misspelled query 'querry' — implements the
+    reference's stubbed FuzzyMatch condition, corpus-side."""
+    return sparse.fuzzy_terms(_terms(spark, sf_dir), "querry", max_dist=2)
+
+
 def q_knn_probe(spark, sf_dir):
     """Leave-one-out 5-NN label-probe accuracy per class — the standard
     embedding-quality eval, from the shared ingest kNN graph. (On the
@@ -3565,6 +3587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": q_event_value_quantiles,
         "knn_triangles": q_knn_triangles,
         "knn_probe": q_knn_probe,
+        "fuzzy_terms": q_fuzzy_terms,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -7548,6 +7573,62 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _event_value_quantiles_sql(128),
         "knn_triangles": _knn_triangles_sql(5, 0.3),
         "knn_probe": _knn_probe_sql(5),
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                   JOIN s1 ON s1.u = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                   JOIN s2 ON s2.u = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1),
+            c AS (
+              SELECT 1 AS step, 'view' AS step_name,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ),
+            n1 AS (SELECT n_users AS v FROM c WHERE step = 1)
+            SELECT c.step::INT AS step, c.step_name,
+                   c.n_users::BIGINT AS n_users,
+                   round(CASE WHEN n1.v > 0 THEN c.n_users / n1.v
+                              ELSE 0.0 END, 6) AS conversion,
+                   round(CASE WHEN p.n_users IS NULL THEN 1.0
+                              WHEN p.n_users > 0 THEN c.n_users / p.n_users
+                              ELSE 0.0 END, 6) AS step_rate
+            FROM c CROSS JOIN n1
+            LEFT JOIN c p ON p.step = c.step - 1
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id AS u,
+                              min(date_trunc('week', ts)) AS cw
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id AS u,
+                         date_trunc('week', ts) AS w FROM events),
+            j AS (
+              SELECT a.u, f.cw::DATE AS cohort_week,
+                     (date_diff('day', f.cw::DATE, a.w::DATE) // 7)::INT
+                       AS week_offset
+              FROM a JOIN f USING (u)
+            ),
+            sz AS (SELECT cw::DATE AS cohort_week,
+                          count(*)::BIGINT AS cohort_size
+                   FROM f GROUP BY 1)
+            SELECT j.cohort_week, j.week_offset,
+                   count(*)::BIGINT AS n_active, sz.cohort_size,
+                   round(count(*)::DOUBLE / sz.cohort_size, 6) AS retention
+            FROM j JOIN sz USING (cohort_week)
+            GROUP BY 1, 2, 4
+        """,
+        "fuzzy_terms": f"""
+            WITH {_TERMS_CTE},
+            vocab AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1)
+            SELECT term, df, levenshtein(term, 'querry')::INT AS dist
+            FROM vocab
+            WHERE abs(length(term) - 6) <= 2
+              AND levenshtein(term, 'querry') <= 2
+        """,
         "memorization_risk": f"""
             WITH {_SHINGLE_CTE},
             dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

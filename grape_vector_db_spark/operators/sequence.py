@@ -168,3 +168,132 @@ def decayed_user_scores(
             F.round(F.sum("_w"), 6).alias("decayed_score"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step i when an event of
+    ``steps[i]`` occurs STRICTLY after their step i-1 time (first
+    qualifying occurrence; simultaneous events don't chain). Returns one
+    row per step: ``(step, step_name, n_users, conversion, step_rate)``
+    with conversion = n / n_step1 and step_rate = n / n_prev (both 6-dp,
+    step 1 reads 1.0).
+
+    Scale shape: step i is one filtered min-aggregate per user joined
+    against the step i-1 times — len(steps)-1 hash joins keyed by user,
+    each map-side combined; the final rollup is len(steps) one-row
+    aggregates unioned and self-joined (a constant-size table).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    per_step = []
+    prev = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    per_step.append(prev)
+    for s in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(F.col(user_col).alias("u"), F.col(ts_col).alias("_ts"))
+            .join(prev.select("u", F.col("t").alias("_pt")), "u")
+            .where(F.col("_ts") > F.col("_pt"))
+            .groupBy("u")
+            .agg(F.min("_ts").alias("t"))
+        )
+        per_step.append(nxt)
+        prev = nxt
+    spark = events.sparkSession
+    counts = None
+    for i, (name, df) in enumerate(zip(steps, per_step), start=1):
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = counts.where(F.col("step") == 1).select(
+        F.col("n_users").alias("_n1")
+    )
+    prev_counts = counts.select(
+        (F.col("step") + 1).alias("step"), F.col("n_users").alias("_np")
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))
+        .join(F.broadcast(prev_counts), "step", "left")
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.round(
+                F.when(F.col("_n1") > 0, F.col("n_users") / F.col("_n1"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("conversion"),
+            F.round(
+                F.when(
+                    F.col("_np").isNull(), F.lit(1.0)
+                ).when(
+                    F.col("_np") > 0, F.col("n_users") / F.col("_np")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("step_rate"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-start week of a user's
+    FIRST event; for every (cohort, week-offset) the fraction of that
+    cohort active in that week — ``(cohort_week, week_offset, n_active,
+    cohort_size, retention)``. Offset 0 always reads 1.0 (the first
+    event is itself activity).
+
+    Scale shape: first-seen is one min-aggregate per user; activity is
+    one distinct per (user, week); the join back is keyed by user, and
+    the rollup keys (cohort, offset) are bounded by weeks^2 — tiny.
+    date_trunc('week') is Monday-start in both Spark and DuckDB, so
+    the oracle replays the cohort keys exactly.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(wk).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col).alias("u"), wk.alias("w")
+    ).distinct()
+    joined = active.join(first, "u").select(
+        "u",
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        (
+            F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    sizes = first.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week")
+    ).agg(F.count("*").alias("cohort_size"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

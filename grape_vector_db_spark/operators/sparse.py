@@ -474,3 +474,40 @@ def doc_keywords(
         .where(F.col("rank") <= top_k)
         .select("doc_id", "term", "rank", "tfidf")
     )
+
+
+def fuzzy_terms(
+    terms: DataFrame,
+    query_term: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy vocabulary match: distinct indexed terms within Levenshtein
+    distance ``max_dist`` of ``query_term`` — ``(term, df, dist)``
+    ordered by (dist ASC, df DESC, term ASC). Implements (and exceeds)
+    the reference's declared-but-stubbed FuzzyMatch filter condition
+    (ref: src/filtering.rs:65-69 returns a TODO error); fuzzy expansion
+    then feeds bm25_search_weighted as extra query terms — the classic
+    typo-tolerant retrieval recipe.
+
+    Scale shape: runs on the DISTINCT-term table (vocabulary-sized, not
+    corpus-sized), and the length band |len(term) - len(q)| <= max_dist
+    prunes most of the vocabulary with a cheap comparison BEFORE the
+    O(len^2) edit-distance DP — the standard banding trick. One
+    map-side-combined df aggregate + a narrow filter; no joins.
+    """
+    q = query_term.lower()
+    vocab = terms.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        vocab.where(
+            F.abs(F.length("term") - F.lit(len(q))) <= max_dist
+        )
+        .select(
+            "term",
+            "df",
+            F.levenshtein(F.col("term"), F.lit(q)).alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+        )
+    )

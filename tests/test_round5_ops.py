@@ -781,3 +781,62 @@ def test_knn_label_probe_tiebreak(spark):
     out = knn_label_probe(edges, corpus).collect()
     # neighbors have labels {9, 7}: tie on count, label 7 wins -> correct
     assert len(out) == 1 and out[0].label == 7 and out[0].n_correct == 1
+
+
+# ------------------------------------------------------- funnel / cohort
+
+
+def _ev_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, value double"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts"),
+        "event_type", "value",
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    from grape_vector_db_spark.operators import sequence
+
+    M = 60_000_000
+    ev = _ev_df(spark, [
+        # user 1 completes: view@0, click@1m, purchase@2m
+        (1, 1, 0, "view", 0.0), (2, 1, M, "click", 0.0),
+        (3, 1, 2 * M, "purchase", 0.0),
+        # user 2: click BEFORE view -> never reaches step 2
+        (4, 2, 0, "click", 0.0), (5, 2, M, "view", 0.0),
+        # user 3: view then purchase without click -> stops at step 1
+        (6, 3, 0, "view", 0.0), (7, 3, M, "purchase", 0.0),
+        # user 4: simultaneous view+click -> strict > blocks step 2
+        (8, 4, 0, "view", 0.0), (9, 4, 0, "click", 0.0),
+    ])
+    out = {
+        r.step: (r.step_name, r.n_users, r.conversion, r.step_rate)
+        for r in sequence.funnel(ev, ("view", "click", "purchase")).collect()
+    }
+    assert out[1] == ("view", 4, 1.0, 1.0)
+    assert out[2] == ("click", 1, 0.25, 0.25)
+    assert out[3] == ("purchase", 1, 0.25, 1.0)
+
+
+def test_cohort_retention_hand_built(spark):
+    from grape_vector_db_spark.operators import sequence
+
+    DAY = 86_400_000_000
+    # 2024-01-01 is a Monday: users 1,2 start week 0; user 1 returns
+    # week 1; user 3 starts week 1
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z epoch micros
+    ev = _ev_df(spark, [
+        (1, 1, base, "view", 0.0),
+        (2, 2, base + DAY, "view", 0.0),
+        (3, 1, base + 8 * DAY, "view", 0.0),
+        (4, 3, base + 9 * DAY, "view", 0.0),
+    ])
+    out = {
+        (str(r.cohort_week), r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in sequence.cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3
