@@ -3199,6 +3199,24 @@ def q_logreg_eval(spark, sf_dir):
     )
 
 
+def q_fuzzy_bm25(spark, sf_dir):
+    """Typo-tolerant retrieval: the misspelled query 'querry windoww'
+    expands through fuzzy_terms (weight 1/(1+dist), max across query
+    tokens) into a weighted BM25 query model — the FuzzyMatch condition
+    put to work end-to-end. The expansion collect is vocabulary-match
+    bounded (same bounded-driver pattern as bm25_feedback's fb_terms)."""
+    terms = _terms(spark, sf_dir)
+    qtf: dict[str, float] = {}
+    for tok in ("querry", "windoww"):
+        for r in sparse.fuzzy_terms(terms, tok, max_dist=2).collect():
+            w = 1.0 / (1.0 + r.dist)
+            if w > qtf.get(r.term, 0.0):
+                qtf[r.term] = w
+    return sparse.bm25_search_weighted(
+        _docs(spark, sf_dir), qtf, k=10, terms=terms
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     """view -> click -> purchase conversion funnel (strictly-ordered
     first occurrences): per-step reach, conversion vs step 1, and
@@ -3588,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_triangles": q_knn_triangles,
         "knn_probe": q_knn_probe,
         "fuzzy_terms": q_fuzzy_terms,
+        "fuzzy_bm25": q_fuzzy_bm25,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
     }
@@ -3678,6 +3697,21 @@ def _bm25_sql(k: int) -> str:
     return _BM25_SQL.replace("{QTERMS}", _bm25_query_terms_sql(BM25_QUERY)).replace(
         "{K}", str(k)
     )
+
+
+def _fuzzy_bm25_sql(k: int = 10) -> str:
+    """Weighted-BM25 replay where the query model is the fuzzy
+    expansion itself (length band + levenshtein <= 2, weight
+    1/(1+dist), max across query tokens) — same template as every
+    other BM25 oracle."""
+    q = """(SELECT v.term, max(1.0 / (1.0 + levenshtein(v.term, qt.q)))
+                     AS qtf
+            FROM (SELECT term FROM dt GROUP BY term) v,
+                 (VALUES ('querry'), ('windoww')) qt(q)
+            WHERE abs(length(v.term) - length(qt.q)) <= 2
+              AND levenshtein(v.term, qt.q) <= 2
+            GROUP BY v.term)"""
+    return _BM25_SQL.replace("{QTERMS}", q).replace("{K}", str(k))
 
 
 def _text_match_sql(k: int) -> str:
@@ -7573,6 +7607,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": _event_value_quantiles_sql(128),
         "knn_triangles": _knn_triangles_sql(5, 0.3),
         "knn_probe": _knn_probe_sql(5),
+        "fuzzy_bm25": _fuzzy_bm25_sql(10),
         "event_funnel": """
             WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),
