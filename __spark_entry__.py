@@ -3232,6 +3232,32 @@ def q_cohort_retention(spark, sf_dir):
     return sequence.cohort_retention(_events(spark, sf_dir))
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton keys over (value, user_id) for the events table — the
+    write-side layout expression behind sources.layout.write_zordered
+    (Delta OPTIMIZE ZORDER analogue on stock parquet): a box predicate
+    on either dimension prunes row groups once files are key-ranged.
+    The min/max grid scalars are driver metadata (one agg), the key
+    itself a pure shift/mask fold."""
+    from grape_vector_db_spark.sources import layout
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    s = ev.agg(
+        F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+    ).first()
+    key = layout.zorder_key(
+        [
+            layout.quantize_minmax(F.col("value"), s["vlo"], s["vhi"], 8),
+            layout.quantize_minmax(
+                F.col("user_id"), float(s["ulo"]), float(s["uhi"]), 8
+            ),
+        ],
+        bits=8,
+    )
+    return ev.select("event_id", key.alias("zkey"))
+
+
 def q_fuzzy_terms(spark, sf_dir):
     """Typo-tolerant vocabulary expansion: indexed terms within edit
     distance 2 of the misspelled query 'querry' — implements the
@@ -3607,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_probe": q_knn_probe,
         "fuzzy_terms": q_fuzzy_terms,
         "fuzzy_bm25": q_fuzzy_bm25,
+        "zorder_keys": q_zorder_keys,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
     }
@@ -3697,6 +3724,38 @@ def _bm25_sql(k: int) -> str:
     return _BM25_SQL.replace("{QTERMS}", _bm25_query_terms_sql(BM25_QUERY)).replace(
         "{K}", str(k)
     )
+
+
+def _zorder_keys_sql(bits: int = 8) -> str:
+    """Replay the Morton key with identical arithmetic: same quantize
+    parenthesization ((x - lo) / (hi - lo) * top + 0.5), same bit
+    placement b*2+i."""
+    top = (1 << bits) - 1
+    terms = []
+    for i, q in enumerate(("qv", "qu")):
+        for b in range(bits):
+            terms.append(f"((({q} // {1 << b}) % 2) * {1 << (b * 2 + i)})")
+    key = " + ".join(terms)
+    qexpr = (
+        "least(greatest(floor((value - s.vlo) / (s.vhi - s.vlo) * "
+        f"{float(top)!r} + 0.5)::BIGINT, 0), {top})"
+    )
+    uexpr = (
+        "least(greatest(floor((user_id - s.ulo) / (s.uhi - s.ulo) * "
+        f"{float(top)!r} + 0.5)::BIGINT, 0), {top})"
+    )
+    return f"""
+        WITH s AS (
+          SELECT min(value) AS vlo, max(value) AS vhi,
+                 min(user_id)::DOUBLE AS ulo, max(user_id)::DOUBLE AS uhi
+          FROM events WHERE value IS NOT NULL
+        ),
+        q AS (
+          SELECT event_id, {qexpr} AS qv, {uexpr} AS qu
+          FROM events, s WHERE value IS NOT NULL
+        )
+        SELECT event_id, ({key})::BIGINT AS zkey FROM q
+    """
 
 
 def _fuzzy_bm25_sql(k: int = 10) -> str:
@@ -7608,6 +7667,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_triangles": _knn_triangles_sql(5, 0.3),
         "knn_probe": _knn_probe_sql(5),
         "fuzzy_bm25": _fuzzy_bm25_sql(10),
+        "zorder_keys": _zorder_keys_sql(8),
         "event_funnel": """
             WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

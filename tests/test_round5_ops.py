@@ -840,3 +840,68 @@ def test_cohort_retention_hand_built(spark):
     assert out[("2024-01-01", 1)] == (1, 2, 0.5)
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+# --------------------------------------------------------------- z-order
+
+
+def test_zorder_key_hand_interleave(spark):
+    from grape_vector_db_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "x long, y long"
+    )
+    got = df.select(
+        layout.zorder_key([F.col("x"), F.col("y")], bits=3).alias("k")
+    ).collect()[0].k
+    # x bits (LSB-first) 1,0,1 at positions 0,2,4; y bits 1,1,0 at 1,3,5
+    expect = (1 << 0) + (0 << 2) + (1 << 4) + (1 << 1) + (1 << 3) + (0 << 5)
+    assert got == expect
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmpdir):
+    """The motivating property: laid out in Morton order, a narrow box
+    on EITHER dimension overlaps only a fraction of the files'
+    [min, max] ranges; an x-sorted layout clusters only x (every file
+    spans all of y). Checked from real parquet footer stats."""
+    import pyarrow.parquet as pq
+    import glob
+    import itertools
+
+    from grape_vector_db_spark.sources import layout
+
+    rows = [
+        (float(x), float(y))
+        for x, y in itertools.product(range(64), range(64))
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    zp = f"{tmpdir}/z"
+    lp = f"{tmpdir}/linear"
+    layout.write_zordered(df, zp, ["x", "y"], bits=6, n_files=16)
+    df.repartitionByRange(16, F.col("x")).sortWithinPartitions(
+        "x"
+    ).write.parquet(lp)
+
+    def files_overlapping(path, col, lo, hi):
+        hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is not None and not (hi < fmin or lo > fmax):
+                hit += 1
+        return hit
+
+    # narrow box on y: z-order clusters y too; x-sort does not
+    z_y = files_overlapping(zp, "y", 10.0, 13.0)
+    lin_y = files_overlapping(lp, "y", 10.0, 13.0)
+    assert z_y < lin_y
+    assert lin_y == 16  # x-sorted: every file spans all of y
+    # and x stays prunable in the z layout
+    assert files_overlapping(zp, "x", 10.0, 13.0) < 16
