@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
+from ..functions.text import word_grams
 
 # Substrings whose presence disqualifies a line (C4 drops lines with
 # "javascript", docs with "lorem ipsum" / "{"; we apply all three at the
@@ -63,14 +64,9 @@ def _lines(text_col: Column, delim: str) -> Column:
 
 def _word_grams(toks: Column, n: int) -> Column:
     """All space-joined word ``n``-grams of a token array (empty if the
-    doc has fewer than ``n`` tokens)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    doc has fewer than ``n`` tokens) — zip_with fold, see
+    :func:`~grape_vector_db_spark.functions.text.word_grams`."""
+    return word_grams(toks, n)
 
 
 def repetition_signals(

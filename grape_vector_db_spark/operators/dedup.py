@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_word
-from ..functions.text import tokens
+from ..functions.text import tokens, word_grams
 from ..functions.vector import cosine_from_parts, dot, l2_norm, to_double_array
 
 
@@ -57,11 +57,7 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = 
         "doc_id",
         F.explode(
             F.when(
-                F.size("toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-                ),
+                F.size("toks") >= n, word_grams(F.col("toks"), n)
             ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))),
         ).alias("shingle"),
     )
@@ -575,24 +571,42 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["a"], "left"
+        ).select(
+            "id",
+            F.col("label").alias("old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("mid"),
+        )
+        # Pointer jumping: label <- min(label, label(label)). Every label
+        # value IS some node's id, so one self-join composes the labeling
+        # with itself — convergence drops from O(diameter) rounds to
+        # O(log diameter) on chain-shaped components (kNN graphs are
+        # chains/filaments, unlike the clique-ish near-dup graphs). The
+        # label table is nodes-of-edges sized, so the extra join is far
+        # cheaper than the rounds it removes.
+        hop = stepped.select(
+            F.col("id").alias("pid"), F.col("mid").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            stepped.join(hop, stepped["mid"] == hop["pid"], "left")
             .select(
                 "id",
+                "old",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
                 ).alias("label"),
             )
             .localCheckpoint()  # truncate lineage — see docstring
         )
+        # convergence check is a narrow filter over the table the
+        # checkpoint just materialized — no join, no shuffle
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
         # count LABEL-CHANGING rounds and only give up when round
@@ -1307,15 +1321,32 @@ def simhash_pairs(
             ),
         )
     )
+    # First-matching-band filter: a pair within max_hamming matches on up
+    # to nb bands and would be emitted once per matching band; keeping it
+    # ONLY in the lowest matching band (all lower bands' xor sections
+    # nonzero — a codegen'd bit test on p.x) makes each pair unique by
+    # construction, so the old global .distinct() shuffle over the
+    # multiplied pair stream disappears. Near-identical docs match on ALL
+    # nb bands, so this also divides hot-bucket pair fan-out by up to nb.
+    first_match = " ".join(
+        f"WHEN {b} THEN ("
+        + (
+            " AND ".join(
+                f"(shiftright(p.x, {bp * width}) & {(1 << width) - 1}) != 0"
+                for bp in range(b)
+            )
+            or "true"
+        )
+        + ")"
+        for b in range(nb)
+    )
     pairs = (
         bandrows.groupBy("band", "key")
         .agg(members.alias("ms"))
         .where(F.size("ms") > 1)
-        .select(F.explode(pair_arr).alias("p"))
-        .select(
-            "p.a", "p.b", F.expr("bit_count(p.x)").alias("hamming")
-        )
-        .distinct()
+        .select("band", F.explode(pair_arr).alias("p"))
+        .where(F.expr(f"CASE band {first_match} ELSE false END"))
+        .select("p.a", "p.b", F.expr("bit_count(p.x)").alias("hamming"))
     )
     return pairs.where(F.col("hamming") <= max_hamming)
 
@@ -1503,27 +1534,9 @@ def _positional_grams(
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tokens")
     )
-    grams = (
-        base.where(F.col("n_tokens") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_tokens") - n),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.concat_ws(" ", F.slice("toks", i + 1, n)).alias(
-                            "gram"
-                        ),
-                    ),
-                )
-            ).alias("pg"),
-        )
-        .select(
-            "doc_id",
-            F.col("pg.pos").alias("pos"),
-            F.col("pg.gram").alias("gram"),
-        )
+    grams = base.where(F.col("n_tokens") >= n).select(
+        "doc_id",
+        F.posexplode(word_grams(F.col("toks"), n)).alias("pos", "gram"),
     )
     return base, grams
 

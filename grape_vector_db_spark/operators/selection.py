@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
+from ..functions.text import word_grams
 
 
 def _bigram_buckets(
@@ -57,15 +58,7 @@ def _bigram_buckets(
     grams = base.select(
         "doc_id",
         *extra.keys(),
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(word_grams(F.col("toks"), 2)).alias("gram"),
     )
     return grams.select(
         "doc_id",
