@@ -3425,6 +3425,213 @@ def q_session_rollups(spark, sf_dir):
     return sequence.sessionize(_events(spark, sf_dir), gap_minutes=30.0)
 
 
+
+# --- round 5: relational-depth analogs + membership/placement/link ops ---
+
+BLOCKLIST_PHRASES = ["table hash", "slow key", "slow hash batch"]
+
+
+def q_small_lot_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — per-group correlated scalar aggregate: revenue
+    from brand lineitems whose quantity is under 20% of that part's own
+    average quantity. The subquery decorrelates into ONE groupBy(part)
+    aggregate joined back on partkey; the brand filter broadcasts into
+    BOTH sides so the per-part average never computes for parts that
+    can't survive."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brand = part.where(F.col("p_brand") == "Brand#12").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand), li["l_partkey"] == F.col("p_partkey")
+    ).drop("p_partkey")
+    lim = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li_b.join(lim, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_supplier_wait_blame(spark, sf_dir):
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS double correlation,
+    decorrelated into per-(order, supplier) then per-order aggregates:
+    suppliers who were the ONLY late shipper (>90 days after the order
+    date) in a multi-supplier order. Two map-side-combined shuffles on
+    orderkey replace four correlated subqueries; the supplier name join
+    broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    flags = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") > 90).alias("late"),
+    )
+    per_os = flags.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+    )
+    blamed = per_os.where(F.col("late")).join(
+        per_o.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").cast("int").alias("numwait"))
+        .join(
+            F.broadcast(
+                sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+            ),
+            "l_suppkey",
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape — grouped distinct-count with a NOT-IN exclusion:
+    distinct suppliers per (brand, size) from observed lineitem
+    part-supplier pairs, excluding negative-balance suppliers via a
+    broadcast anti-join (the NOT-IN rewrite that doesn't null-trap)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = sup.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    joined = (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        joined.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("int").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(15)
+    )
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — per-group argmin with deterministic tie-break:
+    for every size-10 part, the supplier with the lowest observed
+    average unit price (extendedprice/quantity, 6-dp rounded BEFORE the
+    argmin so both engines compare identical keys). min(struct) is the
+    shuffle-free-second-pass argmin — no window, no self-join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    parts10 = part.where(F.col("p_size") == 10).select("p_partkey")
+    best = (
+        cost.join(F.broadcast(parts10), cost["l_partkey"] == F.col("p_partkey"))
+        .drop("p_partkey")
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("m"))
+    )
+    return best.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("m.l_suppkey").alias("s_suppkey"),
+        F.col("m.unit_cost").alias("unit_cost"),
+    ).orderBy("p_partkey")
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter decontamination gate: build a 4096-bit / k=3 filter
+    over the src0 benchmark texts (bit-position table, broadcastable at
+    any corpus size), probe every document. member = all 3 bits set —
+    no false negatives, ~3% false positives at this fill, which the
+    oracle reproduces bit-for-bit."""
+    from grape_vector_db_spark.operators import sketches
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("source") == "src0")
+    bits = sketches.bloom_bits(bench, F.col("text"), m_bits=4096, k=3)
+    return sketches.bloom_probe(
+        docs, F.col("text"), bits, m_bits=4096, k=3
+    ).select(F.col("id").alias("doc_id"), "n_hits", "member")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: top-5
+    docs per language by the deterministic key ln(u)/n_chars (u = md5
+    uniform of doc_id) — longer docs proportionally likelier, exact row
+    set replayable on any engine."""
+    from grape_vector_db_spark.operators import sampling
+
+    return sampling.weighted_sample_topk(
+        _docs(spark, sf_dir),
+        F.col("n_chars"),
+        k=5,
+        id_col="doc_id",
+        group_col="lang",
+        seed=7,
+    )
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) placement histogram over 8
+    shards — the consistent-placement scheme where adding shard n+1
+    moves only ~1/(n+1) of keys; the assignment is a pure narrow
+    expression (8 hashes per row, argmax, first-max tie-break)."""
+    from grape_vector_db_spark.sources import tables
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(tables.rendezvous_shard("doc_id", 8).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("shard")
+    )
+
+
+def q_knn_links(spark, sf_dir):
+    """Link prediction on the mutual-5-NN graph (cosine >= 0.3):
+    common-neighbor + Adamic-Adar scores for the 20 strongest NON-edges
+    — wedge enumeration through shared endpoints (degree^2-bounded, the
+    same shape as the triangle census), not corpus^2."""
+    pairs = (
+        ann.mutual_knn_pairs(_knn_graph_edges(spark, sf_dir))
+        .where(F.col("cosine") >= 0.3)
+        .select("a", "b")
+    )
+    return ann.knn_link_prediction(pairs, top_k=20)
+
+
+def q_blocklist_phrases(spark, sf_dir):
+    """Token-boundary multi-phrase blocklist matching (join-based
+    Aho-Corasick analogue): per-doc hit counts for a mixed 2/3-gram
+    phrase list via per-length broadcast joins against the document
+    n-gram stream."""
+    return curation.phrase_blocklist_hits(
+        _docs(spark, sf_dir), BLOCKLIST_PHRASES
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -3636,6 +3843,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "small_lot_revenue": q_small_lot_revenue,
+        "supplier_wait_blame": q_supplier_wait_blame,
+        "part_supplier_variety": q_part_supplier_variety,
+        "min_cost_supplier": q_min_cost_supplier,
+        "bloom_membership": q_bloom_membership,
+        "weighted_sample": q_weighted_sample,
+        "rendezvous_shards": q_rendezvous_shards,
+        "knn_links": q_knn_links,
+        "blocklist_phrases": q_blocklist_phrases,
     }
 
 
@@ -7808,7 +8024,178 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_h32_sql('doc_id::VARCHAR', 3)}
                   < (1.0 / size) * 4294967296.0
         """,
+    "small_lot_revenue": """
+            SELECT round(coalesce(sum(l.l_extendedprice), 0.0) / 7.0, 2)
+                     AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+              AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "supplier_wait_blame": """
+            WITH f AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     max(CASE WHEN date_diff('day', o.o_orderdate,
+                                             l.l_shipdate) > 90
+                              THEN 1 ELSE 0 END) AS late
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1, 2
+            ),
+            po AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+              FROM f GROUP BY 1
+            )
+            SELECT s.s_name, count(*)::INT AS numwait
+            FROM f JOIN po USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = f.l_suppkey
+            WHERE f.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 10
+        """,
+        "part_supplier_variety": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p.p_brand, p.p_size,
+                   count(DISTINCT ps.l_suppkey)::INT AS supplier_cnt
+            FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+            WHERE ps.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC LIMIT 15
+        """,
+        "min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+                     row_number() OVER (PARTITION BY c.l_partkey
+                                        ORDER BY c.unit_cost ASC,
+                                                 c.l_suppkey ASC) AS rn
+              FROM cost c
+              JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size = 10
+            )
+            SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, unit_cost
+            FROM r WHERE rn = 1
+        """,
+        "bloom_membership": """
+            WITH pos AS (SELECT unnest(range(3)) AS p),
+            bits AS (
+              SELECT DISTINCT
+                     (('0x' || substr(md5('0:' || text), 1 + 8*p, 8))::BIGINT
+                      % 4096)::INT AS bit
+              FROM documents, pos WHERE source = 'src0'
+            ),
+            probes AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('0:' || text), 1 + 8*p, 8))::BIGINT
+                      % 4096)::INT AS bit
+              FROM documents, pos
+            )
+            SELECT pr.doc_id,
+                   sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::INT
+                     AS n_hits,
+                   (sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 3)
+                     AS member
+            FROM probes pr LEFT JOIN bits b ON b.bit = pr.bit
+            GROUP BY 1
+        """,
+        "weighted_sample": """
+            WITH s AS (
+              SELECT lang, doc_id,
+                     round(ln((('0x' || substr(md5('7:' || doc_id::VARCHAR),
+                                               1, 8))::BIGINT + 1.0)
+                              / 4294967296.0) / n_chars, 6) AS es_key
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            r AS (
+              SELECT s.*, row_number() OVER (
+                PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rn
+              FROM s
+            )
+            SELECT lang, doc_id, es_key FROM r WHERE rn <= 5
+        """,
+        "rendezvous_shards": _rendezvous_shards_sql(8, 0),
+        "knn_links": f"""
+            WITH {_KNN_GRAPH_CTE},
+            topk AS (SELECT src, dst, cosine FROM r WHERE rank <= 5),
+            mp AS (
+              SELECT x.src AS a, x.dst AS b FROM topk x
+              JOIN topk y ON x.src = y.dst AND x.dst = y.src
+              WHERE x.src < x.dst AND x.cosine >= 0.3
+            ),
+            und AS (SELECT a AS u, b AS v FROM mp
+                    UNION ALL SELECT b AS u, a AS v FROM mp),
+            deg AS (SELECT u AS z, count(*) AS deg FROM und GROUP BY 1),
+            lz AS (SELECT v AS z, u AS x FROM und),
+            w AS (
+              SELECT l1.z AS z, l1.x AS x, l2.x AS y
+              FROM lz l1 JOIN lz l2 ON l1.z = l2.z WHERE l1.x < l2.x
+            ),
+            sc AS (
+              SELECT w.x AS a, w.y AS b, count(*)::INT AS common,
+                     round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar
+              FROM w JOIN deg d ON d.z = w.z GROUP BY 1, 2
+            ),
+            ne AS (
+              SELECT sc.a, sc.b, sc.common, sc.adamic_adar
+              FROM sc LEFT JOIN mp ON mp.a = sc.a AND mp.b = sc.b
+              WHERE mp.a IS NULL
+            )
+            SELECT a, b, common, adamic_adar FROM ne
+            ORDER BY adamic_adar DESC, a ASC, b ASC LIMIT 20
+        """,
+        "blocklist_phrases": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(greatest(len(t) - 1, 0)),
+                                           i -> t[i+1] || ' ' || t[i+2]))
+                       AS gram
+              FROM toks
+            ),
+            g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(greatest(len(t) - 2, 0)),
+                                           i -> t[i+1] || ' ' || t[i+2]
+                                                || ' ' || t[i+3])) AS gram
+              FROM toks
+            ),
+            hits AS (
+              SELECT doc_id FROM g2 WHERE gram IN ('table hash', 'slow key')
+              UNION ALL
+              SELECT doc_id FROM g3 WHERE gram = 'slow hash batch'
+            )
+            SELECT doc_id, count(*)::INT AS n_hits FROM hits GROUP BY 1
+        """,
     }
+
+
+def _rendezvous_shards_sql(n_shards: int = 8, seed: int = 0) -> str:
+    """CASE-chain replay of tables.rendezvous_shard: first WHEN that
+    equals the greatest hash == array_position's first maximum."""
+    cols = ",\n               ".join(
+        f"(('0x' || substr(md5('{seed}:{s}#' || doc_id::VARCHAR), 1, 8))"
+        f"::BIGINT) AS h{s}"
+        for s in range(n_shards)
+    )
+    gmax = "greatest(" + ", ".join(f"h{s}" for s in range(n_shards)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN h{s} = gmax THEN {s}" for s in range(n_shards))
+        + " END"
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, {cols} FROM documents),
+        g AS (SELECT *, {gmax} AS gmax FROM h),
+        sh AS (SELECT ({case})::INT AS shard FROM g)
+        SELECT shard, count(*) AS n_docs FROM sh GROUP BY 1 ORDER BY shard
+    """
 
 
 def _geo_polygon_sql() -> str:

@@ -1332,3 +1332,58 @@ def graph_triangle_stats(pairs: DataFrame) -> DataFrame:
             ).alias("clustering_coefficient"),
         )
     )
+
+
+def knn_link_prediction(
+    pairs: DataFrame,
+    top_k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction over an undirected pair graph (e.g.
+    :func:`mutual_knn_pairs`): for every NON-edge (x, y) sharing at
+    least one neighbor, the common-neighbor count and Adamic-Adar score
+    sum(1 / ln(deg(z))) over shared neighbors z (Adamic & Adar 2003,
+    "Friends and neighbors on the Web") — the classic "these two
+    documents are probably near-dups/related even though no retrieval
+    step paired them" signal, used to densify a kNN graph before
+    clustering. Returns the ``top_k`` rows ``(a, b, common, adamic_adar)``
+    by (adamic_adar desc, a, b), a < b.
+
+    Scale shape: candidate (x, y) pairs come from a self-join of the
+    edge list on the shared endpoint z — sum-of-degree^2 work, the same
+    wedge enumeration as :func:`graph_triangle_stats`, NOT corpus^2.
+    Hub nodes dominate that sum, so ``max_degree`` (cap on deg(z))
+    drops wedges through super-hubs — the standard sparsifier; at kNN
+    graphs degree is already bounded by ~2k so the exact default is
+    safe. Existing edges are removed with one edge-keyed anti-join, and
+    the final top-k is engine TakeOrdered. ln(deg) is safe: a shared
+    neighbor z of a non-edge wedge has deg(z) >= 2.
+    """
+    und = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    deg = und.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("deg"))
+    if max_degree is not None:
+        deg = deg.where(F.col("deg") <= max_degree)
+    # wedges x - z - y, x < y, weighted by z's inverse-log degree
+    lz = und.select(F.col("v").alias("z"), F.col("u").alias("x"))
+    wedges = (
+        lz.join(lz.select("z", F.col("x").alias("y")), "z")
+        .where(F.col("x") < F.col("y"))
+        .join(deg, "z")
+    )
+    scored = wedges.groupBy(F.col("x").alias("a"), F.col("y").alias("b")).agg(
+        F.count("*").cast("int").alias("common"),
+        F.round(F.sum(1.0 / F.log(F.col("deg"))), 6).alias("adamic_adar"),
+    )
+    non_edges = scored.join(
+        pairs.select("a", "b"), ["a", "b"], "left_anti"
+    )
+    return non_edges.orderBy(
+        F.col("adamic_adar").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(top_k)

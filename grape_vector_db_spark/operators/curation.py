@@ -1080,3 +1080,49 @@ def normalize_text(
         return s.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def phrase_blocklist_hits(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-boundary multi-phrase matching: ``(doc_id, n_hits)`` for
+    every document containing at least one blocklist phrase, where a
+    phrase matches only as a whole-word token sequence (lowercased,
+    whitespace-tokenized — the same normalization as :func:`top_ngrams`,
+    so "ad" never matches inside "adapt" the way a substring scan
+    would). The content-policy / NSFW-blocklist primitive of a curation
+    pipeline.
+
+    Scale shape: phrases are grouped by word count; for each length n
+    the document side streams its word n-grams (zip_with fold, narrow)
+    into a BROADCAST hash join against that length's phrase table —
+    matching is O(corpus tokens x distinct lengths) with no corpus
+    shuffle before the per-doc count. This is the join-based analogue
+    of Aho-Corasick: the automaton state is the broadcast hash table,
+    and it scales to blocklists far beyond what a single regex
+    alternation compiles to.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        norm = " ".join(p.lower().split())
+        if norm:
+            by_len.setdefault(len(norm.split(" ")), []).append(norm)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    spark = df.sparkSession
+    hits = None
+    for n, plist in sorted(by_len.items()):
+        ptab = spark.createDataFrame(
+            [(p,) for p in sorted(set(plist))], "gram string"
+        )
+        grams = base.select(
+            "doc_id", F.explode(word_grams(F.col("toks"), n)).alias("gram")
+        )
+        h = grams.join(F.broadcast(ptab), "gram")
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_hits"))

@@ -153,3 +153,51 @@ def cluster_debiased_sample(
             size.alias("weight"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    each row draws u in (0, 1] and the k rows with the largest
+    u^(1/weight) win; inclusion probability is proportional to weight,
+    exactly the "sample important documents more" primitive a mixture
+    pipeline needs (weight = quality score, char count, dup-cluster
+    size...). Here u = (h32(id, seed) + 1) / 2^32, so the whole draw is
+    a pure function of (id, seed) — replayable on any engine.
+
+    Ranks on the equivalent key ln(u)/weight (monotone in u^(1/w),
+    numerically saner) ROUNDED to 6 dp with id as the tie-break, so the
+    selected set is stable across fp orderings. Rows with weight <= 0 or
+    NULL are excluded (zero weight = never sampled).
+
+    Scale shape: the key is a narrow expression; per-group top-k is the
+    rank.topk_per_group window (per-partition heap via AQE) and global
+    top-k is engine TakeOrdered — nothing corpus-sized shuffles beyond
+    the k winners per group.
+    """
+    u = (h32(F.col(id_col).cast("string"), seed) + F.lit(1.0)) / F.lit(_SCALE)
+    key = F.round(F.log(u) / weight.cast("double"), 6)
+    base = df.where(weight.isNotNull() & (weight.cast("double") > 0)).select(
+        *([] if group_col is None else [F.col(group_col)]),
+        F.col(id_col),
+        key.alias("es_key"),
+    )
+    if group_col is None:
+        return base.orderBy(F.col("es_key").desc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.select("*", F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

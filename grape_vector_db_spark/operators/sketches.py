@@ -33,7 +33,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h32
+from ..functions.hashing import h32, h32_word
 
 
 def _rho(w: Column, bits: int) -> Column:
@@ -277,4 +277,82 @@ def histogram_quantiles(
     )
     return hit.groupBy(*gcols, "q").agg(
         F.round(F.min(est), 6).alias("est")
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key: Column,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``key`` as a DISTINCT bit-position table
+    ``(bit int)`` — the distributed representation of an m-bit filter.
+
+    Position ``p`` of a key is word ``p % 4`` of its seeded md5 digest
+    (``h32_word``, seed ``p // 4``) mod ``m_bits``: k <= 4 costs ONE md5
+    per key, and a DuckDB oracle replays every position bit-for-bit.
+    The table holds at most ``m_bits`` rows regardless of input size, so
+    after the build's single map-side-combined distinct it broadcasts
+    anywhere — the point of a Bloom membership gate at 100 TB: the probe
+    side (below) never shuffles the corpus, unlike an exact semi-join
+    against a billion-key benchmark set. Union-merge tables to merge
+    filters (bitwise OR); estimate fill with ``count / m_bits``.
+
+    Reference parity: the reference keeps no membership sketch — this
+    serves its decontamination gate (dedup.contamination_pairs) at
+    scales where the benchmark set itself is too big to broadcast raw.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (one md5 digest), got {k}")
+    digest = F.md5(F.concat(F.lit("0:"), key))
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int")
+                        for p in range(k)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key: Column,
+    bits: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a :func:`bloom_bits` filter: ``(id, n_hits, member)`` where
+    ``member`` is true iff ALL ``k`` positions are set (the usual Bloom
+    semantics: no false negatives, false-positive rate
+    ~(1 - e^(-k*n/m))^k). The probe explodes k rows per key and
+    broadcast-joins the <= m_bits-row bit table — a narrow corpus pass.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (one md5 digest), got {k}")
+    digest = F.md5(F.concat(F.lit("0:"), key))
+    probes = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int")
+                    for p in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit = probes.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return hit.groupBy("id").agg(
+        F.sum(F.coalesce(F.col("_set"), F.lit(0))).cast("int").alias("n_hits"),
+        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("member"),
     )

@@ -57,6 +57,34 @@ def bucket_by_id(df: DataFrame, n_buckets: int, id_col: str = "id") -> DataFrame
     return df.withColumn("bucket", bucket).repartition(n_buckets, F.col("bucket"))
 
 
+def rendezvous_shard(id_col, n_shards: int, seed: int = 0):
+    """Rendezvous (highest-random-weight) shard assignment: shard =
+    argmax over s in [0, n_shards) of h32(f"{seed}:{s}#" + id) — the
+    OTHER classic consistent-placement scheme next to the hash ring that
+    :func:`bucket_by_id` models (Thaler & Ravishankar 1998). Its defining
+    property, which plain ``hash % n`` lacks: growing n_shards -> n+1
+    moves ONLY the ~1/(n+1) of keys whose new shard wins the argmax —
+    every other key keeps its placement, so a 100 TB re-shard rewrites
+    one new shard's worth of data instead of (n-1)/n of the corpus.
+
+    Pure narrow expression (n_shards hashes per row, no shuffle); ties
+    broken toward the LOWEST shard index (array_position returns the
+    first maximum). Returns an int column.
+    """
+    from ..functions.hashing import h32
+
+    scores = F.array(
+        *[
+            h32(
+                F.concat(F.lit(f"{s}#"), F.col(id_col).cast("string")),
+                seed=seed,
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
 def with_uuid_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Fill empty/null ids with uuids (reference S5, src/storage.rs:145-149)."""
     return df.withColumn(
