@@ -3632,6 +3632,77 @@ def q_blocklist_phrases(spark, sf_dir):
     )
 
 
+
+def q_lang_vocab_hll(spark, sf_dir):
+    """Per-language distinct-shingle cardinality from ONE pass of grouped
+    HyperLogLog registers (p=10) — "how big is each stratum's vocabulary"
+    without a per-(lang, shingle) exact shuffle; sketches merge by
+    (group, register) max across shards/days."""
+    from grape_vector_db_spark.operators import sketches
+
+    sh = _shingles(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    regs = sketches.hll_registers_grouped(sh, "shingle", "lang", p=10)
+    return sketches.hll_estimate_grouped(regs, p=10)
+
+
+def q_event_value_band(spark, sf_dir):
+    """Band self-join summary: same-type event pairs with values within
+    eps=0.05 — the |x-y|<=eps theta join decomposed into one bucketed
+    equi-join (own bucket + bucket+1 aliases) instead of the
+    BroadcastNestedLoopJoin Spark would plan naively."""
+    from grape_vector_db_spark.operators import asof
+
+    pairs = asof.value_band_self_join(
+        _events(spark, sf_dir), "value", 0.05, "event_id", ["event_type"]
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("gap"), 6).alias("avg_gap"),
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    groups with fewer than 5 documents — the re-identification check a
+    metadata release runs; one map-side-combined groupBy."""
+    return curation.k_anonymity_report(
+        _docs(spark, sf_dir), ["lang", "source"], k=5
+    )
+
+
+def q_code_score(spark, sf_dir):
+    """Code-vs-prose routing signals (symbol ratio, statement-terminated
+    line fraction, keyword hits) as pure narrow expressions — the cheap
+    router in front of the trained quality classifier."""
+    return textanalysis.code_signals(_docs(spark, sf_dir))
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility by language (subwords per word and chars per
+    subword) from the trained BPE merges — the eval that decides whether
+    a tokenizer under-serves a language (high fertility = more compute
+    per char for that stratum)."""
+    seg = textanalysis.bpe_segment_counts(
+        _docs(spark, sf_dir), _bpe(spark, sf_dir)
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return (
+        seg.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("n_subwords") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_subwords").cast("double"), 6
+            ).alias("chars_per_subword"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -3852,6 +3923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "knn_links": q_knn_links,
         "blocklist_phrases": q_blocklist_phrases,
+        "lang_vocab_hll": q_lang_vocab_hll,
+        "event_value_band": q_event_value_band,
+        "k_anonymity": q_k_anonymity,
+        "code_score": q_code_score,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -8173,6 +8249,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*)::INT AS n_hits FROM hits GROUP BY 1
         """,
+    "lang_vocab_hll": _lang_vocab_hll_sql(10),
+        "event_value_band": """
+            WITH p AS (
+              SELECT x.event_type,
+                     round(abs(x.value - y.value), 6) AS gap
+              FROM events x JOIN events y
+                ON x.event_type = y.event_type AND x.event_id < y.event_id
+              WHERE abs(x.value - y.value) <= 0.05
+            )
+            SELECT event_type, count(*) AS n_pairs,
+                   round(avg(gap), 6) AS avg_gap
+            FROM p GROUP BY 1
+        """,
+        "k_anonymity": """
+            SELECT lang, source, count(*)::INT AS group_size
+            FROM documents GROUP BY 1, 2 HAVING count(*) < 5
+        """,
+        "code_score": r"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     round((length(text)
+                            - length(regexp_replace(text,
+                                     '[{}()\[\];=<>]', '', 'g')))
+                           / greatest(length(text), 1)::DOUBLE,
+                           6) AS symbol_ratio,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> length(x) > 0) AS lines
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, symbol_ratio,
+                     round(len(list_filter(lines,
+                               l -> regexp_matches(l, '[{};]$')))
+                           / greatest(len(lines), 1)::DOUBLE, 6)
+                       AS brace_line_frac,
+                     ((CASE WHEN contains(lower(text), 'def ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(lower(text), 'import ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(lower(text), 'return ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(lower(text), 'function ') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(lower(text), '#include') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(lower(text), 'var ') THEN 1 ELSE 0 END)
+                     )::INT AS keyword_hits
+              FROM b
+            )
+            SELECT doc_id, symbol_ratio, brace_line_frac, keyword_hits,
+                   (symbol_ratio > 0.03 OR brace_line_frac > 0.2
+                    OR keyword_hits >= 2) AS code_like
+            FROM c
+        """,
+        "bpe_fertility": f"""
+            WITH seg AS ({_bpe_segment_sql(BPE_N_MERGES)})
+            SELECT d.lang, count(*) AS n_docs,
+                   round(sum(seg.n_subwords)::DOUBLE / sum(seg.n_words), 6)
+                     AS fertility,
+                   round(sum(d.n_chars)::DOUBLE / sum(seg.n_subwords), 6)
+                     AS chars_per_subword
+            FROM seg JOIN documents d USING (doc_id)
+            GROUP BY 1
+        """,
     }
 
 
@@ -8195,6 +8331,45 @@ def _rendezvous_shards_sql(n_shards: int = 8, seed: int = 0) -> str:
         g AS (SELECT *, {gmax} AS gmax FROM h),
         sh AS (SELECT ({case})::INT AS shard FROM g)
         SELECT shard, count(*) AS n_docs FROM sh GROUP BY 1 ORDER BY shard
+    """
+
+
+def _lang_vocab_hll_sql(p: int = 10) -> str:
+    m = 2**p
+    lower = 32 - p
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""
+        WITH {_SHINGLE_CTE},
+        js AS (SELECT d.lang AS grp, sh.shingle
+               FROM sh JOIN documents d USING (doc_id)),
+        h AS (SELECT grp, ({_h32_sql('shingle', 0)}) AS h FROM js),
+        rw AS (SELECT grp, h // {2**lower} AS register,
+                      h % {2**lower} AS w FROM h),
+        rho AS (
+          SELECT grp, register,
+                 CASE WHEN w = 0 THEN {lower + 1}
+                      ELSE position('1' IN lpad(bin(w), {lower}, '0'))
+                 END AS r
+          FROM rw
+        ),
+        regs AS (SELECT grp, register, max(r) AS max_rho
+                 FROM rho GROUP BY 1, 2),
+        agg AS (
+          SELECT grp, count(*)::BIGINT AS n_used,
+                 sum(power(2.0, -max_rho)) AS s_used
+          FROM regs GROUP BY 1
+        ),
+        est AS (
+          SELECT grp, n_used,
+                 {alpha_m2!r} / (s_used + ({m} - n_used)) AS raw,
+                 {m} - n_used AS zeros
+          FROM agg
+        )
+        SELECT grp, {m}::INT AS m, n_used,
+               round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          ELSE raw END, 6) AS estimate
+        FROM est
     """
 
 

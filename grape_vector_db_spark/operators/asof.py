@@ -143,3 +143,69 @@ def asof_join(
     for c in carried:
         out = out.withColumn(f"{c}{suffix}", F.col("_r").getField(c))
     return out.drop("_r")
+
+
+def value_band_self_join(
+    df: DataFrame,
+    value_col: str,
+    eps: float,
+    id_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Band self-join: all pairs (a < b by id) within the same ``keys``
+    whose values differ by at most ``eps`` — the |x - y| <= eps theta
+    join Spark would otherwise plan as a BroadcastNestedLoopJoin (an
+    all-pairs scan). Returns ``(keys..., a, b, gap)``.
+
+    Spark-first decomposition: bucket = floor(value / eps). Any
+    qualifying pair sits in the same or adjacent buckets, so ONE
+    equi-join on (keys, bucket_key) — with the probe side emitting its
+    own bucket and bucket+1 — generates a candidate superset, and a
+    cheap |diff| filter verifies. Each unordered pair is produced
+    exactly once: same-bucket pairs only from the tag-0 key with
+    id_a < id_b, adjacent-bucket pairs only from the tag-1 key (the
+    higher bucket joins the lower's +1 alias). Candidate work is
+    sum-of-bucket^2, i.e. bounded by value density per eps window — the
+    same skew profile as any equi-join; salt or cap hot buckets if one
+    value dominates.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        F.floor(v / F.lit(float(eps))).cast("long").alias("_b"),
+    )
+    left = base.select(
+        *keys,
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_b").alias("_jb"),
+    )
+    right = base.select(
+        *keys,
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.explode(
+            F.array(
+                F.struct(F.col("_b").alias("k"), F.lit(0).alias("tag")),
+                F.struct((F.col("_b") + 1).alias("k"), F.lit(1).alias("tag")),
+            )
+        ).alias("_e"),
+    ).select(*keys, "_idb", "_vb", F.col("_e.k").alias("_jb"), F.col("_e.tag").alias("_tag"))
+    cand = left.join(right, [*keys, "_jb"]).where(
+        ((F.col("_tag") == 1))
+        | ((F.col("_tag") == 0) & (F.col("_ida") < F.col("_idb")))
+    )
+    return (
+        cand.where(F.abs(F.col("_va") - F.col("_vb")) <= F.lit(float(eps)))
+        .select(
+            *keys,
+            F.least("_ida", "_idb").alias("a"),
+            F.greatest("_ida", "_idb").alias("b"),
+            F.round(F.abs(F.col("_va") - F.col("_vb")), 6).alias("gap"),
+        )
+    )

@@ -1126,3 +1126,25 @@ def phrase_blocklist_hits(
         h = grams.join(F.broadcast(ptab), "gram")
         hits = h if hits is None else hits.unionByName(h)
     return hits.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_hits"))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Groups of quasi-identifier values held by FEWER than ``k`` rows:
+    ``(quasi..., group_size)`` — the k-anonymity audit a release
+    pipeline runs before publishing per-record metadata (a combination
+    seen < k times re-identifies its members; Sweeney 2002). One
+    map-side-combined groupBy on the quasi columns; the violating set is
+    small by definition (every row in it belongs to a group of < k)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("int").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )

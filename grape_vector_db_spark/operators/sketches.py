@@ -356,3 +356,58 @@ def bloom_probe(
         F.sum(F.coalesce(F.col("_set"), F.lit(0))).cast("int").alias("n_hits"),
         (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("member"),
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group HyperLogLog register tables in ONE pass:
+    ``(group, register, max_rho)`` — the answer to "distinct X per
+    source/day/shard" as a single map-side-combined groupBy over at most
+    ``n_groups * 2^p`` cells, where the exact answer shuffles every
+    (group, X) pair. Cells merge across corpora by (group, register)
+    max, exactly like the global sketch."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    h = h32(F.col(value_col).cast("string"), seed)
+    lower_bits = 32 - p
+    reg = F.shiftright(h, lower_bits).cast("bigint")
+    w = h % F.lit(2**lower_bits)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            reg.alias("register"),
+            _rho(w, lower_bits).alias("_r"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("_r").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Per-group estimates from :func:`hll_registers_grouped`:
+    ``(grp, m, n_used, estimate)`` — same formula and small-range
+    correction as :func:`hll_estimate`, one tiny keyed aggregate."""
+    m = 2**p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy("grp").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s_used"),
+    )
+    s = F.col("_s_used") + (F.lit(m) - F.col("n_used"))
+    zeros = F.lit(m) - F.col("n_used")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        F.lit(m).alias("m"),
+        F.col("n_used").cast("bigint").alias("n_used"),
+        F.round(est, 6).alias("estimate"),
+    )

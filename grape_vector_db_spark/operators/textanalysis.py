@@ -1294,3 +1294,69 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+#: Keyword markers for code detection — substring hits on the lowered
+#: text. Chosen to be language-diverse yet rare in prose.
+CODE_KEYWORDS = ["def ", "import ", "return ", "function ", "#include", "var "]
+
+#: Symbol characters counted toward the code-symbol ratio. Shared
+#: Java-regex / RE2 class so the oracle applies the identical automaton.
+CODE_SYMBOL_RE = r"[{}()\[\];=<>]"
+
+
+def code_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Code-vs-prose signals per document — the mixture pipeline needs to
+    route code into its own bucket (different dedup granularity,
+    different quality rules, usually a dedicated mixture weight):
+    ``(doc_id, symbol_ratio, brace_line_frac, keyword_hits, code_like)``.
+
+    - symbol_ratio: fraction of characters in ``CODE_SYMBOL_RE``
+      (braces, parens, semicolons, comparisons) — prose sits near 0,
+      code near 0.03-0.15;
+    - brace_line_frac: fraction of non-empty lines ending in ``{``,
+      ``}`` or ``;`` (statement-terminated languages);
+    - keyword_hits: how many of ``CODE_KEYWORDS`` appear at least once
+      (lowered substring);
+    - code_like: symbol_ratio > 0.03 OR brace_line_frac > 0.2 OR
+      keyword_hits >= 2.
+
+    All four are narrow column expressions — zero shuffles, the whole
+    pass rides the scan. Heuristic by design: it's the cheap router in
+    front of a trained classifier (classifier.logreg_train distills
+    these plus quality signals when labels exist).
+    """
+    txt = F.col(text_col)
+    n = F.greatest(F.length(txt), F.lit(1)).cast("double")
+    sym = F.length(txt) - F.length(F.regexp_replace(txt, CODE_SYMBOL_RE, ""))
+    lines = F.filter(
+        F.transform(F.split(txt, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    brace_lines = F.filter(lines, lambda l: l.rlike("[{};]$"))
+    low = F.lower(txt)
+    hits = None
+    for kw in CODE_KEYWORDS:
+        h = F.when(low.contains(kw), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    symbol_ratio = F.round(sym / n, 6)
+    brace_frac = F.round(
+        F.size(brace_lines)
+        / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        symbol_ratio.alias("symbol_ratio"),
+        brace_frac.alias("brace_line_frac"),
+        hits.cast("int").alias("keyword_hits"),
+        (
+            (symbol_ratio > 0.03)
+            | (brace_frac > 0.2)
+            | (hits >= 2)
+        ).alias("code_like"),
+    )

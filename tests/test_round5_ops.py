@@ -195,3 +195,126 @@ def test_blocklist_mixed_lengths(spark):
 def test_blocklist_empty_raises(spark):
     with pytest.raises(ValueError):
         curation.phrase_blocklist_hits(None, [])
+
+
+# --- grouped HLL ------------------------------------------------------------
+
+
+def test_grouped_hll_matches_global_per_group(spark, docs):
+    from grape_vector_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    grouped = hll_estimate_grouped(
+        hll_registers_grouped(docs, "text", "lang", p=8), p=8
+    ).collect()
+    by_lang = {r["grp"]: r for r in grouped}
+    for lang in by_lang:
+        solo = hll_estimate(
+            hll_registers(docs.where(F.col("lang") == lang), "text", p=8), p=8
+        ).first()
+        assert by_lang[lang]["estimate"] == solo["estimate"]
+        assert by_lang[lang]["n_used"] == solo["n_used"]
+
+
+def test_grouped_hll_accuracy(spark, docs):
+    from grape_vector_db_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    est = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_grouped(
+            hll_registers_grouped(docs, "text", "lang", p=12), p=12
+        ).collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) / n < 0.15
+
+
+# --- band self-join ---------------------------------------------------------
+
+
+def test_band_join_matches_bruteforce(spark):
+    from grape_vector_db_spark.operators.asof import value_band_self_join
+
+    rows = [(i, "a" if i % 2 else "b", float(i) * 0.013) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    eps = 0.05
+    got = {
+        (r["k"], r["a"], r["b"])
+        for r in value_band_self_join(df, "v", eps, "id", ["k"]).collect()
+    }
+    data = [(i, k, v) for i, k, v in rows]
+    want = {
+        (k1, min(i1, i2), max(i1, i2))
+        for i1, k1, v1 in data
+        for i2, k2, v2 in data
+        if i1 < i2 and k1 == k2 and abs(v1 - v2) <= eps
+    }
+    assert got == want
+
+
+def test_band_join_no_duplicate_pairs(spark):
+    from grape_vector_db_spark.operators.asof import value_band_self_join
+
+    # values straddling bucket boundaries exactly
+    rows = [(1, 0.10), (2, 0.10), (3, 0.15), (4, 0.2000001)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = value_band_self_join(df, "v", 0.1, "id").collect()
+    pairs = [(r["a"], r["b"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3), (3, 4)}
+
+
+def test_band_join_eps_validation(spark):
+    from grape_vector_db_spark.operators.asof import value_band_self_join
+
+    with pytest.raises(ValueError):
+        value_band_self_join(None, "v", 0.0, "id")
+
+
+# --- k-anonymity ------------------------------------------------------------
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    rows = [("en", "a")] * 5 + [("en", "b")] * 2 + [("fr", "a")]
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = curation.k_anonymity_report(df, ["lang", "src"], k=5)
+    got = {(r["lang"], r["src"]): r["group_size"] for r in out.collect()}
+    assert got == {("en", "b"): 2, ("fr", "a"): 1}
+
+
+def test_k_anonymity_validation(spark):
+    with pytest.raises(ValueError):
+        curation.k_anonymity_report(None, [], k=5)
+    with pytest.raises(ValueError):
+        curation.k_anonymity_report(None, ["x"], k=1)
+
+
+# --- code signals -----------------------------------------------------------
+
+
+def test_code_signals_separates_code_from_prose(spark):
+    from grape_vector_db_spark.operators.textanalysis import code_signals
+
+    code = "def f(x):\n    return x + 1;\nimport os\nvar y = f(2);"
+    prose = "The quiet afternoon passed slowly as the rain kept falling."
+    df = spark.createDataFrame(
+        [(1, code), (2, prose)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in code_signals(df).collect()}
+    assert got[1]["code_like"] is True
+    assert got[2]["code_like"] is False
+    assert got[1]["symbol_ratio"] > got[2]["symbol_ratio"]
+    assert got[1]["keyword_hits"] >= 3
