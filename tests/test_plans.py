@@ -406,3 +406,71 @@ def test_logreg_score_is_shuffle_free(spark):
     )
     plan = plan_of(classifier.logreg_score(df, [0.5, -0.5], 0.1))
     assert "Exchange" not in plan
+
+
+def test_code_signals_shuffle_free(spark, docs):
+    """code_signals is a pure narrow map: zero Exchange, rides the scan."""
+    from grape_vector_db_spark.operators.textanalysis import code_signals
+
+    assert "Exchange" not in plan_of(code_signals(docs))
+
+
+def test_bloom_probe_broadcasts_bits(spark, docs):
+    """The bloom probe must broadcast the bit table — the corpus side
+    never shuffles before the per-doc count."""
+    from grape_vector_db_spark.operators import sketches
+
+    bits = sketches.bloom_bits(
+        docs.where(F.col("source") == "src0"), F.col("text"), 2048, 3
+    )
+    plan = plan_of(
+        sketches.bloom_probe(docs, F.col("text"), bits, 2048, 3)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rendezvous_shard_shuffle_free(spark, docs):
+    """Placement is a narrow expression: no Exchange before the row set."""
+    from grape_vector_db_spark.sources.tables import rendezvous_shard
+
+    plan = plan_of(docs.select(rendezvous_shard("doc_id", 8).alias("s")))
+    assert "Exchange" not in plan
+
+
+def test_band_join_is_single_equi_join(spark):
+    """value_band_self_join must plan as ONE hash equi-join on the bucket
+    key — no BroadcastNestedLoopJoin / CartesianProduct (the naive theta
+    join plan) anywhere."""
+    from grape_vector_db_spark.operators.asof import value_band_self_join
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 0.013).alias("v")
+    )
+    plan = plan_of(value_band_self_join(df, "v", 0.05, "id"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1
+
+
+def test_weighted_sample_global_is_take_ordered(spark, docs):
+    """Global A-ES top-k must be engine TakeOrdered (per-partition heap),
+    not a global sort."""
+    from grape_vector_db_spark.operators import sampling
+
+    plan = plan_of(
+        sampling.weighted_sample_topk(docs, F.col("n_chars"), k=5, seed=1)
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_variety_uses_broadcast_anti_join(spark):
+    """part_supplier_variety's NOT-IN must be a broadcast anti/hash join,
+    never a nested-loop NOT-IN rewrite."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_part_supplier_variety(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
