@@ -3703,6 +3703,122 @@ def q_bpe_fertility(spark, sf_dir):
     )
 
 
+
+def q_time_to_purchase(spark, sf_dir):
+    """Forward as-of join: for every error event, the EARLIEST purchase
+    at or after it by the same user (ties -> lowest event id) — the
+    time-to-conversion readout. Same union-trick shape as events_asof
+    (one shuffle on user_id, one window, zero joins), with the frame
+    flipped to currentRow..unboundedFollowing."""
+    from grape_vector_db_spark.operators import asof
+
+    ev = _events(spark, sf_dir)
+    # ts arrives as TIMESTAMP via _events' nanos conversion in the
+    # driver session but as TIMESTAMP_NTZ from a plain parquet read; cast
+    # uniformly so unix_micros resolves (the difference is tz-invariant)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+        .withColumn("pts", F.col("ts"))
+    )
+    j = asof.asof_join(
+        err,
+        pur,
+        on="ts",
+        by=["user_id"],
+        right_id="event_id",
+        right_cols=["pts"],
+        direction="forward",
+    )
+    return j.agg(
+        F.count("*").alias("n_errors"),
+        F.count("pts_matched").alias("n_matched"),
+        F.round(
+            F.avg(
+                (F.unix_micros("pts_matched") - F.unix_micros("ts"))
+                / F.lit(60000000.0)
+            ),
+            6,
+        ).alias("avg_minutes"),
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Two-stage decontamination — the 100 TB composition: a deliberately
+    small (1024-bit) Bloom filter built from the src0 benchmark flags a
+    candidate sliver (including false positives), and ONLY that sliver
+    is exact-verified by content hash. One row: flagged / truly
+    contaminated / false-positive counts. At scale the bloom gate is a
+    KB-sized narrow pass over the corpus; the exact verify join touches
+    ~(FP rate + contamination rate) of it."""
+    from grape_vector_db_spark.operators import sketches
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("source") == "src0")
+    bits = sketches.bloom_bits(bench, F.col("text"), m_bits=1024, k=3)
+    flagged = (
+        sketches.bloom_probe(docs, F.col("text"), bits, m_bits=1024, k=3)
+        .where(F.col("member"))
+        .select("id")
+    )
+    cand = docs.select(F.col("doc_id").alias("id"), "text").join(flagged, "id")
+    exact = cand.join(
+        bench.select(F.md5("text").alias("_h")).distinct(),
+        F.md5(F.col("text")) == F.col("_h"),
+        "left_semi",
+    )
+    return flagged.agg(F.count("*").alias("n_flagged")).crossJoin(
+        exact.agg(F.count("*").alias("n_contaminated"))
+    ).select(
+        "n_flagged",
+        "n_contaminated",
+        (F.col("n_flagged") - F.col("n_contaminated")).alias("n_false_pos"),
+    )
+
+
+def q_nation_trade_flows(spark, sf_dir):
+    """TPC-H Q7 shape — the two-sided dimension chain: revenue between
+    (supplier nation, customer nation) pairs, dimensions broadcast down
+    both arms of the lineitem scan; top 20 cross-border flows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sn = sup.join(
+        nation, sup["s_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("supp_nation"))
+    cn = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sn), "l_suppkey")
+        .join(cn, "l_orderkey")
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        # round 6, not 2: money-like sums land near .005 boundaries, and a
+        # coarse round amplifies nanoscale fp ordering differences across
+        # engines into a visible last-cent flip (same rule as revenue_by_nation)
+        .agg(F.round(F.sum(rev), 6).alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("supp_nation").asc(),
+            F.col("cust_nation").asc(),
+        )
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -3928,6 +4044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "code_score": q_code_score,
         "bpe_fertility": q_bpe_fertility,
+        "time_to_purchase": q_time_to_purchase,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "nation_trade_flows": q_nation_trade_flows,
     }
 
 
@@ -8308,6 +8427,73 @@ def oracle_sql() -> dict[str, str]:
                      AS chars_per_subword
             FROM seg JOIN documents d USING (doc_id)
             GROUP BY 1
+        """,
+    "time_to_purchase": """
+            WITH e AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'error'),
+            pu AS (SELECT event_id, ts, user_id FROM events
+                   WHERE event_type = 'purchase'),
+            j AS (
+              SELECT e.event_id AS eid, e.ts AS ets, pu.ts AS pts,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY pu.ts ASC, pu.event_id ASC) AS rn
+              FROM e JOIN pu
+                ON pu.user_id = e.user_id AND pu.ts >= e.ts
+            ),
+            m AS (SELECT * FROM j WHERE rn = 1),
+            ne AS (SELECT count(*) AS n_errors FROM e)
+            SELECT ne.n_errors, count(m.eid) AS n_matched,
+                   round(avg(date_diff('microsecond', m.ets, m.pts)
+                             / 60000000.0), 6) AS avg_minutes
+            FROM ne LEFT JOIN m ON true
+            GROUP BY ne.n_errors
+        """,
+        "bloom_decontaminate": """
+            WITH pos AS (SELECT unnest(range(3)) AS p),
+            bits AS (
+              SELECT DISTINCT
+                     (('0x' || substr(md5('0:' || text), 1 + 8*p, 8))::BIGINT
+                      % 1024)::INT AS bit
+              FROM documents, pos WHERE source = 'src0'
+            ),
+            probes AS (
+              SELECT doc_id, text,
+                     (('0x' || substr(md5('0:' || text), 1 + 8*p, 8))::BIGINT
+                      % 1024)::INT AS bit
+              FROM documents, pos
+            ),
+            flagged AS (
+              SELECT pr.doc_id, any_value(pr.text) AS text
+              FROM probes pr LEFT JOIN bits b ON b.bit = pr.bit
+              GROUP BY pr.doc_id
+              HAVING sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 3
+            ),
+            ex AS (
+              SELECT count(*) AS n_contaminated FROM flagged f
+              WHERE EXISTS (SELECT 1 FROM documents d
+                            WHERE d.source = 'src0' AND d.text = f.text)
+            )
+            SELECT (SELECT count(*) FROM flagged) AS n_flagged,
+                   ex.n_contaminated,
+                   (SELECT count(*) FROM flagged) - ex.n_contaminated
+                     AS n_false_pos
+            FROM ex
+        """,
+        "nation_trade_flows": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6)
+                     AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE sn.n_name != cn.n_name
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, supp_nation ASC, cust_nation ASC
+            LIMIT 20
         """,
     }
 

@@ -78,16 +78,27 @@ def asof_join(
     right_id: str | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row + the latest ``right`` row
-    with ``right[on] <= left[on]`` sharing the ``by`` keys (NULL-filled
-    when no prior right row exists).
+    """As-of join: every ``left`` row + the matching ``right`` row
+    sharing the ``by`` keys (NULL-filled when none exists).
 
-    ``right_id`` (unique within right) breaks same-timestamp ties —
-    highest id wins, deterministically. ``right_cols`` are the right
-    payload columns to attach (default: everything except on/by/id),
-    renamed with ``suffix``.
+    ``direction="backward"`` (default): latest right with
+    ``right[on] <= left[on]``; same-timestamp ties -> HIGHEST right_id.
+    ``direction="forward"``: earliest right with
+    ``right[on] >= left[on]`` — "time to next purchase/deploy/error"
+    questions; ties -> LOWEST right_id. Both run the same union trick
+    (one shuffle on the key, a single window, no joins): forward flips
+    the side ordering and carries first(ignorenulls) over
+    currentRow..unboundedFollowing instead of last over the preceding
+    frame.
+
+    ``right_id`` (unique within right) makes tie-breaks deterministic.
+    ``right_cols`` are the right payload columns to attach (default:
+    everything except on/by/id), renamed with ``suffix``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = by or []
     if right_id is None:
         raise ValueError("right_id is required for deterministic tie-breaks")
@@ -95,8 +106,14 @@ def asof_join(
         c for c in right.columns if c not in {on, right_id, *by}
     ]
 
-    # dedupe right to one row per (by, ts): the max-id row
-    w_dedup = Window.partitionBy(*by, on).orderBy(F.col(right_id).desc())
+    # dedupe right to one row per (by, ts): the max-id row backward,
+    # min-id forward — the row the direction's tie-break selects
+    _id_ord = (
+        F.col(right_id).desc()
+        if direction == "backward"
+        else F.col(right_id).asc()
+    )
+    w_dedup = Window.partitionBy(*by, on).orderBy(_id_ord)
     r = (
         right.select(on, right_id, *by, *right_cols)
         .withColumn("_rn", F.row_number().over(w_dedup))
@@ -132,13 +149,23 @@ def asof_join(
     )
     u = lhs.unionByName(rhs)
 
-    # right rows (side 0) sort before left rows at the same ts => "<=" match
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumn("_r", F.last(F.col("_r"), ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows (side 0) sort before left rows at the same ts => "<="
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_r", F.last(F.col("_r"), ignorenulls=True).over(w))
+    else:
+        # left rows (side 1) sort before right rows at the same ts, and the
+        # frame looks FORWARD => right at the same ts is eligible (">=")
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        u = u.withColumn("_r", F.first(F.col("_r"), ignorenulls=True).over(w))
     out = u.where(F.col("_side") == 1).drop("_side")
     for c in carried:
         out = out.withColumn(f"{c}{suffix}", F.col("_r").getField(c))

@@ -411,3 +411,52 @@ def hll_estimate_grouped(registers: DataFrame, p: int = 8) -> DataFrame:
         F.col("n_used").cast("bigint").alias("n_used"),
         F.round(est, 6).alias("estimate"),
     )
+
+
+def bloom_gate(
+    key: Column,
+    bits,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> Column:
+    """Boolean membership COLUMN from a :func:`bloom_bits` filter — the
+    stateless form: the bit table packs into ``m_bits / 64`` longs held
+    as a literal array (KBs on the driver), and each row tests its k
+    positions with shift/mask expressions. Pure narrow, zero joins —
+    composable into Structured Streaming micro-batches (a static filter
+    over a stream needs no stateful operator) and into any scan-side
+    gate where even a broadcast join is unwelcome.
+
+    ``bits`` is the bloom_bits DataFrame (collected once — bounded by
+    m_bits) or an iterable of set bit positions.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (one md5 digest), got {k}")
+    if isinstance(bits, DataFrame):
+        positions = {r["bit"] for r in bits.collect()}
+    else:
+        positions = set(bits)
+    if positions and (min(positions) < 0 or max(positions) >= m_bits):
+        raise ValueError("bit position outside [0, m_bits)")
+    n_words = (m_bits + 63) // 64
+    words = [0] * n_words
+    for b in positions:
+        words[b // 64] |= 1 << (b % 64)
+    # two's-complement fold: BIGINT literals are signed
+    lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in lits])
+    digest = F.md5(F.concat(F.lit("0:"), key))
+    cond = None
+    for p in range(k):
+        pos = F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int")
+        word = F.element_at(bitmap, (pos / 64).cast("int") + 1)
+        # call_function: the SQL shiftright takes a COLUMN shift amount,
+        # unlike the python F.shiftright wrapper (literal ints only)
+        hit = (
+            F.call_function("shiftright", word, pos % 64).bitwiseAND(
+                F.lit(1)
+            )
+            == 1
+        )
+        cond = hit if cond is None else (cond & hit)
+    return cond

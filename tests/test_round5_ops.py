@@ -318,3 +318,107 @@ def test_code_signals_separates_code_from_prose(spark):
     assert got[2]["code_like"] is False
     assert got[1]["symbol_ratio"] > got[2]["symbol_ratio"]
     assert got[1]["keyword_hits"] >= 3
+
+
+# --- forward as-of ----------------------------------------------------------
+
+
+def test_asof_forward_matches_earliest_at_or_after(spark):
+    from grape_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "u"), (2, 25, "u"), (3, 99, "u")],
+        "lid long, ts long, user string",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, "u", "a"), (101, 20, "u", "b"), (102, 30, "u", "c")],
+        "rid long, ts long, user string, payload string",
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user"], right_id="rid",
+        right_cols=["payload"], direction="forward",
+    )
+    got = {r["lid"]: (r["rid_matched"], r["payload_matched"])
+           for r in out.collect()}
+    # ts=10 matches SAME-ts right (>=); ts=25 -> next at 30; ts=99 -> none
+    assert got == {1: (100, "a"), 2: (102, "c"), 3: (None, None)}
+
+
+def test_asof_forward_tie_lowest_id(spark):
+    from grape_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "u")], "lid long, ts long, user string")
+    right = spark.createDataFrame(
+        [(200, 7, "u", "hi"), (100, 7, "u", "lo")],
+        "rid long, ts long, user string, payload string",
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user"], right_id="rid",
+        right_cols=["payload"], direction="forward",
+    ).first()
+    assert out["rid_matched"] == 100 and out["payload_matched"] == "lo"
+
+
+def test_asof_direction_validation(spark):
+    from grape_vector_db_spark.operators.asof import asof_join
+
+    with pytest.raises(ValueError):
+        asof_join(None, None, right_id="x", direction="sideways")
+
+
+# --- bloom gate (stateless column form) -------------------------------------
+
+
+def test_bloom_gate_matches_probe(spark, docs):
+    bench = docs.where(F.col("source") == "src0")
+    bits = sketches.bloom_bits(bench, F.col("text"), m_bits=2048, k=3)
+    via_probe = {
+        r["id"]: r["member"]
+        for r in sketches.bloom_probe(
+            docs, F.col("text"), bits, m_bits=2048, k=3
+        ).collect()
+    }
+    via_gate = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id",
+            sketches.bloom_gate(F.col("text"), bits, 2048, 3).alias("g"),
+        ).collect()
+    }
+    assert via_probe == via_gate
+
+
+def test_bloom_gate_streaming_parity(spark, tmpdir):
+    """The gate is a static narrow filter, so it applies to a stream
+    unchanged — micro-batch output must equal the batch filter."""
+    src = f"{tmpdir}/in"
+    out = f"{tmpdir}/out"
+    rows = [(i, f"text number {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(src)
+    bench = df.where(F.col("doc_id") < 10)
+    bits = sketches.bloom_bits(bench, F.col("text"), m_bits=512, k=3)
+    gate = sketches.bloom_gate(F.col("text"), bits, 512, 3)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.where(gate)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"] for r in df.where(gate).collect()}
+    assert got == want
+    assert set(range(10)) <= got  # no false negatives
+
+
+def test_bloom_gate_accepts_iterable(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    col = sketches.bloom_gate(F.col("text"), {1, 2, 3}, 64, 2)
+    assert df.select(col.alias("g")).first()["g"] in (True, False)
+    with pytest.raises(ValueError):
+        sketches.bloom_gate(F.col("text"), {99}, 64, 2)
