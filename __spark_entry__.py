@@ -3819,6 +3819,20 @@ def q_nation_trade_flows(spark, sf_dir):
     )
 
 
+
+def q_knn_kcore(spark, sf_dir):
+    """Dense-core extraction: 3 rounds of k-core peeling (k=3) over the
+    mutual-5-NN graph at cosine >= 0.3 — survivors are the mutually
+    well-connected topic cores; fixed rounds keep the result exactly
+    replayable (unrolled-CTE oracle, same convention as knn_pagerank)."""
+    pairs = (
+        ann.mutual_knn_pairs(_knn_graph_edges(spark, sf_dir))
+        .where(F.col("cosine") >= 0.3)
+        .select("a", "b")
+    )
+    return ann.kcore_peel(pairs, k=3, rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -4047,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_purchase": q_time_to_purchase,
         "bloom_decontaminate": q_bloom_decontaminate,
         "nation_trade_flows": q_nation_trade_flows,
+        "knn_kcore": q_knn_kcore,
     }
 
 
@@ -8495,6 +8510,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, supp_nation ASC, cust_nation ASC
             LIMIT 20
         """,
+    "knn_kcore": _knn_kcore_sql(3, 3),
     }
 
 
@@ -8556,6 +8572,37 @@ def _lang_vocab_hll_sql(p: int = 10) -> str:
                           THEN {float(m)!r} * ln({float(m)!r} / zeros)
                           ELSE raw END, 6) AS estimate
         FROM est
+    """
+
+
+def _knn_kcore_sql(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled k-core peel over the mutual-kNN graph (same fixed-round
+    convention as the pagerank oracle)."""
+    ctes = []
+    prev = "und0"
+    for i in range(rounds):
+        ctes.append(
+            f"""d{i} AS (SELECT u, count(*) AS deg FROM {prev} GROUP BY 1),
+            s{i} AS (SELECT u FROM d{i} WHERE deg >= {k}),
+            und{i + 1} AS (
+              SELECT e.u, e.v FROM {prev} e
+              JOIN s{i} x ON x.u = e.u JOIN s{i} y ON y.u = e.v
+            )"""
+        )
+        prev = f"und{i + 1}"
+    chain = ",\n            ".join(ctes)
+    return f"""
+        WITH {_KNN_GRAPH_CTE},
+        topk AS (SELECT src, dst, cosine FROM r WHERE rank <= 5),
+        mp AS (
+          SELECT x.src AS a, x.dst AS b FROM topk x
+          JOIN topk y ON x.src = y.dst AND x.dst = y.src
+          WHERE x.src < x.dst AND x.cosine >= 0.3
+        ),
+        und0 AS (SELECT a AS u, b AS v FROM mp
+                 UNION ALL SELECT b AS u, a AS v FROM mp),
+        {chain}
+        SELECT u AS id, count(*)::INT AS degree FROM {prev} GROUP BY 1
     """
 
 

@@ -1387,3 +1387,54 @@ def knn_link_prediction(
     return non_edges.orderBy(
         F.col("adamic_adar").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(top_k)
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair graph:
+    repeatedly drop nodes of degree < ``k`` (and their edges) ``rounds``
+    times, then return the survivors ``(id, degree)`` with degrees over
+    the surviving subgraph. The dense-core extractor for kNN graphs —
+    survivors are the mutually-well-connected region (topic cores,
+    near-dup families); peeled nodes are periphery/outliers. Full k-core
+    is this iterated to a fixpoint; like :func:`knn_pagerank` the
+    operator pins a FIXED iteration count so the result is exactly
+    replayable (the oracle unrolls the same rounds), and kNN graphs'
+    bounded degree makes 2-4 rounds reach the fixpoint in practice —
+    callers can compare successive rounds to detect convergence.
+
+    Scale shape per round: one map-side-combined degree aggregate + two
+    semi-joins of the edge list against the (shrinking) survivor set —
+    all edge-table-sized, nothing corpus-squared. For many rounds add
+    localCheckpoint between iterations (cf. cluster_pairs); at <= 4
+    rounds the plan stays comfortably small.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    a, b = F.col("a").cast("long"), F.col("b").cast("long")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("u"), b.alias("v")),
+                    F.struct(b.alias("u"), a.alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        edges = edges.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+    return (
+        edges.groupBy("u")
+        .agg(F.count("*").cast("int").alias("degree"))
+        .select(F.col("u").alias("id"), "degree")
+    )

@@ -521,3 +521,48 @@ def stream_hll_to_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bloom_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """Maintain a standing Bloom bit table over a stream: each
+    micro-batch hashes ITSELF (k bit positions per key, one distinct)
+    and merges into the published table by union+distinct — Bloom
+    filters merge by bitwise OR, which on the bit-position
+    representation IS set union. The standing table stays <= m_bits
+    rows forever and equals building the filter over the whole history
+    in one batch (pinned by test).
+
+    This is the streaming half of the decontamination gate: the
+    benchmark/opt-out feed keeps the filter current, and batch or
+    streaming consumers apply it via ``sketches.bloom_gate`` (a narrow
+    column) without ever seeing the raw key set. Published via the
+    versioned swap, so readers get an atomic bit set and a crashed
+    batch retries cleanly from the checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import bloom_bits
+    from ..sources.tables import publish_table, read_table, table_versions
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        bits = bloom_bits(batch, F.col(key_col), m_bits=m_bits, k=k)
+        if table_versions(spark, table_path):
+            bits = read_table(spark, table_path).union(bits).distinct()
+        publish_table(spark, table_path, bits)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

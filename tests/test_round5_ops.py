@@ -422,3 +422,82 @@ def test_bloom_gate_accepts_iterable(spark):
     assert df.select(col.alias("g")).first()["g"] in (True, False)
     with pytest.raises(ValueError):
         sketches.bloom_gate(F.col("text"), {99}, 64, 2)
+
+
+# --- k-core peel ------------------------------------------------------------
+
+
+def test_kcore_keeps_clique_drops_pendant(spark):
+    # 4-clique {1,2,3,4} + pendant chain 4-5-6: k=3 peeling keeps only
+    # the clique (each clique node has degree 3 inside it)
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    pairs = spark.createDataFrame(
+        clique + [(4, 5), (5, 6)], "a long, b long"
+    )
+    out = ann.kcore_peel(pairs, k=3, rounds=3).collect()
+    got = {r["id"]: r["degree"] for r in out}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascade_needs_rounds(spark):
+    # chain 1-2-3-4-5 with k=2: endpoints peel first, then the cascade
+    # unravels everything — but only with enough rounds
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    after1 = ann.kcore_peel(pairs, k=2, rounds=1)
+    assert after1.count() == 3  # endpoints gone, 2-3-4 survive round 1
+    after3 = ann.kcore_peel(pairs, k=2, rounds=3)
+    assert after3.count() == 0  # fully unraveled
+
+
+def test_kcore_validation(spark):
+    with pytest.raises(ValueError):
+        ann.kcore_peel(None, k=0)
+
+
+# --- streaming bloom maintenance --------------------------------------------
+
+
+def test_stream_bloom_equals_one_shot(spark, tmpdir):
+    """Two micro-batches merged by union must equal one-shot bloom_bits
+    over the full history (bit-position union IS bitwise OR)."""
+    from grape_vector_db_spark.sources.tables import read_table
+    from grape_vector_db_spark.streaming.ingest import stream_bloom_to_parquet
+
+    src = f"{tmpdir}/in"
+    table = f"{tmpdir}/bloom_table"
+    b1 = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(20)], "doc_id long, text string"
+    )
+    b1.write.parquet(src)
+    q = stream_bloom_to_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        table, "text", m_bits=512, k=3, checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(60)
+
+    b2 = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(20, 40)], "doc_id long, text string"
+    )
+    b2.write.mode("append").parquet(src)
+    q = stream_bloom_to_parquet(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        table, "text", m_bits=512, k=3, checkpoint=f"{tmpdir}/ckpt",
+    )
+    q.awaitTermination(60)
+
+    standing = {r["bit"] for r in read_table(spark, table).collect()}
+    full = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(40)], "doc_id long, text string"
+    )
+    one_shot = {
+        r["bit"]
+        for r in sketches.bloom_bits(full, F.col("text"), 512, 3).collect()
+    }
+    assert standing == one_shot
+    # and the standing filter gates the full history with no false negatives
+    gated = full.where(
+        sketches.bloom_gate(F.col("text"), standing, 512, 3)
+    ).count()
+    assert gated == 40
