@@ -3833,6 +3833,183 @@ def q_knn_kcore(spark, sf_dir):
     return ann.kcore_peel(pairs, k=3, rounds=3)
 
 
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4-shaped order priority check, adapted to this schema
+    (no l_commitdate/l_receiptdate): count orders per priority that had
+    at least one line item shipped >60 days after the order date. The
+    EXISTS decorrelates to a LEFT SEMI join — the compound condition
+    hash-partitions on the orderkey equi-part and applies the date
+    inequality as the join residual, so lineitem (the 100 TB side)
+    shuffles once on its natural key and never duplicates orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = orders.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (orders["o_orderkey"] == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped product-type profit: per supplier-nation x order
+    year, profit on red parts = revenue minus a 60%-of-retail cost proxy
+    (this schema has no partsupp.ps_supplycost). Plan shape: the ONE
+    unavoidable big-x-big shuffle join (lineitem x orders on orderkey);
+    part (pre-filtered to '%red%'), supplier, and nation all broadcast
+    into the lineitem scan before it, so the shuffle carries only
+    surviving rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    red = part.where(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    sn = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                6,
+            ).alias("profit")
+        )
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped important inventory: per-part shipped value from
+    NATION_3 suppliers, kept when the part carries > 0.1% of the total —
+    a global-threshold scalar subquery. The fact table aggregates ONCE;
+    the total is a window over the part-level aggregate (dim-sized, a
+    few thousand rows), so the single-partition exchange moves KBs, not
+    the corpus — the scale-correct way to avoid scanning lineitem twice."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n3 = supp.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(n3), li["l_suppkey"] == n3["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_v"))
+    )
+    return (
+        per_part.withColumn("_total", F.sum("_v").over(Window.partitionBy()))
+        .where(F.col("_v") > 0.001 * F.col("_total"))
+        .select("l_partkey", F.round("_v", 6).alias("value"))
+    )
+
+
+def q_customer_order_counts(spark, sf_dir):
+    """TPC-H Q13-shaped customer distribution: orders per customer
+    (including zero-order customers via the left join), then the
+    histogram of those counts. Two aggregates: the first shuffles on
+    custkey (orders' natural key), the second on the tiny count domain."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            cust["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: 1996-Q1 revenue per supplier, keep
+    the max — the view + scalar-max shape. Ties and the max comparison
+    both use the 6-dp ROUNDED revenue so Spark's and the oracle's float
+    summation orders cannot disagree at the boundary; the max is a window
+    over the supplier-level aggregate (dim-sized), not a second scan."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("total_revenue")
+        )
+    )
+    best = rev.withColumn(
+        "_max", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("_max"))
+    return best.join(
+        F.broadcast(supp.select("s_suppkey", "s_name")),
+        best["l_suppkey"] == supp["s_suppkey"],
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped OR-of-ANDs revenue: three (brand, size-band,
+    quantity-band) branches over the part join. The brand/size
+    containment filter (the union of the branches' part-side conditions)
+    is applied to part BEFORE the join — Catalyst does not factor
+    disjunctions across join sides, so deriving it by hand keeps the
+    broadcast build tiny and lets the scan prune; the full disjunction
+    then runs as the join residual."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pruned = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") <= 35)
+    ).select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pruned), li["l_partkey"] == pruned["p_partkey"])
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -4062,6 +4239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "nation_trade_flows": q_nation_trade_flows,
         "knn_kcore": q_knn_kcore,
+        "order_priority_check": q_order_priority_check,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "customer_order_counts": q_customer_order_counts,
+        "top_supplier": q_top_supplier,
+        "disjunctive_revenue": q_disjunctive_revenue,
     }
 
 
@@ -8511,6 +8694,83 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
     "knn_kcore": _knn_kcore_sql(3, 3),
+        "order_priority_check": """
+            SELECT o.o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY 1 ORDER BY 1
+        """,
+        "product_profit": """
+            SELECT n.n_name,
+                   year(o.o_orderdate)::INT AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.6 * p.p_retailprice * l.l_quantity), 6)
+                     AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "important_parts": """
+            WITH agg AS (
+              SELECT l.l_partkey,
+                     sum(l.l_extendedprice * (1 - l.l_discount)) AS v
+              FROM lineitem l
+              WHERE l.l_suppkey IN (
+                SELECT s.s_suppkey FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_3'
+              )
+              GROUP BY 1
+            )
+            SELECT l_partkey, round(v, 6) AS value
+            FROM agg
+            WHERE v > 0.001 * (SELECT sum(v) FROM agg)
+        """,
+        "customer_order_counts": """
+            WITH per_cust AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "disjunctive_revenue": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
     }
 
 

@@ -474,3 +474,50 @@ def test_variety_uses_broadcast_anti_join(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_priority_check_is_semi_join(spark):
+    """Q4 shape: the EXISTS must decorrelate to ONE LeftSemi hash join
+    (equi on orderkey, date inequality as residual) — never a
+    nested-loop or a duplicate-then-distinct rewrite."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(
+        entrymod.q_order_priority_check(spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Distinct" not in plan and "HashAggregate(keys=[o_orderkey" not in plan
+
+
+def test_product_profit_broadcasts_all_dims(spark):
+    """Q9 shape: part/supplier/nation broadcast; the only shuffle joins
+    are lineitem x orders (big x big on orderkey)."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_product_profit(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_important_parts_single_scan(spark):
+    """Q11 shape: ONE lineitem scan — the global-total window reads the
+    part-level aggregate, not the fact table again."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_important_parts(spark, "/root/testdata/sf0.001"))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_disjunctive_revenue_broadcasts_pruned_part(spark):
+    """Q19 shape: the hand-factored brand/size containment filter must
+    reach the part scan (PushedFilters) and the join must be a
+    broadcast hash join on partkey."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(
+        entrymod.q_disjunctive_revenue(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "In(p_brand" in plan
