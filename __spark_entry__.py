@@ -4010,6 +4010,30 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global training shuffle: md5-derived permutation
+    key -> 8 balanced shards with an exact within-shard reading order;
+    one hash shuffle, per-shard local sort, reproducible across engines
+    (the oracle replays the same key)."""
+    return curation.shuffle_shards(_docs(spark, sf_dir), n_shards=8, seed=7)
+
+
+def q_token_budget(spark, sf_dir):
+    """DataComp-style budgeted selection: fill a 10k-token budget from
+    the top of the quality ranking (ties -> lowest doc_id). The exact
+    global running token total comes from the two-level bucketed prefix
+    sum — no single-partition window over the corpus."""
+    docs = _docs(spark, sf_dir)
+    q = textanalysis.quality_score(docs).select("doc_id", "quality")
+    t = textanalysis.token_counts(docs).select("doc_id", "n_ws_tokens")
+    return curation.token_budget_select(
+        q.join(t, "doc_id"),
+        budget=10_000,
+        score_col="quality",
+        tokens_col="n_ws_tokens",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": q_knn_cosine,
@@ -4245,6 +4269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts": q_customer_order_counts,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
+        "shuffle_shards": q_shuffle_shards,
+        "token_budget": q_token_budget,
     }
 
 
@@ -8770,6 +8796,36 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "shuffle_shards": f"""
+            WITH k AS (
+              SELECT doc_id, {h32_sql("doc_id::VARCHAR", 7)} AS key
+              FROM documents
+            )
+            SELECT doc_id, (key % 8)::INT AS shard,
+                   row_number() OVER (
+                     PARTITION BY key % 8 ORDER BY key, doc_id
+                   )::INT AS pos
+            FROM k
+        """,
+        "token_budget": f"""
+            WITH q AS ({_quality_sql()}),
+            t AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(lower(text), '\\s+'))::INT
+                       AS n_ws_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT q.doc_id, q.quality, t.n_ws_tokens,
+                     sum(t.n_ws_tokens) OVER (
+                       ORDER BY q.quality DESC, q.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::DOUBLE AS cum_tokens
+              FROM q JOIN t ON q.doc_id = t.doc_id
+            )
+            SELECT doc_id, quality, n_ws_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 10000
         """,
     }
 

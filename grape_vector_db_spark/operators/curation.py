@@ -1148,3 +1148,73 @@ def k_anonymity_report(
         .agg(F.count("*").cast("int").alias("group_size"))
         .where(F.col("group_size") < k)
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a
+    pseudo-random permutation key ``h32(seed:id)``, a ``shard`` (key mod
+    ``n_shards``) and a 1-based ``pos`` inside its shard — the exact
+    (shard, pos) order a training loader should read so consecutive
+    examples are decorrelated, reproducibly across reruns and engines
+    (the oracle replays the same md5-derived key).
+
+    Scale shape: ONE hash shuffle on ``shard`` plus a per-shard local
+    sort (each shard is a window partition), never a global sort. The
+    32-bit key is uniform, so shards are balanced to ~n/n_shards rows
+    (key collisions break ties by id). Size ``n_shards`` to at least the
+    cluster's parallelism: one shard = one task's sort. Epoch reshuffle
+    = a different ``seed``.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = h32(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col)
+        .withColumn("_key", key)
+        .withColumn("shard", (F.col("_key") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_key")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budgeted subset selection (the DataComp-style "fill the token
+    budget from the top of the quality ranking" step): rows taken in
+    ``score_col``-descending order (ties -> lowest id) while the
+    running token total stays within ``budget``. Returns the selected
+    rows with their ``cum_tokens`` — a row is kept iff its INCLUSIVE
+    cumulative sum <= budget, so the result never overshoots.
+
+    Scale shape: the exact global running sum comes from
+    :func:`rank.global_prefix_sum` (two-level bucketed cumsum — no
+    single-partition window over the corpus); the budget cut is then a
+    narrow filter. Token counts are integral, so the sum is exact.
+    """
+    from .rank import global_prefix_sum
+
+    ordered = df.select(
+        id_col, score_col, tokens_col
+    ).withColumn("_negscore", -F.col(score_col).cast("double"))
+    cum = global_prefix_sum(
+        ordered, "_negscore", [id_col], tokens_col, out_col="cum_tokens"
+    )
+    return (
+        cum.where(F.col("cum_tokens") <= budget)
+        .select(id_col, score_col, tokens_col, "cum_tokens")
+    )

@@ -125,3 +125,90 @@ def global_row_number(
     if total_col:
         out = out.withColumn(total_col, F.lit(acc))
     return out
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    num_buckets: int | None = None,
+    sample_per_bucket: int = 32,
+    materialize: str = "local_checkpoint",
+) -> DataFrame:
+    """``df`` plus ``out_col``: the INCLUSIVE running sum of ``val_col``
+    over the total order ``(key_col ASC, *tiebreak_cols ASC)`` — the
+    primitive behind budgeted selection ("take documents in quality
+    order until the token budget fills") and exact CDF columns.
+
+    Same two-level shape as :func:`global_row_number` (and the same
+    ``materialize`` contract): range-bucket on sampled cut points of the
+    leading key, window-cumsum inside each bucket in parallel, then add
+    per-bucket PREFIX TOTALS (a num_buckets-row table collected and
+    broadcast back) — no ``Exchange SinglePartition`` over the data.
+
+    The sum is exact for integral ``val_col`` (token counts, byte
+    sizes); for floating-point values the per-bucket partial order
+    differs from a serial scan, so cross-engine comparisons should
+    round. Descending order = pass the negated key as ``key_col``.
+    """
+    from pyspark.sql import Window
+
+    if materialize == "local_checkpoint":
+        df = df.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        df = df.persist()
+    elif materialize != "none":
+        raise ValueError(
+            "materialize must be 'local_checkpoint', 'persist', or 'none',"
+            f" got {materialize!r}"
+        )
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sample = [
+        r["_k"]
+        for r in df.select(F.col(key_col).alias("_k"))
+        .orderBy(F.xxhash64(F.col("_k")).asc(), F.col("_k").asc())
+        .limit(num_buckets * sample_per_bucket)
+        .collect()
+        if r["_k"] is not None
+    ]
+    if not sample:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    sample.sort()
+    stride = max(
+        1,
+        min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets),
+    )
+    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(key_col) >= b))
+    else:
+        bucket = F.lit(0)
+    tb = df.withColumn("_b", bucket)
+    sums = sorted(
+        (r["_b"], r["s"])
+        for r in tb.groupBy("_b").agg(F.sum(val_col).alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for b, s in sums:
+        offsets.append((b, acc))
+        acc += s if s is not None else 0
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, float(o)) for b, o in offsets], "_b int, _off double"
+        )
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(key_col).asc(), *[F.col(c).asc() for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tb.join(off_df, "_b")
+        .withColumn(out_col, F.col("_off") + F.sum(val_col).over(w))
+        .drop("_b", "_off")
+    )

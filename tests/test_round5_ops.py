@@ -501,3 +501,74 @@ def test_stream_bloom_equals_one_shot(spark, tmpdir):
         sketches.bloom_gate(F.col("text"), standing, 512, 3)
     ).count()
     assert gated == 40
+
+
+# --- shuffle shards / token budget ------------------------------------------
+
+
+def test_shuffle_shards_partition_and_balance(spark):
+    from grape_vector_db_spark.operators import curation
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = curation.shuffle_shards(df, n_shards=8, seed=1).collect()
+    assert len(out) == 1000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard present, roughly balanced (uniform 32-bit key)
+    assert set(by_shard) == set(range(8))
+    assert all(50 <= len(v) <= 250 for v in by_shard.values())
+    # pos is a dense 1..n_shard permutation inside each shard
+    for v in by_shard.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
+
+
+def test_shuffle_shards_deterministic_and_seed_sensitive(spark):
+    from grape_vector_db_spark.operators import curation
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, curation.shuffle_shards(df, 4, seed=1).collect()))
+    b = sorted(map(tuple, curation.shuffle_shards(df, 4, seed=1).collect()))
+    c = sorted(map(tuple, curation.shuffle_shards(df, 4, seed=2).collect()))
+    assert a == b
+    assert a != c  # epoch reshuffle = new seed
+    with pytest.raises(ValueError):
+        curation.shuffle_shards(df, n_shards=0)
+
+
+def test_global_prefix_sum_matches_serial(spark):
+    from grape_vector_db_spark.operators.rank import global_prefix_sum
+
+    rows = [(i, (i * 37) % 11, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    out = global_prefix_sum(df, "k", ["id"], "v", num_buckets=8)
+    got = {r["id"]: r["cum"] for r in out.collect()}
+    acc = 0
+    for i, k, v in sorted(rows, key=lambda t: (t[1], t[0])):
+        acc += v
+        assert got[i] == acc
+
+
+def test_token_budget_select_never_overshoots(spark):
+    from grape_vector_db_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i), 10 + i % 5) for i in range(100)],
+        "doc_id long, score double, n_tokens int",
+    )
+    out = curation.token_budget_select(df, budget=200).collect()
+    assert sum(r["n_tokens"] for r in out) <= 200
+    # selection is the PREFIX of the score-desc order: ids 0,1,2,...
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == list(range(len(ids)))
+    assert max(r["cum_tokens"] for r in out) <= 200
+
+
+def test_shuffle_shards_single_exchange(spark):
+    from grape_vector_db_spark.operators import curation
+    from grape_vector_db_spark.plans.audit import audit_plan
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = audit_plan(curation.shuffle_shards(df, n_shards=8))
+    assert a.shuffles == 1
+    assert a.single_partition_exchanges == 0
