@@ -4010,6 +4010,50 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def _ahash_table(spark, sf_dir):
+    """Cached (doc_id, ahash, n_bits): 8x8 P6 blobs (192 md5-derived
+    payload bytes per doc) decoded and aHashed at 4x4 = 16 bits."""
+    key = ("ahash", sf_dir)
+    if key not in _CACHE:
+        from grape_vector_db_spark.operators import multimodal
+
+        payload = F.concat(
+            *[
+                F.unhex(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}")))
+                )
+                for i in range(12)
+            ]
+        )
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit("P6\n8 8\n255\n").cast("binary"), payload).alias("blob"),
+        )
+        _CACHE[key] = multimodal.average_hash(docs, hash_h=4, hash_w=4).persist()
+    return _CACHE[key]
+
+
+def q_image_ahash(spark, sf_dir):
+    """REAL perceptual image hashing, hash-checked: decode the 8x8 P6
+    blob (pure numpy), NN-downsample to 4x4, threshold each pixel's
+    integer r+g+b sum against the image average, pack MSB0 into a
+    16-bit aHash. The DuckDB oracle rebuilds every bit straight from the
+    md5 hex digits — end-to-end proof the decode -> resize -> hash path
+    is real."""
+    return _ahash_table(spark, sf_dir)
+
+
+def q_image_neardup(spark, sf_dir):
+    """Image near-dup tier: banded Hamming self-join over the aHash
+    table (4 bands of 4 bits, pigeonhole-exact for hamming <= 3) — the
+    multimodal twin of simhash_pairs, sharing dedup.hamming_pairs.
+    Oracle: exhaustive bit_count pair scan, so the banding must find
+    every qualifying pair."""
+    return dedup.hamming_pairs(
+        _ahash_table(spark, sf_dir), bits=16, max_hamming=3, hash_col="ahash"
+    )
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4271,6 +4315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "shuffle_shards": q_shuffle_shards,
         "token_budget": q_token_budget,
+        "image_ahash": q_image_ahash,
+        "image_neardup": q_image_neardup,
     }
 
 
@@ -5619,6 +5665,29 @@ def _md5_byte_sql(j: int) -> str:
     return (
         f"(('0x' || substr(md5(doc_id::VARCHAR || ':{i}'), {2 * o + 1}, 2))::INT)"
     )
+
+
+def _image_ahash_core_sql() -> str:
+    """Per-doc aHash CTE body: NN 8x8 -> 4x4 keeps source rows/cols
+    {1,3,5,7}; pixel p's brightness is the integer byte sum
+    payload[3p] + payload[3p+1] + payload[3p+2], bit p set iff
+    sum * 16 > image total, packed MSB0 — all rebuilt from md5 hex."""
+    sel = [1, 3, 5, 7]
+    pix = [r * 8 + c for r in sel for c in sel]
+    cols = ", ".join(
+        "(" + " + ".join(_md5_byte_sql(3 * p + k) for k in (0, 1, 2)) + f") AS s{i}"
+        for i, p in enumerate(pix)
+    )
+    total = " + ".join(f"s{i}" for i in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN s{i} * 16 > t THEN {1 << (15 - i)} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+        px AS (SELECT doc_id, {cols} FROM documents),
+        tt AS (SELECT *, ({total}) AS t FROM px),
+        ah AS (SELECT doc_id, ({bits})::BIGINT AS ahash FROM tt)
+    """
 
 
 def _multimodal_resize_sql() -> str:
@@ -8826,6 +8895,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality, n_ws_tokens, cum_tokens
             FROM c WHERE cum_tokens <= 10000
+        """,
+        "image_ahash": f"""
+            WITH {_image_ahash_core_sql()}
+            SELECT doc_id, ahash, 16::INT AS n_bits FROM ah
+        """,
+        "image_neardup": f"""
+            WITH {_image_ahash_core_sql()}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.ahash, y.ahash))::INT AS hamming
+            FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
         """,
     }
 

@@ -1271,9 +1271,38 @@ def simhash_pairs(
     Default None = exact pigeonhole guarantee, which is what the oracle
     checks; set it (e.g. 10_000) for 100 TB runs.
     """
+    sh = simhash(df, bits, id_col, text_col)
+    return hamming_pairs(
+        sh, bits=bits, max_hamming=max_hamming, bucket_cap=bucket_cap
+    )
+
+
+def hamming_pairs(
+    hashes: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) over ANY integer-fingerprint table
+    — the banded self-join engine behind :func:`simhash_pairs`, exposed
+    so other fingerprint families (image perceptual hashes, audio
+    hashes) reuse the same pigeonhole guarantee, hot-bucket cap, and
+    single-evaluation grouped pair explode. See :func:`simhash_pairs`
+    for the scale analysis. Bands are ``bits // (max_hamming + 1)`` wide;
+    leftover high bits stay unbanded, which is still pigeonhole-exact
+    (a pair's <= max_hamming differing bits spread over the banded
+    region leave at least one band clean — unbanded differences never
+    remove a candidate).
+    """
     nb = max_hamming + 1
     width = bits // nb
-    sh = simhash(df, bits, id_col, text_col)
+    if width < 1:
+        raise ValueError(f"bits={bits} too small for {nb} bands")
+    sh = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
     bandrows = sh.select(
         "doc_id",
         "simhash",

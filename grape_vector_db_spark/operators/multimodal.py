@@ -397,3 +397,55 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def average_hash(
+    df: DataFrame,
+    hash_h: int = 4,
+    hash_w: int = 4,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Perceptual image hash (aHash): decode -> NN-downsample to
+    (hash_h, hash_w) with the pixel-center rule -> one bit per pixel,
+    set iff the pixel is brighter than the image-average — packed MSB0
+    (row-major, first pixel = highest bit) into ``(id, ahash, n_bits)``.
+    Near-identical images (recompression, small crops/edits) land within
+    a few bits, so :func:`dedup.hamming_pairs` over this table is the
+    image near-dup tier, exactly like simhash is for text.
+
+    Brightness uses the INTEGER channel sum r+g+b (0..765) and the
+    threshold ``pixel_sum * n_pixels > total_sum`` — integer-exact, no
+    float division, so a DuckDB oracle reproduces every bit from raw
+    bytes. Scale shape: narrow Arrow-batched mapInPandas (one pass, no
+    shuffle); the hash is bounded to 63 bits to stay a signed BIGINT.
+    """
+    import numpy as np
+
+    n_bits = hash_h * hash_w
+    if n_bits > 63:
+        raise ValueError("hash_h * hash_w must be <= 63 (signed-long pack)")
+
+    schema = f"{id_col} long, ahash long, n_bits int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                img = decode_image(bytes(raw))
+                h, w = img.shape[:2]
+                ri = _nn_indices(h, hash_h)
+                ci = _nn_indices(w, hash_w)
+                small = img[np.ix_(ri, ci)].astype(np.int64)
+                sums = small.reshape(-1, 3).sum(axis=1)
+                total = int(sums.sum())
+                val = 0
+                for s in sums:
+                    val = (val << 1) | int(int(s) * n_bits > total)
+                ids.append(i)
+                hashes.append(val)
+            yield pd.DataFrame(
+                {id_col: ids, "ahash": hashes, "n_bits": [n_bits] * len(ids)}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

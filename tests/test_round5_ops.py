@@ -572,3 +572,66 @@ def test_shuffle_shards_single_exchange(spark):
     a = audit_plan(curation.shuffle_shards(df, n_shards=8))
     assert a.shuffles == 1
     assert a.single_partition_exchanges == 0
+
+
+# --- perceptual image hash --------------------------------------------------
+
+
+def test_average_hash_known_image(spark):
+    """2x2 P6 with pixels summing (dark, dark, bright, bright) must hash
+    to 0b0011 at 2x2 (MSB0: first pixel = highest bit)."""
+    from grape_vector_db_spark.operators import multimodal
+
+    pixels = bytes([0, 0, 0, 10, 10, 10, 200, 200, 200, 250, 250, 250])
+    blob = b"P6\n2 2\n255\n" + pixels
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    row = multimodal.average_hash(df, hash_h=2, hash_w=2).first()
+    assert row["ahash"] == 0b0011
+    assert row["n_bits"] == 4
+
+
+def test_average_hash_resilient_to_small_edit(spark):
+    """Brightening one channel by 1 must not flip far-from-threshold
+    bits: the two blobs hash within hamming <= 1 of each other."""
+    from grape_vector_db_spark.operators import multimodal
+
+    base = bytes([0, 0, 0, 10, 10, 10, 200, 200, 200, 250, 250, 250])
+    edit = bytes([1]) + base[1:]
+    rows = [(1, bytearray(b"P6\n2 2\n255\n" + base)),
+            (2, bytearray(b"P6\n2 2\n255\n" + edit))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["ahash"]
+           for r in multimodal.average_hash(df, 2, 2).collect()}
+    assert bin(got[1] ^ got[2]).count("1") <= 1
+
+
+def test_average_hash_validation(spark):
+    from grape_vector_db_spark.operators import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal.average_hash(None, hash_h=8, hash_w=8)
+
+
+def test_hamming_pairs_generic_finds_all(spark):
+    """Generic banded hamming_pairs must equal the exhaustive scan on a
+    random 16-bit fingerprint table (pigeonhole guarantee)."""
+    import itertools
+
+    from grape_vector_db_spark.operators import dedup
+
+    vals = [(i, (i * 2654435761) % 65536) for i in range(80)]
+    df = spark.createDataFrame(vals, "doc_id long, fp long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.hamming_pairs(
+            df, bits=16, max_hamming=3, hash_col="fp"
+        ).collect()
+    }
+    want = {
+        (a, b, bin(x ^ y).count("1"))
+        for (a, x), (b, y) in itertools.combinations(vals, 2)
+        if bin(x ^ y).count("1") <= 3
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        dedup.hamming_pairs(df, bits=2, max_hamming=3, hash_col="fp")
