@@ -4054,6 +4054,50 @@ def q_image_neardup(spark, sf_dir):
     )
 
 
+def _ehash_table(spark, sf_dir):
+    """Cached (doc_id, ehash, n_bits): 32-sample PCM16 WAV blobs (64
+    md5-derived payload bytes) decoded and energy-hashed at 16 windows
+    of 2 samples = 16 bits."""
+    key = ("ehash", sf_dir)
+    if key not in _CACHE:
+        from grape_vector_db_spark.operators import multimodal
+
+        payload = F.concat(
+            *[
+                F.unhex(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":a{i}")))
+                )
+                for i in range(4)
+            ]
+        )
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.unhex(F.lit(_wav_header_hex(n_samples=32))), payload).alias(
+                "blob"
+            ),
+        )
+        _CACHE[key] = multimodal.audio_energy_hash(docs, n_windows=16).persist()
+    return _CACHE[key]
+
+
+def q_audio_ehash(spark, sf_dir):
+    """REAL audio fingerprinting, bit-checked: parse the RIFF/WAVE blob
+    (pure byte parsing), square the int16 samples, threshold each
+    2-sample window's energy against the track average, pack MSB0 into
+    a 16-bit energy hash. The DuckDB oracle rebuilds every bit from the
+    little-endian md5 hex — the audio twin of image_ahash."""
+    return _ehash_table(spark, sf_dir)
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup tier: the same banded Hamming engine as text
+    simhash and image aHash, over the energy-hash table. Oracle:
+    exhaustive bit_count pair scan."""
+    return dedup.hamming_pairs(
+        _ehash_table(spark, sf_dir), bits=16, max_hamming=3, hash_col="ehash"
+    )
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4317,6 +4361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "image_ahash": q_image_ahash,
         "image_neardup": q_image_neardup,
+        "audio_ehash": q_audio_ehash,
+        "audio_neardup": q_audio_neardup,
     }
 
 
@@ -5687,6 +5733,48 @@ def _image_ahash_core_sql() -> str:
         px AS (SELECT doc_id, {cols} FROM documents),
         tt AS (SELECT *, ({total}) AS t FROM px),
         ah AS (SELECT doc_id, ({bits})::BIGINT AS ahash FROM tt)
+    """
+
+
+def _audio_ehash_core_sql(n_samples: int = 32, n_windows: int = 16) -> str:
+    """Per-doc energy-hash CTE body: int16 sample t is little-endian
+    bytes (2t, 2t+1) of the 4-digest payload md5(doc_id:a0..a3); window
+    w's energy is the BIGINT sum of its squared samples, bit w set iff
+    energy * n_windows > track total, packed MSB0."""
+
+    def byte(j: int) -> str:
+        d, o = divmod(j, 16)
+        return (
+            f"(('0x' || substr(md5(doc_id::VARCHAR || ':a{d}'),"
+            f" {2 * o + 1}, 2))::INT)"
+        )
+
+    def sample(t: int) -> str:
+        lsb, msb = byte(2 * t), byte(2 * t + 1)
+        return (
+            f"(({lsb} + 256 * {msb} - CASE WHEN {msb} >= 128 "
+            f"THEN 65536 ELSE 0 END)::BIGINT)"
+        )
+
+    wlen = n_samples // n_windows
+    e_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"{sample(w * wlen + k)} * {sample(w * wlen + k)}" for k in range(wlen)
+        )
+        + f") AS e{w}"
+        for w in range(n_windows)
+    )
+    total = " + ".join(f"e{w}" for w in range(n_windows))
+    bits = " + ".join(
+        f"(CASE WHEN e{w} * {n_windows} > t THEN {1 << (n_windows - 1 - w)}"
+        " ELSE 0 END)"
+        for w in range(n_windows)
+    )
+    return f"""
+        en AS (SELECT doc_id, {e_cols} FROM documents),
+        et AS (SELECT *, ({total}) AS t FROM en),
+        eh AS (SELECT doc_id, ({bits})::BIGINT AS ehash FROM et)
     """
 
 
@@ -8906,6 +8994,17 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(x.ahash, y.ahash))::INT AS hamming
             FROM ah x JOIN ah y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+        """,
+        "audio_ehash": f"""
+            WITH {_audio_ehash_core_sql()}
+            SELECT doc_id, ehash, 16::INT AS n_bits FROM eh
+        """,
+        "audio_neardup": f"""
+            WITH {_audio_ehash_core_sql()}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.ehash, y.ehash))::INT AS hamming
+            FROM eh x JOIN eh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.ehash, y.ehash)) <= 3
         """,
     }
 

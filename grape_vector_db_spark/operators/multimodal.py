@@ -449,3 +449,56 @@ def average_hash(
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def audio_energy_hash(
+    df: DataFrame,
+    n_windows: int = 16,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Audio fingerprint (energy hash): decode PCM16 -> split the sample
+    stream into ``n_windows`` equal contiguous windows -> one bit per
+    window, set iff the window's energy (sum of squared samples) exceeds
+    the track average — packed MSB0 into ``(id, ehash, n_bits)``. The
+    audio twin of :func:`average_hash`: re-encodes and small edits keep
+    the energy envelope, so :func:`dedup.hamming_pairs` over this table
+    is the audio near-dup tier.
+
+    The threshold is the integer comparison ``window_energy * n_windows
+    > total_energy`` over int64 sums of int16 squares — bit-exact, so a
+    DuckDB oracle rebuilds every bit from raw bytes. Trailing samples
+    beyond ``n_windows * (n // n_windows)`` are ignored (every window
+    must weigh the same for the comparison to be fair). Narrow
+    Arrow-batched mapInPandas — one pass, no shuffle.
+    """
+    import numpy as np
+
+    if n_windows < 1 or n_windows > 63:
+        raise ValueError("n_windows must be in [1, 63] (signed-long pack)")
+
+    schema = f"{id_col} long, ehash long, n_bits int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                _, s = decode_wav(bytes(raw))
+                wlen = len(s) // n_windows
+                if wlen == 0:
+                    raise ValueError(
+                        f"{len(s)} samples cannot fill {n_windows} windows"
+                    )
+                sq = s[: wlen * n_windows].astype(np.int64) ** 2
+                energies = sq.reshape(n_windows, wlen).sum(axis=1)
+                total = int(energies.sum())
+                val = 0
+                for e in energies:
+                    val = (val << 1) | int(int(e) * n_windows > total)
+                ids.append(i)
+                hashes.append(val)
+            yield pd.DataFrame(
+                {id_col: ids, "ehash": hashes, "n_bits": [n_windows] * len(ids)}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

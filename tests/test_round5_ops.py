@@ -635,3 +635,58 @@ def test_hamming_pairs_generic_finds_all(spark):
     assert got == want
     with pytest.raises(ValueError):
         dedup.hamming_pairs(df, bits=2, max_hamming=3, hash_col="fp")
+
+
+# --- audio energy hash ------------------------------------------------------
+
+
+def _wav_blob(samples):
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(body).to_bytes(4, "little")
+    )
+    return bytearray(hdr + body)
+
+
+def test_audio_energy_hash_known_track(spark):
+    """4 windows of 2 samples: quiet, quiet, loud, loud -> 0b0011."""
+    from grape_vector_db_spark.operators import multimodal
+
+    blob = _wav_blob([0, 1, 2, 1, 1000, -1000, 900, 1100])
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    row = multimodal.audio_energy_hash(df, n_windows=4).first()
+    assert row["ehash"] == 0b0011
+    assert row["n_bits"] == 4
+
+
+def test_audio_energy_hash_trailing_samples_ignored(spark):
+    """9th sample beyond 4*2 windows must not change the hash."""
+    from grape_vector_db_spark.operators import multimodal
+
+    a = _wav_blob([0, 1, 2, 1, 1000, -1000, 900, 1100])
+    b = _wav_blob([0, 1, 2, 1, 1000, -1000, 900, 1100, 32767])
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, blob binary"
+    )
+    got = {r["doc_id"]: r["ehash"]
+           for r in multimodal.audio_energy_hash(df, 4).collect()}
+    assert got[1] == got[2]
+
+
+def test_audio_energy_hash_validation(spark):
+    from grape_vector_db_spark.operators import multimodal
+
+    with pytest.raises(ValueError):
+        multimodal.audio_energy_hash(None, n_windows=64)
+    df = spark.createDataFrame(
+        [(1, _wav_blob([1, 2]))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception):  # 2 samples cannot fill 4 windows
+        multimodal.audio_energy_hash(df, n_windows=4).collect()
