@@ -566,3 +566,53 @@ def stream_bloom_to_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cms_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """Maintain a standing Count-Min sketch over a stream: each
+    micro-batch sketches ITSELF (one map-side-combined agg over the
+    batch) and merges into the published table by cell-wise SUM — the
+    CMS merge law. The standing table stays <= depth * width rows
+    forever, the merge cost is sketch-sized, and the result equals
+    sketching the whole history in one batch (pinned by test), so
+    point-frequency / heavy-hitter estimates stay queryable mid-stream
+    via ``sketches.cms_estimate`` without re-reading history.
+
+    Completes the mergeable-sketch maintenance trio with
+    :func:`stream_hll_to_parquet` (register max) and
+    :func:`stream_bloom_to_parquet` (bit union). Published via the
+    versioned swap: readers get an atomic cell table and a crashed
+    batch retries cleanly from the checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import cms_table
+    from ..sources.tables import publish_table, read_table, table_versions
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sk = cms_table(batch, value_col, depth=depth, width=width)
+        if table_versions(spark, table_path):
+            sk = (
+                read_table(spark, table_path)
+                .union(sk)
+                .groupBy("row", "cell")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        publish_table(spark, table_path, sk)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

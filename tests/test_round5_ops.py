@@ -690,3 +690,51 @@ def test_audio_energy_hash_validation(spark):
     )
     with pytest.raises(Exception):  # 2 samples cannot fill 4 windows
         multimodal.audio_energy_hash(df, n_windows=4).collect()
+
+
+# --- streaming CMS maintenance ----------------------------------------------
+
+
+def test_stream_cms_equals_one_shot(spark, tmpdir):
+    """Two micro-batches merged by cell-wise sum must equal one-shot
+    cms_table over the full history, and estimates stay one-sided."""
+    from grape_vector_db_spark.operators.sketches import cms_estimate, cms_table
+    from grape_vector_db_spark.sources.tables import read_table
+    from grape_vector_db_spark.streaming.ingest import stream_cms_to_parquet
+
+    src = f"{tmpdir}/in"
+    table = f"{tmpdir}/cms_table"
+    rows1 = [(i, f"key-{i % 7}") for i in range(30)]
+    rows2 = [(i, f"key-{i % 5}") for i in range(30, 60)]
+    spark.createDataFrame(rows1, "id long, v string").write.parquet(src)
+    for _ in range(2):
+        q = stream_cms_to_parquet(
+            spark.readStream.schema("id long, v string").parquet(src),
+            table, "v", depth=4, width=64, checkpoint=f"{tmpdir}/ckpt",
+        )
+        q.awaitTermination(60)
+        spark.createDataFrame(rows2, "id long, v string").write.mode(
+            "append"
+        ).parquet(src)
+
+    standing = {
+        (r["row"], r["cell"]): r["cnt"] for r in read_table(spark, table).collect()
+    }
+    full = spark.createDataFrame(rows1 + rows2, "id long, v string")
+    one_shot = {
+        (r["row"], r["cell"]): r["cnt"]
+        for r in cms_table(full, "v", depth=4, width=64).collect()
+    }
+    assert standing == one_shot
+    # one-sided guarantee on the standing sketch
+    import collections
+
+    truth = collections.Counter(v for _, v in rows1 + rows2)
+    qdf = full.select("v").distinct()
+    est = {
+        r["value"]: r["estimate"]
+        for r in cms_estimate(
+            read_table(spark, table), qdf, "v", depth=4, width=64
+        ).collect()
+    }
+    assert all(est[k] >= n for k, n in truth.items())
