@@ -4098,6 +4098,29 @@ def q_audio_neardup(spark, sf_dir):
     )
 
 
+def q_click_attribution(spark, sf_dir):
+    """Event-time attribution: each view joined to the same user's
+    clicks landing strictly within the next 10 minutes — the watermarked
+    stream-stream join (streaming.joins.attribution_join) run on the
+    batch table; watermarks are no-ops in batch, so this oracles the
+    exact join semantics the streaming path executes with state
+    eviction."""
+    from grape_vector_db_spark.streaming.joins import attribution_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("imp_ts"),
+        F.col("event_id").alias("imp_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return attribution_join(views, clicks, max_delay="10 minutes")
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4363,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "audio_ehash": q_audio_ehash,
         "audio_neardup": q_audio_neardup,
+        "click_attribution": q_click_attribution,
     }
 
 
@@ -9005,6 +9029,14 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(x.ehash, y.ehash))::INT AS hamming
             FROM eh x JOIN eh y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.ehash, y.ehash)) <= 3
+        """,
+        "click_attribution": """
+            SELECT v.user_id, v.ts AS imp_ts, v.event_id AS imp_id,
+                   c.ts AS click_ts, c.event_id AS click_id,
+                   (epoch(c.ts) - epoch(v.ts))::DOUBLE AS delay_sec
+            FROM events v JOIN events c ON v.user_id = c.user_id
+            WHERE v.event_type = 'view' AND c.event_type = 'click'
+              AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
         """,
     }
 

@@ -738,3 +738,79 @@ def test_stream_cms_equals_one_shot(spark, tmpdir):
         ).collect()
     }
     assert all(est[k] >= n for k, n in truth.items())
+
+
+# --- watermarked stream-stream join -----------------------------------------
+
+
+def _attr_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    imps = [(1, ts(0), "ad-a"), (1, ts(30), "ad-b"), (2, ts(5), "ad-c"),
+            (3, ts(10), "ad-d")]
+    clicks = [(1, ts(4), "c1"),      # within 10m of ad-a
+              (1, ts(31), "c2"),     # within 10m of ad-b only
+              (2, ts(25), "c3"),     # too late for ad-c
+              (4, ts(1), "c4")]      # no impression
+    return imps, clicks
+
+
+def test_attribution_join_batch_semantics(spark):
+    from grape_vector_db_spark.streaming.joins import attribution_join
+
+    imps, clicks = _attr_rows()
+    li = spark.createDataFrame(imps, "user_id long, imp_ts timestamp, ad string")
+    rc = spark.createDataFrame(clicks, "user_id long, click_ts timestamp, click string")
+    got = {(r["ad"], r["click"]) for r in attribution_join(li, rc).collect()}
+    assert got == {("ad-a", "c1"), ("ad-b", "c2")}
+    outer = attribution_join(li, rc, how="left_outer").collect()
+    matched = {(r["ad"], r["click"]) for r in outer if r["click"] is not None}
+    unmatched = {r["ad"] for r in outer if r["click"] is None}
+    assert matched == {("ad-a", "c1"), ("ad-b", "c2")}
+    assert unmatched == {"ad-c", "ad-d"}
+    # delay carried through
+    d = {r["click"]: r["delay_sec"] for r in outer if r["click"] is not None}
+    assert d == {"c1": 240.0, "c2": 60.0}
+
+
+def test_attribution_join_streaming_equals_batch(spark, tmpdir):
+    from grape_vector_db_spark.streaming.joins import attribution_join
+
+    imps, clicks = _attr_rows()
+    li = spark.createDataFrame(imps, "user_id long, imp_ts timestamp, ad string")
+    rc = spark.createDataFrame(clicks, "user_id long, click_ts timestamp, click string")
+    li.write.parquet(f"{tmpdir}/imp")
+    rc.write.parquet(f"{tmpdir}/clk")
+    si = spark.readStream.schema(li.schema).parquet(f"{tmpdir}/imp")
+    sc = spark.readStream.schema(rc.schema).parquet(f"{tmpdir}/clk")
+    q = (
+        attribution_join(si, sc)
+        .writeStream.format("parquet")
+        .option("path", f"{tmpdir}/out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ad"], r["click"])
+        for r in spark.read.parquet(f"{tmpdir}/out").collect()
+    }
+    assert got == {("ad-a", "c1"), ("ad-b", "c2")}
+
+
+def test_attribution_join_validation(spark):
+    from grape_vector_db_spark.streaming.joins import attribution_join
+
+    df = spark.createDataFrame(
+        [(1, None, None)], "user_id long, imp_ts timestamp, x string"
+    )
+    with pytest.raises(ValueError):
+        attribution_join(df, df)  # column collision
+    with pytest.raises(ValueError):
+        attribution_join(df, df.withColumnRenamed("x", "y"), how="full")
