@@ -100,6 +100,42 @@ SHOWCASE = [
         "rfm_segments",
         "percentile cuts broadcast as a single row into a narrow scorer",
     ),
+    (
+        "order_priority_check",
+        "EXISTS -> LeftSemi hash join, date inequality as the residual",
+    ),
+    (
+        "product_profit",
+        "dims broadcast; the one big-x-big shuffle join on the natural key",
+    ),
+    (
+        "important_parts",
+        "one fact scan; global threshold = window over the dim-sized agg",
+    ),
+    (
+        "disjunctive_revenue",
+        "hand-factored containment filter pushed into the part build",
+    ),
+    (
+        "shuffle_shards",
+        "one hash shuffle on the md5-permutation shard, per-shard sort",
+    ),
+    (
+        "token_budget",
+        "two-level bucketed prefix sum -> narrow budget cut",
+    ),
+    (
+        "image_neardup",
+        "banded Hamming self-join over the aHash fingerprint table",
+    ),
+    (
+        "click_attribution",
+        "equi-key + bounded time-band join (streaming-evictable shape)",
+    ),
+    (
+        "knn_kcore",
+        "per-round degree agg + two semi-joins, edge-table-sized",
+    ),
 ]
 
 
