@@ -4121,6 +4121,20 @@ def q_click_attribution(spark, sf_dir):
     return attribution_join(views, clicks, max_delay="10 minutes")
 
 
+def q_market_basket(spark, sf_dir):
+    """Co-purchased part pairs with support and lift over orders as
+    baskets: one collect_set per order, pairs exploded a < b from the
+    sorted array (no self-join), map-side-combined pair counts, item
+    frequencies joined back. Pair fan-out is sum(basket_size^2), capped
+    by max_basket_items at scale."""
+    from grape_vector_db_spark.operators import baskets
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return baskets.basket_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4387,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ehash": q_audio_ehash,
         "audio_neardup": q_audio_neardup,
         "click_attribution": q_click_attribution,
+        "market_basket": q_market_basket,
     }
 
 
@@ -9037,6 +9052,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events v JOIN events c ON v.user_id = c.user_id
             WHERE v.event_type = 'view' AND c.event_type = 'click'
               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        """,
+        "market_basket": """
+            WITH b AS (
+              SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem
+            ),
+            p AS (
+              SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_pair
+              FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+              GROUP BY 1, 2
+            ),
+            c AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+            n AS (SELECT count(DISTINCT basket) AS nb FROM b)
+            SELECT p.item_a, p.item_b, p.n_pair,
+                   round(p.n_pair / n.nb, 6) AS support,
+                   round(p.n_pair * n.nb / (ca.n_item * cb.n_item)::DOUBLE, 6)
+                     AS lift
+            FROM p, n
+            JOIN c ca ON ca.item = p.item_a
+            JOIN c cb ON cb.item = p.item_b
+            WHERE p.n_pair >= 2
         """,
     }
 

@@ -814,3 +814,42 @@ def test_attribution_join_validation(spark):
         attribution_join(df, df)  # column collision
     with pytest.raises(ValueError):
         attribution_join(df, df.withColumnRenamed("x", "y"), how="full")
+
+
+# --- market basket ----------------------------------------------------------
+
+
+def test_basket_pairs_hand_example(spark):
+    from grape_vector_db_spark.operators import baskets
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "z"), (4, "z"),  # within-basket dup must collapse
+    ]
+    df = spark.createDataFrame(rows, "o long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_pair"], r["support"], r["lift"])
+        for r in baskets.basket_pairs(df, "o", "item", min_pair_count=2).collect()
+    }
+    # (x,y) in baskets 1,2,3 of 4 total; x in 3, y in 3 baskets
+    assert out == {("x", "y"): (3, 0.75, round(3 * 4 / (3 * 3), 6))}
+
+
+def test_basket_pairs_size_cap_drops_basket(spark):
+    from grape_vector_db_spark.operators import baskets
+
+    rows = [(1, c) for c in "abcdefgh"] + [(2, "a"), (2, "b"),
+                                           (3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "o long, item string")
+    capped = baskets.basket_pairs(
+        df, "o", "item", min_pair_count=2, max_basket_items=4
+    ).collect()
+    assert {(r["item_a"], r["item_b"], r["n_pair"]) for r in capped} == {
+        ("a", "b", 2)
+    }
+    # support/lift computed over the KEPT baskets only (2 of 3)
+    assert capped[0]["support"] == 1.0
+    with pytest.raises(ValueError):
+        baskets.basket_pairs(df, "o", "item", min_pair_count=0)
