@@ -4135,6 +4135,13 @@ def q_market_basket(spark, sf_dir):
     )
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle prep (PSM order) with deterministic md5 cut
+    points — pure narrow array expressions, zero shuffle; the oracle
+    replays the cuts and the three-segment reassembly."""
+    return curation.fim_transform(_docs(spark, sf_dir))
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4402,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "click_attribution": q_click_attribution,
         "market_basket": q_market_basket,
+        "fim_transform": q_fim_transform,
     }
 
 
@@ -9052,6 +9060,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events v JOIN events c ON v.user_id = c.user_id
             WHERE v.event_type = 'view' AND c.event_type = 'click'
               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        """,
+        "fim_transform": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, tk, len(tk) AS n,
+                     (('0x' || substr(md5('0:' || doc_id::VARCHAR || ':f1'), 1, 8))::BIGINT) % (len(tk) + 1) AS c1,
+                     (('0x' || substr(md5('0:' || doc_id::VARCHAR || ':f2'), 1, 8))::BIGINT) % (len(tk) + 1) AS c2
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, tk, n,
+                     least(c1, c2) AS lo, greatest(c1, c2) AS hi
+              FROM c
+            )
+            SELECT doc_id, n::INT AS n_tokens, lo::INT AS mid_start,
+                   (hi - lo)::INT AS mid_len,
+                   array_to_string(
+                     list_concat(list_concat(list_concat(list_concat(list_concat(
+                       ['<PRE>'], tk[1:lo]),
+                       ['<SUF>']), tk[hi+1:n]),
+                       ['<MID>']), tk[lo+1:hi]),
+                     ' ') AS fim_text
+            FROM s
         """,
         "market_basket": """
             WITH b AS (

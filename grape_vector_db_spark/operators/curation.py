@@ -1218,3 +1218,80 @@ def token_budget_select(
         cum.where(F.col("cum_tokens") <= budget)
         .select(id_col, score_col, tokens_col, "cum_tokens")
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022, PSM
+    order): pick a middle token span, emit ``<PRE> prefix <SUF> suffix
+    <MID> middle`` so a causal LM learns infilling — the standard code
+    training-data prep. Returns ``(doc_id, n_tokens, mid_start,
+    mid_len, fim_text)``.
+
+    The two cut points are DETERMINISTIC (reproducible and
+    oracle-checkable, like span_corruption's mask): ``h32(doc_id:f1/f2)
+    % (n+1)``, sorted. Shape: pure narrow array expressions — split,
+    two slices, array_join; zero shuffle, zero explode, so it
+    parallelizes embarrassingly at any corpus size.
+    """
+    from ..functions.hashing import h32
+
+    did = F.col(id_col).cast("string")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    c1 = h32(F.concat(did, F.lit(":f1"))) % (n + 1)
+    c2 = h32(F.concat(did, F.lit(":f2"))) % (n + 1)
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+    full = F.concat(
+        F.array(F.lit(pre_tok)),
+        F.slice(toks, 1, lo),
+        F.array(F.lit(suf_tok)),
+        F.slice(toks, hi + 1, n - hi),
+        F.array(F.lit(mid_tok)),
+        F.slice(toks, lo + 1, hi - lo),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        lo.alias("mid_start"),
+        (hi - lo).alias("mid_len"),
+        F.array_join(full, " ").alias("fim_text"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize the deterministic training shuffle: attach
+    :func:`shuffle_shards`'s (shard, pos) to the full rows and write
+    ``path/shard=N/`` parquet, one file per shard, rows stored in
+    ``pos`` order — the artifact a training loader streams sequentially
+    (sequential reads, no seek), shard dirs round-robined across
+    workers. Re-running with the same seed rewrites byte-identical
+    order; a new epoch is a new seed.
+
+    Shape: the shuffle_shards hash shuffle + one repartition(shard) +
+    in-partition sort — two shuffles of the payload total, no global
+    sort. One file per shard keeps the within-shard order meaningful;
+    size n_shards so a shard fits a task (and a loader's read budget).
+    """
+    order = shuffle_shards(df, n_shards=n_shards, id_col=id_col, seed=seed)
+    (
+        df.join(order, id_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

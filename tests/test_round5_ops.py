@@ -853,3 +853,62 @@ def test_basket_pairs_size_cap_drops_basket(spark):
     assert capped[0]["support"] == 1.0
     with pytest.raises(ValueError):
         baskets.basket_pairs(df, "o", "item", min_pair_count=0)
+
+
+# --- fill-in-the-middle -----------------------------------------------------
+
+
+def test_fim_segments_reassemble_original(spark):
+    """PSM reorder must conserve tokens: prefix + middle + suffix ==
+    the original token stream for every doc."""
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + i % 9))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.fim_transform(df).collect()
+    orig = dict(rows)
+    for r in out:
+        parts = r["fim_text"].split(" ")
+        ip, isf, im = (parts.index("<PRE>"), parts.index("<SUF>"),
+                       parts.index("<MID>"))
+        assert (ip, r["n_tokens"]) == (0, len(orig[r["doc_id"]].split()))
+        prefix, suffix, middle = parts[1:isf], parts[isf + 1:im], parts[im + 1:]
+        assert prefix + middle + suffix == orig[r["doc_id"]].split()
+        assert len(middle) == r["mid_len"]
+        assert len(prefix) == r["mid_start"]
+
+
+def test_fim_deterministic(spark):
+    df = spark.createDataFrame([(7, "a b c d e f g")], "doc_id long, text string")
+    a = curation.fim_transform(df).first()["fim_text"]
+    b = curation.fim_transform(df).first()["fim_text"]
+    assert a == b
+
+
+def test_write_training_shards_roundtrip(spark, tmpdir):
+    from grape_vector_db_spark.operators.curation import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    path = f"{tmpdir}/shards"
+    write_training_shards(df, path, n_shards=4, seed=3)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert {r["doc_id"] for r in back.collect()} == set(range(300))
+    # one data file per shard; rows inside stored in pos order
+    import glob
+
+    for d in glob.glob(f"{path}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(files[0]).to_pydict()
+        assert t["pos"] == sorted(t["pos"])
+    # determinism: same seed rewrites the same placement
+    order1 = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
+    write_training_shards(df, path, n_shards=4, seed=3)
+    order2 = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert order1 == order2
