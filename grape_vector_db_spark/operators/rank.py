@@ -24,6 +24,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame, materialize: str) -> DataFrame:
+    """Shared materialization contract of the two-level rank/cumsum
+    helpers — see :func:`global_row_number` for the trade-offs."""
+    if materialize == "local_checkpoint":
+        return df.localCheckpoint(eager=True)
+    if materialize == "persist":
+        return df.persist()
+    if materialize != "none":
+        raise ValueError(
+            "materialize must be 'local_checkpoint', 'persist', or 'none',"
+            f" got {materialize!r}"
+        )
+    return df
+
+
+def _range_bucketize(
+    df: DataFrame,
+    key_col: str,
+    num_buckets: int | None,
+    sample_per_bucket: int,
+):
+    """``(df plus range-bucket column _b, resolved num_buckets)`` — the
+    shared level-1 of the two-level global rank/cumsum: a bounded
+    deterministic sample of the leading key (smallest xxhash64 —
+    per-partition top-N, no global sort; same trick as _sampled_matrix)
+    yields ~num_buckets cut points; bucket assignment is a monotone
+    function of the key, so bucket order extends the total order.
+    Returns ``(None, num_buckets)`` when the key column has no non-null
+    values.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sample = [
+        r["_k"]
+        for r in df.select(F.col(key_col).alias("_k"))
+        .orderBy(F.xxhash64(F.col("_k")).asc(), F.col("_k").asc())
+        .limit(num_buckets * sample_per_bucket)
+        .collect()
+        if r["_k"] is not None
+    ]
+    if not sample:
+        return None, num_buckets
+    sample.sort()
+    stride = max(
+        1,
+        min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets),
+    )
+    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(key_col) >= b))
+    else:
+        bucket = F.lit(0)
+    return df.withColumn("_b", bucket), num_buckets
+
+
 def global_row_number(
     df: DataFrame,
     key_col: str,
@@ -66,43 +123,11 @@ def global_row_number(
     """
     from pyspark.sql import Window
 
-    if materialize == "local_checkpoint":
-        df = df.localCheckpoint(eager=True)
-    elif materialize == "persist":
-        df = df.persist()
-    elif materialize != "none":
-        raise ValueError(
-            "materialize must be 'local_checkpoint', 'persist', or 'none',"
-            f" got {materialize!r}"
-        )
-    spark = df.sparkSession
-    if num_buckets is None:
-        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # bounded deterministic sample of the leading key (smallest xxhash64 —
-    # per-partition top-N, no global sort; same trick as _sampled_matrix)
-    sample = [
-        r["_k"]
-        for r in df.select(F.col(key_col).alias("_k"))
-        .orderBy(F.xxhash64(F.col("_k")).asc(), F.col("_k").asc())
-        .limit(num_buckets * sample_per_bucket)
-        .collect()
-        if r["_k"] is not None
-    ]
-    if not sample:
+    df = _materialize(df, materialize)
+    tb, num_buckets = _range_bucketize(df, key_col, num_buckets, sample_per_bucket)
+    if tb is None:
         out = df.withColumn(out_col, F.lit(None).cast("long"))
         return out.withColumn(total_col, F.lit(0)) if total_col else out
-    sample.sort()
-    stride = max(
-        1,
-        min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets),
-    )
-    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col(key_col) >= b))
-    else:
-        bucket = F.lit(0)
-    tb = df.withColumn("_b", bucket)
     counts = sorted(
         (r["_b"], r["n"])
         for r in tb.groupBy("_b").agg(F.count("*").alias("n")).collect()
@@ -155,40 +180,10 @@ def global_prefix_sum(
     """
     from pyspark.sql import Window
 
-    if materialize == "local_checkpoint":
-        df = df.localCheckpoint(eager=True)
-    elif materialize == "persist":
-        df = df.persist()
-    elif materialize != "none":
-        raise ValueError(
-            "materialize must be 'local_checkpoint', 'persist', or 'none',"
-            f" got {materialize!r}"
-        )
-    spark = df.sparkSession
-    if num_buckets is None:
-        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sample = [
-        r["_k"]
-        for r in df.select(F.col(key_col).alias("_k"))
-        .orderBy(F.xxhash64(F.col("_k")).asc(), F.col("_k").asc())
-        .limit(num_buckets * sample_per_bucket)
-        .collect()
-        if r["_k"] is not None
-    ]
-    if not sample:
+    df = _materialize(df, materialize)
+    tb, _ = _range_bucketize(df, key_col, num_buckets, sample_per_bucket)
+    if tb is None:
         return df.withColumn(out_col, F.lit(None).cast("double"))
-    sample.sort()
-    stride = max(
-        1,
-        min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets),
-    )
-    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col(key_col) >= b))
-    else:
-        bucket = F.lit(0)
-    tb = df.withColumn("_b", bucket)
     sums = sorted(
         (r["_b"], r["s"])
         for r in tb.groupBy("_b").agg(F.sum(val_col).alias("s")).collect()
@@ -198,7 +193,7 @@ def global_prefix_sum(
         offsets.append((b, acc))
         acc += s if s is not None else 0
     off_df = F.broadcast(
-        spark.createDataFrame(
+        df.sparkSession.createDataFrame(
             [(b, float(o)) for b, o in offsets], "_b int, _off double"
         )
     )
