@@ -418,13 +418,17 @@ def average_hash(
     threshold ``pixel_sum * n_pixels > total_sum`` — integer-exact, no
     float division, so a DuckDB oracle reproduces every bit from raw
     bytes. Scale shape: narrow Arrow-batched mapInPandas (one pass, no
-    shuffle); the hash is bounded to 63 bits to stay a signed BIGINT.
+    shuffle); up to 64 bits, packed two's-complement into a signed
+    BIGINT (bit 63 set -> negative), the same convention as the 64-bit
+    text simhash — so at billion-image scale use the standard 8x8 =
+    64-bit hash, whose 16-bit hamming_pairs bands give 65k keys/band
+    (the geometry that keeps the near-dup join sub-quadratic).
     """
     import numpy as np
 
     n_bits = hash_h * hash_w
-    if n_bits > 63:
-        raise ValueError("hash_h * hash_w must be <= 63 (signed-long pack)")
+    if n_bits > 64:
+        raise ValueError("hash_h * hash_w must be <= 64 (one BIGINT word)")
 
     schema = f"{id_col} long, ahash long, n_bits int"
 
@@ -442,6 +446,8 @@ def average_hash(
                 val = 0
                 for s in sums:
                     val = (val << 1) | int(int(s) * n_bits > total)
+                if val >= 1 << 63:  # two's-complement into signed long
+                    val -= 1 << 64
                 ids.append(i)
                 hashes.append(val)
             yield pd.DataFrame(

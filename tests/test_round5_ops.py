@@ -609,7 +609,33 @@ def test_average_hash_validation(spark):
     from grape_vector_db_spark.operators import multimodal
 
     with pytest.raises(ValueError):
-        multimodal.average_hash(None, hash_h=8, hash_w=8)
+        multimodal.average_hash(None, hash_h=8, hash_w=9)
+
+
+def test_average_hash_64bit_signed_pack(spark):
+    """8x8 = 64-bit hash: a first pixel brighter than average sets bit
+    63 -> negative long (two's complement, same convention as simhash);
+    hamming via xor/bit_count still counts the true bit difference."""
+    from grape_vector_db_spark.operators import dedup, multimodal
+
+    bright_first = bytes([255, 255, 255]) + bytes([0] * (64 * 3 - 3))
+    dark_first = bytes([0, 0, 0]) + bytes([255, 255, 255]) + bytes(
+        [0] * (64 * 3 - 6)
+    )
+    rows = [(1, bytearray(b"P6\n8 8\n255\n" + bright_first)),
+            (2, bytearray(b"P6\n8 8\n255\n" + dark_first))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["ahash"]
+           for r in multimodal.average_hash(df, 8, 8).collect()}
+    assert got[1] == -(1 << 63)  # only bit 63 set
+    assert got[2] == 1 << 62  # only bit 62 set
+    pairs = dedup.hamming_pairs(
+        df.sparkSession.createDataFrame(
+            [(1, got[1]), (2, got[2])], "doc_id long, ahash long"
+        ),
+        bits=64, max_hamming=2, hash_col="ahash",
+    ).collect()
+    assert [(p["a"], p["b"], p["hamming"]) for p in pairs] == [(1, 2, 2)]
 
 
 def test_hamming_pairs_generic_finds_all(spark):
