@@ -477,3 +477,103 @@ def test_bpe_batched_always_equals_sequential(spark, batch, n_merges):
     seq = textanalysis.bpe_train(df, n_merges=n_merges, batch_merges=1)
     batched = textanalysis.bpe_train(df, n_merges=n_merges, batch_merges=4)
     assert batched == seq, (batch, n_merges, batched, seq)
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    ),
+    max_hamming=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_hamming_pairs_equals_exhaustive(spark, fps, max_hamming):
+    """Banded candidate generation must find EXACTLY the pairs an
+    exhaustive two's-complement popcount scan finds, for any 64-bit
+    fingerprints and band count (pigeonhole guarantee)."""
+    import itertools
+
+    from grape_vector_db_spark.operators.dedup import hamming_pairs
+
+    rows = list(enumerate(fps))
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming_pairs(
+            df, bits=64, max_hamming=max_hamming, hash_col="fp"
+        ).collect()
+    }
+    want = {
+        (a, b, bin((x ^ y) & ((1 << 64) - 1)).count("1"))
+        for (a, x), (b, y) in itertools.combinations(rows, 2)
+        if bin((x ^ y) & ((1 << 64) - 1)).count("1") <= max_hamming
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # key
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_global_prefix_sum_matches_serial_replica(spark, rows):
+    from grape_vector_db_spark.operators.rank import global_prefix_sum
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    got = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(df, "k", ["id"], "v", num_buckets=4).collect()
+    }
+    acc = 0
+    for i, k, v in sorted(data, key=lambda t: (t[1], t[0])):
+        acc += v
+        assert got[i] == acc
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # basket id
+            st.integers(min_value=0, max_value=8),  # item
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_basket_pairs_match_python_replica(spark, baskets):
+    import itertools
+
+    from grape_vector_db_spark.operators.baskets import basket_pairs
+
+    df = spark.createDataFrame(baskets, "o long, item long")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_pair"], r["support"], r["lift"])
+        for r in basket_pairs(df, "o", "item", min_pair_count=1).collect()
+    }
+    sets = {}
+    for o, it in baskets:
+        sets.setdefault(o, set()).add(it)
+    nb = len(sets)
+    item_n = Counter(it for s in sets.values() for it in s)
+    pair_n = Counter(
+        p for s in sets.values() for p in itertools.combinations(sorted(s), 2)
+    )
+    want = {
+        (a, b): (
+            n,
+            round(n / nb, 6),
+            round(n * nb / (item_n[a] * item_n[b]), 6),
+        )
+        for (a, b), n in pair_n.items()
+    }
+    assert got == want
