@@ -4142,6 +4142,32 @@ def q_fim_transform(spark, sf_dir):
     return curation.fim_transform(_docs(spark, sf_dir))
 
 
+def q_card_redact(spark, sf_dir):
+    """Luhn-validated payment-card PII pass: each doc gets a
+    deterministic 16-digit run (md5 hex mapped to digits) appended so
+    the corpus carries candidates; card_redact counts candidates,
+    validates each against the Luhn checksum (nested Catalyst lambdas,
+    codegen'd), and redacts. The oracle replays the synthesis, the
+    checksum arithmetic, and the redaction byte-for-byte."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.translate(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":c"))),
+                    1,
+                    16,
+                ),
+                "abcdef",
+                "012345",
+            ),
+        ).alias("text"),
+    )
+    return curation.card_redact(docs)
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4410,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         "market_basket": q_market_basket,
         "fim_transform": q_fim_transform,
+        "card_redact": q_card_redact,
     }
 
 
@@ -9087,6 +9114,25 @@ def oracle_sql() -> dict[str, str]:
                        ['<MID>']), tk[lo+1:hi]),
                      ' ') AS fim_text
             FROM s
+        """,
+        "card_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ' ||
+                     translate(substr(md5(doc_id::VARCHAR || ':c'), 1, 16),
+                               'abcdef', '012345') AS t
+              FROM documents
+            ),
+            cand AS (
+              SELECT doc_id, t,
+                     regexp_extract_all(t, '\\b(?:\\d[ -]?){12,18}\\d\\b') AS cs
+              FROM aug
+            )
+            SELECT doc_id,
+                   len(cs)::INT AS n_candidates,
+                   len(list_filter(cs, c -> (list_sum(list_transform(range(1, length(replace(replace(c, ' ', ''), '-', '')) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT > 9 THEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT - 9 ELSE 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END ELSE substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END)) % 10 = 0)))::INT AS n_valid_cards,
+                   regexp_replace(t, '\\b(?:\\d[ -]?){12,18}\\d\\b', '[CARD]', 'g') AS clean_text
+            FROM cand
         """,
         "market_basket": """
             WITH b AS (

@@ -1295,3 +1295,57 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+#: candidate payment-card spans: 13-19 digits with optional single
+#: space/dash separators, anchored at word boundaries
+CARD_CAND_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a candidate span (separators stripped): from
+    the RIGHT, double every second digit, subtract 9 when > 9; valid
+    iff the sum is divisible by 10. Pure nested Catalyst lambdas —
+    stays in codegen, and the identical arithmetic is expressible in
+    the DuckDB oracle."""
+    d = F.regexp_replace(cand, "[ -]", "")
+    n = F.length(d)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                F.substring(d, (n - i + 1).cast("int"), 1).cast("int") * 2 > 9,
+                F.substring(d, (n - i + 1).cast("int"), 1).cast("int") * 2 - 9,
+            ).otherwise(
+                F.substring(d, (n - i + 1).cast("int"), 1).cast("int") * 2
+            ),
+        ).otherwise(F.substring(d, (n - i + 1).cast("int"), 1).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def card_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Payment-card PII pass (presidio-style): find candidate 13-19
+    digit spans, validate each with the Luhn checksum, and redact ALL
+    candidates to ``[CARD]`` (conservative: a near-miss digit run in a
+    training corpus is noise either way). Returns ``(doc_id,
+    n_candidates, n_valid_cards, clean_text)`` — n_valid_cards is the
+    count that pass Luhn, the auditing signal that separates real card
+    leaks from arbitrary long numbers. One narrow map, zero shuffle;
+    RE2-compatible pattern and integer-only checksum, so the oracle
+    reproduces both counts byte-for-byte.
+    """
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(CARD_CAND_RE), 0)
+    valid = F.filter(cands, _luhn_valid)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(cands).alias("n_candidates"),
+        F.size(valid).alias("n_valid_cards"),
+        F.regexp_replace(t, CARD_CAND_RE, "[CARD]").alias("clean_text"),
+    )

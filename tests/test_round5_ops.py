@@ -938,3 +938,24 @@ def test_write_training_shards_roundtrip(spark, tmpdir):
         for r in spark.read.parquet(path).collect()
     }
     assert order1 == order2
+
+
+# --- Luhn card redaction ----------------------------------------------------
+
+
+def test_card_redact_luhn_separates_valid(spark):
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),   # valid Visa test PAN
+        (2, "ref 4111-1111-1111-1112 bad"),   # checksum fails
+        (3, "amex 378282246310005 ok and 1234 too short"),
+        (4, "no numbers here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["n_valid_cards"], r["clean_text"])
+        for r in curation.card_redact(df).collect()
+    }
+    assert got[1] == (1, 1, "pay [CARD] now")
+    assert got[2] == (1, 0, "ref [CARD] bad")
+    assert got[3] == (1, 1, "amex [CARD] ok and 1234 too short")
+    assert got[4] == (0, 0, "no numbers here")
