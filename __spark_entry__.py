@@ -4168,6 +4168,41 @@ def q_card_redact(spark, sf_dir):
     return curation.card_redact(docs)
 
 
+def q_revenue_pivot(spark, sf_dir):
+    """Wide-format report via the engine-native pivot: supplier-nation
+    rows x order-year columns of summed revenue. The pivot VALUES are
+    pinned (1995-2001), so Spark skips the extra distinct-scan job and
+    the output schema is static — the scale-correct way to pivot (an
+    unpinned pivot runs a whole pass just to learn the columns). One
+    shuffle on the groupBy key; years fold map-side as conditional
+    sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sn = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    years = list(range(1995, 2002))
+    wide = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("n_name")
+        .pivot("o_year", years)
+        .agg(F.round(F.sum("rev"), 6))
+    )
+    return wide.select(
+        "n_name", *[F.col(str(y)).alias(f"y{y}") for y in years]
+    )
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training shuffle: md5-derived permutation
     key -> 8 balanced shards with an exact within-shard reading order;
@@ -4437,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket": q_market_basket,
         "fim_transform": q_fim_transform,
         "card_redact": q_card_redact,
+        "revenue_pivot": q_revenue_pivot,
     }
 
 
@@ -9133,6 +9169,21 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(cs, c -> (list_sum(list_transform(range(1, length(replace(replace(c, ' ', ''), '-', '')) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT > 9 THEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT - 9 ELSE 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END ELSE substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END)) % 10 = 0)))::INT AS n_valid_cards,
                    regexp_replace(t, '\\b(?:\\d[ -]?){12,18}\\d\\b', '[CARD]', 'g') AS clean_text
             FROM cand
+        """,
+        "revenue_pivot": """
+            SELECT n.n_name,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 1995 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y1995,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 1996 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y1996,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 1997 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y1997,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 1998 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y1998,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 1999 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y1999,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 2000 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y2000,
+                   round(sum(CASE WHEN year(o.o_orderdate) = 2001 THEN l.l_extendedprice * (1 - l.l_discount) END), 6) AS y2001
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1
         """,
         "market_basket": """
             WITH b AS (
