@@ -43,7 +43,9 @@ def basket_pairs(
         raise ValueError("min_pair_count must be >= 1")
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    )
+    # collect_set dedups within the basket, so no pre-distinct shuffle:
+    # the groupBy's map-side combine IS the dedup
     baskets = items.groupBy("basket").agg(
         F.array_sort(F.collect_set("item")).alias("ms")
     )
