@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.arrays import ordered_pairs
+
 
 def basket_pairs(
     df: DataFrame,
@@ -55,14 +57,8 @@ def basket_pairs(
     # persist keeps lineage (cluster-safe recompute on executor loss;
     # ContextCleaner frees the blocks when the result is GC'd)
     baskets = baskets.persist()
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    pair_arr = ordered_pairs(
+        F.col("ms"), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
     )
     pairs = (
         baskets.select(F.explode(pair_arr).alias("p"))
@@ -97,7 +93,10 @@ def basket_pairs(
             F.round(
                 F.col("n_pair")
                 * F.lit(float(n_baskets))
-                / (F.col("_ca") * F.col("_cb")),
+                # _ca cast first: a long*long product of two ubiquitous
+                # items overflows at 1e10 baskets; the double result
+                # feeds a double division anyway
+                / (F.col("_ca").cast("double") * F.col("_cb")),
                 6,
             ).alias("lift"),
         )

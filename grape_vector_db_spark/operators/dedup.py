@@ -1334,21 +1334,16 @@ def hamming_pairs(
     # array explodes pairs after a single evaluation (same shape as
     # embedding_neardup_pairs_lsh's candidate step). Sort by doc_id so
     # a < b by construction.
+    from ..functions.arrays import ordered_pairs
+
     members = F.array_sort(F.collect_list(F.struct("doc_id", "simhash")))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x.getField("doc_id").alias("a"),
-                    y.getField("doc_id").alias("b"),
-                    x.getField("simhash")
-                    .bitwiseXOR(y.getField("simhash"))
-                    .alias("x"),
-                ),
-            ),
-        )
+    pair_arr = ordered_pairs(
+        F.col("ms"),
+        lambda x, y: F.struct(
+            x.getField("doc_id").alias("a"),
+            y.getField("doc_id").alias("b"),
+            x.getField("simhash").bitwiseXOR(y.getField("simhash")).alias("x"),
+        ),
     )
     # First-matching-band filter: a pair within max_hamming matches on up
     # to nb bands and would be emitted once per matching band; keeping it

@@ -591,6 +591,16 @@ def stream_cms_to_parquet(
     :func:`stream_bloom_to_parquet` (bit union). Published via the
     versioned swap: readers get an atomic cell table and a crashed
     batch retries cleanly from the checkpoint.
+
+    Unlike the Bloom (bit union) and HLL (register max) merges, a
+    cell-wise SUM is NOT idempotent — if foreachBatch replays a batch
+    whose merge already published (crash between publish and the
+    streaming checkpoint), a naive re-merge double-counts it. The
+    standing table therefore carries a ``last_batch`` bookkeeping
+    column in the SAME atomic publish: a replayed ``batch_id <=
+    last_batch`` is skipped, so exactly-once counts survive any crash
+    point. Estimate readers ignore the extra column
+    (``cms_estimate`` joins on (row, cell) and reads cnt only).
     """
     from pyspark.sql import functions as F
 
@@ -602,13 +612,19 @@ def stream_cms_to_parquet(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         sk = cms_table(batch, value_col, depth=depth, width=width)
         if table_versions(spark, table_path):
+            prev = read_table(spark, table_path)
+            last = prev.select(F.max("last_batch").alias("m")).first()["m"]
+            if last is not None and batch_id <= last:
+                return  # replay of an already-merged batch
             sk = (
-                read_table(spark, table_path)
+                prev.select("row", "cell", "cnt")
                 .union(sk)
                 .groupBy("row", "cell")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        publish_table(spark, table_path, sk)
+        publish_table(
+            spark, table_path, sk.withColumn("last_batch", F.lit(batch_id))
+        )
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:

@@ -52,6 +52,10 @@ def attribution_join(
     overlap = (set(left.columns) & set(right.columns)) - {key_col}
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    if "delay_sec" in left.columns or "delay_sec" in right.columns:
+        raise ValueError(
+            "delay_sec is the reserved output column — rename the input"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (

@@ -959,3 +959,34 @@ def test_card_redact_luhn_separates_valid(spark):
     assert got[2] == (1, 0, "ref [CARD] bad")
     assert got[3] == (1, 1, "amex [CARD] ok and 1234 too short")
     assert got[4] == (0, 0, "no numbers here")
+
+
+def test_stream_cms_replayed_batch_not_double_counted(spark, tmpdir):
+    """A replayed batch_id (fresh checkpoint, same source -> batch 0
+    re-delivered) must be skipped by the last_batch guard: cell-wise SUM
+    is not idempotent, so without it a crash-replay double-counts."""
+    from grape_vector_db_spark.operators.sketches import cms_table
+    from grape_vector_db_spark.sources.tables import read_table
+    from grape_vector_db_spark.streaming.ingest import stream_cms_to_parquet
+
+    src = f"{tmpdir}/in"
+    table = f"{tmpdir}/cms"
+    rows = [(i, f"k-{i % 5}") for i in range(25)]
+    spark.createDataFrame(rows, "id long, v string").write.parquet(src)
+    for ckpt in ("c1", "c2"):  # second run replays batch_id 0
+        q = stream_cms_to_parquet(
+            spark.readStream.schema("id long, v string").parquet(src),
+            table, "v", depth=2, width=32, checkpoint=f"{tmpdir}/{ckpt}",
+        )
+        q.awaitTermination(60)
+    standing = {
+        (r["row"], r["cell"]): r["cnt"]
+        for r in read_table(spark, table).collect()
+    }
+    once = {
+        (r["row"], r["cell"]): r["cnt"]
+        for r in cms_table(
+            spark.createDataFrame(rows, "id long, v string"), "v", 2, 32
+        ).collect()
+    }
+    assert standing == once
