@@ -4819,7 +4819,7 @@ def _ivf_flat_sql() -> str:
         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         probe AS (
           SELECT cluster FROM cents, q
-          ORDER BY {_cos('cv', 'qv')} DESC, cluster LIMIT 3
+          ORDER BY round({_cos('cv', 'qv')}, 6) DESC, cluster LIMIT 3
         ),
         dist AS (
           SELECT e.vec_id, e.v, c.cluster,
@@ -7626,7 +7626,7 @@ def oracle_sql() -> dict[str, str]:
               )}) t(i, plane)
             )
             SELECT e.vec_id AS id, pl.i::INT AS i,
-                   round(list_inner_product(e.v, pl.plane) * 0.25, 6) AS val
+                   round(list_inner_product(e.v, pl.plane) * 0.4330127018922193, 6) AS val
             FROM {_EMB_D} e CROSS JOIN pl
         """,
         "filtered_knn": f"""

@@ -85,6 +85,16 @@ def _kmeanspp_init(S: "np.ndarray", k: int, seed: int = 13) -> "np.ndarray":
     return np.asarray(cents, dtype=np.float64)
 
 
+def _dim_of(df: DataFrame, vec_col) -> int:
+    """Element count of the vector column from the first row; a clear
+    ValueError on an empty input (head() returns None) instead of an
+    opaque NoneType subscript."""
+    row = df.select(F.size(vec_col).alias("d")).head()
+    if row is None:
+        raise ValueError("empty input")
+    return row["d"]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -131,6 +141,9 @@ def kmeans_fit(
         for c, (cnt, s) in sums.items():  # empty clusters keep old centroid
             if cnt > 0:
                 cents_py[c] = [x / cnt for x in s]
+    # src is training-internal (the centroids are driver literals now) —
+    # release the cache blocks; CacheManager entries do NOT free on GC
+    src.unpersist()
     return spark.createDataFrame(
         sorted(cents_py.items()), "cluster int, centroid array<double>"
     )
@@ -197,14 +210,14 @@ def _assign_literal(
                 pdf["cluster"] = cluster_ids[np.argmin(d, axis=1)]
                 yield pdf
             else:
-                # top-r cells per row: argpartition then stable order by
-                # (distance, cluster id) for determinism
-                part = np.argpartition(d, r - 1, axis=1)[:, :r]
-                rows = np.arange(len(V))[:, None]
-                order = np.lexsort(
-                    (part, d[rows, part]), axis=1
-                )
-                near = np.take_along_axis(part, order, axis=1)
+                # top-r cells per row by the FULL (distance, cluster id)
+                # order: argpartition's arbitrary pick among equal
+                # distances at the r-th boundary would make the stored
+                # replica set non-reproducible across engines on exact
+                # ties, so sort all columns with the id tie-break and
+                # take the first r (nlist columns — same cost class)
+                cols = np.broadcast_to(np.arange(d.shape[1]), d.shape)
+                near = np.lexsort((cols, d), axis=1)[:, :r]
                 yield pd.DataFrame(
                     {
                         "id": np.repeat(pdf["id"].to_numpy(), r),
@@ -277,20 +290,43 @@ def _cos_py(a: list[float], b: list[float]) -> float:
     return 0.0 if na == 0 or nb == 0 else d / (na * nb)
 
 
+def _md5_coords(key_fmt: str, n: int, dim: int) -> list[list[float]]:
+    """``n`` deterministic pseudo-random vectors in [-1, 1]^dim: coord
+    (p, i) = md5(key_fmt.format(p=p, i=i)) first 8 hex digits mapped to
+    [-1, 1]. The single source of the derive-don't-store plane/centroid
+    family — fixed_centroids ('ivf:{seed}:{p}:{i}'), the RP-LSH buckets
+    and rp_project ('{seed}:{p}:{i}') all draw from here, so the
+    hash-to-coordinate mapping can never drift between them (each keeps
+    its own keyspace via key_fmt; oracles inline the same literals)."""
+    out = []
+    for p_ in range(n):
+        out.append(
+            [
+                (
+                    int(
+                        hashlib.md5(
+                            key_fmt.format(p=p_, i=i).encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    / float(0xFFFFFFFF)
+                )
+                * 2.0
+                - 1.0
+                for i in range(dim)
+            ]
+        )
+    return out
+
+
 def fixed_centroids(nlist: int = 8, dim: int = 64, seed: int = 7) -> dict[int, list[float]]:
     """Deterministic pseudo-random centroid literals in [-1, 1]^dim,
     md5-derived exactly like random_projection_buckets' hyperplanes —
     reproducible in ANY engine, which makes an IVF-Flat search
     SQL-expressible (the DuckDB oracle inlines the same literals), giving
     J2/J3 a hash-checked correctness row instead of rows-only."""
-    cents: dict[int, list[float]] = {}
-    for c in range(nlist):
-        coords = []
-        for i in range(dim):
-            hx = hashlib.md5(f"ivf:{seed}:{c}:{i}".encode()).hexdigest()[:8]
-            coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
-        cents[c] = coords
-    return cents
+    rows = _md5_coords(f"ivf:{seed}:{{p}}:{{i}}", nlist, dim)
+    return {c: coords for c, coords in enumerate(rows)}
 
 
 def ivf_build_fixed(
@@ -338,7 +374,12 @@ def ivf_flat_search(
     J2/J3 a hash-checked oracle row (reference src/index.rs:312-683).
     """
     q = [float(x) for x in query_vector]
-    probe = sorted(cents_py, key=lambda c: (-_cos_py(q, cents_py[c]), c))[:nprobe]
+    # 6-dp-rounded probe key + cluster-id tie-break: the same
+    # engine-portability convention as ivf_search, so the oracle's probe
+    # set cannot diverge on a near-tie
+    probe = sorted(
+        cents_py, key=lambda c: (-round(_cos_py(q, cents_py[c]), 6), c)
+    )[:nprobe]
     src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
     assigned = _assign_literal(src, cents_py)
     return (
@@ -389,9 +430,10 @@ def ivf_search(
         .select("cluster")
     )
     cand_ids = assigned.join(F.broadcast(probe), "cluster").select("id")
-    cand = df.select(F.col(id_col), to_double_array(vec_col).alias("v")).join(
-        cand_ids, F.col(id_col) == cand_ids["id"], "left_semi"
-    )
+    left = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+    # bind the left side explicitly: an unbound F.col(id_col) resolves to
+    # BOTH sides when id_col happens to be named "id"
+    cand = left.join(cand_ids, left[id_col] == cand_ids["id"], "left_semi")
     return (
         cand.select(
             F.col(id_col),
@@ -426,35 +468,17 @@ def pq_build(
     src = df.select(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     ).persist()
-    dim = src.select(F.size("v").alias("d")).head()["d"]
+    dim = _dim_of(src, "v")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    # per-subspace k-means++ init over one bounded hash-ordered sample
-    # (shared across subspaces; seed varies per subspace) — better
-    # codeword spread than first-k stride init, same determinism.
-    S = _sampled_matrix(src, max(k * 32, 512))
-    codebooks: list[list[list[float]]] = [
-        [
-            list(cw)
-            for cw in _kmeanspp_init(
-                np.ascontiguousarray(S[:, j * sub : (j + 1) * sub]), k, seed=13 + j
-            )
-        ]
-        for j in range(m)
-    ]
+    codebooks = _pq_train(src, m, sub, k, max_iter)
 
-    for _ in range(max_iter):
-        assigned = _pq_assign(src, codebooks, m, sub)
-        new_rows = (
-            assigned.groupBy("j", "cluster")
-            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("cw"))
-            .collect()
-        )
-        for r in new_rows:
-            codebooks[r["j"]][r["cluster"]] = list(r["cw"])
-
+    # release the training cache (CacheManager never frees on GC); the
+    # returned codes recompute the one-column projection when
+    # materialized — one extra scan, no leaked executor storage
+    src.unpersist()
     codes = _pq_encode(src, codebooks, m, sub)
     return codebooks, codes
 
@@ -529,6 +553,47 @@ def _pq_encode(src: DataFrame, codebooks, m: int, sub: int) -> DataFrame:
     return src.mapInPandas(run, schema)
 
 
+def _pq_train(src: DataFrame, m: int, sub: int, k: int, max_iter: int):
+    """Shared PQ codebook training (flat pq_build and residual
+    ivfpq_build): per-subspace k-means++ init over one bounded
+    hash-ordered sample (seed varies per subspace), then ``max_iter``
+    Lloyd rounds where a single groupBy(j, cluster) updates every
+    codebook at once. ``src`` must carry (id, v)."""
+    S = _sampled_matrix(src, max(k * 32, 512))
+    codebooks: list[list[list[float]]] = [
+        [
+            list(cw)
+            for cw in _kmeanspp_init(
+                np.ascontiguousarray(S[:, j * sub : (j + 1) * sub]), k, seed=13 + j
+            )
+        ]
+        for j in range(m)
+    ]
+    for _ in range(max_iter):
+        assigned = _pq_assign(src.select("id", "v"), codebooks, m, sub)
+        new_rows = (
+            assigned.groupBy("j", "cluster")
+            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("cw"))
+            .collect()
+        )
+        for r in new_rows:
+            codebooks[r["j"]][r["cluster"]] = list(r["cw"])
+    return codebooks
+
+
+def _adc_table(qv, codebooks, m: int, sub: int) -> list[list[float]]:
+    """ADC distance table: dtable[j][c] = ||qv_subspace_j - codeword||^2,
+    the driver-computed m x k lookup both PQ search variants broadcast
+    (ivfpq passes the query RESIDUAL against the probed cell)."""
+    return [
+        [
+            sum((qv[j * sub + i] - cw[i]) ** 2 for i in range(sub))
+            for cw in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+
+
 def pq_search(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -549,15 +614,7 @@ def pq_search(
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    dtable = [
-        [
-            sum(
-                (query_vector[j * sub + i] - cw[i]) ** 2 for i in range(sub)
-            )
-            for cw in codebooks[j]
-        ]
-        for j in range(m)
-    ]
+    dtable = _adc_table(query_vector, codebooks, m, sub)
     dt_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in dtable])
     # 6-dp rounded ranking key (engine-portable: an oracle's re-summed
     # distance table ranks identically; ties break by id)
@@ -632,26 +689,8 @@ def ivfpq_build(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     res_src = residuals.select("id", "cluster", "v").persist()
-    # k-means++ init over a bounded sample of RESIDUALS (see pq_build)
-    S = _sampled_matrix(res_src, max(k * 32, 512))
-    codebooks = [
-        [
-            list(cw)
-            for cw in _kmeanspp_init(
-                np.ascontiguousarray(S[:, j * sub : (j + 1) * sub]), k, seed=13 + j
-            )
-        ]
-        for j in range(m)
-    ]
-    for _ in range(max_iter):
-        a = _pq_assign(res_src.select("id", "v"), codebooks, m, sub)
-        new_rows = (
-            a.groupBy("j", "cluster")
-            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(sub)]).alias("cw"))
-            .collect()
-        )
-        for r in new_rows:
-            codebooks[r["j"]][r["cluster"]] = list(r["cw"])
+    # codebooks train on a bounded sample of RESIDUALS (see _pq_train)
+    codebooks = _pq_train(res_src, m, sub, k, max_iter)
     # encode carries the coarse cell through (passthrough column) — no
     # join back, which would fan out under replication
     codes = _pq_encode(res_src, codebooks, m, sub)
@@ -693,14 +732,7 @@ def ivfpq_search(
     dt_rows = []
     for c in probe:
         r = [qi - ci for qi, ci in zip(q, cents_rows[c])]
-        dtable = [
-            [
-                sum((r[j * sub + i] - cw[i]) ** 2 for i in range(sub))
-                for cw in codebooks[j]
-            ]
-            for j in range(m)
-        ]
-        dt_rows.append((c, dtable))
+        dt_rows.append((c, _adc_table(r, codebooks, m, sub)))
     dt_df = F.broadcast(
         spark.createDataFrame(
             dt_rows, "cluster int, dtable array<array<double>>"
@@ -782,7 +814,8 @@ def ivf_search_pruned(
     probe = [
         r["cluster"]
         for r in cents.select(
-            "cluster", cosine_similarity(F.col("centroid"), q).alias("csim")
+            "cluster",
+            F.round(cosine_similarity(F.col("centroid"), q), 6).alias("csim"),
         )
         .orderBy(F.col("csim").desc(), F.col("cluster").asc())
         .limit(nprobe)
@@ -880,7 +913,7 @@ def random_projection_buckets(
     1 - theta/pi per plane.
     """
     if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+        dim = _dim_of(df, vec_col)
     v = to_double_array(vec_col)
     bucket = _rp_bucket_expr(v, n_planes, dim, seed)
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
@@ -888,13 +921,7 @@ def random_projection_buckets(
 
 def _rp_bucket_expr(v, n_planes: int, dim: int, seed: int):
     """Sign-bit bucket Column for one hyperplane table (MSB = plane 0)."""
-    planes = []
-    for p in range(n_planes):
-        coords = []
-        for i in range(dim):
-            hx = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
-            coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
-        planes.append(coords)
+    planes = _md5_coords(f"{seed}:{{p}}:{{i}}", n_planes, dim)
     bits = [
         F.when(
             F.aggregate(
@@ -931,7 +958,7 @@ def random_projection_tables(
     0.14 pair recall at cosine 0.5 with one 8-plane table; see RECALL.md).
     """
     if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+        dim = _dim_of(df, vec_col)
     v = to_double_array(vec_col)
     buckets = F.array(
         *[_rp_bucket_expr(v, n_planes, dim, seed + t) for t in range(n_tables)]
@@ -955,7 +982,9 @@ def rp_project(
     project each vector onto ``n_out`` deterministic md5-derived
     hyperplanes (the same plane family as ``random_projection_buckets``,
     kept as dot products instead of sign bits) and scale by
-    1/sqrt(n_out), so squared distances are preserved in expectation.
+    sqrt(3/n_out) — U[-1,1] plane entries have E[c^2] = 1/3, so this is
+    the factor that makes squared distances preserved in expectation
+    (the JL guarantee a downstream distance threshold relies on).
 
     The planes are derived, not stored — any engine regenerates them
     from (seed, plane, dim-index), which is what makes the DuckDB oracle
@@ -967,15 +996,11 @@ def rp_project(
     Returns (id, proj array<double>).
     """
     if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+        dim = _dim_of(df, vec_col)
     v = to_double_array(vec_col)
-    factor = (1.0 / math.sqrt(n_out)) if scale else 1.0
+    factor = math.sqrt(3.0 / n_out) if scale else 1.0
     comps = []
-    for p in range(n_out):
-        coords = []
-        for i in range(dim):
-            hx = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8]
-            coords.append((int(hx, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
+    for coords in _md5_coords(f"{seed}:{{p}}:{{i}}", n_out, dim):
         comps.append(
             F.aggregate(
                 F.zip_with(
@@ -1121,10 +1146,15 @@ def knn_graph(
             v.alias("v"),
             F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
         )
+        # both join sides read mats: persist so the corpus scan + the
+        # collect_list shuffle run once, not twice (the dominant
+        # pre-GEMM cost); n_blocks rows of packed matrices — small.
+        # Callers materialize the graph promptly (persisted edge tables,
+        # eval queries), after which the blocks age out of storage.
         mats = base.groupBy("block").agg(
             F.collect_list("id").alias("ids"),
             F.collect_list("v").alias("vecs"),
-        )
+        ).persist()
         a = mats.select(
             F.col("block").alias("ba"), F.col("ids").alias("ids_a"),
             F.col("vecs").alias("vecs_a"),

@@ -881,9 +881,9 @@ def test_matryoshka_recall_reasonable(spark, emb):
 
 
 def test_rp_project_preserves_norms_in_expectation(spark, emb):
-    """JL guarantee sanity: with 1/sqrt(n_out) scaling, projected squared
-    norms track original squared norms on average (loose band — n_out=16
-    is a 4x compression)."""
+    """JL guarantee sanity: with sqrt(3/n_out) scaling (E[c^2] = 1/3 for
+    U[-1,1] entries), projected squared norms track original squared
+    norms 1:1 on average (loose band — n_out=16 is a 4x compression)."""
     import numpy as np
 
     from grape_vector_db_spark.operators.ann import rp_project
@@ -896,10 +896,7 @@ def test_rp_project_preserves_norms_in_expectation(spark, emb):
         r["id"]: np.asarray(r["proj"], dtype=float)
         for r in rp_project(emb.limit(50), n_out=16, dim=64).collect()
     }
-    # E[|Px|^2] = |x|^2 * E[c^2] where c ~ U[-1,1] per coord => factor 1/3
-    ratios = [
-        (proj[k] ** 2).sum() / ((orig[k] ** 2).sum() / 3.0) for k in orig
-    ]
+    ratios = [(proj[k] ** 2).sum() / (orig[k] ** 2).sum() for k in orig]
     m = float(np.mean(ratios))
     assert 0.6 < m < 1.6
 
