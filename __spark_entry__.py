@@ -4674,7 +4674,8 @@ sh0 AS (
          CASE WHEN len(t) >= 3
               THEN list_transform(range(1, len(t) - 1),
                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-              ELSE [array_to_string(t, ' ')] END AS shs
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE CAST([] AS VARCHAR[]) END AS shs
   FROM toks
 ),
 sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0)

@@ -1444,6 +1444,9 @@ def kcore_peel(
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
+    from .dedup import _require_integer_ids
+
+    _require_integer_ids(pairs, ("a", "b"), "kcore_peel")
     a, b = F.col("a").cast("long"), F.col("b").cast("long")
     edges = (
         pairs.select(

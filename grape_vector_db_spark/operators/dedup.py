@@ -34,6 +34,21 @@ from ..functions.text import tokens, word_grams
 from ..functions.vector import cosine_from_parts, dot, l2_norm, to_double_array
 
 
+def _require_integer_ids(df: DataFrame, cols, where: str) -> None:
+    """Refuse non-integer id columns up front: a silent cast('long') of
+    string/UUID ids yields NULLs, which would collapse the edge table
+    and make label propagation (and everything downstream —
+    leakage_safe_split's singleton fallback!) quietly wrong. Map ids to
+    longs (e.g. xxhash64 or a dense rank) before calling."""
+    types = dict(df.dtypes)
+    for c in cols:
+        if types.get(c) not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"{where} needs integer ids; column {c!r} is "
+                f"{types.get(c)} — map ids to longs first"
+            )
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -53,12 +68,17 @@ def exact_duplicates(
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct token n-grams per document."""
     toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # token-less docs (all stopwords / short tokens) emit NO shingle —
+    # not the '' fallback shingle, which would make every such doc a
+    # mutual jaccard-1.0 "duplicate" of unrelated texts AND a quadratic
+    # hot join key (N empty docs -> one bucket of N). Short-but-nonempty
+    # docs keep the whole-doc shingle.
     sh = toked.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size("toks") >= n, word_grams(F.col("toks"), n)
-            ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))),
+            F.when(F.size("toks") >= n, word_grams(F.col("toks"), n))
+            .when(F.size("toks") > 0, F.array(F.concat_ws(" ", F.col("toks"))))
+            .otherwise(F.array().cast("array<string>")),
         ).alias("shingle"),
     )
     return sh.distinct()
@@ -106,6 +126,33 @@ def _shingle_candidates(
     return sizes, inter
 
 
+def _overlap_ratio_tail(
+    sizes: DataFrame,
+    inter: DataFrame,
+    ratio_col,
+    out_name: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared sizes-join + round + threshold tail of the set-overlap
+    family (:func:`ngram_jaccard_pairs` / :func:`containment_pairs`):
+    attach per-doc shingle counts to the (a, b, n_common) intersections
+    and keep pairs whose ``ratio_col`` (an expression over n_common /
+    na / nb) clears ``threshold``. ONE definition of the join/round
+    convention so the two normalizers can never silently diverge."""
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"),
+            "a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"),
+            "b",
+        )
+        .select("a", "b", F.round(ratio_col, 6).alias(out_name))
+        .where(F.col(out_name) >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -132,21 +179,14 @@ def ngram_jaccard_pairs(
     sizes, inter = _shingle_candidates(
         df, n, id_col, text_col, shingles_df, max_shingle_df
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("n_common")
-                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return _overlap_ratio_tail(
+        sizes,
+        inter,
+        F.col("n_common")
+        / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        "jaccard",
+        threshold,
     )
-    return out
 
 
 def contamination_pairs(
@@ -282,12 +322,24 @@ def minhash_lsh_candidates(
         if signatures_df is not None
         else minhash_signatures(df, num_hashes, n, id_col, text_col, shingles_df)
     )
+    from ..functions.arrays import ordered_pairs
+
+    # Within-bucket pairs from ONE groupBy, not a self-join: each side of
+    # a self-join re-evaluates the whole shingle + md5 + min-agg
+    # signature pipeline over the corpus (AQE does not reuse the
+    # exchange — same measurement as the simhash/LSH paths). Pairs
+    # explode from the sorted id array so a < b by construction; a pair
+    # colliding in several bands still needs the distinct.
     bandrows = minhash_band_rows(sigs, num_hashes, bands)
+    pair_arr = ordered_pairs(
+        F.col("ids"), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+    )
     return (
-        bandrows.alias("x")
-        .join(bandrows.alias("y"), ["band", "bucket"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        bandrows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -364,13 +416,28 @@ def _jaccard_verify(
     threshold: float,
     a_name: str = "a",
     b_name: str = "b",
+    restrict_to_candidates: bool = False,
 ) -> DataFrame:
     """Shared exact-Jaccard verify tail: per-doc shingle sizes +
     shared-shingle intersection counts over candidate ``(a_name,
     b_name)`` pairs, jaccard = |∩| / (|A| + |B| - |∩|) rounded to 6 dp,
     kept at >= ``threshold``. ONE definition so the batched
     (minhash_lsh_pairs) and incremental (incremental_neardup_pairs)
-    paths can never silently diverge on the convention."""
+    paths can never silently diverge on the convention.
+
+    ``restrict_to_candidates`` semi-joins each shingle side to its
+    candidate ids FIRST — essential on the incremental path, where
+    ``b_sh`` is the 100 TB corpus shingle index: without it the size
+    aggregate scans every corpus shingle row even when the delta's
+    candidates touch a few thousand docs. (Semi-join on doc_id keeps
+    each candidate doc's FULL shingle set, so sizes are unchanged.)
+    The batched corpus-wide path leaves it off — there cand covers most
+    docs and the extra semi-join would just add a shuffle."""
+    if restrict_to_candidates:
+        a_ids = cand.select(F.col(a_name).alias("doc_id")).distinct()
+        b_ids = cand.select(F.col(b_name).alias("doc_id")).distinct()
+        a_sh = a_sh.join(a_ids, "doc_id", "left_semi")
+        b_sh = b_sh.join(b_ids, "doc_id", "left_semi")
     a_sizes = a_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
     b_sizes = b_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
     inter = (
@@ -479,7 +546,9 @@ def incremental_neardup_pairs(
         .distinct()
     )
     return _jaccard_verify(
-        cand, bsh, csh, threshold, a_name="batch_id", b_name="corpus_id"
+        cand, bsh, csh, threshold,
+        a_name="batch_id", b_name="corpus_id",
+        restrict_to_candidates=True,
     )
 
 
@@ -542,6 +611,7 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     standard large-star/small-star simplification for small-diameter
     graphs.
     """
+    _require_integer_ids(pairs, ("a", "b"), "cluster_pairs")
     # both edge directions from ONE pass over pairs — a unionAll of two
     # selects evaluates the (possibly expensive) upstream pair pipeline
     # twice; explode duplicates rows after the single evaluation
@@ -1162,6 +1232,10 @@ def embedding_neardup_pairs_fast(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     ).toPandas()
     ids = pdf0["id"].to_numpy()
+    if len(pdf0) == 0:  # np.asarray([]) is 1-D; axis=1 would crash
+        return emb.sparkSession.createDataFrame(
+            [], "a long, b long, cosine double"
+        )
     M = np.asarray(list(pdf0["v"]), dtype=np.float64)
     nrm = np.sqrt((M * M).sum(axis=1))
     sc = emb.sparkSession.sparkContext
@@ -1284,6 +1358,7 @@ def hamming_pairs(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     bucket_cap: int | None = None,
+    pair_chunk: int = 512,
 ) -> DataFrame:
     """Near-dup pairs (a, b, hamming) over ANY integer-fingerprint table
     — the banded self-join engine behind :func:`simhash_pairs`, exposed
@@ -1295,6 +1370,20 @@ def hamming_pairs(
     (a pair's <= max_hamming differing bits spread over the banded
     region leave at least one band clean — unbanded differences never
     remove a candidate).
+
+    Per-row memory is bounded by ``pair_chunk``: a bucket's sorted member
+    array splits into chunk-index pairs before the pair structs
+    materialize, so no single row holds more than pair_chunk^2 structs
+    (the embedding_neardup_pairs_lsh trick) — a bucket AT a production
+    bucket_cap of 10k would otherwise flatten ~5e7 structs into one row.
+
+    Dedup strategy depends on capping: uncapped, each pair is kept only
+    in its lowest matching band (all lower bands' xor sections nonzero —
+    a codegen'd bit test, no distinct shuffle). With ``bucket_cap`` set,
+    a pair's lowest matching band may be a CAPPED band it never reaches,
+    so that filter would wrongly drop pairs a cold band found; the
+    capped path dedups explicitly over the (already cap-bounded) pair
+    stream instead.
     """
     nb = max_hamming + 1
     width = bits // nb
@@ -1333,45 +1422,84 @@ def hamming_pairs(
     # (explode x bits, two aggregations) over the corpus; the grouped
     # array explodes pairs after a single evaluation (same shape as
     # embedding_neardup_pairs_lsh's candidate step). Sort by doc_id so
-    # a < b by construction.
-    from ..functions.arrays import ordered_pairs
-
+    # a < b by construction; chunking bounds per-row memory.
     members = F.array_sort(F.collect_list(F.struct("doc_id", "simhash")))
-    pair_arr = ordered_pairs(
-        F.col("ms"),
-        lambda x, y: F.struct(
-            x.getField("doc_id").alias("a"),
-            y.getField("doc_id").alias("b"),
-            x.getField("simhash").bitwiseXOR(y.getField("simhash")).alias("x"),
-        ),
-    )
-    # First-matching-band filter: a pair within max_hamming matches on up
-    # to nb bands and would be emitted once per matching band; keeping it
-    # ONLY in the lowest matching band (all lower bands' xor sections
-    # nonzero — a codegen'd bit test on p.x) makes each pair unique by
-    # construction, so the old global .distinct() shuffle over the
-    # multiplied pair stream disappears. Near-identical docs match on ALL
-    # nb bands, so this also divides hot-bucket pair fan-out by up to nb.
-    first_match = " ".join(
-        f"WHEN {b} THEN ("
-        + (
-            " AND ".join(
-                f"(shiftright(p.x, {bp * width}) & {(1 << width) - 1}) != 0"
-                for bp in range(b)
-            )
-            or "true"
-        )
-        + ")"
-        for b in range(nb)
-    )
-    pairs = (
+    c = int(pair_chunk)
+    last_chunk = f"(size(ms) - 1) div {c}"
+    chunked = (
         bandrows.groupBy("band", "key")
         .agg(members.alias("ms"))
         .where(F.size("ms") > 1)
-        .select("band", F.explode(pair_arr).alias("p"))
-        .where(F.expr(f"CASE band {first_match} ELSE false END"))
-        .select("p.a", "p.b", F.expr("bit_count(p.x)").alias("hamming"))
+        .select(
+            "band",
+            "ms",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {last_chunk}), i ->"
+                    f" transform(sequence(i, {last_chunk}), j ->"
+                    " named_struct('i', i, 'j', j))))"
+                )
+            ).alias("kp"),
+        )
+        .select(
+            "band",
+            F.expr(f"slice(ms, kp.i * {c} + 1, {c})").alias("ca"),
+            F.expr(f"slice(ms, kp.j * {c} + 1, {c})").alias("cb"),
+            (F.col("kp.i") == F.col("kp.j")).alias("same"),
+        )
     )
+    mk = (
+        "named_struct('a', x.doc_id, 'b', y.doc_id,"
+        " 'x', x.simhash ^ y.simhash)"
+    )
+    exploded = chunked.select(
+        "band",
+        F.explode(
+            F.when(
+                F.col("same"),
+                # same chunk: upper triangle over the sorted members
+                F.expr(
+                    "flatten(transform(ca, (x, p) ->"
+                    f" transform(slice(cb, p + 2, size(cb)), y -> {mk})))"
+                ),
+            ).otherwise(
+                # distinct chunks: full cross (globally sorted, so every
+                # ca element < every cb element)
+                F.expr(f"flatten(transform(ca, x -> transform(cb, y -> {mk})))")
+            )
+        ).alias("p"),
+    )
+    if bucket_cap is None:
+        # First-matching-band filter: a pair within max_hamming matches on
+        # up to nb bands and would be emitted once per matching band;
+        # keeping it ONLY in the lowest matching band (all lower bands'
+        # xor sections nonzero — a codegen'd bit test on p.x) makes each
+        # pair unique by construction — no distinct shuffle over the
+        # multiplied pair stream. Valid ONLY uncapped: every matching
+        # band's bucket is guaranteed present.
+        first_match = " ".join(
+            f"WHEN {b} THEN ("
+            + (
+                " AND ".join(
+                    f"(shiftright(p.x, {bp * width}) & {(1 << width) - 1}) != 0"
+                    for bp in range(b)
+                )
+                or "true"
+            )
+            + ")"
+            for b in range(nb)
+        )
+        pairs = exploded.where(
+            F.expr(f"CASE band {first_match} ELSE false END")
+        ).select("p.a", "p.b", F.expr("bit_count(p.x)").alias("hamming"))
+    else:
+        # capped: dedup explicitly — the pair stream is already bounded
+        # by cap^2 per surviving bucket, so the distinct is cheap
+        pairs = (
+            exploded.select("p.a", "p.b", "p.x")
+            .distinct()
+            .select("a", "b", F.expr("bit_count(x)").alias("hamming"))
+        )
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
@@ -1400,7 +1528,10 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         v.alias("v"),
         l2_norm(v).alias("nrm"),
-        (F.col(id_col) % n_blocks).cast("int").alias("block"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # id would land in a block the pair table never covers (same fix
+        # as the gemm path)
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
     ).persist()
     x = base.select(
         F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
@@ -1833,25 +1964,12 @@ def containment_pairs(
     sizes, inter = _shingle_candidates(
         df, n, id_col, text_col, shingles_df, max_shingle_df
     )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"),
-            "a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("n_common")
-                / F.least(F.col("na"), F.col("nb")).cast("double"),
-                6,
-            ).alias("containment"),
-        )
-        .where(F.col("containment") >= threshold)
+    return _overlap_ratio_tail(
+        sizes,
+        inter,
+        F.col("n_common") / F.least(F.col("na"), F.col("nb")).cast("double"),
+        "containment",
+        threshold,
     )
 
 
@@ -1910,6 +2028,8 @@ def memorization_risk(
     is what lets the report run corpus-wide at 100 TB while the
     pair-based dedup tiers run on LSH candidates only.
     """
+    if df is None and shingles_df is None:
+        raise ValueError("pass df or shingles_df")
     sh = (
         shingles_df
         if shingles_df is not None

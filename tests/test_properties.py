@@ -184,7 +184,9 @@ def py_shingles(text: str, n: int = 3) -> set[str]:
     toks = py_tokenize(text)
     if len(toks) >= n:
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    return {" ".join(toks)}
+    # token-less docs emit NO shingle (no '' fallback) — mirrors
+    # operators.dedup.shingles
+    return {" ".join(toks)} if toks else set()
 
 
 @settings(**SETTINGS)
@@ -201,9 +203,11 @@ def test_minhash_signatures_match_python_replica(spark, corpus):
     )
     got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df, num_hashes=6).collect()}
     for i, t in enumerate(corpus):
-        # docs with < n tokens (incl. zero) yield ONE joined shingle —
-        # possibly "" — mirroring operators.dedup.shingles
         sh = py_shingles(t)
+        if not sh:
+            # token-less docs are ABSENT from the signature table
+            assert i not in got, (t, got.get(i))
+            continue
         want = [min(py_h32_word(s, p) for s in sh) for p in range(6)]
         assert got[i] == want, (t, got[i], want)
 

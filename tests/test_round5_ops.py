@@ -990,3 +990,88 @@ def test_stream_cms_replayed_batch_not_double_counted(spark, tmpdir):
         ).collect()
     }
     assert standing == once
+
+
+def test_hamming_pairs_cap_keeps_cold_band_pair(spark):
+    """A pair whose LOWEST matching band is hot (capped away) but whose
+    higher band is cold must still be found — the first-matching-band
+    filter is only valid uncapped."""
+    from grape_vector_db_spark.operators import dedup
+
+    # d1=0, d2=0x30: hamming 2; matching bands {0, 2, 3}. Hot docs share
+    # band0 value 0 and band3 value 0 (capping both) but have unique
+    # nonzero band2 values, so band2's bucket {0} = exactly {d1, d2}.
+    rows = [(1, 0), (2, 0x30)] + [
+        (10 + i, (i << 8) | 0xF0) for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.hamming_pairs(
+            df, bits=16, max_hamming=3, hash_col="fp", bucket_cap=4
+        ).collect()
+    }
+    assert (1, 2, 2) in got
+
+
+def test_hamming_pairs_chunked_equals_unchunked(spark):
+    """pair_chunk must not change results — only bound per-row memory."""
+    from grape_vector_db_spark.operators import dedup
+
+    # clusters of near-identical fingerprints (1-2 bit perturbations of
+    # three bases) so the truth set is non-trivial
+    bases = [0x1234, 0xBEEF, 0x0F0F]
+    vals = [
+        (20 * b + j, bases[b] ^ (1 << (j % 16)) ^ ((j % 3) << 8))
+        for b in range(3)
+        for j in range(20)
+    ]
+    import itertools
+
+    truth = {
+        (a, b, bin(x ^ y).count("1"))
+        for (a, x), (b, y) in itertools.combinations(sorted(vals), 2)
+        if bin(x ^ y).count("1") <= 3
+    }
+    assert truth  # sanity: the fixture really has close pairs
+    df = spark.createDataFrame(vals, "doc_id long, fp long")
+    big = {
+        tuple(r)
+        for r in dedup.hamming_pairs(
+            df, bits=16, max_hamming=3, hash_col="fp", pair_chunk=512
+        ).collect()
+    }
+    tiny = {
+        tuple(r)
+        for r in dedup.hamming_pairs(
+            df, bits=16, max_hamming=3, hash_col="fp", pair_chunk=7
+        ).collect()
+    }
+    assert big == tiny == truth
+
+
+def test_shingles_tokenless_docs_emit_nothing(spark):
+    """All-stopword / short-token docs must emit NO shingle — the old ''
+    fallback made every such doc a mutual jaccard-1.0 duplicate of
+    unrelated texts and a quadratic hot join key."""
+    from grape_vector_db_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the of and"), (2, "a b c"),
+         (3, "quick brown foxes jumping high"), (4, "x y the of")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(df).collect()
+    assert {r["doc_id"] for r in sh} == {3}
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert pairs == []  # 1,2,4 are NOT each other's duplicates
+
+
+def test_cluster_pairs_rejects_string_ids(spark):
+    from grape_vector_db_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b")], "a string, b string"
+    )
+    with pytest.raises(ValueError, match="integer ids"):
+        dedup.cluster_pairs(pairs)
