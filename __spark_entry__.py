@@ -4888,7 +4888,7 @@ def _repetition_sql() -> str:
                 SELECT doc_id, length(text) AS nc,
                        unnest(list_transform(range(greatest(len(t) - {n - 1}, 0)),
                                              i -> {join})) AS gram
-                FROM (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t
+                FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
                       FROM _synth)
               ) GROUP BY 1, 2, 3
             )) WHERE r = 1)
@@ -4897,12 +4897,16 @@ def _repetition_sql() -> str:
     return rf"""
         WITH {_SYNTH_SQL},
         {_repline_ctes()}
-        SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+        SELECT d.doc_id,
+               coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+               coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
                coalesce(a.top2gram_char_frac, 0.0) AS top2gram_char_frac,
                coalesce(b.top3gram_char_frac, 0.0) AS top3gram_char_frac
-        FROM ls l
-        LEFT JOIN {topgram(2)} a ON l.doc_id = a.doc_id
-        LEFT JOIN {topgram(3)} b ON l.doc_id = b.doc_id
+        FROM (SELECT DISTINCT doc_id FROM _synth) d
+        LEFT JOIN ls l ON d.doc_id = l.doc_id
+        LEFT JOIN {topgram(2)} a ON d.doc_id = a.doc_id
+        LEFT JOIN {topgram(3)} b ON d.doc_id = b.doc_id
     """
 
 
@@ -7862,9 +7866,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    count(*)::INT AS n_lines,
-                   (count(*) FILTER (WHERE rn = 1))::INT AS n_kept,
-                   string_agg(s, chr(10) ORDER BY i) FILTER (WHERE rn = 1)
-                     AS clean_text
+                   (count(*) FILTER (WHERE rn = 1 OR trim(s) = ''))::INT
+                     AS n_kept,
+                   string_agg(s, chr(10) ORDER BY i)
+                     FILTER (WHERE rn = 1 OR trim(s) = '') AS clean_text
             FROM r GROUP BY doc_id
         """,
         "embedding_dim_stats": f"""
@@ -9162,13 +9167,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             cand AS (
               SELECT doc_id, t,
-                     regexp_extract_all(t, '\\b(?:\\d[ -]?){12,18}\\d\\b') AS cs
+                     regexp_extract_all(t, '\\b\\d(?:[ -]?\\d){12,}\\b') AS cs
               FROM aug
             )
             SELECT doc_id,
                    len(cs)::INT AS n_candidates,
-                   len(list_filter(cs, c -> (list_sum(list_transform(range(1, length(replace(replace(c, ' ', ''), '-', '')) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT > 9 THEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT - 9 ELSE 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END ELSE substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END)) % 10 = 0)))::INT AS n_valid_cards,
-                   regexp_replace(t, '\\b(?:\\d[ -]?){12,18}\\d\\b', '[CARD]', 'g') AS clean_text
+                   len(list_filter(cs, c -> length(replace(replace(c, ' ', ''), '-', '')) <= 19 AND (list_sum(list_transform(range(1, length(replace(replace(c, ' ', ''), '-', '')) + 1), i -> CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT > 9 THEN 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT - 9 ELSE 2 * substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END ELSE substr(replace(replace(c, ' ', ''), '-', ''), length(replace(replace(c, ' ', ''), '-', '')) - i + 1, 1)::INT END)) % 10 = 0)))::INT AS n_valid_cards,
+                   regexp_replace(t, '\\b\\d(?:[ -]?\\d){12,}\\b', '[CARD]', 'g') AS clean_text
             FROM cand
         """,
         "revenue_pivot": """

@@ -55,9 +55,13 @@ PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 
 
 def _lines(text_col: Column, delim: str) -> Column:
-    """Non-empty trimmed lines of ``text_col`` split on ``delim``."""
+    """Non-empty trimmed lines of ``text_col`` split on ``delim`` —
+    escaped first: F.split takes a Java REGEX, so a literal delimiter
+    like "|" or "." would otherwise split between every character."""
+    import re
+
     return F.filter(
-        F.transform(F.split(text_col, delim), lambda l: F.trim(l)),
+        F.transform(F.split(text_col, re.escape(delim)), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
 
@@ -98,7 +102,10 @@ def repetition_signals(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_txt"),
         _lines(F.col(text_col), delim).alias("_lines"),
-        F.split(F.col(text_col), r"\s+").alias("_toks"),
+        # trim first: a leading newline/space would otherwise yield an
+        # empty first token that forms bogus n-grams (the signal must be
+        # whitespace-invariant)
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
     )
 
     # Per-doc line repetition: explode -> groupBy(doc, line) -> per-doc agg.
@@ -139,14 +146,21 @@ def repetition_signals(
             ).alias(f"top{n}gram_char_frac")
         )
 
+    # every input doc gets a row — a doc with NO non-empty lines (empty
+    # or whitespace-only text) reports zeroed signals instead of silently
+    # vanishing from the profile (callers gate with "keep unless flagged")
     out = (
-        line_stats.join(top_gram_frac(2), "doc_id", "left")
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(line_stats, "doc_id", "left")
+        .join(top_gram_frac(2), "doc_id", "left")
         .join(top_gram_frac(3), "doc_id", "left")
         .select(
             "doc_id",
-            "n_lines",
-            "dup_line_frac",
-            "dup_line_char_frac",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
             F.coalesce("top2gram_char_frac", F.lit(0.0)).alias(
                 "top2gram_char_frac"
             ),
@@ -192,7 +206,7 @@ def c4_line_filter(
         F.col(id_col).alias("doc_id"),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept_lines"),
-        F.array_join(kept, "\n").alias("clean_text"),
+        F.array_join(kept, delim).alias("clean_text"),
     ).withColumn(
         "keep",
         (F.col("n_kept_lines") >= 1)
@@ -296,7 +310,7 @@ def strip_boilerplate(
                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
                     lambda s: s.getField("line"),
                 ),
-                "\n",
+                delim,
             ).alias("clean_text"),
         )
         .select("doc_id", "n_kept_lines", "clean_text")
@@ -979,7 +993,15 @@ def dedup_doc_lines(
     import re as _re
 
     lines = F.split(F.col(text_col), _re.escape(delim))
-    kept = F.array_distinct(lines)
+    # blank lines are STRUCTURE, not repeated content: dedup only
+    # non-blank lines (array_distinct would keep one '' and delete every
+    # later paragraph separator, merging paragraphs); first occurrence
+    # wins via the 1-based array_position probe
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) == 0)
+        | (F.array_position(lines, x) == i + 1),
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).alias("n_lines"),
@@ -998,7 +1020,8 @@ def curriculum_shards(
     :func:`textanalysis.quality_score` heuristic and cut into
     ``n_shards`` equal-size shards — shard 0 is the lowest-quality
     decile, shard n-1 the highest. Training loaders that warm up on
-    clean text then anneal onto the full mix read shards in order.
+    clean text then anneal onto the full mix read shards in REVERSE
+    (n-1 first); ascending order gives an anti-curriculum.
 
     Scale shape: the quality pass is a narrow map; the global rank uses
     the two-level bucketed rank (:func:`rank.global_row_number` — no
@@ -1112,6 +1135,8 @@ def phrase_blocklist_hits(
         norm = " ".join(p.lower().split())
         if norm:
             by_len.setdefault(len(norm.split(" ")), []).append(norm)
+    if not by_len:
+        raise ValueError("every phrase normalized to empty")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     spark = df.sparkSession
@@ -1143,10 +1168,14 @@ def k_anonymity_report(
         raise ValueError("quasi_cols must be non-empty")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # filter on the LONG count, cast after: a >2^31-row group (easy at
+    # 100 TB for a coarse quasi-column) must not wrap into a false
+    # violation (or throw under ANSI)
     return (
         df.groupBy(*quasi_cols)
-        .agg(F.count("*").cast("int").alias("group_size"))
-        .where(F.col("group_size") < k)
+        .agg(F.count("*").alias("_gs"))
+        .where(F.col("_gs") < k)
+        .select(*quasi_cols, F.col("_gs").cast("int").alias("group_size"))
     )
 
 
@@ -1297,9 +1326,13 @@ def write_training_shards(
     )
 
 
-#: candidate payment-card spans: 13-19 digits with optional single
-#: space/dash separators, anchored at word boundaries
-CARD_CAND_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+#: candidate payment-card spans: MAXIMAL runs of >= 13 digits with
+#: optional single space/dash separators. The run is unbounded on top —
+#: a bounded {12,18} window would carve 16 digits out of a longer
+#: account/reference number, half-redacting it and leaking the residual
+#: digits (RE2 has no lookahead to anchor the right edge, so maximal
+#: match + a length check in the validator is the portable form).
+CARD_CAND_RE = r"\b\d(?:[ -]?\d){12,}\b"
 
 
 def _luhn_valid(cand: Column) -> Column:
@@ -1310,39 +1343,45 @@ def _luhn_valid(cand: Column) -> Column:
     the DuckDB oracle."""
     d = F.regexp_replace(cand, "[ -]", "")
     n = F.length(d)
-    total = F.aggregate(
+    # bind each digit ONCE (substring+cast), then weight by position —
+    # the nested-when form re-evaluated the extraction four times per
+    # digit and was easy to desynchronize when edited
+    digits = F.transform(
         F.sequence(F.lit(1), n),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            i % 2 == 0,
-            F.when(
-                F.substring(d, (n - i + 1).cast("int"), 1).cast("int") * 2 > 9,
-                F.substring(d, (n - i + 1).cast("int"), 1).cast("int") * 2 - 9,
-            ).otherwise(
-                F.substring(d, (n - i + 1).cast("int"), 1).cast("int") * 2
-            ),
-        ).otherwise(F.substring(d, (n - i + 1).cast("int"), 1).cast("int")),
+        lambda i: F.substring(d, (n - i + 1).cast("int"), 1).cast("int"),
     )
+    terms = F.transform(
+        digits,
+        lambda x, j: F.when(
+            (j + 1) % 2 == 0,
+            F.when(x * 2 > 9, x * 2 - 9).otherwise(x * 2),
+        ).otherwise(x),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
     return total % 10 == 0
 
 
 def card_redact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Payment-card PII pass (presidio-style): find candidate 13-19
-    digit spans, validate each with the Luhn checksum, and redact ALL
-    candidates to ``[CARD]`` (conservative: a near-miss digit run in a
-    training corpus is noise either way). Returns ``(doc_id,
+    """Payment-card PII pass (presidio-style): find maximal digit runs
+    of >= 13 digits, validate each with card length (13-19 digits) plus
+    the Luhn checksum, and redact ALL candidate runs to ``[CARD]``
+    whole (conservative, and never a partial redaction that leaks
+    residual digits of a longer number). Returns ``(doc_id,
     n_candidates, n_valid_cards, clean_text)`` — n_valid_cards is the
-    count that pass Luhn, the auditing signal that separates real card
-    leaks from arbitrary long numbers. One narrow map, zero shuffle;
-    RE2-compatible pattern and integer-only checksum, so the oracle
-    reproduces both counts byte-for-byte.
+    count that pass length+Luhn, the auditing signal that separates
+    real card leaks from arbitrary long numbers. One narrow map, zero
+    shuffle; RE2-compatible pattern and integer-only checksum, so the
+    oracle reproduces both counts byte-for-byte.
     """
     t = F.col(text_col)
     cands = F.regexp_extract_all(t, F.lit(CARD_CAND_RE), 0)
-    valid = F.filter(cands, _luhn_valid)
+    valid = F.filter(
+        cands,
+        lambda c: (F.length(F.regexp_replace(c, "[ -]", "")) <= 19)
+        & _luhn_valid(c),
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(cands).alias("n_candidates"),

@@ -1075,3 +1075,48 @@ def test_cluster_pairs_rejects_string_ids(spark):
     )
     with pytest.raises(ValueError, match="integer ids"):
         dedup.cluster_pairs(pairs)
+
+
+def test_card_redact_never_carves_longer_runs(spark):
+    """A 20-digit spaced number must be redacted WHOLE (no residual
+    digits) and must not count as a valid card (length > 19)."""
+    df = spark.createDataFrame(
+        [(1, "ref 9876 5432 1098 7654 3210 end")], "doc_id long, text string"
+    )
+    r = curation.card_redact(df).first()
+    assert r["clean_text"] == "ref [CARD] end"
+    assert (r["n_candidates"], r["n_valid_cards"]) == (1, 0)
+
+
+def test_dedup_doc_lines_preserves_blank_structure(spark):
+    """Blank separator lines survive; repeated CONTENT lines dedup."""
+    df = spark.createDataFrame(
+        [(1, "menu\npara1\n\npara2\n\npara3\nmenu")],
+        "doc_id long, text string",
+    )
+    r = curation.dedup_doc_lines(df).first()
+    assert r["clean_text"] == "menu\npara1\n\npara2\n\npara3"
+    assert (r["n_lines"], r["n_kept"]) == (7, 6)
+
+
+def test_repetition_signals_covers_lineless_docs(spark):
+    """Empty / whitespace-only docs get zeroed signals, not dropped."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  \n \n"), (3, "real line\nreal line")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in curation.repetition_signals(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_lines"] == 0 and got[1]["dup_line_frac"] == 0.0
+    assert got[2]["n_lines"] == 0
+    assert got[3]["dup_line_frac"] == 0.5
+
+
+def test_c4_line_filter_literal_delimiter(spark):
+    """A regex-metacharacter delimiter must split literally."""
+    df = spark.createDataFrame(
+        [(1, "good sentence here.|ok another line.")],
+        "doc_id long, text string",
+    )
+    r = curation.c4_line_filter(df, min_words=2, delim="|").first()
+    assert r["clean_text"] == "good sentence here.|ok another line."
