@@ -5052,7 +5052,7 @@ def _top_ngrams_sql(n: int = 2, k: int = 20) -> str:
     join = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
     return rf"""
         WITH toks AS (
-          SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          SELECT list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
           FROM documents
         ),
         g AS (
@@ -5100,7 +5100,7 @@ def _curation_pipeline_sql() -> str:
 def _lm_perplexity_sql(alpha: float = 0.5) -> str:
     return rf"""
         WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')) AS term
           FROM documents
         ),
         toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
@@ -5236,7 +5236,7 @@ def _bigram_perplexity_sql(alpha: float = 0.5, backoff: float = 0.4) -> str:
         WITH toks0 AS (
           SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
           FROM (SELECT doc_id,
-                       regexp_split_to_array(lower(text), '\s+') AS t
+                       list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
                 FROM documents)
         ),
         toks AS (SELECT * FROM toks0 WHERE length(term) > 0),
@@ -5282,7 +5282,7 @@ def _ccnet_buckets_sql(alpha: float = 0.5, n_buckets: int = 3) -> str:
     IS the exact global order."""
     return rf"""
         WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')) AS term
           FROM documents
         ),
         toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
@@ -5568,7 +5568,7 @@ def _dsir_weights_sql(n_buckets: int = 1024, alpha: float = 1.0) -> str:
     return rf"""
         WITH t AS (
           SELECT doc_id, (source IN ({srcs})) AS is_t,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS toks
           FROM documents
         ),
         g AS (
@@ -5634,7 +5634,7 @@ def _bpe_pairs_sql(top_k: int = 50, end_token: str = "</w>") -> str:
     on the multilingual corpus."""
     return rf"""
         WITH w0 AS (
-          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')) AS w
           FROM documents
         ),
         wc AS (
@@ -5665,7 +5665,7 @@ def _dup_spans_sql(n: int = 5, min_df: int = 2) -> str:
     return rf"""
         WITH t AS (
           SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS toks
           FROM documents
         ),
         base AS (SELECT doc_id, toks, len(toks)::INT AS n_tokens FROM t),
@@ -5944,7 +5944,7 @@ def _quality_classifier_sql(n_buckets: int = 1024, seed: int = 17) -> str:
     return rf"""
         WITH t AS (
           SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS toks
           FROM documents
         ),
         g AS (
@@ -6009,8 +6009,11 @@ def _duck_bpe_train(n_merges: int = 8):
                  list_transform(range(length(w)), i -> substr(w, i + 1, 1)),
                  '{ss}') || '{ss}{BPE_END}{ss}' AS s
         FROM (
-          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-          FROM '{_gate_sf_dir()}/documents.parquet'
+          SELECT replace(replace(w0, '{BPE_SEP}', ''), '{BPE_END}', '') AS w
+          FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')) AS w0
+            FROM '{_gate_sf_dir()}/documents.parquet'
+          )
         ) WHERE length(w) > 0 GROUP BY w
         """
     )
@@ -6073,8 +6076,11 @@ def _bpe_segment_sql(n_merges: int = 8) -> str:
     return rf"""
         WITH t AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                             w -> length(w) > 0) AS toks
+                 list_filter(
+                   list_transform(
+                     list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''),
+                     w -> replace(replace(w, '{BPE_SEP}', ''), '{BPE_END}', '')),
+                   w -> length(w) > 0) AS toks
           FROM documents
         ),
         e AS (
@@ -6273,9 +6279,9 @@ def _classifier_eval_sql(threshold: float = 0.05) -> str:
     return rf"""
         WITH s AS (
           SELECT doc_id,
-                 round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''),
                                        w -> list_contains({markers}, w)))::DOUBLE
-                       / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1),
+                       / greatest(len(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')), 1),
                        6) AS sc,
                  lang = 'en' AS y
           FROM documents
@@ -6287,7 +6293,7 @@ def _ngram_diversity_sql(n: int = 2) -> str:
     join = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
     return rf"""
         WITH toks AS (
-          SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          SELECT source, list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
           FROM documents
         ),
         g AS (
@@ -6390,7 +6396,7 @@ def _logreg_scores_cte() -> str:
     return rf"""
         tt AS (SELECT doc_id,
                       unnest(list_filter(
-                        regexp_split_to_array(lower(text), '\s+'),
+                        list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''),
                         w -> w != '')) AS term
                FROM documents),
         sl AS (SELECT doc_id,
@@ -7080,7 +7086,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": rf"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id,
-                   len(regexp_split_to_array(lower(d.text), '\s+'))::INT AS n_ws_tokens,
+                   len(list_filter(regexp_split_to_array(lower(d.text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))::INT AS n_ws_tokens,
                    len(regexp_extract_all(d.text, '[\pL]+|[\pN]+|[^\pL\pN\s]'))::INT AS n_bpe_tokens,
                    len(toks.t)::INT AS n_kept_tokens
             FROM documents d JOIN toks ON toks.doc_id = d.doc_id
@@ -7171,10 +7177,12 @@ def oracle_sql() -> dict[str, str]:
                      sum(c * log2(c)) AS clogc
               FROM cnts GROUP BY doc_id
             )
-            SELECT doc_id, n_tokens,
-                   round(log2(n_tokens::DOUBLE) - clogc / n_tokens::DOUBLE, 6)
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(round(log2(p.n_tokens::DOUBLE)
+                                  - p.clogc / p.n_tokens::DOUBLE, 6), 0.0)
                      AS entropy
-            FROM per_doc
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "decontamination": f"""
             WITH {_SHINGLE_CTE},
@@ -7779,7 +7787,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_tokens": r"""
             WITH t AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))
                        AS term
               FROM documents WHERE length(trim(text)) > 0
             ),
@@ -7797,7 +7805,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collocations": r"""
             WITH toks AS (
-              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              SELECT list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
               FROM documents WHERE length(trim(text)) > 0
             ),
             uni AS (SELECT unnest(t) AS w FROM toks),
@@ -7828,7 +7836,7 @@ def oracle_sql() -> dict[str, str]:
         "source_kl": r"""
             WITH occ AS (
               SELECT source,
-                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))
                        AS term
               FROM documents WHERE length(trim(text)) > 0
             ),
@@ -8332,7 +8340,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_match": r"""
             WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')
                        AS t
               FROM documents WHERE length(trim(text)) > 0
             ),
@@ -8435,7 +8443,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": r"""
             WITH b AS (
               SELECT doc_id, text,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+                     list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS w
               FROM documents WHERE length(trim(text)) > 0
             ),
             m AS (
@@ -8460,7 +8468,7 @@ def oracle_sql() -> dict[str, str]:
             WITH st AS (
               SELECT DISTINCT source, term FROM (
                 SELECT source,
-                       unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))
                          AS term
                 FROM documents WHERE length(trim(text)) > 0)
             ),
@@ -8482,7 +8490,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": r"""
             WITH c AS (
               SELECT term, count(*) AS c FROM (
-                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))
                          AS term
                 FROM documents WHERE length(trim(text)) > 0)
               GROUP BY 1
@@ -8841,7 +8849,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_phrases": r"""
             WITH toks AS (
               SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                     list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
               FROM documents
             ),
             g2 AS (
@@ -9085,7 +9093,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS ({_quality_sql()}),
             t AS (
               SELECT doc_id,
-                     len(regexp_split_to_array(lower(text), '\\s+'))::INT
+                     len(list_filter(regexp_split_to_array(lower(text), '[\\t\\n\\x0B\\f\\r\\x85\\pZ]+'), w -> w != ''))::INT
                        AS n_ws_tokens
               FROM documents
             ),
@@ -9357,7 +9365,7 @@ def _lang_id_sql() -> str:
     greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     return rf"""
         WITH base AS (
-          SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
           FROM documents
         ),
         scored AS (SELECT doc_id, {', '.join(score_cols)} FROM base),
@@ -9370,18 +9378,19 @@ def _quality_sql() -> str:
     return rf"""
         WITH base AS (
           SELECT doc_id, text,
-                 regexp_split_to_array(lower(text), '\s+') AS t
+                 list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
           FROM documents
         ),
         m AS (
-          SELECT doc_id, text,
+          SELECT doc_id, text, t,
                  len(t) AS n_ws_tokens,
                  len(list_distinct(t)) AS n_uniq,
                  len(list_filter(t, w -> list_contains({_STOP_SQL}, w))) AS n_stop
           FROM base
         )
         SELECT doc_id, n_ws_tokens::INT AS n_ws_tokens,
-               round((length(text) - (n_ws_tokens - 1))::DOUBLE
+               round(coalesce(list_sum(list_transform(t, w -> length(w))),
+                              0)::DOUBLE
                      / greatest(n_ws_tokens, 1), 6) AS mean_token_len,
                round(n_stop::DOUBLE / greatest(n_ws_tokens, 1), 6) AS stopword_ratio,
                round(length(regexp_replace(text, '[^\pL]', '', 'g'))::DOUBLE
@@ -9793,7 +9802,7 @@ def _trim_dup_spans_sql(n: int = 5, min_df: int = 2) -> str:
     return rf"""
         WITH t AS (
           SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS toks
           FROM documents
         ),
         base AS (SELECT doc_id, toks, len(toks)::INT AS n_tokens FROM t),
@@ -9934,7 +9943,7 @@ def _mixed_language_sql(min_ratio: float = 0.05) -> str:
         ),
         ne AS (SELECT doc_id, line FROM lines WHERE length(trim(line)) > 0),
         base AS (
-          SELECT doc_id, regexp_split_to_array(lower(line), '\s+') AS t
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(line), '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
           FROM ne
         ),
         scored AS (SELECT doc_id, {", ".join(score_cols)} FROM base),

@@ -42,6 +42,19 @@ _NON_ALNUM = r"[^\p{L}\p{N}]"
 WS_SPLIT = r"[\t\n\x0B\f\r\x{85}\p{Z}]+"
 
 
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokens (lowercased): the canonical repo-wide
+    convention — Unicode whitespace class (WS_SPLIT) with empty tokens
+    FILTERED, so edge whitespace never grows a phantom '' token and a
+    whitespace-only string yields zero tokens. Oracle twin:
+    list_filter(regexp_split_to_array(lower(x),
+    '[\\t\\n\\x0B\\f\\r\\x85\\pZ]+'), w -> w != '')."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(col), WS_SPLIT), lambda w: F.length(w) > 0
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """array<string> of kept tokens, in document order (duplicates kept)."""
     col = F.col(col) if isinstance(col, str) else col

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
-from ..functions.text import word_grams
+from ..functions.text import word_grams, ws_tokens
 
 # Substrings whose presence disqualifies a line (C4 drops lines with
 # "javascript", docs with "lorem ipsum" / "{"; we apply all three at the
@@ -637,7 +637,7 @@ def top_ngrams(
     top ``k`` by (count desc, gram asc). Map-side-combined count shuffle +
     engine-native TakeOrdered — no global sort materializes.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(text_col)
     grams = df.select(F.explode(_word_grams(toks, n)).alias("gram"))
     return (
         grams.groupBy("gram")
@@ -669,7 +669,7 @@ def ngram_diversity(
     top_ngrams (trim, lower, split on whitespace) so the two read the
     same corpus the same way.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(text_col)
     grams = df.select(
         F.col(group_col).alias("grp"),
         F.col(text_col),
@@ -1137,7 +1137,7 @@ def phrase_blocklist_hits(
             by_len.setdefault(len(norm.split(" ")), []).append(norm)
     if not by_len:
         raise ValueError("every phrase normalized to empty")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     spark = df.sparkSession
     hits = None

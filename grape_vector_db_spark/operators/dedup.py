@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32, h32_word
-from ..functions.text import tokens, word_grams
+from ..functions.text import tokens, word_grams, ws_tokens
 from ..functions.vector import cosine_from_parts, dot, l2_norm, to_double_array
 
 
@@ -1685,7 +1685,7 @@ def _positional_grams(
     whitespace-lowered token stream. One explode, corpus-token-count
     rows — both span operators read the SAME construction so their
     owner/coverage pairing can never drift."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
         "doc_id", "toks", F.size("toks").alias("n_tokens")
     )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import ws_tokens
+
 DEFAULT_RRF_K = 60.0
 DEFAULT_WEIGHTS = {"dense": 0.7, "sparse": 0.2, "text": 0.1}
 
@@ -219,7 +221,7 @@ def adaptive_fuse(
     if history is not None:
         qwords = [w for w in (query_text or "").lower().split() if w]
         qcol = F.array(*[F.lit(w) for w in qwords]) if qwords else F.array()
-        hwords = F.split(F.lower(F.col("query_text")), r"\s+")
+        hwords = ws_tokens("query_text")
         jaccard = F.when(
             F.size(F.array_union(hwords, qcol)) == 0, F.lit(0.0)
         ).otherwise(

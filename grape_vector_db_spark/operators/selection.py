@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
-from ..functions.text import word_grams
+from ..functions.text import word_grams, ws_tokens
 
 
 def _bigram_buckets(
@@ -49,7 +49,7 @@ def _bigram_buckets(
     quality_classifier_score (and their DuckDB oracle twins) can never
     disagree on the feature definition."""
     extra = extra or {}
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(text_col)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *[c.alias(n) for n, c in extra.items()],

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Window
 
-from ..functions.text import STOPWORDS, doc_terms, tokens
+from ..functions.text import STOPWORDS, doc_terms, tokens, ws_tokens
 
 K1 = 1.2
 B = 0.75
@@ -355,7 +355,7 @@ def phrase_search(
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ws_tokens(text_col)
         ).alias("pos", "term"),
     ).where(F.length(F.trim(F.col(text_col))) > 0)
     match = toked.where(F.col("term") == terms[0]).select("doc_id", "pos")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS, tokens, ws_tokens
 
 # Tiny function-word lists per language; enough signal for a heuristic tag.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -35,7 +35,32 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _ws_tokens(text_col):
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    """Canonical whitespace tokens — see functions.text.ws_tokens
+    (Unicode class, empty tokens filtered)."""
+    return ws_tokens(text_col)
+
+
+
+def _marker_score_cols(tok_col: str = "_t", prefix: str = "s_"):
+    """One 6-dp marker-hit-ratio Column per language over a token-array
+    column — the single definition language_scores, language_id, and
+    mixed_language all build on (they used to hand-copy this block; a
+    fix applied to one silently missed the others)."""
+    return [
+        F.round(
+            F.size(
+                F.filter(
+                    F.col(tok_col),
+                    lambda w: F.array_contains(
+                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
+                    ),
+                )
+            ).cast("double")
+            / F.greatest(F.size(tok_col), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"{prefix}{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
 
 
 def language_scores(
@@ -49,22 +74,7 @@ def language_scores(
     just the argmax. Same single narrow zero-shuffle map."""
     toks = _ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    scores = [
-        F.round(
-            F.size(
-                F.filter(
-                    F.col("_t"),
-                    lambda w: F.array_contains(
-                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
-                    ),
-                )
-            ).cast("double")
-            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
-            6,
-        ).alias(f"s_{lang}")
-        for lang in sorted(LANG_MARKERS)
-    ]
-    return base.select("doc_id", *scores)
+    return base.select("doc_id", *_marker_score_cols())
 
 
 def language_id(
@@ -77,21 +87,7 @@ def language_id(
     """
     toks = _ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    scores = [
-        F.round(
-            F.size(
-                F.filter(
-                    F.col("_t"),
-                    lambda w: F.array_contains(
-                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
-                    ),
-                )
-            ).cast("double")
-            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
-            6,
-        ).alias(f"_s_{lang}")
-        for lang in sorted(LANG_MARKERS)
-    ]
+    scores = _marker_score_cols(prefix="_s_")
     scored = base.select("doc_id", *scores).withColumn(
         "lang_score", F.greatest(*[F.col(f"_s_{lang}") for lang in sorted(LANG_MARKERS)])
     )
@@ -127,9 +123,17 @@ def quality_score(
         F.size(F.filter(F.col("_t"), lambda w: F.array_contains(stop, w))).alias(
             "_n_stop"
         ),
+        F.aggregate(
+            F.transform(F.col("_t"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("_tok_chars"),
     )
     n = F.greatest(F.col("n_ws_tokens"), F.lit(1)).cast("double")
-    mean_tok = (F.length("_txt") - (F.col("n_ws_tokens") - 1)).cast("double") / n
+    # exact mean over the token array — the old (len - (n-1))/n shortcut
+    # assumed exactly one separator char between tokens, overcounting on
+    # multi-space / tab / indented text
+    mean_tok = F.col("_tok_chars").cast("double") / n
     stop_ratio = F.col("_n_stop").cast("double") / n
     alpha_ratio = (
         F.length(F.regexp_replace(F.col("_txt"), r"[^\p{L}]", "")).cast("double")
@@ -169,9 +173,10 @@ def token_entropy(
     Computed as ``log2(n) - sum(c*log2(c))/n`` over per-term counts c —
     one explode + one map-side-combined groupBy; the formula is written
     identically in the DuckDB oracle so the floats round the same way.
+    Docs with NO kept tokens (all stopwords / short tokens — exactly the
+    degenerate docs a quality gate most needs to see scored) report
+    (0, 0.0) instead of silently vanishing.
     """
-    from ..functions.text import tokens
-
     toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t"))
     terms = toked.where(F.size("_t") > 0).select(
         "doc_id", F.explode("_t").alias("term")
@@ -182,10 +187,16 @@ def token_entropy(
         F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
     )
     n = F.col("n_tokens").cast("double")
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.log2(n) - F.col("_clogc") / n, 6).alias("entropy"),
+    return (
+        toked.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.round(F.log2(n) - F.col("_clogc") / n, 6), F.lit(0.0)
+            ).alias("entropy"),
+        )
     )
 
 
@@ -214,11 +225,8 @@ def hashed_features(
     (language ID, style/quality classifiers: stripping 'the'/'and'
     removes exactly the signal a lang classifier learns from).
     """
-    from ..functions.hashing import h32
-    from ..functions.text import tokens
-
     if tokenizer == "whitespace":
-        tok = F.filter(_ws_tokens(text_col), lambda w: w != "")
+        tok = _ws_tokens(text_col)
     elif tokenizer == "reference":
         tok = tokens(text_col)
     else:
@@ -516,7 +524,7 @@ def bpe_pair_counts(
     words = (
         df.select(
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                _ws_tokens(text_col)
             ).alias("w")
         )
         .where(F.length("w") > 0)
@@ -562,10 +570,17 @@ def _bpe_word_state(df, text_col: str):
     non-overlapping semantics, with the flanking single separators
     preserving symbol boundaries (and the 4-separator run between words
     making cross-word merges unmatchable)."""
+    # sanitize: a word containing the U+001F separator (C0 control chars
+    # DO occur in web crawls) or the literal end token would corrupt the
+    # symbol encoding — merges could synthesize symbols containing the
+    # separator or equal to BPE_END, silently voiding the batched-merge
+    # exactness guard. Strip both (the same chars normalize_text drops).
+    clean = F.replace(
+        F.translate(F.col("w"), BPE_SEP, ""), F.lit(BPE_END), F.lit("")
+    )
     words = (
-        df.select(
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
-        )
+        df.select(F.explode(_ws_tokens(text_col)).alias("w"))
+        .select(clean.alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -770,7 +785,17 @@ def bpe_segment_counts(df, merges, id_col: str = "doc_id", text_col: str = "text
     Subword count falls out of the encoding: each word contributes
     (symbols + 1) double-separators and each merge removes exactly one,
     so n_subwords = #SS - n_words."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    raw = _ws_tokens(text_col)
+    # same sanitize as _bpe_word_state (separator / literal end token)
+    toks = F.filter(
+        F.transform(
+            raw,
+            lambda w: F.replace(
+                F.translate(w, BPE_SEP, ""), F.lit(BPE_END), F.lit("")
+            ),
+        ),
+        lambda w: F.length(w) > 0,
+    )
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     s_col, n_words = (
         F.concat_ws(
@@ -792,9 +817,15 @@ def bpe_segment_counts(df, merges, id_col: str = "doc_id", text_col: str = "text
         ),
         F.size(F.filter(F.col("toks"), lambda w: F.length(w) > 0)),
     )
-    enc = base.select("doc_id", s_col.alias("s"), n_words.alias("n_words"))
+    # fold the whole merge chain into ONE column expression before a
+    # single projection — one withColumn per merge builds an
+    # O(n_merges)-deep plan that blows Catalyst analysis time at the
+    # 32k-merge vocabularies this module targets (bpe_train already
+    # folds the same way)
+    applied = s_col
     for _, a, b, _n in merges:
-        enc = enc.withColumn("s", bpe_merge_replace(F.col("s"), a, b))
+        applied = bpe_merge_replace(applied, a, b)
+    enc = base.select("doc_id", applied.alias("s"), n_words.alias("n_words"))
     ss = BPE_SEP * 2
     ss_count = (
         F.length("s") - F.length(F.replace(F.col("s"), F.lit(ss), F.lit("")))
@@ -881,25 +912,10 @@ def mixed_language(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).where(F.length(F.trim(F.col("line"))) > 0)
-    toks = F.split(F.lower(F.col("line")), r"\s+")
+    toks = _ws_tokens("line")
     base = lines.select("doc_id", toks.alias("_t"))
     langs = sorted(LANG_MARKERS)
-    scores = [
-        F.round(
-            F.size(
-                F.filter(
-                    F.col("_t"),
-                    lambda w: F.array_contains(
-                        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]), w
-                    ),
-                )
-            ).cast("double")
-            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
-            6,
-        ).alias(f"_s_{lang}")
-        for lang in langs
-    ]
-    scored = base.select("doc_id", *scores).withColumn(
+    scored = base.select("doc_id", *_marker_score_cols(prefix="_s_")).withColumn(
         "_best", F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
     )
     lang_case = None
@@ -959,7 +975,7 @@ def rare_token_ratio(
     """
     toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+        _ws_tokens(text_col).alias("_t"),
     ).where(F.length(F.trim(F.col(text_col))) > 0)
     occ = toked.select("doc_id", F.explode("_t").alias("term"))
     dfreq = (
@@ -1005,7 +1021,7 @@ def collocations(
     a TakeOrdered top-k. Returns (w1, w2, n_pair, pmi).
     """
     toked = df.select(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t")
+        _ws_tokens(text_col).alias("_t")
     ).where(F.length(F.trim(F.col(text_col))) > 0)
     uni = (
         toked.select(F.explode("_t").alias("w"))
@@ -1088,7 +1104,7 @@ def source_unigram_kl(
     occ = df.select(
         F.col(source_col).alias("source"),
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            _ws_tokens(text_col)
         ).alias("term"),
     ).where(F.length(F.trim(F.col(text_col))) > 0)
     st = occ.groupBy("source", "term").agg(F.count("*").alias("c_st"))
@@ -1141,7 +1157,7 @@ def zipf_fit(
     counts = (
         df.select(
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                _ws_tokens(text_col)
             ).alias("term")
         )
         .where(F.length(F.trim(F.col(text_col))) > 0)
@@ -1187,7 +1203,7 @@ def readability(
     Pure narrow map, zero shuffle. Returns
     (doc_id, n_words, n_sentences, n_syllables, flesch).
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = _ws_tokens(text_col)
     sents = F.size(
         F.filter(
             F.split(F.col(text_col), r"[.!?]+"),
@@ -1245,7 +1261,7 @@ def source_vocab_overlap(
         df.select(
             F.col(source_col).alias("source"),
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                _ws_tokens(text_col)
             ).alias("term"),
         )
         .where(F.length(F.trim(F.col(text_col))) > 0)

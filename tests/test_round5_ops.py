@@ -1120,3 +1120,87 @@ def test_c4_line_filter_literal_delimiter(spark):
     )
     r = curation.c4_line_filter(df, min_words=2, delim="|").first()
     assert r["clean_text"] == "good sentence here.|ok another line."
+
+
+# --- canonical whitespace tokenization ---------------------------------------
+
+
+def test_ws_tokens_edge_whitespace_and_unicode(spark):
+    from grape_vector_db_spark.functions.text import ws_tokens
+    from grape_vector_db_spark.operators import textanalysis
+
+    rows = [
+        (1, "hello world\n"),        # trailing newline: no phantom token
+        (2, "\tthe quick fox"),  # NBSP is whitespace (Unicode class)
+        (3, " \n\t "),                # whitespace-only: ZERO tokens
+        (4, "a  b"),                  # double space: no interior phantom
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["t"])
+        for r in df.select("doc_id", ws_tokens("text").alias("t")).collect()
+    }
+    assert got == {
+        1: ["hello", "world"],
+        2: ["the", "quick", "fox"],
+        3: [],
+        4: ["a", "b"],
+    }
+    tc = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in textanalysis.token_counts(df).collect()
+    }
+    assert tc == {1: 2, 2: 3, 3: 0, 4: 2}
+
+
+def test_quality_mean_token_len_exact(spark):
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "aa  bb"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["mean_token_len"])
+        for r in textanalysis.quality_score(df).collect()
+    }
+    assert got[1] == (2, 2.0)  # the old (len-(n-1))/n gave 2.5
+    assert got[2] == (0, 0.0)
+
+
+def test_token_entropy_total_over_docs(spark):
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "a an the of"), (2, "alpha beta alpha beta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in textanalysis.token_entropy(df).collect()
+    }
+    assert got[1] == (0, 0.0)  # all stopwords/short: present, zeroed
+    assert got[2] == (4, 1.0)
+
+
+def test_bpe_train_sanitizes_separator_and_end_token(spark):
+    from grape_vector_db_spark.operators import textanalysis
+
+    df = spark.createDataFrame(
+        [(1, "a\x1fb a\x1fb ab ab"), (2, "x</w>y x</w>y xy")],
+        "doc_id long, text string",
+    )
+    merges = textanalysis.bpe_train(df, n_merges=2)
+    # separator never leaks into a symbol, and the training is EXACTLY
+    # what the sanitized text would produce (the '\x1f'/'</w>' input
+    # variants collapse to plain 'ab'/'xy')
+    for _, a, b, _n in merges:
+        assert "\x1f" not in a + b
+    clean = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "xy xy xy")], "doc_id long, text string"
+    )
+    assert merges == textanalysis.bpe_train(clean, n_merges=2)
+    seg = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in textanalysis.bpe_segment_counts(df, merges).collect()
+    }
+    assert seg[1][0] == 4 and seg[1][1] >= 4
