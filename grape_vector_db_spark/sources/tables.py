@@ -50,9 +50,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def bucket_by_id(df: DataFrame, n_buckets: int, id_col: str = "id") -> DataFrame:
     """F14/§2.12: hash-partition by id — the Spark analogue of the
     reference's consistent-hash shard ring (src/distributed/shard.rs:166-369,
-    DefaultHasher + avalanche mix). ``xxhash64`` plays the ring hash; writing
-    with ``.repartition(n, col)`` (or bucketBy for persistent tables) keeps
-    id-equi-joins co-located and shuffle-free."""
+    DefaultHasher + avalanche mix). ``xxhash64`` plays the ring hash. NB
+    the in-memory repartition alone does NOT make id-equi-joins
+    shuffle-free (Catalyst cannot know ``bucket`` is a function of id) —
+    it co-locates rows for bucket-keyed work and writes; for
+    shuffle-free id joins use :func:`save_bucketed` (persistent
+    ``bucketBy`` metadata). The synthetic ``bucket`` column stays in the
+    schema deliberately (it IS the placement)."""
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     return df.withColumn("bucket", bucket).repartition(n_buckets, F.col("bucket"))
 
@@ -73,14 +77,12 @@ def rendezvous_shard(id_col, n_shards: int, seed: int = 0):
     """
     from ..functions.hashing import h32
 
+    # null ids coalesce to a sentinel so every row gets a REAL shard —
+    # a null score vector would propagate to a null placement and land
+    # rows in a phantom bucket
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00<null>"))
     scores = F.array(
-        *[
-            h32(
-                F.concat(F.lit(f"{s}#"), F.col(id_col).cast("string")),
-                seed=seed,
-            )
-            for s in range(n_shards)
-        ]
+        *[h32(F.concat(F.lit(f"{s}#"), key), seed=seed) for s in range(n_shards)]
     )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
@@ -95,11 +97,36 @@ def with_uuid_ids(df: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
+def _dedup_updates(updates: DataFrame, id_col: str) -> DataFrame:
+    """One row per update id, chosen deterministically (greatest by the
+    remaining columns' struct order): a batch carrying the same id twice
+    must not survive the merge as a duplicated id forever — and Delta's
+    native MERGE would THROW on multiple matched source rows, so both
+    formats pre-collapse the same way."""
+    from pyspark.sql import Window
+
+    others = [c for c in updates.columns if c != id_col]
+    if not others:
+        return updates.dropDuplicates([id_col])
+    w = Window.partitionBy(id_col).orderBy(
+        *[F.col(c).desc_nulls_last() for c in others]
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame, id_col: str = "id") -> DataFrame:
     """MERGE semantics on plain DataFrames: update wins per id, null update
     fields fall back to the existing row (reference update preserves unset
     fields, src/storage.rs:258-294). One shuffle on id; with both sides
-    bucketed by id it's shuffle-free."""
+    bucketed by id it's shuffle-free. Duplicate ids WITHIN the update
+    batch collapse deterministically first (see :func:`_dedup_updates`)
+    — a full outer join would otherwise keep both and duplicate the id
+    in the table permanently."""
+    updates = _dedup_updates(updates, id_col)
     cols = existing.columns
     joined = existing.alias("old").join(
         updates.alias("new"), F.col(f"old.{id_col}") == F.col(f"new.{id_col}"), "full"
@@ -114,8 +141,13 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, id_col: str = "id") ->
 
 
 def delete_where(df: DataFrame, predicate: str) -> DataFrame:
-    """DELETE FROM ... WHERE p — as the complement filter (S8/S9)."""
-    return df.where(f"NOT ({predicate})")
+    """DELETE FROM ... WHERE p — as the complement filter (S8/S9).
+
+    SQL DELETE removes rows where p is TRUE; rows where p is NULL are
+    KEPT. A bare NOT(p) filter would silently delete the NULL rows too
+    (and diverge from the Delta path's native DELETE), so the complement
+    coalesces NULL to false first."""
+    return df.where(f"NOT coalesce(({predicate}), false)")
 
 
 # -- optional Delta Lake table format ----------------------------------------
@@ -221,7 +253,10 @@ def upsert_table(
     cols = dt.toDF().columns
     (
         dt.alias("t")
-        .merge(updates.alias("s"), f"t.`{id_col}` = s.`{id_col}`")
+        .merge(
+            _dedup_updates(updates, id_col).alias("s"),
+            f"t.`{id_col}` = s.`{id_col}`",
+        )
         .whenMatchedUpdate(
             set={
                 c: F.coalesce(F.col(f"s.`{c}`"), F.col(f"t.`{c}`"))
@@ -301,9 +336,21 @@ def table_versions(spark: SparkSession, path: str) -> list[int]:
 
 def current_table_path(spark: SparkSession, path: str) -> str:
     """Current committed version dir; legacy flat tables (no t=N yet,
-    e.g. user-created parquet) resolve to the table root."""
+    e.g. user-created parquet) resolve to the table root. If a crashed
+    FIRST publish left an uncommitted t=N beside legacy root files, the
+    root resolves to a ``*.parquet`` glob so partition discovery never
+    mixes the two depths (the retry publish overwrites the partial dir
+    and self-heals)."""
     vs = table_versions(spark, path)
-    return f"{path}/t={vs[-1]}" if vs else path
+    if vs:
+        return f"{path}/t={vs[-1]}"
+    fs, P = _hadoop_fs(spark, path)
+    if fs.exists(P(path)) and any(
+        st.isDirectory() and st.getPath().getName().startswith("t=")
+        for st in fs.listStatus(P(path))
+    ):
+        return f"{path}/*.parquet"
+    return path
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -333,7 +380,15 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     if table_versions(spark, path):
         return True
     fs, P = _hadoop_fs(spark, path)
-    return bool(fs.exists(P(path)))
+    if not fs.exists(P(path)):
+        return False
+    # a bare directory (pre-created by tooling, or holding only a crashed
+    # writer's uncommitted t=N) is NOT a table — saying yes would route
+    # callers into a failing read instead of the first-write branch
+    return any(
+        st.isFile() and st.getPath().getName().endswith(".parquet")
+        for st in fs.listStatus(P(path))
+    )
 
 
 def publish_table(
@@ -379,12 +434,45 @@ def publish_table(
                 fs.delete(st.getPath(), False)
 
 
-def compact(spark: SparkSession, path: str, target_partitions: int) -> None:
+def _detect_partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Partition columns of the current version, read off the directory
+    layout (``col=value`` chain)."""
+    fs, P = _hadoop_fs(spark, path)
+    cols: list[str] = []
+    cur = P(current_table_path(spark, path))
+    while True:
+        sub = [
+            st.getPath()
+            for st in fs.listStatus(cur)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not sub:
+            return cols
+        cols.append(sub[0].getName().split("=", 1)[0])
+        cur = sub[0]
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    partition_by: list[str] | None = None,
+) -> None:
     """Small-file compaction: publish a repartitioned new version
     (streaming upserts accumulate small files; at 100 TB scale run this
     per-partition or use the table format's OPTIMIZE). Atomic versioned
-    swap, single write."""
-    publish_table(spark, path, read_table(spark, path).repartition(target_partitions))
+    swap, single write. The existing partition layout is DETECTED from
+    the directory structure and preserved (pass ``partition_by`` to
+    override) — compaction must never silently flatten the IVF
+    inverted-list layout partition pruning depends on."""
+    if partition_by is None:
+        partition_by = _detect_partition_cols(spark, path)
+    publish_table(
+        spark,
+        path,
+        read_table(spark, path).repartition(target_partitions),
+        partition_by=partition_by or None,
+    )
 
 
 def backup(df: DataFrame, path: str, id_col: str = "id") -> None:
@@ -491,19 +579,29 @@ def snapshot_diff(
     columns directly, null-safely, so no row-serialization format needs
     to match across engines.
     """
-    data_cols = [c for c in old.columns if c != id_col]
+    # diff over the UNION of both schemas: a column added by the new
+    # snapshot (schema evolution) must count as a change, and a dropped
+    # column must not crash the select — absent side reads as null
+    data_cols = [c for c in old.columns if c != id_col] + [
+        c for c in new.columns if c != id_col and c not in old.columns
+    ]
+
+    def side(df: DataFrame, flag: str, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(True).alias(flag),
+            *[
+                (
+                    F.col(c) if c in df.columns else F.lit(None)
+                ).alias(f"{prefix}{c}")
+                for c in data_cols
+            ],
+        )
+
     # presence flags come from a per-side sentinel computed before the
     # join, not value nullness (a legitimately all-null row still exists)
-    o = old.select(
-        F.col(id_col).alias("_id"),
-        F.lit(True).alias("_in_old"),
-        *[F.col(c).alias(f"_o_{c}") for c in data_cols],
-    )
-    n = new.select(
-        F.col(id_col).alias("_id"),
-        F.lit(True).alias("_in_new"),
-        *[F.col(c).alias(f"_n_{c}") for c in data_cols],
-    )
+    o = side(old, "_in_old", "_o_")
+    n = side(new, "_in_new", "_n_")
     joined = o.join(n, "_id", "full_outer")
     # id-only tables degrade to a membership diff (nothing can 'change')
     changed = F.lit(False)

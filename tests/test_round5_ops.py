@@ -1204,3 +1204,80 @@ def test_bpe_train_sanitizes_separator_and_end_token(spark):
         for r in textanalysis.bpe_segment_counts(df, merges).collect()
     }
     assert seg[1][0] == 4 and seg[1][1] >= 4
+
+
+# --- storage-layer hardening --------------------------------------------------
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    from grape_vector_db_spark.sources.tables import delete_where
+
+    df = spark.createDataFrame(
+        [(1, "spam"), (2, "ok"), (3, None)], "id long, category string"
+    )
+    kept = {r["id"] for r in delete_where(df, "category = 'spam'").collect()}
+    assert kept == {2, 3}  # SQL DELETE keeps the NULL row
+
+
+def test_merge_upsert_collapses_duplicate_update_ids(spark):
+    from grape_vector_db_spark.sources.tables import merge_upsert
+
+    existing = spark.createDataFrame([(42, "old", 1)], "id long, v string, k int")
+    updates = spark.createDataFrame(
+        [(42, "b", None), (42, "a", 9)], "id long, v string, k int"
+    )
+    out = merge_upsert(existing, updates).collect()
+    assert len(out) == 1
+    # deterministic greatest-row pick, null update field preserved
+    assert (out[0]["v"], out[0]["k"]) == ("b", 1)
+
+
+def test_compact_preserves_partition_layout(spark, tmpdir):
+    import glob
+
+    from grape_vector_db_spark.sources.tables import (
+        compact, publish_table, read_table,
+    )
+
+    path = f"{tmpdir}/ptable"
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(60)], "id long, cluster int, v string"
+    )
+    publish_table(spark, path, df, partition_by=["cluster"])
+    compact(spark, path, target_partitions=2)
+    dirs = glob.glob(f"{path}/t=2/cluster=*")
+    assert len(dirs) == 3  # layout survived the compaction
+    assert read_table(spark, path).count() == 60
+
+
+def test_snapshot_diff_schema_evolution(spark):
+    from grape_vector_db_spark.sources.tables import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    new = spark.createDataFrame(
+        [(1, "x", 0.9), (2, "y", None)], "id long, v string, score double"
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    # row 1 gained a score value -> changed; row 2's new column is null
+    # on both sides -> unchanged
+    assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_table_exists_rejects_bare_directory(spark, tmpdir):
+    import os
+
+    from grape_vector_db_spark.sources.tables import table_exists
+
+    bare = f"{tmpdir}/bare"
+    os.makedirs(bare)
+    assert not table_exists(spark, bare)
+    os.makedirs(f"{bare}/t=1")  # uncommitted partial version
+    assert not table_exists(spark, bare)
+
+
+def test_rendezvous_null_id_gets_real_shard(spark):
+    from grape_vector_db_spark.sources.tables import rendezvous_shard
+
+    df = spark.createDataFrame([(None,), ("a",)], "id string")
+    got = [r["s"] for r in df.select(rendezvous_shard("id", 4).alias("s")).collect()]
+    assert all(s is not None and 0 <= s < 4 for s in got)
