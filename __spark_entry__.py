@@ -7344,7 +7344,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_flat_pruned": _ivf_flat_sql(),
         "vocabulary": f"""
             WITH {_TERMS_CTE}
-            SELECT term, (row_number() OVER (ORDER BY term) - 1)::INT AS term_id
+            SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id
             FROM (SELECT DISTINCT term FROM dt)
         """,
         "token_filter": f"""

@@ -101,6 +101,25 @@ class GrapeVectorDB:
     def documents(self) -> DataFrame:
         return self._read("documents")
 
+    def _warm_terms(self) -> DataFrame:
+        """Session-cached doc_terms index for the sparse leg, keyed by the
+        documents table's committed version: repeated hybrid searches
+        reuse ONE tokenized/persisted copy instead of re-tokenizing and
+        re-persisting the corpus per query (which accumulated leaked
+        executor storage); a publish invalidates and swaps the cache."""
+        vs = self._versions("documents")
+        key = vs[-1] if vs else 0
+        cached = getattr(self, "_terms_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if cached is not None:
+            cached[1].unpersist()
+        terms = sparse.doc_terms(
+            self.documents(), id_col=self.id_col, text_col=self.text_col
+        ).persist()
+        self._terms_cache = (key, terms)
+        return terms
+
     def embeddings(self) -> DataFrame:
         return self._read("embeddings")
 
@@ -266,7 +285,14 @@ class GrapeVectorDB:
             "dense": search.knn(emb, query_vector, k=overfetch).withColumnRenamed(
                 "vec_id", "doc_id"
             ),
-            "sparse": sparse.bm25_search(docs, query_text, k=overfetch),
+            "sparse": sparse.bm25_search(
+                docs,
+                query_text,
+                k=overfetch,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                terms=self._warm_terms(),
+            ),
             "text": self.search(text=query_text, limit=overfetch).withColumnRenamed(
                 self.id_col, "doc_id"
             ),

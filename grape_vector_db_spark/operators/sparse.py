@@ -72,8 +72,6 @@ def vocabulary(
     num_buckets-bounded table collected to the driver and broadcast back,
     so no Exchange SinglePartition appears anywhere in the plan.
     """
-    from pyspark.sql import Window
-
     spark = terms.sparkSession
     # the distinct-terms shuffle is the dominant cost and feeds three
     # consumers (quantile sample, per-bucket counts, the final ranked
@@ -85,29 +83,15 @@ def vocabulary(
     # vocabulary index table an ingest job would materialize; callers own
     # its lifecycle (df.unpersist() when done).
     t = terms.select("term").distinct().persist()
-    if num_buckets is None:
-        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sample = [
-        r["term"]
-        for r in t.orderBy(F.xxhash64(F.col("term")).asc(), F.col("term").asc())
-        .limit(num_buckets * sample_per_bucket)
-        .collect()
-    ]
-    if not sample:
+    # the sample/cut-point/bucket-assignment core is rank._range_bucketize
+    # (this function is where the two-level trick originated; rank.py
+    # generalized it — share ONE copy of the subtle quantile logic)
+    from .rank import _range_bucketize
+
+    tb, num_buckets = _range_bucketize(t, "term", num_buckets, sample_per_bucket)
+    if tb is None:
         t.unpersist()
-        return spark.createDataFrame([], "term string, term_id int")
-    sample.sort()
-    # stride shrinks for vocabularies smaller than the full sample so even a
-    # tiny vocab spreads over several buckets (a constant bucket key would
-    # put the rank window back in one partition)
-    stride = max(1, min(sample_per_bucket, (len(sample) + num_buckets - 1) // num_buckets))
-    bounds = sorted({sample[i] for i in range(stride, len(sample), stride)})
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col("term") >= b))
-    else:
-        bucket = F.lit(0)
-    tb = t.withColumn("_b", bucket)
+        return spark.createDataFrame([], "term string, term_id long")
     counts = sorted(
         (r["_b"], r["n"])
         for r in tb.groupBy("_b").agg(F.count("*").alias("n")).collect()
@@ -122,7 +106,9 @@ def vocabulary(
         tb.join(off_df, "_b")
         .select(
             "term",
-            (F.col("_off") + F.row_number().over(w) - 1).cast("int").alias("term_id"),
+            # LONG ids: a 100 TB vocabulary exceeds 2^31 distinct terms
+            # (the reference's u32 maps 4.29B; an int cast would wrap)
+            (F.col("_off") + F.row_number().over(w) - 1).alias("term_id"),
         )
         .persist()
     )
@@ -163,15 +149,33 @@ def corpus_stats(
     )
 
 
+def _is_ws(c: str) -> bool:
+    """Python twin of WS_SPLIT's character class (functions.text)."""
+    import unicodedata
+
+    return c in "\t\n\x0b\f\r\x85" or unicodedata.category(c).startswith("Z")
+
+
 def tokenize_query_py(query: str) -> dict[str, float]:
     """Driver-side replica of the tokenizer for the (tiny) query string —
-    same semantics as functions.text.tokens; returns term -> relative tf."""
+    EXACTLY functions.text.tokens' semantics, including the JVM quirk
+    that the whitespace class is WS_SPLIT — str.split() would also break
+    on \x1c-\x1f, fusing words differently from the corpus side, so a
+    query term containing those separators could never match an indexed
+    term. (Astral-plane letters survive both sides: Java regex classes
+    are code-point aware — pinned by test against the JVM.)
+    Returns term -> relative tf."""
     stop = set(STOPWORDS)
-    toks = []
-    for w in query.lower().split():
-        w = "".join(c for c in w if c.isalnum())
-        if len(w) > 1 and w not in stop:
-            toks.append(w)
+    toks: list[str] = []
+    word: list[str] = []
+    for c in query.lower() + "\n":  # sentinel flushes the last word
+        if _is_ws(c):
+            w = "".join(x for x in word if x.isalnum())
+            if len(w) > 1 and w not in stop:
+                toks.append(w)
+            word = []
+        else:
+            word.append(c)
     if not toks:
         return {}
     n = float(len(toks))
@@ -195,7 +199,13 @@ def bm25_search(
     spark = documents.sparkSession
     qtf = tokenize_query_py(query)
     if not qtf:
-        return spark.createDataFrame([], "doc_id long, score double")
+        # empty result with the CORPUS id type (a hard-coded long would
+        # type-mismatch the non-empty path for string ids in fusion unions)
+        return (
+            documents.select(F.col(id_col).alias("doc_id"))
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+        )
     return bm25_search_weighted(
         documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms
     )
@@ -214,7 +224,13 @@ def bm25_search_weighted(
     of :func:`bm25_feedback_search`."""
     spark = documents.sparkSession
     if not qtf:
-        return spark.createDataFrame([], "doc_id long, score double")
+        # empty result with the CORPUS id type (a hard-coded long would
+        # type-mismatch the non-empty path for string ids in fusion unions)
+        return (
+            documents.select(F.col(id_col).alias("doc_id"))
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+        )
 
     # doc_terms feeds three consumers (posting join, doc stats, corpus
     # aggregates) — persist so the tokenize+groupBy pipeline runs once,
@@ -282,7 +298,6 @@ def class_tfidf_top_terms(
     df: DataFrame,
     class_col: str = "source",
     top_k: int = 5,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """c-TF-IDF (Grootendorst 2022, arXiv:2203.05794 — BERTopic's
@@ -354,10 +369,8 @@ def phrase_search(
         raise ValueError("empty phrase")
     toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            ws_tokens(text_col)
-        ).alias("pos", "term"),
-    ).where(F.length(F.trim(F.col(text_col))) > 0)
+        F.posexplode(ws_tokens(text_col)).alias("pos", "term"),
+    )
     match = toked.where(F.col("term") == terms[0]).select("doc_id", "pos")
     for i, t in enumerate(terms[1:], start=1):
         nxt = toked.where(F.col("term") == t).select(

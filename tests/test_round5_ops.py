@@ -1281,3 +1281,39 @@ def test_rendezvous_null_id_gets_real_shard(spark):
     df = spark.createDataFrame([(None,), ("a",)], "id string")
     got = [r["s"] for r in df.select(rendezvous_shard("id", 4).alias("s")).collect()]
     assert all(s is not None and 0 <= s < 4 for s in got)
+
+
+def test_bm25_empty_query_keeps_corpus_id_type(spark):
+    from grape_vector_db_spark.operators import sparse
+
+    df = spark.createDataFrame(
+        [("d1", "alpha beta")], "id string, text string"
+    )
+    empty = sparse.bm25_search(df, "the of and", id_col="id")
+    full = sparse.bm25_search(df, "alpha", id_col="id")
+    assert empty.dtypes == full.dtypes
+    assert empty.count() == 0
+
+
+def test_tokenize_query_py_matches_jvm_on_edges(spark):
+    """Driver replica must equal the JVM tokenizer for astral-plane
+    chars and C0 separators (the corpus side strips/fuses them)."""
+    from grape_vector_db_spark.functions.text import tokens
+    from grape_vector_db_spark.operators.sparse import tokenize_query_py
+
+    cases = ["hello \U0001d400bold world", "aa\x1cbb cc", "café résumé",
+             "x y zz"]
+    for q in cases:
+        jvm = [
+            r["t"]
+            for r in spark.createDataFrame([(q,)], "s string")
+            .select(F.explode(tokens("s")).alias("t"))
+            .collect()
+        ]
+        import collections
+
+        n = float(len(jvm))
+        want = (
+            {t: c / n for t, c in collections.Counter(jvm).items()} if jvm else {}
+        )
+        assert tokenize_query_py(q) == want, q
