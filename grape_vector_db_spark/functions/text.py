@@ -28,11 +28,13 @@ STOPWORDS: list[str] = [
 ]
 
 # Keep Unicode letters+digits, mirroring Rust char::is_alphanumeric
-# (src/sparse.rs:296-299). Java regex \p{L}\p{N} ≙ RE2 \pL\pN in the oracle.
-# KNOWN DIVERGENCE (found by hypothesis): Spark's regexp functions match
-# per UTF-16 code unit, so supplementary-plane letters (U+10000+) decompose
-# into surrogate halves (category Cs) and get stripped, where Rust keeps
-# them. BMP text — all practical corpora here — is unaffected.
+# (src/sparse.rs:296-299). Java regex \p{L}\p{N} ≙ RE2 \pL\pN in the
+# oracle; both are CODE-POINT aware (verified: U+1D400 survives, emoji
+# stripped — an earlier comment claimed surrogate-halving here, which
+# does not happen on this path). The hypothesis property tests still
+# generate BMP-only text because the pure-Python replicas (str.isalnum)
+# differ from \p{L}\p{N} on a few exotic categories, not because of
+# the JVM.
 _NON_ALNUM = r"[^\p{L}\p{N}]"
 
 # Rust split_whitespace splits on the Unicode White_Space property —
