@@ -49,27 +49,29 @@ def _union(lists: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
-def rrf_fuse(lists: dict[str, DataFrame], k: float = DEFAULT_RRF_K, limit: int | None = None) -> DataFrame:
+def rrf_fuse(
+    lists: dict[str, DataFrame],
+    k: float = DEFAULT_RRF_K,
+    limit: int | None = None,
+    breakdown: bool = True,
+) -> DataFrame:
     """Reciprocal-rank fusion; returns (doc_id, score [, per-source scores]).
 
-    Output columns: doc_id, score (sum of 1/(k+rank)), plus
-    ``<source>_score`` carrying each source's raw score (the reference's
-    ScoreBreakdown, src/types.rs:428-446).
+    Output columns: doc_id, score (sum of 1/(k+rank)), plus — with
+    ``breakdown`` (default True, the reference hydrates a ScoreBreakdown
+    into every hybrid result, src/types.rs:428-446) — ``<source>_score``
+    columns; pass breakdown=False for a schema comparable with the
+    other strategies' default.
     """
     u = _union(lists)
     w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     ranked = u.withColumn("rank", F.row_number().over(w))
     fused = ranked.groupBy("doc_id").agg(
         F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("rank"))), 6).alias("score"),
-        *[
-            F.round(
-                F.max(F.when(F.col("source") == s, F.col("score"))), 6
-            ).alias(f"{s}_score")
-            for s in lists
-        ],
+        *(_breakdown_aggs(lists) if breakdown else []),
     )
     out = fused.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out
 
 
 def _breakdown_aggs(lists: dict[str, DataFrame]) -> list:
@@ -105,7 +107,7 @@ def linear_fuse(
         *(_breakdown_aggs(lists) if breakdown else []),
     )
     out = fused.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out
 
 
 def classify_query(query_text: str) -> str:
@@ -185,16 +187,50 @@ def result_quality(df: DataFrame, cap: int = 10) -> float:
     if row["n"] == 0:
         return 0.0
     count_factor = min(row["n"], cap) / cap
-    return count_factor * 0.3 + row["avg"] * 0.5 + max(0.0, 1.0 - row["sd"]) * 0.2
+    # avg over an all-NULL score column is None — treat as 0 quality
+    return (
+        count_factor * 0.3
+        + (row["avg"] or 0.0) * 0.5
+        + max(0.0, 1.0 - row["sd"]) * 0.2
+    )
 
 
 def quality_adjusted_weights(
-    lists: dict[str, DataFrame], base_weights: dict[str, float] | None = None
+    lists: dict[str, DataFrame],
+    base_weights: dict[str, float] | None = None,
+    cap: int = 10,
 ) -> dict[str, float]:
     """adjust_weights_by_quality (src/hybrid.rs:800-826): each source's
-    weight scaled by (1 + quality_share * 0.2)."""
+    weight scaled by (1 + quality_share * 0.2). All sources' stats come
+    from ONE union + groupBy job (a per-source .head() loop paid job
+    latency per list). NB the quality metric is the REFERENCE's formula
+    over RAW scores — unbounded scales (BM25) earn a larger share than
+    bounded cosines by construction; normalize the lists first
+    (normalized_fuse's min-max) if that bias is unwanted.
+    """
     base = dict(base_weights or DEFAULT_WEIGHTS)
-    quality = {s: result_quality(df) for s, df in lists.items()}
+    stats = {
+        r["source"]: r
+        for r in _union(lists)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("score").alias("avg"),
+            F.coalesce(F.stddev_pop("score"), F.lit(0.0)).alias("sd"),
+        )
+        .collect()
+    }
+    quality = {}
+    for s_name in lists:
+        r = stats.get(s_name)
+        if r is None or r["n"] == 0:
+            quality[s_name] = 0.0
+        else:
+            quality[s_name] = (
+                min(r["n"], cap) / cap * 0.3
+                + (r["avg"] or 0.0) * 0.5
+                + max(0.0, 1.0 - r["sd"]) * 0.2
+            )
     total = sum(quality.values())
     if total <= 0:
         return base
@@ -229,7 +265,10 @@ def adaptive_fuse(
             / F.size(F.array_union(hwords, qcol)).cast("double")
         )
         row = (
-            history.where(jaccard > 0.7)
+            history.where(F.col("query_text").isNotNull())
+            # NULL query_text would otherwise slip through: with
+            # legacy sizeOfNull, size(NULL)=-1 makes jaccard (-1)/(-1)=1
+            .where(jaccard > 0.7)
             .agg(F.avg("satisfaction").alias("s"), F.count("*").alias("n"))
             .head()
         )
@@ -268,4 +307,4 @@ def normalized_fuse(
         *(_breakdown_aggs(lists) if breakdown else []),
     )
     out = fused.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out

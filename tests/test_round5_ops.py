@@ -1317,3 +1317,33 @@ def test_tokenize_query_py_matches_jvm_on_edges(spark):
             {t: c / n for t, c in collections.Counter(jvm).items()} if jvm else {}
         )
         assert tokenize_query_py(q) == want, q
+
+
+def test_adaptive_fuse_null_history_rows_ignored(spark):
+    """NULL query_text history rows must not count as similar queries
+    (legacy size(NULL)=-1 made their jaccard (-1)/(-1)=1.0)."""
+    from grape_vector_db_spark.operators import fusion
+
+    lists = {
+        "dense": spark.createDataFrame([(1, 0.9)], "doc_id long, score double"),
+        "sparse": spark.createDataFrame([(1, 0.5)], "doc_id long, score double"),
+        "text": spark.createDataFrame([(1, 0.2)], "doc_id long, score double"),
+    }
+    hist = spark.createDataFrame(
+        [(None, 0.1)], "query_text string, satisfaction double"
+    )
+    with_null = fusion.adaptive_fuse(lists, "some query words", history=hist)
+    without = fusion.adaptive_fuse(lists, "some query words", history=None)
+    assert with_null.first()["score"] == without.first()["score"]
+
+
+def test_fuse_limit_zero_returns_no_rows(spark):
+    from grape_vector_db_spark.operators import fusion
+
+    lists = {
+        "dense": spark.createDataFrame(
+            [(1, 0.9), (2, 0.8)], "doc_id long, score double"
+        ),
+    }
+    assert fusion.rrf_fuse(lists, limit=0).count() == 0
+    assert fusion.linear_fuse(lists, limit=0).count() == 0
