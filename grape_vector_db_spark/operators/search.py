@@ -103,36 +103,41 @@ def knn_batch(
 ) -> DataFrame:
     """Top-k per query for a whole query table (1 or 1M queries uniformly).
 
-    ``broadcast(queries) crossJoin corpus`` -> cosine -> per-query window
-    top-k. The corpus (the 100 TB side) is scanned once with no shuffle; the
+    ``broadcast(queries) crossJoin corpus`` -> cosine -> two-stage
+    per-query top-k: a per-(query, input-partition) pre-reduction caps
+    every scored stream at k rows per scan partition BEFORE the global
+    per-query window (see _partition_local_topk) — without it a single
+    query's window partition holds the WHOLE scored corpus in one task.
+    The corpus (the 100 TB side) is scanned once with no shuffle; the
     broadcast side must be the small one. Output: (query_id, id, score, rank).
     """
-    dim_row = queries.select(F.size(query_vec).alias("d")).head()
-    dim = dim_row["d"] if dim_row else None
     qv = to_double_array(query_vec)
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("query_id"),
             qv.alias("_qv"),
-            l2_norm(qv, dim=dim).alias("_qn"),
+            l2_norm(qv).alias("_qn"),
         )
     )
     cv = to_double_array(corpus_vec)
     c = corpus.select(
-        F.col(corpus_id).alias("id"), cv.alias("_cv"), l2_norm(cv, dim=dim).alias("_cn")
+        F.col(corpus_id).alias("id"), cv.alias("_cv"), l2_norm(cv).alias("_cn")
     )
     scored = c.crossJoin(q).select(
         "query_id",
         "id",
         F.round(
             cosine_from_parts(
-                dot(F.col("_cv"), F.col("_qv"), dim=dim), F.col("_cn"), F.col("_qn")
+                dot(F.col("_cv"), F.col("_qv")), F.col("_cn"), F.col("_qn")
             ),
             6,
         ).alias("score"),
     )
     if threshold is not None:
         scored = scored.where(F.col("score") >= threshold)
+    scored = _partition_local_topk(
+        scored, "query_id", F.col("score").desc(), F.col("id").asc(), k=k
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,12 +168,21 @@ def hydrate(
     """
     from ..functions.text import snippet
 
-    cols = columns or [c for c in documents.columns if c != id_col]
+    if columns is not None:
+        cols = [c for c in columns if c != id_col]
+    else:
+        cols = [c for c in documents.columns if c != id_col]
     need = list(cols)
     if snippet_query is not None and text_col not in need:
         need.append(text_col)
-    out = F.broadcast(results).join(
-        documents.select(id_col, *need), id_col, "left"
+    # Spark can only build-broadcast the RIGHT side of a LEFT OUTER join;
+    # broadcast(results) on the left silently degrades to a full shuffle
+    # of the documents table. Probe documents with the broadcast results
+    # on the build side (right outer keeps result rows whose id is
+    # missing from documents, preserving LEFT-join semantics for the
+    # results side), so the corpus is scanned once, never shuffled.
+    out = documents.select(id_col, *need).join(
+        F.broadcast(results), id_col, "right"
     )
     if snippet_query is not None:
         out = out.withColumn(
@@ -347,7 +361,7 @@ def knn_label_vote(
         votes.withColumn("_r", F.row_number().over(wv))
         .where(F.col("_r") == 1)
         .select(
-            F.col("anchor_id").alias("vec_id"),
+            F.col("anchor_id").alias(id_col),
             "true_label",
             F.col("nbr_label").alias("pred_label"),
             "n_votes",
@@ -470,6 +484,13 @@ def matryoshka_search(
     Returns (id, score, approx_score) — exact full-dim cosine plus the
     stage-1 prefix cosine, both 6-dp rounded.
     """
+    if len(query_vector) < dims:
+        # a shorter query would zip-pad NULLs into the prefix dot, fold
+        # to NULL, coalesce to 0.0 — every approx_score identical and
+        # stage 1 silently selecting the lowest ids
+        raise ValueError(
+            f"query_vector has {len(query_vector)} dims < prefix dims={dims}"
+        )
     v = to_double_array(vec_col)
     prefix = F.slice(v, 1, dims)
     q_prefix = [float(x) for x in query_vector[:dims]]
@@ -481,14 +502,18 @@ def matryoshka_search(
         .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
         .limit(rescore)
     )
-    rescored = F.broadcast(stage1).join(
-        corpus.select(
-            F.col(id_col),
-            F.round(cosine_vs_query(v, query_vector), 6).alias("score"),
-        ),
-        id_col,
+    # join FIRST, score after: with the cosine below the join the
+    # full-dim fold would run for every corpus row before probing the
+    # hash table, erasing stage 1's saving (the pq_search shape)
+    hydrated = corpus.select(F.col(id_col), v.alias("_v")).join(
+        F.broadcast(stage1), id_col
     )
-    return rescored.select(id_col, "score", "approx_score").orderBy(
+    rescored = hydrated.select(
+        F.col(id_col),
+        F.round(cosine_vs_query(F.col("_v"), query_vector), 6).alias("score"),
+        "approx_score",
+    )
+    return rescored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(k)
 
@@ -580,25 +605,23 @@ def margin_mine(
     (ann.random_projection_tables / ivf_search) and compute the margin
     only on candidates — the criterion itself is unchanged.
     """
-    dim_row = x_emb.select(F.size(vec_col).alias("d")).head()
-    dim = dim_row["d"] if dim_row else None
     xv = to_double_array(vec_col)
     x = F.broadcast(
         x_emb.select(
             F.col(x_id).alias("xid"), xv.alias("_xv"),
-            l2_norm(xv, dim=dim).alias("_xn"),
+            l2_norm(xv).alias("_xn"),
         )
     )
     y = y_emb.select(
         F.col(y_id).alias("yid"), xv.alias("_yv"),
-        l2_norm(xv, dim=dim).alias("_yn"),
+        l2_norm(xv).alias("_yn"),
     )
     s = y.crossJoin(x).select(
         "xid",
         "yid",
         F.round(
             cosine_from_parts(
-                dot(F.col("_xv"), F.col("_yv"), dim=dim),
+                dot(F.col("_xv"), F.col("_yv")),
                 F.col("_xn"),
                 F.col("_yn"),
             ),
@@ -614,11 +637,17 @@ def margin_mine(
             "materialize must be 'none', 'persist', or 'local_checkpoint',"
             f" got {materialize!r}"
         )
+    # both k-NN means go through the partition-local top-k pre-reduction:
+    # a bare per-xid window would hold the whole |Y|-sized scored stream
+    # for one x in ONE task (and vice versa for y)
     wx = Window.partitionBy("xid").orderBy(
         F.col("cosine").desc(), F.col("yid").asc()
     )
     nnx = (
-        s.withColumn("_rk", F.row_number().over(wx))
+        _partition_local_topk(
+            s, "xid", F.col("cosine").desc(), F.col("yid").asc(), k=k
+        )
+        .withColumn("_rk", F.row_number().over(wx))
         .where(F.col("_rk") <= k)
         .groupBy("xid")
         .agg(F.round(F.avg("cosine"), 6).alias("_mx"))
@@ -627,7 +656,10 @@ def margin_mine(
         F.col("cosine").desc(), F.col("xid").asc()
     )
     nny = (
-        s.withColumn("_rk", F.row_number().over(wy))
+        _partition_local_topk(
+            s, "yid", F.col("cosine").desc(), F.col("xid").asc(), k=k
+        )
+        .withColumn("_rk", F.row_number().over(wy))
         .where(F.col("_rk") <= k)
         .groupBy("yid")
         .agg(F.round(F.avg("cosine"), 6).alias("_my"))

@@ -1347,3 +1347,39 @@ def test_fuse_limit_zero_returns_no_rows(spark):
     }
     assert fusion.rrf_fuse(lists, limit=0).count() == 0
     assert fusion.linear_fuse(lists, limit=0).count() == 0
+
+
+def test_hydrate_columns_edge_cases(spark):
+    from grape_vector_db_spark.operators.search import hydrate
+
+    res = spark.createDataFrame([(1, 0.9)], "doc_id long, score double")
+    docs = spark.createDataFrame(
+        [(1, "t1", "b1"), (2, "t2", "b2")], "doc_id long, title string, body string"
+    )
+    # id_col inside columns must not become ambiguous
+    out = hydrate(res, docs, columns=["doc_id", "title"])
+    assert set(out.columns) == {"doc_id", "score", "title"}
+    # explicit empty list = no extra columns (not "all columns")
+    out2 = hydrate(res, docs, columns=[])
+    assert set(out2.columns) == {"doc_id", "score"}
+    # result ids missing from documents survive (left-join semantics)
+    res3 = spark.createDataFrame([(99, 0.5)], "doc_id long, score double")
+    row = hydrate(res3, docs).first()
+    assert row["doc_id"] == 99 and row["title"] is None
+
+
+def test_matryoshka_rejects_short_query(spark, emb):
+    from grape_vector_db_spark.operators.search import matryoshka_search
+
+    with pytest.raises(ValueError, match="dims"):
+        matryoshka_search(emb, [0.1] * 8, dims=16)
+
+
+def test_knn_label_vote_honors_id_col(spark, emb):
+    from grape_vector_db_spark.operators.search import knn_label_vote
+
+    renamed = emb.withColumnRenamed("vec_id", "item_id")
+    out = knn_label_vote(
+        renamed.limit(64), renamed.limit(4), k=3, id_col="item_id"
+    )
+    assert "item_id" in out.columns
