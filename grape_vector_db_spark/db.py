@@ -176,9 +176,12 @@ class GrapeVectorDB:
         return row.asDict() if row else None
 
     def delete_documents(self, predicate: str) -> None:
-        """DELETE WHERE (reference S8/S9 — strictly more general)."""
-        remaining = self.documents().where(f"NOT ({predicate})")
-        self._overwrite("documents", remaining)
+        """DELETE WHERE (reference S8/S9 — strictly more general). SQL
+        DELETE semantics via sources.tables.delete_where: rows where the
+        predicate is NULL are KEPT, not deleted."""
+        from .sources.tables import delete_where
+
+        self._overwrite("documents", delete_where(self.documents(), predicate))
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
         self._publish(table, df)
@@ -246,12 +249,23 @@ class GrapeVectorDB:
             if choice.strategy == "sq_two_stage":
                 sq = self._read("index_sq")
                 return quantization.sq_search(
-                    emb, vector, k=limit, sq_df=sq
+                    emb,
+                    vector,
+                    k=limit,
+                    rescore=max(50, limit),
+                    sq_df=sq,
+                    # a metadata filter shrank emb below the index: spend
+                    # the candidate budget on returnable ids only
+                    index_covers_df=filter is None,
                 ).drop("approx_dot")
             if choice.strategy == "binary_two_stage":
                 packed = self._read("index_packed")
                 return quantization.two_stage_search(
-                    emb, vector, k=limit, packed_df=packed
+                    emb,
+                    vector,
+                    k=limit,
+                    packed_df=packed,
+                    index_covers_df=filter is None,
                 )
             return search.knn(emb, vector, k=limit, threshold=threshold)
         if text is not None:

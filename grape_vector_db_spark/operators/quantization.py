@@ -24,12 +24,13 @@ back to full vectors — a broadcast join by construction.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import to_double_array
+from ..functions.vector import dot, to_double_array
 from .search import cosine_vs_query
 
 WORD_BITS = 32
@@ -46,8 +47,12 @@ def pack_bits(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     base = df.select(
         F.col(id_col), v.alias("_vd"), F.size(vec_col).alias("dimension")
     )
+    # size 0 would make sequence(0, -1) a DESCENDING [0, -1] (Spark
+    # defaults to step -1), i.e. two phantom words — empty vectors pack
+    # to an empty word array instead
     packed = F.expr(
         f"""
+        if(size(_vd) = 0, array(),
         transform(sequence(0, int(ceil(size(_vd) / {WORD_BITS}.0)) - 1), w ->
           aggregate(
             slice(_vd, w * {WORD_BITS} + 1, {WORD_BITS}),
@@ -56,7 +61,7 @@ def pack_bits(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
                 'acc', s.acc * 2L + if(x > {threshold}D, 1L, 0L), 'n', s.n + 1),
             s -> cast(s.acc * pow(2, {WORD_BITS} - s.n) as bigint)
           )
-        )
+        ))
         """
     )
     return base.select(F.col(id_col), packed.alias("packed"), "dimension")
@@ -111,6 +116,7 @@ def sq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sq_df: DataFrame | None = None,
+    index_covers_df: bool = True,
 ) -> DataFrame:
     """SQ8 coarse ranking -> exact cosine rescore, the two-stage shape of
     ``two_stage_search`` with a magnitude-aware stage 1:
@@ -118,22 +124,32 @@ def sq_search(
     dot product against the de-quantized vector in one JVM fold over the
     codes table (8x smaller scan than f64), stage 2 joins the FIXED-size
     candidate set back for the exact score (broadcast by construction).
+
+    NB stage 1 ranks by approximate DOT PRODUCT (the metric the codes
+    reconstruct) while stage 2 ranks by cosine — on unnormalized corpora
+    high-norm vectors crowd the rescore budget; store normalized
+    embeddings (or raise ``rescore``) if norms vary widely.
+
+    ``index_covers_df=False`` declares that ``sq_df`` indexes a SUPERSET
+    of ``df`` (the filtered-search path): the index is then semi-joined
+    down to df's ids BEFORE ranking, so the fixed candidate budget is
+    spent on rows that can actually be returned. Leave True (default)
+    when the index matches df — the semi-join is skipped.
     """
     if sq_df is None:
         sq_df = sq_quantize(df, id_col, vec_col)
+    elif not index_covers_df:
+        sq_df = sq_df.join(df.select(F.col(id_col)), id_col, "left_semi")
     q = [float(x) for x in query_vector]
     qsum = sum(q)
     qlit = F.array(*[F.lit(x) for x in q])
-    dot_codes = F.aggregate(
-        F.zip_with(F.col("codes"), qlit, lambda c, x: c.cast("double") * x),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    dot_codes = dot(F.col("codes").cast("array<double>"), qlit)
     approx = F.col("minv") * F.lit(qsum) + F.col("rng") / F.lit(255.0) * dot_codes
     stage1 = (
         sq_df.select(F.col(id_col), approx.alias("approx_dot"))
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
-        .limit(rescore)
+        # never cap below k: rescore < k must not shrink the result set
+        .limit(max(k, rescore))
     )
     return (
         stage1.join(
@@ -159,6 +175,8 @@ def two_stage_search(
     vec_col: str = "embedding",
     packed_df: DataFrame | None = None,
     rescore_budget: int = 2000,
+    known_total: int | None = None,
+    index_covers_df: bool = True,
 ) -> DataFrame:
     """Hamming coarse ranking -> exact cosine rescore (src/quantization.rs:151-193).
 
@@ -170,11 +188,17 @@ def two_stage_search(
     TakeOrdered into a global sort with a single-partition gather
     (VERDICT r1 item 4); the fixed budget matches the reference's own
     rescore count of 2,000 (docs/week5-6-binary-quantization.md:63).
-    Both stages use deterministic id tiebreaks.
+    Both stages use deterministic id tiebreaks. ``known_total`` skips the
+    per-query count job when the caller tracks the index size;
+    ``index_covers_df=False`` semi-joins a SUPERSET index down to df's
+    ids first (see sq_search) so filtered searches spend the candidate
+    budget on returnable rows.
     """
-    spark = df.sparkSession
     if packed_df is None:
         packed_df = pack_bits(df, id_col, vec_col, threshold)
+    elif not index_covers_df:
+        packed_df = packed_df.join(df.select(F.col(id_col)), id_col, "left_semi")
+        known_total = None  # the filtered size is what the budget scales on
 
     dim = len(query_vector)
     qbits: list[int] = []
@@ -187,8 +211,8 @@ def two_stage_search(
         qbits.append(word)
     qpacked = F.array(*[F.lit(w).cast("bigint") for w in qbits])
 
-    total = packed_df.count()
-    n_keep = max(k, min(int(total * rescore_ratio + 0.999999), rescore_budget))
+    total = known_total if known_total is not None else packed_df.count()
+    n_keep = max(k, min(math.ceil(total * rescore_ratio), rescore_budget))
 
     stage1 = (
         packed_df.select(
@@ -240,10 +264,13 @@ def sq_dim_train(
 # the single source of truth for the codec's half-up rounding rule —
 # sq_dim_quantize encodes with it and sq_dim_error_report measures it,
 # so a rounding-rule change cannot silently diverge the two
+# codes CLAMP to [0, 255] (FAISS QT_8bit clamps too): encoding values
+# outside the trained bounds must not produce negative / >255 codes
 _SQ_DIM_CODE = (
+    "greatest(0.0D, least(255.0D, "
     "floor(CASE WHEN element_at(_rg, i) = 0 THEN 0.0 "
     "ELSE (element_at(_v, i) - element_at(_mn, i)) / element_at(_rg, i)"
-    " * 255.0 END + 0.5D)"
+    " * 255.0 END + 0.5D)))"
 )
 
 
@@ -277,6 +304,7 @@ def sq_dim_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bounds: tuple[list[float], list[float]] | None = None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-dim SQ8 two-stage search: stage 1 reconstructs the dot
     product as ``dot(mins, q) + sum_i codes_i * (rng_i * q_i / 255)`` —
@@ -291,17 +319,19 @@ def sq_dim_search(
     q = [float(x) for x in query_vector]
     const = sum(m * x for m, x in zip(mins, q))
     coeff = [r * x / 255.0 for r, x in zip(rngs, q)]
-    codes = sq_dim_quantize(df, mins, rngs, id_col, vec_col)
-    coeff_l = F.array(*[F.lit(c) for c in coeff])
-    dot_codes = F.aggregate(
-        F.zip_with(F.col("codes"), coeff_l, lambda c, x: c.cast("double") * x),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    # codes_df reuses a persisted sq_dim_quantize table (quantize once,
+    # search many — the whole point of the 8x-smaller stage-1 scan)
+    codes = (
+        codes_df
+        if codes_df is not None
+        else sq_dim_quantize(df, mins, rngs, id_col, vec_col)
     )
+    coeff_l = F.array(*[F.lit(c) for c in coeff])
+    dot_codes = dot(F.col("codes").cast("array<double>"), coeff_l)
     stage1 = (
         codes.select(F.col(id_col), (dot_codes + F.lit(const)).alias("approx_dot"))
         .orderBy(F.col("approx_dot").desc(), F.col(id_col).asc())
-        .limit(rescore)
+        .limit(max(k, rescore))
     )
     return (
         stage1.join(
