@@ -29,40 +29,53 @@ def dedup_stream(
     """Emit each distinct content exactly once across the stream's lifetime.
 
     Output: (content_hash, doc_id, text) — the FIRST-seen row per content
-    (lowest id within the batch for determinism). Later duplicates, in the
-    same or any later micro-batch, are dropped via the keyed state.
+    (lowest id within the batch for determinism, across ALL of the
+    group's Arrow chunks). Later duplicates, in the same or any later
+    micro-batch, are dropped via the keyed state; only the two needed
+    columns are shuffled into the state operator.
     """
     hashed = stream_df.withColumn("content_hash", F.md5(F.col(text_col)))
-    out_schema = f"content_hash string, {id_col} long, {text_col} string"
+    # derive the id type from the input — a hard-coded `long` would make
+    # string ids fail (or corrupt) in the executor's Arrow conversion
+    id_type = dict(hashed.dtypes)[id_col]
+    out_schema = f"content_hash string, {id_col} {id_type}, {text_col} string"
     state_schema = "seen long"
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (content_hash,) = key
-        seen = state.get[0] if state.exists else 0
-        first_rows = []
-        total = seen
+        if state.exists:
+            # already emitted in an earlier batch: drain the iterator,
+            # no state rewrite (the marker is a constant — rewriting it
+            # per batch is pure state-store churn)
+            for _ in pdfs:
+                pass
+            return
+        # the batch minimum must consider EVERY Arrow chunk — a group
+        # larger than arrow.maxRecordsPerBatch spans several pdfs and
+        # sorting only the first would make the pick nondeterministic
+        best = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if total == 0:
-                first = pdf.sort_values(id_col).iloc[[0]]
-                first_rows.append(
-                    pd.DataFrame(
-                        {
-                            "content_hash": [content_hash],
-                            id_col: first[id_col].values,
-                            text_col: first[text_col].values,
-                        }
-                    )
-                )
-            total += len(pdf)
-        state.update((total,))
-        if first_rows:
-            yield from first_rows
+            cand = pdf.sort_values(id_col).iloc[[0]]
+            if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                best = cand
+        if best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "content_hash": [content_hash],
+                id_col: best[id_col].values,
+                text_col: best[text_col].values,
+            }
+        )
 
-    return hashed.groupBy("content_hash").applyInPandasWithState(
+    return hashed.select("content_hash", id_col, text_col).groupBy(
+        "content_hash"
+    ).applyInPandasWithState(
         fn,
         out_schema,
         state_schema,
@@ -94,8 +107,10 @@ def sessionize_stream(
     Output: (user_id, session_start, session_end, n_events), all long.
     """
     gap_us = int(gap_seconds) * 1_000_000
+    user_type = dict(stream_df.dtypes)[user_col]
     out_schema = (
-        f"{user_col} long, session_start long, session_end long, n_events long"
+        f"{user_col} {user_type}, session_start long, session_end long,"
+        " n_events long"
     )
     state_schema = "start long, last long, n long"
 
@@ -103,31 +118,38 @@ def sessionize_stream(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = None
-            n = 0
-        closed: list[tuple] = []
-        ts_sorted: list[int] = []
+        # interval-merge sweep: each event is a singleton interval, the
+        # open state session is an interval too; merging intervals whose
+        # gap is <= gap_us reproduces the batch sessionizer exactly over
+        # everything not yet emitted — including LATE events older than
+        # the open session (the old last-ts-only rule silently absorbed
+        # them without lowering session_start). A late event older than
+        # an already-CLOSED session still cannot reopen it — that is the
+        # inherent streaming-emission horizon, noted in the docstring.
+        intervals: list[list] = []
         for pdf in pdfs:
-            ts_sorted.extend(int(t) for t in pdf[ts_col])
-        for ts in sorted(ts_sorted):
-            if start is None:
-                start = last = ts
-                n = 1
-            elif ts - last > gap_us:
-                closed.append((user, start, last, n))
-                start = last = ts
-                n = 1
+            # nullable longs arrive as float64 with NaN — a null ts must
+            # not kill the query
+            for t in pdf[ts_col].dropna():
+                intervals.append([int(t), int(t), 1])
+        if state.exists:
+            st, la, n0 = state.get
+            intervals.append([st, la, n0])
+        if not intervals:
+            return
+        intervals.sort()
+        merged: list[list] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
             else:
-                last = max(last, ts)
-                n += 1
-        if start is not None:
-            state.update((start, last, n))
+                merged.append(iv)
+        *closed, tail = merged
+        state.update((tail[0], tail[1], tail[2]))
         if closed:
             yield pd.DataFrame(
-                closed,
+                [(user, c[0], c[1], c[2]) for c in closed],
                 columns=[user_col, "session_start", "session_end", "n_events"],
             )
 

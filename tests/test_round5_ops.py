@@ -1383,3 +1383,75 @@ def test_knn_label_vote_honors_id_col(spark, emb):
         renamed.limit(64), renamed.limit(4), k=3, id_col="item_id"
     )
     assert "item_id" in out.columns
+
+
+# --- stateful streaming hardening --------------------------------------------
+
+
+def test_sessionize_stream_late_event_extends_start(spark, tmpdir):
+    """A late event within gap of the open session must LOWER
+    session_start (interval merge), matching the batch sessionizer."""
+    from grape_vector_db_spark.streaming.stateful import sessionize_stream
+
+    src = f"{tmpdir}/in"
+    M = 1_000_000
+    b1 = spark.createDataFrame([(1, 1000 * M)], "user_id long, ts_us long")
+    b1.write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts_us long").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=600)
+        .writeStream.format("parquet")
+        .option("path", f"{tmpdir}/out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # batch 2: a late event 500s BEFORE the open session, then a far
+    # future event that closes the merged session
+    b2 = spark.createDataFrame(
+        [(1, 500 * M), (1, 5000 * M), (1, None)], "user_id long, ts_us long"
+    )
+    b2.write.mode("append").parquet(src)
+    q = (
+        sessionize_stream(
+            spark.readStream.schema("user_id long, ts_us long").parquet(src),
+            gap_seconds=600,
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmpdir}/out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.read.parquet(f"{tmpdir}/out").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # merged session spans the late event through the original one
+    assert (r["session_start"], r["session_end"], r["n_events"]) == (
+        500 * M, 1000 * M, 2,
+    )
+
+
+def test_dedup_stream_string_ids(spark, tmpdir):
+    from grape_vector_db_spark.streaming.stateful import dedup_stream
+
+    src = f"{tmpdir}/in"
+    spark.createDataFrame(
+        [("b", "same text"), ("a", "same text"), ("c", "other")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    q = (
+        dedup_stream(
+            spark.readStream.schema("doc_id string, text string").parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmpdir}/out")
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.read.parquet(f"{tmpdir}/out").collect()}
+    assert got == {"a", "c"}  # lowest string id wins; string schema works
