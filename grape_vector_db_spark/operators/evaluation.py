@@ -29,7 +29,11 @@ def retrieval_metrics(
     Returns (query_id, precision_k, recall_k, ndcg_k).
     """
     res = results.where(F.col("rank") <= k).select("query_id", "doc_id", "rank")
-    t = truth.select("query_id", "doc_id", F.lit(1).alias("rel"))
+    # duplicate truth pairs would fan out the join and double-count
+    # hits, dcg, AND n_rel (precision could exceed 1.0)
+    t = truth.select("query_id", "doc_id").distinct().withColumn(
+        "rel", F.lit(1)
+    )
     joined = res.join(t, ["query_id", "doc_id"], "left").select(
         "query_id",
         "rank",
@@ -91,10 +95,21 @@ def compare_fusion_strategies(
                 Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             ),
         ).withColumn("query_id", F.lit(query_id))
-        m = retrieval_metrics(fused, truth, k=k).head()
-        rows.append(
-            (name, m[f"precision_{k}"], m[f"recall_{k}"], m[f"ndcg_{k}"])
+        # restrict to THIS query: truth may hold pairs for many queries,
+        # and retrieval_metrics right-joins truth — head() over the
+        # unfiltered output would report an arbitrary (usually all-zero)
+        # query's row
+        m = (
+            retrieval_metrics(fused, truth, k=k)
+            .where(F.col("query_id") == query_id)
+            .head()
         )
+        if m is None:  # no truth pairs for this query
+            rows.append((name, 0.0, 0.0, 0.0))
+        else:
+            rows.append(
+                (name, m[f"precision_{k}"], m[f"recall_{k}"], m[f"ndcg_{k}"])
+            )
     return spark.createDataFrame(
         rows, f"strategy string, precision_{k} double, recall_{k} double, ndcg_{k} double"
     )
@@ -129,7 +144,11 @@ def class_centroid_metrics(
     )
     cent = (
         flat.groupBy("label", "i")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        # count("x"), not count(*): a NULL element must not inflate the
+        # denominator (semantic_outliers' avg-based centroid skips nulls
+        # — the two must agree); n_members = the max per-dim present
+        # count, deterministic under ragged/null dims where first() isn't
+        .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -140,17 +159,27 @@ def class_centroid_metrics(
                 ),
                 lambda st: st["m"],
             ).alias("centroid"),
-            F.first("n").alias("n_members"),
+            F.max("n").alias("n_members"),
         )
     )
+    from ..functions.vector import cosine_from_parts, dot, l2_norm
+
     base = emb.select(
-        F.col(id_col).alias("id"), F.col(label_col).alias("label"), v.alias("v")
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        v.alias("v"),
+        l2_norm(v).alias("_vn"),  # member norm folded ONCE per row
     )
-    # cosine of each member vs EVERY centroid (centroid table broadcast)
+    # cosine of each member vs EVERY centroid (centroid table broadcast);
+    # cosine_from_parts keeps the zero-norm -> 0.0 convention (try_divide
+    # NULL coalesced) the oracle's CASE expresses, with each norm fold
+    # evaluated once per side instead of twice per pair
     scored = base.crossJoin(
         F.broadcast(
             cent.select(
-                F.col("label").alias("clabel"), F.col("centroid").alias("cv")
+                F.col("label").alias("clabel"),
+                F.col("centroid").alias("cv"),
+                l2_norm(F.col("centroid")).alias("_cn"),
             )
         )
     ).select(
@@ -158,54 +187,8 @@ def class_centroid_metrics(
         "label",
         "clabel",
         F.round(
-            # zero-norm convention matches functions.vector.cosine_similarity
-            # and the oracle's CASE: cosine vs a zero vector is 0.0, never
-            # NULL (a NULL here would be skipped by avg and re-sort the
-            # nearest-centroid window)
-            F.when(
-                (
-                    F.sqrt(
-                        F.aggregate(
-                            F.transform(F.col("v"), lambda x: x * x),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        )
-                    )
-                    == 0.0
-                )
-                | (
-                    F.sqrt(
-                        F.aggregate(
-                            F.transform(F.col("cv"), lambda x: x * x),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        )
-                    )
-                    == 0.0
-                ),
-                F.lit(0.0),
-            ).otherwise(
-                F.aggregate(
-                    F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / (
-                    F.sqrt(
-                        F.aggregate(
-                            F.transform(F.col("v"), lambda x: x * x),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        )
-                    )
-                    * F.sqrt(
-                        F.aggregate(
-                            F.transform(F.col("cv"), lambda x: x * x),
-                            F.lit(0.0),
-                            lambda a, x: a + x,
-                        )
-                    )
-                )
+            cosine_from_parts(
+                dot(F.col("v"), F.col("cv")), F.col("_vn"), F.col("_cn")
             ),
             6,
         ).alias("cos"),
@@ -337,6 +320,10 @@ def embedding_covariance(
             "non-null vector in the first row"
         )
     d = head["d"]
+    # one filter feeding BOTH passes: a NULL or wrong-length row must be
+    # invisible to the mean AND the kernel (a kernel-only guard would
+    # center on a different population than it sums)
+    emb = emb.where(v.isNotNull() & (F.size(v) == d))
     # mean per dimension via one posexplode aggregate (map-side combined)
     mu_rows = (
         emb.select(F.posexplode(v).alias("i", "x"))
@@ -504,8 +491,14 @@ def binary_classifier_metrics(
 
     base = scored.select(
         F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_sraw"),
         F.round(F.col(score_col).cast("double"), 6).alias("_s"),
         F.col(label_col).cast("boolean").alias("_y"),
+    ).where(
+        # a NULL score or label can contribute to NO bucket: counting it
+        # in n but nowhere else deflates accuracy, and a NULL rank would
+        # push AUC outside [0, 1]
+        F.col("_sraw").isNotNull() & F.col("_y").isNotNull()
     )
     ranked = global_row_number(
         base, "_s", ["_id"], out_col="_rn", materialize=materialize
@@ -515,7 +508,10 @@ def binary_classifier_metrics(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_npos_at"),
         F.count("*").alias("_n_at"),
     )
-    pred = F.col("_s") >= F.lit(float(threshold))
+    # threshold the RAW score: the 6-dp rounding is a rank/tie
+    # convention, not the classifier's gate — rounding first would flip
+    # predictions within 5e-7 of the threshold
+    pred = F.col("_sraw") >= F.lit(float(threshold))
 
     def _cnt(cond):
         # coalesce: sum() over ZERO rows is NULL, and the empty-input
@@ -603,17 +599,19 @@ def knn_label_probe(
         ),
         "dst",
     )
+    from pyspark.sql import Window
+
     votes = nb.groupBy("src", "_nb").agg(F.count("*").alias("_cnt"))
+    # row_number argmax, not max(struct(cnt, -label)): unary minus would
+    # cast a STRING label to double (NULL) and silently zero the
+    # accuracy — the window tie-break works for any label type
+    wv = Window.partitionBy("src").orderBy(
+        F.col("_cnt").desc(), F.col("_nb").asc()
+    )
     pred = (
-        votes.groupBy("src")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("_cnt"), (-F.col("_nb")).alias("_neg")
-                )
-            ).alias("_m")
-        )
-        .select("src", (-F.col("_m._neg")).alias("_pred"))
+        votes.withColumn("_r", F.row_number().over(wv))
+        .where(F.col("_r") == 1)
+        .select("src", F.col("_nb").alias("_pred"))
     )
     truth = corpus.select(
         F.col(id_col).alias("src"), F.col(label_col).alias("label")

@@ -1455,3 +1455,58 @@ def test_dedup_stream_string_ids(spark, tmpdir):
     q.awaitTermination(60)
     got = {r["doc_id"] for r in spark.read.parquet(f"{tmpdir}/out").collect()}
     assert got == {"a", "c"}  # lowest string id wins; string schema works
+
+
+# --- evaluation hardening -----------------------------------------------------
+
+
+def test_retrieval_metrics_dedups_truth(spark):
+    from grape_vector_db_spark.operators.evaluation import retrieval_metrics
+
+    res = spark.createDataFrame(
+        [("q1", 7, 1), ("q1", 8, 2)], "query_id string, doc_id long, rank int"
+    )
+    truth = spark.createDataFrame(
+        [("q1", 7), ("q1", 7)], "query_id string, doc_id long"
+    )
+    r = retrieval_metrics(res, truth, k=2).first()
+    assert r["precision_2"] == 0.5 and r["recall_2"] == 1.0
+
+
+def test_knn_label_probe_string_labels(spark):
+    from grape_vector_db_spark.operators import evaluation
+
+    corpus = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "vec_id long, label string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {r["label"]: r["accuracy"]
+           for r in evaluation.knn_label_probe(edges, corpus).collect()}
+    assert got == {"en": 1.0, "de": 0.0}
+
+
+def test_binary_classifier_null_rows_excluded(spark):
+    from grape_vector_db_spark.operators.evaluation import (
+        binary_classifier_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, True), (2, None, False), (3, 0.1, None), (4, 0.2, False)],
+        "doc_id long, score double, label boolean",
+    )
+    r = binary_classifier_metrics(df, threshold=0.5).first()
+    assert r["n"] == 2 and r["tp"] == 1 and r["tn"] == 1
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_embedding_covariance_skips_null_vectors(spark):
+    from grape_vector_db_spark.operators.evaluation import embedding_covariance
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0]), (4, [9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df).collect()}
+    assert out[(0, 0)] == 1.0  # var of {1,3} (population)
