@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def interval_join(
@@ -48,8 +49,15 @@ def interval_join(
     """
     by = by or []
     w = int(window)
+    if w != window:
+        raise ValueError(
+            f"window must be an integral number of time units, got {window!r}"
+            " — int() truncation would silently narrow the match range"
+        )
     if w <= 0:
         raise ValueError("window must be positive")
+    if "_bucket" in left.columns or "_bucket" in right.columns:
+        raise ValueError("input already has a _bucket column — rename it")
     r = right.select(
         *by,
         *[
@@ -128,8 +136,11 @@ def asof_join(
     # exists, so the matched row's columns stay atomic (and genuinely-NULL
     # fields stay NULL).
     carried = [right_id] + right_cols
-    from pyspark.sql.types import StructType
-
+    # a NULL right timestamp can never satisfy <=/>= — but NULLS-FIRST
+    # ordering would put such rows at the window front where the carry
+    # picks them up (confirmed vs DuckDB ASOF / pandas merge_asof, which
+    # both return no match)
+    r = r.where(F.col(on).isNotNull())
     r_fields = {f.name: f for f in r.schema.fields}
     struct_type = StructType([r_fields[c] for c in carried])
     lhs = left.select(
@@ -167,7 +178,16 @@ def asof_join(
         )
         u = u.withColumn("_r", F.first(F.col("_r"), ignorenulls=True).over(w))
     out = u.where(F.col("_side") == 1).drop("_side")
+    # a NULL left timestamp has no as-of position: mask its match
+    out = out.withColumn(
+        "_r", F.when(F.col(on).isNotNull(), F.col("_r"))
+    )
     for c in carried:
+        if f"{c}{suffix}" in left.columns:
+            raise ValueError(
+                f"output column {c}{suffix} collides with a left column —"
+                " pass a different suffix"
+            )
         out = out.withColumn(f"{c}{suffix}", F.col("_r").getField(c))
     return out.drop("_r")
 

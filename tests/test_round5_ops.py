@@ -1510,3 +1510,30 @@ def test_embedding_covariance_skips_null_vectors(spark):
     )
     out = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df).collect()}
     assert out[(0, 0)] == 1.0  # var of {1,3} (population)
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    from grape_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, None)], "lid long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, None, "x"), (200, 5, "y")], "event_id long, ts long, v string"
+    )
+    back = {r["lid"]: r["event_id_matched"]
+            for r in asof_join(left, right, on="ts", right_id="event_id").collect()}
+    assert back == {1: 200, 2: None}  # NULL right ts ignored; NULL left ts no match
+    fwd = {r["lid"]: r["event_id_matched"]
+           for r in asof_join(
+               left, right, on="ts", right_id="event_id", direction="forward"
+           ).collect()}
+    assert fwd == {1: None, 2: None}
+
+
+def test_interval_join_rejects_fractional_window(spark):
+    from grape_vector_db_spark.operators.asof import interval_join
+
+    df = spark.createDataFrame([(1,)], "ts long")
+    with pytest.raises(ValueError, match="integral"):
+        interval_join(df, df.withColumnRenamed("ts", "ts_r"), window=2.5, on="ts")
