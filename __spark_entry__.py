@@ -6441,6 +6441,9 @@ def _hll_vocab_sql(p: int = 8) -> str:
     m = 2**p
     lower = 32 - p
     alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    two32 = float(1 << 32)
+    two32_over_30 = two32 / 30.0
+    neg_two32 = -two32
     return f"""
         WITH {_SHINGLE_CTE},
         h AS (SELECT ({_h32_sql('shingle', 0)}) AS h FROM sh),
@@ -6467,12 +6470,18 @@ def _hll_vocab_sql(p: int = 8) -> str:
           FROM agg
         )
         SELECT {m}::INT AS m, n_used,
-               round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+               round(CASE WHEN n_used = 0 THEN 0.0
+                          WHEN raw <= {2.5 * m} AND zeros > 0
                           THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          WHEN raw > {two32_over_30!r}
+                          THEN {neg_two32!r} * ln(1.0 - raw / {two32!r})
                           ELSE raw END, 6) AS estimate,
                ex.exact,
-               round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+               round(CASE WHEN n_used = 0 THEN 0.0
+                          WHEN raw <= {2.5 * m} AND zeros > 0
                           THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          WHEN raw > {two32_over_30!r}
+                          THEN {neg_two32!r} * ln(1.0 - raw / {two32!r})
                           ELSE raw END / ex.exact - 1.0, 6) AS rel_err
         FROM est, ex
     """
@@ -9249,6 +9258,9 @@ def _lang_vocab_hll_sql(p: int = 10) -> str:
     m = 2**p
     lower = 32 - p
     alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    two32 = float(1 << 32)
+    two32_over_30 = two32 / 30.0
+    neg_two32 = -two32
     return f"""
         WITH {_SHINGLE_CTE},
         js AS (SELECT d.lang AS grp, sh.shingle
@@ -9277,8 +9289,11 @@ def _lang_vocab_hll_sql(p: int = 10) -> str:
           FROM agg
         )
         SELECT grp, {m}::INT AS m, n_used,
-               round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+               round(CASE WHEN n_used = 0 THEN 0.0
+                          WHEN raw <= {2.5 * m} AND zeros > 0
                           THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                          WHEN raw > {two32_over_30!r}
+                          THEN {neg_two32!r} * ln(1.0 - raw / {two32!r})
                           ELSE raw END, 6) AS estimate
         FROM est
     """

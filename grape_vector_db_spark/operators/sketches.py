@@ -48,6 +48,59 @@ def _rho(w: Column, bits: int) -> Column:
     )
 
 
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a key — ONE md5 digest, word p%4 seeded
+    p//4. The single derivation bloom_bits / bloom_probe / bloom_gate
+    all share: a drifted copy on any side would silently break the
+    no-false-negative contract."""
+    digest = F.md5(F.concat(F.lit("0:"), key))
+    return [
+        F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int") for p in range(k)
+    ]
+
+
+def _cms_cells(value_str: Column, depth: int, width: int) -> Column:
+    """The depth (row, cell) pairs of a value — shared by build and
+    probe so the seeds can never diverge."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), (h32(value_str, r) % width).alias("cell")
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def _hll_estimate_expr(m: int):
+    """The HLL estimate over (n_used, _s_used) agg columns: raw
+    alpha_m * m^2 / S with the small-range linear-counting branch, the
+    LARGE-range 32-bit-saturation correction (Flajolet 2007:
+    E > 2^32/30 -> -2^32 ln(1 - E/2^32) — without it the estimate caps
+    near 2^32), and 0.0 for an empty register table (sum over zero rows
+    is NULL). One definition for the global and grouped variants."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two32 = float(1 << 32)
+    s = F.coalesce(F.col("_s_used"), F.lit(0.0)) + (
+        F.lit(m) - F.col("n_used")
+    )
+    zeros = F.lit(m) - F.col("n_used")
+    raw = F.lit(alpha * m * m) / s
+    return (
+        F.when(F.col("n_used") == 0, F.lit(0.0))
+        .when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        )
+        .when(
+            raw > F.lit(two32 / 30.0),
+            F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
+
+
+
 def hll_registers(
     df: DataFrame, value_col: str, p: int = 8, seed: int = 0
 ) -> DataFrame:
@@ -66,8 +119,12 @@ def hll_registers(
     lower_bits = 32 - p
     reg = F.shiftright(h, lower_bits).cast("bigint")
     w = h % F.lit(2**lower_bits)
+    # a NULL value hashes to NULL and would add a phantom
+    # (register=NULL, max_rho=NULL) row that biases BOTH estimate
+    # branches and merges into standing tables forever
     return (
-        df.select(reg.alias("register"), _rho(w, lower_bits).alias("_r"))
+        df.where(F.col(value_col).isNotNull())
+        .select(reg.alias("register"), _rho(w, lower_bits).alias("_r"))
         .groupBy("register")
         .agg(F.max("_r").alias("max_rho"))
     )
@@ -82,19 +139,11 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     6-dp rounded; the raw indicator sum is fp-exact (module docstring),
     so the round is engine-stable."""
     m = 2**p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.agg(
         F.count("*").alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s_used"),
     )
-    # absent registers: (m - n_used) each contribute 2^0 = 1
-    s = F.col("_s_used") + (F.lit(m) - F.col("n_used"))
-    zeros = F.lit(m) - F.col("n_used")
-    raw = F.lit(alpha * m * m) / s
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
+    est = _hll_estimate_expr(m)
     return agg.select(
         F.lit(m).alias("m"),
         F.col("n_used").cast("bigint").alias("n_used"),
@@ -126,16 +175,12 @@ def cms_table(
     wcol = (
         F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), (h32(v, r) % width).alias("cell")
-            )
-            for r in range(depth)
-        ]
-    )
+    cells = _cms_cells(v, depth, width)
+    # NULL values hash to NULL cells: phantom rows that break the
+    # depth*width bound and pollute merged standing sketches
     return (
-        df.select(F.explode(cells).alias("_rc"), wcol.alias("_w"))
+        df.where(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("_rc"), wcol.alias("_w"))
         .groupBy(F.col("_rc.row").alias("row"), F.col("_rc.cell").alias("cell"))
         .agg(F.sum("_w").alias("cnt"))
     )
@@ -156,14 +201,7 @@ def cms_estimate(
     the same seeds and joins the sketch on (row, cell) — broadcast-
     sized by construction (depth*width cells)."""
     v = F.col(value_col).cast("string")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), (h32(v, r) % width).alias("cell")
-            )
-            for r in range(depth)
-        ]
-    )
+    cells = _cms_cells(v, depth, width)
     q = queries.select(
         F.col(value_col).alias("value"), F.explode(cells).alias("_rc")
     ).select("value", F.col("_rc.row").alias("row"), F.col("_rc.cell").alias("cell"))
@@ -196,6 +234,14 @@ def histogram_sketch(
     if bins < 2:
         raise ValueError("histogram_sketch: need bins >= 2")
     gcols = [group_col] if group_col else []
+    # one NaN would poison hi (Spark sorts NaN above every double),
+    # collapse every row into the last bin, and NaN all quantiles; a
+    # NULL group key would be aggregated by the stats pass but silently
+    # dropped by the null-rejecting equi-join one line later — exclude
+    # both up front so the two passes see the same population
+    df = df.where(~F.isnan(F.col(value_col).cast("double")))
+    for g in gcols:
+        df = df.where(F.col(g).isNotNull())
     stats = df.groupBy(*gcols).agg(
         F.min(F.col(value_col).cast("double")).alias("lo"),
         F.max(F.col(value_col).cast("double")).alias("hi"),
@@ -259,6 +305,12 @@ def histogram_quantiles(
         [(float(q),) for q in quantiles], "q double"
     )
     w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(
+                f"quantiles must be in (0, 1], got {q} — q=0 has no row"
+                " under the strict cumulative bound (use the sketch's lo)"
+            )
     target = F.col("q") * F.col("n")
     inside = (
         F.col("lo")
@@ -305,17 +357,13 @@ def bloom_bits(
     """
     if not 1 <= k <= 4:
         raise ValueError(f"k must be in [1, 4] (one md5 digest), got {k}")
-    digest = F.md5(F.concat(F.lit("0:"), key))
+    # NULL keys have no positions; without the filter a (bit=NULL) row
+    # lands in the table, breaks the m_bits row bound, and crashes
+    # bloom_gate's position collection
     return (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int")
-                        for p in range(k)
-                    ]
-                )
-            ).alias("bit")
+        df.where(key.isNotNull())
+        .select(
+            F.explode(F.array(*_bloom_positions(key, m_bits, k))).alias("bit")
         )
         .distinct()
     )
@@ -330,31 +378,36 @@ def bloom_probe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Probe a :func:`bloom_bits` filter: ``(id, n_hits, member)`` where
-    ``member`` is true iff ALL ``k`` positions are set (the usual Bloom
-    semantics: no false negatives, false-positive rate
-    ~(1 - e^(-k*n/m))^k). The probe explodes k rows per key and
-    broadcast-joins the <= m_bits-row bit table — a narrow corpus pass.
+    ``member`` is true iff ALL ``k`` positions of SOME row's key are
+    set (the usual Bloom semantics: no false negatives, false-positive
+    rate ~(1 - e^(-k*n/m))^k). Membership is decided PER ROW then
+    max-rolled per id: an id occurring on several rows must not sum its
+    duplicate hits into a false negative (2k != k). NULL keys are never
+    members. The probe explodes k rows per key and broadcast-joins the
+    <= m_bits-row bit table — a narrow corpus pass.
     """
     if not 1 <= k <= 4:
         raise ValueError(f"k must be in [1, 4] (one md5 digest), got {k}")
-    digest = F.md5(F.concat(F.lit("0:"), key))
     probes = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int")
-                    for p in range(k)
-                ]
-            )
-        ).alias("bit"),
+        F.monotonically_increasing_id().alias("_row"),
+        key.alias("_key"),
+    ).select(
+        "id",
+        "_row",
+        F.explode(F.array(*_bloom_positions(F.col("_key"), m_bits, k))).alias(
+            "bit"
+        ),
     )
     hit = probes.join(
         F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
     )
-    return hit.groupBy("id").agg(
-        F.sum(F.coalesce(F.col("_set"), F.lit(0))).cast("int").alias("n_hits"),
-        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias("member"),
+    per_row = hit.groupBy("id", "_row").agg(
+        F.sum(F.coalesce(F.col("_set"), F.lit(0))).cast("int").alias("_nh")
+    )
+    return per_row.groupBy("id").agg(
+        F.max("_nh").alias("n_hits"),
+        F.max(F.col("_nh") == k).alias("member"),
     )
 
 
@@ -378,7 +431,8 @@ def hll_registers_grouped(
     reg = F.shiftright(h, lower_bits).cast("bigint")
     w = h % F.lit(2**lower_bits)
     return (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col).alias("grp"),
             reg.alias("register"),
             _rho(w, lower_bits).alias("_r"),
@@ -393,18 +447,11 @@ def hll_estimate_grouped(registers: DataFrame, p: int = 8) -> DataFrame:
     ``(grp, m, n_used, estimate)`` — same formula and small-range
     correction as :func:`hll_estimate`, one tiny keyed aggregate."""
     m = 2**p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.groupBy("grp").agg(
         F.count("*").alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s_used"),
     )
-    s = F.col("_s_used") + (F.lit(m) - F.col("n_used"))
-    zeros = F.lit(m) - F.col("n_used")
-    raw = F.lit(alpha * m * m) / s
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
+    est = _hll_estimate_expr(m)
     return agg.select(
         "grp",
         F.lit(m).alias("m"),
@@ -445,10 +492,8 @@ def bloom_gate(
     # two's-complement fold: BIGINT literals are signed
     lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     bitmap = F.array(*[F.lit(w).cast("long") for w in lits])
-    digest = F.md5(F.concat(F.lit("0:"), key))
     cond = None
-    for p in range(k):
-        pos = F.pmod(h32_word(digest, p), F.lit(m_bits)).cast("int")
+    for pos in _bloom_positions(key, m_bits, k):
         word = F.element_at(bitmap, (pos / 64).cast("int") + 1)
         # call_function: the SQL shiftright takes a COLUMN shift amount,
         # unlike the python F.shiftright wrapper (literal ints only)

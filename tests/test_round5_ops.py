@@ -1537,3 +1537,67 @@ def test_interval_join_rejects_fractional_window(spark):
     df = spark.createDataFrame([(1,)], "ts long")
     with pytest.raises(ValueError, match="integral"):
         interval_join(df, df.withColumnRenamed("ts", "ts_r"), window=2.5, on="ts")
+
+
+# --- sketch hardening ----------------------------------------------------------
+
+
+def test_bloom_null_keys_are_ignored_and_gate_survives(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, text string"
+    )
+    bits = sketches.bloom_bits(df, F.col("text"), m_bits=64, k=2)
+    rows = bits.collect()
+    assert all(r["bit"] is not None for r in rows)
+    gate = sketches.bloom_gate(F.col("text"), bits, 64, 2)
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", gate.alias("g")).collect()}
+    assert got[1] is True and got[3] is True
+
+
+def test_bloom_probe_duplicate_ids_no_false_negative(spark):
+    member = spark.createDataFrame([(0, "key")], "doc_id long, text string")
+    bits = sketches.bloom_bits(member, F.col("text"), m_bits=256, k=3)
+    dup = spark.createDataFrame(
+        [(7, "key"), (7, "key"), (8, "other")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["member"]
+        for r in sketches.bloom_probe(dup, F.col("text"), bits, 256, 3).collect()
+    }
+    assert got[7] is True  # duplicate rows must not sum into 2k != k
+    assert got[8] is False
+
+
+def test_hll_ignores_nulls_and_empty_is_zero(spark):
+    from grape_vector_db_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), ("a",)], "v string"
+    )
+    regs = hll_registers(df, "v", p=8)
+    assert all(r["register"] is not None for r in regs.collect())
+    est = hll_estimate(regs, p=8).first()["estimate"]
+    assert 1.5 < est < 2.5
+    empty = hll_estimate(
+        hll_registers(spark.createDataFrame([], "v string"), "v", p=8), p=8
+    ).first()
+    assert empty["estimate"] == 0.0
+
+
+def test_histogram_nan_and_null_group_excluded(spark):
+    from grape_vector_db_spark.operators.sketches import (
+        histogram_quantiles, histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", float("nan")), ("g", 3.0), (None, 9.0)],
+        "grp string, v double",
+    )
+    sk = histogram_sketch(df, "v", bins=4, group_col="grp")
+    rows = sk.collect()
+    assert all(r["grp"] == "g" for r in rows)
+    assert sum(r["cnt"] for r in rows) == 2  # NaN and null-group rows excluded
+    q = histogram_quantiles(sk, quantiles=(0.5,), group_col="grp").collect()
+    assert not any(map(lambda r: r["est"] != r["est"], q))  # no NaN estimates
+    with pytest.raises(ValueError, match="quantiles"):
+        histogram_quantiles(sk, quantiles=(0.0,), group_col="grp")
