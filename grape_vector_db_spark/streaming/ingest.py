@@ -101,22 +101,33 @@ def stream_upsert_with_index(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
-        # 1) documents table
-        _merge_publish(spark, table_path, batch, id_col)
-        # 2) incremental doc_terms: drop the batch ids' rows, append fresh.
-        # Same existence-probe rule as _merge_publish: only a genuinely
-        # absent index table may fall back to batch-only content; FS
-        # errors propagate and the micro-batch retries.
-        fresh = build_doc_terms(batch, id_col=id_col, text_col=text_col)
-        if table_exists(spark, terms_path):
-            terms = read_table(spark, terms_path)
+        try:
+            # 1) documents table
+            _merge_publish(spark, table_path, batch, id_col)
+            # 2) incremental doc_terms: drop the batch ids' rows, append
+            # fresh rows built from the MERGED table, not the raw batch —
+            # the raw batch may carry duplicate ids (whose extra texts
+            # merge_upsert collapses) or null-text metadata updates
+            # (whose stored text merge_upsert preserves); indexing the
+            # batch text would desynchronize the index from the corpus.
+            # Same existence-probe rule as _merge_publish: only a
+            # genuinely absent index table may fall back; FS errors
+            # propagate and the micro-batch retries.
             ids = batch.select(F.col(id_col).alias("doc_id")).distinct()
-            kept = terms.join(F.broadcast(ids), "doc_id", "left_anti")
-            updated = kept.unionByName(fresh)
-        else:  # first batch — no index table yet
-            updated = fresh
-        publish_table(spark, terms_path, updated)
-        batch.unpersist()
+            tbl = read_table(spark, table_path)
+            merged_rows = tbl.join(
+                F.broadcast(ids), tbl[id_col] == ids["doc_id"], "left_semi"
+            )
+            fresh = build_doc_terms(merged_rows, id_col=id_col, text_col=text_col)
+            if table_exists(spark, terms_path):
+                terms = read_table(spark, terms_path)
+                kept = terms.join(F.broadcast(ids), "doc_id", "left_anti")
+                updated = kept.unionByName(fresh)
+            else:  # first batch — no index table yet
+                updated = fresh
+            publish_table(spark, terms_path, updated)
+        finally:
+            batch.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:
@@ -200,7 +211,7 @@ def stream_dedup_to_parquet(
     side is small by construction; the corpus side streams through the
     equi-join shuffle.
     """
-    from ..operators.dedup import contamination_pairs
+    from ..operators.dedup import contamination_pairs, ngram_jaccard_pairs
 
     spark = stream_df.sparkSession
 
@@ -217,16 +228,36 @@ def stream_dedup_to_parquet(
             .persist()
         )
         try:
+            # batch-INTERNAL near-dup gate first: two near-copies cut
+            # into the same micro-batch must not both pass just because
+            # neither is stored yet (the larger id of each pair drops)
+            internal = (
+                ngram_jaccard_pairs(
+                    uniq, n=n, threshold=threshold,
+                    id_col=id_col, text_col=text_col,
+                )
+                .select(F.col("b").alias(id_col))
+                .distinct()
+            )
+            gated = uniq.join(F.broadcast(internal), id_col, "left_anti")
             if table_exists(spark, table_path):
                 corpus = read_table(spark, table_path)
-                dupes = contamination_pairs(
-                    corpus, uniq, n=n, threshold=threshold,
-                    id_col=id_col, text_col=text_col,
-                ).select(F.col("eval_id").alias(id_col)).distinct()
-                fresh = uniq.join(F.broadcast(dupes), id_col, "left_anti")
+                dupes = (
+                    contamination_pairs(
+                        corpus, gated, n=n, threshold=threshold,
+                        id_col=id_col, text_col=text_col,
+                    )
+                    # a doc's own stored version is an UPDATE, not a
+                    # duplicate — without this a small edit to X is
+                    # rejected as a near-dup of itself
+                    .where(F.col("eval_id") != F.col("train_id"))
+                    .select(F.col("eval_id").alias(id_col))
+                    .distinct()
+                )
+                fresh = gated.join(F.broadcast(dupes), id_col, "left_anti")
                 merged = merge_upsert(corpus, fresh, id_col=id_col)
-            else:  # first batch — only the internal exact dedup applies
-                merged = uniq
+            else:  # first batch — internal gates only
+                merged = gated
             publish_table(spark, table_path, merged)
         finally:
             uniq.unpersist()
@@ -291,14 +322,17 @@ def admit_merge_batch(
     from pyspark.sql import Window
 
     from ..operators.dedup import (
-        incremental_admission,
+        incremental_neardup_pairs,
         minhash_lsh_pairs,
         minhash_signatures,
         shingles,
     )
 
+    # asc_nulls_last: a null-text metadata-update row must NOT beat a
+    # real-text row for the same id (NULLS FIRST would sort md5(NULL)
+    # to the front)
     one_per_id = Window.partitionBy(id_col).orderBy(
-        F.md5(F.col(text_col)).asc()
+        F.md5(F.col(text_col)).asc_nulls_last()
     )
     one_per_text = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
         F.col(id_col).asc()
@@ -314,11 +348,30 @@ def admit_merge_batch(
     to_write = None
     try:
         if table_exists(spark, table_path):
-            stored_ids = read_table(spark, table_path).select(id_col)
-            updates = uniq.join(stored_ids, id_col, "left_semi")
+            stored = read_table(spark, table_path)
+            stored_ids = stored.select(id_col)
+            upd = uniq.join(stored_ids, id_col, "left_semi")
+            # split updates by whether the TEXT actually changed: an
+            # identical replay (crash redelivery) or a null-text
+            # metadata update bypasses admission; a changed-text update
+            # must be re-gated or it could turn into a near-copy of
+            # another stored doc unchecked
+            old_md5 = stored.select(
+                F.col(id_col), F.md5(F.col(text_col)).alias("_old_md5")
+            )
+            upd_tag = upd.join(old_md5, id_col)
+            changed = upd_tag.where(
+                F.col(text_col).isNotNull()
+                & (F.md5(F.col(text_col)) != F.col("_old_md5"))
+            ).drop("_old_md5")
+            replay = upd_tag.where(
+                F.col(text_col).isNull()
+                | (F.md5(F.col(text_col)) == F.col("_old_md5"))
+            ).drop("_old_md5")
             newcomers = uniq.join(stored_ids, id_col, "left_anti")
         else:
-            updates = uniq.limit(0)
+            changed = uniq.limit(0)
+            replay = uniq.limit(0)
             newcomers = uniq
         internal = minhash_lsh_pairs(
             newcomers, num_hashes=num_hashes, bands=bands, n=n,
@@ -329,32 +382,55 @@ def admit_merge_batch(
             spark, sigs_path
         )
         if index_ready:
-            verdict = incremental_admission(
-                newcomers,
-                num_hashes=num_hashes,
-                bands=bands,
-                n=n,
-                threshold=threshold,
-                id_col=id_col,
-                text_col=text_col,
-                corpus_shingles_df=read_table(spark, shingles_path),
-                corpus_signatures_df=read_table(spark, sigs_path),
+            corpus_sh = read_table(spark, shingles_path)
+            corpus_sig = read_table(spark, sigs_path)
+
+            def _rejected(cand: DataFrame) -> DataFrame:
+                pairs = incremental_neardup_pairs(
+                    cand,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    n=n,
+                    threshold=threshold,
+                    id_col=id_col,
+                    text_col=text_col,
+                    corpus_shingles_df=corpus_sh,
+                    corpus_signatures_df=corpus_sig,
+                )
+                # a doc's own indexed rows are not a duplicate of its
+                # changed text — exclude the self pair
+                return (
+                    pairs.where(F.col("batch_id") != F.col("corpus_id"))
+                    .select(F.col("batch_id").alias(id_col))
+                    .distinct()
+                )
+
+            admitted = newcomers.join(
+                F.broadcast(_rejected(newcomers)), id_col, "left_anti"
             )
-            keep_ids = verdict.where("admit").select(
-                F.col("doc_id").alias(id_col)
+            changed_ok = changed.join(
+                F.broadcast(_rejected(changed)), id_col, "left_anti"
             )
-            admitted = newcomers.join(F.broadcast(keep_ids), id_col)
         else:  # no (complete) index yet — everything enters
             admitted = newcomers
-        to_write = updates.unionByName(admitted).persist()
+            changed_ok = changed
+        to_write = replay.unionByName(changed_ok).unionByName(admitted).persist()
         if to_write.isEmpty():
             return
-        fresh_sh = shingles(to_write, n, id_col, text_col)
-        fresh_sig = minhash_signatures(
-            to_write, num_hashes, n, id_col, text_col, shingles_df=fresh_sh
-        )
         upsert_table(spark, table_path, to_write, id_col=id_col)
+        # index rows come from the MERGED table, not the batch: a
+        # null-text metadata update keeps its stored text in the corpus
+        # and must keep its index rows too (batch-text indexing would
+        # vanish it from the near-dup index)
         ids = to_write.select(F.col(id_col).alias("doc_id"))
+        tbl = read_table(spark, table_path)
+        merged_rows = tbl.join(
+            F.broadcast(ids), tbl[id_col] == ids["doc_id"], "left_semi"
+        )
+        fresh_sh = shingles(merged_rows, n, id_col, text_col)
+        fresh_sig = minhash_signatures(
+            merged_rows, num_hashes, n, id_col, text_col, shingles_df=fresh_sh
+        )
         for path, fresh in ((shingles_path, fresh_sh), (sigs_path, fresh_sig)):
             if table_exists(spark, path):
                 kept = read_table(spark, path).join(
@@ -459,22 +535,26 @@ def anomaly_alert_stream(
     for the two non-finite cases below); attach a sink (foreachBatch,
     kafka, memory) downstream.
 
-    Edge semantics — both err toward ALERTING, never silent drops:
+    Edge semantics — ALL err toward ALERTING, never silent drops:
     - event types with no stats row (never seen in the batch history)
       are alerts by definition;
     - sigma = 0 types (constant history) alert on ANY deviation from
-      mu — the z-score is infinite, not computable.
+      mu — the z-score is infinite, not computable;
+    - a NULL value or a corrupt (negative) sigma makes z NULL: such
+      rows alert too — a NULL disjunction would otherwise filter them
+      out silently, the exact failure this stream must not have.
     """
     joined = stream_df.join(F.broadcast(stats), type_col, "left")
     z = F.when(
         F.col("sigma") > 0,
         F.round((F.col(value_col) - F.col("mu")) / F.col("sigma"), 6),
     )
-    alert = (
+    alert = F.coalesce(
         F.col("sigma").isNull()
         | ((F.col("sigma") == 0) & (F.col(value_col) != F.col("mu")))
-        | (F.abs(z) > n_sigma)
-    )
+        | (F.abs(z) > n_sigma),
+        F.lit(True),
+    ) | F.col(value_col).isNull() | (F.col("sigma") < 0)
     return joined.withColumn("z", z).where(alert)
 
 
@@ -506,7 +586,10 @@ def stream_hll_to_parquet(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         sk = hll_registers(batch, value_col, p=p)
-        if table_versions(spark, table_path):
+        # table_exists, not table_versions: a legacy FLAT standing table
+        # must be merged, not silently replaced (the first versioned
+        # publish deletes root data files as migration)
+        if table_exists(spark, table_path):
             sk = (
                 read_table(spark, table_path)
                 .union(sk)
@@ -556,7 +639,7 @@ def stream_bloom_to_parquet(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         bits = bloom_bits(batch, F.col(key_col), m_bits=m_bits, k=k)
-        if table_versions(spark, table_path):
+        if table_exists(spark, table_path):
             bits = read_table(spark, table_path).union(bits).distinct()
         publish_table(spark, table_path, bits)
 
@@ -611,14 +694,20 @@ def stream_cms_to_parquet(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         sk = cms_table(batch, value_col, depth=depth, width=width)
-        if table_versions(spark, table_path):
+        if table_exists(spark, table_path):
             prev = read_table(spark, table_path)
-            last = prev.select(F.max("last_batch").alias("m")).first()["m"]
-            if last is not None and batch_id <= last:
-                return  # replay of an already-merged batch
+            # the replay guard only means something under a checkpoint:
+            # batch ids are PER-CHECKPOINT and restart at 0 on a fresh
+            # run, so without one the guard would silently skip every
+            # batch of every later run (and a legacy table has no
+            # last_batch column at all)
+            if checkpoint and "last_batch" in prev.columns:
+                last = prev.select(F.max("last_batch").alias("m")).first()["m"]
+                if last is not None and batch_id <= last:
+                    return  # replay of an already-merged batch
+            prev_cells = prev.select("row", "cell", "cnt")
             sk = (
-                prev.select("row", "cell", "cnt")
-                .union(sk)
+                prev_cells.union(sk)
                 .groupBy("row", "cell")
                 .agg(F.sum("cnt").alias("cnt"))
             )
