@@ -7120,15 +7120,15 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
             )
             SELECT c_custkey, lat, lon,
-                   round(2 * 6371.0 * asin(sqrt(
+                   round(2 * 6371.0 * asin(sqrt(LEAST(1.0,
                      sin(radians(0.0 - lat) / 2) ^ 2 +
                      cos(radians(lat)) * cos(radians(0.0)) *
-                     sin(radians(0.0 - lon) / 2) ^ 2)), 6) AS dist_km
+                     sin(radians(0.0 - lon) / 2) ^ 2))), 6) AS dist_km
             FROM g
-            WHERE round(2 * 6371.0 * asin(sqrt(
+            WHERE round(2 * 6371.0 * asin(sqrt(LEAST(1.0,
                      sin(radians(0.0 - lat) / 2) ^ 2 +
                      cos(radians(lat)) * cos(radians(0.0)) *
-                     sin(radians(0.0 - lon) / 2) ^ 2)), 6) <= 5000.0
+                     sin(radians(0.0 - lon) / 2) ^ 2))), 6) <= 5000.0
         """,
         "geo_pairs": """
             WITH g AS (
@@ -7139,15 +7139,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             band AS (SELECT * FROM g WHERE abs(lat) <= 66.0)
             SELECT x.c_custkey AS a, y.c_custkey AS b,
-                   round(2 * 6371.0 * asin(sqrt(
+                   round(2 * 6371.0 * asin(sqrt(LEAST(1.0,
                      sin(radians(y.lat - x.lat) / 2) ^ 2 +
                      cos(radians(x.lat)) * cos(radians(y.lat)) *
-                     sin(radians(y.lon - x.lon) / 2) ^ 2)), 6) AS dist_km
+                     sin(radians(y.lon - x.lon) / 2) ^ 2))), 6) AS dist_km
             FROM band x JOIN band y ON x.c_custkey < y.c_custkey
-            WHERE round(2 * 6371.0 * asin(sqrt(
+            WHERE round(2 * 6371.0 * asin(sqrt(LEAST(1.0,
                      sin(radians(y.lat - x.lat) / 2) ^ 2 +
                      cos(radians(x.lat)) * cos(radians(y.lat)) *
-                     sin(radians(y.lon - x.lon) / 2) ^ 2)), 6) <= 150.0
+                     sin(radians(y.lon - x.lon) / 2) ^ 2))), 6) <= 150.0
         """,
         "geo_near": f"""
             WITH g AS (
@@ -7157,10 +7157,10 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
             )
             SELECT c_custkey, lat, lon,
-                   round(2 * 6371.0 * asin(sqrt(
+                   round(2 * 6371.0 * asin(sqrt(LEAST(1.0,
                      sin(radians(48.85 - lat) / 2) ^ 2 +
                      cos(radians(lat)) * cos(radians(48.85)) *
-                     sin(radians(2.35 - lon) / 2) ^ 2)), 6) AS dist_km
+                     sin(radians(2.35 - lon) / 2) ^ 2))), 6) AS dist_km
             FROM g
             ORDER BY dist_km ASC, c_custkey LIMIT 5
         """,

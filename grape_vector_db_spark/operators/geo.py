@@ -34,21 +34,34 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         * F.sin(dlon / 2)
         * F.sin(dlon / 2)
     )
-    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+    # clamp: fp noise can push a to 1 + 2^-52 for near-antipodal points,
+    # where sqrt(a) > 1 makes asin NaN
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def _bbox_filter(lat_col: str, lon_col: str, lat: float, lon: float, radius_km: float) -> Column:
-    """Cheap pushdown-able prefilter: a degree box that strictly contains
-    the circle (conservative at the poles where cos(lat) -> 0)."""
+    """Cheap pushdown-able prefilter: a degree box that STRICTLY contains
+    the circle. Three exactness rules a naive box gets wrong:
+
+    - the lon half-width is the great-circle extent
+      asin(sin(r/R) / cos(edge_lat)) evaluated at the circle's POLEWARD
+      edge — cos at the center under-covers by up to a few tenths of a
+      degree at mid latitudes (silently dropping in-radius rows);
+    - a circle containing a pole (|lat| + dlat >= 90) spans every
+      longitude — no lon predicate at all;
+    - the lon range WRAPS at the antimeridian via the normalized
+      difference ((lon - center + 540) % 360) - 180.
+    """
     dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
-    coslat = max(math.cos(math.radians(lat)), 1e-9)
-    dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * coslat))
-    return (
-        (F.col(lat_col) >= lat - dlat)
-        & (F.col(lat_col) <= lat + dlat)
-        & (F.col(lon_col) >= lon - dlon)
-        & (F.col(lon_col) <= lon + dlon)
-    )
+    lat_pred = (F.col(lat_col) >= lat - dlat) & (F.col(lat_col) <= lat + dlat)
+    edge = min(abs(lat) + dlat, 90.0)
+    sin_ratio = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi))
+    cos_edge = math.cos(math.radians(edge))
+    if edge >= 90.0 or sin_ratio >= cos_edge:
+        return lat_pred  # pole inside (or lon extent >= 180): all lons
+    dlon = math.degrees(math.asin(sin_ratio / cos_edge))
+    lon_diff = F.pmod(F.col(lon_col) - F.lit(lon) + 540.0, F.lit(360.0)) - 180.0
+    return lat_pred & (F.abs(lon_diff) <= dlon)
 
 
 def within_distance(
@@ -92,10 +105,21 @@ def distance_pairs(
     """
     if radius_km <= 0:
         raise ValueError("radius_km must be positive")
-    # conservative degree sizes: >= radius everywhere in the lat band
-    dlat = radius_km / 110.5
-    dlon = radius_km / (110.5 * math.cos(math.radians(max_abs_lat)))
-    n_lon = max(int(math.ceil(360.0 / dlon)), 1)
+    # exact conservative degree sizes, >= radius everywhere in the band:
+    # the lon extent is the great-circle bound asin(sin(r/R)/cos(band))
+    # (a linear r/cos approximation under-covers for large radii), and
+    # the grid uses UNIFORM cell widths 360/n_lon — ceil(360/dlon) would
+    # leave a ragged seam cell narrower than the radius at the
+    # antimeridian, where the +-1 neighbor guarantee then fails
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    sin_ratio = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi))
+    cos_band = math.cos(math.radians(max_abs_lat))
+    if sin_ratio >= cos_band:
+        n_lon = 1  # radius spans every longitude at the band edge
+    else:
+        dlon = math.degrees(math.asin(sin_ratio / cos_band))
+        n_lon = max(int(math.floor(360.0 / dlon)), 1)
+    dlon = 360.0 / n_lon
 
     base = df.where(F.abs(F.col(lat_col)) <= max_abs_lat).select(
         F.col(id_col).alias("id"),
@@ -116,15 +140,20 @@ def distance_pairs(
         "_clat",
         "_clon",
     )
+    # dedupe the wrapped lon offsets in PYTHON (n_lon < 3 would emit the
+    # same cell twice) so each (a, b) pair joins in exactly one cell and
+    # the output needs NO dropDuplicates — that was a full extra shuffle
+    # of the result for nothing at any realistic n_lon
+    lon_offsets = sorted({j % n_lon for j in (-1, 0, 1)})
     neighbors = F.explode(
         F.array(
             *[
                 F.struct(
                     (F.col("_clat") + i).alias("_clat"),
-                    ((F.col("_clon") + j + n_lon) % n_lon).alias("_clon"),
+                    ((F.col("_clon") + j) % n_lon).alias("_clon"),
                 )
                 for i in (-1, 0, 1)
-                for j in (-1, 0, 1)
+                for j in lon_offsets
             ]
         )
     )
@@ -147,7 +176,6 @@ def distance_pairs(
         .withColumn("dist_km", F.round(dist, 6))
         .where(F.col("dist_km") <= radius_km)
         .select("a", "b", "dist_km")
-        .dropDuplicates(["a", "b"])
     )
 
 

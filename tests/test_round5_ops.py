@@ -1601,3 +1601,44 @@ def test_histogram_nan_and_null_group_excluded(spark):
     assert not any(map(lambda r: r["est"] != r["est"], q))  # no NaN estimates
     with pytest.raises(ValueError, match="quantiles"):
         histogram_quantiles(sk, quantiles=(0.0,), group_col="grp")
+
+
+# --- geo hardening --------------------------------------------------------------
+
+
+def test_within_distance_dateline_and_latitude_exactness(spark):
+    from grape_vector_db_spark.operators import geo
+
+    rows = [(1, 0.0, -179.95), (2, 60.31, 9.01), (3, 85.0, 180.0)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    # circle across the dateline
+    got = {r["id"] for r in geo.within_distance(df, 0.0, 179.95, 100.0).collect()}
+    assert 1 in got
+    # in-radius point beyond the center-latitude cos approximation
+    got2 = {r["id"] for r in geo.within_distance(df, 60.0, 0.0, 500.0).collect()}
+    assert 2 in got2
+    # pole-containing circle spans all longitudes
+    got3 = {r["id"] for r in geo.within_distance(df, 80.0, 0.0, 2000.0).collect()}
+    assert 3 in got3
+
+
+def test_distance_pairs_antimeridian_seam(spark):
+    from grape_vector_db_spark.operators import geo
+
+    rows = [(1, 66.0, 178.1), (2, 66.0, -179.8), (3, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    pairs = {(r["a"], r["b"]) for r in geo.distance_pairs(df, 100.0).collect()}
+    assert (1, 2) in pairs  # ~95 km apart across the seam
+
+
+def test_haversine_antipodal_not_nan(spark):
+    import math
+
+    from grape_vector_db_spark.operators.geo import haversine_km
+
+    df = spark.createDataFrame([(10.0, 0.0, -10.0, 180.0)],
+                               "a double, b double, c double, d double")
+    v = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("d")
+    ).first()["d"]
+    assert not math.isnan(v) and v > 19000
