@@ -591,7 +591,56 @@ def incremental_admission(
     )
 
 
-def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _cluster_pairs_driver(spark, edges: DataFrame) -> DataFrame:
+    """Exact connected components of a SMALL edge table, vectorized on
+    the driver: compact ids to dense indices (sorted, so the min index
+    IS the min id), one numpy min-propagation sweep per round
+    (``np.minimum.at`` over both edge directions) followed by pointer
+    jumping to fixpoint (``lab = lab[lab]``). Labels are monotone
+    non-increasing over a finite lattice and each outer round reaches
+    strictly further, so this terminates in ≤ ~log2(diameter) outer
+    rounds, each O(edges) vectorized — microseconds at the threshold
+    size. Only called by :func:`cluster_pairs` under its documented
+    ``small_graph_threshold`` bound."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "doc_id long, cluster_id long"
+    pdf = edges.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    ab = pdf[["a", "b"]].to_numpy(dtype=np.int64)
+    ids = np.unique(ab)  # sorted ascending: index order == id order
+    ia = np.searchsorted(ids, ab[:, 0])
+    ib = np.searchsorted(ids, ab[:, 1])
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab
+        nxt = lab.copy()
+        # min over neighbors' labels, both directions (edges are already
+        # symmetrized by the caller, but minimum.at is direction-agnostic
+        # anyway and costs one fused pass per side)
+        np.minimum.at(nxt, ia, lab[ib])
+        np.minimum.at(nxt, ib, lab[ia])
+        # pointer-jump to fixpoint: label <- label(label)
+        while True:
+            hop = nxt[nxt]
+            if np.array_equal(hop, nxt):
+                break
+            nxt = hop
+        lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[lab]})
+    return spark.createDataFrame(out, schema)
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    check_every: int = 3,
+    small_graph_threshold: int = 2_000_000,
+) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = the MIN doc id in the component. Pairs say "these
     two are dups"; production dedup needs the transitive closure — keep
@@ -599,18 +648,48 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     A~C was never emitted).
 
     Min-label propagation: every node starts labeled with itself; each
-    round takes min(own label, neighbors' labels); converges in
-    O(component diameter) rounds — near-dup graphs are clique-ish, so
-    2-4 rounds in practice. Each round is one shuffle (join + groupBy
-    min) over the EDGE table only (pairs, not corpus). The driver loop
-    early-stops when no label changes. Every round ``localCheckpoint``s
-    the label table — iterative plans MUST truncate lineage or the
-    accumulated join tree OOMs the planner itself (measured: a 10-hop
-    chain blew the heap without it); at cluster scale use reliable
-    ``checkpoint()`` so labels survive executor loss. This is the
-    standard large-star/small-star simplification for small-diameter
-    graphs.
+    round takes min(own label, neighbors' labels) followed by one
+    pointer-jump (label <- min(label, label(label))); converges in
+    O(log diameter) rounds. Each round is shuffle work over the EDGE
+    table only (pairs, not corpus).
+
+    Driver-barrier batching: rounds are composed LAZILY in batches of
+    ``check_every`` and materialized with ONE ``localCheckpoint`` plus
+    ONE narrow convergence scan per batch — per-round checkpoints and
+    per-round ``count()`` barriers made the driver's job-launch latency
+    the critical path on filament-shaped kNN graphs (measured 8.5 s for
+    knn_communities at sf0.1; each barrier becomes a full job launch at
+    cluster scale). Labels are monotone non-increasing, so "the FINAL
+    round of the batch changed nothing" is exactly the fixpoint test:
+    once one full round produces zero changes every later round does
+    too. The batch is clamped so a check lands at executed round
+    ``max_iter + 1``; a still-changing final round there reproduces the
+    unbatched failure condition bit-for-bit (monotonicity again: a
+    change in round R > max_iter+1 implies a change in round
+    max_iter+1). Lineage is truncated at every batch boundary —
+    iterative plans MUST checkpoint or the accumulated join tree OOMs
+    the planner itself (measured: a 10-hop chain blew the heap without
+    it); at cluster scale use reliable ``checkpoint()`` so labels
+    survive executor loss.
+
+    Small-graph fast path: the edge table is persisted and counted
+    anyway (the count materializes the cache the loop needs); when it
+    holds at most ``small_graph_threshold`` directed edges (default 2M
+    ≈ 32 MB of id pairs over Arrow — the same "small enough to move to
+    one node" judgment as ``spark.sql.autoBroadcastJoinThreshold``) the
+    components are solved in one vectorized numpy pass on the driver
+    instead of launching O(log diameter) shuffle jobs. Near-dup pair
+    tables are SPARSE by construction (banded/capped upstream), so even
+    large corpora often land under the threshold; a 100 TB corpus whose
+    pair table exceeds it takes the distributed loop below, whose
+    per-round work is edge-table-sized. The collect is bounded by the
+    threshold CONSTANT, not the corpus — the same bounded-artifact
+    contract as collecting k-means centroids (``ann.py``). ``max_iter``
+    governs only the distributed loop; the numpy path is exact
+    (pointer-jumping to fixpoint, ≤ log2(n) vectorized rounds).
     """
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
     _require_integer_ids(pairs, ("a", "b"), "cluster_pairs")
     # both edge directions from ONE pass over pairs — a unionAll of two
     # selects evaluates the (possibly expensive) upstream pair pipeline
@@ -629,65 +708,86 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # materializes the cache the loop reuses
+    if n_edges <= small_graph_threshold:
+        out = _cluster_pairs_driver(pairs.sparkSession, edges)
+        edges.unpersist()
+        return out
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn(
             "label", F.col("id")
         )
     ).localCheckpoint()
-    rounds = 0
-    while True:
+    def one_round(cur: DataFrame, carry_old: bool) -> DataFrame:
+        """One min-propagation + pointer-jump round, composed lazily.
+
+        Pointer jumping: label <- min(label, label(label)). Every label
+        value IS some node's id, so one self-join composes the labeling
+        with itself — convergence drops from O(diameter) rounds to
+        O(log diameter) on chain-shaped components (kNN graphs are
+        chains/filaments, unlike the clique-ish near-dup graphs). The
+        label table is nodes-of-edges sized, so the extra join is far
+        cheaper than the rounds it removes. ``carry_old`` threads the
+        input label through as ``old`` so the batch's single
+        convergence scan needs no extra join.
+        """
         neighbor_min = (
-            edges.join(labels, edges["b"] == labels["id"])
+            edges.join(cur, edges["b"] == cur["id"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["a"], "left"
-        ).select(
-            "id",
-            F.col("label").alias("old"),
+        step_cols = [
+            F.col("id"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("mid"),
-        )
-        # Pointer jumping: label <- min(label, label(label)). Every label
-        # value IS some node's id, so one self-join composes the labeling
-        # with itself — convergence drops from O(diameter) rounds to
-        # O(log diameter) on chain-shaped components (kNN graphs are
-        # chains/filaments, unlike the clique-ish near-dup graphs). The
-        # label table is nodes-of-edges sized, so the extra join is far
-        # cheaper than the rounds it removes.
+        ]
+        if carry_old:
+            step_cols.insert(1, F.col("label").alias("old"))
+        stepped = cur.join(
+            neighbor_min, cur["id"] == neighbor_min["a"], "left"
+        ).select(*step_cols)
         hop = stepped.select(
             F.col("id").alias("pid"), F.col("mid").alias("plabel")
         )
-        new_labels = (
-            stepped.join(hop, stepped["mid"] == hop["pid"], "left")
-            .select(
-                "id",
-                "old",
-                F.least(
-                    F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
-                ).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage — see docstring
+        out_cols = [
+            F.col("id"),
+            F.least(
+                F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
+            ).alias("label"),
+        ]
+        if carry_old:
+            out_cols.insert(1, F.col("old"))
+        return stepped.join(hop, stepped["mid"] == hop["pid"], "left").select(
+            *out_cols
         )
-        # convergence check is a narrow filter over the table the
-        # checkpoint just materialized — no join, no shuffle
+
+    rounds_done = 0
+    while True:
+        # clamp so a convergence check lands exactly at executed round
+        # max_iter + 1 — the round whose still-changing state the
+        # unbatched loop treated as non-convergence
+        batch = min(check_every, max_iter + 1 - rounds_done)
+        cur = labels
+        for i in range(batch):
+            cur = one_round(cur, carry_old=(i == batch - 1))
+        # ONE materialization + ONE narrow convergence scan per batch
+        # (no join, no shuffle — a filter over blocks the checkpoint
+        # just wrote)
+        new_labels = cur.localCheckpoint()  # truncate lineage — docstring
         changed = (
             new_labels.where(F.col("label") != F.col("old")).limit(1).count()
         )
+        rounds_done += batch
         labels = new_labels.select("id", "label")
         if changed == 0:
+            # the final round of the batch was a no-op => fixpoint
+            # (labels are monotone non-increasing)
             break
-        # count LABEL-CHANGING rounds and only give up when round
-        # max_iter+1 would still change: a component of diameter exactly
-        # max_iter makes its last change in round max_iter and is fully
-        # propagated — the old for/else raised on that converged state.
-        rounds += 1
-        if rounds > max_iter:
-            # returning would silently hand back partially-propagated
-            # labels (distant nodes of a long chain in different
-            # clusters). Fail loudly.
+        if rounds_done >= max_iter + 1:
+            # round max_iter+1 still changed labels — returning would
+            # silently hand back partially-propagated labels (distant
+            # nodes of a long chain in different clusters). Fail loudly.
             edges.unpersist()
             raise RuntimeError(
                 f"cluster_pairs did not converge in max_iter={max_iter} "

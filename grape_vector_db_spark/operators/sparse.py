@@ -218,10 +218,18 @@ def bm25_search_weighted(
     id_col: str = "doc_id",
     text_col: str = "text",
     terms: DataFrame | None = None,
+    dstats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 with an explicit term -> weight query model — the scoring
     core behind :func:`bm25_search` and the expanded-query second pass
-    of :func:`bm25_feedback_search`."""
+    of :func:`bm25_feedback_search`.
+
+    ``dstats`` lets a multi-pass caller (pseudo-relevance feedback runs
+    this plan twice) hand in the per-doc length table
+    ``(doc_id, doc_length, _nt)`` once instead of re-aggregating the
+    full term table per pass — the doc-length aggregate is the only
+    corpus-wide scan in the plan, so sharing it halves the full-table
+    work of a two-pass query."""
     spark = documents.sparkSession
     if not qtf:
         # empty result with the CORPUS id type (a hard-coded long would
@@ -262,9 +270,10 @@ def bm25_search_weighted(
     # posting-entry-weighted avg_doc_length (see module docstring) equals
     # sum(doc_length * n_terms) / N over this table — no (term, doc)
     # entries join needed.
-    dstats = terms.groupBy("doc_id").agg(
-        F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
-    )
+    if dstats is None:
+        dstats = terms.groupBy("doc_id").agg(
+            F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
+        )
     g = dstats.agg(
         F.count("*").alias("total_docs"),
         (F.sum(F.col("doc_length") * F.col("_nt")) / F.count("*")).alias(
@@ -418,7 +427,21 @@ def bm25_feedback_search(
         terms = doc_terms(documents, id_col, text_col).localCheckpoint(
             eager=True
         )
-    top = bm25_search(
+    # The per-doc length table is the ONLY full-corpus scan in a BM25
+    # pass and both passes need the identical one — persist it once
+    # (rows = docs, 3 narrow columns) and hand it to both stages instead
+    # of re-aggregating the term table per pass. Lazy persist (not
+    # localCheckpoint): keeps lineage + size statistics so the planner
+    # still broadcasts it, and storage is released when the returned
+    # plan is garbage collected.
+    dstats = terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
+    ).persist()
+    qtf0 = tokenize_query_py(query)
+    top = bm25_search_weighted(
+        documents, qtf0, k=fb_docs, id_col=id_col, text_col=text_col,
+        terms=terms, dstats=dstats,
+    ).select("doc_id") if qtf0 else bm25_search(
         documents, query, k=fb_docs, id_col=id_col, text_col=text_col,
         terms=terms,
     ).select("doc_id")
@@ -430,11 +453,12 @@ def bm25_feedback_search(
         .limit(fb_terms)
         .collect()
     )
-    qtf = dict(tokenize_query_py(query))
+    qtf = dict(qtf0)
     for r in fb:
         qtf[r["term"]] = qtf.get(r["term"], 0.0) + beta * r["w"]
     return bm25_search_weighted(
-        documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms
+        documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms,
+        dstats=dstats,
     )
 
 

@@ -704,12 +704,20 @@ def test_cluster_pairs_transitive_closure(spark):
 
 
 def test_cluster_pairs_long_chain_converges(spark):
-    """A path graph (worst diameter) still converges to the min label."""
+    """A path graph (worst diameter) still converges to the min label —
+    on BOTH the driver fast path (default) and the distributed
+    batched-pointer-jumping loop (small_graph_threshold=0)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "a long, b long"
     )
-    got = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
-    assert set(got.values()) == {0} and len(got) == 11
+    for thresh in (2_000_000, 0):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.cluster_pairs(
+                pairs, small_graph_threshold=thresh
+            ).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == 11
 
 
 def test_asof_join_matched_row_stays_atomic(spark):
@@ -753,8 +761,10 @@ def test_cluster_pairs_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "a long, b long"
     )
+    # max_iter governs the distributed loop; force it (the driver fast
+    # path is exact and needs no iteration cap)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.cluster_pairs(pairs, max_iter=2)
+        dedup.cluster_pairs(pairs, max_iter=2, small_graph_threshold=0)
 
 
 def test_geo_distance_pairs_lon180_boundary(spark):
