@@ -231,11 +231,16 @@ def upsert_table(
     preserve the existing value — identical semantics in both formats.
 
     fmt="parquet": read + :func:`merge_upsert` + :func:`publish_table`
-    (atomic versioned swap; O(table) rewrite per call). fmt="delta":
-    native ``MERGE INTO`` — only files containing matched ids rewrite,
-    the scale shape for frequent small merges."""
+    (atomic versioned swap; O(table) rewrite per call) — UNLESS the path
+    holds a bucket-manifest table (:func:`write_table_bucketed`), which
+    routes to the bucket-scoped MERGE that rewrites only touched buckets.
+    fmt="delta": native ``MERGE INTO`` — only files containing matched
+    ids rewrite, the scale shape for frequent small merges."""
     if fmt == "parquet":
         _check_format(spark, path, fmt)
+        if _bucketed_versions(spark, path):
+            merge_upsert_bucketed(spark, path, updates, id_col=id_col, keep=keep)
+            return
         if table_exists(spark, path):
             merged = merge_upsert(read_table(spark, path), updates, id_col=id_col)
         else:
@@ -354,6 +359,12 @@ def current_table_path(spark: SparkSession, path: str) -> str:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    if _bucketed_versions(spark, path):
+        # a bucket-manifest version dir holds only the buckets touched by
+        # its merge — reading it raw would silently drop every other row
+        raise ValueError(
+            f"{path} holds a bucket-manifest table; use read_table_bucketed"
+        )
     return spark.read.parquet(current_table_path(spark, path))
 
 
@@ -402,6 +413,11 @@ def publish_table(
     ``partition_by`` preserves a partitioned layout (e.g. IVF inverted
     lists partitioned by cluster) inside the version directory, so
     partition pruning keeps working across swaps."""
+    if _bucketed_versions(spark, path):
+        raise ValueError(
+            f"{path} holds a bucket-manifest table; use "
+            "merge_upsert_bucketed / write_table_bucketed"
+        )
     vs = table_versions(spark, path)
     nxt = (vs[-1] if vs else 0) + 1
     # overwrite clears any partial t=nxt left by a crashed writer
@@ -532,6 +548,269 @@ def save_bucketed(
 def drop_bucketed(spark: SparkSession, table_name: str) -> None:
     """Drop the catalog entry (external data files are left in place)."""
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+# ---------------------------------------------------------------------------
+# bucket-manifest tables — file-granular MERGE on plain parquet
+#
+# The versioned-swap layout above rewrites O(table) per merge; Delta's
+# native MERGE is file-granular but delta-spark may be absent. This layout
+# makes the parquet path sub-O(table): data lives in per-bucket directories
+# {path}/t={N}/b={K} (bucket K = pmod(xxhash64(id), n_buckets), the same
+# placement hash as :func:`bucket_by_id`), and each version's
+# ``_MANIFEST.json`` maps every bucket to the VERSION DIRECTORY that owns
+# its current files. A merge rewrites ONLY the buckets containing touched
+# ids into t={N+1} and re-points just those manifest entries — untouched
+# bucket files are not read, copied, or rewritten (byte-identical across
+# the merge), so merge cost is O(touched buckets), not O(table). The
+# manifest (≤ n_buckets small entries) is written to a temp name and
+# renamed — the atomic commit point; readers resolve the newest manifest
+# and see the old or the new table, never a half-merge. Maps the
+# reference's two-tree transactional storage intent
+# (ref:src/advanced_storage.rs:145-191) onto plain parquet. Single-writer
+# assumed, like the versioned-swap layout.
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _bucketed_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed version numbers: a version exists iff its manifest does
+    (the manifest rename is the commit point — _SUCCESS only proves the
+    DATA write finished)."""
+    fs, P = _hadoop_fs(spark, path)
+    base = P(path)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("t="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(P(st.getPath(), _MANIFEST)):
+                out.append(v)
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    import json
+
+    fs, P = _hadoop_fs(spark, path)
+    p = P(f"{path}/t={version}/{_MANIFEST}")
+    stream = fs.open(p)
+    try:
+        # read on the JVM side: py4j passes byte[] by VALUE, so a
+        # python-side read(buf) loop would never see the bytes
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(
+    spark: SparkSession, path: str, version: int, manifest: dict
+) -> None:
+    """Temp-write + rename: the rename IS the commit (atomic on HDFS and
+    posix; object stores need their conditional-put equivalent)."""
+    import json
+
+    fs, P = _hadoop_fs(spark, path)
+    tmp = P(f"{path}/t={version}/._MANIFEST.tmp")
+    final = P(f"{path}/t={version}/{_MANIFEST}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed under {path}/t={version}")
+
+
+def _bucket_dirs_in(spark: SparkSession, path: str, version: int) -> list[int]:
+    fs, P = _hadoop_fs(spark, path)
+    out = []
+    for st in fs.listStatus(P(f"{path}/t={version}")):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("b="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _bucket_expr(id_col: str, n_buckets: int):
+    """The placement hash — MUST stay identical to :func:`bucket_by_id`
+    so in-memory bucketing and the persistent layout agree."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+def _write_bucket_dirs(df: DataFrame, id_col: str, n_buckets: int, dest: str) -> None:
+    """One job: rows gain their bucket as BOTH a data column (``bucket``,
+    so reads of leaf dirs keep it without partition inference) and a
+    partition directory (``b=K``). overwrite clears partial output left
+    by a crashed writer at the same version."""
+    (
+        df.withColumn("bucket", _bucket_expr(id_col, n_buckets))
+        .withColumn("b", F.col("bucket"))
+        .repartition(n_buckets, F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(dest)
+    )
+
+
+def write_table_bucketed(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    n_buckets: int,
+    id_col: str = "id",
+    keep: int = 2,
+) -> None:
+    """Create (or fully replace) a bucket-manifest table from ``df``."""
+    if "bucket" in df.columns:
+        df = df.drop("bucket")
+    vs = _bucketed_versions(spark, path)
+    nxt = (vs[-1] if vs else 0) + 1
+    _write_bucket_dirs(df, id_col, n_buckets, f"{path}/t={nxt}")
+    manifest = {
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "buckets": {str(k): nxt for k in _bucket_dirs_in(spark, path, nxt)},
+    }
+    _write_manifest(spark, path, nxt, manifest)
+    _bucketed_gc(spark, path, keep)
+
+
+def read_table_bucketed(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Resolve the manifest (newest committed version by default) and read
+    exactly the bucket directories it references — leaf dirs are passed
+    explicitly, so no partition inference runs and the data column
+    ``bucket`` carries placement."""
+    vs = _bucketed_versions(spark, path)
+    if not vs:
+        raise ValueError(f"no committed bucket-manifest table under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not committed under {path}; available: {vs}")
+    man = _read_manifest(spark, path, v)
+    dirs = [
+        f"{path}/t={owner}/b={k}" for k, owner in sorted(man["buckets"].items())
+    ]
+    if not dirs:
+        return spark.range(0).select(F.lit(None).alias(man["id_col"]))
+    return spark.read.parquet(*dirs)
+
+
+def merge_upsert_bucketed(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    id_col: str = "id",
+    keep: int = 2,
+) -> None:
+    """Bucket-scoped MERGE: same row semantics as :func:`merge_upsert`
+    (update wins per id, null update fields preserve existing, duplicate
+    update ids pre-collapse), but only the buckets whose ids appear in
+    ``updates`` are read and rewritten. Cost is O(touched buckets +
+    updates), not O(table) — the 100 TB merge shape on plain parquet."""
+    vs = _bucketed_versions(spark, path)
+    if not vs:
+        raise ValueError(
+            f"no bucket-manifest table under {path}; create with "
+            "write_table_bucketed first"
+        )
+    man = _read_manifest(spark, path, vs[-1])
+    if man["id_col"] != id_col:
+        raise ValueError(
+            f"table under {path} is bucketed by {man['id_col']!r}, not {id_col!r}"
+        )
+    nb = int(man["n_buckets"])
+    if "bucket" in updates.columns:
+        updates = updates.drop("bucket")
+    upd = _dedup_updates(updates, id_col).withColumn(
+        "bucket", _bucket_expr(id_col, nb)
+    ).persist()
+    # the touched-bucket list is bounded by n_buckets ints — a driver
+    # artifact the size of the shard map, not the data
+    touched = sorted(r["bucket"] for r in upd.select("bucket").distinct().collect())
+    if not touched:
+        upd.unpersist()
+        return
+    old_dirs = [
+        f"{path}/t={man['buckets'][str(k)]}/b={k}"
+        for k in touched
+        if str(k) in man["buckets"]
+    ]
+    if old_dirs:
+        existing = spark.read.parquet(*old_dirs)
+        merged = merge_upsert(existing, upd, id_col=id_col)
+    else:
+        merged = upd
+    nxt = vs[-1] + 1
+    # every touched bucket holds >= 1 update row by construction, so the
+    # write below materializes a b=K dir for each — the manifest update
+    # can't dangle
+    _write_bucket_dirs(merged.drop("bucket"), id_col, nb, f"{path}/t={nxt}")
+    upd.unpersist()
+    new_man = {
+        "n_buckets": nb,
+        "id_col": id_col,
+        "buckets": {**man["buckets"], **{str(k): nxt for k in touched}},
+    }
+    _write_manifest(spark, path, nxt, new_man)
+    _bucketed_gc(spark, path, keep)
+
+
+def _bucketed_gc(spark: SparkSession, path: str, keep: int) -> None:
+    """Reference-counted retention: the last ``keep`` manifests stay
+    readable (time travel / in-flight readers), and a bucket directory in
+    ANY version survives while one of those manifests references it.
+    Older manifests are dropped; their now-unreferenced bucket dirs are
+    deleted; a version directory disappears when nothing in it is needed."""
+    fs, P = _hadoop_fs(spark, path)
+    vs = _bucketed_versions(spark, path)
+    live = vs[-keep:] if keep > 0 else vs[-1:]
+    referenced = set()
+    for v in live:
+        man = _read_manifest(spark, path, v)
+        for k, owner in man["buckets"].items():
+            referenced.add((int(owner), int(k)))
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("t=")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if v in live or v > max(live, default=0):
+            # live versions keep everything they hold; anything newer
+            # than the newest commit is an in-flight writer's dir
+            continue
+        empty = True
+        for sub in fs.listStatus(st.getPath()):
+            sname = sub.getPath().getName()
+            if sub.isDirectory() and sname.startswith("b="):
+                if (v, int(sname[2:])) in referenced:
+                    empty = False
+                else:
+                    fs.delete(sub.getPath(), True)
+        if empty:
+            fs.delete(st.getPath(), True)
+        else:
+            # expired manifest: the version is no longer directly
+            # readable, its surviving bucket dirs serve newer manifests
+            m = P(st.getPath(), _MANIFEST)
+            if fs.exists(m):
+                fs.delete(m, False)
+    return None
 
 
 # ---------------------------------------------------------------------------

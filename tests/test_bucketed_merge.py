@@ -1,0 +1,168 @@
+"""Bucket-manifest tables: file-granular MERGE on plain parquet.
+
+The contract under test (sources/tables.py bucket-manifest section,
+mapping ref:src/advanced_storage.rs:145-191): a merge rewrites ONLY the
+buckets containing touched ids — every part file of every untouched
+bucket is byte-identical after the merge (same path, same bytes) — while
+row semantics stay exactly merge_upsert's (update wins per id, null
+update fields preserve existing, duplicate update ids pre-collapse).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.sources import tables as T
+
+
+def _part_file_hashes(root: str) -> dict[str, str]:
+    """{relative path: md5 of bytes} for every parquet part file."""
+    out = {}
+    for p in glob.glob(f"{root}/**/*.parquet", recursive=True):
+        with open(p, "rb") as f:
+            out[os.path.relpath(p, root)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="gvdb_bmerge_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(i, f"text-{i}", float(i)) for i in range(200)],
+        "id long, text string, score double",
+    )
+
+
+def test_roundtrip_and_schema(spark, tdir):
+    df = _base(spark)
+    T.write_table_bucketed(spark, tdir, df, n_buckets=8)
+    got = T.read_table_bucketed(spark, tdir)
+    # data columns survive; the placement column rides along as data
+    assert set(got.columns) == {"id", "text", "score", "bucket"}
+    rows = {r["id"]: (r["text"], r["score"]) for r in got.collect()}
+    assert rows == {i: (f"text-{i}", float(i)) for i in range(200)}
+    # placement column matches the documented hash
+    bad = got.where(
+        F.col("bucket") != F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0
+
+
+def test_merge_semantics_match_merge_upsert(spark, tdir):
+    df = _base(spark)
+    T.write_table_bucketed(spark, tdir, df, n_buckets=8)
+    updates = spark.createDataFrame(
+        # id 3: update wins; null text must PRESERVE existing text;
+        # id 1000: brand-new insert; id 7 twice: dedup collapses
+        [(3, None, 99.0), (1000, "new", 1.0), (7, "a", 1.0), (7, "b", 2.0)],
+        "id long, text string, score double",
+    )
+    T.merge_upsert_bucketed(spark, tdir, updates)
+    got = {r["id"]: (r["text"], r["score"]) for r in
+           T.read_table_bucketed(spark, tdir).collect()}
+    assert got[3] == ("text-3", 99.0)  # null update field fell back
+    assert got[1000] == ("new", 1.0)
+    assert got[7] == ("b", 2.0)  # greatest-struct dedup, one survivor
+    assert got[5] == ("text-5", 5.0)  # untouched row intact
+    assert len(got) == 201
+
+
+def test_untouched_bucket_files_byte_identical(spark, tdir):
+    """THE scale property: a merge touching ids in a few buckets leaves
+    every other bucket's part files byte-for-byte identical (not
+    re-written, not copied — the same files, still referenced)."""
+    df = _base(spark)
+    T.write_table_bucketed(spark, tdir, df, n_buckets=8)
+    before = _part_file_hashes(tdir)
+
+    upd = spark.createDataFrame([(3, "patched", -1.0)],
+                                "id long, text string, score double")
+    touched_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(3).cast("long")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    T.merge_upsert_bucketed(spark, tdir, upd)
+
+    after = _part_file_hashes(tdir)
+    untouched_before = {
+        p: h for p, h in before.items() if f"{os.sep}b={touched_bucket}{os.sep}" not in p
+    }
+    # every untouched part file still exists with identical bytes
+    for p, h in untouched_before.items():
+        assert after.get(p) == h, f"untouched file {p} changed or vanished"
+    # the touched bucket was rewritten into the NEW version dir only
+    new_files = set(after) - set(before)
+    assert new_files and all(f"b={touched_bucket}" in p for p in new_files)
+    # and the merged table reads correctly across version dirs
+    got = {r["id"]: r["text"] for r in T.read_table_bucketed(spark, tdir).collect()}
+    assert got[3] == "patched" and got[4] == "text-4" and len(got) == 200
+
+
+def test_gc_keeps_referenced_buckets_drops_expired(spark, tdir):
+    df = _base(spark)
+    T.write_table_bucketed(spark, tdir, df, n_buckets=4, keep=2)
+    for step in range(3):  # three merges -> versions 2,3,4
+        upd = spark.createDataFrame(
+            [(step, f"merge-{step}", float(step))],
+            "id long, text string, score double",
+        )
+        T.merge_upsert_bucketed(spark, tdir, upd, keep=2)
+    vs = T._bucketed_versions(spark, tdir)
+    assert vs == [3, 4]  # only the last keep=2 manifests remain committed
+    # expired versions' dirs survive ONLY where still referenced
+    man = {int(k): v for k, v in
+           T._read_manifest(spark, tdir, vs[-1])["buckets"].items()}
+    for k, owner in man.items():
+        assert os.path.isdir(f"{tdir}/t={owner}/b={k}")
+    # table content reflects all three merges
+    got = {r["id"]: r["text"] for r in T.read_table_bucketed(spark, tdir).collect()}
+    assert [got[i] for i in range(3)] == ["merge-0", "merge-1", "merge-2"]
+    assert got[50] == "text-50" and len(got) == 200
+    # time travel to the previous surviving version still works
+    prev = {r["id"]: r["text"]
+            for r in T.read_table_bucketed(spark, tdir, version=3).collect()}
+    assert prev[2] == "text-2" and prev[1] == "merge-1"
+
+
+def test_upsert_table_routes_bucketed_layout(spark, tdir):
+    df = _base(spark)
+    T.write_table_bucketed(spark, tdir, df, n_buckets=4)
+    before = _part_file_hashes(tdir)
+    upd = spark.createDataFrame([(9, "via-facade", 0.0)],
+                                "id long, text string, score double")
+    T.upsert_table(spark, tdir, upd)  # fmt defaults to parquet
+    after = _part_file_hashes(tdir)
+    # facade took the bucket-scoped path: at least one original file is
+    # untouched (a versioned-swap rewrite would replace them all)
+    assert any(after.get(p) == h for p, h in before.items())
+    got = {r["id"]: r["text"] for r in T.read_table_bucketed(spark, tdir).collect()}
+    assert got[9] == "via-facade" and len(got) == 200
+
+
+def test_swap_api_refuses_bucketed_root(spark, tdir):
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        T.read_table(spark, tdir)
+    with pytest.raises(ValueError, match="bucket-manifest"):
+        T.publish_table(spark, tdir, _base(spark))
+
+
+def test_merge_requires_existing_table_and_matching_id(spark, tdir):
+    upd = spark.createDataFrame([(1, "x", 0.0)],
+                                "id long, text string, score double")
+    with pytest.raises(ValueError, match="no bucket-manifest table"):
+        T.merge_upsert_bucketed(spark, tdir, upd)
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4, id_col="id")
+    with pytest.raises(ValueError, match="bucketed by"):
+        T.merge_upsert_bucketed(spark, tdir, upd, id_col="text")
