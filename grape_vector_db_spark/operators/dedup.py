@@ -995,10 +995,18 @@ def embedding_neardup_pairs_gemm(
     return joined.mapInPandas(run, "a long, b long, cosine double")
 
 
-#: Target expected bucket size for auto-sized RP-LSH: n / 2^p ~ 1e4
-#: keeps per-bucket pair work at ~1e8 comparable ops — large enough for
-#: recall, small enough that one bucket never dominates an executor.
-LSH_TARGET_BUCKET = 10_000
+#: Target expected bucket size for auto-sized RP-LSH. Total candidate
+#: volume is n_tables * n * bucket/2 pairs, so the TARGET BUCKET is the
+#: per-vector candidate multiplier — it must be a CONSTANT for the
+#: pipeline to stay linear in n. The old 1e4 target was measured
+#: super-linear on the sf1 scale run (199 s for 20k vectors: p floored
+#: at 4, 1250-member buckets, 100M candidate pairs); 500 keeps
+#: per-vector fan-out at ~2k candidates. Cost: more planes lower
+#: per-table collision probability for true pairs — at 1e9 rows
+#: (p=21) a cosine-0.9 pair collides per table with prob 0.9^21 ~ 0.11,
+#: so raise ``n_tables`` (the OR amplifier) beyond the default 8 at
+#: extreme scale; the S-curve math is in the function docstring.
+LSH_TARGET_BUCKET = 500
 
 #: Auto mode defaults ``bucket_cap`` to 10x the target expected bucket
 #: once the corpus is big enough that a degenerate bucket is plausible.
@@ -1016,8 +1024,9 @@ def lsh_autosize_planes(
     at ``min_planes`` (recall amplification needs a few planes even on a
     tiny corpus) and capped at ``max_planes`` (beyond ~2^30 buckets the
     bucket key itself is the bottleneck). Examples the sizing test pins:
-    1e4 -> 4 (floor), 1e7 -> 10, 1e9 -> 17 — the docstring rule
-    'p >= 17 for 1e9 vectors' is now enforced, not advisory."""
+    1e4 -> 5, 1e7 -> 15, 1e9 -> 21. The target (see LSH_TARGET_BUCKET)
+    is the per-vector candidate multiplier, so it stays constant as n
+    grows — that is what makes total candidate volume linear in n."""
     import math
 
     if n <= 0:

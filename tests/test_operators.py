@@ -363,12 +363,14 @@ def test_incremental_embedding_prebuilt_index_demands_explicit_planes(
 
 def test_lsh_autosize_planes_pins():
     """The sizing rule the embedding_neardup_pairs_lsh docstring states
-    (expected bucket n/2^p ~ 1e4) is enforced, not advisory: p floors at
-    4 on small corpora, 1e7 -> 10, and 1e9 -> 17 — the published
-    'p >= 17 for 1e9 vectors' rule."""
-    assert dedup.lsh_autosize_planes(10_000) == 4
-    assert dedup.lsh_autosize_planes(10_000_000) == 10
-    assert dedup.lsh_autosize_planes(1_000_000_000) == 17
+    (expected bucket n/2^p <= LSH_TARGET_BUCKET = 500, i.e. a CONSTANT
+    per-vector candidate multiplier) is enforced, not advisory: p floors
+    at 4 on tiny corpora, 1e4 -> 5, 1e7 -> 15, 1e9 -> 21. The sf1 scale
+    run pinned the old 1e4 target as super-linear (199 s at 20k rows)."""
+    assert dedup.lsh_autosize_planes(10_000) == 5
+    assert dedup.lsh_autosize_planes(10_000_000) == 15
+    assert dedup.lsh_autosize_planes(1_000_000_000) == 21
+    assert dedup.lsh_autosize_planes(1_000) == 4  # floor
     assert dedup.lsh_autosize_planes(0) == 4
     # cap: absurd n never asks for more than 30 planes
     assert dedup.lsh_autosize_planes(10**18) == 30

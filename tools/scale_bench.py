@@ -1,0 +1,111 @@
+"""Empirical scaling evidence: time the heaviest registry queries at two
+scale factors and report the per-query wall-clock ratio vs the data ratio.
+
+A query whose plan is linear-in-data should scale by <= the data ratio
+(10x rows -> <= ~10x wall on a fixed-size executor pool, usually less
+because fixed per-job overhead amortizes). A super-linear ratio flags a
+plan that would not survive 100 TB. Results append a markdown table for
+SCALE.md and a JSON side file.
+
+Usage:
+  python tools/scale_bench.py [small_dir] [big_dir] [out_json]
+Defaults: /root/testdata/sf0.1  .testdata/sf1  SCALE_BENCH.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as em  # noqa: E402
+from grape_vector_db_spark.session import get_spark  # noqa: E402
+
+# the heaviest queries of BENCH_DETAIL (r5) + the flagship families whose
+# scale story SCALE.md argues; together they cover every pair-generating
+# and iterative path
+QUERIES = [
+    "knn_communities",
+    "bm25_feedback",
+    "incremental_neardup",
+    "embedding_neardup_lsh",
+    "simhash_pairs",
+    "decontamination",
+    "dedup_savings",
+    "dsir_sample",
+    "knn_kcore",
+    "ivf_flat_pruned",
+    "image_neardup",
+    "mixed_language",
+    "sparse_cosine",
+    "doc_keywords",
+    "audio_neardup",
+    "dedup_minhash",
+    "winnow_fingerprints",
+    "bm25",
+    "knn_cosine",
+    "curation_pipeline",
+]
+
+
+def bench_dir(spark, sf_dir: str, names: list[str], n_runs: int = 3) -> dict:
+    # NB em._CACHE keys include sf_dir, so both dirs coexist warm
+    for t in ("lineitem", "embeddings", "documents", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    em.warm_ingest_caches(spark, sf_dir)
+    qs = em.queries()
+    out = {}
+    for name in names:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        out[name] = {"median_s": sorted(runs)[len(runs) // 2], "rows": n,
+                     "runs": runs}
+        print(f"  {sf_dir.rsplit('/',1)[-1]} {name}: {out[name]['median_s']}s "
+              f"({n} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else f"{REPO}/.testdata/sf1"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else f"{REPO}/SCALE_BENCH.json"
+    spark = get_spark(app_name="gvdb-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    a = bench_dir(spark, small, QUERIES)
+    b = bench_dir(spark, big, QUERIES)
+
+    rows = []
+    for name in QUERIES:
+        ta, tb = a[name]["median_s"], b[name]["median_s"]
+        ratio = round(tb / ta, 2) if ta > 0 else float("inf")
+        rows.append((name, ta, tb, ratio, a[name]["rows"], b[name]["rows"]))
+    rows.sort(key=lambda r: -r[3])
+
+    md = [
+        "| query | sf0.1 (s) | sf1 (s) | wall ratio | rows sf0.1 | rows sf1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, ta, tb, ratio, ra, rb in rows:
+        md.append(f"| {name} | {ta} | {tb} | {ratio}x | {ra} | {rb} |")
+    table = "\n".join(md)
+    print(table)
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {"small": {"dir": small, **a}, "big": {"dir": big, **b},
+             "data_ratio": 10.0, "markdown": table},
+            f, indent=1, sort_keys=True,
+        )
+    print(f"\nwritten: {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
