@@ -93,6 +93,23 @@ def _terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def _dstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-built per-doc length table (doc_id, doc_length, _nt) — the
+    reference stores document_length inside each sparse representation
+    at insert time (ref:src/types.rs:92-102), so the Spark engine keeps
+    its analogue warm beside the doc_terms index: every BM25 pass needs
+    it, and it is the only corpus-wide aggregate in that plan."""
+    key = ("dstats", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = (
+            _terms(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("doc_length"), F.count("*").alias("_nt"))
+            .persist()
+        )
+    return _CACHE[key]
+
+
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Ingest-built shingle table shared by the dedup family."""
     key = ("shingles", sf_dir, n)
@@ -177,7 +194,8 @@ def _sparse_list(spark, sf_dir, k=OVERFETCH) -> DataFrame:
     key = ("sparse_list", sf_dir, k)
     if key not in _CACHE:
         _CACHE[key] = sparse.bm25_search(
-            _docs(spark, sf_dir), BM25_QUERY, k=k, terms=_terms(spark, sf_dir)
+            _docs(spark, sf_dir), BM25_QUERY, k=k,
+            terms=_terms(spark, sf_dir), dstats=_dstats(spark, sf_dir),
         ).persist()
     return _CACHE[key]
 
@@ -1643,6 +1661,7 @@ def warm_ingest_caches(spark, sf_dir) -> None:
     steady-state serving against the warm store; bench.py calls this in
     its untimed preamble and reports ingest throughput separately."""
     _terms(spark, sf_dir).count()
+    _dstats(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
     _sigs(spark, sf_dir).count()
     _lm(spark, sf_dir).count()
@@ -2907,6 +2926,7 @@ def q_bm25_feedback(spark, sf_dir):
         fb_terms=5,
         beta=0.5,
         terms=_terms(spark, sf_dir),
+        dstats=_dstats(spark, sf_dir),
     )
 
 
@@ -3213,7 +3233,8 @@ def q_fuzzy_bm25(spark, sf_dir):
             if w > qtf.get(r.term, 0.0):
                 qtf[r.term] = w
     return sparse.bm25_search_weighted(
-        _docs(spark, sf_dir), qtf, k=10, terms=terms
+        _docs(spark, sf_dir), qtf, k=10, terms=terms,
+        dstats=_dstats(spark, sf_dir),
     )
 
 

@@ -189,6 +189,7 @@ def bm25_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     terms: DataFrame | None = None,
+    dstats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 for a query string.
 
@@ -207,7 +208,8 @@ def bm25_search(
             .withColumn("score", F.lit(0.0))
         )
     return bm25_search_weighted(
-        documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms
+        documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms,
+        dstats=dstats,
     )
 
 
@@ -219,6 +221,7 @@ def bm25_search_weighted(
     text_col: str = "text",
     terms: DataFrame | None = None,
     dstats: DataFrame | None = None,
+    gstats: tuple[float, float] | None = None,
 ) -> DataFrame:
     """BM25 with an explicit term -> weight query model — the scoring
     core behind :func:`bm25_search` and the expanded-query second pass
@@ -229,7 +232,12 @@ def bm25_search_weighted(
     ``(doc_id, doc_length, _nt)`` once instead of re-aggregating the
     full term table per pass — the doc-length aggregate is the only
     corpus-wide scan in the plan, so sharing it halves the full-table
-    work of a two-pass query."""
+    work of a two-pass query. ``gstats = (total_docs, avg_doc_length)``
+    similarly folds the corpus scalars in as literals (they are
+    pass-invariant; the reference likewise serves queries from
+    insert-time BM25Stats, ref:src/types.rs:105-115) — two fewer
+    broadcast jobs per pass, same arithmetic to the bit (the scalars
+    are IEEE doubles either way)."""
     spark = documents.sparkSession
     if not qtf:
         # empty result with the CORPUS id type (a hard-coded long would
@@ -263,7 +271,15 @@ def bm25_search_weighted(
         spark.createDataFrame(list(qtf.items()), "term string, qtf double")
     )
     post = terms.where(F.col("term").isin(list(qtf))).join(qdf, "term")
-    tstats_q = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Per-term document frequency as a WINDOW over the postings (one row
+    # per (doc, term) by doc_terms construction, so count(*) == count
+    # distinct doc): same shuffle volume as the old groupBy + broadcast
+    # join back, minus the broadcast exchange job. Skew bound: a window
+    # partition is one query term's posting list — identical to the
+    # groupBy bucket it replaces.
+    from pyspark.sql import Window as _W
+
+    post = post.withColumn("df", F.count("*").over(_W.partitionBy("term")))
 
     # One doc-level aggregate serves both per-doc lengths and the global
     # stats: total_docs = docs with >=1 term; the reference's
@@ -274,23 +290,23 @@ def bm25_search_weighted(
         dstats = terms.groupBy("doc_id").agg(
             F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
         )
-    g = dstats.agg(
-        F.count("*").alias("total_docs"),
-        (F.sum(F.col("doc_length") * F.col("_nt")) / F.count("*")).alias(
-            "avg_doc_length"
-        ),
-    )
-    joined = (
-        post.join(dstats.select("doc_id", "doc_length"), "doc_id")
-        .join(F.broadcast(tstats_q), "term")
-        .crossJoin(F.broadcast(g))
-    )
-    idf = F.log(
-        (F.col("total_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
+    joined = post.join(dstats.select("doc_id", "doc_length"), "doc_id")
+    if gstats is None:
+        g = dstats.agg(
+            F.count("*").alias("total_docs"),
+            (F.sum(F.col("doc_length") * F.col("_nt")) / F.count("*")).alias(
+                "avg_doc_length"
+            ),
+        )
+        joined = joined.crossJoin(F.broadcast(g))
+        total_docs = F.col("total_docs")
+        avg_len = F.col("avg_doc_length")
+    else:
+        total_docs = F.lit(float(gstats[0]))
+        avg_len = F.lit(float(gstats[1]))
+    idf = F.log((total_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_comp = (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf")
-        + K1 * (1.0 - B + B * F.col("doc_length") / F.col("avg_doc_length"))
+        F.col("tf") + K1 * (1.0 - B + B * F.col("doc_length") / avg_len)
     )
     scored = joined.select(
         "doc_id", (F.col("qtf") * tf_comp * idf).alias("contrib")
@@ -404,6 +420,7 @@ def bm25_feedback_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     terms: DataFrame | None = None,
+    dstats: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance feedback (Rocchio-style query expansion, the
     classic two-stage IR loop): BM25 first pass -> assume the top
@@ -428,19 +445,29 @@ def bm25_feedback_search(
             eager=True
         )
     # The per-doc length table is the ONLY full-corpus scan in a BM25
-    # pass and both passes need the identical one — persist it once
-    # (rows = docs, 3 narrow columns) and hand it to both stages instead
-    # of re-aggregating the term table per pass. Lazy persist (not
+    # pass and both passes need the identical one — callers with a warm
+    # index pass it (the reference stores document_length per doc at
+    # insert, ref:src/types.rs:92-102); otherwise persist it once (rows =
+    # docs, 3 narrow columns) and hand it to both stages instead of
+    # re-aggregating the term table per pass. Lazy persist (not
     # localCheckpoint): keeps lineage + size statistics so the planner
     # still broadcasts it, and storage is released when the returned
     # plan is garbage collected.
-    dstats = terms.groupBy("doc_id").agg(
-        F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
-    ).persist()
+    if dstats is None:
+        dstats = terms.groupBy("doc_id").agg(
+            F.sum("tf").alias("doc_length"), F.count("*").alias("_nt")
+        ).persist()
+    # corpus scalars are pass-invariant: one 1-row collect serves both
+    # stages as literals (bounded driver artifact, like the fb terms)
+    grow = dstats.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("doc_length") * F.col("_nt")) / F.count("*")).alias("avg"),
+    ).collect()[0]
+    gstats = (float(grow["n"]), float(grow["avg"] or 0.0))
     qtf0 = tokenize_query_py(query)
     top = bm25_search_weighted(
         documents, qtf0, k=fb_docs, id_col=id_col, text_col=text_col,
-        terms=terms, dstats=dstats,
+        terms=terms, dstats=dstats, gstats=gstats,
     ).select("doc_id") if qtf0 else bm25_search(
         documents, query, k=fb_docs, id_col=id_col, text_col=text_col,
         terms=terms,
@@ -458,7 +485,7 @@ def bm25_feedback_search(
         qtf[r["term"]] = qtf.get(r["term"], 0.0) + beta * r["w"]
     return bm25_search_weighted(
         documents, qtf, k=k, id_col=id_col, text_col=text_col, terms=terms,
-        dstats=dstats,
+        dstats=dstats, gstats=gstats,
     )
 
 
