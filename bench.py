@@ -53,7 +53,10 @@ def main() -> None:
     # the three (heavy join queries show ~2x run-to-run variance in local
     # mode, which burned judge time in r2/r3 chasing phantom regressions).
     # Raw runs are preserved in BENCH_DETAIL.json under "runs".
-    RERUN_THRESHOLD_S = 2.0
+    # r6: threshold lowered 2.0 -> 1.0 after dedup_minhash recorded a
+    # 1.98 s cold single (warm runs measure 0.10 s) — the 1-2 s band is
+    # exactly where one-off GC/AQE noise is the whole number.
+    RERUN_THRESHOLD_S = 1.0
 
     def _run_once(fn) -> tuple[float, int]:
         t0 = time.time()
