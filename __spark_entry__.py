@@ -3085,6 +3085,21 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_knn_graph_search(spark, sf_dir):
+    """Graph-based ANN (the HNSW-family shape): 3-hop beam-8 best-first
+    walk over the shared directed 5-NN graph toward the query vector,
+    entry = the 8 smallest ids. Fixed hops/beam/entries make the walk
+    exactly replayable — the oracle unrolls the same three rounds."""
+    return ann.graph_beam_search(
+        _knn_graph_edges(spark, sf_dir),
+        _emb(spark, sf_dir),
+        _qv(spark, sf_dir),
+        k=10,
+        beam=8,
+        hops=3,
+    )
+
+
 def q_knn_hubness(spark, sf_dir):
     """Hubness diagnostic (Radovanovic 2010): in-degree histogram of the
     directed 5-NN graph, anti-hubs included as in_degree 0 via a left
@@ -4446,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival": q_interarrival,
         "sq_error": q_sq_error,
         "knn_graph": q_knn_graph,
+        "knn_graph_search": q_knn_graph_search,
         "mutual_knn": q_mutual_knn,
         "classifier_eval": q_classifier_eval,
         "ngram_diversity": q_ngram_diversity,
@@ -6243,6 +6259,37 @@ def _knn_graph_sql(k: int = 5) -> str:
     return f"""
         WITH {_KNN_GRAPH_CTE}
         SELECT src, dst, rank::INT AS rank, cosine FROM r WHERE rank <= {k}
+    """
+
+
+def _knn_graph_search_sql(
+    k: int = 10, beam: int = 8, hops: int = 3, graph_k: int = 5
+) -> str:
+    """Unrolled replay of ann.graph_beam_search: visited_{i+1} =
+    visited_i UNION out-neighbors(top-``beam`` of visited_i); answer =
+    top-k of the final visited set. UNION dedups; scores 6-dp rounded
+    before every ranking, id tiebreak — identical to the Spark walk."""
+    ctes = [
+        _KNN_GRAPH_CTE.strip(),
+        f"g AS (SELECT src, dst FROM r WHERE rank <= {graph_k})",
+        f"s AS (SELECT e.vec_id AS id, round({_cos('e.v', 'q.qv')}, 6) AS score"
+        f" FROM e, {_QV} q)",
+        f"v0 AS (SELECT id FROM s ORDER BY id LIMIT {beam})",
+    ]
+    for i in range(hops):
+        ctes.append(
+            f"f{i} AS (SELECT s.id FROM v{i} JOIN s USING (id)"
+            f" ORDER BY s.score DESC, s.id ASC LIMIT {beam})"
+        )
+        ctes.append(
+            f"v{i + 1} AS (SELECT id FROM v{i} UNION"
+            f" SELECT g.dst AS id FROM g JOIN f{i} ON g.src = f{i}.id)"
+        )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT v.id AS vec_id, s.score
+        FROM v{hops} v JOIN s ON s.id = v.id
+        ORDER BY s.score DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -8609,6 +8656,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY big.total_qty DESC, o.o_orderkey ASC LIMIT 20
         """,
         "knn_graph": _knn_graph_sql(5),
+        "knn_graph_search": _knn_graph_search_sql(10, 8, 3, 5),
         "mutual_knn": _mutual_knn_sql(5),
         "classifier_eval": _classifier_eval_sql(0.05),
         "knn_hubness": _knn_hubness_sql(5),

@@ -1257,6 +1257,81 @@ def knn_in_degree_histogram(
     )
 
 
+def graph_beam_search(
+    edges: DataFrame,
+    emb: DataFrame,
+    query_vector,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    entry_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph-based ANN: fixed-hop best-first beam search over a prebuilt
+    kNN graph — the DataFrame analogue of the reference's HNSW layer-0
+    walk (ref:src/index.rs:68-79 navigates a proximity graph toward the
+    query; HNSW's hierarchy only shortens the approach, the work happens
+    in exactly this neighborhood walk). Modern graph-ANN engines
+    (HNSW/NSG/Vamana) are all this loop with different graph builders.
+
+    Per hop: expand the beam's out-neighbors, score every newly seen
+    candidate against the query (6-dp rounded BEFORE ranking, id
+    tiebreak — engine-reproducible), keep the best ``beam``; after
+    ``hops`` rounds return the top ``k`` of EVERYTHING visited. Fixed
+    ``hops``/``beam``/``entry_ids`` make the walk exactly replayable
+    (the DuckDB oracle unrolls the same rounds), the same
+    bounded-iteration contract as knn_pagerank/kcore_peel.
+
+    Entry points default to the ``beam`` smallest ids — deterministic
+    and cheap; production graphs keep medoid-ish entry lists instead.
+
+    Scale shape: the frontier is <= beam rows, so each hop is one
+    broadcast-semi probe of the edge table (bucketed by src at 100 TB =
+    a co-located point lookup) plus an id-equi join against the vector
+    table for scoring — candidates per hop <= beam * out_degree,
+    corpus-size independent. Everything composes lazily: one Spark job
+    regardless of hops, no driver round trips (vs HNSW's inherently
+    sequential per-step pointer chase — the beam IS the parallelism).
+    """
+    if beam < 1 or hops < 0 or k < 1:
+        raise ValueError("beam, k must be >= 1; hops >= 0")
+    ids_v = emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    score_of = lambda df: df.join(ids_v, "id").select(  # noqa: E731
+        "id", F.round(cosine_vs_query(F.col("v"), query_vector), 6).alias("score")
+    )
+    if entry_ids is None:
+        frontier = ids_v.select("id").orderBy("id").limit(beam)
+    else:
+        frontier = (
+            emb.sparkSession.createDataFrame(
+                [(int(i),) for i in entry_ids], "id long"
+            )
+        )
+    visited = score_of(frontier)
+    fr = visited.orderBy(F.col("score").desc(), F.col("id").asc()).limit(beam)
+    e = edges.select(F.col("src").alias("fid"), F.col("dst").alias("id"))
+    for _ in range(hops):
+        nbrs = (
+            e.join(F.broadcast(fr.select(F.col("id").alias("fid"))), "fid")
+            .select("id")
+            .distinct()
+        )
+        # score only NEW ids; carry forward known scores
+        fresh = score_of(nbrs.join(visited.select("id"), "id", "left_anti"))
+        visited = visited.unionByName(fresh)
+        fr = visited.orderBy(F.col("score").desc(), F.col("id").asc()).limit(
+            beam
+        )
+    return (
+        visited.select(F.col("id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_pagerank(
     edges: DataFrame,
     corpus: DataFrame,

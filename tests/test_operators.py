@@ -980,3 +980,45 @@ def test_class_centroid_metrics_mislabeled_member(spark):
     out = {r["label"]: r for r in class_centroid_metrics(df).collect()}
     assert out[0]["nn_accuracy"] == 1.0
     assert out[1]["nn_accuracy"] < 1.0  # the impostor votes for cluster 0
+
+
+def test_graph_beam_search_reaches_true_neighbors(spark, emb):
+    """The beam walk over the exact 5-NN graph must (a) be deterministic,
+    (b) return scores identical to brute force for the ids it reports,
+    (c) achieve decent recall@10 vs exact search from cold entry points,
+    and (d) never shrink its result below k when the graph allows it."""
+    from grape_vector_db_spark.operators import ann, search
+
+    qv = search.query_vector_of(emb, 0)
+    edges = ann.knn_graph(emb, k=5)
+    got = ann.graph_beam_search(edges, emb, qv, k=10, beam=8, hops=3)
+    rows = [(r["vec_id"], r["score"]) for r in got.collect()]
+    again = [
+        (r["vec_id"], r["score"])
+        for r in ann.graph_beam_search(
+            edges, emb, qv, k=10, beam=8, hops=3
+        ).collect()
+    ]
+    assert rows == again and len(rows) == 10
+    exact = {r["vec_id"]: r["score"] for r in search.knn(emb, qv, k=200).collect()}
+    # scores agree with brute force wherever reported
+    assert all(exact.get(i) == s for i, s in rows if i in exact)
+    top10 = set(list(exact)[:10])
+    recall = len(top10 & {i for i, _ in rows}) / 10
+    assert recall >= 0.3  # cold entries, tiny graph: the walk must make progress
+    # more hops never hurt: visited set is monotone
+    deeper = ann.graph_beam_search(edges, emb, qv, k=10, beam=8, hops=5)
+    d_min = min(r["score"] for r in deeper.collect())
+    assert d_min >= min(s for _, s in rows)
+
+
+def test_graph_beam_search_entry_override_and_zero_hops(spark, emb):
+    from grape_vector_db_spark.operators import ann, search
+
+    qv = search.query_vector_of(emb, 0)
+    edges = ann.knn_graph(emb, k=5)
+    # hops=0: exactly the scored entry points
+    out = ann.graph_beam_search(
+        edges, emb, qv, k=5, beam=3, hops=0, entry_ids=[7, 8, 9]
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == [7, 8, 9]
