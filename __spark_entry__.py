@@ -3100,6 +3100,23 @@ def q_knn_graph_search(spark, sf_dir):
     )
 
 
+def q_knn_graph_search_filtered(spark, sf_dir):
+    """Filtered graph ANN — the reference's flagship payload-filter +
+    vector-search combination on the beam walk: navigate the UNFILTERED
+    5-NN graph (filtering edges mid-walk disconnects it), gate only the
+    final top-k on label = 3, with a wider beam to keep enough passing
+    candidates in the visited set (the ef-expansion rule)."""
+    return ann.graph_beam_search(
+        _knn_graph_edges(spark, sf_dir),
+        _emb(spark, sf_dir),
+        _qv(spark, sf_dir),
+        k=10,
+        beam=16,
+        hops=4,
+        result_filter=F.col("label") == 3,
+    )
+
+
 def q_knn_hubness(spark, sf_dir):
     """Hubness diagnostic (Radovanovic 2010): in-degree histogram of the
     directed 5-NN graph, anti-hubs included as in_degree 0 via a left
@@ -4462,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_error": q_sq_error,
         "knn_graph": q_knn_graph,
         "knn_graph_search": q_knn_graph_search,
+        "knn_graph_search_filtered": q_knn_graph_search_filtered,
         "mutual_knn": q_mutual_knn,
         "classifier_eval": q_classifier_eval,
         "ngram_diversity": q_ngram_diversity,
@@ -6263,7 +6281,8 @@ def _knn_graph_sql(k: int = 5) -> str:
 
 
 def _knn_graph_search_sql(
-    k: int = 10, beam: int = 8, hops: int = 3, graph_k: int = 5
+    k: int = 10, beam: int = 8, hops: int = 3, graph_k: int = 5,
+    result_where: str | None = None,
 ) -> str:
     """Unrolled replay of ann.graph_beam_search: visited_{i+1} =
     visited_i UNION out-neighbors(top-``beam`` of visited_i); answer =
@@ -6285,10 +6304,15 @@ def _knn_graph_search_sql(
             f"v{i + 1} AS (SELECT id FROM v{i} UNION"
             f" SELECT g.dst AS id FROM g JOIN f{i} ON g.src = f{i}.id)"
         )
+    gate = (
+        f" JOIN embeddings emb ON emb.vec_id = v.id AND emb.{result_where}"
+        if result_where
+        else ""
+    )
     return f"""
         WITH {', '.join(ctes)}
         SELECT v.id AS vec_id, s.score
-        FROM v{hops} v JOIN s ON s.id = v.id
+        FROM v{hops} v JOIN s ON s.id = v.id{gate}
         ORDER BY s.score DESC, vec_id ASC LIMIT {k}
     """
 
@@ -8657,6 +8681,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_graph": _knn_graph_sql(5),
         "knn_graph_search": _knn_graph_search_sql(10, 8, 3, 5),
+        "knn_graph_search_filtered": _knn_graph_search_sql(
+            10, 16, 4, 5, result_where="label = 3"
+        ),
         "mutual_knn": _mutual_knn_sql(5),
         "classifier_eval": _classifier_eval_sql(0.05),
         "knn_hubness": _knn_hubness_sql(5),

@@ -1267,6 +1267,7 @@ def graph_beam_search(
     entry_ids: list[int] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    result_filter=None,
 ) -> DataFrame:
     """Graph-based ANN: fixed-hop best-first beam search over a prebuilt
     kNN graph — the DataFrame analogue of the reference's HNSW layer-0
@@ -1285,6 +1286,16 @@ def graph_beam_search(
 
     Entry points default to the ``beam`` smallest ids — deterministic
     and cheap; production graphs keep medoid-ish entry lists instead.
+
+    ``result_filter`` (a boolean Column over the vector table's columns)
+    makes this FILTERED vector search — the reference's flagship
+    combination (payload filter + ANN, ref:src/filtering.rs — its HNSW
+    path post-filters too): the walk navigates the UNFILTERED graph
+    (filtering edges mid-walk disconnects it — the classic
+    filtered-HNSW failure), and the predicate gates only the final
+    top-k. Low-selectivity filters need a larger ``beam``/``hops`` to
+    keep k passing candidates in the visited set, exactly HNSW's
+    ef-expansion rule of thumb.
 
     Scale shape: the frontier is <= beam rows, so each hop is one
     broadcast-semi probe of the edge table (bucketed by src at 100 TB =
@@ -1325,11 +1336,14 @@ def graph_beam_search(
         fr = visited.orderBy(F.col("score").desc(), F.col("id").asc()).limit(
             beam
         )
-    return (
-        visited.select(F.col("id").alias(id_col), "score")
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    out = visited.select(F.col("id").alias(id_col), "score")
+    if result_filter is not None:
+        # visited is <= beam*out_degree*hops rows; the semi-join against
+        # the filtered id set restricts to passing candidates before the
+        # final cut (a raw .where on the RESULT would run after limit k
+        # and under-fill)
+        out = out.join(emb.where(result_filter).select(id_col), id_col, "left_semi")
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def knn_pagerank(

@@ -1022,3 +1022,24 @@ def test_graph_beam_search_entry_override_and_zero_hops(spark, emb):
         edges, emb, qv, k=5, beam=3, hops=0, entry_ids=[7, 8, 9]
     ).collect()
     assert sorted(r["vec_id"] for r in out) == [7, 8, 9]
+
+
+def test_graph_beam_search_filtered_gates_results_only(spark, emb):
+    """The filter gates the FINAL top-k, never the walk: every returned
+    id passes, scores equal brute force, and the unfiltered walk from
+    the same parameters is a superset of the visited universe."""
+    from grape_vector_db_spark.operators import ann, search
+
+    qv = search.query_vector_of(emb, 0)
+    edges = ann.knn_graph(emb, k=5)
+    got = ann.graph_beam_search(
+        edges, emb, qv, k=10, beam=16, hops=4,
+        result_filter=F.col("label") == 3,
+    ).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert got and all(labels[r["vec_id"]] == 3 for r in got)
+    exact = {r["vec_id"]: r["score"] for r in search.knn(emb, qv, k=500).collect()}
+    assert all(exact.get(r["vec_id"]) == r["score"] for r in got)
