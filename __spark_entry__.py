@@ -3117,6 +3117,19 @@ def q_knn_graph_search_filtered(spark, sf_dir):
     )
 
 
+def q_knn_graph_search_batch(spark, sf_dir):
+    """Batch graph ANN: 4 queries walk the shared 5-NN graph together —
+    per hop ONE edge probe + ONE scoring join for the whole query set
+    (the serving-throughput shape). Oracle unrolls the same two hops."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.graph_beam_search_batch(
+        _knn_graph_edges(spark, sf_dir), emb, queries, k=5, beam=8, hops=2
+    )
+
+
 def q_knn_hubness(spark, sf_dir):
     """Hubness diagnostic (Radovanovic 2010): in-degree histogram of the
     directed 5-NN graph, anti-hubs included as in_degree 0 via a left
@@ -4480,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "knn_graph_search": q_knn_graph_search,
         "knn_graph_search_filtered": q_knn_graph_search_filtered,
+        "knn_graph_search_batch": q_knn_graph_search_batch,
         "mutual_knn": q_mutual_knn,
         "classifier_eval": q_classifier_eval,
         "ngram_diversity": q_ngram_diversity,
@@ -6314,6 +6328,46 @@ def _knn_graph_search_sql(
         SELECT v.id AS vec_id, s.score
         FROM v{hops} v JOIN s ON s.id = v.id{gate}
         ORDER BY s.score DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _knn_graph_search_batch_sql(
+    k: int = 5, beam: int = 8, hops: int = 2, graph_k: int = 5, n_q: int = 4
+) -> str:
+    """Unrolled replay of ann.graph_beam_search_batch: per query,
+    visited_{i+1} = visited_i UNION out-neighbors(per-query top-beam of
+    visited_i); answer = per-query rank <= k over the final visited."""
+    ctes = [
+        _KNN_GRAPH_CTE.strip(),
+        f"g AS (SELECT src, dst FROM r WHERE rank <= {graph_k})",
+        f"qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f" FROM embeddings WHERE vec_id < {n_q})",
+        f"s AS (SELECT qs.query_id, e.vec_id AS id,"
+        f" round({_cos('e.v', 'qs.qv')}, 6) AS score FROM e, qs)",
+        f"ent AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {beam})",
+        "v0 AS (SELECT query_id, id FROM qs, ent)",
+    ]
+    for i in range(hops):
+        ctes.append(
+            f"f{i} AS (SELECT query_id, id FROM ("
+            f"SELECT v.query_id, v.id, row_number() OVER ("
+            f"PARTITION BY v.query_id ORDER BY s.score DESC, v.id ASC) AS rn"
+            f" FROM v{i} v JOIN s ON s.query_id = v.query_id AND s.id = v.id"
+            f") WHERE rn <= {beam})"
+        )
+        ctes.append(
+            f"v{i + 1} AS (SELECT query_id, id FROM v{i} UNION"
+            f" SELECT f.query_id, g.dst AS id FROM g JOIN f{i} f"
+            f" ON g.src = f.id)"
+        )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT query_id, id, score, rn::INT AS rank FROM (
+          SELECT v.query_id, v.id, s.score, row_number() OVER (
+            PARTITION BY v.query_id ORDER BY s.score DESC, v.id ASC) AS rn
+          FROM v{hops} v JOIN s ON s.query_id = v.query_id AND s.id = v.id
+        ) WHERE rn <= {k}
     """
 
 
@@ -8684,6 +8738,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_search_filtered": _knn_graph_search_sql(
             10, 16, 4, 5, result_where="label = 3"
         ),
+        "knn_graph_search_batch": _knn_graph_search_batch_sql(5, 8, 2, 5, 4),
         "mutual_knn": _mutual_knn_sql(5),
         "classifier_eval": _classifier_eval_sql(0.05),
         "knn_hubness": _knn_hubness_sql(5),

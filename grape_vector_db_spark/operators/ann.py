@@ -41,7 +41,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, to_double_array, vector_lit
+from ..functions.vector import (
+    cosine_from_parts,
+    cosine_similarity,
+    dot,
+    l2_norm,
+    to_double_array,
+    vector_lit,
+)
 from .search import cosine_vs_query
 
 
@@ -1344,6 +1351,98 @@ def graph_beam_search(
         # and under-fill)
         out = out.join(emb.where(result_filter).select(id_col), id_col, "left_semi")
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def graph_beam_search_batch(
+    edges: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 8,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Batch graph ANN — :func:`graph_beam_search` for a whole query
+    table at once (the serving-throughput shape, cf. search.knn_batch):
+    every query walks the SAME prebuilt graph simultaneously, so each
+    hop is ONE edge-table probe and ONE scoring join for all queries
+    together instead of a walk per query. Output
+    ``(query_id, id, score, rank)`` with rank <= k, knn_batch-shaped.
+
+    State per hop is (query_id, candidate) rows — <= queries x beam x
+    out_degree, corpus-size independent; the per-query top-beam cut is a
+    window over that bounded set (never over the corpus). The query
+    table broadcasts (the small side by construction); the edge table is
+    the big side and is probed by a frontier semi-join, co-located when
+    bucketed by src. Entries default to the ``beam`` smallest ids for
+    every query — deterministic, oracle-replayable (fixed hops/beam, 6-dp
+    rounding before every ranking, id tiebreaks).
+    """
+    from pyspark.sql import Window
+
+    if beam < 1 or hops < 0 or k < 1:
+        raise ValueError("beam, k must be >= 1; hops >= 0")
+    qv = to_double_array(query_vec)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            qv.alias("_qv"),
+            l2_norm(qv).alias("_qn"),
+        )
+    )
+    cv = to_double_array(vec_col)
+    ids_v = emb.select(
+        F.col(id_col).alias("id"), cv.alias("_cv"), l2_norm(cv).alias("_cn")
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(ids_v, "id")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "id",
+                F.round(
+                    cosine_from_parts(
+                        dot(F.col("_cv"), F.col("_qv")),
+                        F.col("_cn"),
+                        F.col("_qn"),
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    entry = (
+        emb.select(F.col(id_col).alias("id")).orderBy("id").limit(beam)
+        .crossJoin(q.select("query_id"))
+    )
+    visited = score(entry)
+    e = edges.select(F.col("src").alias("fid"), F.col("dst").alias("id"))
+    for _ in range(hops):
+        fr = (
+            visited.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= beam)
+            .select("query_id", F.col("id").alias("fid"))
+        )
+        nbrs = e.join(fr, "fid").select("query_id", "id").distinct()
+        fresh = score(
+            nbrs.join(visited.select("query_id", "id"), ["query_id", "id"], "left_anti")
+        )
+        visited = visited.unionByName(fresh)
+    return (
+        visited.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(
+            "query_id", "id", "score", F.col("_r").cast("int").alias("rank")
+        )
+    )
 
 
 def knn_pagerank(

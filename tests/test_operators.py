@@ -1043,3 +1043,34 @@ def test_graph_beam_search_filtered_gates_results_only(spark, emb):
     assert got and all(labels[r["vec_id"]] == 3 for r in got)
     exact = {r["vec_id"]: r["score"] for r in search.knn(emb, qv, k=500).collect()}
     assert all(exact.get(r["vec_id"]) == r["score"] for r in got)
+
+
+def test_graph_beam_search_batch_matches_single(spark, emb):
+    """Each query's batch walk must equal its single-query walk (same
+    beam/hops/entries) — the batch form is a throughput shape, not a
+    different algorithm."""
+    from grape_vector_db_spark.operators import ann, search
+
+    edges = ann.knn_graph(emb, k=5)
+    queries = emb.where(F.col("vec_id").isin([2, 5])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = ann.graph_beam_search_batch(
+        edges, emb, queries, k=5, beam=8, hops=2
+    ).collect()
+    for qid in (2, 5):
+        qv = search.query_vector_of(emb, qid)
+        single = [
+            (r["vec_id"], r["score"])
+            for r in ann.graph_beam_search(
+                edges, emb, qv, k=5, beam=8, hops=2
+            ).collect()
+        ]
+        got = [
+            (r["id"], r["score"])
+            for r in sorted(
+                (x for x in batch if x["query_id"] == qid),
+                key=lambda x: x["rank"],
+            )
+        ]
+        assert got == single
