@@ -1561,22 +1561,61 @@ def q_events_sessions(spark, sf_dir):
 _ANN_INDEX_VERSION = "v1-nlist8-m8-k16-iter3"  # bump when build params change
 
 
-def _ann_paths(sf_dir: str) -> dict[str, str]:
+def _ann_paths(sf_dir: str, root: str | None = None) -> dict[str, str]:
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".ann_index",
-        f"{tag}-{_ANN_INDEX_VERSION}",
-    )
+    if root is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".ann_index",
+            f"{tag}-{_ANN_INDEX_VERSION}",
+        )
     names = [
         "ivf_centroids", "ivf_assigned", "pq_codebooks", "pq_codes",
         "ivfpq_centroids", "ivfpq_codebooks", "ivfpq_codes",
     ]
     p = {n: os.path.join(root, n) for n in names}
     p["done"] = os.path.join(root, "_DONE")
+    p["root"] = root
     return p
+
+
+def _stage_root(root: str) -> str:
+    """A builder-unique sibling of the cache root to stage writes into."""
+    import os
+    import uuid
+
+    return f"{root}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+
+def _promote_cache_dir(staging: str, root: str, done: str) -> None:
+    """Atomically promote a fully-built staging dir to the cache root.
+
+    Concurrent builders (two gate runs, a gate racing a bench) each stage
+    under a unique name, so no two Spark jobs ever share a _temporary dir;
+    exactly one rename wins and losers adopt the winner's tables. A crash
+    mid-build leaves only an orphan stage dir — never a half-written root —
+    so readers can trust the _DONE marker unconditionally."""
+    import os
+    import shutil
+
+    try:
+        os.rename(staging, root)
+        return
+    except OSError:
+        pass
+    if os.path.exists(done):  # another builder won the race: use theirs
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    # root exists but is unfinished (crash leftover): replace it
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.rename(staging, root)
+    except OSError:
+        if not os.path.exists(done):
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _codebooks_df(spark, codebooks) -> DataFrame:
@@ -1608,24 +1647,26 @@ def _ensure_ann_indexes(spark, sf_dir) -> dict[str, str]:
     p = _ann_paths(sf_dir)
     if os.path.exists(p["done"]):
         return p
+    sp = _ann_paths(sf_dir, root=_stage_root(p["root"]))
     cents, assigned = ann.ivf_build(_emb(spark, sf_dir), nlist=8, max_iter=3)
-    cents.write.mode("overwrite").parquet(p["ivf_centroids"])
-    assigned.write.mode("overwrite").parquet(p["ivf_assigned"])
+    cents.write.mode("overwrite").parquet(sp["ivf_centroids"])
+    assigned.write.mode("overwrite").parquet(sp["ivf_assigned"])
     cbs, codes = ann.pq_build(_emb(spark, sf_dir), m=8, k=16, max_iter=3)
     _codebooks_df(spark, cbs).coalesce(1).write.mode("overwrite").parquet(
-        p["pq_codebooks"]
+        sp["pq_codebooks"]
     )
-    codes.write.mode("overwrite").parquet(p["pq_codes"])
+    codes.write.mode("overwrite").parquet(sp["pq_codes"])
     rcents, rcbs, rcodes = ann.ivfpq_build(
         _emb(spark, sf_dir), nlist=8, m=8, k=16, max_iter=3
     )
-    rcents.write.mode("overwrite").parquet(p["ivfpq_centroids"])
+    rcents.write.mode("overwrite").parquet(sp["ivfpq_centroids"])
     _codebooks_df(spark, rcbs).coalesce(1).write.mode("overwrite").parquet(
-        p["ivfpq_codebooks"]
+        sp["ivfpq_codebooks"]
     )
-    rcodes.write.mode("overwrite").parquet(p["ivfpq_codes"])
-    with open(p["done"], "w") as fh:
+    rcodes.write.mode("overwrite").parquet(sp["ivfpq_codes"])
+    with open(sp["done"], "w") as fh:
         fh.write(_ANN_INDEX_VERSION)
+    _promote_cache_dir(sp["root"], p["root"], p["done"])
     return p
 
 
@@ -3187,6 +3228,7 @@ def _logreg_paths(sf_dir: str) -> dict[str, str]:
     return {
         "weights": os.path.join(root, "weights"),
         "done": os.path.join(root, "_DONE"),
+        "root": root,
     }
 
 
@@ -3228,11 +3270,13 @@ def _ensure_logreg(spark, sf_dir) -> dict[str, str]:
         l2=1e-4,
     )
     rows = [(j, float(wj)) for j, wj in enumerate(w)] + [(-1, float(b))]
+    stage = _stage_root(p["root"])
     spark.createDataFrame(rows, "j int, w double").coalesce(1).write.mode(
         "overwrite"
-    ).parquet(p["weights"])
-    with open(p["done"], "w") as fh:
+    ).parquet(os.path.join(stage, "weights"))
+    with open(os.path.join(stage, "_DONE"), "w") as fh:
         fh.write(_LOGREG_VERSION)
+    _promote_cache_dir(stage, p["root"], p["done"])
     return p
 
 
@@ -6122,7 +6166,7 @@ def _duck_bpe_train(n_merges: int = 8):
         con.execute("UPDATE st SET s = replace(s, ?, ?)", [pat, rep])
     con.close()
     os.makedirs(os.path.dirname(cache_file), exist_ok=True)
-    tmp = cache_file + ".tmp"
+    tmp = f"{cache_file}.tmp-{os.getpid()}"  # writer-unique: no torn tmp
     with open(tmp, "w") as fh:
         json.dump(merges, fh)
     os.replace(tmp, cache_file)
