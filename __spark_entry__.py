@@ -1733,6 +1733,35 @@ def q_ivf_search(spark, sf_dir):
     )
 
 
+def q_ivf_add(spark, sf_dir):
+    """Incremental index INSERT (VectorIndex::add_vectors on a trained
+    index, ref:src/index.rs:35-41): vectors with vec_id % 10 == 7 arrive
+    as a new batch and ann.ivf_add assigns them to the FROZEN persisted
+    centroids — no retrain, one narrow Arrow pass. Oracle: the very rows
+    the BULK build persisted for those ids — insert must reproduce the
+    bulk-built posting lists exactly (grown == built), with no
+    cross-engine float replay in the loop."""
+    cents, _ = _ivf_idx(spark, sf_dir)
+    delta = _emb(spark, sf_dir).where(F.col("vec_id") % 10 == 7)
+    return ann.ivf_add(delta, cents).orderBy("id")
+
+
+def q_ivf_incremental(spark, sf_dir):
+    """Grown-index search equals built-index search: delete the delta's
+    posting rows (ann.ivf_remove — broadcast anti-join), re-insert them
+    via ann.ivf_add against the frozen centroids, and run the standard
+    IVF search over the grown index. The top-k must hash-match the
+    ivf_search oracle over the bulk-built persisted tables — the
+    add/remove/search contract of ref:src/index.rs:35-47 end-to-end."""
+    cents, assigned = _ivf_idx(spark, sf_dir)
+    delta = _emb(spark, sf_dir).where(F.col("vec_id") % 10 == 7)
+    old = ann.ivf_remove(assigned, delta.select("vec_id"))
+    grown = old.unionByName(ann.ivf_add(delta, cents))
+    return ann.ivf_search(
+        _emb(spark, sf_dir), cents, grown, _qv(spark, sf_dir), k=10, nprobe=2
+    )
+
+
 def q_pq_search(spark, sf_dir):
     cbs, codes = _pq_idx(spark, sf_dir)
     return ann.pq_search(
@@ -4220,6 +4249,131 @@ def q_audio_neardup(spark, sf_dir):
     )
 
 
+# --- 64-bit multimodal fingerprints: the catalog-scale path ---------------
+#
+# The sf0.1 -> sf1 measurement (SCALE.md round-6 section) showed the
+# 16-bit demo hashes saturating their 65,536-value space at ~50k items —
+# every 4-bit band bucket overflows and the near-dup join degenerates.
+# These variants are the production shape: full 64-bit fingerprints whose
+# hamming_pairs bands are 16 bits wide (65k keys PER BAND), the same
+# geometry that keeps text simhash sub-quadratic at catalog scale. The
+# blobs plant real near-duplicates (every ~3 consecutive doc_ids share a
+# base image/track, with a one-byte doc-specific perturbation), so the
+# pair tier returns qualifying pairs the oracle's exhaustive bit_count
+# scan must reproduce exactly.
+
+def _grp_img_payload():
+    """192 md5-derived bytes for an 8x8 P6 image shared by doc_id group
+    (grp = doc_id div 3), with byte 0 (pixel 0's red channel) perturbed
+    by doc_id % 8 — near-identical images within a group, distant
+    otherwise. Mirrored byte-for-byte by the DuckDB oracle."""
+    grp = F.expr("doc_id div 3").cast("string")
+    m0 = F.md5(F.concat(grp, F.lit(":w0")))
+    b0 = F.conv(F.substring(m0, 1, 2), 16, 10).cast("long")
+    nb0 = (b0 + F.col("doc_id") % 8) % 256
+    return F.concat(
+        F.unhex(F.lpad(F.hex(nb0), 2, "0")),
+        F.unhex(F.substring(m0, 3, 30)),
+        *[
+            F.unhex(F.md5(F.concat(grp, F.lit(f":w{i}"))))
+            for i in range(1, 12)
+        ],
+    )
+
+
+def _ahash64_table(spark, sf_dir):
+    """Cached (doc_id, ahash, n_bits): group-planted 8x8 P6 blobs hashed
+    at the full 8x8 = 64 bits (no downsample — every pixel is a bit)."""
+    key = ("ahash64", sf_dir)
+    if key not in _CACHE:
+        from grape_vector_db_spark.operators import multimodal
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("P6\n8 8\n255\n").cast("binary"), _grp_img_payload()
+            ).alias("blob"),
+        )
+        _CACHE[key] = multimodal.average_hash(docs, hash_h=8, hash_w=8).persist()
+    return _CACHE[key]
+
+
+def q_image_ahash64(spark, sf_dir):
+    """64-bit perceptual image hash — the catalog-scale fingerprint
+    width (16-bit demo hashes saturate at ~50k items, measured at sf1).
+    Decode the 8x8 P6 blob, threshold each pixel's integer r+g+b sum
+    against the image average, pack MSB0 two's-complement into a signed
+    BIGINT. Oracle rebuilds all 64 bits from md5 hex, including the
+    planted one-byte perturbation."""
+    return _ahash64_table(spark, sf_dir)
+
+
+def q_image_neardup64(spark, sf_dir):
+    """Image near-dup over 64-bit aHashes: 4 pigeonhole-exact bands of
+    16 bits (65k keys per band — the sub-quadratic geometry at catalog
+    scale). Group-planted blobs guarantee real qualifying pairs; oracle
+    is the exhaustive bit_count pair scan."""
+    return dedup.hamming_pairs(
+        _ahash64_table(spark, sf_dir), bits=64, max_hamming=3,
+        hash_col="ahash",
+    )
+
+
+def _grp_wav_payload():
+    """256 md5-derived bytes (128 PCM16 samples) shared by doc_id group
+    (grp = doc_id div 3), byte 0 (LSB of sample 0) perturbed by
+    doc_id % 8 — near-identical tracks within a group."""
+    grp = F.expr("doc_id div 3").cast("string")
+    m0 = F.md5(F.concat(grp, F.lit(":x0")))
+    b0 = F.conv(F.substring(m0, 1, 2), 16, 10).cast("long")
+    nb0 = (b0 + F.col("doc_id") % 8) % 256
+    return F.concat(
+        F.unhex(F.lpad(F.hex(nb0), 2, "0")),
+        F.unhex(F.substring(m0, 3, 30)),
+        *[
+            F.unhex(F.md5(F.concat(grp, F.lit(f":x{i}"))))
+            for i in range(1, 16)
+        ],
+    )
+
+
+def _ehash64_table(spark, sf_dir):
+    """Cached (doc_id, ehash, n_bits): group-planted 128-sample PCM16
+    WAV blobs energy-hashed at 64 windows of 2 samples = 64 bits."""
+    key = ("ehash64", sf_dir)
+    if key not in _CACHE:
+        from grape_vector_db_spark.operators import multimodal
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.unhex(F.lit(_wav_header_hex(n_samples=128))),
+                _grp_wav_payload(),
+            ).alias("blob"),
+        )
+        _CACHE[key] = multimodal.audio_energy_hash(docs, n_windows=64).persist()
+    return _CACHE[key]
+
+
+def q_audio_ehash64(spark, sf_dir):
+    """64-bit audio energy hash — the catalog-scale fingerprint width.
+    Parse the RIFF/WAVE blob, square the int16 samples, threshold each
+    2-sample window's energy against the track average, pack MSB0
+    two's-complement into a signed BIGINT. Oracle rebuilds every bit
+    from little-endian md5 hex, including the planted perturbation."""
+    return _ehash64_table(spark, sf_dir)
+
+
+def q_audio_neardup64(spark, sf_dir):
+    """Audio near-dup over 64-bit energy hashes: the same 16-bit-band
+    pigeonhole engine as image_neardup64 and text simhash. Oracle:
+    exhaustive bit_count pair scan over the group-planted tracks."""
+    return dedup.hamming_pairs(
+        _ehash64_table(spark, sf_dir), bits=64, max_hamming=3,
+        hash_col="ehash",
+    )
+
+
 def q_click_attribution(spark, sf_dir):
     """Event-time attribution: each view joined to the same user's
     clicks landing strictly within the next 10 minutes — the watermarked
@@ -4454,6 +4608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "ivf_search": q_ivf_search,
+        "ivf_add": q_ivf_add,
+        "ivf_incremental": q_ivf_incremental,
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
         "dsir_weights": q_dsir_weights,
@@ -4593,6 +4749,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "audio_ehash": q_audio_ehash,
         "audio_neardup": q_audio_neardup,
+        "image_ahash64": q_image_ahash64,
+        "image_neardup64": q_image_neardup64,
+        "audio_ehash64": q_audio_ehash64,
+        "audio_neardup64": q_audio_neardup64,
         "click_attribution": q_click_attribution,
         "market_basket": q_market_basket,
         "fim_transform": q_fim_transform,
@@ -6015,6 +6175,79 @@ def _audio_ehash_core_sql(n_samples: int = 32, n_windows: int = 16) -> str:
         en AS (SELECT doc_id, {e_cols} FROM documents),
         et AS (SELECT *, ({total}) AS t FROM en),
         eh AS (SELECT doc_id, ({bits})::BIGINT AS ehash FROM et)
+    """
+
+
+def _grp_byte_sql(j: int, prefix: str) -> str:
+    """Byte ``j`` of the group-planted payload concat(md5(grp:{prefix}0),
+    md5(grp:{prefix}1), ...) where grp = doc_id div 3, with byte 0
+    perturbed by doc_id % 8 — the oracle twin of _grp_img_payload /
+    _grp_wav_payload."""
+    d, o = divmod(j, 16)
+    raw = (
+        f"(('0x' || substr(md5((doc_id // 3)::VARCHAR || ':{prefix}{d}'),"
+        f" {2 * o + 1}, 2))::INT)"
+    )
+    if j == 0:
+        return f"(({raw} + (doc_id % 8)) % 256)"
+    return raw
+
+
+def _pack64_sql(bit_exprs: list[str]) -> str:
+    """MSB0 two's-complement 64-bit pack: bit 0 weighs -(2^63) so the
+    packed value lands in a signed BIGINT exactly like the Spark
+    kernels' ``val -= 1 << 64`` adjustment. bit_exprs[i] must be a
+    boolean SQL expression for bit i (MSB-first)."""
+    assert len(bit_exprs) == 64
+    terms = []
+    for i, e in enumerate(bit_exprs):
+        w = "(-9223372036854775807 - 1)" if i == 0 else str(1 << (63 - i))
+        terms.append(f"(CASE WHEN {e} THEN {w}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(terms) + f")::BIGINT"
+
+
+def _image_ahash64_core_sql() -> str:
+    """Per-doc 64-bit aHash CTE body over the group-planted 8x8 blobs:
+    no downsample — pixel p's brightness is the integer byte sum
+    payload[3p..3p+2], bit p set iff sum * 64 > image total."""
+    cols = ", ".join(
+        "("
+        + " + ".join(_grp_byte_sql(3 * p + k, "w") for k in (0, 1, 2))
+        + f") AS s{p}"
+        for p in range(64)
+    )
+    total = " + ".join(f"s{p}" for p in range(64))
+    pack = _pack64_sql([f"s{p} * 64 > t" for p in range(64)])
+    return f"""
+        px64 AS (SELECT doc_id, {cols} FROM documents),
+        tt64 AS (SELECT *, ({total}) AS t FROM px64),
+        ah64 AS (SELECT doc_id, {pack} AS ahash FROM tt64)
+    """
+
+
+def _audio_ehash64_core_sql() -> str:
+    """Per-doc 64-bit energy-hash CTE body over the group-planted
+    128-sample tracks: window w = int16 samples (2w, 2w+1), bit w set
+    iff the window's squared-sample energy * 64 > track total."""
+
+    def sample(t: int) -> str:
+        lsb, msb = _grp_byte_sql(2 * t, "x"), _grp_byte_sql(2 * t + 1, "x")
+        return (
+            f"(({lsb} + 256 * {msb} - CASE WHEN {msb} >= 128 "
+            f"THEN 65536 ELSE 0 END)::BIGINT)"
+        )
+
+    e_cols = ", ".join(
+        f"({sample(2 * w)} * {sample(2 * w)}"
+        f" + {sample(2 * w + 1)} * {sample(2 * w + 1)}) AS e{w}"
+        for w in range(64)
+    )
+    total = " + ".join(f"e{w}" for w in range(64))
+    pack = _pack64_sql([f"e{w} * 64 > t" for w in range(64)])
+    return f"""
+        en64 AS (SELECT doc_id, {e_cols} FROM documents),
+        et64 AS (SELECT *, ({total}) AS t FROM en64),
+        eh64 AS (SELECT doc_id, {pack} AS ehash FROM et64)
     """
 
 
@@ -7754,6 +7987,12 @@ def oracle_sql() -> dict[str, str]:
         # the SEARCH replays over the persisted index tables (see
         # _ann_oracle_paths) — full hash-checked rows, every registry query oracled
         "ivf_search": _ivf_search_sql(),
+        "ivf_add": f"""
+            SELECT id, cluster
+            FROM read_parquet('{_ann_oracle_paths()['ivf_assigned']}/*.parquet')
+            WHERE id % 10 = 7 ORDER BY id
+        """,
+        "ivf_incremental": _ivf_search_sql(),
         "pq_search": _pq_search_sql(),
         "ivfpq_search": _ivfpq_search_sql(),
         "dsir_weights": _dsir_weights_sql(),
@@ -9344,6 +9583,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.doc_id AS a, y.doc_id AS b,
                    bit_count(xor(x.ehash, y.ehash))::INT AS hamming
             FROM eh x JOIN eh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.ehash, y.ehash)) <= 3
+        """,
+        "image_ahash64": f"""
+            WITH {_image_ahash64_core_sql()}
+            SELECT doc_id, ahash, 64::INT AS n_bits FROM ah64
+        """,
+        "image_neardup64": f"""
+            WITH {_image_ahash64_core_sql()}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.ahash, y.ahash))::INT AS hamming
+            FROM ah64 x JOIN ah64 y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+        """,
+        "audio_ehash64": f"""
+            WITH {_audio_ehash64_core_sql()}
+            SELECT doc_id, ehash, 64::INT AS n_bits FROM eh64
+        """,
+        "audio_neardup64": f"""
+            WITH {_audio_ehash64_core_sql()}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.ehash, y.ehash))::INT AS hamming
+            FROM eh64 x JOIN eh64 y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.ehash, y.ehash)) <= 3
         """,
         "click_attribution": """

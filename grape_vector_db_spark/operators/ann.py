@@ -287,6 +287,55 @@ def ivf_build(
     return cents, assigned
 
 
+def ivf_add(
+    delta: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_vectors: bool = False,
+    replicas: int = 1,
+) -> DataFrame:
+    """Incremental IVF maintenance — the vector-db INSERT path
+    (``VectorIndex::add_vector/add_vectors`` on a trained index,
+    ref:src/index.rs:35-41): assign a batch of NEW vectors to the FROZEN
+    trained centroids (no retrain) and return posting-list rows
+    ``(id, cluster[, v])`` to append to the persisted assignment table.
+
+    Assignment is a pure deterministic argmin over frozen centroids, so
+    an index grown by ANY sequence of ivf_add batches is row-identical
+    to a bulk ivf_build given the same centroids — the invariant the
+    ``ivf_incremental`` registry query pins against a DuckDB replay.
+
+    Scale shape: centroids ride the task closure (nlist x dim doubles —
+    KBs), so an insert batch is ONE narrow Arrow-batched numpy pass over
+    the delta — no join, no shuffle, cost O(batch) and independent of
+    index size. At 100 TB the posting-list append is a partition-local
+    parquet write per touched cluster (pair with bucket-manifest tables
+    for file-granular commits). Retrain (``ivf_build``) only when
+    drift accumulates — the ``optimize()`` contract
+    (ref:src/index.rs:55-56)."""
+    cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
+    src = delta.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    assigned = _assign_literal(src, cents_py, replicas)
+    if not include_vectors:
+        assigned = assigned.select("id", "cluster")
+    return assigned
+
+
+def ivf_remove(assigned: DataFrame, ids: DataFrame) -> DataFrame:
+    """Incremental IVF delete (``VectorIndex::remove_vector``,
+    ref:src/index.rs:46-47): drop the given ids' posting-list rows. A
+    broadcast anti-join — the id batch is small by construction, the
+    posting lists never shuffle; pair with bucket-manifest tables so
+    only touched posting files rewrite."""
+    dcol = ids.columns[0]
+    return assigned.join(
+        F.broadcast(ids.select(F.col(dcol).alias("id"))), "id", "left_anti"
+    )
+
+
 def _cos_py(a: list[float], b: list[float]) -> float:
     """Driver-side cosine over two small lists (centroid ranking only)."""
     import math

@@ -476,12 +476,16 @@ def audio_energy_hash(
     DuckDB oracle rebuilds every bit from raw bytes. Trailing samples
     beyond ``n_windows * (n // n_windows)`` are ignored (every window
     must weigh the same for the comparison to be fair). Narrow
-    Arrow-batched mapInPandas — one pass, no shuffle.
+    Arrow-batched mapInPandas — one pass, no shuffle. Up to 64 windows,
+    packed two's-complement into a signed BIGINT like
+    :func:`average_hash` — at catalog scale use the full 64-bit hash so
+    the banded near-dup join gets 16-bit (65k-key) bands instead of the
+    4-bit bands a 16-window hash forces.
     """
     import numpy as np
 
-    if n_windows < 1 or n_windows > 63:
-        raise ValueError("n_windows must be in [1, 63] (signed-long pack)")
+    if n_windows < 1 or n_windows > 64:
+        raise ValueError("n_windows must be in [1, 64] (one BIGINT word)")
 
     schema = f"{id_col} long, ehash long, n_bits int"
 
@@ -501,6 +505,8 @@ def audio_energy_hash(
                 val = 0
                 for e in energies:
                     val = (val << 1) | int(int(e) * n_windows > total)
+                if val >= 1 << 63:  # two's-complement into signed long
+                    val -= 1 << 64
                 ids.append(i)
                 hashes.append(val)
             yield pd.DataFrame(

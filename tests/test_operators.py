@@ -69,6 +69,32 @@ def test_ivf_recall(spark, emb):
     assert len(set(res) & set(exact)) >= 2
 
 
+def test_ivf_add_grown_equals_built(spark, emb):
+    """The insert invariant: an index grown by ivf_add batches must be
+    row-identical to the bulk ivf_build given the same frozen centroids
+    (VectorIndex::add_vectors contract)."""
+    cents, built = ann.ivf_build(emb, nlist=4, max_iter=3)
+    delta = emb.where(F.col("vec_id") % 3 == 1)
+    rest = built.join(
+        delta.select(F.col("vec_id").alias("id")), "id", "left_anti"
+    )
+    grown = rest.unionByName(ann.ivf_add(delta, cents))
+    assert grown.count() == built.count()
+    assert grown.exceptAll(built).count() == 0
+
+
+def test_ivf_add_replicas_and_remove(spark, emb):
+    """replicas=2 emits two posting rows per inserted vector;
+    ivf_remove drops exactly the requested ids' rows."""
+    cents, built = ann.ivf_build(emb, nlist=4, max_iter=2, replicas=2)
+    delta = emb.where(F.col("vec_id") % 5 == 2)
+    added = ann.ivf_add(delta, cents, replicas=2)
+    assert added.count() == delta.count() * 2
+    pruned = ann.ivf_remove(built, delta.select("vec_id"))
+    assert pruned.count() == built.count() - delta.count() * 2
+    assert pruned.where(F.col("id") % 5 == 2).count() == 0
+
+
 def test_ivf_replicated_search_dedups(spark, emb):
     """SPANN-style replicas store an id in several cells; searches must
     return each id at most once and recall must not regress."""

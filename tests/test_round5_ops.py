@@ -710,12 +710,29 @@ def test_audio_energy_hash_validation(spark):
     from grape_vector_db_spark.operators import multimodal
 
     with pytest.raises(ValueError):
-        multimodal.audio_energy_hash(None, n_windows=64)
+        multimodal.audio_energy_hash(None, n_windows=65)
     df = spark.createDataFrame(
         [(1, _wav_blob([1, 2]))], "doc_id long, blob binary"
     )
     with pytest.raises(Exception):  # 2 samples cannot fill 4 windows
         multimodal.audio_energy_hash(df, n_windows=4).collect()
+
+
+def test_audio_energy_hash_64bit_signed_pack(spark):
+    """64 one-sample windows with the loud sample FIRST: bit 0 (MSB)
+    set -> the packed value must be NEGATIVE (two's-complement into a
+    signed long, same convention as average_hash and text simhash)."""
+    from grape_vector_db_spark.operators import multimodal
+
+    samples = [30000] + [1] * 63
+    df = spark.createDataFrame(
+        [(1, _wav_blob(samples))], "doc_id long, blob binary"
+    )
+    row = multimodal.audio_energy_hash(df, n_windows=64).first()
+    assert row["n_bits"] == 64
+    # only window 0 is above average: exactly bit 63 of the unsigned
+    # pack -> -(2^63) as a signed long
+    assert row["ehash"] == -(1 << 63)
 
 
 # --- streaming CMS maintenance ----------------------------------------------
