@@ -1762,6 +1762,26 @@ def q_ivf_incremental(spark, sf_dir):
     )
 
 
+def q_pq_add(spark, sf_dir):
+    """Incremental PQ INSERT: encode the vec_id % 10 == 7 batch against
+    the FROZEN persisted codebooks (ann.pq_add — no retrain). Oracle:
+    the very code rows the bulk build persisted for those ids — encode
+    must reproduce the bulk-built codes exactly."""
+    cbs, _codes = _pq_idx(spark, sf_dir)
+    delta = _emb(spark, sf_dir).where(F.col("vec_id") % 10 == 7)
+    return ann.pq_add(delta, cbs).orderBy("id")
+
+
+def q_ivfpq_add(spark, sf_dir):
+    """Incremental IVF-PQ INSERT: coarse-assign + residual-encode the
+    vec_id % 10 == 7 batch against the frozen centroids AND codebooks
+    (ann.ivfpq_add — the bulk pipeline minus training). Oracle: the
+    persisted bulk-built (id, cluster, codes) rows for those ids."""
+    cents, cbs, _codes = _ivfpq_idx(spark, sf_dir)
+    delta = _emb(spark, sf_dir).where(F.col("vec_id") % 10 == 7)
+    return ann.ivfpq_add(delta, cents, cbs).orderBy("id")
+
+
 def q_pq_search(spark, sf_dir):
     cbs, codes = _pq_idx(spark, sf_dir)
     return ann.pq_search(
@@ -4610,6 +4630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "ivf_add": q_ivf_add,
         "ivf_incremental": q_ivf_incremental,
+        "pq_add": q_pq_add,
+        "ivfpq_add": q_ivfpq_add,
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
         "dsir_weights": q_dsir_weights,
@@ -7993,6 +8015,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE id % 10 = 7 ORDER BY id
         """,
         "ivf_incremental": _ivf_search_sql(),
+        "pq_add": f"""
+            SELECT id, codes
+            FROM read_parquet('{_ann_oracle_paths()['pq_codes']}/*.parquet')
+            WHERE id % 10 = 7 ORDER BY id
+        """,
+        "ivfpq_add": f"""
+            SELECT id, cluster, codes
+            FROM read_parquet('{_ann_oracle_paths()['ivfpq_codes']}/*.parquet')
+            WHERE id % 10 = 7 ORDER BY id
+        """,
         "pq_search": _pq_search_sql(),
         "ivfpq_search": _ivfpq_search_sql(),
         "dsir_weights": _dsir_weights_sql(),

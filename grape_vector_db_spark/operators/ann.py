@@ -336,6 +336,61 @@ def ivf_remove(assigned: DataFrame, ids: DataFrame) -> DataFrame:
     )
 
 
+def pq_add(
+    delta: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental PQ maintenance — encode a NEW batch against the
+    FROZEN trained codebooks (``add_vectors`` on a trained quantizer,
+    ref:src/index.rs:35-41; train-once-encode-many is the reference's
+    quantization flow, ref:src/quantization.rs). One narrow Arrow pass,
+    cost O(batch); codes are identical to what a bulk pq_build with the
+    same codebooks would emit (the ``pq_add`` registry query pins it)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    src = delta.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    return _pq_encode(src, codebooks, m, sub)
+
+
+def ivfpq_add(
+    delta: DataFrame,
+    cents: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    replicas: int = 1,
+) -> DataFrame:
+    """Incremental IVF-PQ maintenance: assign the new batch to the
+    frozen coarse centroids, subtract the cell centroid, and encode the
+    RESIDUAL with the frozen codebooks — the exact bulk ivfpq_build
+    pipeline minus training, so grown == built row-for-row. Still one
+    narrow Arrow pass per stage (centroids and codebooks ride the task
+    closure), no join, no shuffle."""
+    cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
+    src = delta.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    assigned_v = _assign_literal(src, cents_py, replicas)
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in cents_py[c]])
+            for c in sorted(cents_py)
+        ]
+    )
+    residuals = assigned_v.withColumn("_cents", cent_lit).select(
+        "id",
+        "cluster",
+        F.expr("zip_with(v, _cents[cluster], (x, c) -> x - c)").alias("v"),
+    )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return _pq_encode(residuals.select("id", "cluster", "v"), codebooks, m, sub)
+
+
 def _cos_py(a: list[float], b: list[float]) -> float:
     """Driver-side cosine over two small lists (centroid ranking only)."""
     import math
@@ -1357,9 +1412,16 @@ def graph_beam_search(
     broadcast-semi probe of the edge table (bucketed by src at 100 TB =
     a co-located point lookup) plus an id-equi join against the vector
     table for scoring — candidates per hop <= beam * out_degree,
-    corpus-size independent. Everything composes lazily: one Spark job
-    regardless of hops, no driver round trips (vs HNSW's inherently
-    sequential per-step pointer chase — the beam IS the parallelism).
+    corpus-size independent. Each hop MATERIALIZES the visited set via
+    an eager local checkpoint: beam search is inherently sequential
+    across hops, and the checkpointed table is KBs (bounded by
+    beam*out_degree*hops, never by the corpus), so the cost is one tiny
+    job per hop — whereas the fully-lazy composition re-evaluates every
+    earlier hop's subtree ~3x per later hop (visited feeds the
+    anti-join, the union, AND the frontier cut), measured 3^hops plan
+    blowup at sf0.1. The walk's data itself never returns to the driver
+    (vs HNSW's per-step pointer chase — the beam is the parallelism
+    WITHIN a hop).
     """
     if beam < 1 or hops < 0 or k < 1:
         raise ValueError("beam, k must be >= 1; hops >= 0")
@@ -1377,7 +1439,7 @@ def graph_beam_search(
                 [(int(i),) for i in entry_ids], "id long"
             )
         )
-    visited = score_of(frontier)
+    visited = score_of(frontier).localCheckpoint(eager=True)
     fr = visited.orderBy(F.col("score").desc(), F.col("id").asc()).limit(beam)
     e = edges.select(F.col("src").alias("fid"), F.col("dst").alias("id"))
     for _ in range(hops):
@@ -1386,9 +1448,11 @@ def graph_beam_search(
             .select("id")
             .distinct()
         )
-        # score only NEW ids; carry forward known scores
+        # score only NEW ids; carry forward known scores. The eager
+        # checkpoint truncates lineage each hop (see docstring: the lazy
+        # chain re-evaluates prior hops ~3x per later hop).
         fresh = score_of(nbrs.join(visited.select("id"), "id", "left_anti"))
-        visited = visited.unionByName(fresh)
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
         fr = visited.orderBy(F.col("score").desc(), F.col("id").asc()).limit(
             beam
         )
@@ -1472,7 +1536,7 @@ def graph_beam_search_batch(
         emb.select(F.col(id_col).alias("id")).orderBy("id").limit(beam)
         .crossJoin(q.select("query_id"))
     )
-    visited = score(entry)
+    visited = score(entry).localCheckpoint(eager=True)
     e = edges.select(F.col("src").alias("fid"), F.col("dst").alias("id"))
     for _ in range(hops):
         fr = (
@@ -1484,7 +1548,10 @@ def graph_beam_search_batch(
         fresh = score(
             nbrs.join(visited.select("query_id", "id"), ["query_id", "id"], "left_anti")
         )
-        visited = visited.unionByName(fresh)
+        # eager checkpoint per hop: state is <= queries x beam x degree
+        # rows (KBs); without it the lazy chain re-evaluates every prior
+        # hop ~3x per later hop (see graph_beam_search)
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
     return (
         visited.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= k)

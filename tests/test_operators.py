@@ -95,6 +95,27 @@ def test_ivf_add_replicas_and_remove(spark, emb):
     assert pruned.where(F.col("id") % 5 == 2).count() == 0
 
 
+def test_pq_and_ivfpq_add_grown_equals_built(spark, emb):
+    """Encoding new batches with frozen codebooks (pq_add / ivfpq_add)
+    must reproduce the bulk build's code rows exactly."""
+    delta = emb.where(F.col("vec_id") % 4 == 1)
+    d_ids = delta.select(F.col("vec_id").alias("id"))
+
+    cbs, built = ann.pq_build(emb, m=8, k=16, max_iter=2)
+    grown = built.join(d_ids, "id", "left_anti").unionByName(
+        ann.pq_add(delta, cbs)
+    )
+    assert grown.count() == built.count()
+    assert grown.exceptAll(built).count() == 0
+
+    cents, rcbs, rcodes = ann.ivfpq_build(emb, nlist=4, m=8, k=16, max_iter=2)
+    rgrown = rcodes.join(d_ids, "id", "left_anti").unionByName(
+        ann.ivfpq_add(delta, cents, rcbs)
+    )
+    assert rgrown.count() == rcodes.count()
+    assert rgrown.exceptAll(rcodes).count() == 0
+
+
 def test_ivf_replicated_search_dedups(spark, emb):
     """SPANN-style replicas store an id in several cells; searches must
     return each id at most once and recall must not regress."""

@@ -62,6 +62,10 @@ def main() -> None:
     packed = quantization.pack_bits(emb).persist(); packed.count()
     pack_build_s = time.time() - t0
 
+    t0 = time.time()
+    g_edges = ann.knn_graph(emb, k=16).persist(); g_edges.count()
+    graph_build_s = time.time() - t0
+
     paths = {
         "ivf nlist=16 nprobe=4 (25% of cells)": lambda qv: ann.ivf_search(
             emb, cents, assigned, qv, k=K, nprobe=4
@@ -77,6 +81,12 @@ def main() -> None:
         ),
         "binary two-stage ratio=0.1": lambda qv: quantization.two_stage_search(
             emb, qv, k=K, rescore_ratio=0.1, packed_df=packed
+        ),
+        "graph k=16 beam=32 hops=3": lambda qv: ann.graph_beam_search(
+            g_edges, emb, qv, k=K, beam=32, hops=3
+        ),
+        "graph k=16 beam=64 hops=4": lambda qv: ann.graph_beam_search(
+            g_edges, emb, qv, k=K, beam=64, hops=4
         ),
     }
 
@@ -99,6 +109,8 @@ def main() -> None:
         "pq k=256 rescore=100": pq_build_s,
         "ivfpq k=256 replicas=2 nprobe=8 rescore=200": ivfpq_build_s,
         "binary two-stage ratio=0.1": pack_build_s,
+        "graph k=16 beam=32 hops=3": graph_build_s,
+        "graph k=16 beam=64 hops=4": graph_build_s,
     }
     for name, fn in paths.items():
         t0 = time.time()
@@ -120,7 +132,11 @@ def main() -> None:
         "same scan fraction per probe). These synthetic embeddings are "
         "nearly unclustered — the worst case for IVF cell pruning; real "
         "embedding corpora cluster far better, so the recall/scan "
-        "tradeoff above is a lower bound."
+        "tradeoff above is a lower bound. The graph rows walk the exact "
+        "kNN graph (HNSW-family navigation) from fixed entry points: "
+        "beam x hops bounds the scan at beam*out_degree vectors per hop "
+        "regardless of corpus size, and recall rises with beam exactly "
+        "like HNSW's ef parameter — the lever to turn at scale."
     )
     lines += _neardup_section(spark)
     with open("/root/repo/RECALL.md", "w") as f:
