@@ -137,6 +137,62 @@ def stream_upsert_with_index(
     return writer.start()
 
 
+def stream_ann_index_to_parquet(
+    stream_df: DataFrame,
+    cents_path: str,
+    assigned_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+    replicas: int = 1,
+):
+    """foreachBatch incremental ANN index maintenance — the streaming
+    analogue of the reference's insert-time vector-index update (its
+    HNSW re-adds per insert, ref:src/index.rs:164-209, O(corpus) work
+    per row; per-micro-batch ivf_add is strictly better). Per batch:
+
+    1. load the FROZEN trained centroids (KBs; retraining stays an
+       offline ``rebuild_index``, ref:src/query.rs:257-269);
+    2. assign the batch's vectors with :func:`ann.ivf_add` — one narrow
+       Arrow pass, no retrain, no shuffle;
+    3. upsert-publish the assignment table: re-inserted ids' old
+       posting rows drop first (ivf_remove), so a vector UPDATE moves
+       its posting between cells instead of duplicating it.
+
+    Assignment over frozen centroids is deterministic, so an index grown
+    by ANY partitioning of the corpus into micro-batches is
+    row-identical to a bulk assignment with the same centroids (the
+    pytest pins stream-grown == bulk-assigned). At 100 TB, store the
+    assignment table partitioned by cluster behind a bucket manifest so
+    each batch's publish rewrites only the touched cells."""
+    from ..operators.ann import ivf_add, ivf_remove
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        cents = read_table(spark, cents_path)
+        fresh = ivf_add(
+            batch, cents, id_col=id_col, vec_col=vec_col, replicas=replicas
+        )
+        if table_exists(spark, assigned_path):
+            old = read_table(spark, assigned_path)
+            kept = ivf_remove(
+                old, batch.select(F.col(id_col).alias("id")).distinct()
+            )
+            updated = kept.unionByName(fresh)
+        else:  # first batch — no assignment table yet
+            updated = fresh
+        publish_table(spark, assigned_path, updated)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_to_parquet(
     stream_df: DataFrame,
     table_path: str,

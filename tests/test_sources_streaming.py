@@ -205,6 +205,61 @@ def test_stream_upsert_with_index(spark, tmpdir):
     assert docs[2] == "omega only" and docs[1] == "alpha beta gamma"
 
 
+def test_stream_ann_index_maintenance(spark, emb, tmpdir):
+    """Streaming IVF maintenance: an index grown by micro-batches over
+    frozen centroids must be row-identical to the bulk assignment, and a
+    re-inserted (updated) vector must MOVE its posting row, not
+    duplicate it."""
+    from pyspark.sql import functions as F
+
+    from grape_vector_db_spark.operators import ann
+    from grape_vector_db_spark.streaming.ingest import (
+        stream_ann_index_to_parquet,
+    )
+
+    base = emb.where(F.col("vec_id") < 300)
+    cents, bulk = ann.ivf_build(base, nlist=4, max_iter=3)
+    cents_path = f"{tmpdir}/cents"
+    cents.write.parquet(cents_path)
+
+    src = f"{tmpdir}/incoming"
+    assigned = f"{tmpdir}/assigned"
+    # two micro-batches covering the same 300 vectors
+    base.where(F.col("vec_id") < 150).write.parquet(src)
+    q = stream_ann_index_to_parquet(
+        spark.readStream.schema(base.schema).parquet(src),
+        cents_path, assigned, checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(120)
+    base.where(F.col("vec_id") >= 150).write.mode("append").parquet(src)
+    q = stream_ann_index_to_parquet(
+        spark.readStream.schema(base.schema).parquet(src),
+        cents_path, assigned, checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(120)
+
+    grown = read_table(spark, assigned)
+    assert grown.count() == bulk.count()
+    assert grown.exceptAll(bulk).count() == 0
+
+    # update: re-insert vec_id 7 with a DIFFERENT vector -> exactly one
+    # posting row for id 7 afterwards, placed by the new vector
+    moved = emb.where(F.col("vec_id") == 123).select(
+        F.lit(7).cast("long").alias("vec_id"), "embedding"
+    )
+    moved.write.mode("append").parquet(src)
+    q = stream_ann_index_to_parquet(
+        spark.readStream.schema(base.schema).parquet(src),
+        cents_path, assigned, checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(120)
+    after = read_table(spark, assigned)
+    assert after.count() == bulk.count()
+    assert after.where(F.col("id") == 7).count() == 1
+    want = ann.ivf_add(moved, cents).first()["cluster"]
+    assert after.where(F.col("id") == 7).first()["cluster"] == want
+
+
 def test_stateful_dedup_stream(spark, tmpdir):
     """Duplicates are dropped across micro-batches via keyed state."""
     from grape_vector_db_spark.streaming.stateful import dedup_stream

@@ -49,6 +49,13 @@ QUERIES = [
     "bm25",
     "knn_cosine",
     "curation_pipeline",
+    # round-6 additions: the catalog-width fingerprints (the fix the
+    # 16-bit saturation finding demanded), the checkpointed beam walk,
+    # and the incremental-index search path
+    "image_neardup64",
+    "audio_neardup64",
+    "knn_graph_search_filtered",
+    "ivf_incremental",
 ]
 
 
