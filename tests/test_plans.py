@@ -521,3 +521,27 @@ def test_disjunctive_revenue_broadcasts_pruned_part(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "In(p_brand" in plan
+
+
+def test_ivf_add_is_shuffle_free(spark, emb):
+    """Incremental index insert (ivf_add) must be ONE narrow Arrow pass:
+    the frozen centroids ride the task closure, so the plan has zero
+    Exchange and zero join — the O(batch) shape that makes per-micro-batch
+    index maintenance viable at 100 TB."""
+    from grape_vector_db_spark.operators import ann
+
+    cents, _ = ann.ivf_build(emb.limit(200), nlist=4, max_iter=1)
+    plan = plan_of(ann.ivf_add(emb.where(F.col("vec_id") < 50), cents))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_add_is_shuffle_free(spark, emb):
+    """pq_add encodes against closure-resident codebooks: zero Exchange,
+    zero join."""
+    from grape_vector_db_spark.operators import ann
+
+    cbs, _ = ann.pq_build(emb.limit(200), m=8, k=16, max_iter=1)
+    plan = plan_of(ann.pq_add(emb.where(F.col("vec_id") < 50), cbs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
