@@ -135,6 +135,46 @@ class GrapeVectorDB:
         self._merge("documents", docs)
         if embeddings is not None:
             self._merge("embeddings", embeddings, id_col="vec_id")
+            self._refresh_indexes(embeddings)
+
+    def _refresh_indexes(self, batch: DataFrame) -> None:
+        """Incremental index maintenance on insert. The reference rebuilds
+        its whole index per insert (src/lib.rs:317-356,
+        src/index.rs:164-209 — O(corpus) per row); here every EXISTING
+        index absorbs the batch in O(batch):
+
+        - ivf: drop the batch ids' posting rows (update semantics — a
+          changed vector MOVES cells), ann.ivf_add against the FROZEN
+          centroids; identical rows to a bulk re-assignment (the
+          grown == built invariant pinned in tests/oracles).
+        - packed / sq: both encodings are per-vector (sign bits;
+          per-vector min/rng calibration), so re-encoding just the batch
+          and swapping its rows reproduces a full rebuild exactly.
+
+        build_index remains the offline full retrain (rebuild_index,
+        ref:src/query.rs:257-269); every publish is the versioned swap,
+        so a search running mid-refresh reads old-or-new, never partial."""
+        ids = batch.select("vec_id")
+        if self._has("index_ivf"):
+            cents, assigned = ann.load_index(
+                self.spark, self._path("index_ivf")
+            )
+            grown = ann.ivf_remove(assigned, ids).unionByName(
+                ann.ivf_add(batch, cents, vec_col=self.vec_col)
+            )
+            ann.save_index(self._path("index_ivf"), cents, grown)
+        if self._has("index_packed"):
+            fresh = quantization.pack_bits(batch, "vec_id", self.vec_col)
+            kept = self._read("index_packed").join(
+                F.broadcast(ids), "vec_id", "left_anti"
+            )
+            self._publish("index_packed", kept.unionByName(fresh))
+        if self._has("index_sq"):
+            fresh = quantization.sq_quantize(batch, "vec_id", self.vec_col)
+            kept = self._read("index_sq").join(
+                F.broadcast(ids), "vec_id", "left_anti"
+            )
+            self._publish("index_sq", kept.unionByName(fresh))
 
     def _validate_dimension(self, embeddings: DataFrame) -> None:
         """Raise if any incoming vector's length differs from the expected
@@ -163,11 +203,15 @@ class GrapeVectorDB:
             )
 
     def _merge(self, table: str, updates: DataFrame, id_col: str | None = None) -> None:
+        # batch-only fallback gated on an EXPLICIT existence probe (the
+        # streaming _merge_publish rule): a blanket try/except around the
+        # read would also swallow transient FS/merge errors and publish a
+        # version containing only the batch — destroying the corpus two
+        # GC'd publishes later.
         id_col = id_col or self.id_col
-        try:
-            existing = self._read(table)
-            merged = merge_upsert(existing, updates, id_col=id_col)
-        except Exception:
+        if self._has(table):
+            merged = merge_upsert(self._read(table), updates, id_col=id_col)
+        else:
             merged = updates
         self._publish(table, merged)
 

@@ -121,19 +121,25 @@ def _dedup_updates(updates: DataFrame, id_col: str) -> DataFrame:
 def merge_upsert(existing: DataFrame, updates: DataFrame, id_col: str = "id") -> DataFrame:
     """MERGE semantics on plain DataFrames: update wins per id, null update
     fields fall back to the existing row (reference update preserves unset
-    fields, src/storage.rs:258-294). One shuffle on id; with both sides
-    bucketed by id it's shuffle-free. Duplicate ids WITHIN the update
-    batch collapse deterministically first (see :func:`_dedup_updates`)
-    — a full outer join would otherwise keep both and duplicate the id
-    in the table permanently."""
+    fields, src/storage.rs:258-294). A column ABSENT from the update batch
+    is treated as unset for every row — partial-schema updates (id + the
+    changed fields) are the natural client shape and must never be an
+    error. One shuffle on id; with both sides bucketed by id it's
+    shuffle-free. Duplicate ids WITHIN the update batch collapse
+    deterministically first (see :func:`_dedup_updates`) — a full outer
+    join would otherwise keep both and duplicate the id in the table
+    permanently."""
     updates = _dedup_updates(updates, id_col)
     cols = existing.columns
+    upd_cols = set(updates.columns)
     joined = existing.alias("old").join(
         updates.alias("new"), F.col(f"old.{id_col}") == F.col(f"new.{id_col}"), "full"
     )
     merged = joined.select(
         *[
             F.coalesce(F.col(f"new.{c}"), F.col(f"old.{c}")).alias(c)
+            if c in upd_cols
+            else F.col(f"old.{c}").alias(c)
             for c in cols
         ]
     )

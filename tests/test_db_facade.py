@@ -249,3 +249,46 @@ def test_legacy_flat_table_migrates_on_first_write(spark, docs):
         assert not glob.glob(f"{d}/documents/part-*")  # flat files GC'd
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_add_documents_refreshes_indexes(db, spark, docs, emb):
+    """Insert-time index maintenance: after add_documents with existing
+    ivf/packed/sq indexes, each index must equal a from-scratch rebuild
+    (the reference rebuilds per insert; we refresh per batch in
+    O(batch) with the same end state)."""
+    from grape_vector_db_spark.operators import ann, quantization
+
+    db.build_index("ivf", nlist=4, max_iter=2)
+    db.build_index("binary")
+    db.build_index("sq")
+    cents, _ = ann.load_index(db.spark, db._path("index_ivf"))
+
+    # batch: one UPDATED vector (id 5 gets id 77's embedding) + one new
+    new_docs = spark.createDataFrame(
+        [(5, "updated doc"), (10**6, "brand new doc")],
+        "doc_id long, text string",
+    )
+    moved = emb.where(F.col("vec_id") == 77).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+    fresh = emb.where(F.col("vec_id") == 99).select(
+        F.lit(10**6).cast("long").alias("vec_id"), "embedding"
+    )
+    db.add_documents(new_docs, moved.unionByName(fresh))
+
+    merged = db.embeddings()
+    # ivf: grown index == bulk re-assignment over the merged corpus with
+    # the SAME frozen centroids
+    _, got = ann.load_index(db.spark, db._path("index_ivf"))
+    want = ann.ivf_add(merged, cents)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # packed / sq: refreshed tables == full re-encode of the merged corpus
+    for table, encode in (
+        ("index_packed", quantization.pack_bits),
+        ("index_sq", quantization.sq_quantize),
+    ):
+        got_t = db._read(table)
+        want_t = encode(merged, "vec_id", db.vec_col)
+        assert got_t.count() == want_t.count()
+        assert got_t.exceptAll(want_t).count() == 0
