@@ -1733,6 +1733,31 @@ def q_ivf_search(spark, sf_dir):
     )
 
 
+def q_recommend_avg(spark, sf_dir):
+    """Recommend by stored examples, average_vector strategy: target =
+    mean(vectors 1,2) - vector 3, exact cosine top-10 over the corpus
+    with the examples excluded. Two positives + one negative keep the
+    mean a single commutative addition, so Spark's Python-float target
+    and the oracle's SQL-aggregated target are bit-identical."""
+    return search.recommend(
+        _emb(spark, sf_dir), positive_ids=[1, 2], negative_ids=[3], k=10
+    )
+
+
+def q_recommend_best(spark, sf_dir):
+    """Recommend, best_score strategy: p = best positive cosine (ids 1,2),
+    n = best negative cosine (ids 3,4), score = p if p > n else -n —
+    each cosine 6-dp rounded before the max so both engines take the
+    same branch everywhere."""
+    return search.recommend(
+        _emb(spark, sf_dir),
+        positive_ids=[1, 2],
+        negative_ids=[3, 4],
+        k=10,
+        strategy="best_score",
+    )
+
+
 def q_ivf_add(spark, sf_dir):
     """Incremental index INSERT (VectorIndex::add_vectors on a trained
     index, ref:src/index.rs:35-41): vectors with vec_id % 10 == 7 arrive
@@ -4630,6 +4655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "ivf_add": q_ivf_add,
         "ivf_incremental": q_ivf_incremental,
+        "recommend_avg": q_recommend_avg,
+        "recommend_best": q_recommend_best,
         "pq_add": q_pq_add,
         "ivfpq_add": q_ivfpq_add,
         "pq_search": q_pq_search,
@@ -8015,6 +8042,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE id % 10 = 7 ORDER BY id
         """,
         "ivf_incremental": _ivf_search_sql(),
+        "recommend_avg": f"""
+            WITH px AS (
+              SELECT u.i, vec_id, embedding[u.i + 1]::DOUBLE AS x
+              FROM embeddings, (SELECT unnest(range(64)) AS i) u
+              WHERE vec_id IN (1, 2, 3)
+            ),
+            dim AS (
+              SELECT i,
+                     (max(CASE WHEN vec_id = 1 THEN x END)
+                      + max(CASE WHEN vec_id = 2 THEN x END)) / 2
+                     - max(CASE WHEN vec_id = 3 THEN x END) AS t
+              FROM px GROUP BY i
+            ),
+            tgt AS (SELECT list(t ORDER BY i) AS tv FROM dim)
+            SELECT e.vec_id, round({_cos('e.v', 'tgt.tv')}, 6) AS score
+            FROM {_EMB_D} e, tgt
+            WHERE e.vec_id NOT IN (1, 2, 3)
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "recommend_best": f"""
+            WITH q1 AS (SELECT embedding::DOUBLE[] AS v1 FROM embeddings WHERE vec_id = 1),
+            q2 AS (SELECT embedding::DOUBLE[] AS v2 FROM embeddings WHERE vec_id = 2),
+            q3 AS (SELECT embedding::DOUBLE[] AS v3 FROM embeddings WHERE vec_id = 3),
+            q4 AS (SELECT embedding::DOUBLE[] AS v4 FROM embeddings WHERE vec_id = 4),
+            s AS (
+              SELECT e.vec_id,
+                     greatest(round({_cos('e.v', 'q1.v1')}, 6),
+                              round({_cos('e.v', 'q2.v2')}, 6)) AS p,
+                     greatest(round({_cos('e.v', 'q3.v3')}, 6),
+                              round({_cos('e.v', 'q4.v4')}, 6)) AS n
+              FROM {_EMB_D} e, q1, q2, q3, q4
+              WHERE e.vec_id NOT IN (1, 2, 3, 4)
+            )
+            SELECT vec_id, CASE WHEN p > n THEN p ELSE -n END AS score
+            FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
         "pq_add": f"""
             SELECT id, codes
             FROM read_parquet('{_ann_oracle_paths()['pq_codes']}/*.parquet')

@@ -1742,9 +1742,12 @@ def kcore_peel(
 
     Scale shape per round: one map-side-combined degree aggregate + two
     semi-joins of the edge list against the (shrinking) survivor set —
-    all edge-table-sized, nothing corpus-squared. For many rounds add
-    localCheckpoint between iterations (cf. cluster_pairs); at <= 4
-    rounds the plan stays comfortably small.
+    all edge-table-sized, nothing corpus-squared. Each round ends with an
+    eager localCheckpoint of the surviving edge list (cf. cluster_pairs
+    and graph_beam_search): the round body references ``edges`` three
+    times (degree agg + both semi-joins), so the lazy chain would
+    re-evaluate prior rounds ~3x per later round — 3^rounds plan growth;
+    the checkpoint makes each round one edge-table-sized job instead.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
@@ -1769,7 +1772,7 @@ def kcore_peel(
         keep = deg.where(F.col("deg") >= k).select("u")
         edges = edges.join(keep, "u", "left_semi").join(
             keep.select(F.col("u").alias("v")), "v", "left_semi"
-        )
+        ).localCheckpoint(eager=True)
     return (
         edges.groupBy("u")
         .agg(F.count("*").cast("int").alias("degree"))

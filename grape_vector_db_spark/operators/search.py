@@ -91,6 +91,76 @@ def query_vector_of(
     return list(row[0])
 
 
+def recommend(
+    df: DataFrame,
+    positive_ids: Sequence[int],
+    negative_ids: Sequence[int] = (),
+    k: int = 10,
+    strategy: str = "average_vector",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recommendation by stored examples — rank the corpus by closeness
+    to POSITIVE example points and distance from NEGATIVE ones, the
+    examples themselves excluded from results. Capability ADDITION: the
+    reference is query-vector-only; this is the public recommend-API
+    shape modern vector stores expose, built from the same scan.
+
+    Exact contracts (both engine-reproducible, 6-dp rounding + id
+    tiebreak like :func:`knn`):
+
+    - ``strategy="average_vector"``: one derived target vector —
+      ``mean(positives)`` minus ``mean(negatives)`` (zero vector when no
+      negatives contributes nothing) — then exact cosine top-k against
+      it. Identical scale shape to knn: one narrow scan,
+      TakeOrderedAndProject, zero shuffle.
+    - ``strategy="best_score"``: per row, ``p = max_i cos(v, pos_i)``
+      and ``n = max_j cos(v, neg_j)`` (each cosine rounded 6 dp before
+      the max); score ``p`` when ``p > n`` else ``-n`` — points whose
+      best match is a negative example sort by how hard to avoid they
+      are. All example vectors fold into the scan as literals (a
+      len(ids) x dim driver artifact — the query_vector_of contract),
+      so the shape is still one narrow scan + top-k.
+    """
+    if not positive_ids:
+        raise ValueError("at least one positive example id is required")
+    ex_ids = [int(i) for i in positive_ids] + [int(i) for i in negative_ids]
+    rows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in df.where(F.col(id_col).isin(ex_ids)).collect()
+    }
+    missing = [i for i in ex_ids if i not in rows]
+    if missing:
+        raise KeyError(f"example ids not found: {missing}")
+    pos = [rows[int(i)] for i in positive_ids]
+    neg = [rows[int(i)] for i in negative_ids]
+    rest = df.where(~F.col(id_col).isin(ex_ids))
+    v = to_double_array(vec_col)
+    if strategy == "average_vector":
+        dim = len(pos[0])
+        target = [
+            sum(p[d] for p in pos) / len(pos)
+            - (sum(n[d] for n in neg) / len(neg) if neg else 0.0)
+            for d in range(dim)
+        ]
+        return knn(rest, target, k=k, id_col=id_col, vec_col=vec_col)
+    if strategy == "best_score":
+        def best(vecs):
+            cols = [F.round(cosine_vs_query(v, q), 6) for q in vecs]
+            return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+        p = best(pos)
+        score = (
+            F.when(p > best(neg), p).otherwise(-best(neg)) if neg else p
+        )
+        return (
+            rest.select(F.col(id_col), score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
 def knn_batch(
     corpus: DataFrame,
     queries: DataFrame,

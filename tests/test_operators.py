@@ -1121,3 +1121,33 @@ def test_graph_beam_search_batch_matches_single(spark, emb):
             )
         ]
         assert got == single
+
+
+def test_recommend_excludes_examples_and_ranks(spark, emb):
+    """Both strategies: example ids never appear in results; scores are
+    sorted with the id tiebreak; average_vector with only positives
+    equals knn against the positive mean."""
+    got = search.recommend(emb, positive_ids=[5], k=8).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 5 not in ids and len(ids) == 8
+    qv = search.query_vector_of(emb, 5)
+    want = [
+        r["vec_id"]
+        for r in search.knn(emb.where(F.col("vec_id") != 5), qv, k=8).collect()
+    ]
+    assert ids == want
+
+    best = search.recommend(
+        emb, positive_ids=[1, 2], negative_ids=[3, 4], k=8,
+        strategy="best_score",
+    ).collect()
+    bids = [r["vec_id"] for r in best]
+    assert not set(bids) & {1, 2, 3, 4}
+    scores = [r["score"] for r in best]
+    assert scores == sorted(scores, reverse=True)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search.recommend(emb, positive_ids=[])
+    with _pt.raises(KeyError):
+        search.recommend(emb, positive_ids=[10**9])

@@ -1659,3 +1659,22 @@ def test_haversine_antipodal_not_nan(spark):
         haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("d")
     ).first()["d"]
     assert not math.isnan(v) and v > 19000
+
+
+def test_merge_upsert_partial_schema_preserves_columns(spark):
+    """An update batch carrying only (id + changed fields) — the natural
+    client shape — must merge cleanly: absent columns keep stored values
+    for existing rows and are NULL for new rows."""
+    from grape_vector_db_spark.sources.tables import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "old-a", "en"), (2, "old-b", "de")],
+        "id long, text string, lang string",
+    )
+    updates = spark.createDataFrame(
+        [(1, "new-a"), (3, "new-c")], "id long, text string"
+    )
+    out = {r["id"]: r for r in merge_upsert(existing, updates).collect()}
+    assert out[1]["text"] == "new-a" and out[1]["lang"] == "en"
+    assert out[2]["text"] == "old-b" and out[2]["lang"] == "de"
+    assert out[3]["text"] == "new-c" and out[3]["lang"] is None

@@ -23,6 +23,8 @@ SHOWCASE = [
     ("hamming_topk", "packed-bits stage-1 scan -> broadcast rescore join"),
     ("ivf_flat", "literal-centroid assign (Arrow map) -> filter -> TakeOrdered, join-free"),
     ("ivf_flat_pruned", "partition-pruned read of the persisted inverted list, zero joins"),
+    ("ivf_add", "incremental index insert: frozen-centroid Arrow assign, zero join (the trailing sort is the query's oracle-stable output order; the bare operator is zero-Exchange — plan-pinned)"),
+    ("recommend_best", "example vectors folded into ONE corpus scan -> TakeOrderedAndProject"),
     ("dedup_minhash", "band-bucket self-join -> candidate verify joins"),
     ("events_asof", "as-of join: union + carry-forward window, zero joins"),
     ("events_interval_join", "time-bucket equi-join, no BroadcastNestedLoopJoin"),
