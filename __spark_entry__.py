@@ -1733,6 +1733,18 @@ def q_ivf_search(spark, sf_dir):
     )
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank key-passage extraction: within-doc chunk graph (Jaccard
+    token-overlap edges), 4 fixed weighted-PageRank rounds, top-3
+    passages per doc by 6-dp-rounded score with the chunk_id tiebreak.
+    Oracle unrolls the same 4 rounds as chained CTEs (the knn_pagerank
+    contract)."""
+    return textanalysis.textrank_chunks(
+        _docs(spark, sf_dir), chunk_tokens=16, top_s=3,
+        damping=0.85, iterations=4,
+    )
+
+
 def q_recommend_avg(spark, sf_dir):
     """Recommend by stored examples, average_vector strategy: target =
     mean(vectors 1,2) - vector 3, exact cosine top-10 over the corpus
@@ -4657,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_incremental": q_ivf_incremental,
         "recommend_avg": q_recommend_avg,
         "recommend_best": q_recommend_best,
+        "textrank": q_textrank,
         "pq_add": q_pq_add,
         "ivfpq_add": q_ivfpq_add,
         "pq_search": q_pq_search,
@@ -7060,6 +7073,76 @@ def _knn_pagerank_sql(
     """
 
 
+def _textrank_sql(
+    chunk_tokens: int = 16,
+    top_s: int = 3,
+    damping: float = 0.85,
+    iterations: int = 4,
+) -> str:
+    """Unrolled TextRank mirror of textanalysis.textrank_chunks: the same
+    chunking (overlap 0), Jaccard edge weights (exact small-int ratios —
+    no rounding needed pre-iteration), out-weight normalization, and
+    chained per-round CTEs with the teleport floor on isolated chunks."""
+    body = ""
+    for i in range(1, iterations + 1):
+        body += f""",
+        r{i} AS (
+          SELECT ids.doc_id, ids.chunk_id,
+                 (1.0 - {damping}) / ids.n
+                 + {damping} * coalesce(c.s, 0.0) AS pr
+          FROM ids
+          LEFT JOIN (
+            SELECT ew.doc_id, ew.dst AS chunk_id, sum(p.pr * ew.nw) AS s
+            FROM ew JOIN r{i - 1} p
+              ON p.doc_id = ew.doc_id AND p.chunk_id = ew.src
+            GROUP BY 1, 2
+          ) c USING (doc_id, chunk_id)
+        )"""
+    return f"""
+        WITH chunks0 AS ({_chunk_documents_sql(chunk_tokens, 0)}),
+        ch AS (
+          SELECT doc_id, chunk_id,
+                 list_distinct(string_split(chunk_text, ' ')) AS toks
+          FROM chunks0
+        ),
+        nd AS (SELECT doc_id, count(*)::DOUBLE AS n FROM ch GROUP BY 1),
+        hw AS (
+          SELECT * FROM (
+            SELECT a.doc_id, a.chunk_id AS src, b.chunk_id AS dst,
+                   len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / len(list_distinct(list_concat(a.toks, b.toks))) AS w
+            FROM ch a JOIN ch b
+              ON a.doc_id = b.doc_id AND a.chunk_id < b.chunk_id
+          ) WHERE w > 0
+        ),
+        ed AS (
+          SELECT doc_id, src, dst, w FROM hw
+          UNION ALL
+          SELECT doc_id, dst AS src, src AS dst, w FROM hw
+        ),
+        ow AS (SELECT doc_id, src, sum(w) AS ow FROM ed GROUP BY 1, 2),
+        ew AS (
+          SELECT ed.doc_id, ed.src, ed.dst, ed.w / ow.ow AS nw
+          FROM ed JOIN ow USING (doc_id, src)
+        ),
+        ids AS (
+          SELECT ch.doc_id, ch.chunk_id, nd.n
+          FROM ch JOIN nd USING (doc_id)
+        ),
+        r0 AS (SELECT doc_id, chunk_id, 1.0 / n AS pr FROM ids){body},
+        fin AS (
+          SELECT doc_id, chunk_id, round(pr, 6) AS score,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY round(pr, 6) DESC, chunk_id ASC
+                 ) AS rank
+          FROM r{iterations}
+        )
+        SELECT doc_id, chunk_id, rank::INT AS rank, score
+        FROM fin WHERE rank <= {top_s}
+    """
+
+
 def _doc_keywords_sql(top_k: int = 3) -> str:
     return f"""
         WITH {_TERMS_CTE},
@@ -9123,6 +9206,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_communities": _knn_communities_sql(5, 0.3),
         "doc_keywords": _doc_keywords_sql(3),
         "knn_pagerank": _knn_pagerank_sql(5, 0.85, 3),
+        "textrank": _textrank_sql(16, 3, 0.85, 4),
         "logreg_scores": _logreg_scores_sql(),
         "logreg_eval": _logreg_eval_sql(),
         "logreg_calibration": _logreg_calibration_sql(10),

@@ -1376,3 +1376,124 @@ def code_signals(
             | (hits >= 2)
         ).alias("code_like"),
     )
+
+
+def textrank_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    top_s: int = 3,
+    damping: float = 0.85,
+    iterations: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank key-passage extraction (Mihalcea & Tarau, EMNLP 2004):
+    rank each document's passages by within-doc graph centrality and
+    keep the top ``top_s`` — the extractive-summary / key-sentence
+    sampler a curation pipeline uses to distill long documents.
+    Capability ADDITION (the reference has no summarization tier).
+
+    Passages are fixed-token chunks (``curation.chunk_documents`` with
+    zero overlap) — an honest sentence proxy for unpunctuated corpora;
+    swap the splitter for real sentence bounds on punctuated text. The
+    exact contract, mirrored term-for-term by the DuckDB oracle:
+
+    - nodes: a doc's chunks; edge weight = Jaccard over each chunk's
+      DISTINCT space-split tokens (edges with weight 0 dropped). The
+      small-int ratio is exactly representable, so no rounding is
+      needed before the iteration.
+    - weighted PageRank, ``iterations`` FIXED rounds (oracle-unrolled,
+      the knn_pagerank contract): pr0 = 1/n_doc; each round
+      pr_i = (1-d)/n_doc + d * sum_j pr_j * w_ji / outw_j, isolated
+      chunks keep the teleport floor.
+    - output: (doc_id, chunk_id, rank, score) with score rounded 6 dp
+      BEFORE ranking and the chunk_id tiebreak, rank <= top_s.
+
+    Scale shape: chunk pairs explode WITHIN a doc only (sum over docs
+    of s_d^2, s_d = len/chunk_tokens — bounded by the upstream doc
+    length cap); each round is ONE equi-join + ONE map-side-combined
+    groupBy over the edge table, lazily chained like knn_pagerank
+    (every round references the previous exactly once — a linear plan,
+    no checkpoint needed at <= 5 rounds).
+    """
+    if top_s < 1 or iterations < 1 or chunk_tokens < 1:
+        raise ValueError("top_s, iterations, chunk_tokens must be >= 1")
+    from pyspark.sql import Window
+
+    from .curation import chunk_documents
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    chunks = chunk_documents(d, chunk_tokens=chunk_tokens, overlap=0).select(
+        "doc_id",
+        "chunk_id",
+        F.array_distinct(F.split("chunk_text", " ")).alias("toks"),
+    )
+    n_doc = chunks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    w = (
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    ).cast("double")
+    half = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.chunk_id") < F.col("b.chunk_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.chunk_id").alias("src"),
+            F.col("b.chunk_id").alias("dst"),
+            w.alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    edges = half.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.src", "e.dst", "e.w")
+    outw = edges.groupBy("doc_id", "src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, ["doc_id", "src"]).select(
+        "doc_id", "src", "dst", (F.col("w") / F.col("ow")).alias("nw")
+    )
+    ids = chunks.select("doc_id", "chunk_id").join(n_doc, "doc_id")
+    pr = ids.select(
+        "doc_id", "chunk_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ew.join(
+                pr,
+                (ew["doc_id"] == pr["doc_id"]) & (ew["src"] == pr["chunk_id"]),
+            )
+            .groupBy(ew["doc_id"].alias("doc_id"), ew["dst"].alias("chunk_id"))
+            .agg(F.sum(F.col("pr") * F.col("nw")).alias("s"))
+        )
+        pr = ids.join(contrib, ["doc_id", "chunk_id"], "left").select(
+            "doc_id",
+            "chunk_id",
+            (
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    ranked = pr.select(
+        "doc_id", "chunk_id", F.round("pr", 6).alias("score")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("chunk_id").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= top_s).select(
+        "doc_id", "chunk_id", F.col("rank").cast("int").alias("rank"), "score"
+    )

@@ -1678,3 +1678,25 @@ def test_merge_upsert_partial_schema_preserves_columns(spark):
     assert out[1]["text"] == "new-a" and out[1]["lang"] == "en"
     assert out[2]["text"] == "old-b" and out[2]["lang"] == "de"
     assert out[3]["text"] == "new-c" and out[3]["lang"] is None
+
+
+def test_textrank_chunk_semantics(spark):
+    """A 2-clique of identical chunks outranks an isolated chunk; a
+    single-chunk doc keeps the teleport floor (1-d)/1; ties break on
+    the lower chunk_id."""
+    from grape_vector_db_spark.operators import textanalysis
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d w x y z"), (2, "one lonely chunk here")],
+        "doc_id long, text string",
+    )
+    out = textanalysis.textrank_chunks(
+        docs, chunk_tokens=4, top_s=3, iterations=4
+    ).collect()
+    d1 = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["rank"]
+    )
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]  # clique first, id tie
+    assert d1[0]["score"] == d1[1]["score"] > d1[2]["score"]
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and abs(d2[0]["score"] - 0.15) < 1e-9
