@@ -222,10 +222,38 @@ class GrapeVectorDB:
     def delete_documents(self, predicate: str) -> None:
         """DELETE WHERE (reference S8/S9 — strictly more general). SQL
         DELETE semantics via sources.tables.delete_where: rows where the
-        predicate is NULL are KEPT, not deleted."""
+        predicate is NULL are KEPT, not deleted.
+
+        A delete cascades to the embeddings table and every existing
+        index (the reference's remove_document drops the store row AND
+        the index entry together, ref:src/query.rs:65-73 /
+        ref:src/index.rs:46-47) — otherwise searches keep returning
+        dead ids that hydrate to nothing. All removals are anti-joins
+        against the doomed id set; every publish is the versioned swap."""
         from .sources.tables import delete_where
 
-        self._overwrite("documents", delete_where(self.documents(), predicate))
+        docs = self.documents()
+        doomed = docs.where(F.expr(predicate) == True).select(  # noqa: E712
+            F.col(self.id_col).alias("vec_id")
+        )
+        self._overwrite("documents", delete_where(docs, predicate))
+        if self._has("embeddings"):
+            self._overwrite(
+                "embeddings",
+                self.embeddings().join(doomed, "vec_id", "left_anti"),
+            )
+        if self._has("index_ivf"):
+            cents, assigned = ann.load_index(
+                self.spark, self._path("index_ivf")
+            )
+            ann.save_index(
+                self._path("index_ivf"), cents, ann.ivf_remove(assigned, doomed)
+            )
+        for table in ("index_packed", "index_sq"):
+            if self._has(table):
+                self._overwrite(
+                    table, self._read(table).join(doomed, "vec_id", "left_anti")
+                )
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
         self._publish(table, df)

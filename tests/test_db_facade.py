@@ -292,3 +292,27 @@ def test_add_documents_refreshes_indexes(db, spark, docs, emb):
         want_t = encode(merged, "vec_id", db.vec_col)
         assert got_t.count() == want_t.count()
         assert got_t.exceptAll(want_t).count() == 0
+
+
+def test_delete_cascades_to_embeddings_and_indexes(db, emb):
+    """Deleting documents must also drop their vectors and index entries
+    (the reference removes store row + index entry together) — otherwise
+    searches keep returning dead ids."""
+    from pyspark.sql import functions as F
+
+    db.build_index("ivf", nlist=4, max_iter=2)
+    db.build_index("binary")
+    n_emb = db.embeddings().count()
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    assert db.search(vector=qv, limit=5).head()["vec_id"] == 3
+
+    db.delete_documents("doc_id = 3")
+    assert db.embeddings().count() == n_emb - 1
+    assert db.embeddings().where("vec_id = 3").count() == 0
+    ids = [r["vec_id"] for r in db.search(vector=qv, limit=5).collect()]
+    assert 3 not in ids
+    from grape_vector_db_spark.operators import ann
+
+    _, assigned = ann.load_index(db.spark, db._path("index_ivf"))
+    assert assigned.where("id = 3").count() == 0
+    assert db._read("index_packed").where("vec_id = 3").count() == 0
