@@ -1770,6 +1770,22 @@ def q_recommend_best(spark, sf_dir):
     )
 
 
+def q_recommend_batch(spark, sf_dir):
+    """Batch recommend: two users' positive/negative example sets walk
+    the corpus in ONE scan (knn_batch broadcast design); per-user
+    average_vector targets, own examples excluded via over-fetch +
+    anti-join + re-rank. Two positives + one negative per user keep the
+    per-dimension means single commutative additions — engine-exact."""
+    ex = spark.createDataFrame(
+        [
+            (101, 1, 1), (101, 2, 1), (101, 3, -1),
+            (102, 5, 1), (102, 6, 1), (102, 7, -1),
+        ],
+        "user_id long, example_id long, polarity int",
+    )
+    return search.recommend_batch(_emb(spark, sf_dir), ex, k=10)
+
+
 def q_ivf_add(spark, sf_dir):
     """Incremental index INSERT (VectorIndex::add_vectors on a trained
     index, ref:src/index.rs:35-41): vectors with vec_id % 10 == 7 arrive
@@ -4669,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_incremental": q_ivf_incremental,
         "recommend_avg": q_recommend_avg,
         "recommend_best": q_recommend_best,
+        "recommend_batch": q_recommend_batch,
         "textrank": q_textrank,
         "pq_add": q_pq_add,
         "ivfpq_add": q_ivfpq_add,
@@ -8143,6 +8160,41 @@ def oracle_sql() -> dict[str, str]:
             FROM {_EMB_D} e, tgt
             WHERE e.vec_id NOT IN (1, 2, 3)
             ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "recommend_batch": f"""
+            WITH ex(user_id, ex_id, pol) AS (VALUES
+              (101, 1, 1), (101, 2, 1), (101, 3, -1),
+              (102, 5, 1), (102, 6, 1), (102, 7, -1)),
+            px AS (
+              SELECT e.user_id, e.pol, u.i, emb.embedding[u.i + 1]::DOUBLE AS x
+              FROM ex e
+              JOIN embeddings emb ON emb.vec_id = e.ex_id,
+                   (SELECT unnest(range(64)) AS i) u
+            ),
+            tg AS (
+              SELECT user_id, i,
+                     avg(CASE WHEN pol > 0 THEN x END)
+                     - coalesce(avg(CASE WHEN pol < 0 THEN x END), 0.0) AS t
+              FROM px GROUP BY 1, 2
+            ),
+            tv AS (SELECT user_id, list(t ORDER BY i) AS qv FROM tg GROUP BY 1),
+            s AS (
+              SELECT tv.user_id, e.vec_id AS id,
+                     round({_cos('e.v', 'tv.qv')}, 6) AS score
+              FROM {_EMB_D} e CROSS JOIN tv
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ex
+                WHERE ex.user_id = tv.user_id AND ex.ex_id = e.vec_id)
+            ),
+            r AS (
+              SELECT user_id, id, score,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY score DESC, id ASC
+                     ) AS rank
+              FROM s
+            )
+            SELECT user_id::BIGINT AS user_id, id, score, rank::INT AS rank
+            FROM r WHERE rank <= 10
         """,
         "recommend_best": f"""
             WITH q1 AS (SELECT embedding::DOUBLE[] AS v1 FROM embeddings WHERE vec_id = 1),

@@ -161,6 +161,88 @@ def recommend(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def recommend_batch(
+    df: DataFrame,
+    examples: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    user_col: str = "user_id",
+    example_col: str = "example_id",
+    polarity_col: str = "polarity",
+) -> DataFrame:
+    """Batch recommend — one average_vector :func:`recommend` per user
+    for a whole example table at once (the serving-throughput shape,
+    cf. :func:`knn_batch`). ``examples`` is (user_id, example_id,
+    polarity) with polarity +1 positive / -1 negative; per user the
+    target is mean(positive vectors) - mean(negative vectors) (users
+    without negatives subtract nothing). Results exclude each user's
+    own examples. Output (user_id, id, score, rank <= k) with the knn
+    ordering contract (6-dp rounding, id tiebreak).
+
+    Scale shape: ONE join fetches example vectors (the example table is
+    the small side by construction); per-user targets are a
+    dimension-exploded aggregate over examples-only rows; the corpus is
+    scanned ONCE for every user via knn_batch's broadcast-queries
+    design. Exclusion over-fetches k + max_examples_per_user rows per
+    user (that max is a one-scalar driver artifact), anti-joins the
+    user's own examples, and re-ranks — exact top-k, never
+    under-filled."""
+    ex = examples.select(
+        F.col(user_col).alias("user_id"),
+        F.col(example_col).alias("ex_id"),
+        F.col(polarity_col).alias("pol"),
+    )
+    exv = ex.join(
+        df.select(
+            F.col(id_col).alias("ex_id"), to_double_array(vec_col).alias("v")
+        ),
+        "ex_id",
+    )
+    dims = exv.select("user_id", "pol", F.posexplode("v").alias("i", "x"))
+    per = dims.groupBy("user_id", "i").agg(
+        (
+            F.avg(F.when(F.col("pol") > 0, F.col("x")))
+            - F.coalesce(
+                F.avg(F.when(F.col("pol") < 0, F.col("x"))), F.lit(0.0)
+            )
+        ).alias("t")
+    )
+    targets = per.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "t"))),
+            lambda s: s["t"],
+        ).alias("query_vec")
+    )
+    over = int(
+        ex.groupBy("user_id").count().agg(F.max("count")).first()[0] or 0
+    )
+    hits = knn_batch(
+        df,
+        targets.select(F.col("user_id").alias("query_id"), "query_vec"),
+        k=k + over,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+    )
+    excl = ex.select(
+        F.col("user_id").alias("query_id"), F.col("ex_id").alias("id")
+    )
+    kept = hits.join(excl, ["query_id", "id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("user_id"),
+            "id",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def knn_batch(
     corpus: DataFrame,
     queries: DataFrame,

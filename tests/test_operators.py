@@ -1151,3 +1151,23 @@ def test_recommend_excludes_examples_and_ranks(spark, emb):
         search.recommend(emb, positive_ids=[])
     with _pt.raises(KeyError):
         search.recommend(emb, positive_ids=[10**9])
+
+
+def test_recommend_batch_matches_single(spark, emb):
+    """Each user's rows in recommend_batch must equal a standalone
+    average_vector recommend() with the same examples — same ids, same
+    scores (the 2-pos/1-neg fixture keeps both target derivations
+    bit-identical)."""
+    ex = spark.createDataFrame(
+        [
+            (101, 1, 1), (101, 2, 1), (101, 3, -1),
+            (102, 5, 1), (102, 6, 1), (102, 7, -1),
+        ],
+        "user_id long, example_id long, polarity int",
+    )
+    batch = search.recommend_batch(emb, ex, k=6).collect()
+    for uid, pos, neg in ((101, [1, 2], [3]), (102, [5, 6], [7])):
+        single = search.recommend(emb, pos, neg, k=6).collect()
+        got = [(r["id"], r["score"]) for r in batch if r["user_id"] == uid]
+        want = [(r["vec_id"], r["score"]) for r in single]
+        assert got == want
