@@ -1413,8 +1413,12 @@ def textrank_chunks(
     of s_d^2, s_d = len/chunk_tokens — bounded by the upstream doc
     length cap); each round is ONE equi-join + ONE map-side-combined
     groupBy over the edge table, lazily chained like knn_pagerank
-    (every round references the previous exactly once — a linear plan,
-    no checkpoint needed at <= 5 rounds).
+    (every round references the previous pr exactly once — linear).
+    The node and normalized-edge tables are materialized ONCE via eager
+    local checkpoints before the loop: every round re-reads both, so
+    leaving them lazy re-runs the whole chunk/pair pipeline ~3x per
+    round (measured 2.6x wall at sf0.1); both tables are
+    chunk/edge-sized, the same size class cluster_pairs checkpoints.
     """
     if top_s < 1 or iterations < 1 or chunk_tokens < 1:
         raise ValueError("top_s, iterations, chunk_tokens must be >= 1")
@@ -1462,8 +1466,10 @@ def textrank_chunks(
     outw = edges.groupBy("doc_id", "src").agg(F.sum("w").alias("ow"))
     ew = edges.join(outw, ["doc_id", "src"]).select(
         "doc_id", "src", "dst", (F.col("w") / F.col("ow")).alias("nw")
-    )
-    ids = chunks.select("doc_id", "chunk_id").join(n_doc, "doc_id")
+    ).localCheckpoint(eager=True)
+    ids = chunks.select("doc_id", "chunk_id").join(
+        n_doc, "doc_id"
+    ).localCheckpoint(eager=True)
     pr = ids.select(
         "doc_id", "chunk_id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
