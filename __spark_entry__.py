@@ -1770,6 +1770,43 @@ def q_recommend_best(spark, sf_dir):
     )
 
 
+def q_ivf_drift(spark, sf_dir):
+    """Retrain trigger for the incremental index (the optimize()
+    decision, ref:src/index.rs:55-56; rebuild stays offline,
+    ref:src/query.rs:257-269): per cluster, the full index's member
+    count and mean member-centroid cosine next to the SAME stats over
+    the newest insert batch (vec_id % 10 == 7 — the ivf_add slice), and
+    their gap. A new batch whose cohesion falls below the bulk index's
+    signals centroid drift -> rebuild. Clusters the batch never touched
+    report n_new = 0 and a 0.0 sentinel. One assignment-corpus equi-join
+    + broadcast centroids + nlist-keyed aggregates — the ivf_stats
+    shape, evaluated once for both slices."""
+    cents, assigned = _ivf_idx(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    full = ann.ivf_index_stats(emb, cents, assigned)
+    delta = ann.ivf_index_stats(
+        emb, cents, assigned.where(F.col("id") % 10 == 7)
+    )
+    f, d = full.alias("f"), delta.alias("d")
+    return (
+        f.join(d, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("f.n_members").alias("n_members"),
+            F.col("f.mean_cosine").alias("mean_cosine"),
+            F.coalesce(F.col("d.n_members"), F.lit(0)).cast("int").alias("n_new"),
+            F.coalesce(F.col("d.mean_cosine"), F.lit(0.0)).alias("new_mean_cosine"),
+            F.round(
+                F.coalesce(
+                    F.col("d.mean_cosine") - F.col("f.mean_cosine"), F.lit(0.0)
+                ),
+                6,
+            ).alias("drift"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def q_recommend_batch(spark, sf_dir):
     """Batch recommend: two users' positive/negative example sets walk
     the corpus in ONE scan (knn_batch broadcast design); per-user
@@ -4686,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_avg": q_recommend_avg,
         "recommend_best": q_recommend_best,
         "recommend_batch": q_recommend_batch,
+        "ivf_drift": q_ivf_drift,
         "textrank": q_textrank,
         "pq_add": q_pq_add,
         "ivfpq_add": q_ivfpq_add,
@@ -8212,6 +8250,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CASE WHEN p > n THEN p ELSE -n END AS score
             FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "ivf_drift": f"""
+            WITH j AS (
+              SELECT a.cluster, a.id,
+                     round({_cos('e.v', 'c.cv')}, 6) AS cos
+              FROM read_parquet('{_ann_oracle_paths()['ivf_assigned']}/*.parquet') a
+              JOIN {_EMB_D} e ON e.vec_id = a.id
+              JOIN (SELECT cluster, centroid::DOUBLE[] AS cv
+                    FROM read_parquet('{_ann_oracle_paths()['ivf_centroids']}/*.parquet')) c
+                ON c.cluster = a.cluster
+            ),
+            fullp AS (
+              SELECT cluster, count(*) AS n, round(avg(cos), 6) AS m
+              FROM j GROUP BY 1
+            ),
+            deltap AS (
+              SELECT cluster, count(*) AS n, round(avg(cos), 6) AS m
+              FROM j WHERE id % 10 = 7 GROUP BY 1
+            )
+            SELECT f.cluster, f.n::INT AS n_members, f.m AS mean_cosine,
+                   coalesce(d.n, 0)::INT AS n_new,
+                   coalesce(d.m, 0.0) AS new_mean_cosine,
+                   round(coalesce(d.m - f.m, 0.0), 6) AS drift
+            FROM fullp f LEFT JOIN deltap d USING (cluster)
+            ORDER BY f.cluster
         """,
         "pq_add": f"""
             SELECT id, codes
