@@ -2352,11 +2352,14 @@ def q_event_anomalies(spark, sf_dir):
     )
 
 
-def q_event_funnel(spark, sf_dir):
+def q_event_funnel_window(spark, sf_dir):
     """Funnel: per event type present in the stream, how many users
     reach it AFTER their first 'click' (within 1 hour) — one pass for
     the anchor step (min ts per user), broadcast back, then a
-    map-side-combined count. The two-step conversion readout."""
+    map-side-combined count. The two-step conversion readout.
+
+    Registered as ``event_funnel_window`` (the 3-step strict-order
+    funnel owns the plain ``event_funnel`` name)."""
     ev = _events(spark, sf_dir)
     first_a = (
         ev.where(F.col("event_type") == "click")
@@ -4763,7 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_stats": q_ivf_stats,
         "mixed_language": q_mixed_language,
         "event_anomalies": q_event_anomalies,
-        "event_funnel": q_event_funnel,
+        "event_funnel_window": q_event_funnel_window,
         "retention_cohorts": q_retention_cohorts,
         "rare_tokens": q_rare_tokens,
         "collocations": q_collocations,
@@ -8338,7 +8341,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM z WHERE abs(zscore) > 3
         """,
-        "event_funnel": """
+        "event_funnel_window": """
             WITH fa AS (
               SELECT user_id, min(ts) AS t0 FROM events
               WHERE event_type = 'click' GROUP BY user_id
