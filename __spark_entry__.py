@@ -1596,9 +1596,18 @@ def _promote_cache_dir(staging: str, root: str, done: str) -> None:
     under a unique name, so no two Spark jobs ever share a _temporary dir;
     exactly one rename wins and losers adopt the winner's tables. A crash
     mid-build leaves only an orphan stage dir — never a half-written root —
-    so readers can trust the _DONE marker unconditionally."""
+    so readers can trust the _DONE marker unconditionally.
+
+    The crash-leftover branch never rmtree's the LIVE root path: two
+    builders can both observe root-without-_DONE, and deleting in place
+    would let the slower one destroy the faster one's just-promoted
+    COMPLETE root (and leave a window with no root at all). Instead the
+    leftover is renamed ASIDE to a builder-unique trash name — atomic,
+    and it fails cleanly if another builder already swapped the root —
+    so a complete root, once present, is never removed."""
     import os
     import shutil
+    import uuid
 
     try:
         os.rename(staging, root)
@@ -1608,8 +1617,17 @@ def _promote_cache_dir(staging: str, root: str, done: str) -> None:
     if os.path.exists(done):  # another builder won the race: use theirs
         shutil.rmtree(staging, ignore_errors=True)
         return
-    # root exists but is unfinished (crash leftover): replace it
-    shutil.rmtree(root, ignore_errors=True)
+    # Root exists but is unfinished (crash leftover): move it aside with
+    # an atomic rename, then swap the stage in. If the aside-rename fails,
+    # another builder just swapped a fresh root in — re-check _DONE and
+    # adopt theirs.
+    trash = f"{root}.trash-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(root, trash)
+    except OSError:
+        trash = None
+    else:
+        shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(staging, root)
     except OSError:

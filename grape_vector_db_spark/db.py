@@ -153,7 +153,17 @@ class GrapeVectorDB:
 
         build_index remains the offline full retrain (rebuild_index,
         ref:src/query.rs:257-269); every publish is the versioned swap,
-        so a search running mid-refresh reads old-or-new, never partial."""
+        so a search running mid-refresh reads old-or-new, never partial.
+
+        The batch is collapsed to one row per vec_id FIRST — with the
+        same winner rule the embeddings merge applies — so the index
+        absorbs exactly the rows the merge kept. Encoding the raw batch
+        would leave duplicate posting rows per id (one pointing at a
+        vector that no longer exists) whenever a client batch repeats an
+        id, an explicitly supported shape."""
+        from .sources.tables import _dedup_updates
+
+        batch = _dedup_updates(batch, "vec_id")
         ids = batch.select("vec_id")
         if self._has("index_ivf"):
             cents, assigned = ann.load_index(
@@ -233,9 +243,15 @@ class GrapeVectorDB:
         from .sources.tables import delete_where
 
         docs = self.documents()
+        # Materialize the doomed id set EAGERLY, before the first publish:
+        # the lazy plan reads the documents table, and the cascade below
+        # publishes a new documents version before the embeddings/index
+        # anti-joins would otherwise evaluate it. That was only safe via an
+        # implicit retention invariant (publish keeps >= 1 prior version);
+        # checkpointing removes the dependency on retention entirely.
         doomed = docs.where(F.expr(predicate) == True).select(  # noqa: E712
             F.col(self.id_col).alias("vec_id")
-        )
+        ).localCheckpoint(eager=True)
         self._overwrite("documents", delete_where(docs, predicate))
         if self._has("embeddings"):
             self._overwrite(

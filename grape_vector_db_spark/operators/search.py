@@ -193,12 +193,40 @@ def recommend_batch(
         F.col(example_col).alias("ex_id"),
         F.col(polarity_col).alias("pol"),
     )
-    exv = ex.join(
+    exv_all = ex.join(
         df.select(
             F.col(id_col).alias("ex_id"), to_double_array(vec_col).alias("v")
         ),
         "ex_id",
+        "left",
     )
+    # Same error contract as single-user recommend(): a user with zero
+    # positive rows would get avg(NULL)=NULL per dimension (a null target
+    # vector, garbage results), and an example id absent from the corpus
+    # would be silently dropped by an inner join. One bounded aggregate
+    # (examples-table-sized, grouped to <= n_users rows) surfaces both.
+    probs = (
+        exv_all.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("pol") > 0, 1).otherwise(0)).alias("_haspos"),
+            F.collect_set(
+                F.when(F.col("v").isNull(), F.col("ex_id"))
+            ).alias("_missing"),
+        )
+        .where((F.col("_haspos") == 0) | (F.size("_missing") > 0))
+        .collect()
+    )
+    no_pos = sorted(r["user_id"] for r in probs if r["_haspos"] == 0)
+    if no_pos:
+        raise ValueError(
+            f"users lacking a positive example: {no_pos}"
+        )
+    missing = sorted(
+        {i for r in probs for i in r["_missing"] if i is not None}
+    )
+    if missing:
+        raise KeyError(f"example ids not found: {missing}")
+    exv = exv_all
     dims = exv.select("user_id", "pol", F.posexplode("v").alias("i", "x"))
     per = dims.groupBy("user_id", "i").agg(
         (

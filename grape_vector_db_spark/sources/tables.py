@@ -573,10 +573,20 @@ def drop_bucketed(spark: SparkSession, table_name: str) -> None:
 # renamed — the atomic commit point; readers resolve the newest manifest
 # and see the old or the new table, never a half-merge. Maps the
 # reference's two-tree transactional storage intent
-# (ref:src/advanced_storage.rs:145-191) onto plain parquet. Single-writer
-# assumed, like the versioned-swap layout.
+# (ref:src/advanced_storage.rs:145-191) onto plain parquet. Merges are
+# SINGLE-WINNER (optimistic CAS on the version directory + a committed-
+# version re-check before the manifest commit; losers raise
+# ConcurrentMergeError without publishing — see merge_upsert_bucketed).
 
 _MANIFEST = "_MANIFEST.json"
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another writer committed a newer version while this merge was in
+    flight. The merge was built against a stale snapshot and has been
+    aborted WITHOUT publishing — re-read and retry. (Single-winner
+    semantics: the analogue of the reference's sled transaction conflict,
+    ref:src/advanced_storage.rs:177-191.)"""
 
 
 def _bucketed_versions(spark: SparkSession, path: str) -> list[int]:
@@ -725,7 +735,25 @@ def merge_upsert_bucketed(
     (update wins per id, null update fields preserve existing, duplicate
     update ids pre-collapse), but only the buckets whose ids appear in
     ``updates`` are read and rewritten. Cost is O(touched buckets +
-    updates), not O(table) — the 100 TB merge shape on plain parquet."""
+    updates), not O(table) — the 100 TB merge shape on plain parquet.
+
+    Concurrency: SINGLE-WINNER, not single-writer. Two concurrent merges
+    that both read manifest t=N race on two commit points and exactly one
+    survives, the other raising :class:`ConcurrentMergeError` without
+    publishing anything:
+
+    1. data is staged under a writer-unique dot-dir and CAS-renamed to
+       ``t={N+1}`` — the rename fails if another writer's ``t={N+1}``
+       already exists (so a loser can never clobber the winner's data
+       files, unlike a direct overwrite-write into the shared dir), and
+    2. committed versions are re-listed immediately before the manifest
+       commit — if any version >= N+1 appeared, this merge was built on a
+       stale snapshot and aborts (covers retention settings under which
+       the winner's data dir could already be GC'd, where the rename
+       alone would succeed and the stale result would silently publish).
+    """
+    import uuid as _uuid
+
     vs = _bucketed_versions(spark, path)
     if not vs:
         raise ValueError(
@@ -763,8 +791,46 @@ def merge_upsert_bucketed(
     # every touched bucket holds >= 1 update row by construction, so the
     # write below materializes a b=K dir for each — the manifest update
     # can't dangle
-    _write_bucket_dirs(merged.drop("bucket"), id_col, nb, f"{path}/t={nxt}")
+    fs, P = _hadoop_fs(spark, path)
+    stage_name = f".stage-t{nxt}-{_uuid.uuid4().hex[:8]}"
+    stage = f"{path}/{stage_name}"
+    _write_bucket_dirs(merged.drop("bucket"), id_col, nb, stage)
     upd.unpersist()
+    # CAS commit point 1: claim the version directory by renaming the
+    # stage onto it. Rename semantics differ by FS — HDFS returns false
+    # when the destination exists, but posix-backed FSs rename the source
+    # INTO an existing destination directory — so claiming is verified
+    # structurally: we own t={nxt} iff our stage is gone AND did not land
+    # nested inside someone else's t={nxt}. The loser cleans up only its
+    # OWN artifacts; the winner's files are never touched.
+    target = P(f"{path}/t={nxt}")
+    claimed = False
+    if not fs.exists(target):
+        fs.rename(P(stage), target)
+        nested = P(f"{path}/t={nxt}/{stage_name}")
+        if fs.exists(nested):
+            fs.delete(nested, True)
+        elif not fs.exists(P(stage)):
+            claimed = True
+    if not claimed:
+        fs.delete(P(stage), True)
+        raise ConcurrentMergeError(
+            f"version t={nxt} under {path} was claimed by a concurrent "
+            f"merge (this merge read t={vs[-1]}); re-read and retry"
+        )
+    # CAS commit point 2: the claimed dir is ours (no manifest yet, so it
+    # is invisible to readers) — but if a COMMITTED version >= nxt exists
+    # (possible when retention GC'd the contended dir before our rename),
+    # this merge was derived from a stale snapshot; abort before the
+    # manifest would publish lost updates.
+    latest = _bucketed_versions(spark, path)
+    if latest and latest[-1] >= nxt:
+        if not fs.exists(P(f"{path}/t={nxt}/{_MANIFEST}")):
+            fs.delete(target, True)  # ours: claimed above, never committed
+        raise ConcurrentMergeError(
+            f"version t={latest[-1]} committed under {path} while this "
+            f"merge (based on t={vs[-1]}) was in flight; re-read and retry"
+        )
     new_man = {
         "n_buckets": nb,
         "id_col": id_col,
@@ -781,6 +847,20 @@ def _bucketed_gc(spark: SparkSession, path: str, keep: int) -> None:
     Older manifests are dropped; their now-unreferenced bucket dirs are
     deleted; a version directory disappears when nothing in it is needed."""
     fs, P = _hadoop_fs(spark, path)
+    # reap abandoned merge stages (a crashed writer's dot-dir): invisible
+    # to readers, but they accumulate; anything stage-shaped older than a
+    # day cannot belong to an in-flight merge
+    import time as _time
+
+    cutoff_ms = int(_time.time() * 1000) - 24 * 3600 * 1000
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith(".stage-t")
+            and st.getModificationTime() < cutoff_ms
+        ):
+            fs.delete(st.getPath(), True)
     vs = _bucketed_versions(spark, path)
     live = vs[-keep:] if keep > 0 else vs[-1:]
     referenced = set()

@@ -166,3 +166,109 @@ def test_merge_requires_existing_table_and_matching_id(spark, tdir):
     T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4, id_col="id")
     with pytest.raises(ValueError, match="bucketed by"):
         T.merge_upsert_bucketed(spark, tdir, upd, id_col="text")
+
+
+def test_concurrent_merge_loser_aborts_cleanly(spark, tdir, monkeypatch):
+    """Two merges that both read manifest t=1: the winner commits t=2;
+    the loser must raise ConcurrentMergeError WITHOUT publishing — no
+    silent pointer clobber (the pre-guard behavior: both would write the
+    same t=2 and the second's manifest rename overwrote the first's).
+
+    Interleaving is forced deterministically: the loser's data-staging
+    call first runs the winner's ENTIRE merge, then proceeds."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+
+    winner_upd = spark.createDataFrame(
+        [(7, "winner-7", 700.0)], "id long, text string, score double"
+    )
+    loser_upd = spark.createDataFrame(
+        [(7, "loser-7", 777.0), (9, "loser-9", 999.0)],
+        "id long, text string, score double",
+    )
+
+    real_write = T._write_bucket_dirs
+    state = {"fired": False}
+
+    def interleaved(df, id_col, n_buckets, dest):
+        if not state["fired"]:
+            state["fired"] = True
+            T.merge_upsert_bucketed(spark, tdir, winner_upd, id_col="id")
+        return real_write(df, id_col, n_buckets, dest)
+
+    monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+    with pytest.raises(T.ConcurrentMergeError):
+        T.merge_upsert_bucketed(spark, tdir, loser_upd, id_col="id")
+    monkeypatch.setattr(T, "_write_bucket_dirs", real_write)
+
+    # winner's merge survives intact; loser published NOTHING
+    got = {
+        r["id"]: (r["text"], r["score"])
+        for r in T.read_table_bucketed(spark, tdir).collect()
+    }
+    assert got[7] == ("winner-7", 700.0)
+    assert got[9] == ("text-9", 9.0)
+    assert len(got) == 200
+    # no stage or unclaimed version dirs pollute the table root
+    assert not [
+        d for d in os.listdir(tdir) if d.startswith(".stage-t")
+    ]
+    assert T._bucketed_versions(spark, tdir) == [1, 2]
+
+
+def test_concurrent_merge_stale_snapshot_detected_after_gc(spark, tdir, monkeypatch):
+    """CAS commit point 2: under keep=1 retention, the contended version
+    directory can be GC'd before the straggler's rename — the rename then
+    SUCCEEDS, and only the committed-version re-check stands between a
+    stale snapshot and a silent lost-update publish."""
+    # the straggler must update an id whose BUCKET holds no existing dir,
+    # so its merge plan never reads version-1 files (the competing keep=1
+    # merges below delete version 1 entirely): carve bucket space so the
+    # base table leaves one bucket empty and the straggler id lands there
+    placements = {
+        r["id"]: r["b"]
+        for r in spark.range(1000)
+        .select("id", T._bucket_expr("id", 8).alias("b"))
+        .collect()
+    }
+    straggler_id = 999
+    free_bucket = placements[straggler_id]
+    base_ids = [i for i in range(999) if placements[i] != free_bucket][:200]
+    base = spark.createDataFrame(
+        [(i, f"text-{i}", float(i)) for i in base_ids],
+        "id long, text string, score double",
+    )
+    T.write_table_bucketed(spark, tdir, base, n_buckets=8)
+    all_ids = spark.createDataFrame(
+        [(i, f"w2-{i}", float(i) * 2) for i in base_ids],
+        "id long, text string, score double",
+    )
+    all_ids3 = all_ids.withColumn("text", F.concat(F.lit("w3-"), F.col("id")))
+
+    straggler = spark.createDataFrame(
+        [(straggler_id, "stale", -1.0)], "id long, text string, score double"
+    )
+
+    real_write = T._write_bucket_dirs
+    state = {"fired": False}
+
+    def interleaved(df, id_col, n_buckets, dest):
+        if not state["fired"]:
+            state["fired"] = True
+            # two full-table merges at keep=1: commit t=2 then t=3; t=2's
+            # dirs become fully unreferenced and are GC'd
+            T.merge_upsert_bucketed(spark, tdir, all_ids, id_col="id", keep=1)
+            T.merge_upsert_bucketed(spark, tdir, all_ids3, id_col="id", keep=1)
+            assert not os.path.isdir(os.path.join(tdir, "t=2"))
+        return real_write(df, id_col, n_buckets, dest)
+
+    monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+    with pytest.raises(T.ConcurrentMergeError):
+        T.merge_upsert_bucketed(spark, tdir, straggler, id_col="id")
+    monkeypatch.setattr(T, "_write_bucket_dirs", real_write)
+
+    got = {r["id"]: r["text"] for r in T.read_table_bucketed(spark, tdir).collect()}
+    assert len(got) == 200 and straggler_id not in got
+    assert got[base_ids[0]] == f"w3-{base_ids[0]}"
+    assert T._bucketed_versions(spark, tdir) == [3]
+    # the straggler's claimed-then-aborted t=2 dir was removed
+    assert not os.path.isdir(os.path.join(tdir, "t=2"))

@@ -316,3 +316,39 @@ def test_delete_cascades_to_embeddings_and_indexes(db, emb):
     _, assigned = ann.load_index(db.spark, db._path("index_ivf"))
     assert assigned.where("id = 3").count() == 0
     assert db._read("index_packed").where("vec_id = 3").count() == 0
+
+def test_duplicate_id_batch_leaves_one_index_row_per_id(db, spark, emb):
+    """A batch carrying the same vec_id twice (an explicitly supported
+    client shape — the merge collapses it to one winner row) must leave
+    exactly ONE posting/encoding per id in every index, and that encoding
+    must be the WINNER vector's — not a phantom row for the loser vector
+    that no longer exists in the embeddings table."""
+    from grape_vector_db_spark.operators import ann, quantization
+
+    db.build_index("ivf", nlist=4, max_iter=2)
+    db.build_index("binary")
+    db.build_index("sq")
+    cents, _ = ann.load_index(db.spark, db._path("index_ivf"))
+
+    dup_docs = spark.createDataFrame(
+        [(5, "dup a"), (5, "dup b")], "doc_id long, text string"
+    )
+    dup_emb = emb.where(F.col("vec_id").isin(77, 99)).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+    assert dup_emb.count() == 2
+    db.add_documents(dup_docs, dup_emb)
+
+    merged = db.embeddings()
+    assert merged.where("vec_id = 5").count() == 1
+    _, assigned = ann.load_index(db.spark, db._path("index_ivf"))
+    assert assigned.where("id = 5").count() == 1
+    for table, encode in (
+        ("index_packed", quantization.pack_bits),
+        ("index_sq", quantization.sq_quantize),
+    ):
+        got_t = db._read(table)
+        assert got_t.where("vec_id = 5").count() == 1, table
+        # encoding equals a re-encode of the surviving embedding row
+        want_t = encode(merged.where("vec_id = 5"), "vec_id", db.vec_col)
+        assert got_t.where("vec_id = 5").exceptAll(want_t).count() == 0, table

@@ -1171,3 +1171,26 @@ def test_recommend_batch_matches_single(spark, emb):
         got = [(r["id"], r["score"]) for r in batch if r["user_id"] == uid]
         want = [(r["vec_id"], r["score"]) for r in single]
         assert got == want
+
+def test_recommend_batch_error_contract_matches_single(spark, emb):
+    """Batch and single paths must agree on error contracts: a user with
+    zero positive rows raises ValueError (single-path recommend requires
+    a positive example; batch would otherwise compute avg(NULL)=NULL per
+    dimension — a null target vector and garbage results), and example
+    ids absent from the corpus raise KeyError (single-path raises; the
+    batch inner join would silently drop them)."""
+    import pytest as _pt
+
+    no_pos = spark.createDataFrame(
+        [(201, 1, 1), (201, 2, -1), (202, 3, -1)],
+        "user_id long, example_id long, polarity int",
+    )
+    with _pt.raises(ValueError, match="202"):
+        search.recommend_batch(emb, no_pos, k=3).collect()
+
+    ghost = spark.createDataFrame(
+        [(301, 1, 1), (301, 10**9, 1)],
+        "user_id long, example_id long, polarity int",
+    )
+    with _pt.raises(KeyError, match="1000000000"):
+        search.recommend_batch(emb, ghost, k=3).collect()
