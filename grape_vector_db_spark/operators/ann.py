@@ -1368,6 +1368,92 @@ def knn_in_degree_histogram(
     )
 
 
+def knn_graph_add(
+    edges: DataFrame,
+    emb: DataFrame,
+    batch_ids: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact incremental kNN-graph maintenance for an INSERT batch — the
+    graph analogue of :func:`ivf_add` (the reference rebuilds its whole
+    proximity graph per insert, ref:src/index.rs:164-209; this absorbs
+    the batch in one corpus scan). ``emb`` is the POST-merge corpus,
+    ``batch_ids`` the inserted ids (one ``id_col`` column), ``k`` the
+    graph's out-degree. Returns the full grown edge table
+    ``(src, dst, rank, cosine)``.
+
+    Exactness argument (insert-only): a pre-existing node's post-insert
+    kNN is a subset of (its old kNN ∪ the batch) — inserts can only ADD
+    candidates — so re-cutting top-k over old edges ∪ (node, batch)
+    scores reproduces a rebuild's edge set; batch nodes get fresh exact
+    out-edges from the same scored pass (every corpus row x every batch
+    vector, ONE scan with the batch broadcast). Updates/deletes are NOT
+    exact through this path (an update invalidates reverse edges whose
+    true replacement may be outside old∪batch): route those through
+    ``build_index`` — the same full-retrain trigger contract as
+    ``ivf_drift``. Cosines for the new rows come from the Catalyst
+    expression rather than knn_graph's BLAS kernel; they agree to well
+    below the repo-wide 6-dp rounding (rank order is identical except
+    on sub-1e-6 ties, which the id tiebreak resolves identically).
+
+    Scale shape: one scan of the corpus against a broadcast batch
+    (delta-sized), per-src window over <= k + |batch| rows, and an
+    anti-join dropping the batch's stale out-edges. No all-pairs stage.
+    """
+    from pyspark.sql import Window
+
+    ids = batch_ids.select(F.col(id_col).alias("_bid")).distinct()
+    v = to_double_array(vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("src"), v.alias("_v"), l2_norm(v).alias("_n")
+    )
+    bvec = F.broadcast(
+        corpus.join(ids, corpus["src"] == ids["_bid"], "left_semi").select(
+            F.col("src").alias("dst"),
+            F.col("_v").alias("_bv"),
+            F.col("_n").alias("_bn"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(bvec)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_from_parts(
+                dot(F.col("_v"), F.col("_bv")), F.col("_n"), F.col("_bn")
+            ).alias("cosine"),
+        )
+    )
+    # scored holds (s, d, cos) for EVERY corpus node s x every batch
+    # node d. Existing nodes keep their old edges ∪ their batch
+    # candidates (the s ∉ batch rows). Batch nodes' out-edges are the
+    # FLIPPED rows (cosine is symmetric): flipping puts each batch id in
+    # the src seat against the whole corpus — including other batch
+    # members, each ordered batch-batch pair exactly once. Old out-edges
+    # of batch ids are stale (update guard) and drop.
+    old = edges.select("src", "dst", "cosine").join(
+        ids.withColumnRenamed("_bid", "src"), "src", "left_anti"
+    )
+    batch_out = scored.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+    )
+    corpus_cand = scored.join(
+        ids.withColumnRenamed("_bid", "src"), "src", "left_anti"
+    )
+    cand = old.unionByName(corpus_cand).unionByName(batch_out)
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cosine")
+    )
+
+
 def graph_beam_search(
     edges: DataFrame,
     emb: DataFrame,
@@ -1379,6 +1465,7 @@ def graph_beam_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     result_filter=None,
+    result_ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-based ANN: fixed-hop best-first beam search over a prebuilt
     kNN graph — the DataFrame analogue of the reference's HNSW layer-0
@@ -1463,6 +1550,13 @@ def graph_beam_search(
         # final cut (a raw .where on the RESULT would run after limit k
         # and under-fill)
         out = out.join(emb.where(result_filter).select(id_col), id_col, "left_semi")
+    if result_ids_df is not None:
+        # same gate, but the passing-id set comes from OUTSIDE the vector
+        # table (a metadata filter on a documents table the walk never
+        # reads) — the facade's filtered-search route
+        out = out.join(
+            result_ids_df.select(id_col), id_col, "left_semi"
+        )
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 

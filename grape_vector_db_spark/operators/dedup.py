@@ -425,31 +425,44 @@ def _jaccard_verify(
     (minhash_lsh_pairs) and incremental (incremental_neardup_pairs)
     paths can never silently diverge on the convention.
 
-    ``restrict_to_candidates`` semi-joins each shingle side to its
-    candidate ids FIRST — essential on the incremental path, where
-    ``b_sh`` is the 100 TB corpus shingle index: without it the size
-    aggregate scans every corpus shingle row even when the delta's
-    candidates touch a few thousand docs. (Semi-join on doc_id keeps
-    each candidate doc's FULL shingle set, so sizes are unchanged.)
-    The batched corpus-wide path leaves it off — there cand covers most
-    docs and the extra semi-join would just add a shuffle."""
-    if restrict_to_candidates:
-        a_ids = cand.select(F.col(a_name).alias("doc_id")).distinct()
-        b_ids = cand.select(F.col(b_name).alias("doc_id")).distinct()
-        a_sh = a_sh.join(a_ids, "doc_id", "left_semi")
-        b_sh = b_sh.join(b_ids, "doc_id", "left_semi")
-    a_sizes = a_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
-    b_sizes = b_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
-    inter = (
-        cand.join(a_sh.selectExpr(f"doc_id as {a_name}", "shingle"), a_name)
-        .join(b_sh.selectExpr(f"doc_id as {b_name}", "shingle"),
-              [b_name, "shingle"])
-        .groupBy(a_name, b_name)
-        .agg(F.count("*").alias("n_common"))
+    Shape: each shingle side joins the candidate table ONCE (the join on
+    the pair's own id is the restriction — no separate semi-join or
+    per-doc size aggregate), the two sides union, and a two-level
+    aggregate per (pair, shingle) -> pair computes sizes and the
+    intersection together: a shingle row carried by BOTH sides of a pair
+    is a common shingle (shingle tables are per-doc DISTINCT, so the
+    side flags are 0/1). jaccard = |∩| / (|A| + |B| - |∩|), and the
+    ``n_common >= 1`` guard keeps the historical inner-join-on-shingle
+    semantics (a candidate pair sharing NOTHING never surfaces, even at
+    threshold 0). This replaced a 3-aggregate/5-join tail whose measured
+    cost on the incremental path was AQE stage waves — many small
+    sequential driver jobs — not data volume.
+
+    ``restrict_to_candidates`` is kept for signature stability but the
+    union shape restricts BOTH sides by construction; essential on the
+    incremental path, where ``b_sh`` is the 100 TB corpus shingle index
+    and only candidate corpus docs' rows may be read — the candidate
+    join key does exactly that."""
+    del restrict_to_candidates  # the union shape always restricts
+    a_rows = cand.join(
+        a_sh.selectExpr(f"doc_id as {a_name}", "shingle"), a_name
+    ).select(a_name, b_name, "shingle", F.lit(1).alias("_sa"), F.lit(0).alias("_sb"))
+    b_rows = cand.join(
+        b_sh.selectExpr(f"doc_id as {b_name}", "shingle"), b_name
+    ).select(a_name, b_name, "shingle", F.lit(0).alias("_sa"), F.lit(1).alias("_sb"))
+    per_shingle = (
+        a_rows.unionByName(b_rows)
+        .groupBy(a_name, b_name, "shingle")
+        .agg(F.max("_sa").alias("_ia"), F.max("_sb").alias("_ib"))
     )
     return (
-        inter.join(a_sizes.selectExpr(f"doc_id as {a_name}", "na"), a_name)
-        .join(b_sizes.selectExpr(f"doc_id as {b_name}", "nb"), b_name)
+        per_shingle.groupBy(a_name, b_name)
+        .agg(
+            F.sum("_ia").alias("na"),
+            F.sum("_ib").alias("nb"),
+            F.sum(F.col("_ia") * F.col("_ib")).alias("n_common"),
+        )
+        .where(F.col("n_common") >= 1)
         .select(
             a_name,
             b_name,
@@ -475,6 +488,8 @@ def incremental_neardup_pairs(
     corpus_shingles_df: DataFrame | None = None,
     corpus_signatures_df: DataFrame | None = None,
     bucket_cap: int | None = None,
+    batch_shingles_df: DataFrame | None = None,
+    batch_signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against the EXISTING corpus — the daily
     operation of a 100 TB pipeline: never re-dedup the corpus, probe the
@@ -487,7 +502,11 @@ def incremental_neardup_pairs(
 
     Scale shape: the batch side is delta-sized, so every stage is
     "probe the index": batch shingles/signatures are computed fresh
-    (narrow over the delta); the corpus side MUST be threaded via
+    (narrow over the delta) unless threaded via
+    ``batch_shingles_df``/``batch_signatures_df`` — a caller running
+    several gates over ONE batch (the admission pipeline) builds them
+    once and passes them to every gate, instead of re-tokenizing the
+    batch per gate; the corpus side MUST be threaded via
     ``corpus_shingles_df``/``corpus_signatures_df`` (the persisted index
     tables — with them ``corpus_df`` itself is never read). The band
     join hits the corpus band table on (band, bucket) — bucketed, this
@@ -510,9 +529,17 @@ def incremental_neardup_pairs(
         raise ValueError(
             "pass corpus_df or BOTH corpus_shingles_df and corpus_signatures_df"
         )
-    bsh = shingles(batch_df, n, id_col, text_col)
-    bsig = minhash_signatures(
-        batch_df, num_hashes, n, id_col, text_col, shingles_df=bsh
+    bsh = (
+        batch_shingles_df
+        if batch_shingles_df is not None
+        else shingles(batch_df, n, id_col, text_col)
+    )
+    bsig = (
+        batch_signatures_df
+        if batch_signatures_df is not None
+        else minhash_signatures(
+            batch_df, num_hashes, n, id_col, text_col, shingles_df=bsh
+        )
     )
     csh = (
         corpus_shingles_df
@@ -564,6 +591,8 @@ def incremental_admission(
     corpus_shingles_df: DataFrame | None = None,
     corpus_signatures_df: DataFrame | None = None,
     bucket_cap: int | None = None,
+    batch_shingles_df: DataFrame | None = None,
+    batch_signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Admission verdict per batch document: ``(doc_id, n_dups,
     max_jaccard, admit)`` — admit iff the doc has NO corpus near-dup at
@@ -573,7 +602,7 @@ def incremental_admission(
     pairs = incremental_neardup_pairs(
         batch_df, corpus_df, num_hashes, bands, n, threshold,
         id_col, text_col, corpus_shingles_df, corpus_signatures_df,
-        bucket_cap,
+        bucket_cap, batch_shingles_df, batch_signatures_df,
     )
     per_doc = pairs.groupBy("batch_id").agg(
         F.count("*").alias("n_dups"),

@@ -374,6 +374,14 @@ def admit_merge_batch(
     NEWCOMERS themselves (same banded MinHash + exact-Jaccard criterion,
     the larger id of each pair drops) — two near-copies arriving in one
     batch previously both passed because neither was in the index yet.
+
+    The batch's shingle + signature tables are computed ONCE over the
+    deduped batch, persisted for the batch's lifetime, and threaded into
+    every gate (the internal near-dup gate and both corpus probes) —
+    each gate's input is a subset of the deduped batch, and both tables
+    are per-doc, so an id-keyed semi-join restricts them exactly. The
+    previous shape re-tokenized the batch inside each of the three
+    sequential gates.
     """
     from pyspark.sql import Window
 
@@ -401,6 +409,18 @@ def admit_merge_batch(
         .drop("_rk")
         .persist()
     )
+    # one tokenize/shingle/MinHash pass for the whole batch, shared by
+    # every gate below (their inputs are subsets of uniq; per-doc tables
+    # restrict exactly by id)
+    batch_sh = shingles(uniq, n, id_col, text_col).persist()
+    batch_sig = minhash_signatures(
+        uniq, num_hashes, n, id_col, text_col, shingles_df=batch_sh
+    ).persist()
+
+    def _sub(tbl: DataFrame, members: DataFrame) -> DataFrame:
+        ids = members.select(F.col(id_col).alias("doc_id"))
+        return tbl.join(F.broadcast(ids), "doc_id", "left_semi")
+
     to_write = None
     try:
         if table_exists(spark, table_path):
@@ -432,6 +452,8 @@ def admit_merge_batch(
         internal = minhash_lsh_pairs(
             newcomers, num_hashes=num_hashes, bands=bands, n=n,
             threshold=threshold, id_col=id_col, text_col=text_col,
+            shingles_df=_sub(batch_sh, newcomers),
+            signatures_df=_sub(batch_sig, newcomers),
         ).select(F.col("b").alias(id_col)).distinct()
         newcomers = newcomers.join(F.broadcast(internal), id_col, "left_anti")
         index_ready = table_exists(spark, shingles_path) and table_exists(
@@ -452,6 +474,8 @@ def admit_merge_batch(
                     text_col=text_col,
                     corpus_shingles_df=corpus_sh,
                     corpus_signatures_df=corpus_sig,
+                    batch_shingles_df=_sub(batch_sh, cand),
+                    batch_signatures_df=_sub(batch_sig, cand),
                 )
                 # a doc's own indexed rows are not a duplicate of its
                 # changed text — exclude the self pair
@@ -498,6 +522,8 @@ def admit_merge_batch(
     finally:
         if to_write is not None:
             to_write.unpersist()
+        batch_sig.unpersist()
+        batch_sh.unpersist()
         uniq.unpersist()
 
 
