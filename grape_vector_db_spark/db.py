@@ -303,8 +303,14 @@ class GrapeVectorDB:
     def build_index(self, kind: str = "ivf", **kwargs) -> None:
         emb = self.embeddings()
         if kind == "ivf":
+            nlist = kwargs.get("nlist")
+            if nlist is None:
+                # corpus-sized build (nlist ~ sqrt(n), constant scan
+                # fraction at search) — the lsh_autosize_planes sizing
+                # discipline applied to the IVF family
+                nlist, _ = ann.ivf_autosize(emb.count())
             cents, assigned = ann.ivf_build(
-                emb, kwargs.get("nlist", 16), kwargs.get("max_iter", 5),
+                emb, nlist, kwargs.get("max_iter", 5),
                 id_col="vec_id", vec_col=self.vec_col,
             )
             ann.save_index(self._path("index_ivf"), cents, assigned)
@@ -403,18 +409,33 @@ class GrapeVectorDB:
                 )
             if choice.strategy == "graph_walk":
                 edges = self._read("index_graph")
+                # size the walk to the corpus (hops must reach the
+                # query's neighborhood: ~log_degree(n) + 1 — fixed hops
+                # decay recall as n grows, measured in RECALL.md §sf1);
+                # out-degree recovered from the stored edges
+                degree = edges.agg(F.max("rank")).first()[0] or 8
+                beam, hops = ann.graph_autosize(n_corpus, int(degree), k=limit)
                 # ef-expansion rule: widen the beam under a filter so
                 # enough passing candidates stay in the visited set
-                beam = max(16, 2 * limit)
                 if selectivity < 1.0:
                     beam = min(256, int(beam / max(selectivity, 0.05)))
                 return ann.graph_beam_search(
                     edges, emb_all, list(vector), k=limit, beam=beam,
-                    hops=3, result_ids_df=keep_ids,
+                    hops=hops, result_ids_df=keep_ids,
                 )
             if choice.strategy == "ivf":
                 cents, assigned = ann.load_index(self.spark, self._path("index_ivf"))
-                return ann.ivf_search(emb, cents, assigned, vector, k=limit)
+                # nprobe from the stored index's ACTUAL nlist at the
+                # autosize rule's constant scan fraction (a fixed nprobe
+                # silently decays recall as nlist grows with the corpus)
+                import math as _math
+
+                # floor 4: at tiny nlist the fraction rounds to ~1 probe,
+                # below the recall the sf0.1 table documents
+                nprobe = max(4, _math.ceil(0.0625 * cents.count()))
+                return ann.ivf_search(
+                    emb, cents, assigned, vector, k=limit, nprobe=nprobe
+                )
             if choice.strategy == "sq_two_stage":
                 sq = self._read("index_sq")
                 return quantization.sq_search(

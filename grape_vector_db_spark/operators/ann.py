@@ -260,6 +260,51 @@ def _argmin_assign(with_c: DataFrame) -> DataFrame:
     )
 
 
+def ivf_autosize(
+    n: int,
+    target_scan_fraction: float = 0.0625,
+    min_nlist: int = 4,
+    max_nlist: int = 65536,
+) -> tuple[int, int]:
+    """(nlist, nprobe) sized to the corpus — the IVF analogue of
+    ``dedup.lsh_autosize_planes`` (the sizing discipline that fixed
+    RP-LSH at sf1): ``nlist ≈ sqrt(n)`` balances the two costs a probe
+    pays — ranking nlist centroids vs scanning n/nlist vectors per
+    probed cell — and ``nprobe = ceil(target_scan_fraction * nlist)``
+    pins the expected scanned fraction of the corpus CONSTANT as n
+    grows (fixed nprobe at growing nlist silently decays recall; fixed
+    scan fraction keeps the recall/cost point). Defaults: 6.25 % scan —
+    the fraction the sf0.1 recall table's best IVF row (replicas=2
+    nprobe=8 of nlist=16 => 0.95 R@10 before replication) actually
+    scans per table. Pins the sizing test checks: 1e4 -> (100, 7),
+    2e4 -> (141, 9), 1e9 -> (31623, 1977)."""
+    nlist = int(round(math.sqrt(max(n, 1))))
+    nlist = max(min_nlist, min(max_nlist, nlist))
+    nprobe = max(1, min(nlist, math.ceil(target_scan_fraction * nlist)))
+    return nlist, nprobe
+
+
+def graph_autosize(
+    n: int, out_degree: int, k: int = 10,
+    min_beam: int = 32, max_hops: int = 8,
+) -> tuple[int, int]:
+    """(beam, hops) sized to the corpus for :func:`graph_beam_search` —
+    the graph analogue of :func:`ivf_autosize`. The walk must REACH a
+    query's neighborhood from the fixed entry points before the beam
+    can matter: a kNN graph of out-degree d has diameter ~log_d(n), so
+    ``hops = ceil(ln n / ln d) + 1`` (the +1 is convergence slack once
+    arrived). Fixed hops silently decay recall as the corpus grows —
+    measured at sf1 (20k nodes, d=16): hops=3 -> R@10 0.57-0.73 at any
+    beam, hops=4 -> 0.98, hops=5 -> 1.00 (min 1.00), all at beam 32.
+    Beam is the ef-style recall lever ONCE reached: ``max(min_beam,
+    3k)``. Pins the sizing test checks: (2e3, d=16, k=10) -> (32, 4);
+    (2e4, d=16) -> (32, 5); (1e9, d=32) -> (32, 7)."""
+    if n <= 1 or out_degree < 2:
+        return max(min_beam, 3 * k), 2
+    hops = math.ceil(math.log(n) / math.log(out_degree)) + 1
+    return max(min_beam, 3 * k), max(2, min(max_hops, hops))
+
+
 def ivf_build(
     df: DataFrame,
     nlist: int = 16,
@@ -1444,8 +1489,13 @@ def knn_graph_add(
         ids.withColumnRenamed("_bid", "src"), "src", "left_anti"
     )
     cand = old.unionByName(corpus_cand).unionByName(batch_out)
+    # rank on the 6-dp ROUNDED cosine (the repo-wide ranking contract):
+    # old edges carry BLAS-kernel cosines, fresh candidates Catalyst
+    # ones — for an exact-duplicate vector the two kernels differ by an
+    # ulp, and ranking raw values would flip the id tiebreak at the
+    # rank-k boundary (vs a rebuild's exact tie -> dst asc)
     w = Window.partitionBy("src").orderBy(
-        F.col("cosine").desc(), F.col("dst").asc()
+        F.round("cosine", 6).desc(), F.col("dst").asc()
     )
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("int"))

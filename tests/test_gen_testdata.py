@@ -64,3 +64,24 @@ def test_distribution_invariants(tiny_dir):
         " on l.l_orderkey = o.o_orderkey where o.o_orderkey is null"
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_fingerprint_skip_and_invalidation(tmp_path):
+    """generate() is a no-op when the on-disk fingerprint matches
+    (generator source + sf + seed); a missing table or different seed
+    invalidates. The marker is written LAST, so partial output never
+    passes."""
+    import os
+
+    from tools.gen_testdata import fixtures_current, generate
+
+    out = str(tmp_path / "sf0.001")
+    assert not fixtures_current(0.001, out)
+    generate(0.001, out)
+    assert fixtures_current(0.001, out)
+    assert not fixtures_current(0.001, out, seed=7)
+    mtime = os.path.getmtime(f"{out}/documents.parquet")
+    generate(0.001, out)  # must skip — no rewrite
+    assert os.path.getmtime(f"{out}/documents.parquet") == mtime
+    os.remove(f"{out}/documents.parquet")
+    assert not fixtures_current(0.001, out)

@@ -57,7 +57,40 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, out_dir: str, seed: int = 420) -> None:
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _fingerprint(sf: float, seed: int) -> str:
+    """Content hash of (this generator's source, sf, seed) — the full
+    input of a deterministic run. Matching fingerprint on disk means the
+    fixtures are byte-equivalent to a regeneration; only a generator
+    edit (or different sf/seed) invalidates them."""
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        src = f.read()
+    return hashlib.sha256(src + f"|{sf!r}|{seed!r}".encode()).hexdigest()
+
+
+def fixtures_current(sf: float, out_dir: str, seed: int = 420) -> bool:
+    fp_path = os.path.join(out_dir, "_FINGERPRINT")
+    try:
+        with open(fp_path) as f:
+            on_disk = f.read().strip()
+    except OSError:
+        return False
+    return on_disk == _fingerprint(sf, seed) and all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet")) for t in _TABLES
+    )
+
+
+def generate(sf: float, out_dir: str, seed: int = 420, force: bool = False) -> None:
+    if not force and fixtures_current(sf, out_dir, seed):
+        print(f"  fixtures current at {out_dir} (fingerprint match) — skipping")
+        return
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     mult = sf / BASE_SF
@@ -178,6 +211,10 @@ def generate(sf: float, out_dir: str, seed: int = 420) -> None:
         "embedding": pa.array(list(X), pa.list_(pa.float32())),
         "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
     }))
+    # commit marker LAST: a crash mid-generation leaves no fingerprint,
+    # so the next run regenerates instead of trusting partial fixtures
+    with open(os.path.join(out_dir, "_FINGERPRINT"), "w") as f:
+        f.write(_fingerprint(sf, seed))
 
 
 if __name__ == "__main__":

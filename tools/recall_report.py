@@ -1,15 +1,22 @@
 """Generate RECALL.md — Recall@10 of every approximate search path vs the
-exact brute-force anchor, over a sample of queries at sf0.1.
+exact brute-force anchor, at sf0.1 AND sf1 (the scale-evidence tier).
 
 Context (BASELINE.md): the reference's pure binary quantization reported
 Recall@5 = 17% WITHOUT rescoring and called it a known weakness; every
 path here includes an exact rescore stage, which is the fix.
 
-Usage: python tools/recall_report.py
+The sf1 section builds IVF/IVFPQ with ann.ivf_autosize (nlist ~ sqrt(n),
+nprobe at a constant target scan fraction) — the sizing rule the sf0.1
+fixed-parameter rows motivated: fixed (nlist=16, nprobe=4) at 10x the
+vectors would scan 10x more per cell at the same recall point.
+
+Usage: python tools/recall_report.py            # sf0.1 + sf1 (if fixtures)
+       python tools/recall_report.py --sf01-only
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,31 +25,38 @@ sys.path.insert(0, "/root/repo")
 from grape_vector_db_spark.operators import ann, quantization, search  # noqa: E402
 from grape_vector_db_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.1"
+SF01 = "/root/testdata/sf0.1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = f"{REPO}/.testdata/sf1"
 K = 10
 N_QUERIES = 20
 
 
-def main() -> None:
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+def _search_section(spark, sf_dir: str, title: str, autosize: bool) -> list[str]:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     n = emb.count()
 
-    qids = list(range(0, N_QUERIES * 7, 7))
+    stride = max(1, n // (N_QUERIES * 3))
+    qids = list(range(0, N_QUERIES * stride, stride))
     qvs = {i: search.query_vector_of(emb, i) for i in qids}
     exact = {
         i: [r["vec_id"] for r in search.knn(emb, qvs[i], k=K).collect()]
         for i in qids
     }
 
+    if autosize:
+        nlist, nprobe = ann.ivf_autosize(n)
+    else:
+        nlist, nprobe = 16, 4
+    nprobe2 = 2 * nprobe
+
     t0 = time.time()
-    cents, assigned = ann.ivf_build(emb, nlist=16, max_iter=5)
+    cents, assigned = ann.ivf_build(emb, nlist=nlist, max_iter=5)
     assigned = assigned.persist(); assigned.count()
     ivf_build_s = time.time() - t0
 
     t0 = time.time()
-    cents2, assigned2 = ann.ivf_build(emb, nlist=16, max_iter=5, replicas=2)
+    cents2, assigned2 = ann.ivf_build(emb, nlist=nlist, max_iter=5, replicas=2)
     assigned2 = assigned2.persist(); assigned2.count()
     ivf2_build_s = time.time() - t0
 
@@ -53,7 +67,7 @@ def main() -> None:
 
     t0 = time.time()
     rcents, rcbs, rcodes = ann.ivfpq_build(
-        emb, nlist=16, m=8, k=256, max_iter=5, replicas=2
+        emb, nlist=nlist, m=8, k=256, max_iter=5, replicas=2
     )
     rcodes = rcodes.persist(); rcodes.count()
     ivfpq_build_s = time.time() - t0
@@ -67,17 +81,17 @@ def main() -> None:
     graph_build_s = time.time() - t0
 
     paths = {
-        "ivf nlist=16 nprobe=4 (25% of cells)": lambda qv: ann.ivf_search(
-            emb, cents, assigned, qv, k=K, nprobe=4
+        f"ivf nlist={nlist} nprobe={nprobe}": lambda qv: ann.ivf_search(
+            emb, cents, assigned, qv, k=K, nprobe=nprobe
         ),
-        "ivf replicas=2 nprobe=8": lambda qv: ann.ivf_search(
-            emb, cents2, assigned2, qv, k=K, nprobe=8
+        f"ivf replicas=2 nprobe={nprobe2}": lambda qv: ann.ivf_search(
+            emb, cents2, assigned2, qv, k=K, nprobe=nprobe2
         ),
         "pq k=256 rescore=100": lambda qv: ann.pq_search(
             emb, cbs, codes, qv, k=K, rescore=100
         ),
-        "ivfpq k=256 replicas=2 nprobe=8 rescore=200": lambda qv: ann.ivfpq_search(
-            emb, rcents, rcbs, rcodes, qv, k=K, nprobe=8, rescore=200
+        f"ivfpq k=256 replicas=2 nprobe={nprobe2} rescore=200": lambda qv: ann.ivfpq_search(
+            emb, rcents, rcbs, rcodes, qv, k=K, nprobe=nprobe2, rescore=200
         ),
         "binary two-stage ratio=0.1": lambda qv: quantization.two_stage_search(
             emb, qv, k=K, rescore_ratio=0.1, packed_df=packed
@@ -89,29 +103,32 @@ def main() -> None:
             g_edges, emb, qv, k=K, beam=64, hops=4
         ),
     }
-
-    lines = [
-        "# RECALL — approximate search paths vs exact brute force",
-        "",
-        f"Corpus: sf0.1 embeddings ({n} x 64f), {len(qids)} stored-vector",
-        f"queries, Recall@{K} against exact cosine top-{K}.",
-        "",
-        "Reference context: pure binary quantization WITHOUT rescoring",
-        "reported Recall@5 = 17% (BASELINE.md) — every path below rescores",
-        "exactly, which is the fix the reference's own docs recommend.",
-        "",
-        "| path | build (s) | mean Recall@10 | min | queries/s |",
-        "|---|---|---|---|---|",
-    ]
     builds = {
-        "ivf nlist=16 nprobe=4 (25% of cells)": ivf_build_s,
-        "ivf replicas=2 nprobe=8": ivf2_build_s,
+        f"ivf nlist={nlist} nprobe={nprobe}": ivf_build_s,
+        f"ivf replicas=2 nprobe={nprobe2}": ivf2_build_s,
         "pq k=256 rescore=100": pq_build_s,
-        "ivfpq k=256 replicas=2 nprobe=8 rescore=200": ivfpq_build_s,
+        f"ivfpq k=256 replicas=2 nprobe={nprobe2} rescore=200": ivfpq_build_s,
         "binary two-stage ratio=0.1": pack_build_s,
         "graph k=16 beam=32 hops=3": graph_build_s,
         "graph k=16 beam=64 hops=4": graph_build_s,
     }
+
+    lines = [
+        "",
+        f"## {title}",
+        "",
+        f"Corpus: {n} x 64f embeddings, {len(qids)} stored-vector queries, "
+        f"Recall@{K} against exact cosine top-{K}."
+        + (
+            f" IVF sized by `ann.ivf_autosize` -> nlist={nlist}, "
+            f"nprobe={nprobe} ({nprobe/nlist:.1%} scan fraction)."
+            if autosize
+            else " Fixed parameters (nlist=16, nprobe=4)."
+        ),
+        "",
+        f"| path | build (s) | mean Recall@{K} | min | queries/s |",
+        "|---|---|---|---|---|",
+    ]
     for name, fn in paths.items():
         t0 = time.time()
         recalls = []
@@ -122,6 +139,29 @@ def main() -> None:
         lines.append(
             f"| {name} | {builds[name]:.1f} | {sum(recalls)/len(recalls):.2f} "
             f"| {min(recalls):.2f} | {len(qids)/dt:.1f} |"
+        )
+    for df in (emb, assigned, assigned2, codes, rcodes, packed, g_edges):
+        df.unpersist()
+    return lines
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "# RECALL — approximate search paths vs exact brute force",
+        "",
+        "Reference context: pure binary quantization WITHOUT rescoring",
+        "reported Recall@5 = 17% (BASELINE.md) — every path below rescores",
+        "exactly, which is the fix the reference's own docs recommend.",
+    ]
+    lines += _search_section(
+        spark, SF01, "sf0.1 (2k vectors) — fixed parameters", autosize=False
+    )
+    if "--sf01-only" not in sys.argv and os.path.isdir(SF1):
+        lines += _search_section(
+            spark, SF1, "sf1 (20k vectors) — auto-sized IVF", autosize=True
         )
     lines.append("")
     lines.append(
@@ -136,7 +176,10 @@ def main() -> None:
         "kNN graph (HNSW-family navigation) from fixed entry points: "
         "beam x hops bounds the scan at beam*out_degree vectors per hop "
         "regardless of corpus size, and recall rises with beam exactly "
-        "like HNSW's ef parameter — the lever to turn at scale."
+        "like HNSW's ef parameter — the lever to turn at scale. The sf1 "
+        "section is the auto-sizing rule's evidence: nlist grows with "
+        "sqrt(n) and nprobe holds the scan fraction, so the recall point "
+        "carries across the 10x corpus instead of decaying. The sf1 graph rows exposed the SAME decay on the walk: fixed hops=3 drops beam-32 R@10 from 0.98 (2k nodes) to 0.57 (20k) because the walk must first REACH the query's neighborhood from the entry points — a degree-16 kNN graph has diameter ~log16(n). Measured at sf1: hops=3 -> 0.57-0.73 at ANY beam (64 included), hops=4 -> 0.98, hops=5 -> 1.00 (min 1.00), all beam 32. ann.graph_autosize encodes the rule (hops = ceil(log_degree(n)) + 1, beam = ef-style max(32, 3k)); the facade's graph route sizes from the stored index's actual degree and corpus count."
     )
     lines += _neardup_section(spark)
     with open("/root/repo/RECALL.md", "w") as f:
@@ -151,7 +194,7 @@ def _neardup_section(spark) -> list[str]:
     the question is how many true pairs the buckets surface."""
     from grape_vector_db_spark.operators import dedup
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").persist()
     sh = dedup.shingles(docs, 3).persist()
     sh.count()
 
@@ -172,7 +215,7 @@ def _neardup_section(spark) -> list[str]:
     )
     lsh_j_s = time.time() - t0
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").persist()
     t0 = time.time()
     truth_e = pairset(dedup.embedding_neardup_pairs_gemm(emb, threshold=0.5))
     truth_e_s = time.time() - t0
