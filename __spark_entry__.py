@@ -3226,6 +3226,25 @@ def q_knn_graph(spark, sf_dir):
     return _knn_graph_edges(spark, sf_dir)
 
 
+def q_knn_graph_grown(spark, sf_dir):
+    """Insert-only incremental kNN-graph maintenance: the standing
+    corpus's 5-NN graph (vec_id % 10 != 0) absorbs the delta batch in
+    ONE corpus scan vs the broadcast batch (ann.knn_graph_add — vs the
+    reference's full O(corpus) proximity-graph rebuild per insert,
+    ref:src/index.rs:164-209). The oracle is a from-scratch exact 5-NN
+    graph over the WHOLE corpus: grown == rebuilt IS the operator's
+    exactness contract (a node's post-insert kNN ⊆ old kNN ∪ batch)."""
+    emb = _emb(spark, sf_dir)
+    is_batch = F.col("vec_id") % 10 == 0
+    base_edges = ann.knn_graph(emb.where(~is_batch), k=5)
+    grown = ann.knn_graph_add(
+        base_edges, emb, emb.where(is_batch).select("vec_id"), 5
+    )
+    return grown.select(
+        "src", "dst", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_mutual_knn(spark, sf_dir):
     """Mutual-kNN sparsification of the 5-NN graph (a < b, both
     directions present) — the precision-biased edge set graph dedup /
@@ -4848,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival": q_interarrival,
         "sq_error": q_sq_error,
         "knn_graph": q_knn_graph,
+        "knn_graph_grown": q_knn_graph_grown,
         "knn_graph_search": q_knn_graph_search,
         "knn_graph_search_filtered": q_knn_graph_search_filtered,
         "knn_graph_search_batch": q_knn_graph_search_batch,
@@ -9350,6 +9370,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY big.total_qty DESC, o.o_orderkey ASC LIMIT 20
         """,
         "knn_graph": _knn_graph_sql(5),
+        "knn_graph_grown": _knn_graph_sql(5),
         "knn_graph_search": _knn_graph_search_sql(10, 8, 3, 5),
         "knn_graph_search_filtered": _knn_graph_search_sql(
             10, 16, 4, 5, result_where="label = 3"

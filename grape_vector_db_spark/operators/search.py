@@ -193,40 +193,45 @@ def recommend_batch(
         F.col(example_col).alias("ex_id"),
         F.col(polarity_col).alias("pol"),
     )
-    exv_all = ex.join(
-        df.select(
-            F.col(id_col).alias("ex_id"), to_double_array(vec_col).alias("v")
-        ),
-        "ex_id",
-        "left",
-    )
     # Same error contract as single-user recommend(): a user with zero
     # positive rows would get avg(NULL)=NULL per dimension (a null target
     # vector, garbage results), and an example id absent from the corpus
-    # would be silently dropped by an inner join. One bounded aggregate
-    # (examples-table-sized, grouped to <= n_users rows) surfaces both.
-    probs = (
-        exv_all.groupBy("user_id")
+    # would be silently dropped by the inner join. Two cheap probes keep
+    # the corpus out of the error path: per-user polarity stats (and the
+    # over-fetch bound) come from the EXAMPLES table alone; missing ids
+    # from an anti-join against an id-only corpus scan (column pruning
+    # reads one column — never the vectors).
+    ex_stats = (
+        ex.groupBy("user_id")
         .agg(
             F.max(F.when(F.col("pol") > 0, 1).otherwise(0)).alias("_haspos"),
-            F.collect_set(
-                F.when(F.col("v").isNull(), F.col("ex_id"))
-            ).alias("_missing"),
+            F.count("*").alias("_n_ex"),
         )
-        .where((F.col("_haspos") == 0) | (F.size("_missing") > 0))
         .collect()
     )
-    no_pos = sorted(r["user_id"] for r in probs if r["_haspos"] == 0)
+    no_pos = sorted(r["user_id"] for r in ex_stats if r["_haspos"] == 0)
     if no_pos:
         raise ValueError(
             f"users lacking a positive example: {no_pos}"
         )
+    over = max((r["_n_ex"] for r in ex_stats), default=0)
     missing = sorted(
-        {i for r in probs for i in r["_missing"] if i is not None}
+        r["ex_id"]
+        for r in ex.select("ex_id")
+        .distinct()
+        .join(
+            df.select(F.col(id_col).alias("ex_id")), "ex_id", "left_anti"
+        )
+        .collect()
     )
     if missing:
         raise KeyError(f"example ids not found: {missing}")
-    exv = exv_all
+    exv = ex.join(
+        df.select(
+            F.col(id_col).alias("ex_id"), to_double_array(vec_col).alias("v")
+        ),
+        "ex_id",
+    )
     dims = exv.select("user_id", "pol", F.posexplode("v").alias("i", "x"))
     per = dims.groupBy("user_id", "i").agg(
         (
@@ -241,9 +246,6 @@ def recommend_batch(
             F.array_sort(F.collect_list(F.struct("i", "t"))),
             lambda s: s["t"],
         ).alias("query_vec")
-    )
-    over = int(
-        ex.groupBy("user_id").count().agg(F.max("count")).first()[0] or 0
     )
     hits = knn_batch(
         df,

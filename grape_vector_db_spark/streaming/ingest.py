@@ -193,6 +193,58 @@ def stream_ann_index_to_parquet(
     return writer.start()
 
 
+def stream_graph_index_to_parquet(
+    stream_df: DataFrame,
+    emb_path: str,
+    edges_path: str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """foreachBatch incremental kNN-GRAPH maintenance — the graph twin of
+    :func:`stream_ann_index_to_parquet` (the reference's HNSW rebuilds
+    per insert, ref:src/index.rs:164-209). Per micro-batch:
+
+    1. merge the batch's vectors into the embeddings table (versioned
+       upsert — the corpus the graph must describe);
+    2. grow the edge table with :func:`ann.knn_graph_add` — ONE corpus
+       scan vs the broadcast batch; EXACT for insert-only streams
+       (a node's post-insert kNN ⊆ old kNN ∪ batch), so a graph grown
+       by ANY micro-batch cut equals the bulk build over the final
+       corpus (pinned in pytest);
+    3. publish the grown edges (atomic versioned swap — a beam search
+       running mid-refresh walks the old or new graph, never partial).
+
+    First batch bootstraps with a full :func:`ann.knn_graph` build.
+    Update/delete streams must route through a rebuild instead — the
+    same retrain-trigger contract as ``ivf_drift``."""
+    from ..operators.ann import knn_graph, knn_graph_add
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        _merge_publish(spark, emb_path, batch, id_col)
+        merged = read_table(spark, emb_path)
+        if table_exists(spark, edges_path):
+            edges = read_table(spark, edges_path)
+            grown = knn_graph_add(
+                edges, merged, batch.select(id_col), k,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:  # first batch — bootstrap the graph
+            grown = knn_graph(merged, k=k, id_col=id_col, vec_col=vec_col)
+        publish_table(spark, edges_path, grown)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_to_parquet(
     stream_df: DataFrame,
     table_path: str,

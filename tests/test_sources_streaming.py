@@ -618,3 +618,40 @@ def test_stream_hll_equals_batch_sketch(spark, tmpdir):
     assert standing == direct
     est = sketches.hll_estimate(read_table(spark, tbl), p=8).collect()[0]
     assert abs(est.estimate / 500 - 1) < 0.2
+
+
+def test_stream_graph_index_maintenance(spark, emb, tmpdir):
+    """Streaming kNN-graph maintenance: a graph grown by INSERT
+    micro-batches must equal the bulk build over the final corpus on
+    (src, dst, rank) and 6-dp cosine — the knn_graph_add exactness
+    contract composed across batch cuts."""
+    from pyspark.sql import functions as F
+
+    from grape_vector_db_spark.operators import ann
+    from grape_vector_db_spark.streaming.ingest import (
+        stream_graph_index_to_parquet,
+    )
+
+    base = emb.where(F.col("vec_id") < 240)
+    src = f"{tmpdir}/incoming"
+    emb_path = f"{tmpdir}/emb"
+    edges_path = f"{tmpdir}/edges"
+    # three micro-batch cuts of the same 240 vectors
+    for lo, hi in ((0, 80), (80, 170), (170, 240)):
+        base.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).write.mode("append").parquet(src)
+        q = stream_graph_index_to_parquet(
+            spark.readStream.schema(base.schema).parquet(src),
+            emb_path, edges_path, k=4, checkpoint=f"{tmpdir}/ck",
+        )
+        q.awaitTermination(120)
+
+    grown = read_table(spark, edges_path).select(
+        "src", "dst", "rank", F.round("cosine", 6).alias("c")
+    )
+    bulk = ann.knn_graph(base, k=4).select(
+        "src", "dst", "rank", F.round("cosine", 6).alias("c")
+    )
+    assert grown.count() == bulk.count()
+    assert grown.exceptAll(bulk).count() == 0
