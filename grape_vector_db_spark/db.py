@@ -585,6 +585,8 @@ class GrapeVectorDB:
         except Exception:
             out["vector_count"] = 0
         out["indexes"] = [
-            k for k in ("index_ivf", "index_packed", "index_sq") if self._has(k)
+            k
+            for k in ("index_ivf", "index_packed", "index_sq", "index_graph")
+            if self._has(k)
         ]
         return out
