@@ -15,6 +15,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -272,3 +273,25 @@ def test_concurrent_merge_stale_snapshot_detected_after_gc(spark, tdir, monkeypa
     assert T._bucketed_versions(spark, tdir) == [3]
     # the straggler's claimed-then-aborted t=2 dir was removed
     assert not os.path.isdir(os.path.join(tdir, "t=2"))
+
+
+def test_gc_reaps_only_stale_merge_stages(spark, tdir):
+    """Abandoned stage dot-dirs (crashed writers) are reaped by GC once
+    older than a day; fresh stages (a possibly in-flight merge) survive,
+    and neither is ever visible to readers."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+    stale = os.path.join(tdir, ".stage-t2-deadbeef")
+    fresh = os.path.join(tdir, ".stage-t2-cafecafe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    two_days_ago = time.time() - 2 * 24 * 3600
+    os.utime(stale, (two_days_ago, two_days_ago))
+
+    upd = spark.createDataFrame(
+        [(7, "w", 7.0)], "id long, text string, score double"
+    )
+    T.merge_upsert_bucketed(spark, tdir, upd, id_col="id")
+    assert not os.path.isdir(stale), "stale stage must be reaped"
+    assert os.path.isdir(fresh), "fresh stage may belong to a live merge"
+    # stages never count as versions
+    assert T._bucketed_versions(spark, tdir) == [1, 2]

@@ -545,3 +545,24 @@ def test_pq_add_is_shuffle_free(spark, emb):
     plan = plan_of(ann.pq_add(emb.where(F.col("vec_id") < 50), cbs))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_knn_graph_add_single_window_shuffle_no_cartesian(spark, emb):
+    """Incremental graph maintenance: the scoring pass is ONE Arrow scan
+    of the corpus with the batch matrix in the task closure (no join, no
+    cartesian product), the anti-join on the stale batch srcs broadcasts,
+    and the only width-changing exchange feeds the per-src top-k window
+    — the O(corpus scan + n*k window) shape."""
+    from grape_vector_db_spark.operators import ann
+
+    base = emb.where(F.col("vec_id") % 7 != 0)
+    edges = ann.knn_graph(base, k=4)
+    grown = ann.knn_graph_add(
+        edges, emb, emb.where(F.col("vec_id") % 7 == 0).select("vec_id"), 4
+    )
+    plan = plan_of(grown)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # scoring is mapInPandas (ArrowEvalPython / MapInPandas node), not a join
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
