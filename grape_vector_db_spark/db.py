@@ -478,13 +478,32 @@ class GrapeVectorDB:
         limit: int = 10,
         strategy: str = "rrf",
         weights: dict[str, float] | None = None,
+        filter: dict[str, Any] | None = None,
     ) -> DataFrame:
         """HybridSearchEngine::search (src/hybrid.rs:286-356): dense + BM25
         + text candidates (2k over-fetch each) fused by the chosen
-        strategy."""
+        strategy.
+
+        ``filter`` (the same must/should/must_not tree as :meth:`search`)
+        gates EVERY leg before its top-k cut — pre-filtering, not
+        post-trimming the fused list, so each leg's over-fetch budget is
+        spent entirely on returnable documents and the fusion can never
+        under-fill because one leg's candidates were all filtered away."""
         limit, _ = clamp_request(limit, None)
         overfetch = limit * 2
         emb, docs = self.embeddings(), self.documents()
+        terms = self._warm_terms()
+        if filter is not None:
+            keep = docs.where(filters.filter_to_column(filter))
+            keep_ids = keep.select(F.col(self.id_col).alias("vec_id"))
+            emb = emb.join(keep_ids, "vec_id", "left_semi")
+            docs = keep
+            # the warm inverted index is per-doc — restrict, don't rebuild
+            terms = terms.join(
+                keep.select(F.col(self.id_col).alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
         lists = {
             "dense": search.knn(emb, query_vector, k=overfetch).withColumnRenamed(
                 "vec_id", "doc_id"
@@ -495,11 +514,11 @@ class GrapeVectorDB:
                 k=overfetch,
                 id_col=self.id_col,
                 text_col=self.text_col,
-                terms=self._warm_terms(),
+                terms=terms,
             ),
-            "text": self.search(text=query_text, limit=overfetch).withColumnRenamed(
-                self.id_col, "doc_id"
-            ),
+            "text": self.search(
+                text=query_text, limit=overfetch, filter=filter
+            ).withColumnRenamed(self.id_col, "doc_id"),
         }
         if strategy == "rrf":
             return fusion.rrf_fuse(lists, limit=limit)

@@ -352,3 +352,20 @@ def test_duplicate_id_batch_leaves_one_index_row_per_id(db, spark, emb):
         # encoding equals a re-encode of the surviving embedding row
         want_t = encode(merged.where("vec_id = 5"), "vec_id", db.vec_col)
         assert got_t.where("vec_id = 5").exceptAll(want_t).count() == 0, table
+
+def test_hybrid_search_with_filter_gates_every_leg(db, emb, docs):
+    """Filtered hybrid: every returned doc passes the filter, and the
+    legs were PRE-filtered (each leg's over-fetch spent on returnable
+    docs), so the fused list fills up to the filtered population."""
+    qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "de"}]}
+    de_ids = {r["doc_id"] for r in docs.where("lang = 'de'").collect()}
+    for strat in ("rrf", "linear", "normalized"):
+        rows = db.hybrid_search(
+            "vector index merge", qv, limit=5, strategy=strat, filter=flt
+        ).collect()
+        assert rows, strat
+        assert {r["doc_id"] for r in rows} <= de_ids, strat
+    # unfiltered still works and can return non-de docs
+    allrows = db.hybrid_search("vector index merge", qv, limit=10).collect()
+    assert {r["doc_id"] for r in allrows} - de_ids
