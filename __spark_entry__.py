@@ -342,6 +342,46 @@ def q_hybrid_rrf(spark, sf_dir):
     return fusion.rrf_fuse(lists, k=60.0, limit=K_DEFAULT)
 
 
+def q_hybrid_rrf_filtered(spark, sf_dir):
+    """FILTERED hybrid search — the facade's hybrid_search(filter=...)
+    composition at operator level: every leg (dense / BM25 / text) is
+    pre-filtered by the metadata tree BEFORE its top-k cut, so the
+    over-fetch budget is spent entirely on returnable docs and the
+    fusion can never under-fill; BM25 stats (df, avgdl, N) come from the
+    FILTERED subcorpus — the leg scores the corpus the user is actually
+    searching. RRF k=60, 1-based ranks, same contract as hybrid_rrf."""
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+    docs = _docs(spark, sf_dir).where(filters.filter_to_column(flt))
+    keep = docs.select("doc_id")
+    emb = _emb(spark, sf_dir).join(
+        keep.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    terms = _terms(spark, sf_dir).join(keep, "doc_id", "left_semi")
+    dense = search.knn(emb, _qv(spark, sf_dir), k=OVERFETCH).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    sparse_list = sparse.bm25_search(
+        docs, BM25_QUERY, k=OVERFETCH, terms=terms
+    )
+    score = None
+    for t in TEXT_TERMS:
+        term = F.when(
+            F.lower(F.col("text")).contains(t), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    text = (
+        docs.select("doc_id", F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(OVERFETCH)
+    )
+    return fusion.rrf_fuse(
+        {"dense": dense, "sparse": sparse_list, "text": text},
+        k=60.0,
+        limit=K_DEFAULT,
+    )
+
+
 def q_hybrid_linear(spark, sf_dir):
     lists = {
         "dense": _dense_list(spark, sf_dir),
@@ -4709,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_match": q_text_match,
         "snippet": q_snippet,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf_filtered": q_hybrid_rrf_filtered,
         "hybrid_linear": q_hybrid_linear,
         "hybrid_normalized": q_hybrid_normalized,
         "hybrid_detailed": q_hybrid_detailed,
@@ -5130,6 +5171,71 @@ ranked AS (
   FROM lists
 )
 """
+
+
+def _hybrid_rrf_filtered_sql(lang: str, k_over: int, k: int) -> str:
+    """Filtered three-leg RRF replay: each leg restricted to fdocs before
+    its top-k; BM25 stats recomputed over the FILTERED term table (the
+    subcorpus the user searches), matching bm25_search(terms=<semi-
+    joined warm table>) on the Spark side."""
+    text_score = " + ".join(
+        f"(CASE WHEN contains(lower(text), '{t}') THEN 1.0 ELSE 0.0 END)"
+        for t in TEXT_TERMS
+    )
+    return f"""
+        WITH {_TERMS_CTE},
+        fdocs AS (SELECT doc_id FROM documents WHERE lang = '{lang}'),
+        dtf AS (SELECT dt.* FROM dt JOIN fdocs USING (doc_id)),
+        dstatsF AS (SELECT doc_id, sum(tf) AS doc_length FROM dtf GROUP BY doc_id),
+        tstatsF AS (SELECT term, count(DISTINCT doc_id) AS df FROM dtf GROUP BY term),
+        gF AS (
+          SELECT count(DISTINCT dtf.doc_id) AS total_docs,
+                 sum(dstatsF.doc_length) / count(DISTINCT dtf.doc_id) AS avg_doc_length
+          FROM dtf JOIN dstatsF USING (doc_id)
+        ),
+        qt AS (SELECT * FROM {_bm25_query_terms_sql(BM25_QUERY)}),
+        sparseL AS (
+          SELECT dtf.doc_id,
+                 round(sum(qt.qtf * (dtf.tf * (1.2 + 1.0)) /
+                   (dtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dstatsF.doc_length / gF.avg_doc_length))
+                   * ln((gF.total_docs - tstatsF.df + 0.5) / (tstatsF.df + 0.5))), 6) AS score
+          FROM dtf
+          JOIN qt ON dtf.term = qt.term
+          JOIN dstatsF USING (doc_id)
+          JOIN tstatsF ON dtf.term = tstatsF.term
+          CROSS JOIN gF
+          GROUP BY dtf.doc_id
+          ORDER BY score DESC, doc_id LIMIT {k_over}
+        ),
+        denseL AS (
+          SELECT e.vec_id AS doc_id, round({_cos('e.v', 'q2.qv')}, 6) AS score
+          FROM {_EMB_D} e JOIN fdocs ON fdocs.doc_id = e.vec_id, {_QV} q2
+          ORDER BY score DESC, doc_id LIMIT {k_over}
+        ),
+        textL AS (
+          SELECT d.doc_id, round({text_score}, 6)::DOUBLE AS score
+          FROM documents d JOIN fdocs USING (doc_id)
+          WHERE ({text_score}) > 0
+          ORDER BY score DESC, doc_id LIMIT {k_over}
+        ),
+        lists AS (
+          SELECT doc_id, score, 'dense' AS source FROM denseL
+          UNION ALL SELECT doc_id, score, 'sparse' AS source FROM sparseL
+          UNION ALL SELECT doc_id, score, 'text' AS source FROM textL
+        ),
+        ranked AS (
+          SELECT doc_id, score, source,
+                 row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+          FROM lists
+        )
+        SELECT doc_id,
+               round(sum(1.0 / (60.0 + rnk)), 6) AS score,
+               round(max(CASE WHEN source = 'dense' THEN score END), 6) AS dense_score,
+               round(max(CASE WHEN source = 'sparse' THEN score END), 6) AS sparse_score,
+               round(max(CASE WHEN source = 'text' THEN score END), 6) AS text_score
+        FROM ranked GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
 
 
 _PACK_CTE = """
@@ -7429,6 +7535,9 @@ def oracle_sql() -> dict[str, str]:
                          < length(text) THEN '...' ELSE '' END) AS snip
             FROM hits
         """,
+        "hybrid_rrf_filtered": _hybrid_rrf_filtered_sql(
+            "en", OVERFETCH, K_DEFAULT
+        ),
         "hybrid_rrf": f"""
             WITH {_fusion_lists_cte()}
             SELECT doc_id,

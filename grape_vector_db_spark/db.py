@@ -534,6 +534,34 @@ class GrapeVectorDB:
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
 
+    def search_plan(
+        self,
+        filter: dict[str, Any] | None = None,
+    ) -> PlanChoice:
+        """EXPLAIN for the vector arm: the PlanChoice (strategy + reason)
+        `search(index="auto")` would pick right now, given the current
+        corpus size, the filter's measured selectivity, and which index
+        tables exist — the reference QueryOptimizer's decision surfaced
+        as an inspectable value instead of buried in the route."""
+        emb_all = self.embeddings()
+        n_corpus = emb_all.count()
+        selectivity = 1.0
+        if filter is not None and n_corpus:
+            keep = self.documents().where(filters.filter_to_column(filter))
+            keep_ids = keep.select(F.col(self.id_col).alias("vec_id"))
+            selectivity = (
+                emb_all.join(keep_ids, "vec_id", "left_semi").count()
+                / n_corpus
+            )
+        return choose_search_strategy(
+            n_corpus,
+            has_ivf=self._has("index_ivf"),
+            has_packed=self._has("index_packed"),
+            has_sq=self._has("index_sq"),
+            has_graph=self._has("index_graph"),
+            filter_selectivity=selectivity,
+        )
+
     def optimize(self, target_partitions: int = 8) -> None:
         """Compact the data tables (streaming upserts accumulate small
         files; reference compaction is storage-engine-internal, ours

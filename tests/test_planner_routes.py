@@ -229,3 +229,15 @@ def test_graph_autosize_rule():
     assert ann.graph_autosize(0, 16) == (32, 2)        # floor
     assert ann.graph_autosize(10**12, 4)[1] == 8        # hop cap
     assert ann.graph_autosize(10**6, 16, k=32)[0] == 96  # beam follows k
+
+
+def test_search_plan_explain(gdb):
+    """search_plan surfaces the auto route's PlanChoice: brute force at
+    test scale, and the reason carries the numbers that decided it."""
+    c = gdb.search_plan()
+    assert c.strategy == "brute_force"
+    assert "selectivity 1" in c.reason
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "de"}]}
+    c2 = gdb.search_plan(filter=flt)
+    assert c2.strategy == "brute_force"
+    assert "selectivity 0." in c2.reason
