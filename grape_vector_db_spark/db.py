@@ -170,7 +170,12 @@ class GrapeVectorDB:
                 self.spark, self._path("index_ivf")
             )
             grown = ann.ivf_remove(assigned, ids).unionByName(
-                ann.ivf_add(batch, cents, vec_col=self.vec_col)
+                ann.ivf_add(
+                    batch, cents, vec_col=self.vec_col,
+                    # match the stored layout: inverted lists keep
+                    # carrying vectors through the refresh
+                    include_vectors="v" in assigned.columns,
+                )
             )
             ann.save_index(self._path("index_ivf"), cents, grown)
         if self._has("index_packed"):
@@ -312,6 +317,11 @@ class GrapeVectorDB:
             cents, assigned = ann.ivf_build(
                 emb, nlist, kwargs.get("max_iter", 5),
                 id_col="vec_id", vec_col=self.vec_col,
+                # FAISS inverted-list layout by default: posting rows
+                # carry the vector, so the persisted cluster-partitioned
+                # table serves searches as pure PARTITION PRUNING with
+                # zero joins (ivf_search_pruned) — the 100 TB shape
+                include_vectors=kwargs.get("include_vectors", True),
             )
             ann.save_index(self._path("index_ivf"), cents, assigned)
         elif kind == "binary":
@@ -433,8 +443,19 @@ class GrapeVectorDB:
                 # floor 4: at tiny nlist the fraction rounds to ~1 probe,
                 # below the recall the sf0.1 table documents
                 nprobe = max(4, _math.ceil(0.0625 * cents.count()))
+                if filter is None and "v" in assigned.columns:
+                    # unfiltered + inverted-list layout: the zero-join
+                    # partition-pruned scan (a directory skip touching
+                    # ~nprobe/nlist of the index)
+                    return ann.ivf_search_pruned(
+                        self.spark, self._path("index_ivf"), vector,
+                        k=limit, nprobe=nprobe,
+                    )
+                # filtered (or vector-less legacy layout): the join-based
+                # probe against the (filtered) corpus
                 return ann.ivf_search(
-                    emb, cents, assigned, vector, k=limit, nprobe=nprobe
+                    emb, cents, assigned.select("id", "cluster"), vector,
+                    k=limit, nprobe=nprobe,
                 )
             if choice.strategy == "sq_two_stage":
                 sq = self._read("index_sq")

@@ -278,9 +278,11 @@ def test_add_documents_refreshes_indexes(db, spark, docs, emb):
 
     merged = db.embeddings()
     # ivf: grown index == bulk re-assignment over the merged corpus with
-    # the SAME frozen centroids
+    # the SAME frozen centroids (compare on placement; the facade's
+    # inverted-list layout also carries the vector column)
     _, got = ann.load_index(db.spark, db._path("index_ivf"))
     want = ann.ivf_add(merged, cents)
+    got = got.select("id", "cluster")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     # packed / sq: refreshed tables == full re-encode of the merged corpus
