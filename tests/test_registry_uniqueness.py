@@ -80,3 +80,16 @@ def test_runtime_registry_matches_source():
     src_o = set(_dict_keys_in_function(tree, "oracle_sql"))
     rt_o = set(mod.oracle_sql().keys())
     assert rt_o == src_o
+
+
+def test_parity_demos_are_registered_queries():
+    """PARITY_DEMOS must name real registry entries — a typo would
+    silently re-admit a demo to the bench headline (or exclude nothing)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_entry_pd", ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    demos = set(mod.PARITY_DEMOS)
+    assert demos, "expected at least the 16-bit image/audio miners"
+    assert demos <= set(mod.queries()), demos - set(mod.queries())
