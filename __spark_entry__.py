@@ -1352,6 +1352,41 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.cluster_pairs(_minhash_pairs(spark, sf_dir))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection — the step AFTER clustering in every
+    dedup pipeline: per transitive near-dup cluster keep the HIGHEST-
+    QUALITY member (not the arbitrary min-id), tiebreak doc_id asc.
+    One row per cluster: (cluster_id, keeper_id, n_members,
+    best_quality). Composition: cluster_pairs over the shared MinHash
+    pair graph x the quality_score heuristic — both independently
+    oracled; this pins their join contract."""
+    from pyspark.sql import Window
+
+    clusters = dedup.cluster_pairs(_minhash_pairs(spark, sf_dir))
+    q = textanalysis.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
+    sizes = joined.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("n_members")
+    )
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id", "keeper_id", "n_members", "best_quality"
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Dedup-aware train/valid/test split: the hash gate is applied to the
     near-dup CLUSTER representative (same MinHash-LSH pair graph as
@@ -4830,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed": q_sample_fixed,
         "token_entropy": q_token_entropy,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "leakage_safe_split": q_leakage_safe_split,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling": q_events_rolling,
@@ -7725,6 +7761,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            {_minhash_sig_cte(16)},
+            {_MINHASH_BANDS_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b
+            ),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE round(i.n_common::DOUBLE
+                          / (za.n_sh + zb.n_sh - i.n_common), 6) >= 0.2
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT a AS id FROM edges GROUP BY a),
+            walk(node, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+            ),
+            clusters AS (
+              SELECT node AS doc_id, min(label) AS cluster_id
+              FROM walk GROUP BY node
+            ),
+            qual AS (
+              SELECT doc_id, quality FROM ({_quality_sql()})
+            ),
+            member AS (
+              SELECT c.cluster_id, c.doc_id, q.quality,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id ASC) AS rk
+              FROM clusters c JOIN qual q USING (doc_id)
+            )
+            SELECT cluster_id,
+                   max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+                   count(*)::INT AS n_members,
+                   round(max(quality), 6) AS best_quality
+            FROM member GROUP BY cluster_id
         """,
         "leakage_safe_split": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
