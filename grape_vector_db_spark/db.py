@@ -197,10 +197,34 @@ class GrapeVectorDB:
             # edges (a one-scalar driver artifact)
             edges = self._read("index_graph")
             k = edges.agg(F.max("rank")).first()[0] or 8
-            grown = ann.knn_graph_add(
-                edges, self.embeddings(), ids, int(k),
-                id_col="vec_id", vec_col=self.vec_col,
+            # UPDATE batches break knn_graph_add's exactness contract: a
+            # moved vector invalidates reverse edges whose true
+            # replacement may lie OUTSIDE old ∪ batch. Every pre-existing
+            # corpus id appears as a graph src, so "any batch id is a
+            # src" detects updates with one bounded probe; updates
+            # trigger the full retrain — the ivf_drift rebuild-trigger
+            # contract applied to the graph, keeping the published index
+            # ALWAYS exact (grown == rebuilt).
+            is_update = bool(
+                edges.select("src")
+                .join(
+                    F.broadcast(ids.withColumnRenamed("vec_id", "src")),
+                    "src",
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
             )
+            if is_update:
+                grown = ann.knn_graph(
+                    self.embeddings(), k=int(k),
+                    id_col="vec_id", vec_col=self.vec_col,
+                )
+            else:
+                grown = ann.knn_graph_add(
+                    edges, self.embeddings(), ids, int(k),
+                    id_col="vec_id", vec_col=self.vec_col,
+                )
             self._publish("index_graph", grown)
 
     def _validate_dimension(self, embeddings: DataFrame) -> None:

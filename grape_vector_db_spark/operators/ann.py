@@ -1502,10 +1502,20 @@ def knn_graph_add(
     scored = base.mapInPandas(score, "src long, dst long, cosine double")
     # Existing nodes keep their old edges ∪ their batch candidates; the
     # batch's own (block-local) out-edge candidates reduce globally in
-    # the same window. Old out-edges of batch ids are stale (update
-    # guard) and drop.
-    old = edges.select("src", "dst", "cosine").join(
-        ids.withColumnRenamed("_bid", "src"), "src", "left_anti"
+    # the same window. Old edges TOUCHING a batch id are stale and drop:
+    # out-edges of batch srcs (replaced wholesale by rev), AND old edges
+    # whose dst is in the batch — on an UPDATE batch those carry the
+    # dst's pre-update cosine, and keeping them alongside the freshly
+    # scored (src, dst, new_cosine) rows would leave duplicate (src, dst)
+    # pairs with conflicting scores in the window, inflating rank and
+    # evicting a legitimate kth neighbor. For pure inserts the dst
+    # anti-join is a no-op (no old edge can point at a brand-new id),
+    # and fwd re-scores every (corpus row, batch id) pair anyway, so
+    # nothing is lost.
+    old = (
+        edges.select("src", "dst", "cosine")
+        .join(F.broadcast(ids.withColumnRenamed("_bid", "src")), "src", "left_anti")
+        .join(F.broadcast(ids.withColumnRenamed("_bid", "dst")), "dst", "left_anti")
     )
     cand = old.unionByName(scored)
     # rank on the 6-dp ROUNDED cosine (the repo-wide ranking contract):

@@ -371,3 +371,72 @@ def test_hybrid_search_with_filter_gates_every_leg(db, emb, docs):
     # unfiltered still works and can return non-de docs
     allrows = db.hybrid_search("vector index merge", qv, limit=10).collect()
     assert {r["doc_id"] for r in allrows} - de_ids
+
+
+def test_graph_index_update_batch_stays_exact(db, spark, emb):
+    """UPDATE batches must leave the graph index equal to a full rebuild
+    over the post-merge corpus (ADVICE r7: knn_graph_add's insert-only
+    exactness let stale (src, updated_dst, old_cosine) edges survive
+    beside the freshly scored ones — duplicate pairs with conflicting
+    cosines evicting legitimate kth neighbors). The facade detects
+    update batches and routes them through the full retrain."""
+    from grape_vector_db_spark.operators import ann
+
+    db.build_index("graph", k=4)
+
+    # batch: one UPDATED vector (id 5 gets id 77's embedding) + one new
+    new_docs = spark.createDataFrame(
+        [(5, "moved doc"), (10**6, "fresh doc")], "doc_id long, text string"
+    )
+    moved = emb.where(F.col("vec_id") == 77).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+    fresh = emb.where(F.col("vec_id") == 99).select(
+        F.lit(10**6).cast("long").alias("vec_id"), "embedding"
+    )
+    db.add_documents(new_docs, moved.unionByName(fresh))
+
+    got = db._read("index_graph")
+    # no duplicate (src, dst) pairs anywhere
+    assert (
+        got.groupBy("src", "dst").count().where("count > 1").count() == 0
+    )
+    want = ann.knn_graph(db.embeddings(), k=4, id_col="vec_id",
+                         vec_col=db.vec_col)
+    g = got.select("src", "dst", "rank", F.round("cosine", 6).alias("c"))
+    w = want.select("src", "dst", "rank", F.round("cosine", 6).alias("c"))
+    assert g.count() == w.count()
+    assert g.exceptAll(w).count() == 0
+
+
+def test_graph_index_insert_batch_uses_incremental_path(db, spark, emb, monkeypatch):
+    """Insert-only batches keep the O(batch) incremental path (the
+    update-detection probe must not false-positive on fresh ids) and
+    still land exactly on the rebuild."""
+    from grape_vector_db_spark.operators import ann
+
+    db.build_index("graph", k=4)
+    rebuilds = {"n": 0}
+    real = ann.knn_graph
+
+    def counting(*a, **kw):
+        rebuilds["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ann, "knn_graph", counting)
+    new_docs = spark.createDataFrame(
+        [(10**6, "fresh doc")], "doc_id long, text string"
+    )
+    fresh = emb.where(F.col("vec_id") == 99).select(
+        F.lit(10**6).cast("long").alias("vec_id"), "embedding"
+    )
+    db.add_documents(new_docs, fresh)
+    assert rebuilds["n"] == 0, "insert-only batch must not trigger retrain"
+    monkeypatch.setattr(ann, "knn_graph", real)
+
+    got = db._read("index_graph")
+    want = real(db.embeddings(), k=4, id_col="vec_id", vec_col=db.vec_col)
+    g = got.select("src", "dst", "rank", F.round("cosine", 6).alias("c"))
+    w = want.select("src", "dst", "rank", F.round("cosine", 6).alias("c"))
+    assert g.count() == w.count()
+    assert g.exceptAll(w).count() == 0

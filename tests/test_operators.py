@@ -1194,3 +1194,32 @@ def test_recommend_batch_error_contract_matches_single(spark, emb):
     )
     with _pt.raises(KeyError, match="1000000000"):
         search.recommend_batch(emb, ghost, k=3).collect()
+
+
+def test_knn_graph_add_update_batch_no_duplicate_pairs(spark, emb):
+    """knn_graph_add on a batch that UPDATES an existing vector must not
+    leave duplicate (src, dst) rows: old edges pointing AT a batch id
+    carry the pre-update cosine and are stale — they drop, and the
+    freshly scored (src, batch_dst) candidates replace them (ADVICE r7
+    high). Callers still owe updates a full rebuild for exactness; this
+    pins that the incremental output is at least structurally sane."""
+    from grape_vector_db_spark.operators import ann
+
+    base = emb.select("vec_id", "embedding").limit(60)
+    edges = ann.knn_graph(base, k=4, id_col="vec_id", vec_col="embedding")
+    # replace vec 0's embedding with vec 50's (an update), post-merge corpus
+    moved = base.where(F.col("vec_id") == 50).select(
+        F.lit(0).cast("long").alias("vec_id"), "embedding"
+    )
+    merged = base.where(F.col("vec_id") != 0).unionByName(moved)
+    batch_ids = moved.select("vec_id")
+    grown = ann.knn_graph_add(
+        edges, merged, batch_ids, 4, id_col="vec_id", vec_col="embedding"
+    )
+    dup = grown.groupBy("src", "dst").count().where("count > 1").count()
+    assert dup == 0
+    # every src still has exactly k out-edges with ranks 1..k
+    per = grown.groupBy("src").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert per.where("n != 4 or mx != 4").count() == 0
