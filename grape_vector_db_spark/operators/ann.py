@@ -1533,6 +1533,68 @@ def knn_graph_add(
     )
 
 
+def knn_exact_for(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-``k`` edge rows ``(src, dst, rank, cosine)`` for ONLY the
+    given query ids against the full corpus — the spot-rebuild primitive
+    behind graph-index DELETE repair (a survivor that pointed at a
+    deleted vector needs its true post-delete kNN, which can be ANY
+    corpus vector, so nothing short of a fresh scan for that node is
+    exact). ``query_ids`` must be delta-bounded (it becomes a broadcast
+    matrix — the same driver-artifact contract as knn_graph_add's batch
+    and the kmeans centroids).
+
+    Scale shape: ONE Arrow scan of the corpus; per chunk a
+    (queries x chunk) GEMM in the same BLAS block kernel as knn_graph,
+    emitting per-query block-local top-k; a per-src window over <= k x
+    n_chunks rows makes the global cut. Self-pairs excluded; ties break
+    (cosine DESC, dst ASC) — identical to a full rebuild's ordering.
+    """
+    from pyspark.sql import Window
+
+    ids = query_ids.select(F.col(id_col).alias("_qid")).distinct()
+    v = to_double_array(vec_col)
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    qrows = (
+        base.join(ids, base["id"] == ids["_qid"], "left_semi")
+        .orderBy("id")
+        .collect()
+    )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "src long, dst long, rank int, cosine double"
+        )
+    q_ids = np.array([r["id"] for r in qrows], dtype=np.int64)
+    QM = np.array([r["v"] for r in qrows], dtype=np.float64)
+    kk = int(k)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("id")
+            xids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            out = _block_local_topk(q_ids, xids, QM, X, kk, same_block=True)
+            if out is not None:
+                yield out
+
+    cand = base.mapInPandas(score, "src long, dst long, cosine double")
+    w = Window.partitionBy("src").orderBy(
+        F.round("cosine", 6).desc(), F.col("dst").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= kk)
+        .select("src", "dst", "rank", "cosine")
+    )
+
+
 def graph_beam_search(
     edges: DataFrame,
     emb: DataFrame,

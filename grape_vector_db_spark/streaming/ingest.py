@@ -235,7 +235,12 @@ def stream_graph_index_to_parquet(
             )
         else:  # first batch — bootstrap the graph
             grown = knn_graph(merged, k=k, id_col=id_col, vec_col=vec_col)
-        publish_table(spark, edges_path, grown)
+        # max_rank stat = the graph's out-degree: the facade's planner
+        # reads it at query time instead of scanning the edge table
+        publish_table(
+            spark, edges_path, grown,
+            stats_exprs={"max_rank": "max(rank)"},
+        )
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:

@@ -295,3 +295,188 @@ def test_gc_reaps_only_stale_merge_stages(spark, tdir):
     assert os.path.isdir(fresh), "fresh stage may belong to a live merge"
     # stages never count as versions
     assert T._bucketed_versions(spark, tdir) == [1, 2]
+
+
+def test_crashed_claim_is_adopted_by_next_merge(spark, tdir):
+    """A writer that died between the CAS claim rename and the manifest
+    write leaves an uncommitted t=N+1 dir. Merges must ADOPT (delete and
+    re-claim) it once it is older than the stale-claim cutoff — GC alone
+    cannot help, because GC only runs after a successful merge, so the
+    corpse would otherwise mean permanent ConcurrentMergeError for the
+    table (ADVICE r7 medium)."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+    corpse = os.path.join(tdir, "t=2")
+    os.makedirs(os.path.join(corpse, "b=0"))
+    with open(os.path.join(corpse, "b=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet")
+    old = time.time() - 2 * 24 * 3600
+    os.utime(os.path.join(corpse, "b=0"), (old, old))
+    os.utime(corpse, (old, old))
+
+    upd = spark.createDataFrame(
+        [(7, "revived", 700.0)], "id long, text string, score double"
+    )
+    T.merge_upsert_bucketed(spark, tdir, upd, id_col="id")
+    got = {r["id"]: r["text"] for r in T.read_table_bucketed(spark, tdir).collect()}
+    assert got[7] == "revived" and len(got) == 200
+    assert T._bucketed_versions(spark, tdir) == [1, 2]
+    # the corpse's junk did not leak into the adopted version
+    assert not os.path.exists(os.path.join(corpse, "b=0", "part-junk.parquet"))
+
+
+def test_fresh_uncommitted_claim_still_loses(spark, tdir):
+    """A RECENT manifest-less t=N+1 may belong to a live writer between
+    its claim and its manifest commit — a merge must NOT adopt it."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+    os.makedirs(os.path.join(tdir, "t=2", "b=0"))
+    upd = spark.createDataFrame(
+        [(7, "late", 700.0)], "id long, text string, score double"
+    )
+    with pytest.raises(T.ConcurrentMergeError):
+        T.merge_upsert_bucketed(spark, tdir, upd, id_col="id")
+
+
+def test_gc_reaps_stale_crashed_claims(spark, tdir):
+    """Defense in depth: GC (which runs after every successful merge)
+    also reaps manifest-less t=* dirs older than the cutoff, even ones
+    beyond the next contended version."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+    corpse = os.path.join(tdir, "t=9")
+    os.makedirs(corpse)
+    old = time.time() - 2 * 24 * 3600
+    os.utime(corpse, (old, old))
+    upd = spark.createDataFrame(
+        [(7, "w", 7.0)], "id long, text string, score double"
+    )
+    T.merge_upsert_bucketed(spark, tdir, upd, id_col="id")
+    assert not os.path.isdir(corpse)
+    assert T._bucketed_versions(spark, tdir) == [1, 2]
+
+
+def test_out_of_band_stage_deletion_cannot_misclaim(spark, tdir, monkeypatch):
+    """ADVICE r7 low: ownership is verified POSITIVELY via a writer-unique
+    token file, not inferred from the stage's absence. If the stage is
+    deleted out-of-band (another writer's GC reaping a >24h stage), the
+    rename fails, the token never lands under t=N+1, and the merge must
+    abort — NOT commit a manifest referencing bucket dirs that do not
+    exist."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+
+    real_write = T._write_bucket_dirs
+
+    def write_then_lose_stage(df, id_col, n_buckets, dest):
+        real_write(df, id_col, n_buckets, dest)
+        shutil.rmtree(dest)  # simulates a concurrent GC reap
+
+    monkeypatch.setattr(T, "_write_bucket_dirs", write_then_lose_stage)
+    upd = spark.createDataFrame(
+        [(7, "ghost", 700.0)], "id long, text string, score double"
+    )
+    with pytest.raises(T.ConcurrentMergeError):
+        T.merge_upsert_bucketed(spark, tdir, upd, id_col="id")
+    monkeypatch.setattr(T, "_write_bucket_dirs", real_write)
+
+    # nothing published; table intact and still mergeable
+    assert T._bucketed_versions(spark, tdir) == [1]
+    got = {r["id"]: r["text"] for r in T.read_table_bucketed(spark, tdir).collect()}
+    assert got[7] == "text-7"
+
+
+def test_retry_merge_absorbs_concurrent_winner(spark, tdir, monkeypatch):
+    """VERDICT r7 #2: the retry wrapper re-derives the loser's merge
+    against the winner's committed snapshot — BOTH updates land, no
+    ConcurrentMergeError escapes."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+
+    winner_upd = spark.createDataFrame(
+        [(7, "winner-7", 700.0)], "id long, text string, score double"
+    )
+    loser_upd = spark.createDataFrame(
+        [(9, "loser-9", 999.0)], "id long, text string, score double"
+    )
+
+    real_write = T._write_bucket_dirs
+    state = {"fired": False}
+
+    def interleaved(df, id_col, n_buckets, dest):
+        if not state["fired"]:
+            state["fired"] = True
+            T.merge_upsert_bucketed(spark, tdir, winner_upd, id_col="id")
+        return real_write(df, id_col, n_buckets, dest)
+
+    monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+    T.merge_upsert_bucketed_retry(spark, tdir, loser_upd, id_col="id")
+    monkeypatch.setattr(T, "_write_bucket_dirs", real_write)
+
+    got = {
+        r["id"]: (r["text"], r["score"])
+        for r in T.read_table_bucketed(spark, tdir).collect()
+    }
+    assert got[7] == ("winner-7", 700.0), "winner's update survives"
+    assert got[9] == ("loser-9", 999.0), "retried loser's update lands too"
+    assert len(got) == 200
+    assert T._bucketed_versions(spark, tdir) == [2, 3]
+
+
+def test_retry_merge_bounded_attempts(spark, tdir, monkeypatch):
+    """Pathological contention surfaces after the attempt budget instead
+    of looping forever."""
+    T.write_table_bucketed(spark, tdir, _base(spark), n_buckets=4)
+    calls = {"n": 0}
+
+    def always_lose(*a, **kw):
+        calls["n"] += 1
+        raise T.ConcurrentMergeError("contended")
+
+    monkeypatch.setattr(T, "merge_upsert_bucketed", always_lose)
+    upd = spark.createDataFrame(
+        [(7, "x", 1.0)], "id long, text string, score double"
+    )
+    with pytest.raises(T.ConcurrentMergeError):
+        T.merge_upsert_bucketed_retry(spark, tdir, upd, id_col="id", attempts=3)
+    assert calls["n"] == 3
+
+
+def test_facade_merge_routes_bucketed_tables_with_retry(spark, docs, tdir, monkeypatch):
+    """A facade whose documents table uses the bucket-manifest layout
+    must (a) read through the manifest — the raw versioned read would
+    silently drop untouched buckets — and (b) absorb a concurrent
+    winner inside add_documents."""
+    from grape_vector_db_spark.db import GrapeVectorDB
+
+    db = GrapeVectorDB(spark, tdir)
+    T.write_table_bucketed(
+        spark, db._path("documents"), docs, n_buckets=4, id_col="doc_id"
+    )
+    n0 = docs.count()
+    assert db.documents().count() == n0
+
+    upd = spark.createDataFrame(
+        [(2, "facade-updated"), (10**6, "facade-new")], "doc_id long, text string"
+    )
+    winner_upd = spark.createDataFrame(
+        [(5, "winner-5")], "doc_id long, text string"
+    )
+    real_write = T._write_bucket_dirs
+    state = {"fired": False}
+
+    def interleaved(df, id_col, n_buckets, dest):
+        if not state["fired"]:
+            state["fired"] = True
+            T.merge_upsert_bucketed(
+                spark, db._path("documents"), winner_upd, id_col="doc_id"
+            )
+        return real_write(df, id_col, n_buckets, dest)
+
+    monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+    db.add_documents(upd)
+    monkeypatch.setattr(T, "_write_bucket_dirs", real_write)
+
+    got = {r["doc_id"]: r["text"] for r in db.documents().collect()}
+    assert got[2] == "facade-updated"
+    assert got[10**6] == "facade-new"
+    assert got[5] == "winner-5"
+    assert len(got) == n0 + 1
+    # update preserved unset fields (merge semantics, not replace)
+    row = db.documents().where("doc_id = 2").head()
+    assert row["lang"] is not None

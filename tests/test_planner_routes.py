@@ -241,3 +241,23 @@ def test_search_plan_explain(gdb):
     c2 = gdb.search_plan(filter=flt)
     assert c2.strategy == "brute_force"
     assert "selectivity 0." in c2.reason
+
+
+def test_delete_repairs_graph_to_exact_rebuild(gdb, emb):
+    """VERDICT r7 #3: after a ~10% delete, the graph index must equal a
+    full rebuild over the surviving corpus — survivors that pointed at
+    doomed ids get a fresh exact top-k (their true replacement can lie
+    outside their old list), everyone else keeps their edges."""
+    gdb.build_index("graph", k=4)
+    gdb.delete_documents("doc_id % 10 = 3")
+
+    got = gdb._read("index_graph").select(
+        "src", "dst", "rank", F.round("cosine", 6).alias("c")
+    )
+    want = ann.knn_graph(
+        gdb.embeddings(), k=4, id_col="vec_id", vec_col="embedding"
+    ).select("src", "dst", "rank", F.round("cosine", 6).alias("c"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # and no edge touches a deleted id
+    assert got.where("src % 10 = 3 or dst % 10 = 3").count() == 0
