@@ -129,6 +129,16 @@ class GrapeVectorDB:
         self._stats_cache[table] = (key, st)
         return st
 
+    def _ivf_replicas(self) -> int:
+        """The stored IVF layout's replica count (publish-time sidecar;
+        1 for legacy indexes built before replication or with
+        replicas=1). Refresh MUST re-encode batches at the stored count
+        or grown postings would diverge from the layout."""
+        st = self._table_stats("index_ivf/assignments")
+        if st is not None and st.get("replicas") is not None:
+            return int(st["replicas"])
+        return 1
+
     def _row_count(self, table: str) -> int:
         st = self._table_stats(table)
         if st is not None and st.get("rows") is not None:
@@ -313,11 +323,16 @@ class GrapeVectorDB:
                 ann.ivf_add(
                     batch, cents, vec_col=self.vec_col,
                     # match the stored layout: inverted lists keep
-                    # carrying vectors through the refresh
+                    # carrying vectors through the refresh, and a
+                    # replicated (SPANN) layout keeps its replica count
                     include_vectors="v" in assigned.columns,
+                    replicas=self._ivf_replicas(),
                 )
             )
-            ann.save_index(self._path("index_ivf"), cents, grown)
+            ann.save_index(
+                self._path("index_ivf"), cents, grown,
+                extra_stats={"replicas": self._ivf_replicas()},
+            )
         if self._has("index_packed"):
             fresh = quantization.pack_bits(batch, "vec_id", self.vec_col)
             kept = self._read("index_packed").join(
@@ -531,11 +546,20 @@ class GrapeVectorDB:
         emb = self.embeddings()
         if kind == "ivf":
             nlist = kwargs.get("nlist")
+            replicas = kwargs.get("replicas")
             if nlist is None:
                 # corpus-sized build (nlist ~ sqrt(n), constant scan
                 # fraction at search) — the lsh_autosize_planes sizing
                 # discipline applied to the IVF family
                 nlist, _ = ann.ivf_autosize(self._row_count("embeddings"))
+                if replicas is None:
+                    # recall-targeted default: on the worst-case
+                    # unclustered synthetic, auto-sized replicas=1 lands
+                    # at R@10 = 0.46 at sf1 while SPANN-style boundary
+                    # replication (2x posting storage, nprobe scaled
+                    # below) reaches 0.77 (RECALL.md §sf1; VERDICT r7 #4)
+                    replicas = 2
+            replicas = int(replicas or 1)
             cents, assigned = ann.ivf_build(
                 emb, nlist, kwargs.get("max_iter", 5),
                 id_col="vec_id", vec_col=self.vec_col,
@@ -544,8 +568,12 @@ class GrapeVectorDB:
                 # table serves searches as pure PARTITION PRUNING with
                 # zero joins (ivf_search_pruned) — the 100 TB shape
                 include_vectors=kwargs.get("include_vectors", True),
+                replicas=replicas,
             )
-            ann.save_index(self._path("index_ivf"), cents, assigned)
+            ann.save_index(
+                self._path("index_ivf"), cents, assigned,
+                extra_stats={"replicas": replicas},
+            )
         elif kind == "binary":
             packed = quantization.pack_bits(emb, "vec_id", self.vec_col)
             # versioned swap, same as the data tables — a search running
@@ -682,8 +710,14 @@ class GrapeVectorDB:
                     else cents.count()
                 )
                 # floor 4: at tiny nlist the fraction rounds to ~1 probe,
-                # below the recall the sf0.1 table documents
-                nprobe = max(4, _math.ceil(0.0625 * nlist))
+                # below the recall the sf0.1 table documents. A
+                # replicated (SPANN) layout probes replicas x as many
+                # cells — the measured recall point (RECALL.md: sf1
+                # replicas=2 at 2x nprobe lifts R@10 0.46 -> 0.77)
+                nprobe = min(
+                    nlist,
+                    max(4, _math.ceil(0.0625 * nlist)) * self._ivf_replicas(),
+                )
                 if filter is None and "v" in assigned.columns:
                     # unfiltered + inverted-list layout: the zero-join
                     # partition-pruned scan (a directory skip touching

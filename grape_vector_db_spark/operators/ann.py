@@ -927,13 +927,20 @@ def ivfpq_search(
     )
 
 
-def save_index(path: str, cents: DataFrame, assigned: DataFrame) -> None:
+def save_index(
+    path: str,
+    cents: DataFrame,
+    assigned: DataFrame,
+    extra_stats: dict | None = None,
+) -> None:
     """S13 index persistence (src/query.rs:282-409 saves gzip'd HNSW; our
     index IS tables): centroids as plain parquet, assignments partitioned
     by cluster so nprobe pruning becomes parquet partition pruning. If
     ``assigned`` carries the vector column ``v`` (ivf_build
     include_vectors=True), the layout is a full inverted list and
-    ivf_search_pruned can search it with zero joins."""
+    ivf_search_pruned can search it with zero joins. ``extra_stats``
+    (e.g. ``{"replicas": 2}``) rides the assignments' _STATS sidecar so
+    readers recover the layout parameters without scanning."""
     from ..sources.tables import publish_table
 
     spark = cents.sparkSession
@@ -941,7 +948,8 @@ def save_index(path: str, cents: DataFrame, assigned: DataFrame) -> None:
     # the old or the new index, never a half-written one
     publish_table(spark, f"{path}/centroids", cents)
     publish_table(
-        spark, f"{path}/assignments", assigned, partition_by=["cluster"]
+        spark, f"{path}/assignments", assigned, partition_by=["cluster"],
+        extra_stats=extra_stats,
     )
 
 

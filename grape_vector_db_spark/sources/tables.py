@@ -469,6 +469,7 @@ def publish_table(
     keep: int = 2,
     partition_by: list[str] | None = None,
     stats_exprs: dict[str, str] | None = None,
+    extra_stats: dict | None = None,
 ) -> None:
     """Atomically publish ``df`` as the table's next version (one write).
     ``partition_by`` preserves a partitioned layout (e.g. IVF inverted
@@ -479,7 +480,8 @@ def publish_table(
     row count — observed on the WRITE job itself (``df.observe``), so
     stats cost zero extra scans even at 100 TB. ``stats_exprs`` adds
     named aggregate SQL expressions (e.g. ``{"max_rank": "max(rank)"}``)
-    to the same observation."""
+    to the same observation; ``extra_stats`` adds caller-known plain
+    values (e.g. an IVF layout's ``replicas``)."""
     if _bucketed_versions(spark, path):
         raise ValueError(
             f"{path} holds a bucket-manifest table; use "
@@ -501,7 +503,9 @@ def publish_table(
     # schema rides along so readers can skip the footer-inference job
     # entirely (spark.read.schema(...) — zero jobs before the first action)
     _write_stats(
-        spark, f"{path}/t={nxt}", {**obs.get, "schema": df.schema.json()}
+        spark,
+        f"{path}/t={nxt}",
+        {**obs.get, **(extra_stats or {}), "schema": df.schema.json()},
     )
     fs, P = _hadoop_fs(spark, path)
     stale = vs[: -(keep - 1)] if keep > 1 else vs

@@ -395,6 +395,7 @@ def admit_merge_batch(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    sizes_path: str | None = None,
 ) -> None:
     """One admission-gated merge (the foreachBatch body of
     :func:`stream_admit_to_parquet`, exported so idempotence is directly
@@ -439,6 +440,14 @@ def admit_merge_batch(
     are per-doc, so an id-keyed semi-join restricts them exactly. The
     previous shape re-tokenized the batch inside each of the three
     sequential gates.
+
+    The per-doc shingle-SIZE table ((doc_id, n_sh) — one int per stored
+    doc) is a first-class index artifact beside shingles/signatures,
+    maintained by the same rewrite rule and threaded into the exact-
+    Jaccard verify: without it, every micro-batch re-aggregated sizes
+    from the CORPUS shingle table (a corpus-wide groupBy per batch —
+    the shape that dies at 100 TB). ``sizes_path`` defaults to
+    ``{shingles_path}_sizes``.
     """
     from pyspark.sql import Window
 
@@ -448,6 +457,9 @@ def admit_merge_batch(
         minhash_signatures,
         shingles,
     )
+
+    if sizes_path is None:
+        sizes_path = f"{shingles_path}_sizes"
 
     # asc_nulls_last: a null-text metadata-update row must NOT beat a
     # real-text row for the same id (NULLS FIRST would sort md5(NULL)
@@ -473,6 +485,9 @@ def admit_merge_batch(
     batch_sig = minhash_signatures(
         uniq, num_hashes, n, id_col, text_col, shingles_df=batch_sh
     ).persist()
+    batch_sizes = (
+        batch_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).persist()
+    )
 
     def _sub(tbl: DataFrame, members: DataFrame) -> DataFrame:
         ids = members.select(F.col(id_col).alias("doc_id"))
@@ -519,6 +534,14 @@ def admit_merge_batch(
         if index_ready:
             corpus_sh = read_table(spark, shingles_path)
             corpus_sig = read_table(spark, sigs_path)
+            # the persisted size table replaces the per-batch corpus-wide
+            # groupBy; a table created before the sizes artifact existed
+            # falls back to the aggregate (and starts maintaining one)
+            corpus_sizes = (
+                read_table(spark, sizes_path)
+                if table_exists(spark, sizes_path)
+                else None
+            )
 
             def _rejected(cand: DataFrame) -> DataFrame:
                 pairs = incremental_neardup_pairs(
@@ -533,6 +556,8 @@ def admit_merge_batch(
                     corpus_signatures_df=corpus_sig,
                     batch_shingles_df=_sub(batch_sh, cand),
                     batch_signatures_df=_sub(batch_sig, cand),
+                    batch_sizes_df=batch_sizes,
+                    corpus_sizes_df=corpus_sizes,
                 )
                 # a doc's own indexed rows are not a duplicate of its
                 # changed text — exclude the self pair
@@ -568,7 +593,14 @@ def admit_merge_batch(
         fresh_sig = minhash_signatures(
             merged_rows, num_hashes, n, id_col, text_col, shingles_df=fresh_sh
         )
-        for path, fresh in ((shingles_path, fresh_sh), (sigs_path, fresh_sig)):
+        fresh_sizes = fresh_sh.groupBy("doc_id").agg(
+            F.count("*").alias("n_sh")
+        )
+        for path, fresh in (
+            (shingles_path, fresh_sh),
+            (sigs_path, fresh_sig),
+            (sizes_path, fresh_sizes),
+        ):
             if table_exists(spark, path):
                 kept = read_table(spark, path).join(
                     F.broadcast(ids), "doc_id", "left_anti"
@@ -579,6 +611,7 @@ def admit_merge_batch(
     finally:
         if to_write is not None:
             to_write.unpersist()
+        batch_sizes.unpersist()
         batch_sig.unpersist()
         batch_sh.unpersist()
         uniq.unpersist()

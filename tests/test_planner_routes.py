@@ -261,3 +261,45 @@ def test_delete_repairs_graph_to_exact_rebuild(gdb, emb):
     assert got.exceptAll(want).count() == 0
     # and no edge touches a deleted id
     assert got.where("src % 10 = 3 or dst % 10 = 3").count() == 0
+
+
+def test_facade_auto_ivf_defaults_to_replicas_2(gdb, emb, spark):
+    """VERDICT r7 #4: the auto-sized facade IVF build uses SPANN-style
+    boundary replication (replicas=2) — the measured recall fix for the
+    worst-case unclustered corpus — and the whole lifecycle (refresh,
+    search, nprobe) respects the stored replica count."""
+    gdb.build_index("ivf")  # auto-sized: replicas=2 default
+    assert gdb._ivf_replicas() == 2
+    cents, assigned = ann.load_index(gdb.spark, gdb._path("index_ivf"))
+    n = gdb.embeddings().count()
+    assert assigned.count() == 2 * n
+    assert assigned.groupBy("id").count().where("count != 2").count() == 0
+    # replicas land in DISTINCT cells
+    assert (
+        assigned.groupBy("id", "cluster").count().where("count > 1").count()
+        == 0
+    )
+
+    # search returns each id once (replica dedup) and finds self
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    rows = gdb.search(vector=qv, limit=5, index="ivf").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) and ids[0] == 3
+
+    # incremental refresh re-encodes at the stored replica count
+    new_docs = spark.createDataFrame(
+        [(10**6, "fresh")], "doc_id long, text string"
+    )
+    fresh = emb.where(F.col("vec_id") == 99).select(
+        F.lit(10**6).cast("long").alias("vec_id"), "embedding"
+    )
+    gdb.add_documents(new_docs, fresh)
+    _, grown = ann.load_index(gdb.spark, gdb._path("index_ivf"))
+    assert grown.count() == 2 * (n + 1)
+    assert grown.where("id = 1000000").count() == 2
+
+    # explicit-nlist builds keep replicas=1 (oracle fixtures unchanged)
+    gdb.build_index("ivf", nlist=4, max_iter=2)
+    assert gdb._ivf_replicas() == 1
+    _, a1 = ann.load_index(gdb.spark, gdb._path("index_ivf"))
+    assert a1.groupBy("id").count().where("count != 1").count() == 0

@@ -67,7 +67,54 @@ QUERIES = [
     "incremental_embedding_neardup",
     "knn_graph_grown",
     "recommend_batch",
+    # round-8: the filtered hybrid (bench #7 at r7, no scale row yet) and
+    # the post-cluster canonical selection
+    "hybrid_rrf_filtered",
+    "dedup_keep_best",
 ]
+
+# facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
+# db.search(index="auto") end-to-end — route choice funded by publish-time
+# stats + the sampled selectivity estimate (zero pre-search jobs), the
+# search itself the planner's pick at this corpus size
+FACADE_ROWS = ["facade_auto_search", "facade_auto_search_filtered"]
+
+
+def facade_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as Fn
+
+    from grape_vector_db_spark.db import GrapeVectorDB
+
+    d = tempfile.mkdtemp(prefix="gvdb_scale_facade_")
+    try:
+        db = GrapeVectorDB(spark, d)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        db.add_documents(docs, emb)
+        qv = list(emb.where(Fn.col("vec_id") == 3).head()["embedding"])
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+        # warm: stats caches, the selectivity sample, parquet schemas
+        db.search(vector=qv, limit=10).collect()
+        db.search(vector=qv, limit=10, filter=flt).collect()
+        out = {}
+        cases = (("facade_auto_search", {}),
+                 ("facade_auto_search_filtered", {"filter": flt}))
+        for name, kw in cases:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                n = len(db.search(vector=qv, limit=10, **kw).collect())
+                runs.append(round(time.time() - t0, 3))
+            out[name] = {"median_s": sorted(runs)[len(runs) // 2],
+                         "rows": n, "runs": runs}
+            print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: "
+                  f"{out[name]['median_s']}s ({n} rows)", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def bench_dir(spark, sf_dir: str, names: list[str], n_runs: int = 3) -> dict:
@@ -99,9 +146,11 @@ def main() -> None:
 
     a = bench_dir(spark, small, QUERIES)
     b = bench_dir(spark, big, QUERIES)
+    a.update(facade_bench(spark, small))
+    b.update(facade_bench(spark, big))
 
     rows = []
-    for name in QUERIES:
+    for name in QUERIES + FACADE_ROWS:
         ta, tb = a[name]["median_s"], b[name]["median_s"]
         ratio = round(tb / ta, 2) if ta > 0 else float("inf")
         rows.append((name, ta, tb, ratio, a[name]["rows"], b[name]["rows"]))
