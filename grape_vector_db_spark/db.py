@@ -284,7 +284,12 @@ class GrapeVectorDB:
             self._validate_dimension(embeddings)
         self._merge("documents", docs)
         if embeddings is not None:
-            self._merge("embeddings", embeddings, id_col="vec_id")
+            self._merge(
+                "embeddings", embeddings, id_col="vec_id",
+                # the stored dimension rides the sidecar so the next
+                # batch's validation needs no table probe
+                stats_exprs={"dim": f"max(size({self.vec_col}))"},
+            )
             self._refresh_indexes(embeddings)
 
     def _refresh_indexes(self, batch: DataFrame) -> None:
@@ -396,6 +401,10 @@ class GrapeVectorDB:
         scans past it."""
         expected = self.dimension
         if expected is None:
+            st = self._table_stats("embeddings")
+            if st is not None and st.get("dim") is not None:
+                expected = int(st["dim"])
+        if expected is None:
             try:
                 head = self.embeddings().select(F.size(self.vec_col)).head()
                 expected = head[0] if head else None
@@ -415,7 +424,13 @@ class GrapeVectorDB:
                 f"got {bad[0]['_d']}"
             )
 
-    def _merge(self, table: str, updates: DataFrame, id_col: str | None = None) -> None:
+    def _merge(
+        self,
+        table: str,
+        updates: DataFrame,
+        id_col: str | None = None,
+        stats_exprs: dict[str, str] | None = None,
+    ) -> None:
         # batch-only fallback gated on an EXPLICIT existence probe (the
         # streaming _merge_publish rule): a blanket try/except around the
         # read would also swallow transient FS/merge errors and publish a
@@ -425,6 +440,7 @@ class GrapeVectorDB:
         from .sources.tables import _bucketed_versions, merge_upsert_bucketed_retry
 
         if _bucketed_versions(self.spark, self._path(table)):
+            # (stats_exprs: bucket-manifest merges carry no sidecar)
             # bucket-manifest layout: file-granular MERGE with the
             # retry-absorbing wrapper — a concurrent writer's win is
             # re-derived against the committed snapshot instead of
@@ -439,7 +455,7 @@ class GrapeVectorDB:
             merged = merge_upsert(self._read(table), updates, id_col=id_col)
         else:
             merged = updates
-        self._publish(table, merged)
+        self._publish(table, merged, stats_exprs=stats_exprs)
 
     def get_document(self, doc_id) -> dict | None:
         row = self.documents().where(F.col(self.id_col) == doc_id).head()

@@ -927,6 +927,47 @@ def ivfpq_search(
     )
 
 
+_INDEX_MANIFEST = "_INDEX_MANIFEST.json"
+
+
+def _write_index_manifest(spark, path: str, pair: dict) -> None:
+    """Atomic (temp-write + rename) commit of the centroids/assignments
+    version PAIR a reader must open together."""
+    import json
+
+    from ..sources.tables import _hadoop_fs
+
+    fs, P = _hadoop_fs(spark, path)
+    tmp = P(f"{path}/.{_INDEX_MANIFEST}.tmp")
+    final = P(f"{path}/{_INDEX_MANIFEST}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(pair, sort_keys=True).encode()))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"index manifest rename failed under {path}")
+
+
+def _read_index_manifest(spark, path: str) -> dict | None:
+    import json
+
+    from ..sources.tables import _hadoop_fs
+
+    fs, P = _hadoop_fs(spark, path)
+    p = P(f"{path}/{_INDEX_MANIFEST}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def save_index(
     path: str,
     cents: DataFrame,
@@ -940,8 +981,19 @@ def save_index(
     include_vectors=True), the layout is a full inverted list and
     ivf_search_pruned can search it with zero joins. ``extra_stats``
     (e.g. ``{"replicas": 2}``) rides the assignments' _STATS sidecar so
-    readers recover the layout parameters without scanning."""
-    from ..sources.tables import publish_table
+    readers recover the layout parameters without scanning.
+
+    The index is TWO tables that must agree (postings are placements in
+    the centroids' geometry), and each publish is only individually
+    atomic — so the committed version PAIR is recorded in an
+    ``_INDEX_MANIFEST.json`` whose temp+rename write is the real commit
+    point. A writer crashing between the two publishes leaves the
+    manifest pointing at the previous CONSISTENT pair; readers
+    (load_index) never see new centroids with old postings or vice
+    versa. Retention note: publish keep=2 holds the prior version of
+    each table, which covers one crashed rebuild; the next successful
+    save re-points the manifest."""
+    from ..sources.tables import publish_table, table_versions
 
     spark = cents.sparkSession
     # versioned swap (sources.tables): a concurrent reader mid-rebuild sees
@@ -950,6 +1002,14 @@ def save_index(
     publish_table(
         spark, f"{path}/assignments", assigned, partition_by=["cluster"],
         extra_stats=extra_stats,
+    )
+    _write_index_manifest(
+        spark,
+        path,
+        {
+            "centroids": table_versions(spark, f"{path}/centroids")[-1],
+            "assignments": table_versions(spark, f"{path}/assignments")[-1],
+        },
     )
 
 
@@ -1050,11 +1110,39 @@ def load_pq_index(spark, path: str):
 
 def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load persisted IVF index tables; dimension/shape validation mirrors
-    the reference's load-time checks (src/query.rs:352-371)."""
-    from ..sources.tables import read_table
+    the reference's load-time checks (src/query.rs:352-371).
 
-    cents = read_table(spark, f"{path}/centroids")
-    assigned = read_table(spark, f"{path}/assignments")
+    Opens the version PAIR the ``_INDEX_MANIFEST.json`` committed —
+    never a half-rebuilt mix of new centroids and old postings (see
+    save_index). Falls back to the newest committed versions for legacy
+    indexes (or if retention GC'd a manifest'd version — the next
+    successful save self-heals the manifest). Schemas come from the
+    publish-time sidecar when present, so opening the index costs zero
+    footer-inference jobs."""
+    from ..sources.tables import read_table, read_table_stats, table_versions
+
+    def _open(sub: str, version: int | None):
+        p = f"{path}/{sub}"
+        vs = table_versions(spark, p)
+        v = version if version in vs else (vs[-1] if vs else None)
+        if v is None:
+            return read_table(spark, p)  # legacy flat layout (or raise)
+        st = read_table_stats(spark, p, version=v)
+        if st is not None and st.get("schema"):
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            try:
+                schema = StructType.fromJson(_json.loads(st["schema"]))
+                return spark.read.schema(schema).parquet(f"{p}/t={v}")
+            except Exception:
+                pass
+        return spark.read.parquet(f"{p}/t={v}")
+
+    man = _read_index_manifest(spark, path) or {}
+    cents = _open("centroids", man.get("centroids"))
+    assigned = _open("assignments", man.get("assignments"))
     for col in ("cluster", "centroid"):
         if col not in cents.columns:
             raise ValueError(f"centroid table missing column {col!r}")

@@ -132,3 +132,17 @@ def test_stats_survive_index_refresh_and_merge(db, spark, emb):
     assert db._row_count("embeddings") == n0 + 1
     st = db._table_stats("index_graph")
     assert st is not None and st["max_rank"] == 4
+
+
+def test_publish_empty_dataframe_records_zero_rows(spark, tmp_path):
+    """The write-job observation must complete (not hang) and record
+    rows=0 for an empty publish — delete-everything cascades and empty
+    micro-batches publish empty versions."""
+    p = str(tmp_path / "empty_tbl")
+    df = spark.range(5).where("id < 0").select(
+        "id", F.lit(1).cast("int").alias("rank")
+    )
+    T.publish_table(spark, p, df, stats_exprs={"max_rank": "max(rank)"})
+    st = T.read_table_stats(spark, p)
+    assert st["rows"] == 0 and st["max_rank"] is None
+    assert st.get("schema")
