@@ -4758,6 +4758,45 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_discover(spark, sf_dir):
+    """Discovery search (Qdrant discover-API shape): target = vector 0,
+    context pairs (1 pos / 3 neg) and (2 pos / 4 neg). Candidates rank
+    by pair votes first (1 per pair whose positive is the closer side,
+    6-dp cosines), target cosine second. One literal-folded corpus scan,
+    TakeOrderedAndProject, zero shuffle."""
+    return search.discover(
+        _emb(spark, sf_dir), target_id=0, context_pairs=[(1, 3), (2, 4)], k=10
+    )
+
+
+def q_context_rank(spark, sf_dir):
+    """Context search (target-less discovery): three preference pairs,
+    penalty 0 on the positive side else -(n-p)^2, summed in fixed order
+    and 6-dp rounded; perfect region ties at 0.0 and breaks on id."""
+    return search.context_rank(
+        _emb(spark, sf_dir), context_pairs=[(1, 3), (2, 4), (5, 7)], k=10
+    )
+
+
+def q_distance_matrix(spark, sf_dir):
+    """Bounded pairwise-similarity matrix: the 24 lowest vec_ids, all
+    276 unordered pairs, exact cosine — the distance-matrix API that
+    feeds driver-side clustering. The cap bounds the quadratic by
+    contract; only the sample selection touches the corpus."""
+    return search.distance_matrix(_emb(spark, sf_dir), sample=24)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher rule filter (arXiv:2112.11446 §A1.1) over documents: all
+    seven signals + one keep flag in a single narrow scan. Thresholds
+    tuned to this corpus's scale (30-word minimum, >=1 of the paper's 8
+    stop words — the synthetic vocab contains only 'the') so keep
+    actually splits; the operator's defaults are the paper's."""
+    return textanalysis.gopher_rules(
+        _docs(spark, sf_dir), min_words=30, min_stop_hits=1
+    )
+
+
 # Bit-parity DEMO queries whose output is known to grow quadratically on
 # this synthetic corpus (16-bit fingerprint space saturates at ~50k docs —
 # measured in SCALE.md; the 64-bit *_64 twins are the production shape and
@@ -4881,6 +4920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommend_avg": q_recommend_avg,
         "recommend_best": q_recommend_best,
         "recommend_batch": q_recommend_batch,
+        "discover": q_discover,
+        "context_rank": q_context_rank,
+        "distance_matrix": q_distance_matrix,
+        "gopher_rules": q_gopher_rules,
         "ivf_drift": q_ivf_drift,
         "textrank": q_textrank,
         "pq_add": q_pq_add,
@@ -8523,6 +8566,111 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CASE WHEN p > n THEN p ELSE -n END AS score
             FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "discover": f"""
+            WITH tgt AS (SELECT embedding::DOUBLE[] AS tv FROM embeddings WHERE vec_id = 0),
+            p1 AS (SELECT embedding::DOUBLE[] AS v1 FROM embeddings WHERE vec_id = 1),
+            n1 AS (SELECT embedding::DOUBLE[] AS w1 FROM embeddings WHERE vec_id = 3),
+            p2 AS (SELECT embedding::DOUBLE[] AS v2 FROM embeddings WHERE vec_id = 2),
+            n2 AS (SELECT embedding::DOUBLE[] AS w2 FROM embeddings WHERE vec_id = 4),
+            s AS (
+              SELECT e.vec_id,
+                     (CASE WHEN round({_cos('e.v', 'p1.v1')}, 6)
+                              > round({_cos('e.v', 'n1.w1')}, 6)
+                           THEN 1 ELSE 0 END
+                      + CASE WHEN round({_cos('e.v', 'p2.v2')}, 6)
+                                > round({_cos('e.v', 'n2.w2')}, 6)
+                             THEN 1 ELSE 0 END) AS votes,
+                     round({_cos('e.v', 'tgt.tv')}, 6) AS score
+              FROM {_EMB_D} e, tgt, p1, n1, p2, n2
+              WHERE e.vec_id NOT IN (0, 1, 2, 3, 4)
+            )
+            SELECT vec_id, votes::INT AS votes, score
+            FROM s ORDER BY votes DESC, score DESC, vec_id ASC LIMIT 10
+        """,
+        "context_rank": f"""
+            WITH p1 AS (SELECT embedding::DOUBLE[] AS v1 FROM embeddings WHERE vec_id = 1),
+            n1 AS (SELECT embedding::DOUBLE[] AS w1 FROM embeddings WHERE vec_id = 3),
+            p2 AS (SELECT embedding::DOUBLE[] AS v2 FROM embeddings WHERE vec_id = 2),
+            n2 AS (SELECT embedding::DOUBLE[] AS w2 FROM embeddings WHERE vec_id = 4),
+            p3 AS (SELECT embedding::DOUBLE[] AS v3 FROM embeddings WHERE vec_id = 5),
+            n3 AS (SELECT embedding::DOUBLE[] AS w3 FROM embeddings WHERE vec_id = 7),
+            c AS (
+              SELECT e.vec_id,
+                     round({_cos('e.v', 'p1.v1')}, 6) AS pa,
+                     round({_cos('e.v', 'n1.w1')}, 6) AS na,
+                     round({_cos('e.v', 'p2.v2')}, 6) AS pb,
+                     round({_cos('e.v', 'n2.w2')}, 6) AS nb,
+                     round({_cos('e.v', 'p3.v3')}, 6) AS pc,
+                     round({_cos('e.v', 'n3.w3')}, 6) AS nc
+              FROM {_EMB_D} e, p1, n1, p2, n2, p3, n3
+              WHERE e.vec_id NOT IN (1, 2, 3, 4, 5, 7)
+            )
+            SELECT vec_id,
+                   round((CASE WHEN pa > na THEN 0.0 ELSE -(na - pa) * (na - pa) END
+                          + CASE WHEN pb > nb THEN 0.0 ELSE -(nb - pb) * (nb - pb) END)
+                         + CASE WHEN pc > nc THEN 0.0 ELSE -(nc - pc) * (nc - pc) END,
+                         6) AS score
+            FROM c ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "distance_matrix": f"""
+            WITH s AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings ORDER BY vec_id ASC LIMIT 24
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos('a.v', 'b.v')}, 6) AS cosine
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+        """,
+        "gopher_rules": """
+            WITH b AS (
+              SELECT doc_id, text AS txt,
+                     list_filter(
+                       regexp_split_to_array(lower(text),
+                                             '[\t\n\x0B\f\r\x85\\pZ]+'),
+                       w -> w != '') AS t,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> len(l) > 0) AS ls
+              FROM documents
+            ),
+            sig AS (
+              SELECT doc_id,
+                     len(t)::INT AS n_words,
+                     round(coalesce(list_sum(list_transform(t, w -> length(w))), 0)::DOUBLE
+                           / greatest(len(t), 1), 6) AS mean_word_len,
+                     round(((length(txt) - length(replace(txt, '#', '')))
+                            + (length(txt) - length(replace(txt, '...', ''))) / 3
+                            + (length(txt) - length(replace(txt, '…', ''))))::DOUBLE
+                           / greatest(len(t), 1), 6) AS symbol_ratio,
+                     round(len(list_filter(ls,
+                             l -> substring(ltrim(l), 1, 1) IN ('•', '-', '*')))::DOUBLE
+                           / greatest(len(ls), 1), 6) AS bullet_frac,
+                     round(len(list_filter(ls,
+                             l -> suffix(rtrim(l), '...') OR suffix(rtrim(l), '…')))::DOUBLE
+                           / greatest(len(ls), 1), 6) AS ellipsis_frac,
+                     round(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                           / greatest(len(t), 1), 6) AS alpha_word_frac,
+                     (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END)::INT
+                       AS stop_hits
+              FROM b
+            )
+            SELECT *,
+                   (CASE WHEN n_words >= 30 AND n_words <= 100000
+                          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                          AND symbol_ratio <= 0.1
+                          AND bullet_frac <= 0.9
+                          AND ellipsis_frac <= 0.3
+                          AND alpha_word_frac >= 0.8
+                          AND stop_hits >= 1
+                         THEN 1 ELSE 0 END)::INT AS keep
+            FROM sig
         """,
         "ivf_drift": f"""
             WITH j AS (

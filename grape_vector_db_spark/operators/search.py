@@ -866,3 +866,159 @@ def margin_mine(
         .where((F.col("_rk") == 1) & (F.col("margin") >= margin_threshold))
         .select("xid", "yid", "cosine", "margin")
     )
+
+
+def discover(
+    df: DataFrame,
+    target_id: int,
+    context_pairs: Sequence[tuple[int, int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Discovery search (the public Qdrant discover-API shape; capability
+    ADDITION — the reference is query-vector-only): steer a target-vector
+    search with (positive, negative) example PAIRS. Each pair casts one
+    vote per candidate — 1 when the candidate sits closer to the pair's
+    positive than its negative — and candidates rank by votes first,
+    target cosine second. Votes dominate, so a pair can veto a
+    high-similarity candidate that lands on the wrong side of a
+    preference boundary; the target only orders within a vote class.
+
+    Exact contract (engine-reproducible): each cosine is 6-dp rounded
+    before the > compare and before the tiebreak sort; all example /
+    target ids are excluded from results; ties break on id asc.
+
+    Scale shape: every example vector folds into the scan as a literal
+    (a 2·len(pairs)+1 × dim driver artifact — the recommend contract),
+    so the plan is ONE narrow corpus scan ending in
+    TakeOrderedAndProject: zero shuffles at any corpus size.
+    """
+    if not context_pairs:
+        raise ValueError("at least one (positive, negative) pair is required")
+    pairs = [(int(p), int(n)) for p, n in context_pairs]
+    ex_ids = sorted({target_id, *[i for pr in pairs for i in pr]})
+    rows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in df.where(F.col(id_col).isin(ex_ids)).collect()
+    }
+    missing = [i for i in ex_ids if i not in rows]
+    if missing:
+        raise KeyError(f"example ids not found: {missing}")
+    v = to_double_array(vec_col)
+
+    def c(vec):
+        return F.round(cosine_vs_query(v, vec), 6)
+
+    votes = None
+    for p, n in pairs:
+        vote = F.when(c(rows[p]) > c(rows[n]), F.lit(1)).otherwise(F.lit(0))
+        votes = vote if votes is None else votes + vote
+    return (
+        df.where(~F.col(id_col).isin(ex_ids))
+        .select(
+            F.col(id_col),
+            votes.cast("int").alias("votes"),
+            c(rows[int(target_id)]).alias("score"),
+        )
+        .orderBy(
+            F.col("votes").desc(), F.col("score").desc(), F.col(id_col).asc()
+        )
+        .limit(k)
+    )
+
+
+def context_rank(
+    df: DataFrame,
+    context_pairs: Sequence[tuple[int, int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Context search (discover's target-less sibling): rank purely by
+    how well a candidate satisfies the preference pairs. Per pair the
+    penalty is 0 when the candidate is on the positive side, else
+    -(n-p)² — quadratic in how far onto the negative side it sits — and
+    score = 6-dp-rounded Σ penalties (0.0 is perfect). Candidates inside
+    the zero-penalty region tie at 0.0 and break on id asc: the operator
+    finds the REGION the pairs carve out, not a nearest point.
+
+    Same exact-replay discipline and scan shape as :func:`discover`:
+    p and n are 6-dp rounded before the compare/subtract, the penalty
+    chain is a fixed-order sum of literal-folded expressions, one narrow
+    scan, TakeOrderedAndProject, zero shuffles.
+    """
+    if not context_pairs:
+        raise ValueError("at least one (positive, negative) pair is required")
+    pairs = [(int(p), int(n)) for p, n in context_pairs]
+    ex_ids = sorted({i for pr in pairs for i in pr})
+    rows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in df.where(F.col(id_col).isin(ex_ids)).collect()
+    }
+    missing = [i for i in ex_ids if i not in rows]
+    if missing:
+        raise KeyError(f"example ids not found: {missing}")
+    v = to_double_array(vec_col)
+
+    def c(vec):
+        return F.round(cosine_vs_query(v, vec), 6)
+
+    total = None
+    for p, n in pairs:
+        pc, nc = c(rows[p]), c(rows[n])
+        pen = F.when(pc > nc, F.lit(0.0)).otherwise(-(nc - pc) * (nc - pc))
+        total = pen if total is None else total + pen
+    return (
+        df.where(~F.col(id_col).isin(ex_ids))
+        .select(F.col(id_col), F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def distance_matrix(
+    df: DataFrame,
+    sample: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bounded pairwise-similarity matrix (the vector-store
+    distance-matrix API that feeds driver-side clustering /
+    visualization): the ``sample`` LOWEST ids (deterministic — no RNG in
+    the oracle path), all unordered pairs among them, exact cosine.
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    Scale shape: the sample cap bounds the quadratic explicitly —
+    sample² pairs regardless of corpus size. The sampled slice is tiny
+    by contract, so both join sides broadcast; the corpus is touched
+    only by the TakeOrdered sample selection (one narrow scan, zero
+    shuffle), never by the pair join.
+    """
+    if sample < 2:
+        raise ValueError("sample must be >= 2")
+    v = to_double_array(vec_col)
+    picked = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .orderBy(F.col(id_col).asc())
+        .limit(sample)
+    )
+    a = picked.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = picked.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = F.broadcast(a).join(
+        F.broadcast(b), F.col("id_a") < F.col("id_b"), "inner"
+    )
+    from ..functions.vector import cosine_from_parts as _cfp, dot as _dot, l2_norm as _l2
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            _cfp(
+                _dot(F.col("_va"), F.col("_vb")),
+                _l2(F.col("_va")),
+                _l2(F.col("_vb")),
+            ),
+            6,
+        ).alias("cosine"),
+    ).orderBy("id_a", "id_b")

@@ -1503,3 +1503,113 @@ def textrank_chunks(
     return ranked.where(F.col("rank") <= top_s).select(
         "doc_id", "chunk_id", F.col("rank").cast("int").alias("rank"), "score"
     )
+
+
+# Gopher rule-filter stop words (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
+# NOT the retrieval STOPWORDS list: the rule counts how many of these
+# exact eight appear at least once.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    the rule filter MassiveWeb used and later pipelines like RefinedWeb
+    and Dolma inherit). Default thresholds are the paper's; callers tune
+    them per corpus. Per doc: every signal plus a per-rule verdict
+    folded into one ``keep`` flag:
+
+    - ``n_words`` in [min_words, max_words]
+    - ``mean_word_len`` in [min, max] (exact char sum over kept tokens)
+    - ``symbol_ratio`` (count of '#', '...', '…' per word) <= max
+    - ``bullet_frac`` (lines starting '•'/'-'/'*' after space-ltrim) <= max
+    - ``ellipsis_frac`` (lines ending '...'/'…' after space-rtrim) <= max
+    - ``alpha_word_frac`` (words containing [a-z]; English-focused like
+      the paper) >= min
+    - ``stop_hits`` (how many of the paper's 8 stop words appear) >= min
+
+    All ratios 6-dp rounded BEFORE threshold compares (engine-exact
+    replay); empty lines are filtered from both line denominators.
+
+    Scale shape: one narrow scan, per-row array folds only — no joins,
+    no shuffle, no UDFs; at 100 TB this is a pure map stage that
+    pipelines into whatever consumes ``keep``.
+    """
+    toks = ws_tokens(text_col)
+    txt = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), txt.alias("_txt"), toks.alias("_t")
+    )
+    n = F.greatest(F.size("_t"), F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(F.col("_t"), lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n,
+        6,
+    )
+    t = F.col("_txt")
+    hash_cnt = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    dots_cnt = (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    uell_cnt = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    symbol_ratio = F.round((hash_cnt + dots_cnt + uell_cnt).cast("double") / n, 6)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(l) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"),
+        )
+    )
+    ell = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    bullet_frac = F.round(bullet.cast("double") / n_lines, 6)
+    ellipsis_frac = F.round(ell.cast("double") / n_lines, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(F.col("_t"), lambda w: w.rlike("[a-z]"))).cast("double") / n,
+        6,
+    )
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(F.col("_t"), w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    sig = base.select(
+        "doc_id",
+        F.size("_t").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return sig.select("*", keep.cast("int").alias("keep"))

@@ -71,6 +71,12 @@ QUERIES = [
     # the post-cluster canonical selection
     "hybrid_rrf_filtered",
     "dedup_keep_best",
+    # round-8b: the vote-scan discovery search (5 literal-folded cosines
+    # per row, same zero-shuffle family as knn_cosine) and the Gopher
+    # rule filter (per-row array folds over tokens + lines — the widest
+    # pure-map scan in the registry)
+    "discover",
+    "gopher_rules",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
