@@ -846,6 +846,62 @@ class GrapeVectorDB:
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
 
+    def discover(
+        self,
+        target_id: int,
+        context_pairs: Sequence[tuple[int, int]],
+        limit: int = 10,
+        filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Discovery search over the stored corpus: context (positive,
+        negative) id pairs vote per candidate, votes rank first, target
+        cosine second (operators/search.py:discover). Example ids resolve
+        against the FULL corpus; a metadata ``filter`` restricts only the
+        CANDIDATE set (the filtered-search semi-join shape), so a pair
+        can reference an example the filter excludes from results."""
+        emb = self.embeddings()
+        cand = emb
+        if filter is not None:
+            fcol = filters.filter_to_column(filter)
+            keep = self.documents().where(fcol)
+            cand = emb.join(
+                keep.select(F.col(self.id_col).alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+        return search.discover(
+            cand, target_id, context_pairs, k=limit, examples_df=emb
+        )
+
+    def context_search(
+        self,
+        context_pairs: Sequence[tuple[int, int]],
+        limit: int = 10,
+        filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Target-less discovery: rank purely by the context pairs'
+        quadratic penalty (operators/search.py:context_rank). Same
+        example-resolution and filter semantics as :meth:`discover`."""
+        emb = self.embeddings()
+        cand = emb
+        if filter is not None:
+            fcol = filters.filter_to_column(filter)
+            keep = self.documents().where(fcol)
+            cand = emb.join(
+                keep.select(F.col(self.id_col).alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+        return search.context_rank(
+            cand, context_pairs, k=limit, examples_df=emb
+        )
+
+    def distance_matrix(self, sample: int = 24) -> DataFrame:
+        """Bounded pairwise-similarity matrix over the stored corpus
+        (operators/search.py:distance_matrix) — the driver-side
+        clustering/visualization feed; the cap bounds the quadratic."""
+        return search.distance_matrix(self.embeddings(), sample=sample)
+
     def search_plan(
         self,
         filter: dict[str, Any] | None = None,

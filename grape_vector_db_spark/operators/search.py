@@ -875,6 +875,7 @@ def discover(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    examples_df: DataFrame | None = None,
 ) -> DataFrame:
     """Discovery search (the public Qdrant discover-API shape; capability
     ADDITION — the reference is query-vector-only): steer a target-vector
@@ -893,14 +894,19 @@ def discover(
     (a 2·len(pairs)+1 × dim driver artifact — the recommend contract),
     so the plan is ONE narrow corpus scan ending in
     TakeOrderedAndProject: zero shuffles at any corpus size.
+
+    ``examples_df`` (default: ``df``) is where example ids resolve — a
+    facade passes the full corpus here while ``df`` is the filtered
+    candidate set, so pairs may reference excluded examples.
     """
     if not context_pairs:
         raise ValueError("at least one (positive, negative) pair is required")
     pairs = [(int(p), int(n)) for p, n in context_pairs]
     ex_ids = sorted({target_id, *[i for pr in pairs for i in pr]})
+    src = examples_df if examples_df is not None else df
     rows = {
         r[id_col]: [float(x) for x in r[vec_col]]
-        for r in df.where(F.col(id_col).isin(ex_ids)).collect()
+        for r in src.where(F.col(id_col).isin(ex_ids)).collect()
     }
     missing = [i for i in ex_ids if i not in rows]
     if missing:
@@ -934,6 +940,7 @@ def context_rank(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    examples_df: DataFrame | None = None,
 ) -> DataFrame:
     """Context search (discover's target-less sibling): rank purely by
     how well a candidate satisfies the preference pairs. Per pair the
@@ -946,15 +953,17 @@ def context_rank(
     Same exact-replay discipline and scan shape as :func:`discover`:
     p and n are 6-dp rounded before the compare/subtract, the penalty
     chain is a fixed-order sum of literal-folded expressions, one narrow
-    scan, TakeOrderedAndProject, zero shuffles.
+    scan, TakeOrderedAndProject, zero shuffles. ``examples_df``: see
+    :func:`discover`.
     """
     if not context_pairs:
         raise ValueError("at least one (positive, negative) pair is required")
     pairs = [(int(p), int(n)) for p, n in context_pairs]
     ex_ids = sorted({i for pr in pairs for i in pr})
+    src = examples_df if examples_df is not None else df
     rows = {
         r[id_col]: [float(x) for x in r[vec_col]]
-        for r in df.where(F.col(id_col).isin(ex_ids)).collect()
+        for r in src.where(F.col(id_col).isin(ex_ids)).collect()
     }
     missing = [i for i in ex_ids if i not in rows]
     if missing:

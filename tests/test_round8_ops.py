@@ -150,3 +150,81 @@ class TestGopherRules:
             F.sum("keep").alias("kept"), F.count("*").alias("n")
         ).head()
         assert 0 < out["kept"] < out["n"]
+
+
+class TestPlanPins:
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_discover_is_shuffle_free_topk(self, spark, emb):
+        """Votes + target cosine all fold into one scan: the plan must be
+        the knn shape — TakeOrderedAndProject, zero Exchange."""
+        plan = self._plan(search.discover(emb, 0, [(1, 3), (2, 4)], k=10))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+    def test_context_rank_is_shuffle_free_topk(self, spark, emb):
+        plan = self._plan(search.context_rank(emb, [(1, 3), (2, 4)], k=10))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+    def test_distance_matrix_broadcasts_both_sides(self, spark, emb):
+        """The corpus must never shuffle for the pair join — the sampled
+        slice broadcasts (the cap makes it tiny by contract)."""
+        plan = self._plan(search.distance_matrix(emb, sample=8))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
+
+    def test_gopher_rules_is_pure_map(self, spark, docs):
+        """Seven signals + keep in ONE narrow scan: no join, no
+        aggregate, no shuffle anywhere in the plan."""
+        plan = self._plan(textanalysis.gopher_rules(docs))
+        assert "Exchange" not in plan
+        assert "Join" not in plan and "Aggregate" not in plan
+
+
+class TestFacadeDiscovery:
+    @pytest.fixture()
+    def db(self, spark, docs, emb):
+        import shutil
+        import tempfile
+
+        from grape_vector_db_spark.db import GrapeVectorDB
+
+        d = tempfile.mkdtemp(prefix="gvdb_r8_")
+        inst = GrapeVectorDB(spark, d)
+        inst.add_documents(docs, emb)
+        yield inst
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_discover_matches_operator(self, db, emb):
+        got = db.discover(0, [(1, 3), (2, 4)], limit=5).collect()
+        want = search.discover(emb, 0, [(1, 3), (2, 4)], k=5).collect()
+        assert [(r["vec_id"], r["votes"], r["score"]) for r in got] == [
+            (r["vec_id"], r["votes"], r["score"]) for r in want
+        ]
+
+    def test_filtered_discover_can_reference_excluded_examples(self, db):
+        """The filter restricts candidates only: example ids resolve
+        against the full corpus even when the filter excludes them."""
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+        keep = {
+            r["doc_id"]
+            for r in db.documents().where("lang = 'en'").select("doc_id").collect()
+        }
+        ex = sorted(set(range(20)) - keep)[:2]
+        if len(ex) < 2:
+            pytest.skip("fixture has no non-en docs among ids 0..19")
+        out = db.discover(ex[0], [(ex[1], ex[0])], limit=20, filter=flt).collect()
+        assert out, "filtered discover returned nothing"
+        ids = {r["vec_id"] for r in out}
+        assert ids <= keep
+
+    def test_context_search_and_distance_matrix(self, db, emb):
+        got = db.context_search([(1, 3), (2, 4)], limit=5).collect()
+        want = search.context_rank(emb, [(1, 3), (2, 4)], k=5).collect()
+        assert [(r["vec_id"], r["score"]) for r in got] == [
+            (r["vec_id"], r["score"]) for r in want
+        ]
+        dm = db.distance_matrix(sample=6).collect()
+        assert len(dm) == 15
