@@ -1127,6 +1127,26 @@ def q_ivf_flat_pruned(spark, sf_dir):
     )
 
 
+def q_partition_pruned_knn(spark, sf_dir):
+    """The tenant-search 100 TB shape, hash-checked: embeddings written
+    partitionBy(label) once (the db.build_index('partition') layout),
+    then an equality-filtered exact k-NN that reads ONLY label=3's
+    directory — partition pruning instead of a docs semi-join; the scan
+    stays the zero-shuffle TakeOrdered knn. Same result contract and
+    oracle as filtered_knn."""
+    import tempfile
+
+    key = ("part_idx", sf_dir)
+    if key not in _CACHE:
+        path = tempfile.mkdtemp(prefix="gvdb_partidx_")
+        _emb(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(path)
+        _CACHE[key] = path
+    pruned = spark.read.parquet(_CACHE[key]).where(F.col("label") == 3)
+    return search.knn(pruned, _qv(spark, sf_dir), k=K_DEFAULT)
+
+
 def q_vocabulary(spark, sf_dir):
     """A2: distinct term -> dense integer id (deterministic: term order).
     Two-level rank — no global-window single-task sort (sparse.vocabulary)."""
@@ -4953,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "shipping_priority": q_shipping_priority,
         "filtered_knn": q_filtered_knn,
+        "partition_pruned_knn": q_partition_pruned_knn,
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
         "mixture_apply": q_mixture_apply,
@@ -8807,6 +8828,13 @@ def oracle_sql() -> dict[str, str]:
             FROM {_EMB_D} e CROSS JOIN pl
         """,
         "filtered_knn": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE label = 3)
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "partition_pruned_knn": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE label = 3)
             SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score

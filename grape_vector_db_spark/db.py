@@ -102,10 +102,13 @@ class GrapeVectorDB:
         df: DataFrame,
         keep: int = 2,
         stats_exprs: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
+        extra_stats: dict | None = None,
     ) -> None:
         publish_table(
             self.spark, self._path(table), df, keep=keep,
-            stats_exprs=stats_exprs,
+            stats_exprs=stats_exprs, partition_by=partition_by,
+            extra_stats=extra_stats,
         )
 
     # -- publish-time statistics (the planner's zero-job inputs) ------------
@@ -283,6 +286,36 @@ class GrapeVectorDB:
         if embeddings is not None:
             self._validate_dimension(embeddings)
         self._merge("documents", docs)
+        if embeddings is None and self._has("index_partition"):
+            # metadata-only update: a changed partition-column value MOVES
+            # the row's directory in the co-partitioned layout — without
+            # this, a pruned search would keep serving the id under its
+            # old value while the semi-join path sees the new one
+            st = self._table_stats("index_partition") or {}
+            col = st.get("partition_column")
+            if col and col in docs.columns and self._has("embeddings"):
+                ids = docs.select(
+                    F.col(self.id_col).alias("vec_id")
+                ).distinct()
+                fresh = (
+                    self.embeddings()
+                    .join(F.broadcast(ids), "vec_id", "left_semi")
+                    .select("vec_id", self.vec_col)
+                    .join(
+                        self.documents().select(
+                            F.col(self.id_col).alias("vec_id"), F.col(col)
+                        ),
+                        "vec_id",
+                    )
+                )
+                kept = self._read("index_partition").join(
+                    F.broadcast(ids), "vec_id", "left_anti"
+                )
+                self._publish(
+                    "index_partition", kept.unionByName(fresh),
+                    partition_by=[col],
+                    extra_stats={"partition_column": col},
+                )
         if embeddings is not None:
             self._merge(
                 "embeddings", embeddings, id_col="vec_id",
@@ -393,6 +426,30 @@ class GrapeVectorDB:
                 "index_graph", grown,
                 stats_exprs={"max_rank": "max(rank)"},
             )
+        if self._has("index_partition"):
+            st = self._table_stats("index_partition") or {}
+            col = st.get("partition_column")
+            if col:
+                # re-derive the batch rows' partition values from the
+                # already-merged documents table (covers inserts AND
+                # updates that move a row across partitions), swap the
+                # batch ids' rows, re-publish under the SAME layout —
+                # flattening it here would silently turn every future
+                # pruned search back into a full scan
+                fresh = batch.select("vec_id", self.vec_col).join(
+                    self.documents().select(
+                        F.col(self.id_col).alias("vec_id"), F.col(col)
+                    ),
+                    "vec_id",
+                )
+                kept = self._read("index_partition").join(
+                    F.broadcast(ids), "vec_id", "left_anti"
+                )
+                self._publish(
+                    "index_partition", kept.unionByName(fresh),
+                    partition_by=[col],
+                    extra_stats={"partition_column": col},
+                )
 
     def _validate_dimension(self, embeddings: DataFrame) -> None:
         """Raise if any incoming vector's length differs from the expected
@@ -502,6 +559,17 @@ class GrapeVectorDB:
                 self._overwrite(
                     table, self._read(table).join(doomed, "vec_id", "left_anti")
                 )
+        if self._has("index_partition"):
+            st = self._table_stats("index_partition") or {}
+            col = st.get("partition_column")
+            self._publish(
+                "index_partition",
+                self._read("index_partition").join(doomed, "vec_id", "left_anti"),
+                # preserve the partitioned layout + its sidecar through
+                # the cascade (a plain overwrite would flatten it)
+                partition_by=[col] if col else None,
+                extra_stats={"partition_column": col} if col else None,
+            )
         if self._has("index_graph"):
             # drop every edge TOUCHING a doomed id (a dangling dst would
             # make the walk score a deleted vector), then REPAIR: a
@@ -609,6 +677,35 @@ class GrapeVectorDB:
                 "index_graph", edges,
                 stats_exprs={"max_rank": "max(rank)"},
             )
+        elif kind == "partition":
+            # tenant / hot-field layout: the embeddings co-partitioned by
+            # a DOCUMENTS metadata column (directory-per-value inside the
+            # versioned publish). A search whose filter is exactly one
+            # equality on this column then reads ONLY that value's
+            # directory — partition pruning instead of a docs scan + a
+            # corpus-wide semi-join. At 100 TB with a tenant column this
+            # is the difference between touching one tenant's files and
+            # touching every file. The column name rides the _STATS
+            # sidecar so route detection stays zero-job.
+            col = kwargs.get("column")
+            if not col:
+                raise ValueError("build_index('partition') needs column=")
+            docs = self.documents()
+            if col not in docs.columns:
+                raise ValueError(
+                    f"partition column {col!r} is not a documents column"
+                )
+            # serving artifact: exactly (vec_id, vector, partition col) —
+            # extra embedding-table columns would bloat every partition
+            # AND break the refresh swap's unionByName
+            part = emb.select("vec_id", self.vec_col).join(
+                docs.select(F.col(self.id_col).alias("vec_id"), F.col(col)),
+                "vec_id",
+            )
+            self._publish(
+                "index_partition", part, partition_by=[col],
+                extra_stats={"partition_column": col},
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
 
@@ -655,9 +752,28 @@ class GrapeVectorDB:
             n_corpus = self._row_count("embeddings")
             if filter is not None:
                 fcol = filters.filter_to_column(filter)
-                keep = self.documents().where(fcol)
-                keep_ids = keep.select(F.col(self.id_col).alias("vec_id"))
-                emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+                eq = filters.simple_equality(filter)
+                pcol = None
+                if eq is not None and self._has("index_partition"):
+                    pst = self._table_stats("index_partition") or {}
+                    pcol = pst.get("partition_column")
+                if pcol is not None and eq is not None and eq[0] == pcol:
+                    # single-equality filter on the partitioned layout's
+                    # column: serve it as a DIRECTORY SKIP on the
+                    # co-partitioned embeddings — no docs scan, no
+                    # corpus-wide semi-join; every route below sees only
+                    # the matching partition's files (the tenant-search
+                    # shape at 100 TB). Detection is sidecar + structural
+                    # inspection: zero Spark jobs.
+                    pruned = self._read("index_partition").where(
+                        F.col(pcol) == F.lit(eq[1])
+                    )
+                    emb = pruned.select("vec_id", self.vec_col)
+                    keep_ids = emb.select("vec_id")
+                else:
+                    keep = self.documents().where(fcol)
+                    keep_ids = keep.select(F.col(self.id_col).alias("vec_id"))
+                    emb = emb_all.join(keep_ids, "vec_id", "left_semi")
                 # sampled, zero-job estimate (exact semi-join count was a
                 # second corpus-scale job per filtered search)
                 selectivity = self._estimate_selectivity(fcol)

@@ -117,6 +117,29 @@ def filter_to_column(flt: dict[str, Any]) -> Column:
     return acc
 
 
+def simple_equality(flt: dict[str, Any]) -> tuple[str, Any] | None:
+    """(field, value) when the filter tree is EXACTLY one must-equality —
+    the shape a partition-pruned storage layout can serve as a directory
+    skip — else None. Structural inspection only (zero Spark work): any
+    should/must_not group, nested tree, or second condition disqualifies."""
+    if not isinstance(flt, dict):
+        return None
+    if flt.get("should") or flt.get("must_not"):
+        return None
+    must = flt.get("must") or []
+    if len(must) != 1 or any(k not in ("must",) for k in flt if flt.get(k)):
+        return None
+    node = must[0]
+    if not isinstance(node, dict) or node.get("type") != "equals":
+        return None
+    if any(k in node for k in ("must", "should", "must_not")):
+        return None
+    field, value = node.get("field"), node.get("value")
+    if field is None or value is None:
+        return None
+    return str(field), value
+
+
 def _node(node: dict[str, Any]) -> Column:
     """A node is either a nested Filter ({must/should/must_not}) or a
     Condition ({type: ...})."""
