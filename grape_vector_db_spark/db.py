@@ -1035,7 +1035,7 @@ class GrapeVectorDB:
             selectivity = self._estimate_selectivity(
                 filters.filter_to_column(filter)
             )
-        return choose_search_strategy(
+        choice = choose_search_strategy(
             n_corpus,
             has_ivf=self._has("index_ivf"),
             has_packed=self._has("index_packed"),
@@ -1043,6 +1043,20 @@ class GrapeVectorDB:
             has_graph=self._has("index_graph"),
             filter_selectivity=selectivity,
         )
+        if filter is not None:
+            # EXPLAIN parity with search(): say when the filter itself is
+            # served by the partitioned layout's directory skip
+            eq = filters.simple_equality(filter)
+            if eq is not None and self._has("index_partition"):
+                pst = self._table_stats("index_partition") or {}
+                if pst.get("partition_column") == eq[0]:
+                    choice = PlanChoice(
+                        choice.strategy,
+                        choice.reason
+                        + f"; filter served by the partition-pruned layout"
+                        f" (directory skip on {eq[0]!r})",
+                    )
+        return choice
 
     def optimize(self, target_partitions: int = 8) -> None:
         """Compact the data tables (streaming upserts accumulate small
@@ -1114,7 +1128,17 @@ class GrapeVectorDB:
             out["vector_count"] = 0
         out["indexes"] = [
             k
-            for k in ("index_ivf", "index_packed", "index_sq", "index_graph")
+            for k in (
+                "index_ivf",
+                "index_packed",
+                "index_sq",
+                "index_graph",
+                "index_partition",
+            )
             if self._has(k)
         ]
+        if "index_partition" in out["indexes"]:
+            pst = self._table_stats("index_partition") or {}
+            if pst.get("partition_column"):
+                out["partition_column"] = pst["partition_column"]
         return out

@@ -250,6 +250,64 @@ def stream_graph_index_to_parquet(
     return writer.start()
 
 
+def stream_partition_layout_to_parquet(
+    stream_df: DataFrame,
+    docs_path: str,
+    layout_path: str,
+    column: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """foreachBatch maintenance of the tenant/partition-pruned layout —
+    the streaming twin of ``db.build_index('partition')``'s refresh. Per
+    micro-batch of embedding rows:
+
+    1. resolve each row's partition value from the documents table (the
+       metadata column lives there, and the docs micro-batch has already
+       merged by the time embeddings stream in — the facade's
+       add_documents ordering);
+    2. swap the batch ids' rows in the layout (anti-join + fresh rows,
+       so a re-streamed id MOVES directory when its value changed);
+    3. publish partitioned by the column with the column name in the
+       _STATS sidecar — the same artifact ``db.search`` prunes on.
+
+    A layout grown by ANY micro-batch cut is row-identical to the bulk
+    build over the final corpus (assignment is a deterministic join;
+    pinned in pytest). At 100 TB each publish rewrites only the layout
+    table, never the corpus; batches are O(batch) joins against the
+    docs table's id index."""
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        docs = read_table(spark, docs_path)
+        fresh = batch.select(id_col, vec_col).join(
+            docs.select(F.col(doc_id_col).alias(id_col), F.col(column)),
+            id_col,
+        )
+        if table_exists(spark, layout_path):
+            ids = batch.select(id_col).distinct()
+            kept = read_table(spark, layout_path).join(
+                F.broadcast(ids), id_col, "left_anti"
+            )
+            updated = kept.unionByName(fresh)
+        else:  # first batch — no layout yet
+            updated = fresh
+        publish_table(
+            spark, layout_path, updated, partition_by=[column],
+            extra_stats={"partition_column": column},
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_to_parquet(
     stream_df: DataFrame,
     table_path: str,

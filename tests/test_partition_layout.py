@@ -179,3 +179,63 @@ def test_registry_query_plan_prunes(spark):
     assert "PartitionFilters" in plan and "label" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_search_plan_and_stats_surface_the_layout(db):
+    db.build_index("partition", column="lang")
+    pc = db.search_plan(filter=FLT_EN)
+    assert "partition-pruned" in pc.reason and "'lang'" in pc.reason
+    other = db.search_plan(
+        filter={"must": [{"type": "equals", "field": "source", "value": "web"}]}
+    )
+    assert "partition-pruned" not in other.reason
+    st = db.stats()
+    assert "index_partition" in st["indexes"]
+    assert st["partition_column"] == "lang"
+
+
+def test_stream_partition_layout_equals_bulk(spark, docs, emb, tmp_path):
+    """A layout grown by micro-batch cuts must be row-identical to the
+    bulk build over the final corpus, keep the partitioned directory
+    shape, and record the sidecar column."""
+    from grape_vector_db_spark.sources.tables import (
+        publish_table,
+        read_table,
+        read_table_stats,
+    )
+    from grape_vector_db_spark.streaming.ingest import (
+        stream_partition_layout_to_parquet,
+    )
+
+    tmpdir = str(tmp_path)
+    base = emb.where(F.col("vec_id") < 240)
+    docs_path = f"{tmpdir}/docs"
+    publish_table(spark, docs_path, docs)
+    src = f"{tmpdir}/incoming"
+    layout = f"{tmpdir}/layout"
+    for lo, hi in ((0, 80), (80, 170), (170, 240)):
+        base.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).write.mode("append").parquet(src)
+        q = stream_partition_layout_to_parquet(
+            spark.readStream.schema(base.schema).parquet(src),
+            docs_path, layout, column="lang", checkpoint=f"{tmpdir}/ck",
+        )
+        q.awaitTermination(120)
+
+    grown = read_table(spark, layout)
+    bulk = base.select("vec_id", "embedding").join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    assert grown.count() == bulk.count()
+    assert (
+        grown.select("vec_id", "lang")
+        .exceptAll(bulk.select("vec_id", "lang"))
+        .count()
+        == 0
+    )
+    st = read_table_stats(spark, layout)
+    assert st and st["partition_column"] == "lang"
+    # pruning works on the streamed artifact
+    plan = _plan(grown.where(F.col("lang") == "en"))
+    assert "PartitionFilters" in plan
