@@ -75,6 +75,14 @@ class GrapeVectorDB:
         # expected embedding dimension (reference config vector_dimension,
         # src/config.rs:398-401); None = infer from the stored table
         self.dimension = dimension
+        # version-keyed search-result cache (reference §2.11 moka LRU,
+        # ref:src/query_engine.rs:42-67): keys embed every table's
+        # committed version, so ANY ingest/delete/index build changes the
+        # key and stale entries simply stop being addressable —
+        # invalidation by construction, no TTL guesswork
+        from .plans.cache import QueryCache
+
+        self._query_cache = QueryCache(capacity=64)
 
     # -- storage ------------------------------------------------------------
 
@@ -1068,6 +1076,140 @@ class GrapeVectorDB:
                 self._publish(
                     table, self._read(table).repartition(target_partitions)
                 )
+
+    # -- query cache --------------------------------------------------------
+
+    _FINGERPRINT_TABLES = (
+        "documents",
+        "embeddings",
+        "index_ivf/centroids",
+        "index_ivf/assignments",
+        "index_packed",
+        "index_sq",
+        "index_graph",
+        "index_partition",
+    )
+
+    def _version_fingerprint(self) -> str:
+        """One string naming every table's committed version (driver-side
+        FS listings, zero Spark jobs). Any mutation bumps a version, so a
+        cache key embedding this fingerprint can never serve stale rows."""
+        return ";".join(
+            f"{t}:{(self._versions(t) or [0])[-1]}"
+            for t in self._FINGERPRINT_TABLES
+        )
+
+    def search_cached(self, **kwargs) -> DataFrame:
+        """`search` behind the §2.11 query cache (reference moka LRU keyed
+        on the stringified query, ref:src/query_engine.rs:42-67,126-144).
+        The key = the full request + `_version_fingerprint()`, so a repeat
+        of the same request against UNCHANGED tables returns the persisted
+        result (zero re-planning, blocks already in the block manager) and
+        any ingest/delete/index build silently misses to a fresh compute —
+        invalidation by construction instead of the reference's TTL."""
+        import json as _json
+
+        key = _json.dumps(
+            {"req": {k: list(v) if isinstance(v, (list, tuple)) else v
+                     for k, v in kwargs.items()},
+             "v": self._version_fingerprint()},
+            sort_keys=True, default=str,
+        )
+        return self._query_cache.get_or_compute(
+            key, lambda: self.search(**kwargs)
+        )
+
+    @property
+    def cache_stats(self) -> dict:
+        c = self._query_cache
+        return {"hits": c.hits, "misses": c.misses, "hit_rate": c.hit_rate}
+
+    # -- backup / restore ---------------------------------------------------
+
+    def backup(self, path: str) -> dict:
+        """Whole-DB snapshot (reference S12, ref:src/storage.rs:569-576):
+        the DATA tables written with per-row sha-256 checksum columns,
+        plus a manifest recording which indexes existed and how to
+        rebuild them (indexes are derived state — rebuilding from
+        restored data is the versioned-publish analogue of the
+        reference's index re-open on restore). Returns the manifest."""
+        import json as _json
+
+        from .sources.tables import _hadoop_fs, backup as backup_table
+
+        path = path.rstrip("/")
+        backup_table(self.documents(), f"{path}/documents", self.id_col)
+        if self._has("embeddings"):
+            backup_table(self.embeddings(), f"{path}/embeddings", "vec_id")
+        indexes: list[dict] = []
+        if self._has("index_ivf"):
+            indexes.append({"kind": "ivf"})
+        if self._has("index_packed"):
+            indexes.append({"kind": "binary"})
+        if self._has("index_sq"):
+            indexes.append({"kind": "sq"})
+        if self._has("index_graph"):
+            gst = self._table_stats("index_graph") or {}
+            indexes.append(
+                {"kind": "graph", "k": int(gst.get("max_rank") or 8)}
+            )
+        if self._has("index_partition"):
+            pst = self._table_stats("index_partition") or {}
+            indexes.append(
+                {"kind": "partition", "column": pst.get("partition_column")}
+            )
+        manifest = {
+            "indexes": indexes,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "dimension": self.dimension,
+        }
+        fs, P = _hadoop_fs(self.spark, path)
+        tmp, final = P(f"{path}/._MANIFEST.tmp"), P(f"{path}/_MANIFEST.json")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(_json.dumps(manifest, indent=1).encode()))
+        finally:
+            out.close()
+        fs.delete(final, False)
+        fs.rename(tmp, final)
+        return manifest
+
+    def restore(self, path: str) -> None:
+        """Load a `backup()` snapshot into THIS store: every row's
+        checksum re-verified on read (corruption raises before anything
+        publishes), data tables published as new versions, and every
+        index the manifest recorded rebuilt from the restored data."""
+        import json as _json
+
+        from .sources.tables import _hadoop_fs, restore as restore_table
+
+        path = path.rstrip("/")
+        fs, P = _hadoop_fs(self.spark, path)
+        stream = fs.open(P(f"{path}/_MANIFEST.json"))
+        try:
+            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        manifest = _json.loads(text)
+        self._publish("documents", restore_table(self.spark, f"{path}/documents"))
+        emb_path = f"{path}/embeddings"
+        if table_exists(self.spark, emb_path) or fs.exists(P(emb_path)):
+            emb = restore_table(self.spark, emb_path)
+            self._publish(
+                "embeddings", emb,
+                stats_exprs={"dim": f"max(size({self.vec_col}))"},
+            )
+        for idx in manifest.get("indexes", []):
+            kind = idx["kind"]
+            if kind == "graph":
+                self.build_index("graph", k=idx.get("k", 8))
+            elif kind == "partition":
+                self.build_index("partition", column=idx["column"])
+            else:
+                self.build_index(kind)
 
     def search_response(self, **kwargs) -> SearchResponse:
         """`search` with the reference's response envelope: collected rows,
