@@ -77,6 +77,9 @@ QUERIES = [
     # pure-map scan in the registry)
     "discover",
     "gopher_rules",
+    # round-8c: the partition-pruned tenant-search shape (directory skip
+    # + zero-shuffle knn; the cached partitioned artifact is built once)
+    "partition_pruned_knn",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
