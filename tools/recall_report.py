@@ -179,9 +179,90 @@ def _search_section(spark, sf_dir: str, title: str, autosize: bool) -> list[str]
     return lines
 
 
+def _filtered_graph_section(spark) -> list[str]:
+    """Filtered graph-walk recall vs filter selectivity — the MEASURED
+    basis for two documented planner rules: the auto route's
+    graph-walk gate (selectivity >= 0.2: the post-filter walk starves
+    under harsh filters) and the facade's ef-expansion beam widening
+    (beam / max(selectivity, 0.05), capped 256). Ground truth per
+    (query, filter) is the exact top-10 AMONG THE FILTERED SET; the walk
+    navigates the unfiltered graph and the filter gates the final top-k
+    (the filtered-HNSW post-filter contract)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet").persist()
+    n = emb.count()
+    t0 = time.time()
+    edges = ann.knn_graph(emb, k=16).persist()
+    edges.count()
+    build_s = time.time() - t0
+    beam0, hops = ann.graph_autosize(n, 16, k=K)
+
+    stride = max(1, n // (10 * 3))
+    qids = list(range(0, 10 * stride, stride))
+    qvs = {i: search.query_vector_of(emb, i) for i in qids}
+
+    lines = [
+        "",
+        "## Filtered graph walk vs selectivity (sf1, k=16 graph, "
+        f"autosize beam={beam0} hops={hops}; build {build_s:.1f}s)",
+        "",
+        "| selectivity | beam (fixed) | R@10 fixed | beam (widened) | "
+        "R@10 widened | planner route |",
+        "|---|---|---|---|---|---|",
+    ]
+    for m in (2, 5, 20):
+        sel = 1.0 / m
+        keep = emb.where(F.col("vec_id") % m == 0)
+        keep_ids = keep.select("vec_id")
+        wide = min(256, int(beam0 / max(sel, 0.05)))
+        truth = {
+            i: [r["vec_id"] for r in search.knn(keep, qvs[i], k=K).collect()]
+            for i in qids
+        }
+        recs = {}
+        for tag, bm in (("fixed", beam0), ("widened", wide)):
+            vals = []
+            for i in qids:
+                got = [
+                    r["vec_id"]
+                    for r in ann.graph_beam_search(
+                        edges, emb, qvs[i], k=K, beam=bm, hops=hops,
+                        result_ids_df=keep_ids,
+                    ).collect()
+                ]
+                denom = min(K, len(truth[i]))
+                vals.append(
+                    len(set(got) & set(truth[i])) / denom if denom else 1.0
+                )
+            recs[tag] = sum(vals) / len(vals)
+        route = "graph walk" if sel >= 0.2 else "brute force over filtered set"
+        lines.append(
+            f"| {sel:.2f} | {beam0} | {recs['fixed']:.2f} | {wide} | "
+            f"{recs['widened']:.2f} | {route} |"
+        )
+    lines.append("")
+    lines.append(
+        "The gate and the widening rule in numbers: at selectivity 0.50 "
+        "the fixed beam already holds; at 0.20 (the documented gate "
+        "boundary) widening recovers the recall the fixed beam loses; "
+        "below the gate (0.05) the planner routes to brute force over "
+        "the filtered set, so the walk's starvation there never serves "
+        "queries — the widened column documents what WOULD happen."
+    )
+    emb.unpersist(); edges.unpersist()
+    return lines
+
+
 def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--filtered-graph-only" in sys.argv:
+        print("\n".join(_filtered_graph_section(spark)))
+        return
 
     lines = [
         "# RECALL — approximate search paths vs exact brute force",
@@ -215,6 +296,8 @@ def main() -> None:
         "sqrt(n) and nprobe holds the scan fraction, so the recall point "
         "carries across the 10x corpus instead of decaying. The sf1 graph rows exposed the SAME decay on the walk: fixed hops=3 drops beam-32 R@10 from 0.98 (2k nodes) to 0.57 (20k) because the walk must first REACH the query's neighborhood from the entry points — a degree-16 kNN graph has diameter ~log16(n). Measured at sf1: hops=3 -> 0.57-0.73 at ANY beam (64 included), hops=4 -> 0.98, hops=5 -> 1.00 (min 1.00), all beam 32. ann.graph_autosize encodes the rule (hops = ceil(log_degree(n)) + 1, beam = ef-style max(32, 3k)); the facade's graph route sizes from the stored index's actual degree and corpus count. The 'facade ivf DEFAULT' row is the r8 recall-targeted default measured end-to-end through db.build_index('ivf') + db.search(index='ivf'): auto-sized builds replicate each vector into its 2 nearest cells (SPANN boundary replication) and the route scales nprobe by the stored replica count — R@10 0.46 -> 0.77 at sf1 for ~1.8x build wall (3.2 -> 5.9 s incl. the facade's versioned publish) and 2x posting storage; explicit-nlist builds keep replicas=1 so the IVF oracle fixtures are unchanged."
     )
+    if "--sf01-only" not in sys.argv and os.path.isdir(SF1):
+        lines += _filtered_graph_section(spark)
     lines += _neardup_section(spark)
     with open("/root/repo/RECALL.md", "w") as f:
         f.write("\n".join(lines) + "\n")
