@@ -381,16 +381,10 @@ class GrapeVectorDB:
             )
         if self._has("index_packed"):
             fresh = quantization.pack_bits(batch, "vec_id", self.vec_col)
-            kept = self._read("index_packed").join(
-                F.broadcast(ids), "vec_id", "left_anti"
-            )
-            self._publish("index_packed", kept.unionByName(fresh))
+            self._swap_index_rows("index_packed", ids, fresh)
         if self._has("index_sq"):
             fresh = quantization.sq_quantize(batch, "vec_id", self.vec_col)
-            kept = self._read("index_sq").join(
-                F.broadcast(ids), "vec_id", "left_anti"
-            )
-            self._publish("index_sq", kept.unionByName(fresh))
+            self._swap_index_rows("index_sq", ids, fresh)
         if self._has("index_graph"):
             # one corpus scan vs the broadcast batch; exact for inserts
             # (a node's post-insert kNN ⊆ old kNN ∪ batch — see
@@ -562,11 +556,22 @@ class GrapeVectorDB:
             ann.save_index(
                 self._path("index_ivf"), cents, ann.ivf_remove(assigned, doomed)
             )
+        from .sources.tables import _bucketed_versions, delete_ids_bucketed_retry
+
         for table in ("index_packed", "index_sq"):
             if self._has(table):
-                self._overwrite(
-                    table, self._read(table).join(doomed, "vec_id", "left_anti")
-                )
+                if _bucketed_versions(self.spark, self._path(table)):
+                    # delta-bounded: only the buckets the doomed ids hash
+                    # to are read and rewritten (emptied buckets leave
+                    # the manifest)
+                    delete_ids_bucketed_retry(
+                        self.spark, self._path(table), doomed, id_col="vec_id"
+                    )
+                else:
+                    self._overwrite(
+                        table,
+                        self._read(table).join(doomed, "vec_id", "left_anti"),
+                    )
         if self._has("index_partition"):
             st = self._table_stats("index_partition") or {}
             col = st.get("partition_column")
@@ -669,11 +674,15 @@ class GrapeVectorDB:
         elif kind == "binary":
             packed = quantization.pack_bits(emb, "vec_id", self.vec_col)
             # versioned swap, same as the data tables — a search running
-            # mid-rebuild reads the old or new index, never a partial one
-            self._publish("index_packed", packed)
+            # mid-rebuild reads the old or new index, never a partial one.
+            # n_buckets opts into the bucket-manifest layout: refreshes
+            # and deletes then rewrite O(touched buckets), not the whole
+            # index — the 100 TB maintenance shape (a flat per-vector
+            # index is a corpus-scale write per ingest batch)
+            self._write_vector_index("index_packed", packed, kwargs)
         elif kind == "sq":
             sq = quantization.sq_quantize(emb, "vec_id", self.vec_col)
-            self._publish("index_sq", sq)
+            self._write_vector_index("index_sq", sq, kwargs)
         elif kind == "graph":
             # exact kNN graph (blocked GEMM build) — the navigable
             # structure graph_beam_search walks; k is the out-degree
@@ -717,13 +726,68 @@ class GrapeVectorDB:
         else:
             raise ValueError(f"unknown index kind {kind!r}")
 
+    def _swap_index_rows(
+        self, table: str, ids: DataFrame, fresh: DataFrame
+    ) -> None:
+        """Replace the batch ids' rows in a per-vector index. Flat layout:
+        anti-join + whole-table publish (an O(corpus) write per batch —
+        fine for small stores, the reason n_buckets exists). Bucketed
+        layout: a delta-bounded MERGE rewriting only the buckets the
+        batch ids hash to (fresh rows carry every column, so update-wins
+        merge semantics equal drop-then-insert)."""
+        from .sources.tables import (
+            _bucketed_versions,
+            merge_upsert_bucketed_retry,
+        )
+
+        if _bucketed_versions(self.spark, self._path(table)):
+            merge_upsert_bucketed_retry(
+                self.spark, self._path(table), fresh, id_col="vec_id"
+            )
+        else:
+            kept = self._read(table).join(
+                F.broadcast(ids), "vec_id", "left_anti"
+            )
+            self._publish(table, kept.unionByName(fresh))
+
+    def _write_vector_index(
+        self, table: str, rows: DataFrame, kwargs: dict
+    ) -> None:
+        """Per-vector index write: flat versioned publish by default, or
+        the bucket-manifest layout when ``n_buckets`` is given (or the
+        stored table already uses it — a rebuild must not silently
+        flatten a layout refreshes depend on)."""
+        from .sources.tables import _bucketed_versions, write_table_bucketed
+
+        nb = kwargs.get("n_buckets")
+        stored = _bucketed_versions(self.spark, self._path(table))
+        if nb or stored:
+            if not nb:
+                from .sources.tables import _read_manifest
+
+                man = _read_manifest(self.spark, self._path(table), stored[-1])
+                nb = int(man["n_buckets"])
+            write_table_bucketed(
+                self.spark, self._path(table), rows, int(nb), id_col="vec_id"
+            )
+            self._df_cache.pop(table, None)
+        else:
+            self._publish(table, rows)
+
     def _has(self, table: str) -> bool:
         # index_ivf is a directory of sub-tables; probe its centroid table.
         # Driver-side FS probe (table_exists) — the planner asks this 4x
         # per auto search, and the old read+limit(1).count() probe cost a
         # Spark job each time.
         probe = f"{table}/centroids" if table == "index_ivf" else table
-        return table_exists(self.spark, self._path(probe))
+        if table_exists(self.spark, self._path(probe)):
+            return True
+        # bucket-manifest layout (e.g. a bucketed per-vector index):
+        # committed via _MANIFEST.json, invisible to table_exists's
+        # _SUCCESS/flat-parquet probes
+        from .sources.tables import _bucketed_versions
+
+        return bool(_bucketed_versions(self.spark, self._path(probe)))
 
     # -- search -------------------------------------------------------------
 
@@ -1093,11 +1157,20 @@ class GrapeVectorDB:
     def _version_fingerprint(self) -> str:
         """One string naming every table's committed version (driver-side
         FS listings, zero Spark jobs). Any mutation bumps a version, so a
-        cache key embedding this fingerprint can never serve stale rows."""
-        return ";".join(
-            f"{t}:{(self._versions(t) or [0])[-1]}"
-            for t in self._FINGERPRINT_TABLES
-        )
+        cache key embedding this fingerprint can never serve stale rows.
+        Bucket-manifest tables version through _MANIFEST.json, not
+        _SUCCESS — both lineages are read (a bucketed index refresh must
+        invalidate exactly like a flat publish)."""
+        from .sources.tables import _bucketed_versions
+
+        parts = []
+        for t in self._FINGERPRINT_TABLES:
+            v = (self._versions(t) or [0])[-1]
+            if not v:
+                bv = _bucketed_versions(self.spark, self._path(t))
+                v = f"b{bv[-1]}" if bv else 0
+            parts.append(f"{t}:{v}")
+        return ";".join(parts)
 
     def search_cached(self, **kwargs) -> DataFrame:
         """`search` behind the §2.11 query cache (reference moka LRU keyed
@@ -1141,13 +1214,24 @@ class GrapeVectorDB:
         backup_table(self.documents(), f"{path}/documents", self.id_col)
         if self._has("embeddings"):
             backup_table(self.embeddings(), f"{path}/embeddings", "vec_id")
+        from .sources.tables import _bucketed_versions, _read_manifest
+
+        def _vector_index_entry(kind: str, table: str) -> dict:
+            # a bucketed layout restores bucketed (the rebuild must not
+            # silently flatten what refresh cost depends on)
+            bvs = _bucketed_versions(self.spark, self._path(table))
+            if bvs:
+                man = _read_manifest(self.spark, self._path(table), bvs[-1])
+                return {"kind": kind, "n_buckets": int(man["n_buckets"])}
+            return {"kind": kind}
+
         indexes: list[dict] = []
         if self._has("index_ivf"):
             indexes.append({"kind": "ivf"})
         if self._has("index_packed"):
-            indexes.append({"kind": "binary"})
+            indexes.append(_vector_index_entry("binary", "index_packed"))
         if self._has("index_sq"):
-            indexes.append({"kind": "sq"})
+            indexes.append(_vector_index_entry("sq", "index_sq"))
         if self._has("index_graph"):
             gst = self._table_stats("index_graph") or {}
             indexes.append(
@@ -1209,7 +1293,9 @@ class GrapeVectorDB:
             elif kind == "partition":
                 self.build_index("partition", column=idx["column"])
             else:
-                self.build_index(kind)
+                self.build_index(
+                    kind, **{k: v for k, v in idx.items() if k != "kind"}
+                )
 
     def search_response(self, **kwargs) -> SearchResponse:
         """`search` with the reference's response envelope: collected rows,

@@ -833,8 +833,6 @@ def merge_upsert_bucketed(
        the winner's data dir could already be GC'd, where the rename
        alone would succeed and the stale result would silently publish).
     """
-    import uuid as _uuid
-
     vs = _bucketed_versions(spark, path)
     if not vs:
         raise ValueError(
@@ -868,15 +866,44 @@ def merge_upsert_bucketed(
         merged = merge_upsert(existing, upd, id_col=id_col)
     else:
         merged = upd
+    _cas_commit_touched(
+        spark, path, man, vs, touched, merged.drop("bucket"), id_col, nb,
+        keep,
+    )
+    upd.unpersist()
+
+
+def _cas_commit_touched(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    vs: list[int],
+    touched: list[int],
+    rows_df: DataFrame,
+    id_col: str,
+    nb: int,
+    keep: int,
+    drop_buckets: frozenset[int] = frozenset(),
+) -> None:
+    """The single-winner CAS commit shared by bucketed MERGE and DELETE:
+    stage ``rows_df`` (the full new contents of the touched buckets),
+    claim ``t={N+1}`` with a writer-unique token, re-check the committed
+    snapshot, publish the manifest. ``drop_buckets`` (delete only) are
+    touched buckets a delete EMPTIED — they leave the manifest map
+    entirely (their old dirs age out via GC) and are exempt from the
+    every-touched-dir-arrived claim validation, since an empty bucket
+    materializes no directory. Every other touched bucket must hold
+    >= 1 row in ``rows_df`` — for MERGE by construction (each touched
+    bucket holds an update row), for DELETE because a non-emptied bucket
+    keeps its survivors."""
+    import uuid as _uuid
+
     nxt = vs[-1] + 1
-    # every touched bucket holds >= 1 update row by construction, so the
-    # write below materializes a b=K dir for each — the manifest update
-    # can't dangle
+    materialized = [k for k in touched if k not in drop_buckets]
     fs, P = _hadoop_fs(spark, path)
     stage_name = f".stage-t{nxt}-{_uuid.uuid4().hex[:8]}"
     stage = f"{path}/{stage_name}"
-    _write_bucket_dirs(merged.drop("bucket"), id_col, nb, stage)
-    upd.unpersist()
+    _write_bucket_dirs(rows_df, id_col, nb, stage)
     # POSITIVE ownership token: a writer-unique dot-file inside the stage.
     # After the rename, we own t={nxt} iff OUR token sits directly under
     # it — inferring ownership from the stage's absence (the previous
@@ -924,7 +951,7 @@ def merge_upsert_bucketed(
         # every touched bucket dir to have arrived with the claim —
         # otherwise the manifest would reference dirs that do not exist.
         if not all(
-            fs.exists(P(f"{path}/t={nxt}/b={k}")) for k in touched
+            fs.exists(P(f"{path}/t={nxt}/b={k}")) for k in materialized
         ):
             fs.delete(target, True)  # ours by token; bogus — remove it
             claimed = False
@@ -947,11 +974,10 @@ def merge_upsert_bucketed(
             f"version t={latest[-1]} committed under {path} while this "
             f"merge (based on t={vs[-1]}) was in flight; re-read and retry"
         )
-    new_man = {
-        "n_buckets": nb,
-        "id_col": id_col,
-        "buckets": {**man["buckets"], **{str(k): nxt for k in touched}},
-    }
+    buckets = {**man["buckets"], **{str(k): nxt for k in materialized}}
+    for k in drop_buckets:
+        buckets.pop(str(k), None)
+    new_man = {"n_buckets": nb, "id_col": id_col, "buckets": buckets}
     _write_manifest(spark, path, nxt, new_man)
     _bucketed_gc(spark, path, keep)
 
@@ -978,6 +1004,92 @@ def merge_upsert_bucketed_retry(
         try:
             return merge_upsert_bucketed(
                 spark, path, updates, id_col=id_col, keep=keep
+            )
+        except ConcurrentMergeError as e:
+            last = e
+    raise last
+
+
+def delete_ids_bucketed(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "id",
+    keep: int = 2,
+) -> None:
+    """Bucket-scoped DELETE: drop every row whose id appears in ``ids``,
+    reading and rewriting ONLY the buckets those ids hash to — the MERGE
+    cost model applied to deletion (O(touched buckets + ids), not
+    O(table)). Shares :func:`merge_upsert_bucketed`'s single-winner CAS
+    commit, so a concurrent merge and delete race to exactly one
+    survivor and the loser raises :class:`ConcurrentMergeError` having
+    published nothing. A bucket whose rows ALL die leaves the manifest
+    map entirely (an empty bucket materializes no directory; its old dir
+    ages out via GC). Ids absent from the table are no-ops — buckets
+    holding none of the doomed ids are never read."""
+    vs = _bucketed_versions(spark, path)
+    if not vs:
+        raise ValueError(
+            f"no bucket-manifest table under {path}; create with "
+            "write_table_bucketed first"
+        )
+    man = _read_manifest(spark, path, vs[-1])
+    if man["id_col"] != id_col:
+        raise ValueError(
+            f"table under {path} is bucketed by {man['id_col']!r}, not {id_col!r}"
+        )
+    nb = int(man["n_buckets"])
+    doomed = (
+        ids.select(F.col(id_col)).distinct()
+        .withColumn("bucket", _bucket_expr(id_col, nb))
+        .persist()
+    )
+    # bounded by n_buckets ints, and only buckets the manifest actually
+    # holds — ids hashing to never-written buckets are no-ops
+    touched = sorted(
+        r["bucket"]
+        for r in doomed.select("bucket").distinct().collect()
+        if str(r["bucket"]) in man["buckets"]
+    )
+    if not touched:
+        doomed.unpersist()
+        return
+    old_dirs = [f"{path}/t={man['buckets'][str(k)]}/b={k}" for k in touched]
+    existing = spark.read.parquet(*old_dirs)
+    kept = existing.join(
+        F.broadcast(doomed.select(id_col)), id_col, "left_anti"
+    )
+    # which touched buckets still hold rows (bounded driver artifact —
+    # the emptied ones leave the manifest instead of staging a dir)
+    kept = kept.drop("bucket").withColumn("bucket", _bucket_expr(id_col, nb))
+    remaining = {
+        r["bucket"] for r in kept.select("bucket").distinct().collect()
+    }
+    drop = frozenset(k for k in touched if k not in remaining)
+    _cas_commit_touched(
+        spark, path, man, vs, touched, kept.drop("bucket"), id_col, nb,
+        keep, drop_buckets=drop,
+    )
+    doomed.unpersist()
+
+
+def delete_ids_bucketed_retry(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "id",
+    keep: int = 2,
+    attempts: int = 5,
+) -> None:
+    """Retry-absorbing DELETE — :func:`merge_upsert_bucketed_retry`'s
+    loop around :func:`delete_ids_bucketed`: each attempt re-reads the
+    newest manifest, so a loser re-derives its survivors on top of the
+    winner's commit and both effects land."""
+    last: ConcurrentMergeError | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return delete_ids_bucketed(
+                spark, path, ids, id_col=id_col, keep=keep
             )
         except ConcurrentMergeError as e:
             last = e
