@@ -704,6 +704,17 @@ class GrapeVectorDB:
             # is the difference between touching one tenant's files and
             # touching every file. The column name rides the _STATS
             # sidecar so route detection stays zero-job.
+            #
+            # Maintenance cost honesty: REFRESH rewrites the whole layout
+            # per batch (versioned swap), unlike the bucketed binary/SQ
+            # indexes' O(touched buckets). The delta-bounded evolution is
+            # a value-keyed manifest (rewrite only the tenants present in
+            # the batch) — but an UPDATE that moves a row across tenants
+            # must find its OLD value, which needs an id->value map
+            # (itself id-bucketed), and the map+layout pair breaks
+            # single-table CAS atomicity. Until that two-table commit
+            # exists, serving wins come from this layout and maintenance
+            # stays whole-table; size batches accordingly.
             col = kwargs.get("column")
             if not col:
                 raise ValueError("build_index('partition') needs column=")

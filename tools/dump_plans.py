@@ -77,6 +77,21 @@ SHOWCASE = [
     ),
     ("within_doc_dedup", "order-preserving array_distinct, zero Exchange"),
     (
+        "discover",
+        "5 context/target cosines folded into ONE scan -> "
+        "TakeOrderedAndProject, zero Exchange",
+    ),
+    (
+        "distance_matrix",
+        "sample-capped pair join: both sides broadcast, corpus untouched",
+    ),
+    ("gopher_rules", "seven quality signals + keep flag in one pure-map scan"),
+    (
+        "partition_pruned_knn",
+        "equality filter as a directory skip (PartitionFilters) -> "
+        "zero-shuffle TakeOrdered knn, no docs join",
+    ),
+    (
         "zipf_slope",
         "bucketed global rank (no Exchange SinglePartition) -> tiny moments agg",
     ),
