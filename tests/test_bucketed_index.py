@@ -205,3 +205,86 @@ class TestBucketedFacadeIndexes:
             ),
         )
         assert db._version_fingerprint() != fp1
+
+
+class TestDeleteMergeRaces:
+    """DELETE shares MERGE's single-winner CAS — race it against a merge
+    both ways (the test_bucketed_merge interleave technique: the loser's
+    data-staging call first runs the winner's ENTIRE operation)."""
+
+    def _base(self, spark, tmp_path):
+        import grape_vector_db_spark.sources.tables as T
+
+        path = f"{tmp_path}/race"
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, val string"
+        )
+        T.write_table_bucketed(spark, path, df, 4, id_col="id")
+        return T, path
+
+    def test_raw_delete_loses_cleanly(self, spark, tmp_path, monkeypatch):
+        T, path = self._base(spark, tmp_path)
+        winner = spark.createDataFrame([(7, "w7")], "id long, val string")
+        doomed = spark.createDataFrame([(9,)], "id long")
+        real = T._write_bucket_dirs
+        state = {"fired": False}
+
+        def interleaved(df, id_col, nb, dest):
+            if not state["fired"]:
+                state["fired"] = True
+                T.merge_upsert_bucketed(spark, path, winner, id_col="id")
+            return real(df, id_col, nb, dest)
+
+        monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+        with pytest.raises(T.ConcurrentMergeError):
+            T.delete_ids_bucketed(spark, path, doomed, id_col="id")
+        monkeypatch.setattr(T, "_write_bucket_dirs", real)
+        got = {r["id"]: r["val"] for r in read_table_bucketed(spark, path).collect()}
+        # winner intact; the losing delete published NOTHING (9 survives)
+        assert got[7] == "w7" and 9 in got and len(got) == 40
+
+    def test_retrying_delete_lands_both_effects(
+        self, spark, tmp_path, monkeypatch
+    ):
+        T, path = self._base(spark, tmp_path)
+        winner = spark.createDataFrame([(7, "w7")], "id long, val string")
+        doomed = spark.createDataFrame([(9,)], "id long")
+        real = T._write_bucket_dirs
+        state = {"fired": False}
+
+        def interleaved(df, id_col, nb, dest):
+            if not state["fired"]:
+                state["fired"] = True
+                T.merge_upsert_bucketed(spark, path, winner, id_col="id")
+            return real(df, id_col, nb, dest)
+
+        monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+        delete_ids_bucketed_retry(spark, path, doomed, id_col="id")
+        monkeypatch.setattr(T, "_write_bucket_dirs", real)
+        got = {r["id"]: r["val"] for r in read_table_bucketed(spark, path).collect()}
+        # the retry re-derived survivors on the winner's snapshot:
+        # merge's update AND the delete both landed
+        assert got[7] == "w7" and 9 not in got and len(got) == 39
+
+    def test_raw_merge_loses_to_delete_cleanly(
+        self, spark, tmp_path, monkeypatch
+    ):
+        T, path = self._base(spark, tmp_path)
+        doomed = spark.createDataFrame([(7,)], "id long")
+        upd = spark.createDataFrame([(9, "m9")], "id long, val string")
+        real = T._write_bucket_dirs
+        state = {"fired": False}
+
+        def interleaved(df, id_col, nb, dest):
+            if not state["fired"]:
+                state["fired"] = True
+                T.delete_ids_bucketed(spark, path, doomed, id_col="id")
+            return real(df, id_col, nb, dest)
+
+        monkeypatch.setattr(T, "_write_bucket_dirs", interleaved)
+        with pytest.raises(T.ConcurrentMergeError):
+            T.merge_upsert_bucketed(spark, path, upd, id_col="id")
+        monkeypatch.setattr(T, "_write_bucket_dirs", real)
+        got = {r["id"]: r["val"] for r in read_table_bucketed(spark, path).collect()}
+        # delete won; losing merge published nothing
+        assert 7 not in got and got[9] == "v9" and len(got) == 39
