@@ -294,6 +294,16 @@ class GrapeVectorDB:
         if embeddings is not None:
             self._validate_dimension(embeddings)
         self._merge("documents", docs)
+        if self._has("index_payload"):
+            # postings derive from DOCUMENTS metadata: any docs merge
+            # (with or without embeddings) can change indexed values, so
+            # swap the batch ids' posting rows against the post-merge
+            # table — null fields in the update preserved existing
+            # values, and the re-derivation sees exactly what the merge
+            # kept
+            self._refresh_payload_rows(
+                docs.select(F.col(self.id_col).alias("vec_id")).distinct()
+            )
         if embeddings is None and self._has("index_partition"):
             # metadata-only update: a changed partition-column value MOVES
             # the row's directory in the co-partitioned layout — without
@@ -583,6 +593,14 @@ class GrapeVectorDB:
                 partition_by=[col] if col else None,
                 extra_stats={"partition_column": col} if col else None,
             )
+        if self._has("index_payload"):
+            # anti-join the doomed ids out and re-publish through the
+            # histogram-refreshing path (a stale histogram would keep
+            # funding the planner with deleted rows' selectivity)
+            self._publish_payload_index(
+                self._read("index_payload").join(doomed, "vec_id", "left_anti"),
+                self._payload_columns(),
+            )
         if self._has("index_graph"):
             # drop every edge TOUCHING a doomed id (a dangling dst would
             # make the walk score a deleted vector), then REPAIR: a
@@ -734,8 +752,148 @@ class GrapeVectorDB:
                 "index_partition", part, partition_by=[col],
                 extra_stats={"partition_column": col},
             )
+        elif kind == "payload":
+            # per-field keyword index (the reference family's payload
+            # index; ref:src/filtering.rs evaluates every condition by
+            # scanning the store — this is the structure that makes the
+            # equality case an index probe instead): a narrow
+            # (field, value, vec_id) posting table over DOCUMENTS
+            # metadata, partitioned by field and value-sorted within, so
+            # an equality filter reads one field's directory with the
+            # value pushed to parquet row-group stats. Unlike the
+            # single-column partition LAYOUT (which re-lays the vectors),
+            # postings compose with every vector route via one id
+            # semi-join, cover MANY columns at once, and serve AND-of-
+            # equality trees as posting-list intersections. A bounded
+            # per-field value histogram rides the sidecar, funding EXACT
+            # zero-job selectivity for the planner (the sampled estimate
+            # stays the fallback for non-equality trees).
+            cols = kwargs.get("columns")
+            if not cols:
+                raise ValueError("build_index('payload') needs columns=[...]")
+            docs = self.documents()
+            missing = [c for c in cols if c not in docs.columns]
+            if missing:
+                raise ValueError(
+                    f"payload columns {missing} are not documents columns"
+                )
+            if self.id_col in cols:
+                raise ValueError(
+                    "indexing the id column as payload is useless: point "
+                    "lookups are already pushed-filter scans"
+                )
+            self._publish_payload_index(
+                self._payload_postings(docs, list(cols)), list(cols)
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
+
+    # -- payload posting index ----------------------------------------------
+
+    def _payload_postings(self, docs: DataFrame, cols: list[str]) -> DataFrame:
+        from .operators.payload import payload_postings
+
+        return payload_postings(docs, cols, id_col=self.id_col)
+
+    def _publish_payload_index(
+        self, postings: DataFrame, cols: list[str]
+    ) -> None:
+        """Versioned publish of the posting table + its sidecar stats
+        (operators.payload owns the layout and the BOUNDED histogram —
+        shared with the streaming twin).
+
+        Maintenance honesty (same as the partition layout): refresh
+        rewrites the whole posting table per batch. The table is three
+        narrow columns — orders of magnitude below the data tables — so
+        the write amplification that pushed the binary/SQ indexes to
+        bucket manifests does not bite here until extreme scale; the
+        same bucketed evolution applies if it ever does."""
+        from .operators.payload import payload_layout, payload_sidecar_stats
+
+        postings = payload_layout(postings)
+        self._publish(
+            "index_payload",
+            postings,
+            partition_by=["field"],
+            extra_stats=payload_sidecar_stats(
+                postings, cols, self._row_count("documents")
+            ),
+        )
+
+    def _payload_columns(self) -> list[str]:
+        st = self._table_stats("index_payload") or {}
+        return list(st.get("payload_columns") or [])
+
+    def _payload_selectivity(
+        self, eqs: list[tuple[str, Any]]
+    ) -> float | None:
+        """EXACT zero-job selectivity for an AND-of-equalities served by
+        the posting index: per-field fractions from the sidecar histogram
+        multiplied under the standard attribute-independence assumption
+        (exact outright for a single equality). Floored at half a row so
+        a value matching nothing still routes sanely. None when any field
+        lacks sidecar coverage (caller falls back to the sample)."""
+        st = self._table_stats("index_payload") or {}
+        hist = st.get("histograms") or {}
+        n = int(st.get("doc_rows") or 0)
+        if not n:
+            return None
+        sel = 1.0
+        for fld, val in eqs:
+            h = hist.get(fld)
+            if h is None:
+                return None
+            if "n_distinct" in h and len(h) == 1:
+                frac = 1.0 / max(int(h["n_distinct"]), 1)
+            else:
+                # histogram keys carry Spark's string cast; format the
+                # lookup the same way (bool is the one divergence from
+                # Python's str())
+                key = str(val).lower() if isinstance(val, bool) else str(val)
+                frac = int(h.get(key, 0)) / n
+            sel *= max(frac, 0.5 / n)
+        return sel
+
+    def _refresh_payload_rows(self, ids: DataFrame) -> None:
+        """Swap the batch ids' posting rows: re-derive them from the
+        post-merge documents table (covers inserts, value updates, AND
+        values merged away to a different one), keep everyone else's,
+        re-publish with a fresh sidecar histogram. Delta-bounded read of
+        the batch slice; whole-posting-table write (see
+        _publish_payload_index's maintenance note)."""
+        cols = self._payload_columns()
+        if not cols:
+            return
+        fresh = self._payload_postings(
+            self.documents().join(
+                F.broadcast(ids.select(F.col("vec_id").alias(self.id_col))),
+                self.id_col,
+                "left_semi",
+            ),
+            cols,
+        )
+        kept = self._read("index_payload").join(
+            F.broadcast(ids), "vec_id", "left_anti"
+        )
+        self._publish_payload_index(kept.unionByName(fresh), cols)
+
+    def _payload_keep_ids(
+        self, eqs: list[tuple[str, Any]]
+    ) -> DataFrame:
+        """Posting-list intersection for an AND-of-equalities: each
+        equality reads ONE field's partition directory (value pushed to
+        row-group stats), successive inner id-joins intersect — every
+        side is a filtered posting slice, never the corpus, and AQE
+        broadcasts the small ones."""
+        post = self._read("index_payload")
+        keep = None
+        for fld, val in eqs:
+            pl = post.where(
+                (F.col("field") == F.lit(fld))
+                & (F.col("value") == F.lit(val).cast("string"))
+            ).select("vec_id")
+            keep = pl if keep is None else keep.join(pl, "vec_id")
+        return keep
 
     def _swap_index_rows(
         self, table: str, ids: DataFrame, fresh: DataFrame
@@ -854,12 +1012,36 @@ class GrapeVectorDB:
                     emb = pruned.select("vec_id", self.vec_col)
                     keep_ids = emb.select("vec_id")
                 else:
-                    keep = self.documents().where(fcol)
-                    keep_ids = keep.select(F.col(self.id_col).alias("vec_id"))
-                    emb = emb_all.join(keep_ids, "vec_id", "left_semi")
-                # sampled, zero-job estimate (exact semi-join count was a
-                # second corpus-scale job per filtered search)
-                selectivity = self._estimate_selectivity(fcol)
+                    eqs = filters.conjunctive_equalities(filter)
+                    pay = (
+                        self._payload_columns()
+                        if eqs is not None and self._has("index_payload")
+                        else []
+                    )
+                    if eqs is not None and pay and all(
+                        f in pay for f, _ in eqs
+                    ):
+                        # AND-of-equalities fully covered by the posting
+                        # index: intersect posting lists (each a pruned
+                        # read of one field's directory) instead of
+                        # scanning the wide documents table — and fund
+                        # selectivity EXACTLY from the sidecar histogram
+                        keep_ids = self._payload_keep_ids(eqs)
+                        emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+                    else:
+                        keep = self.documents().where(fcol)
+                        keep_ids = keep.select(
+                            F.col(self.id_col).alias("vec_id")
+                        )
+                        emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+                selectivity = None
+                eqs_all = filters.conjunctive_equalities(filter)
+                if eqs_all is not None and self._has("index_payload"):
+                    selectivity = self._payload_selectivity(eqs_all)
+                if selectivity is None:
+                    # sampled, zero-job estimate (exact semi-join count was
+                    # a second corpus-scale job per filtered search)
+                    selectivity = self._estimate_selectivity(fcol)
             _EXPLICIT = {
                 "brute_force": ("brute_force", None),
                 "graph": ("graph_walk", "index_graph"),
@@ -1114,10 +1296,23 @@ class GrapeVectorDB:
         so EXPLAIN is as job-free as the plan it explains."""
         n_corpus = self._row_count("embeddings")
         selectivity = 1.0
+        payload_eqs = None
         if filter is not None and n_corpus:
-            selectivity = self._estimate_selectivity(
-                filters.filter_to_column(filter)
+            eqs = filters.conjunctive_equalities(filter)
+            sel = (
+                self._payload_selectivity(eqs)
+                if eqs is not None and self._has("index_payload")
+                else None
             )
+            if sel is not None:
+                selectivity = sel
+                pay = self._payload_columns()
+                if all(f in pay for f, _ in eqs):
+                    payload_eqs = eqs
+            else:
+                selectivity = self._estimate_selectivity(
+                    filters.filter_to_column(filter)
+                )
         choice = choose_search_strategy(
             n_corpus,
             has_ivf=self._has("index_ivf"),
@@ -1139,6 +1334,16 @@ class GrapeVectorDB:
                         + f"; filter served by the partition-pruned layout"
                         f" (directory skip on {eq[0]!r})",
                     )
+                    return choice
+            if payload_eqs is not None:
+                flds = sorted({f for f, _ in payload_eqs})
+                choice = PlanChoice(
+                    choice.strategy,
+                    choice.reason
+                    + "; filter served by the payload posting index "
+                    f"(posting intersection on {flds}, histogram-exact "
+                    "selectivity)",
+                )
         return choice
 
     def optimize(self, target_partitions: int = 8) -> None:
@@ -1252,6 +1457,10 @@ class GrapeVectorDB:
             pst = self._table_stats("index_partition") or {}
             indexes.append(
                 {"kind": "partition", "column": pst.get("partition_column")}
+            )
+        if self._has("index_payload"):
+            indexes.append(
+                {"kind": "payload", "columns": self._payload_columns()}
             )
         manifest = {
             "indexes": indexes,
@@ -1373,6 +1582,7 @@ class GrapeVectorDB:
                 "index_sq",
                 "index_graph",
                 "index_partition",
+                "index_payload",
             )
             if self._has(k)
         ]
@@ -1380,4 +1590,6 @@ class GrapeVectorDB:
             pst = self._table_stats("index_partition") or {}
             if pst.get("partition_column"):
                 out["partition_column"] = pst["partition_column"]
+        if "index_payload" in out["indexes"]:
+            out["payload_columns"] = self._payload_columns()
         return out

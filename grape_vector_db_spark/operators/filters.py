@@ -140,6 +140,38 @@ def simple_equality(flt: dict[str, Any]) -> tuple[str, Any] | None:
     return str(field), value
 
 
+def conjunctive_equalities(
+    flt: dict[str, Any],
+) -> list[tuple[str, Any]] | None:
+    """The (field, value) pairs when the filter tree is a PURE AND of
+    top-level must-equalities — the shape a payload posting index can
+    serve as an intersection of posting lists — else None. Superset of
+    :func:`simple_equality` (which is the len-1 case a partitioned
+    STORAGE layout can additionally serve as a directory skip).
+    Structural inspection only (zero Spark work): any should/must_not
+    group, nested tree, non-equals condition, or null value
+    disqualifies (an equality against null matches nothing the posting
+    build indexes — the general predicate path owns those semantics)."""
+    if not isinstance(flt, dict):
+        return None
+    if flt.get("should") or flt.get("must_not"):
+        return None
+    must = flt.get("must") or []
+    if not must or any(k not in ("must",) for k in flt if flt.get(k)):
+        return None
+    out: list[tuple[str, Any]] = []
+    for node in must:
+        if not isinstance(node, dict) or node.get("type") != "equals":
+            return None
+        if any(k in node for k in ("must", "should", "must_not")):
+            return None
+        field, value = node.get("field"), node.get("value")
+        if field is None or value is None:
+            return None
+        out.append((str(field), value))
+    return out
+
+
 def _node(node: dict[str, Any]) -> Column:
     """A node is either a nested Filter ({must/should/must_not}) or a
     Condition ({type: ...})."""

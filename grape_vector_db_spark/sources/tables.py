@@ -421,6 +421,11 @@ def _write_stats(spark: SparkSession, version_dir: str, stats: dict) -> None:
     for k, v in stats.items():
         if v is None or isinstance(v, (bool, int, float, str)):
             clean[k] = v
+        elif isinstance(v, (list, dict)):
+            # structured sidecar values (e.g. the payload index's column
+            # list + value histogram) pass through as-is — they are
+            # already JSON types; dumps below rejects anything that isn't
+            clean[k] = v
         else:
             try:
                 clean[k] = int(v)

@@ -308,6 +308,69 @@ def stream_partition_layout_to_parquet(
     return writer.start()
 
 
+def stream_payload_index_to_parquet(
+    stream_df: DataFrame,
+    index_path: str,
+    columns: list[str],
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """foreachBatch maintenance of the payload posting index — the
+    streaming twin of ``db.build_index('payload')``'s refresh. The
+    stream carries DOCUMENT rows (postings derive from metadata, not
+    vectors). Per micro-batch:
+
+    1. derive the batch rows' (field, value, vec_id) postings
+       (operators.payload — same derivation as the facade build);
+    2. swap the batch ids' posting rows (anti-join + fresh, so a
+       re-streamed id whose value changed MOVES to the new value's
+       postings);
+    3. publish field-partitioned with the histogram sidecar refreshed —
+       the same artifact ``db.search`` intersects and the planner reads.
+
+    An index grown by ANY micro-batch cut is row-identical to the bulk
+    build over the final corpus (derivation is a deterministic
+    projection; pinned in pytest). Batches are O(batch) scans; the
+    publish rewrites only the narrow posting table, never the corpus.
+
+    ``doc_rows`` in the sidecar counts the POSTING-BEARING ids grown so
+    far (distinct ids in the index) — the streaming context has no
+    documents table to count; for single-valued indexed fields this
+    equals the corpus rows the facade records."""
+    from ..operators.payload import (
+        payload_layout,
+        payload_postings,
+        payload_sidecar_stats,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        fresh = payload_postings(batch, list(columns), id_col=id_col)
+        if table_exists(spark, index_path):
+            ids = batch.select(F.col(id_col).alias("vec_id")).distinct()
+            kept = read_table(spark, index_path).join(
+                F.broadcast(ids), "vec_id", "left_anti"
+            )
+            updated = kept.unionByName(fresh)
+        else:  # first batch — no index yet
+            updated = fresh
+        updated = payload_layout(updated)
+        n_ids = updated.select("vec_id").distinct().count()
+        publish_table(
+            spark, index_path, updated, partition_by=["field"],
+            extra_stats=payload_sidecar_stats(updated, list(columns), n_ids),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_to_parquet(
     stream_df: DataFrame,
     table_path: str,

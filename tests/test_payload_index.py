@@ -1,0 +1,389 @@
+"""Payload posting index: build_index('payload'), the posting-
+intersection filtered-search route, histogram-exact zero-job
+selectivity, and lifecycle (refresh, metadata moves, delete cascade,
+backup/restore).
+
+The reference evaluates every payload condition by scanning the store
+(ref:src/filtering.rs:439-488); the posting table is the structure that
+turns the equality case into an index probe — the per-field keyword
+index every serving vector DB grows."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from grape_vector_db_spark.db import GrapeVectorDB
+from grape_vector_db_spark.operators.filters import conjunctive_equalities
+
+FLT_EN = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+FLT_EN_SRC = {
+    "must": [
+        {"type": "equals", "field": "lang", "value": "en"},
+        {"type": "equals", "field": "source", "value": "src13"},
+    ]
+}
+
+
+@pytest.fixture()
+def db(spark, docs, emb):
+    d = tempfile.mkdtemp(prefix="gvdb_payload_")
+    inst = GrapeVectorDB(spark, d)
+    inst.add_documents(docs, emb)
+    yield inst
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestConjunctiveEqualities:
+    def test_extracts_single_and_multi(self):
+        assert conjunctive_equalities(FLT_EN) == [("lang", "en")]
+        assert conjunctive_equalities(FLT_EN_SRC) == [
+            ("lang", "en"),
+            ("source", "src13"),
+        ]
+
+    def test_rejects_everything_else(self):
+        assert conjunctive_equalities({}) is None
+        assert conjunctive_equalities({"must": []}) is None
+        assert (
+            conjunctive_equalities(
+                {"must": [{"type": "range", "field": "n_chars", "gte": 1}]}
+            )
+            is None
+        )
+        mixed = {
+            "must": [
+                {"type": "equals", "field": "lang", "value": "en"},
+                {"type": "range", "field": "n_chars", "gte": 1},
+            ]
+        }
+        assert conjunctive_equalities(mixed) is None
+        assert (
+            conjunctive_equalities(
+                {**FLT_EN, "should": [{"type": "equals", "field": "a", "value": 1}]}
+            )
+            is None
+        )
+        assert (
+            conjunctive_equalities(
+                {**FLT_EN, "must_not": [{"type": "equals", "field": "a", "value": 1}]}
+            )
+            is None
+        )
+        # null value: the general predicate path owns null semantics
+        assert (
+            conjunctive_equalities(
+                {"must": [{"type": "equals", "field": "lang", "value": None}]}
+            )
+            is None
+        )
+
+
+class TestPayloadRoute:
+    def test_single_equality_matches_semi_join_route(self, db, emb):
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=FLT_EN).collect()
+        ]
+        db.build_index("payload", columns=["lang", "source"])
+        after = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=FLT_EN).collect()
+        ]
+        assert after == before
+
+    def test_conjunction_matches_semi_join_route(self, db, emb):
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=FLT_EN_SRC).collect()
+        ]
+        db.build_index("payload", columns=["lang", "source"])
+        after = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=FLT_EN_SRC).collect()
+        ]
+        assert after == before and after
+
+    def test_plan_skips_documents_scan(self, db, emb):
+        """The payload route must filter via posting directories —
+        PartitionFilters on field, and NO documents read anywhere in the
+        vector arm (the wide-table scan is exactly what the index
+        exists to skip)."""
+        db.build_index("payload", columns=["lang", "source"])
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        plan = _plan(db.search(vector=qv, limit=10, filter=FLT_EN_SRC))
+        assert "PartitionFilters" in plan and "field" in plan
+        assert "documents" not in plan
+        assert "index_payload" in plan
+
+    def test_uncovered_field_keeps_general_route(self, db, emb):
+        db.build_index("payload", columns=["lang"])
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        plan = _plan(db.search(vector=qv, limit=10, filter=FLT_EN_SRC))
+        assert "documents" in plan  # source is not posting-indexed
+
+    def test_non_equality_tree_keeps_general_route(self, db, emb):
+        db.build_index("payload", columns=["lang", "n_chars"])
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        flt = {
+            "must": [
+                {"type": "equals", "field": "lang", "value": "en"},
+                {"type": "range", "field": "n_chars", "gte": 100},
+            ]
+        }
+        plan = _plan(db.search(vector=qv, limit=10, filter=flt))
+        assert "documents" in plan
+
+    def test_value_matching_nothing_returns_empty(self, db, emb):
+        db.build_index("payload", columns=["lang"])
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "xx"}]}
+        assert db.search(vector=qv, limit=5, filter=flt).collect() == []
+
+
+class TestHistogramSelectivity:
+    def test_single_equality_is_exact(self, db, docs):
+        db.build_index("payload", columns=["lang", "source"])
+        got = db._payload_selectivity([("lang", "en")])
+        want = docs.where("lang = 'en'").count() / docs.count()
+        assert got is not None and abs(got - want) < 1e-9
+
+    def test_conjunction_multiplies_independent_fractions(self, db, docs):
+        db.build_index("payload", columns=["lang", "source"])
+        n = docs.count()
+        got = db._payload_selectivity([("lang", "en"), ("source", "src13")])
+        want = (docs.where("lang = 'en'").count() / n) * (
+            docs.where("source = 'src13'").count() / n
+        )
+        assert got is not None and abs(got - want) < 1e-9
+
+    def test_missing_value_floors_not_zero(self, db, docs):
+        db.build_index("payload", columns=["lang"])
+        got = db._payload_selectivity([("lang", "xx")])
+        assert got is not None and 0 < got <= 0.5 / docs.count() + 1e-12
+
+    def test_wide_field_stores_distinct_count_only(self, db, docs):
+        """n_chars blows the histogram bound: the sidecar must record
+        n_distinct and the planner estimate 1/n_distinct."""
+        db.build_index("payload", columns=["lang", "n_chars"])
+        st = db._table_stats("index_payload")
+        h = st["histograms"]["n_chars"]
+        assert set(h) == {"n_distinct"}
+        nd = docs.select("n_chars").where("n_chars is not null").distinct().count()
+        assert h["n_distinct"] == nd
+        got = db._payload_selectivity([("n_chars", 128)])
+        assert abs(got - 1.0 / nd) < 1e-12
+
+    def test_unindexed_field_returns_none(self, db):
+        db.build_index("payload", columns=["lang"])
+        assert db._payload_selectivity([("source", "src13")]) is None
+
+    def test_payload_search_launches_zero_pre_search_jobs(self, db, emb):
+        """The stats-funded-planner pin extended to the payload route:
+        histogram selectivity + posting-route detection must cost zero
+        Spark jobs before the search job itself."""
+        db.build_index("payload", columns=["lang", "source"])
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        # warm: stats cache, schema reads
+        assert db.search(vector=qv, limit=5, filter=FLT_EN_SRC).collect()
+        sc = db.spark.sparkContext
+        sc.setJobGroup("payload-pin", "payload-pin")
+        try:
+            df = db.search(vector=qv, limit=5, filter=FLT_EN_SRC)
+            pc = db.search_plan(filter=FLT_EN_SRC)
+        finally:
+            sc.setJobGroup("payload-pin-done", "done")
+        jobs = list(sc.statusTracker().getJobIdsForGroup("payload-pin"))
+        assert jobs == [], f"payload route ran pre-search jobs: {jobs}"
+        assert "payload posting index" in pc.reason
+        assert df.collect()
+
+
+class TestLifecycle:
+    def test_metadata_move_updates_postings(self, db, spark, emb):
+        db.build_index("payload", columns=["lang"])
+        vid = db.documents().where("lang = 'en'").head()["doc_id"]
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid).head()["embedding"]
+        ]
+        assert vid in {
+            r["vec_id"]
+            for r in db.search(vector=qv, limit=5, filter=FLT_EN).collect()
+        }
+        upd = spark.createDataFrame(
+            [(int(vid), None, "zz", None, None)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        db.add_documents(upd)
+        assert vid not in {
+            r["vec_id"]
+            for r in db.search(vector=qv, limit=5, filter=FLT_EN).collect()
+        }
+        flt_zz = {"must": [{"type": "equals", "field": "lang", "value": "zz"}]}
+        assert vid in {
+            r["vec_id"]
+            for r in db.search(vector=qv, limit=5, filter=flt_zz).collect()
+        }
+        # the histogram moved with it (planner stays truthful)
+        assert db._payload_selectivity([("lang", "zz")]) >= 1.0 / (
+            db._row_count("documents") + 1
+        )
+
+    def test_insert_with_embeddings_lands_in_postings(self, db, spark, emb):
+        db.build_index("payload", columns=["lang"])
+        nid = 10**6 + 11
+        nvec = emb.head()["embedding"]
+        db.add_documents(
+            spark.createDataFrame(
+                [(nid, "fresh payload row", "en", "web", 17)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            spark.createDataFrame(
+                [(nid, list(nvec))], "vec_id long, embedding array<float>"
+            ),
+        )
+        got = db.search(
+            vector=[float(x) for x in nvec], limit=3, filter=FLT_EN
+        ).collect()
+        assert nid in {r["vec_id"] for r in got}
+
+    def test_delete_cascades_and_refreshes_histogram(self, db, emb):
+        db.build_index("payload", columns=["lang"])
+        sel0 = db._payload_selectivity([("lang", "en")])
+        vid = db.documents().where("lang = 'en'").head()["doc_id"]
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid).head()["embedding"]
+        ]
+        db.delete_documents(f"doc_id = {vid}")
+        assert vid not in {
+            r["vec_id"]
+            for r in db.search(vector=qv, limit=10, filter=FLT_EN).collect()
+        }
+        sel1 = db._payload_selectivity([("lang", "en")])
+        assert sel1 < sel0  # one fewer matching row, smaller corpus too
+
+    def test_backup_restore_rebuilds_payload_index(self, db, spark, emb, tmp_path):
+        db.build_index("payload", columns=["lang", "source"])
+        man = db.backup(str(tmp_path / "bk"))
+        assert {"kind": "payload", "columns": ["lang", "source"]} in man["indexes"]
+        d2 = tempfile.mkdtemp(prefix="gvdb_payload_rest_")
+        try:
+            db2 = GrapeVectorDB(spark, d2)
+            db2.restore(str(tmp_path / "bk"))
+            assert db2._payload_columns() == ["lang", "source"]
+            qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+            got = db2.search(vector=qv, limit=5, filter=FLT_EN).collect()
+            want = db.search(vector=qv, limit=5, filter=FLT_EN).collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+
+    def test_stats_and_plan_surface_the_index(self, db):
+        db.build_index("payload", columns=["lang"])
+        st = db.stats()
+        assert "index_payload" in st["indexes"]
+        assert st["payload_columns"] == ["lang"]
+        pc = db.search_plan(filter=FLT_EN)
+        assert "payload posting index" in pc.reason
+
+    def test_partition_layout_outranks_payload_note(self, db):
+        """Single equality on the partition column: the directory-skip
+        layout serves it (strictly better — it prunes the vectors, not
+        just the filter), and EXPLAIN says so."""
+        db.build_index("payload", columns=["lang"])
+        db.build_index("partition", column="lang")
+        pc = db.search_plan(filter=FLT_EN)
+        assert "partition-pruned" in pc.reason
+        assert "payload posting index" not in pc.reason
+
+    def test_build_rejects_bad_columns(self, db):
+        with pytest.raises(ValueError):
+            db.build_index("payload")
+        with pytest.raises(ValueError):
+            db.build_index("payload", columns=["nope"])
+        with pytest.raises(ValueError):
+            db.build_index("payload", columns=["doc_id"])
+
+
+def test_stream_payload_index_equals_bulk(spark, docs, tmp_path):
+    """A posting index grown by micro-batch cuts must be row-identical
+    to the bulk derivation over the final corpus, keep the
+    field-partitioned shape, and carry a truthful histogram sidecar."""
+    from grape_vector_db_spark.operators.payload import payload_postings
+    from grape_vector_db_spark.sources.tables import (
+        read_table,
+        read_table_stats,
+    )
+    from grape_vector_db_spark.streaming.ingest import (
+        stream_payload_index_to_parquet,
+    )
+
+    tmpdir = str(tmp_path)
+    base = docs.where(F.col("doc_id") < 240)
+    src = f"{tmpdir}/incoming"
+    idx = f"{tmpdir}/payload"
+    for lo, hi in ((0, 80), (80, 170), (170, 240)):
+        base.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).write.mode("append").parquet(src)
+        q = stream_payload_index_to_parquet(
+            spark.readStream.schema(base.schema).parquet(src),
+            idx, columns=["lang", "source"], checkpoint=f"{tmpdir}/ck",
+        )
+        q.awaitTermination(120)
+
+    cols = ["field", "value", "vec_id"]
+    grown = read_table(spark, idx).select(*cols)
+    bulk = payload_postings(base, ["lang", "source"]).select(*cols)
+    assert grown.count() == bulk.count()
+    assert grown.exceptAll(bulk).count() == 0
+    st = read_table_stats(spark, idx)
+    assert st["payload_columns"] == ["lang", "source"]
+    want_en = base.where("lang = 'en'").count()
+    assert st["histograms"]["lang"]["en"] == want_en
+    assert st["doc_rows"] == base.count()
+    # pruning works on the streamed artifact
+    plan = grown.where(F.col("field") == "lang")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_stream_payload_value_move_swaps_posting(spark, docs, tmp_path):
+    """Re-streaming an id with a changed value must MOVE its posting
+    (the anti-join swap), not duplicate it."""
+    from grape_vector_db_spark.sources.tables import read_table
+    from grape_vector_db_spark.streaming.ingest import (
+        stream_payload_index_to_parquet,
+    )
+
+    tmpdir = str(tmp_path)
+    src = f"{tmpdir}/incoming"
+    idx = f"{tmpdir}/payload"
+    first = docs.where(F.col("doc_id") < 20)
+    first.write.mode("append").parquet(src)
+    q = stream_payload_index_to_parquet(
+        spark.readStream.schema(first.schema).parquet(src),
+        idx, columns=["lang"], checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(120)
+    moved = first.limit(1).withColumn("lang", F.lit("zz"))
+    vid = moved.head()["doc_id"]
+    moved.write.mode("append").parquet(src)
+    q = stream_payload_index_to_parquet(
+        spark.readStream.schema(first.schema).parquet(src),
+        idx, columns=["lang"], checkpoint=f"{tmpdir}/ck",
+    )
+    q.awaitTermination(120)
+    rows = read_table(spark, idx).where(F.col("vec_id") == vid).collect()
+    assert len(rows) == 1 and rows[0]["value"] == "zz"

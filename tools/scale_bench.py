@@ -86,7 +86,14 @@ QUERIES = [
 # db.search(index="auto") end-to-end — route choice funded by publish-time
 # stats + the sampled selectivity estimate (zero pre-search jobs), the
 # search itself the planner's pick at this corpus size
-FACADE_ROWS = ["facade_auto_search", "facade_auto_search_filtered"]
+FACADE_ROWS = [
+    "facade_auto_search",
+    "facade_auto_search_filtered",
+    # round-8e: AND-of-equalities filter, general documents-scan route vs
+    # the payload posting-index route (posting intersection, no docs scan)
+    "facade_conj_semi_join",
+    "facade_conj_payload",
+]
 
 
 def facade_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
@@ -108,10 +115,15 @@ def facade_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
         # warm: stats caches, the selectivity sample, parquet schemas
         db.search(vector=qv, limit=10).collect()
         db.search(vector=qv, limit=10, filter=flt).collect()
+        src = docs.where("lang = 'en'").head()["source"]
+        flt2 = {"must": [
+            {"type": "equals", "field": "lang", "value": "en"},
+            {"type": "equals", "field": "source", "value": src},
+        ]}
+        db.search(vector=qv, limit=10, filter=flt2).collect()
         out = {}
-        cases = (("facade_auto_search", {}),
-                 ("facade_auto_search_filtered", {"filter": flt}))
-        for name, kw in cases:
+
+        def run_case(name, kw):
             runs = []
             for _ in range(n_runs):
                 t0 = time.time()
@@ -121,6 +133,15 @@ def facade_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
                          "rows": n, "runs": runs}
             print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: "
                   f"{out[name]['median_s']}s ({n} rows)", file=sys.stderr)
+
+        run_case("facade_auto_search", {})
+        run_case("facade_auto_search_filtered", {"filter": flt})
+        run_case("facade_conj_semi_join", {"filter": flt2})
+        # same query after the posting index exists: the route flips to
+        # the posting intersection (documents never scanned)
+        db.build_index("payload", columns=["lang", "source"])
+        db.search(vector=qv, limit=10, filter=flt2).collect()  # warm
+        run_case("facade_conj_payload", {"filter": flt2})
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
