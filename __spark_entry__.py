@@ -1147,6 +1147,42 @@ def q_partition_pruned_knn(spark, sf_dir):
     return search.knn(pruned, _qv(spark, sf_dir), k=K_DEFAULT)
 
 
+def q_payload_posting_knn(spark, sf_dir):
+    """The payload-posting-index filtered-search shape, hash-checked:
+    documents metadata exploded into a (field, value, vec_id) posting
+    table written partitionBy(field) once (db.build_index('payload')'s
+    layout; the reference scans the store per payload condition,
+    ref:src/filtering.rs:439-488 — postings make the equality case an
+    index probe). An AND-of-equalities (lang AND source) intersects two
+    pruned posting reads by id — the WIDE documents table is never
+    touched at query time — then exact cosine top-k over the matching
+    embeddings. Equality semantics are identical to a docs-scan filter,
+    so the oracle is plain SQL over documents."""
+    import tempfile
+
+    from grape_vector_db_spark.operators.payload import (
+        payload_layout,
+        payload_postings,
+    )
+
+    key = ("payload_idx", sf_dir)
+    if key not in _CACHE:
+        path = tempfile.mkdtemp(prefix="gvdb_payloadidx_")
+        payload_layout(
+            payload_postings(_docs(spark, sf_dir), ["lang", "source"])
+        ).write.mode("overwrite").partitionBy("field").parquet(path)
+        _CACHE[key] = path
+    post = spark.read.parquet(_CACHE[key])
+    a = post.where(
+        (F.col("field") == "lang") & (F.col("value") == "en")
+    ).select("vec_id")
+    b = post.where(
+        (F.col("field") == "source") & (F.col("value") == "src1")
+    ).select("vec_id")
+    emb = _emb(spark, sf_dir).join(a.join(b, "vec_id"), "vec_id", "left_semi")
+    return search.knn(emb, _qv(spark, sf_dir), k=K_DEFAULT)
+
+
 def q_vocabulary(spark, sf_dir):
     """A2: distinct term -> dense integer id (deterministic: term order).
     Two-level rank — no global-window single-task sort (sparse.vocabulary)."""
@@ -4974,6 +5010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "filtered_knn": q_filtered_knn,
         "partition_pruned_knn": q_partition_pruned_knn,
+        "payload_posting_knn": q_payload_posting_knn,
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
         "mixture_apply": q_mixture_apply,
@@ -8837,6 +8874,16 @@ def oracle_sql() -> dict[str, str]:
         "partition_pruned_knn": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE label = 3)
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "payload_posting_knn": f"""
+            WITH keep AS (SELECT doc_id FROM documents
+                          WHERE lang = 'en' AND source = 'src1'),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep))
             SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
             FROM e, {_QV} q
             ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}

@@ -387,3 +387,16 @@ def test_stream_payload_value_move_swaps_posting(spark, docs, tmp_path):
     q.awaitTermination(120)
     rows = read_table(spark, idx).where(F.col("vec_id") == vid).collect()
     assert len(rows) == 1 and rows[0]["value"] == "zz"
+
+
+def test_registry_payload_query_plan(spark):
+    """payload_posting_knn must read posting directories (partition
+    pruning on field), never the documents parquet, and keep the
+    zero-shuffle TakeOrdered knn tail."""
+    import __spark_entry__ as em
+
+    df = em.q_payload_posting_knn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "field" in plan
+    assert "documents" not in plan
+    assert "TakeOrderedAndProject" in plan
