@@ -808,7 +808,11 @@ class GrapeVectorDB:
         the write amplification that pushed the binary/SQ indexes to
         bucket manifests does not bite here until extreme scale; the
         same bucketed evolution applies if it ever does."""
-        from .operators.payload import payload_layout, payload_sidecar_stats
+        from .operators.payload import (
+            array_fields,
+            payload_layout,
+            payload_sidecar_stats,
+        )
 
         postings = payload_layout(postings)
         self._publish(
@@ -816,7 +820,10 @@ class GrapeVectorDB:
             postings,
             partition_by=["field"],
             extra_stats=payload_sidecar_stats(
-                postings, cols, self._row_count("documents")
+                postings,
+                cols,
+                self._row_count("documents"),
+                arr_fields=array_fields(self.documents(), cols),
             ),
         )
 
@@ -824,8 +831,31 @@ class GrapeVectorDB:
         st = self._table_stats("index_payload") or {}
         return list(st.get("payload_columns") or [])
 
+    def _payload_probe_plan(
+        self, filter: dict[str, Any]
+    ) -> list[tuple[str, Any, str]] | None:
+        """The probe triples when the posting index can FULLY serve the
+        filter, else None. Validation is kind-vs-column-type against the
+        sidecar: ``equals`` must hit a scalar field (per-element postings
+        cannot answer whole-array equality), ``array_contains`` an array
+        field. Driver-side structural inspection only — zero jobs."""
+        if not self._has("index_payload"):
+            return None
+        probes = filters.conjunctive_payload_probes(filter)
+        if probes is None:
+            return None
+        st = self._table_stats("index_payload") or {}
+        pay = set(st.get("payload_columns") or [])
+        arr = set(st.get("array_fields") or [])
+        for fld, _v, kind in probes:
+            if fld not in pay:
+                return None
+            if (kind == "array_contains") != (fld in arr):
+                return None
+        return probes
+
     def _payload_selectivity(
-        self, eqs: list[tuple[str, Any]]
+        self, eqs: list[tuple]
     ) -> float | None:
         """EXACT zero-job selectivity for an AND-of-equalities served by
         the posting index: per-field fractions from the sidecar histogram
@@ -839,7 +869,11 @@ class GrapeVectorDB:
         if not n:
             return None
         sel = 1.0
-        for fld, val in eqs:
+        for p in eqs:
+            # accepts (field, value) pairs or (field, value, kind) probe
+            # triples — array-contains postings are per-doc-distinct, so
+            # the histogram fraction means the same thing for both kinds
+            fld, val = p[0], p[1]
             h = hist.get(fld)
             if h is None:
                 return None
@@ -877,9 +911,7 @@ class GrapeVectorDB:
         )
         self._publish_payload_index(kept.unionByName(fresh), cols)
 
-    def _payload_keep_ids(
-        self, eqs: list[tuple[str, Any]]
-    ) -> DataFrame:
+    def _payload_keep_ids(self, eqs: list[tuple]) -> DataFrame:
         """Posting-list intersection for an AND-of-equalities: each
         equality reads ONE field's partition directory (value pushed to
         row-group stats), successive inner id-joins intersect — every
@@ -887,7 +919,8 @@ class GrapeVectorDB:
         broadcasts the small ones."""
         post = self._read("index_payload")
         keep = None
-        for fld, val in eqs:
+        for p in eqs:
+            fld, val = p[0], p[1]
             pl = post.where(
                 (F.col("field") == F.lit(fld))
                 & (F.col("value") == F.lit(val).cast("string"))
@@ -1012,21 +1045,15 @@ class GrapeVectorDB:
                     emb = pruned.select("vec_id", self.vec_col)
                     keep_ids = emb.select("vec_id")
                 else:
-                    eqs = filters.conjunctive_equalities(filter)
-                    pay = (
-                        self._payload_columns()
-                        if eqs is not None and self._has("index_payload")
-                        else []
-                    )
-                    if eqs is not None and pay and all(
-                        f in pay for f, _ in eqs
-                    ):
-                        # AND-of-equalities fully covered by the posting
-                        # index: intersect posting lists (each a pruned
-                        # read of one field's directory) instead of
-                        # scanning the wide documents table — and fund
-                        # selectivity EXACTLY from the sidecar histogram
-                        keep_ids = self._payload_keep_ids(eqs)
+                    probes = self._payload_probe_plan(filter)
+                    if probes is not None:
+                        # AND of equality / array-contains probes fully
+                        # covered by the posting index: intersect posting
+                        # lists (each a pruned read of one field's
+                        # directory) instead of scanning the wide
+                        # documents table — and fund selectivity EXACTLY
+                        # from the sidecar histogram
+                        keep_ids = self._payload_keep_ids(probes)
                         emb = emb_all.join(keep_ids, "vec_id", "left_semi")
                     else:
                         keep = self.documents().where(fcol)
@@ -1035,9 +1062,9 @@ class GrapeVectorDB:
                         )
                         emb = emb_all.join(keep_ids, "vec_id", "left_semi")
                 selectivity = None
-                eqs_all = filters.conjunctive_equalities(filter)
-                if eqs_all is not None and self._has("index_payload"):
-                    selectivity = self._payload_selectivity(eqs_all)
+                probes_all = filters.conjunctive_payload_probes(filter)
+                if probes_all is not None and self._has("index_payload"):
+                    selectivity = self._payload_selectivity(probes_all)
                 if selectivity is None:
                     # sampled, zero-job estimate (exact semi-join count was
                     # a second corpus-scale job per filtered search)
@@ -1298,17 +1325,15 @@ class GrapeVectorDB:
         selectivity = 1.0
         payload_eqs = None
         if filter is not None and n_corpus:
-            eqs = filters.conjunctive_equalities(filter)
+            probes = filters.conjunctive_payload_probes(filter)
             sel = (
-                self._payload_selectivity(eqs)
-                if eqs is not None and self._has("index_payload")
+                self._payload_selectivity(probes)
+                if probes is not None and self._has("index_payload")
                 else None
             )
             if sel is not None:
                 selectivity = sel
-                pay = self._payload_columns()
-                if all(f in pay for f, _ in eqs):
-                    payload_eqs = eqs
+                payload_eqs = self._payload_probe_plan(filter)
             else:
                 selectivity = self._estimate_selectivity(
                     filters.filter_to_column(filter)
@@ -1336,7 +1361,7 @@ class GrapeVectorDB:
                     )
                     return choice
             if payload_eqs is not None:
-                flds = sorted({f for f, _ in payload_eqs})
+                flds = sorted({p[0] for p in payload_eqs})
                 choice = PlanChoice(
                     choice.strategy,
                     choice.reason

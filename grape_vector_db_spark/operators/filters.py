@@ -172,6 +172,40 @@ def conjunctive_equalities(
     return out
 
 
+def conjunctive_payload_probes(
+    flt: dict[str, Any],
+) -> list[tuple[str, Any, str]] | None:
+    """(field, value, kind) triples when the filter tree is a PURE AND of
+    top-level must nodes a payload posting index can probe: ``equals``
+    (scalar columns — one posting per value) and ``array_contains``
+    (array columns — one posting per distinct element; the probe itself
+    is identical, an id lookup of (field, value)). Else None. The caller
+    must still validate kind-vs-column-type against the index sidecar:
+    equals on an ARRAY column means whole-array equality, which
+    per-element postings cannot answer."""
+    if not isinstance(flt, dict):
+        return None
+    if flt.get("should") or flt.get("must_not"):
+        return None
+    must = flt.get("must") or []
+    if not must or any(k not in ("must",) for k in flt if flt.get(k)):
+        return None
+    out: list[tuple[str, Any, str]] = []
+    for node in must:
+        if not isinstance(node, dict):
+            return None
+        if any(k in node for k in ("must", "should", "must_not")):
+            return None
+        kind = node.get("type")
+        if kind not in ("equals", "array_contains"):
+            return None
+        field, value = node.get("field"), node.get("value")
+        if field is None or value is None:
+            return None
+        out.append((str(field), value, kind))
+    return out
+
+
 def _node(node: dict[str, Any]) -> Column:
     """A node is either a nested Filter ({must/should/must_not}) or a
     Condition ({type: ...})."""

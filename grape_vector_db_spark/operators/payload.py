@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 HIST_MAX = 64
 
 
+def array_fields(docs: DataFrame, cols: list[str]) -> list[str]:
+    """The subset of ``cols`` that are array-typed in ``docs`` — these
+    post one row per DISTINCT element (the ArrayContains probe shape)
+    instead of one per value. Driver-side schema inspection only."""
+    from pyspark.sql.types import ArrayType
+
+    return [
+        c for c in cols if isinstance(docs.schema[c].dataType, ArrayType)
+    ]
+
+
 def payload_postings(
     docs: DataFrame, cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
@@ -30,15 +41,38 @@ def payload_postings(
     are Spark-cast to string (query literals go through the SAME cast, so
     both sides format identically by construction); nulls drop — an
     equality can never match them, and the general predicate path owns
-    null semantics."""
-    parts = [
-        docs.select(
-            F.lit(c).alias("field"),
-            F.col(c).cast("string").alias("value"),
-            F.col(id_col).alias("vec_id"),
-        ).where(F.col("value").isNotNull())
-        for c in cols
-    ]
+    null semantics.
+
+    Array-typed columns post one row per DISTINCT element (explode +
+    dedupe): an ``array_contains`` filter then probes postings exactly
+    like an equality does, and a duplicated element can neither multiply
+    intersection rows nor double-count in the histogram (which thereby
+    counts DOCS containing the value — the fraction selectivity needs)."""
+    arr = set(array_fields(docs, cols))
+    parts = []
+    for c in cols:
+        if c in arr:
+            p = (
+                docs.select(
+                    F.lit(c).alias("field"),
+                    F.explode(c).alias("el"),
+                    F.col(id_col).alias("vec_id"),
+                )
+                .select(
+                    "field",
+                    F.col("el").cast("string").alias("value"),
+                    "vec_id",
+                )
+                .where(F.col("value").isNotNull())
+                .distinct()
+            )
+        else:
+            p = docs.select(
+                F.lit(c).alias("field"),
+                F.col(c).cast("string").alias("value"),
+                F.col(id_col).alias("vec_id"),
+            ).where(F.col("value").isNotNull())
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -56,6 +90,7 @@ def payload_sidecar_stats(
     cols: list[str],
     doc_rows: int,
     hist_max: int = HIST_MAX,
+    arr_fields: list[str] | None = None,
 ) -> dict:
     """The _STATS sidecar payload: indexed columns, the BOUNDED per-field
     value histogram, and the corpus row count the fractions divide by.
@@ -88,4 +123,9 @@ def payload_sidecar_stats(
         "payload_columns": list(cols),
         "histograms": hist,
         "doc_rows": int(doc_rows),
+        # which indexed fields are array-typed: an equals probe must NOT
+        # serve from per-element postings (whole-array equality), and an
+        # array_contains probe only makes sense against them — route
+        # validation reads this driver-side
+        "array_fields": sorted(arr_fields or []),
     }

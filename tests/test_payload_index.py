@@ -400,3 +400,95 @@ def test_registry_payload_query_plan(spark):
     assert "PartitionFilters" in plan and "field" in plan
     assert "documents" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+class TestArrayPayload:
+    """Array-typed metadata: one posting per DISTINCT element, served by
+    array_contains probes (whole-array equality stays on the general
+    path — per-element postings cannot answer it)."""
+
+    FLT_TAG = {"must": [
+        {"type": "array_contains", "field": "tags", "value": "en"}]}
+
+    @pytest.fixture()
+    def adb(self, spark, docs, emb):
+        d = tempfile.mkdtemp(prefix="gvdb_arrpay_")
+        inst = GrapeVectorDB(spark, d)
+        # tags = [lang, source, lang]: a deliberate duplicate element to
+        # prove per-doc dedup in postings and histogram
+        tagged = docs.withColumn(
+            "tags", F.array(F.col("lang"), F.col("source"), F.col("lang"))
+        )
+        inst.add_documents(tagged, emb)
+        yield inst
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_contains_matches_general_route(self, adb, emb):
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in adb.search(vector=qv, limit=10, filter=self.FLT_TAG).collect()
+        ]
+        adb.build_index("payload", columns=["tags", "source"])
+        after = [
+            (r["vec_id"], r["score"])
+            for r in adb.search(vector=qv, limit=10, filter=self.FLT_TAG).collect()
+        ]
+        assert after == before and after
+
+    def test_contains_plan_skips_documents(self, adb, emb):
+        adb.build_index("payload", columns=["tags"])
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        plan = _plan(adb.search(vector=qv, limit=10, filter=self.FLT_TAG))
+        assert "documents" not in plan
+        assert "index_payload" in plan
+
+    def test_mixed_contains_and_equals_probe_together(self, adb, emb):
+        flt = {"must": [
+            {"type": "array_contains", "field": "tags", "value": "en"},
+            {"type": "equals", "field": "source", "value": "src13"},
+        ]}
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in adb.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        adb.build_index("payload", columns=["tags", "source"])
+        after = [
+            (r["vec_id"], r["score"])
+            for r in adb.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        assert after == before and after
+        plan = _plan(adb.search(vector=qv, limit=10, filter=flt))
+        assert "documents" not in plan
+
+    def test_equals_on_array_field_keeps_general_route(self, adb, emb):
+        adb.build_index("payload", columns=["tags"])
+        assert adb._payload_probe_plan(
+            {"must": [{"type": "equals", "field": "tags", "value": "en"}]}
+        ) is None
+
+    def test_contains_on_scalar_field_keeps_general_route(self, adb, emb):
+        adb.build_index("payload", columns=["tags", "source"])
+        assert adb._payload_probe_plan(
+            {"must": [
+                {"type": "array_contains", "field": "source", "value": "src1"}]}
+        ) is None
+
+    def test_histogram_counts_docs_not_elements(self, adb, docs):
+        """The duplicated lang element must NOT double-count: the 'en'
+        fraction equals the fraction of DOCS whose tags contain it."""
+        adb.build_index("payload", columns=["tags"])
+        got = adb._payload_selectivity(
+            [("tags", "en", "array_contains")]
+        )
+        n = docs.count()
+        want = docs.where(
+            "lang = 'en' or source = 'en'"
+        ).count() / n
+        assert got is not None and abs(got - want) < 1e-9
+
+    def test_sidecar_records_array_fields(self, adb):
+        adb.build_index("payload", columns=["tags", "source"])
+        st = adb._table_stats("index_payload")
+        assert st["array_fields"] == ["tags"]
