@@ -831,62 +831,161 @@ class GrapeVectorDB:
         st = self._table_stats("index_payload") or {}
         return list(st.get("payload_columns") or [])
 
-    def _payload_probe_plan(
+    def _payload_tree_plan(
         self, filter: dict[str, Any]
-    ) -> list[tuple[str, Any, str]] | None:
-        """The probe triples when the posting index can FULLY serve the
-        filter, else None. Validation is kind-vs-column-type against the
-        sidecar: ``equals`` must hit a scalar field (per-element postings
-        cannot answer whole-array equality), ``array_contains`` an array
-        field. Driver-side structural inspection only — zero jobs."""
+    ) -> dict[str, list[tuple[str, Any, str]]] | None:
+        """The normalized probe tree when the posting index can FULLY
+        serve the filter — one-level must/should/must_not of
+        equals / array_contains leaves over indexed columns — else None.
+        Validation is kind-vs-column-type against the sidecar: ``equals``
+        must hit a scalar field (per-element postings cannot answer
+        whole-array equality), ``array_contains`` an array field, and
+        must_not leaves must be scalar equalities (an empty array passes
+        NOT-contains but posts nothing — filters.payload_probe_tree's
+        docstring). Driver-side structural inspection only — zero jobs."""
         if not self._has("index_payload"):
             return None
-        probes = filters.conjunctive_payload_probes(filter)
-        if probes is None:
+        tree = filters.payload_probe_tree(filter)
+        if tree is None:
             return None
         st = self._table_stats("index_payload") or {}
         pay = set(st.get("payload_columns") or [])
         arr = set(st.get("array_fields") or [])
-        for fld, _v, kind in probes:
-            if fld not in pay:
-                return None
-            if (kind == "array_contains") != (fld in arr):
-                return None
-        return probes
+        for g, leaves in tree.items():
+            for fld, _v, kind in leaves:
+                if fld not in pay:
+                    return None
+                if (kind == "array_contains") != (fld in arr):
+                    return None
+                if g == "must_not" and kind == "array_contains":
+                    return None
+        return tree
 
-    def _payload_selectivity(
-        self, eqs: list[tuple]
+    def _payload_probe_plan(
+        self, filter: dict[str, Any]
+    ) -> list[tuple[str, Any, str]] | None:
+        """The pure-conjunction special case of :meth:`_payload_tree_plan`
+        (kept as the named concept for EXPLAIN and tests)."""
+        tree = self._payload_tree_plan(filter)
+        if tree is None or tree["should"] or tree["must_not"]:
+            return None
+        return tree["must"]
+
+    def _payload_tree_ids(
+        self, tree: dict[str, list[tuple[str, Any, str]]]
+    ) -> DataFrame:
+        """Posting-list algebra over the probe tree: must INTERSECTS id
+        lists (inner id-joins), should UNIONS them (distinct), and each
+        must_not scalar-equality is itself the id list ``field present
+        AND value <> v`` — null-rejecting, exactly the predicate path's
+        NOT(col = v) — intersected like a must. Every operand is a
+        pruned read of one field's posting directory, unique per doc by
+        construction (scalars post once; array postings are per-doc
+        distinct), so the joins never multiply rows."""
+        post = self._read("index_payload")
+
+        def leaf(fld, val, negate=False):
+            vcol = F.lit(val).cast("string")
+            op = (
+                (F.col("value") != vcol) if negate else (F.col("value") == vcol)
+            )
+            return post.where(
+                (F.col("field") == F.lit(fld)) & op
+            ).select("vec_id")
+
+        keep = None
+        for fld, val, _k in tree["must"]:
+            pl = leaf(fld, val)
+            keep = pl if keep is None else keep.join(pl, "vec_id")
+        if tree["should"]:
+            un = None
+            for fld, val, _k in tree["should"]:
+                pl = leaf(fld, val)
+                un = pl if un is None else un.unionByName(pl)
+            un = un.distinct()
+            keep = un if keep is None else keep.join(un, "vec_id")
+        for fld, val, _k in tree["must_not"]:
+            pl = leaf(fld, val, negate=True)
+            keep = pl if keep is None else keep.join(pl, "vec_id")
+        return keep
+
+    def _payload_filter_selectivity(
+        self, filter: dict[str, Any]
     ) -> float | None:
-        """EXACT zero-job selectivity for an AND-of-equalities served by
-        the posting index: per-field fractions from the sidecar histogram
-        multiplied under the standard attribute-independence assumption
-        (exact outright for a single equality). Floored at half a row so
-        a value matching nothing still routes sanely. None when any field
-        lacks sidecar coverage (caller falls back to the sample)."""
+        """Zero-job selectivity for a posting-servable probe tree from
+        the sidecar histogram: must multiplies per-leaf fractions
+        (attribute independence), should takes the UNION BOUND
+        min(1, sum) over its leaves, and a must_not leaf contributes
+        (present - matching)/n where present sums the field's histogram
+        (fields above the histogram bound assume fully-present,
+        1 - 1/n_distinct). Floored at half a row, capped at 1. None when
+        the tree is not servable or a field lacks sidecar coverage —
+        caller falls back to the sampled estimate."""
+        tree = self._payload_tree_plan(filter)
+        if tree is None:
+            return None
         st = self._table_stats("index_payload") or {}
         hist = st.get("histograms") or {}
         n = int(st.get("doc_rows") or 0)
         if not n:
             return None
-        sel = 1.0
-        for p in eqs:
-            # accepts (field, value) pairs or (field, value, kind) probe
-            # triples — array-contains postings are per-doc-distinct, so
-            # the histogram fraction means the same thing for both kinds
-            fld, val = p[0], p[1]
+        floor = 0.5 / n
+
+        def frac(fld, val):
             h = hist.get(fld)
             if h is None:
                 return None
             if "n_distinct" in h and len(h) == 1:
-                frac = 1.0 / max(int(h["n_distinct"]), 1)
-            else:
-                # histogram keys carry Spark's string cast; format the
-                # lookup the same way (bool is the one divergence from
-                # Python's str())
-                key = str(val).lower() if isinstance(val, bool) else str(val)
-                frac = int(h.get(key, 0)) / n
-            sel *= max(frac, 0.5 / n)
-        return sel
+                return 1.0 / max(int(h["n_distinct"]), 1)
+            key = str(val).lower() if isinstance(val, bool) else str(val)
+            return int(h.get(key, 0)) / n
+
+        def present(fld):
+            h = hist.get(fld)
+            if h is None:
+                return None
+            if "n_distinct" in h and len(h) == 1:
+                return 1.0
+            return min(1.0, sum(int(v) for v in h.values()) / n)
+
+        sel = 1.0
+        for fld, val, _k in tree["must"]:
+            f = frac(fld, val)
+            if f is None:
+                return None
+            sel *= max(f, floor)
+        if tree["should"]:
+            s = 0.0
+            for fld, val, _k in tree["should"]:
+                f = frac(fld, val)
+                if f is None:
+                    return None
+                s += f
+            sel *= min(1.0, max(s, floor))
+        for fld, val, _k in tree["must_not"]:
+            p, f = present(fld), frac(fld, val)
+            if p is None or f is None:
+                return None
+            sel *= min(1.0, max(p - f, floor))
+        return min(sel, 1.0)
+
+    def _payload_selectivity(self, eqs: list[tuple]) -> float | None:
+        """Conjunct convenience wrapper over
+        :meth:`_payload_filter_selectivity`: accepts (field, value) pairs
+        or (field, value, kind) probe triples, treats them as one must
+        group."""
+        return self._payload_filter_selectivity(
+            {
+                "must": [
+                    {
+                        "type": p[2] if len(p) > 2 else "equals",
+                        "field": p[0],
+                        "value": p[1],
+                    }
+                    for p in eqs
+                ]
+            }
+        )
 
     def _refresh_payload_rows(self, ids: DataFrame) -> None:
         """Swap the batch ids' posting rows: re-derive them from the
@@ -910,23 +1009,6 @@ class GrapeVectorDB:
             F.broadcast(ids), "vec_id", "left_anti"
         )
         self._publish_payload_index(kept.unionByName(fresh), cols)
-
-    def _payload_keep_ids(self, eqs: list[tuple]) -> DataFrame:
-        """Posting-list intersection for an AND-of-equalities: each
-        equality reads ONE field's partition directory (value pushed to
-        row-group stats), successive inner id-joins intersect — every
-        side is a filtered posting slice, never the corpus, and AQE
-        broadcasts the small ones."""
-        post = self._read("index_payload")
-        keep = None
-        for p in eqs:
-            fld, val = p[0], p[1]
-            pl = post.where(
-                (F.col("field") == F.lit(fld))
-                & (F.col("value") == F.lit(val).cast("string"))
-            ).select("vec_id")
-            keep = pl if keep is None else keep.join(pl, "vec_id")
-        return keep
 
     def _swap_index_rows(
         self, table: str, ids: DataFrame, fresh: DataFrame
@@ -1045,15 +1127,16 @@ class GrapeVectorDB:
                     emb = pruned.select("vec_id", self.vec_col)
                     keep_ids = emb.select("vec_id")
                 else:
-                    probes = self._payload_probe_plan(filter)
-                    if probes is not None:
-                        # AND of equality / array-contains probes fully
-                        # covered by the posting index: intersect posting
-                        # lists (each a pruned read of one field's
-                        # directory) instead of scanning the wide
-                        # documents table — and fund selectivity EXACTLY
-                        # from the sidecar histogram
-                        keep_ids = self._payload_keep_ids(probes)
+                    tree = self._payload_tree_plan(filter)
+                    if tree is not None:
+                        # must/should/must_not tree of equality /
+                        # array-contains probes fully covered by the
+                        # posting index: posting-list algebra (each
+                        # operand a pruned read of one field's directory)
+                        # instead of scanning the wide documents table —
+                        # and fund selectivity EXACTLY from the sidecar
+                        # histogram
+                        keep_ids = self._payload_tree_ids(tree)
                         emb = emb_all.join(keep_ids, "vec_id", "left_semi")
                     else:
                         keep = self.documents().where(fcol)
@@ -1061,10 +1144,7 @@ class GrapeVectorDB:
                             F.col(self.id_col).alias("vec_id")
                         )
                         emb = emb_all.join(keep_ids, "vec_id", "left_semi")
-                selectivity = None
-                probes_all = filters.conjunctive_payload_probes(filter)
-                if probes_all is not None and self._has("index_payload"):
-                    selectivity = self._payload_selectivity(probes_all)
+                selectivity = self._payload_filter_selectivity(filter)
                 if selectivity is None:
                     # sampled, zero-job estimate (exact semi-join count was
                     # a second corpus-scale job per filtered search)
@@ -1323,17 +1403,12 @@ class GrapeVectorDB:
         so EXPLAIN is as job-free as the plan it explains."""
         n_corpus = self._row_count("embeddings")
         selectivity = 1.0
-        payload_eqs = None
+        payload_tree = None
         if filter is not None and n_corpus:
-            probes = filters.conjunctive_payload_probes(filter)
-            sel = (
-                self._payload_selectivity(probes)
-                if probes is not None and self._has("index_payload")
-                else None
-            )
+            sel = self._payload_filter_selectivity(filter)
             if sel is not None:
                 selectivity = sel
-                payload_eqs = self._payload_probe_plan(filter)
+                payload_tree = self._payload_tree_plan(filter)
             else:
                 selectivity = self._estimate_selectivity(
                     filters.filter_to_column(filter)
@@ -1360,13 +1435,15 @@ class GrapeVectorDB:
                         f" (directory skip on {eq[0]!r})",
                     )
                     return choice
-            if payload_eqs is not None:
-                flds = sorted({p[0] for p in payload_eqs})
+            if payload_tree is not None:
+                flds = sorted(
+                    {p[0] for g in payload_tree.values() for p in g}
+                )
                 choice = PlanChoice(
                     choice.strategy,
                     choice.reason
                     + "; filter served by the payload posting index "
-                    f"(posting intersection on {flds}, histogram-exact "
+                    f"(posting algebra on {flds}, histogram-exact "
                     "selectivity)",
                 )
         return choice

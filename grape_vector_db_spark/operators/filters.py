@@ -144,66 +144,57 @@ def conjunctive_equalities(
     flt: dict[str, Any],
 ) -> list[tuple[str, Any]] | None:
     """The (field, value) pairs when the filter tree is a PURE AND of
-    top-level must-equalities — the shape a payload posting index can
-    serve as an intersection of posting lists — else None. Superset of
-    :func:`simple_equality` (which is the len-1 case a partitioned
-    STORAGE layout can additionally serve as a directory skip).
-    Structural inspection only (zero Spark work): any should/must_not
-    group, nested tree, non-equals condition, or null value
-    disqualifies (an equality against null matches nothing the posting
-    build indexes — the general predicate path owns those semantics)."""
-    if not isinstance(flt, dict):
+    top-level must-equalities — else None. The must-only, equals-only
+    special case of :func:`payload_probe_tree` (and a superset of
+    :func:`simple_equality`, the len-1 case a partitioned STORAGE layout
+    can additionally serve as a directory skip)."""
+    tree = payload_probe_tree(flt)
+    if tree is None or tree["should"] or tree["must_not"]:
         return None
-    if flt.get("should") or flt.get("must_not"):
+    if any(kind != "equals" for _f, _v, kind in tree["must"]):
         return None
-    must = flt.get("must") or []
-    if not must or any(k not in ("must",) for k in flt if flt.get(k)):
-        return None
-    out: list[tuple[str, Any]] = []
-    for node in must:
-        if not isinstance(node, dict) or node.get("type") != "equals":
-            return None
-        if any(k in node for k in ("must", "should", "must_not")):
-            return None
-        field, value = node.get("field"), node.get("value")
-        if field is None or value is None:
-            return None
-        out.append((str(field), value))
-    return out
+    return [(f, v) for f, v, _k in tree["must"]]
 
 
-def conjunctive_payload_probes(
+def payload_probe_tree(
     flt: dict[str, Any],
-) -> list[tuple[str, Any, str]] | None:
-    """(field, value, kind) triples when the filter tree is a PURE AND of
-    top-level must nodes a payload posting index can probe: ``equals``
-    (scalar columns — one posting per value) and ``array_contains``
-    (array columns — one posting per distinct element; the probe itself
-    is identical, an id lookup of (field, value)). Else None. The caller
-    must still validate kind-vs-column-type against the index sidecar:
-    equals on an ARRAY column means whole-array equality, which
-    per-element postings cannot answer."""
+) -> dict[str, list[tuple[str, Any, str]]] | None:
+    """One-level filter tree normalized to posting-probe groups —
+    ``{"must": [(field, value, kind)...], "should": [...],
+    "must_not": [...]}`` — when EVERY leaf is an ``equals`` or
+    ``array_contains`` condition (no nested sub-trees), else None.
+    Reference semantics (src/embedded.rs:539-582): must = AND, should =
+    OR, must_not = AND of negations, groups AND together. The posting
+    algebra: must intersects id lists, should unions them, and a
+    must_not leaf is itself an id list (field present AND value <> v)
+    that intersects — which reproduces the predicate path's null
+    handling exactly for SCALAR fields (NOT(col = v) is null-rejecting).
+    must_not over ARRAY fields is NOT servable (an empty array passes
+    NOT contains but posts nothing) — the caller must reject those
+    against the index sidecar, same as whole-array equality."""
     if not isinstance(flt, dict):
         return None
-    if flt.get("should") or flt.get("must_not"):
+    groups: dict[str, list[tuple[str, Any, str]]] = {}
+    for g in ("must", "should", "must_not"):
+        out: list[tuple[str, Any, str]] = []
+        for node in flt.get(g) or []:
+            if not isinstance(node, dict):
+                return None
+            if any(k in node for k in ("must", "should", "must_not")):
+                return None
+            kind = node.get("type")
+            if kind not in ("equals", "array_contains"):
+                return None
+            field, value = node.get("field"), node.get("value")
+            if field is None or value is None:
+                return None
+            out.append((str(field), value, kind))
+        groups[g] = out
+    if any(k not in ("must", "should", "must_not") for k in flt if flt.get(k)):
         return None
-    must = flt.get("must") or []
-    if not must or any(k not in ("must",) for k in flt if flt.get(k)):
+    if not (groups["must"] or groups["should"] or groups["must_not"]):
         return None
-    out: list[tuple[str, Any, str]] = []
-    for node in must:
-        if not isinstance(node, dict):
-            return None
-        if any(k in node for k in ("must", "should", "must_not")):
-            return None
-        kind = node.get("type")
-        if kind not in ("equals", "array_contains"):
-            return None
-        field, value = node.get("field"), node.get("value")
-        if field is None or value is None:
-            return None
-        out.append((str(field), value, kind))
-    return out
+    return groups
 
 
 def _node(node: dict[str, Any]) -> Column:

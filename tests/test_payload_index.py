@@ -492,3 +492,124 @@ class TestArrayPayload:
         adb.build_index("payload", columns=["tags", "source"])
         st = adb._table_stats("index_payload")
         assert st["array_fields"] == ["tags"]
+
+
+class TestPayloadTreeAlgebra:
+    """must/should/must_not trees of posting probes: union, intersect,
+    and null-rejecting negation — all served from posting directories,
+    result-identical to the general predicate path."""
+
+    def _routes_equal(self, db, emb, flt, build_cols):
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        db.build_index("payload", columns=build_cols)
+        after = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        plan = _plan(db.search(vector=qv, limit=10, filter=flt))
+        return before, after, plan
+
+    def test_should_union_matches_general_route(self, db, emb):
+        flt = {"should": [
+            {"type": "equals", "field": "lang", "value": "de"},
+            {"type": "equals", "field": "lang", "value": "zh"},
+        ]}
+        before, after, plan = self._routes_equal(db, emb, flt, ["lang"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_must_plus_should_intersects_union(self, db, emb):
+        flt = {
+            "must": [{"type": "equals", "field": "lang", "value": "en"}],
+            "should": [
+                {"type": "equals", "field": "source", "value": "src13"},
+                {"type": "equals", "field": "source", "value": "src8"},
+            ],
+        }
+        before, after, plan = self._routes_equal(
+            db, emb, flt, ["lang", "source"]
+        )
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_must_not_is_null_rejecting(self, db, emb):
+        flt = {"must_not": [{"type": "equals", "field": "lang", "value": "en"}]}
+        before, after, plan = self._routes_equal(db, emb, flt, ["lang"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_full_tree_all_groups(self, db, emb):
+        flt = {
+            "must": [{"type": "equals", "field": "lang", "value": "en"}],
+            "should": [
+                {"type": "equals", "field": "source", "value": "src13"},
+                {"type": "equals", "field": "source", "value": "src8"},
+            ],
+            "must_not": [
+                {"type": "equals", "field": "source", "value": "src8"}
+            ],
+        }
+        before, after, plan = self._routes_equal(
+            db, emb, flt, ["lang", "source"]
+        )
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_must_not_on_array_field_keeps_general_route(self, spark, docs, emb):
+        d = tempfile.mkdtemp(prefix="gvdb_treearr_")
+        try:
+            adb = GrapeVectorDB(spark, d)
+            adb.add_documents(
+                docs.withColumn("tags", F.array(F.col("lang"))), emb
+            )
+            adb.build_index("payload", columns=["tags"])
+            flt = {"must_not": [
+                {"type": "array_contains", "field": "tags", "value": "en"}]}
+            assert adb._payload_tree_plan(flt) is None
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_tree_selectivity_bounds(self, db, docs):
+        db.build_index("payload", columns=["lang", "source"])
+        n = docs.count()
+        # should: union bound = sum of fractions (capped at 1)
+        got = db._payload_filter_selectivity({"should": [
+            {"type": "equals", "field": "lang", "value": "de"},
+            {"type": "equals", "field": "lang", "value": "zh"},
+        ]})
+        want = (
+            docs.where("lang = 'de'").count()
+            + docs.where("lang = 'zh'").count()
+        ) / n
+        assert got is not None and abs(got - want) < 1e-9
+        # must_not: (present - matching) / n; lang is never null here
+        got = db._payload_filter_selectivity({"must_not": [
+            {"type": "equals", "field": "lang", "value": "en"}]})
+        want = docs.where("lang is not null and lang <> 'en'").count() / n
+        assert got is not None and abs(got - want) < 1e-9
+
+    def test_tree_search_zero_pre_search_jobs(self, db, emb):
+        db.build_index("payload", columns=["lang", "source"])
+        flt = {
+            "must": [{"type": "equals", "field": "lang", "value": "en"}],
+            "must_not": [
+                {"type": "equals", "field": "source", "value": "src8"}
+            ],
+        }
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        assert db.search(vector=qv, limit=5, filter=flt).collect()  # warm
+        sc = db.spark.sparkContext
+        sc.setJobGroup("tree-pin", "tree-pin")
+        try:
+            df = db.search(vector=qv, limit=5, filter=flt)
+            pc = db.search_plan(filter=flt)
+        finally:
+            sc.setJobGroup("tree-pin-done", "done")
+        jobs = list(sc.statusTracker().getJobIdsForGroup("tree-pin"))
+        assert jobs == [], f"tree route ran pre-search jobs: {jobs}"
+        assert "posting algebra" in pc.reason
+        assert df.collect()
