@@ -92,6 +92,12 @@ SHOWCASE = [
         "zero-shuffle TakeOrdered knn, no docs join",
     ),
     (
+        "payload_posting_knn",
+        "AND-of-equalities as intersected posting-directory reads "
+        "(field-pruned, value in row-group stats) -> semi-join -> "
+        "TakeOrdered knn; documents never scanned",
+    ),
+    (
         "zipf_slope",
         "bucketed global rank (no Exchange SinglePartition) -> tiny moments agg",
     ),
