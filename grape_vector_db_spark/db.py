@@ -1390,6 +1390,108 @@ class GrapeVectorDB:
         clustering/visualization feed; the cap bounds the quadratic."""
         return search.distance_matrix(self.embeddings(), sample=sample)
 
+    def facet(
+        self,
+        field: str,
+        filter: dict[str, Any] | None = None,
+        limit: int = 10,
+    ) -> DataFrame:
+        """Per-value document counts for a metadata field — the faceted-
+        navigation endpoint beside search (the reference's count-by-value
+        reads, a scan in src/filtering.rs terms; serving engines expose
+        it as a Facet API). Returns ``(value, count)`` ordered by count
+        desc, value asc, capped at ``limit``.
+
+        Cost tiers, best first:
+        - unfiltered + payload-indexed field with an exact sidecar
+          histogram: answered DRIVER-SIDE from the histogram — a
+          LocalTableScan, ZERO corpus work;
+        - payload-indexed field (wide histogram, or any filter): one
+          pruned aggregate over the field's posting directory — never
+          the wide documents table (the filter's id set comes from the
+          posting algebra when servable, else the docs predicate);
+        - unindexed field: groupBy over documents (the honest fallback).
+
+        Array-typed indexed fields count DOCS containing each element
+        (per-doc-distinct postings) — Spark's groupBy over the raw array
+        column cannot express that without an explode, which is exactly
+        what the posting table prematerializes."""
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        st = self._table_stats("index_payload") or {}
+        indexed = field in (st.get("payload_columns") or [])
+        if indexed and filter is None:
+            hist = (st.get("histograms") or {}).get(field) or {}
+            if not ("n_distinct" in hist and len(hist) == 1):
+                rows = sorted(
+                    hist.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:limit]
+                return self.spark.createDataFrame(
+                    [(v, int(c)) for v, c in rows] or [],
+                    "value string, count long",
+                )
+        if indexed:
+            sl = self._read("index_payload").where(
+                F.col("field") == F.lit(field)
+            )
+            if filter is not None:
+                tree = self._payload_tree_plan(filter)
+                if tree is not None:
+                    ids = self._payload_tree_ids(tree)
+                else:
+                    ids = self.documents().where(
+                        filters.filter_to_column(filter)
+                    ).select(F.col(self.id_col).alias("vec_id"))
+                sl = sl.join(ids, "vec_id", "left_semi")
+            grouped = sl.groupBy("value")
+        else:
+            from pyspark.sql.types import ArrayType
+
+            docs = self.documents()
+            if field not in docs.columns:
+                raise ValueError(f"{field!r} is not a documents column")
+            if filter is not None:
+                docs = docs.where(filters.filter_to_column(filter))
+            if isinstance(docs.schema[field].dataType, ArrayType):
+                # count DOCS containing each element (the posting
+                # semantics): explode, then per-doc dedupe
+                vals = (
+                    docs.select(
+                        F.col(self.id_col), F.explode(field).alias("el")
+                    )
+                    .select(
+                        self.id_col, F.col("el").cast("string").alias("value")
+                    )
+                    .where(F.col("value").isNotNull())
+                    .distinct()
+                    .select("value")
+                )
+            else:
+                vals = docs.where(F.col(field).isNotNull()).select(
+                    F.col(field).cast("string").alias("value")
+                )
+            grouped = vals.groupBy("value")
+        return (
+            grouped.agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col("value").asc())
+            .limit(limit)
+        )
+
+    def count(self, filter: dict[str, Any] | None = None) -> int:
+        """Matching-document count (reference A6 extended with the
+        filter tree). Unfiltered reads the publish-time row stat (zero
+        jobs); a posting-servable filter counts the posting algebra's id
+        set (pruned posting reads, documents untouched); anything else
+        counts the filtered documents scan."""
+        if filter is None:
+            return self._row_count("documents")
+        tree = self._payload_tree_plan(filter)
+        if tree is not None:
+            return self._payload_tree_ids(tree).count()
+        return self.documents().where(
+            filters.filter_to_column(filter)
+        ).count()
+
     def search_plan(
         self,
         filter: dict[str, Any] | None = None,

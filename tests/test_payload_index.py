@@ -613,3 +613,87 @@ class TestPayloadTreeAlgebra:
         assert jobs == [], f"tree route ran pre-search jobs: {jobs}"
         assert "posting algebra" in pc.reason
         assert df.collect()
+
+
+class TestFacetAndCount:
+    """db.facet / db.count: the faceted-navigation + count endpoints,
+    funded by the payload sidecar (zero jobs unfiltered-indexed) or
+    posting slices."""
+
+    def _want_facet(self, docs, field, limit=10):
+        rows = (
+            docs.where(f"{field} is not null")
+            .groupBy(field)
+            .count()
+            .collect()
+        )
+        return sorted(
+            [(str(r[field]), r["count"]) for r in rows],
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:limit]
+
+    def test_histogram_facet_zero_jobs_and_exact(self, db, docs):
+        db.build_index("payload", columns=["lang"])
+        sc = db.spark.sparkContext
+        sc.setJobGroup("facet-pin", "facet-pin")
+        try:
+            df = db.facet("lang")
+        finally:
+            sc.setJobGroup("facet-pin-done", "done")
+        assert list(sc.statusTracker().getJobIdsForGroup("facet-pin")) == []
+        got = [(r["value"], r["count"]) for r in df.collect()]
+        assert got == self._want_facet(docs, "lang")
+
+    def test_wide_field_facet_uses_postings(self, db, docs):
+        db.build_index("payload", columns=["lang", "n_chars"])
+        got = [(r["value"], r["count"]) for r in db.facet("n_chars", limit=5).collect()]
+        assert got == self._want_facet(docs, "n_chars", limit=5)
+
+    def test_filtered_facet_matches_docs_groupby(self, db, docs):
+        db.build_index("payload", columns=["lang", "source"])
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+        got = [(r["value"], r["count"]) for r in db.facet("source", filter=flt).collect()]
+        want = self._want_facet(docs.where("lang = 'en'"), "source")
+        assert got == want
+
+    def test_unindexed_facet_falls_back_to_docs(self, db, docs):
+        got = [(r["value"], r["count"]) for r in db.facet("source", limit=3).collect()]
+        assert got == self._want_facet(docs, "source", limit=3)
+        with pytest.raises(ValueError):
+            db.facet("nope")
+        with pytest.raises(ValueError):
+            db.facet("lang", limit=0)
+
+    def test_array_facet_counts_docs_not_elements(self, spark, docs, emb):
+        d = tempfile.mkdtemp(prefix="gvdb_facetarr_")
+        try:
+            adb = GrapeVectorDB(spark, d)
+            tagged = docs.withColumn(
+                "tags", F.array(F.col("lang"), F.col("lang"))
+            )
+            adb.add_documents(tagged, emb)
+            # unindexed fallback explodes per-doc-distinct
+            got = {r["value"]: r["count"] for r in adb.facet("tags").collect()}
+            want = {
+                r["lang"]: r["count"]
+                for r in docs.groupBy("lang").count().collect()
+            }
+            assert got == {k: v for k, v in want.items()
+                           if (k, v) in sorted(want.items(),
+                                               key=lambda kv: (-kv[1], kv[0]))[:10]}
+            # indexed path agrees
+            adb.build_index("payload", columns=["tags"])
+            got2 = {r["value"]: r["count"] for r in adb.facet("tags").collect()}
+            assert got2 == got
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_count_tiers(self, db, docs):
+        assert db.count() == docs.count()
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+        want = docs.where("lang = 'en'").count()
+        assert db.count(flt) == want          # docs-scan tier
+        db.build_index("payload", columns=["lang"])
+        assert db.count(flt) == want          # posting tier
+        rng = {"must": [{"type": "range", "field": "n_chars", "gte": 300}]}
+        assert db.count(rng) == docs.where("n_chars >= 300").count()
