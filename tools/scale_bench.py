@@ -80,6 +80,8 @@ QUERIES = [
     # round-8c: the partition-pruned tenant-search shape (directory skip
     # + zero-shuffle knn; the cached partitioned artifact is built once)
     "partition_pruned_knn",
+    # round-8e: posting-intersection filtered knn (documents never read)
+    "payload_posting_knn",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
