@@ -697,3 +697,30 @@ class TestFacetAndCount:
         assert db.count(flt) == want          # posting tier
         rng = {"must": [{"type": "range", "field": "n_chars", "gte": 300}]}
         assert db.count(rng) == docs.where("n_chars >= 300").count()
+
+
+def test_legacy_sidecar_without_array_fields_still_routes(db, emb):
+    """A payload index published before the array_fields sidecar key
+    existed must keep serving scalar equality probes (absent key reads
+    as 'no array fields') — publish-format evolution must never break
+    an already-built index."""
+    import json
+    import os
+
+    db.build_index("payload", columns=["lang"])
+    v = db._versions("index_payload")[-1]
+    sp = f"{db._path('index_payload')}/t={v}/_STATS.json"
+    st = json.load(open(sp))
+    del st["array_fields"]
+    json.dump(st, open(sp, "w"))
+    # the hadoop LocalFileSystem wrote a .crc sidecar at publish; the
+    # out-of-band rewrite above invalidates it — drop it or the next
+    # sidecar read raises ChecksumException
+    crc = f"{db._path('index_payload')}/t={v}/._STATS.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    db._stats_cache.clear()
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    plan = _plan(db.search(vector=qv, limit=10, filter=FLT_EN))
+    assert "documents" not in plan  # scalar equality still posting-served
+    assert db._payload_tree_plan(FLT_EN) is not None
