@@ -1572,6 +1572,7 @@ class GrapeVectorDB:
         "index_sq",
         "index_graph",
         "index_partition",
+        "index_payload",
     )
 
     def _version_fingerprint(self) -> str:
