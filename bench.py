@@ -56,6 +56,13 @@ def main() -> None:
     calibration_s = _calibration(spark)
     print(f"bench: calibration_s: {calibration_s:.3f}", file=sys.stderr)
 
+    # JVM session-state counters (GC time, heap, block-manager storage
+    # memory) recorded after warmup and again after the query loop — the
+    # r8 events-family regression was invisible session state (GC/page-
+    # cache pressure accumulated by query idx ~63); these make the next
+    # such drift legible without forensics.
+    jvm_after_warmup = _jvm_counters(spark)
+
     # Aggregation rule: one timed run per query; queries whose first run
     # exceeds RERUN_THRESHOLD_S get two more runs and report the MEDIAN of
     # the three (heavy join queries show ~2x run-to-run variance in local
@@ -117,6 +124,8 @@ def main() -> None:
     # BASELINE-comparable bulk throughputs (BASELINE.md: 13,240 writes/s,
     # 42,018 reads/s, quantize 10k x 512 in 926 ms, exact search 7.5 q/s
     # over a 10k corpus — all single-node):
+    jvm_after_queries = _jvm_counters(spark)
+
     derived = _derived_throughputs(spark, sf_dir)
     for k, v in derived.items():
         print(f"bench: {k}: {v:,.0f}", file=sys.stderr)
@@ -142,6 +151,14 @@ def main() -> None:
         "calibration_note": (
             "median-of-3 wall of a fixed 400M-row in-memory aggregate; "
             "machine-speed constant for normalizing cross-round totals"
+        ),
+        "jvm_after_warmup": jvm_after_warmup,
+        "jvm_after_queries": jvm_after_queries,
+        "jvm_note": (
+            "driver-JVM GC + heap + block-manager storage counters "
+            "snapshotted after warmup and after the query loop; the delta "
+            "is what the 260+-query session accumulated (r8 events-family "
+            "regression was this kind of invisible session state)"
         ),
     }
     detail_path = os.path.join(
@@ -197,6 +214,52 @@ def _calibration(spark) -> float:
         return time.time() - t0
 
     return round(sorted(once() for _ in range(3))[1], 3)
+
+
+def _jvm_counters(spark) -> dict:
+    """GC / heap / storage-memory counters from the local-mode JVM via
+    py4j. Keys: cumulative GC time+count per collector, heap used/max,
+    and block-manager storage memory (what .persist() holds). All
+    best-effort — a py4j surface change degrades to {} rather than
+    killing the bench."""
+    out: dict = {}
+    try:
+        jvm = spark.sparkContext._jvm
+        mf = jvm.java.lang.management.ManagementFactory
+        gc_ms, gc_n = 0, 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            b = it.next()
+            gc_ms += max(b.getCollectionTime(), 0)
+            gc_n += max(b.getCollectionCount(), 0)
+        out["gc_time_ms"] = int(gc_ms)
+        out["gc_count"] = int(gc_n)
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        out["heap_used_mb"] = round(heap.getUsed() / 2**20, 1)
+        out["heap_max_mb"] = round(heap.getMax() / 2**20, 1)
+    except Exception as e:  # pragma: no cover - py4j surface drift
+        out["error"] = str(e)[:200]
+    try:
+        status = spark.sparkContext.statusTracker()
+        mem_used = 0
+        for eid in status.getExecutorInfos():
+            mem_used += getattr(eid, "memoryUsed", lambda: 0)()
+        out["storage_memory_used_mb"] = round(mem_used / 2**20, 1)
+    except Exception:
+        # pyspark's StatusTracker doesn't expose executor storage in all
+        # versions; fall back to the JVM block manager master
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            mem = jsc.env().blockManager().master().getMemoryStatus()
+            vals = mem.values().iterator()
+            used = 0
+            while vals.hasNext():
+                t = vals.next()
+                used += t._1() - t._2()  # (max, remaining)
+            out["storage_memory_used_mb"] = round(used / 2**20, 1)
+        except Exception:
+            pass
+    return out
 
 
 def _warm_python_workers(spark) -> None:

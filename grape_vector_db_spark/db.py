@@ -810,11 +810,23 @@ class GrapeVectorDB:
         same bucketed evolution applies if it ever does."""
         from .operators.payload import (
             array_fields,
+            field_types,
             payload_layout,
             payload_sidecar_stats,
         )
 
+        if "value_num" not in postings.columns:
+            # legacy (pre-value_num) rows flowing through a refresh or
+            # delete cascade: derive the numeric column from the stored
+            # string (try_cast — ANSI-safe; numeric fields' strings are
+            # Spark casts, so they round-trip). Keeps the invariant that
+            # a sidecar carrying field_types always fronts a
+            # value_num-backed table (range routing relies on it).
+            postings = postings.withColumn(
+                "value_num", F.expr("try_cast(value as double)")
+            )
         postings = payload_layout(postings)
+        docs = self.documents()
         self._publish(
             "index_payload",
             postings,
@@ -823,7 +835,8 @@ class GrapeVectorDB:
                 postings,
                 cols,
                 self._row_count("documents"),
-                arr_fields=array_fields(self.documents(), cols),
+                arr_fields=array_fields(docs, cols),
+                f_types=field_types(docs, cols),
             ),
         )
 
@@ -831,18 +844,47 @@ class GrapeVectorDB:
         st = self._table_stats("index_payload") or {}
         return list(st.get("payload_columns") or [])
 
+    def _payload_field_types(self) -> dict[str, str]:
+        """Per-field SOURCE types of the posting index — sidecar-recorded
+        at build time; legacy sidecars (pre field_types) derive them from
+        the documents schema driver-side (a footer read, zero jobs)."""
+        st = self._table_stats("index_payload") or {}
+        ft = st.get("field_types")
+        if ft:
+            return dict(ft)
+        cols = set(st.get("payload_columns") or [])
+        if not cols:
+            return {}
+        try:
+            schema = self.documents().schema
+        except Exception:
+            return {}
+        return {
+            f.name: f.dataType.simpleString()
+            for f in schema.fields
+            if f.name in cols
+        }
+
     def _payload_tree_plan(
         self, filter: dict[str, Any]
     ) -> dict[str, list[tuple[str, Any, str]]] | None:
         """The normalized probe tree when the posting index can FULLY
         serve the filter — one-level must/should/must_not of
-        equals / array_contains leaves over indexed columns — else None.
-        Validation is kind-vs-column-type against the sidecar: ``equals``
-        must hit a scalar field (per-element postings cannot answer
-        whole-array equality), ``array_contains`` an array field, and
-        must_not leaves must be scalar equalities (an empty array passes
-        NOT-contains but posts nothing — filters.payload_probe_tree's
-        docstring). Driver-side structural inspection only — zero jobs."""
+        equals / array_contains / range leaves over indexed columns —
+        else None. Validation is kind-vs-column-type against the
+        sidecar: ``equals`` must hit a scalar field (per-element
+        postings cannot answer whole-array equality), ``array_contains``
+        an array field, must_not leaves must be scalar (an empty array
+        passes NOT-contains but posts nothing — filters.
+        payload_probe_tree's docstring), ``range`` a scalar NUMERIC
+        field of a value_num-backed index (sidecar carries field_types
+        exactly when the posting table carries value_num — string order
+        cannot serve ranges). Equality literals must be type-compatible
+        with the SOURCE column (an int literal probes a double column as
+        "1.0" via a cast through the recorded type; a fractional literal
+        against an int column can never match — unservable, the
+        predicate path owns it). Driver-side structural inspection only
+        — zero jobs."""
         if not self._has("index_payload"):
             return None
         tree = filters.payload_probe_tree(filter)
@@ -851,13 +893,67 @@ class GrapeVectorDB:
         st = self._table_stats("index_payload") or {}
         pay = set(st.get("payload_columns") or [])
         arr = set(st.get("array_fields") or [])
+        types = self._payload_field_types()
+        typed_index = bool(st.get("field_types"))
+        from .operators.payload import _element_type, is_numeric_field
+
+        def _num(x) -> bool:
+            return isinstance(x, (int, float)) and not isinstance(x, bool)
+
         for g, leaves in tree.items():
-            for fld, _v, kind in leaves:
+            for fld, v, kind in leaves:
                 if fld not in pay:
                     return None
+                if kind == "range":
+                    ft = types.get(fld)
+                    if (
+                        not typed_index
+                        or ft is None
+                        or fld in arr
+                        or not is_numeric_field(ft)
+                    ):
+                        return None
+                    if any(
+                        b is not None and not _num(b)
+                        for b in (v.get("gte"), v.get("lte"))
+                    ):
+                        return None
+                    continue
                 if (kind == "array_contains") != (fld in arr):
                     return None
                 if g == "must_not" and kind == "array_contains":
+                    return None
+                ft = types.get(fld)
+                if ft is None:
+                    # unknown source type: only the string/string case is
+                    # provably faithful (the original posting contract)
+                    if not isinstance(v, str):
+                        return None
+                    continue
+                et = _element_type(ft)
+                if is_numeric_field(ft):
+                    if not _num(v):
+                        return None
+                    from .operators.payload import INT_TYPES
+
+                    if (
+                        et.split("(")[0] in INT_TYPES
+                        and isinstance(v, float)
+                        and not float(v).is_integer()
+                    ):
+                        # predicate path: double-widened compare matches
+                        # nothing; posting path cannot express that — a
+                        # truncating cast would WRONGLY match
+                        return None
+                elif et == "boolean":
+                    if not isinstance(v, bool):
+                        return None
+                elif et == "string":
+                    if not isinstance(v, str):
+                        return None
+                # other scalar types (date, timestamp, ...) keep the
+                # string-cast contract: literal must already be a string
+                elif not isinstance(v, str):
                     return None
         return tree
 
@@ -876,36 +972,65 @@ class GrapeVectorDB:
     ) -> DataFrame:
         """Posting-list algebra over the probe tree: must INTERSECTS id
         lists (inner id-joins), should UNIONS them (distinct), and each
-        must_not scalar-equality is itself the id list ``field present
-        AND value <> v`` — null-rejecting, exactly the predicate path's
-        NOT(col = v) — intersected like a must. Every operand is a
-        pruned read of one field's posting directory, unique per doc by
+        must_not scalar leaf is itself the id list ``field present AND
+        NOT(pred)`` — null-rejecting, exactly the predicate path's
+        NOT(pred) — intersected like a must. Every operand is a pruned
+        read of one field's posting directory, unique per doc by
         construction (scalars post once; array postings are per-doc
-        distinct), so the joins never multiply rows."""
-        post = self._read("index_payload")
+        distinct), so the joins never multiply rows.
 
-        def leaf(fld, val, negate=False):
-            vcol = F.lit(val).cast("string")
-            op = (
-                (F.col("value") != vcol) if negate else (F.col("value") == vcol)
-            )
+        Literal fidelity: an equality literal casts THROUGH the recorded
+        source type before the string compare (F.lit(1).cast("double").
+        cast("string") == the "1.0" the build wrote — both sides are the
+        same Spark cast, so formats agree by construction; ADVICE r8).
+        Range leaves compare on value_num — the numerically-ordered
+        column the value-sorted layout skips row groups on."""
+        post = self._read("index_payload")
+        types = self._payload_field_types()
+
+        def leaf(fld, val, kind, negate=False):
+            if kind == "range":
+                vn = F.col("value_num")
+                conds = []
+                if val.get("gte") is not None:
+                    conds.append(vn >= F.lit(float(val["gte"])))
+                if val.get("lte") is not None:
+                    conds.append(vn <= F.lit(float(val["lte"])))
+                op = conds[0]
+                for c in conds[1:]:
+                    op = op & c
+                if negate:
+                    op = ~op
+            else:
+                ft = types.get(fld)
+                vcol = F.lit(val)
+                if ft is not None:
+                    from .operators.payload import _element_type
+
+                    vcol = vcol.cast(_element_type(ft))
+                vcol = vcol.cast("string")
+                op = (
+                    (F.col("value") != vcol)
+                    if negate
+                    else (F.col("value") == vcol)
+                )
             return post.where(
                 (F.col("field") == F.lit(fld)) & op
             ).select("vec_id")
 
         keep = None
-        for fld, val, _k in tree["must"]:
-            pl = leaf(fld, val)
+        for fld, val, k in tree["must"]:
+            pl = leaf(fld, val, k)
             keep = pl if keep is None else keep.join(pl, "vec_id")
         if tree["should"]:
             un = None
-            for fld, val, _k in tree["should"]:
-                pl = leaf(fld, val)
+            for fld, val, k in tree["should"]:
+                pl = leaf(fld, val, k)
                 un = pl if un is None else un.unionByName(pl)
             un = un.distinct()
             keep = un if keep is None else keep.join(un, "vec_id")
-        for fld, val, _k in tree["must_not"]:
-            pl = leaf(fld, val, negate=True)
+        for fld, val, k in tree["must_not"]:
+            pl = leaf(fld, val, k, negate=True)
             keep = pl if keep is None else keep.join(pl, "vec_id")
         return keep
 
@@ -918,25 +1043,75 @@ class GrapeVectorDB:
         min(1, sum) over its leaves, and a must_not leaf contributes
         (present - matching)/n where present sums the field's histogram
         (fields above the histogram bound assume fully-present,
-        1 - 1/n_distinct). Floored at half a row, capped at 1. None when
-        the tree is not servable or a field lacks sidecar coverage —
-        caller falls back to the sampled estimate."""
+        1 - 1/n_distinct). Equality lookups on numeric fields match
+        histogram keys NUMERICALLY (the keys are Spark string casts —
+        "1.0" for a double column — so a Python str(val) lookup would
+        silently miss; ADVICE r8). Range leaves sum matching histogram
+        entries when the histogram is exact, else interpolate uniformly
+        over the sidecar's numeric [min, max]. Floored at half a row,
+        capped at 1. None when the tree is not servable or a field lacks
+        sidecar coverage — caller falls back to the sampled estimate."""
         tree = self._payload_tree_plan(filter)
         if tree is None:
             return None
         st = self._table_stats("index_payload") or {}
         hist = st.get("histograms") or {}
+        minmax = st.get("numeric_minmax") or {}
+        types = self._payload_field_types()
         n = int(st.get("doc_rows") or 0)
         if not n:
             return None
         floor = 0.5 / n
+        from .operators.payload import is_numeric_field
 
-        def frac(fld, val):
+        def _wide(h) -> bool:
+            return "n_distinct" in h and len(h) == 1
+
+        def frac(fld, val, kind):
             h = hist.get(fld)
             if h is None:
                 return None
-            if "n_distinct" in h and len(h) == 1:
+            if kind == "range":
+                gte, lte = val.get("gte"), val.get("lte")
+                if not _wide(h):
+                    cnt = 0
+                    for k, c in h.items():
+                        try:
+                            x = float(k)
+                        except (TypeError, ValueError):
+                            return None
+                        if (gte is None or x >= gte) and (
+                            lte is None or x <= lte
+                        ):
+                            cnt += int(c)
+                    return cnt / n
+                mm = minmax.get(fld)
+                if not mm:
+                    return None
+                lo, hi = float(mm[0]), float(mm[1])
+                g = lo if gte is None else float(gte)
+                le = hi if lte is None else float(lte)
+                span = hi - lo
+                if span <= 0:
+                    return 1.0 if g <= lo <= le else 0.0
+                return max(0.0, (min(le, hi) - max(g, lo)) / span)
+            if _wide(h):
                 return 1.0 / max(int(h["n_distinct"]), 1)
+            ft = types.get(fld)
+            if ft is not None and is_numeric_field(ft) and not isinstance(
+                val, bool
+            ):
+                # numeric histogram keys are Spark string casts — match by
+                # VALUE, not format (<= HIST_MAX keys, driver-side)
+                target = float(val)
+                cnt = 0
+                for k, c in h.items():
+                    try:
+                        if float(k) == target:
+                            cnt += int(c)
+                    except (TypeError, ValueError):
+                        continue
+                return cnt / n
             key = str(val).lower() if isinstance(val, bool) else str(val)
             return int(h.get(key, 0)) / n
 
@@ -944,26 +1119,26 @@ class GrapeVectorDB:
             h = hist.get(fld)
             if h is None:
                 return None
-            if "n_distinct" in h and len(h) == 1:
+            if _wide(h):
                 return 1.0
             return min(1.0, sum(int(v) for v in h.values()) / n)
 
         sel = 1.0
-        for fld, val, _k in tree["must"]:
-            f = frac(fld, val)
+        for fld, val, k in tree["must"]:
+            f = frac(fld, val, k)
             if f is None:
                 return None
             sel *= max(f, floor)
         if tree["should"]:
             s = 0.0
-            for fld, val, _k in tree["should"]:
-                f = frac(fld, val)
+            for fld, val, k in tree["should"]:
+                f = frac(fld, val, k)
                 if f is None:
                     return None
                 s += f
             sel *= min(1.0, max(s, floor))
-        for fld, val, _k in tree["must_not"]:
-            p, f = present(fld), frac(fld, val)
+        for fld, val, k in tree["must_not"]:
+            p, f = present(fld), frac(fld, val, k)
             if p is None or f is None:
                 return None
             sel *= min(1.0, max(p - f, floor))
@@ -1008,6 +1183,13 @@ class GrapeVectorDB:
         kept = self._read("index_payload").join(
             F.broadcast(ids), "vec_id", "left_anti"
         )
+        if "value_num" not in kept.columns:
+            # legacy rows join a value_num-carrying fresh batch: derive
+            # theirs from the stored string (publish re-checks the whole
+            # table, but the union needs matching columns NOW)
+            kept = kept.withColumn(
+                "value_num", F.expr("try_cast(value as double)")
+            )
         self._publish_payload_index(kept.unionByName(fresh), cols)
 
     def _swap_index_rows(
@@ -1593,24 +1775,67 @@ class GrapeVectorDB:
             parts.append(f"{t}:{v}")
         return ";".join(parts)
 
-    def search_cached(self, **kwargs) -> DataFrame:
-        """`search` behind the §2.11 query cache (reference moka LRU keyed
-        on the stringified query, ref:src/query_engine.rs:42-67,126-144).
-        The key = the full request + `_version_fingerprint()`, so a repeat
-        of the same request against UNCHANGED tables returns the persisted
-        result (zero re-planning, blocks already in the block manager) and
-        any ingest/delete/index build silently misses to a fresh compute —
-        invalidation by construction instead of the reference's TTL."""
+    @staticmethod
+    def _cache_key_val(v):
+        """Faithful, collision-free JSON form of one request kwarg.
+        Numpy arrays/scalars normalize via tolist() — json.dumps'
+        default=str would serialize an ndarray through numpy's TRUNCATED
+        repr ('[0.1 ... 0.9]'), colliding every vector that shares head
+        and tail elements onto one cache key (ADVICE r8). Types the key
+        cannot represent faithfully raise instead of stringifying."""
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if hasattr(v, "tolist"):  # numpy array / numpy scalar
+            return GrapeVectorDB._cache_key_val(v.tolist())
+        if isinstance(v, dict):
+            return {
+                str(k): GrapeVectorDB._cache_key_val(x)
+                for k, x in v.items()
+            }
+        if isinstance(v, (list, tuple)):
+            return [GrapeVectorDB._cache_key_val(x) for x in v]
+        raise TypeError(
+            f"cache key cannot faithfully represent {type(v).__name__}; "
+            "pass lists/tuples/dicts/scalars (or numpy arrays)"
+        )
+
+    def _cached_op(self, op: str, compute, kwargs: dict) -> DataFrame:
+        """Shared §2.11 query-cache route: key = op + normalized request
+        + `_version_fingerprint()` (all 10 table lineages), so a repeat
+        of the same request against UNCHANGED tables returns the
+        persisted result and any ingest/delete/index build silently
+        misses to a fresh compute — invalidation by construction instead
+        of the reference's TTL."""
         import json as _json
 
         key = _json.dumps(
-            {"req": {k: list(v) if isinstance(v, (list, tuple)) else v
-                     for k, v in kwargs.items()},
+            {"op": op,
+             "req": {k: self._cache_key_val(v) for k, v in kwargs.items()},
              "v": self._version_fingerprint()},
-            sort_keys=True, default=str,
+            sort_keys=True,
         )
-        return self._query_cache.get_or_compute(
-            key, lambda: self.search(**kwargs)
+        return self._query_cache.get_or_compute(key, compute)
+
+    def search_cached(self, **kwargs) -> DataFrame:
+        """`search` behind the §2.11 query cache (reference moka LRU keyed
+        on the stringified query, ref:src/query_engine.rs:42-67,126-144)."""
+        return self._cached_op(
+            "search", lambda: self.search(**kwargs), kwargs
+        )
+
+    def hybrid_search_cached(self, **kwargs) -> DataFrame:
+        """`hybrid_search` behind the same version-keyed query cache —
+        a repeated hybrid request must not re-run the three-leg fan-out
+        (the most expensive serving shape) when no table changed."""
+        return self._cached_op(
+            "hybrid_search", lambda: self.hybrid_search(**kwargs), kwargs
+        )
+
+    def discover_cached(self, **kwargs) -> DataFrame:
+        """`discover` behind the version-keyed query cache (same
+        contract as :meth:`search_cached`)."""
+        return self._cached_op(
+            "discover", lambda: self.discover(**kwargs), kwargs
         )
 
     @property
@@ -1648,7 +1873,16 @@ class GrapeVectorDB:
 
         indexes: list[dict] = []
         if self._has("index_ivf"):
-            indexes.append({"kind": "ivf"})
+            # replay the index's ACTUAL parameters (sidecar-recorded), not
+            # the auto-sized defaults — a store backed up with custom
+            # nlist/replicas must restore with the same recall/cost
+            # characteristics (ADVICE r8; binary/sq preserve n_buckets and
+            # graph preserves k the same way)
+            entry: dict = {"kind": "ivf", "replicas": self._ivf_replicas()}
+            cst = self._table_stats("index_ivf/centroids") or {}
+            if cst.get("rows") is not None:
+                entry["nlist"] = int(cst["rows"])
+            indexes.append(entry)
         if self._has("index_packed"):
             indexes.append(_vector_index_entry("binary", "index_packed"))
         if self._has("index_sq"):

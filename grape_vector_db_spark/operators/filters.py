@@ -161,17 +161,21 @@ def payload_probe_tree(
 ) -> dict[str, list[tuple[str, Any, str]]] | None:
     """One-level filter tree normalized to posting-probe groups —
     ``{"must": [(field, value, kind)...], "should": [...],
-    "must_not": [...]}`` — when EVERY leaf is an ``equals`` or
-    ``array_contains`` condition (no nested sub-trees), else None.
-    Reference semantics (src/embedded.rs:539-582): must = AND, should =
-    OR, must_not = AND of negations, groups AND together. The posting
-    algebra: must intersects id lists, should unions them, and a
-    must_not leaf is itself an id list (field present AND value <> v)
-    that intersects — which reproduces the predicate path's null
-    handling exactly for SCALAR fields (NOT(col = v) is null-rejecting).
-    must_not over ARRAY fields is NOT servable (an empty array passes
-    NOT contains but posts nothing) — the caller must reject those
-    against the index sidecar, same as whole-array equality."""
+    "must_not": [...]}`` — when EVERY leaf is an ``equals``,
+    ``array_contains``, or ``range`` condition (no nested sub-trees),
+    else None. A range leaf carries ``value = {"gte":..., "lte":...}``
+    (at least one bound set). Reference semantics
+    (src/embedded.rs:539-582): must = AND, should = OR, must_not = AND
+    of negations, groups AND together. The posting algebra: must
+    intersects id lists, should unions them, and a must_not leaf is
+    itself an id list (field present AND NOT(pred)) that intersects —
+    which reproduces the predicate path's null handling exactly for
+    SCALAR fields (NOT(col = v) is null-rejecting). must_not over ARRAY
+    fields is NOT servable (an empty array passes NOT contains but posts
+    nothing) — the caller must reject those against the index sidecar,
+    same as whole-array equality. Range servability (numeric source
+    type, value_num-backed index) is likewise the caller's sidecar
+    check — this normalizer is purely structural."""
     if not isinstance(flt, dict):
         return None
     groups: dict[str, list[tuple[str, Any, str]]] = {}
@@ -183,10 +187,19 @@ def payload_probe_tree(
             if any(k in node for k in ("must", "should", "must_not")):
                 return None
             kind = node.get("type")
-            if kind not in ("equals", "array_contains"):
+            if kind not in ("equals", "array_contains", "range"):
                 return None
-            field, value = node.get("field"), node.get("value")
-            if field is None or value is None:
+            field = node.get("field")
+            if field is None:
+                return None
+            if kind == "range":
+                gte, lte = node.get("gte"), node.get("lte")
+                if gte is None and lte is None:
+                    return None
+                out.append((str(field), {"gte": gte, "lte": lte}, kind))
+                continue
+            value = node.get("value")
+            if value is None:
                 return None
             out.append((str(field), value, kind))
         groups[g] = out

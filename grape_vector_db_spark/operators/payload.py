@@ -4,12 +4,23 @@
 
 The reference evaluates payload conditions by scanning the store row by
 row (ref:src/filtering.rs:439-488); a per-field keyword index — the
-narrow ``(field, value, vec_id)`` posting table — is the structure that
-turns the equality case into an index probe. Field-partitioned and
-value-sorted, an equality filter reads ONE field's directory with the
-value pushed to parquet row-group stats; AND-of-equality trees intersect
-posting lists; a bounded per-field value histogram funds the planner's
-selectivity estimate exactly, with zero query-time jobs.
+narrow ``(field, value, value_num, vec_id)`` posting table — is the
+structure that turns the equality case into an index probe. Field-
+partitioned and value-sorted, an equality filter reads ONE field's
+directory with the value pushed to parquet row-group stats; AND-of-
+equality trees intersect posting lists; a bounded per-field value
+histogram funds the planner's selectivity estimate exactly, with zero
+query-time jobs.
+
+Numeric fields additionally carry ``value_num`` (the source value as
+DOUBLE, computed from the TYPED column at build time, so ANSI casts
+never fire on malformed strings): a ``Range{gte,lte}`` leaf
+(ref:src/types.rs:176-204) becomes a pruned posting range-read with
+row-group min/max skipping on the numerically-ordered column — string
+order cannot serve ranges ("9" > "10"). The sidecar records per-field
+source types (routing validates query-literal types against them) and
+numeric min/max (range selectivity interpolation for fields whose
+histogram is distinct-count-only).
 """
 
 from __future__ import annotations
@@ -21,6 +32,34 @@ from pyspark.sql import functions as F
 # count in the sidecar (an equality on them estimates as 1/n_distinct);
 # keyword-ish fields below the bound store exact per-value counts.
 HIST_MAX = 64
+
+# Spark simple type names whose values order numerically — the types
+# value_num is populated for and Range leaves are servable on.
+NUMERIC_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
+)
+INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+
+def field_types(docs: DataFrame, cols: list[str]) -> dict[str, str]:
+    """Per-field Spark simpleString type (``bigint``, ``string``,
+    ``array<string>``, ...) — recorded in the sidecar so query-time
+    routing can cast literals to the SOURCE type (an int literal against
+    a double column must probe "1.0", not "1") and validate range
+    servability. Driver-side schema inspection only."""
+    return {c: docs.schema[c].dataType.simpleString() for c in cols}
+
+
+def _element_type(dtype: str) -> str:
+    """The scalar type a posting VALUE carries: arrays post per element."""
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return dtype[6:-1]
+    return dtype
+
+
+def is_numeric_field(dtype: str) -> bool:
+    base = _element_type(dtype).split("(")[0]
+    return base in NUMERIC_TYPES or base == "decimal"
 
 
 def array_fields(docs: DataFrame, cols: list[str]) -> list[str]:
@@ -37,11 +76,14 @@ def array_fields(docs: DataFrame, cols: list[str]) -> list[str]:
 def payload_postings(
     docs: DataFrame, cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
-    """(field, value, vec_id) posting rows for a documents slice. Values
-    are Spark-cast to string (query literals go through the SAME cast, so
-    both sides format identically by construction); nulls drop — an
-    equality can never match them, and the general predicate path owns
-    null semantics.
+    """(field, value, value_num, vec_id) posting rows for a documents
+    slice. ``value`` is the Spark string cast (query literals go through
+    the SAME cast, so both sides format identically by construction);
+    ``value_num`` is the DOUBLE cast of the TYPED source for numeric
+    fields (null otherwise) — computed before any stringification, so
+    ANSI string->number casts never fire and numeric order is exact.
+    Nulls drop — an equality can never match them, and the general
+    predicate path owns null semantics.
 
     Array-typed columns post one row per DISTINCT element (explode +
     dedupe): an ``array_contains`` filter then probes postings exactly
@@ -49,8 +91,10 @@ def payload_postings(
     intersection rows nor double-count in the histogram (which thereby
     counts DOCS containing the value — the fraction selectivity needs)."""
     arr = set(array_fields(docs, cols))
+    types = field_types(docs, cols)
     parts = []
     for c in cols:
+        numeric = is_numeric_field(types[c])
         if c in arr:
             p = (
                 docs.select(
@@ -61,6 +105,11 @@ def payload_postings(
                 .select(
                     "field",
                     F.col("el").cast("string").alias("value"),
+                    (
+                        F.col("el").cast("double")
+                        if numeric
+                        else F.lit(None).cast("double")
+                    ).alias("value_num"),
                     "vec_id",
                 )
                 .where(F.col("value").isNotNull())
@@ -70,6 +119,11 @@ def payload_postings(
             p = docs.select(
                 F.lit(c).alias("field"),
                 F.col(c).cast("string").alias("value"),
+                (
+                    F.col(c).cast("double")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("value_num"),
                 F.col(id_col).alias("vec_id"),
             ).where(F.col("value").isNotNull())
         parts.append(p)
@@ -81,7 +135,14 @@ def payload_postings(
 
 def payload_layout(postings: DataFrame) -> DataFrame:
     """The serving shape: one directory per field, value-sorted within so
-    parquet min/max stats skip row groups on the value predicate."""
+    parquet min/max stats skip row groups on the value predicate —
+    numeric fields order by value_num (string order cannot serve range
+    predicates), string fields by value (value_num is null there, so the
+    sort key chain degrades to the string exactly)."""
+    if "value_num" in postings.columns:
+        return postings.repartition("field").sortWithinPartitions(
+            "field", "value_num", "value"
+        )
     return postings.repartition("field").sortWithinPartitions("field", "value")
 
 
@@ -91,18 +152,27 @@ def payload_sidecar_stats(
     doc_rows: int,
     hist_max: int = HIST_MAX,
     arr_fields: list[str] | None = None,
+    f_types: dict[str, str] | None = None,
 ) -> dict:
     """The _STATS sidecar payload: indexed columns, the BOUNDED per-field
-    value histogram, and the corpus row count the fractions divide by.
-    Costs two small aggregate jobs over the narrow posting table at
-    build/refresh time — never at query time (the planner reads the
-    sidecar driver-side)."""
-    per_field = {
-        r["field"]: int(r["nd"])
-        for r in postings.groupBy("field")
-        .agg(F.countDistinct("value").alias("nd"))
-        .collect()
-    }
+    value histogram, per-field source types, numeric min/max, and the
+    corpus row count the fractions divide by. Costs two small aggregate
+    jobs over the narrow posting table at build/refresh time — never at
+    query time (the planner reads the sidecar driver-side)."""
+    has_num = "value_num" in postings.columns
+    aggs = [F.countDistinct("value").alias("nd")]
+    if has_num:
+        aggs += [
+            F.min("value_num").alias("vmin"),
+            F.max("value_num").alias("vmax"),
+        ]
+    per_field_rows = postings.groupBy("field").agg(*aggs).collect()
+    per_field = {r["field"]: int(r["nd"]) for r in per_field_rows}
+    minmax = {}
+    if has_num:
+        for r in per_field_rows:
+            if r["vmin"] is not None and r["vmax"] is not None:
+                minmax[r["field"]] = [float(r["vmin"]), float(r["vmax"])]
     small = [f for f, nd in per_field.items() if nd <= hist_max]
     hist: dict[str, dict] = {
         f: {"n_distinct": nd} for f, nd in per_field.items() if nd > hist_max
@@ -128,4 +198,11 @@ def payload_sidecar_stats(
         # array_contains probe only makes sense against them — route
         # validation reads this driver-side
         "array_fields": sorted(arr_fields or []),
+        # per-field SOURCE types: query literals cast through these, and
+        # Range leaves only route on numeric ones (value_num-backed)
+        "field_types": dict(f_types or {}),
+        # numeric fields' observed [min, max]: uniform-interpolation
+        # range selectivity for fields whose histogram is
+        # distinct-count-only
+        "numeric_minmax": minmax,
     }

@@ -278,25 +278,45 @@ def stream_partition_layout_to_parquet(
     build over the final corpus (assignment is a deterministic join;
     pinned in pytest). At 100 TB each publish rewrites only the layout
     table, never the corpus; batches are O(batch) joins against the
-    docs table's id index."""
+    docs table's id index.
+
+    Out-of-order arrivals (an embedding whose document row has NOT
+    merged yet) are never dropped (ADVICE r8): the resolve join is a
+    LEFT join, so unresolved rows park under the column's NULL partition
+    (Hive default-partition directory — equality-pruned reads skip it
+    exactly as the predicate path would skip an unknown label), every
+    later batch RETRIES them against the then-current documents table,
+    and the publish records ``unresolved_rows`` observed on the write
+    job itself so the gap is visible in stats, not silent."""
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         docs = read_table(spark, docs_path)
-        fresh = batch.select(id_col, vec_col).join(
-            docs.select(F.col(doc_id_col).alias(id_col), F.col(column)),
-            id_col,
-        )
+        to_resolve = batch.select(id_col, vec_col)
+        kept = None
         if table_exists(spark, layout_path):
             ids = batch.select(id_col).distinct()
-            kept = read_table(spark, layout_path).join(
+            layout = read_table(spark, layout_path)
+            # previously-unresolved rows re-enter the resolve attempt
+            # (unless this batch supersedes the id with a fresh vector)
+            pending = (
+                layout.where(F.col(column).isNull())
+                .select(id_col, vec_col)
+                .join(F.broadcast(ids), id_col, "left_anti")
+            )
+            to_resolve = to_resolve.unionByName(pending)
+            kept = layout.where(F.col(column).isNotNull()).join(
                 F.broadcast(ids), id_col, "left_anti"
             )
-            updated = kept.unionByName(fresh)
-        else:  # first batch — no layout yet
-            updated = fresh
+        fresh = to_resolve.join(
+            docs.select(F.col(doc_id_col).alias(id_col), F.col(column)),
+            id_col,
+            "left",
+        ).select(id_col, vec_col, column)
+        updated = fresh if kept is None else kept.unionByName(fresh)
         publish_table(
             spark, layout_path, updated, partition_by=[column],
+            stats_exprs={"unresolved_rows": f"count_if({column} is null)"},
             extra_stats={"partition_column": column},
         )
 
@@ -337,22 +357,41 @@ def stream_payload_index_to_parquet(
     ``doc_rows`` in the sidecar counts the POSTING-BEARING ids grown so
     far (distinct ids in the index) — the streaming context has no
     documents table to count; for single-valued indexed fields this
-    equals the corpus rows the facade records."""
+    equals the corpus rows the facade records.
+
+    The sidecar's ``array_fields`` / ``field_types`` derive from the
+    BATCH schema (identical to the stream schema, so identical every
+    batch) unioned with the prior sidecar's record — without them a
+    streamed index over array columns recorded array_fields=[], so the
+    facade mis-routed 'equals' on those columns to per-element postings
+    and rejected legitimate array_contains probes (ADVICE r8)."""
     from ..operators.payload import (
+        array_fields,
+        field_types,
         payload_layout,
         payload_postings,
         payload_sidecar_stats,
     )
+    from ..sources.tables import read_table_stats
 
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         fresh = payload_postings(batch, list(columns), id_col=id_col)
+        arr = set(array_fields(batch, list(columns)))
+        f_types = field_types(batch, list(columns))
         if table_exists(spark, index_path):
+            prior = read_table_stats(spark, index_path) or {}
+            arr |= set(prior.get("array_fields") or [])
+            f_types = {**(prior.get("field_types") or {}), **f_types}
             ids = batch.select(F.col(id_col).alias("vec_id")).distinct()
             kept = read_table(spark, index_path).join(
                 F.broadcast(ids), "vec_id", "left_anti"
             )
+            if "value_num" not in kept.columns:  # legacy pre-value_num rows
+                kept = kept.withColumn(
+                    "value_num", F.expr("try_cast(value as double)")
+                )
             updated = kept.unionByName(fresh)
         else:  # first batch — no index yet
             updated = fresh
@@ -360,7 +399,10 @@ def stream_payload_index_to_parquet(
         n_ids = updated.select("vec_id").distinct().count()
         publish_table(
             spark, index_path, updated, partition_by=["field"],
-            extra_stats=payload_sidecar_stats(updated, list(columns), n_ids),
+            extra_stats=payload_sidecar_stats(
+                updated, list(columns), n_ids,
+                arr_fields=sorted(arr), f_types=f_types,
+            ),
         )
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")

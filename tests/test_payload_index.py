@@ -131,17 +131,23 @@ class TestPayloadRoute:
         plan = _plan(db.search(vector=qv, limit=10, filter=FLT_EN_SRC))
         assert "documents" in plan  # source is not posting-indexed
 
-    def test_non_equality_tree_keeps_general_route(self, db, emb):
+    def test_non_servable_tree_keeps_general_route(self, db, emb):
+        """Leaves the posting index cannot serve — a match (substring)
+        leaf, or a range over a STRING field (string order can't serve
+        numeric ranges and vice versa) — keep the docs-predicate route."""
         db.build_index("payload", columns=["lang", "n_chars"])
         qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
-        flt = {
-            "must": [
-                {"type": "equals", "field": "lang", "value": "en"},
-                {"type": "range", "field": "n_chars", "gte": 100},
-            ]
-        }
-        plan = _plan(db.search(vector=qv, limit=10, filter=flt))
-        assert "documents" in plan
+        for flt in (
+            {
+                "must": [
+                    {"type": "equals", "field": "lang", "value": "en"},
+                    {"type": "match", "field": "lang", "text": "e"},
+                ]
+            },
+            {"must": [{"type": "range", "field": "lang", "gte": "a"}]},
+        ):
+            plan = _plan(db.search(vector=qv, limit=10, filter=flt))
+            assert "documents" in plan, flt
 
     def test_value_matching_nothing_returns_empty(self, db, emb):
         db.build_index("payload", columns=["lang"])
@@ -389,6 +395,47 @@ def test_stream_payload_value_move_swaps_posting(spark, docs, tmp_path):
     assert len(rows) == 1 and rows[0]["value"] == "zz"
 
 
+def test_stream_payload_sidecar_records_types_and_array_fields(
+    spark, docs, tmp_path
+):
+    """ADVICE r8: a STREAMED index over array columns must record
+    array_fields/field_types like the bulk build — without them the
+    facade mis-routes 'equals' on array columns to per-element postings
+    and rejects legitimate array_contains probes."""
+    from grape_vector_db_spark.sources.tables import read_table_stats
+    from grape_vector_db_spark.streaming.ingest import (
+        stream_payload_index_to_parquet,
+    )
+
+    tmpdir = str(tmp_path)
+    src = f"{tmpdir}/incoming"
+    idx = f"{tmpdir}/payload"
+    tagged = docs.where(F.col("doc_id") < 40).withColumn(
+        "tags", F.array(F.col("lang"), F.col("source"))
+    )
+    for lo, hi in ((0, 20), (20, 40)):
+        tagged.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).write.mode("append").parquet(src)
+        q = stream_payload_index_to_parquet(
+            spark.readStream.schema(tagged.schema).parquet(src),
+            idx, columns=["tags", "lang", "n_chars"],
+            checkpoint=f"{tmpdir}/ck",
+        )
+        q.awaitTermination(120)
+    st = read_table_stats(spark, idx)
+    assert st["array_fields"] == ["tags"]
+    assert st["field_types"]["tags"] == "array<string>"
+    assert st["field_types"]["lang"] == "string"
+    assert st["field_types"]["n_chars"] == "bigint"
+    # numeric min/max recorded for the numeric field (range servability)
+    lo_, hi_ = st["numeric_minmax"]["n_chars"]
+    want = tagged.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).head()
+    assert lo_ == float(want["lo"]) and hi_ == float(want["hi"])
+
+
 def test_registry_payload_query_plan(spark):
     """payload_posting_knn must read posting directories (partition
     pruning on field), never the documents parquet, and keep the
@@ -613,6 +660,285 @@ class TestPayloadTreeAlgebra:
         assert jobs == [], f"tree route ran pre-search jobs: {jobs}"
         assert "posting algebra" in pc.reason
         assert df.collect()
+
+
+class TestRangePostings:
+    """Range{gte,lte} leaves served from the posting index: value_num
+    (the typed DOUBLE column) carries numeric order — string postings
+    cannot ("9" > "10") — so a range becomes a pruned posting
+    range-read, result-identical to the docs-predicate path
+    (ref:src/types.rs:176-204 declares Range as a first-class filter)."""
+
+    def _routes_equal(self, db, emb, flt, build_cols):
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        db.build_index("payload", columns=build_cols)
+        after = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        plan = _plan(db.search(vector=qv, limit=10, filter=flt))
+        return before, after, plan
+
+    @pytest.mark.parametrize(
+        "bounds",
+        [{"gte": 200, "lte": 400}, {"gte": 300}, {"lte": 250}],
+        ids=["both", "gte-only", "lte-only"],
+    )
+    def test_range_matches_general_route(self, db, emb, bounds):
+        flt = {"must": [{"type": "range", "field": "n_chars", **bounds}]}
+        before, after, plan = self._routes_equal(db, emb, flt, ["n_chars"])
+        assert after == before and after
+        assert "documents" not in plan
+        assert "value_num" in plan  # the numeric posting column serves it
+
+    def test_range_plus_equality_intersects(self, db, emb):
+        flt = {
+            "must": [
+                {"type": "equals", "field": "lang", "value": "en"},
+                {"type": "range", "field": "n_chars", "gte": 100, "lte": 500},
+            ]
+        }
+        before, after, plan = self._routes_equal(
+            db, emb, flt, ["lang", "n_chars"]
+        )
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_must_not_range_is_null_rejecting(self, db, emb):
+        flt = {
+            "must_not": [
+                {"type": "range", "field": "n_chars", "gte": 0, "lte": 300}
+            ]
+        }
+        before, after, plan = self._routes_equal(db, emb, flt, ["n_chars"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_range_selectivity_exact_on_histogram_field(
+        self, spark, docs, emb
+    ):
+        """A numeric field under the histogram bound: range selectivity
+        sums the matching per-value counts EXACTLY."""
+        d = tempfile.mkdtemp(prefix="gvdb_rangesel_")
+        try:
+            tagged = docs.withColumn(
+                "bucket", (F.col("n_chars") % 10).cast("int")
+            )
+            adb = GrapeVectorDB(spark, d)
+            adb.add_documents(tagged, emb)
+            adb.build_index("payload", columns=["bucket"])
+            n = docs.count()
+            got = adb._payload_filter_selectivity(
+                {"must": [
+                    {"type": "range", "field": "bucket", "gte": 3, "lte": 6}]}
+            )
+            want = tagged.where("bucket between 3 and 6").count() / n
+            assert got is not None and abs(got - want) < 1e-9
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_range_selectivity_interpolates_on_wide_field(self, db, docs):
+        """n_chars blows the histogram bound: selectivity interpolates
+        uniformly over the sidecar's [min, max] — bounded, monotone, and
+        1.0 for the full span."""
+        db.build_index("payload", columns=["n_chars"])
+        st = db._table_stats("index_payload")
+        lo, hi = st["numeric_minmax"]["n_chars"]
+        full = db._payload_filter_selectivity(
+            {"must": [
+                {"type": "range", "field": "n_chars", "gte": lo, "lte": hi}]}
+        )
+        assert abs(full - 1.0) < 1e-9
+        half = db._payload_filter_selectivity(
+            {"must": [{"type": "range", "field": "n_chars",
+                       "gte": lo, "lte": (lo + hi) / 2}]}
+        )
+        assert 0 < half < full
+
+    def test_range_zero_pre_search_jobs(self, db, emb):
+        db.build_index("payload", columns=["lang", "n_chars"])
+        flt = {
+            "must": [
+                {"type": "equals", "field": "lang", "value": "en"},
+                {"type": "range", "field": "n_chars", "gte": 100},
+            ]
+        }
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        assert db.search(vector=qv, limit=5, filter=flt).collect()  # warm
+        sc = db.spark.sparkContext
+        sc.setJobGroup("range-pin", "range-pin")
+        try:
+            df = db.search(vector=qv, limit=5, filter=flt)
+            pc = db.search_plan(filter=flt)
+        finally:
+            sc.setJobGroup("range-pin-done", "done")
+        jobs = list(sc.statusTracker().getJobIdsForGroup("range-pin"))
+        assert jobs == [], f"range route ran pre-search jobs: {jobs}"
+        assert "posting" in pc.reason
+        assert df.collect()
+
+    def test_legacy_sidecar_rejects_range(self, db, emb, monkeypatch):
+        """A pre-value_num sidecar (no field_types) must NOT route range
+        leaves — the posting table may lack the numeric column."""
+        db.build_index("payload", columns=["n_chars"])
+        orig = db._table_stats
+
+        def patched(t):
+            st = orig(t)
+            if t == "index_payload" and st:
+                st = {k: v for k, v in st.items() if k != "field_types"}
+            return st
+
+        monkeypatch.setattr(db, "_table_stats", patched)
+        flt = {"must": [{"type": "range", "field": "n_chars", "gte": 100}]}
+        assert db._payload_tree_plan(flt) is None
+
+
+class TestTypedLiterals:
+    """Query-literal / column-type fidelity (ADVICE r8): postings store
+    Spark string casts of the SOURCE type ("1.0" for a double column),
+    so literals must cast THROUGH that type — a str(val) compare would
+    silently return empty where the predicate path matches."""
+
+    @pytest.fixture()
+    def ddb(self, spark, docs, emb):
+        d = tempfile.mkdtemp(prefix="gvdb_typed_")
+        inst = GrapeVectorDB(spark, d)
+        # price: DOUBLE with 5 distinct values 0.0/0.5/1.0/1.5/2.0 —
+        # small enough for an exact histogram
+        priced = docs.withColumn(
+            "price", (F.col("n_chars") % 5) * F.lit(0.5)
+        )
+        inst.add_documents(priced, emb)
+        yield inst
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_int_literal_probes_double_column(self, ddb, emb):
+        """equals value 1 against a double column whose postings store
+        "1.0": the posting route must match exactly what the predicate
+        path matches (implicit numeric cast)."""
+        flt = {"must": [{"type": "equals", "field": "price", "value": 1}]}
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in ddb.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        ddb.build_index("payload", columns=["price"])
+        after = [
+            (r["vec_id"], r["score"])
+            for r in ddb.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        assert after == before and after
+        plan = _plan(ddb.search(vector=qv, limit=10, filter=flt))
+        assert "documents" not in plan
+
+    def test_histogram_lookup_matches_numerically(self, ddb, docs):
+        """Selectivity for value 1 (int) on the double column must find
+        the "1.0" histogram key — numeric matching, not str(val)."""
+        ddb.build_index("payload", columns=["price"])
+        got = ddb._payload_selectivity([("price", 1)])
+        n = docs.count()
+        want = ddb.documents().where("price = 1.0").count() / n
+        assert got is not None and abs(got - want) < 1e-9
+
+    def test_fractional_literal_on_int_column_unservable(self, db, emb):
+        """1.5 against a BIGINT column: the predicate path's
+        double-widened compare matches nothing; a truncating posting
+        probe would WRONGLY match "1" — must fall back."""
+        db.build_index("payload", columns=["n_chars"])
+        flt = {"must": [
+            {"type": "equals", "field": "n_chars", "value": 128.5}]}
+        assert db._payload_tree_plan(flt) is None
+
+    def test_integral_float_literal_on_int_column_routes(self, db, emb):
+        """128.0 against BIGINT behaves as 128 on both routes."""
+        db.build_index("payload", columns=["n_chars"])
+        flt_f = {"must": [
+            {"type": "equals", "field": "n_chars", "value": 128.0}]}
+        flt_i = {"must": [
+            {"type": "equals", "field": "n_chars", "value": 128}]}
+        assert db._payload_tree_plan(flt_f) is not None
+        a = {r["vec_id"] for r in db._payload_tree_ids(
+            db._payload_tree_plan(flt_f)).collect()}
+        b = {r["vec_id"] for r in db._payload_tree_ids(
+            db._payload_tree_plan(flt_i)).collect()}
+        want = {r["doc_id"] for r in db.documents()
+                .where("n_chars = 128").collect()}
+        assert a == b == want
+
+    def test_numeric_literal_on_string_column_unservable(self, db):
+        db.build_index("payload", columns=["lang"])
+        flt = {"must": [{"type": "equals", "field": "lang", "value": 7}]}
+        assert db._payload_tree_plan(flt) is None
+
+    def test_sidecar_records_types_and_minmax(self, ddb):
+        ddb.build_index("payload", columns=["price", "lang"])
+        st = ddb._table_stats("index_payload")
+        assert st["field_types"]["price"] == "double"
+        assert st["field_types"]["lang"] == "string"
+        lo, hi = st["numeric_minmax"]["price"]
+        assert lo == 0.0 and hi == 2.0
+        assert "lang" not in st["numeric_minmax"]
+
+
+class TestCacheKeyAndCachedOps:
+    """ADVICE r8: numpy vectors must not collide on truncated reprs;
+    VERDICT r8 #7: the version-keyed cache also fronts hybrid_search
+    and discover."""
+
+    def test_numpy_vectors_get_distinct_keys(self):
+        np = pytest.importorskip("numpy")
+        a = np.linspace(0.0, 1.0, 2000)
+        b = a.copy()
+        b[1000] += 0.125  # same head/tail, different middle
+        ka = GrapeVectorDB._cache_key_val(a)
+        kb = GrapeVectorDB._cache_key_val(b)
+        assert ka != kb and ka[:3] == kb[:3]
+
+    def test_unrepresentable_kwarg_raises(self):
+        with pytest.raises(TypeError):
+            GrapeVectorDB._cache_key_val(object())
+
+    def test_hybrid_and_discover_cache_hit_and_invalidate(
+        self, db, emb, spark
+    ):
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 3).head()["embedding"]]
+        h0 = db.cache_stats["hits"]
+        r1 = db.hybrid_search_cached(
+            query_text="vector database", query_vector=qv, limit=5
+        ).collect()
+        r2 = db.hybrid_search_cached(
+            query_text="vector database", query_vector=qv, limit=5
+        ).collect()
+        assert r2 == r1
+        assert db.cache_stats["hits"] == h0 + 1
+        d1 = db.discover_cached(
+            target_id=1, context_pairs=[(2, 3)], limit=5
+        ).collect()
+        d2 = db.discover_cached(
+            target_id=1, context_pairs=[(2, 3)], limit=5
+        ).collect()
+        assert d2 == d1
+        assert db.cache_stats["hits"] == h0 + 2
+        # any table mutation bumps the fingerprint -> miss, not staleness
+        doc = db.documents().limit(1).collect()[0]
+        upd = spark.createDataFrame(
+            [(int(doc["doc_id"]), doc["text"], "xx",
+              doc["source"], int(doc["n_chars"]))],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        db.add_documents(upd)
+        m0 = db.cache_stats["misses"]
+        db.hybrid_search_cached(
+            query_text="vector database", query_vector=qv, limit=5
+        ).collect()
+        assert db.cache_stats["misses"] == m0 + 1
 
 
 class TestFacetAndCount:
