@@ -58,6 +58,15 @@ class SearchResponse:
 
 
 class GrapeVectorDB:
+    # Delete maintenance on the kNN graph flips from per-src repair
+    # (one exact scan per affected src, cost ~ |affected| x n) to a full
+    # blocked-GEMM rebuild (n x n with better tiling constants) once the
+    # affected-src set exceeds this fraction of the remaining corpus —
+    # the measured crossover sits below 1.0 because the rebuild kernel
+    # tiles both sides (SCALE.md §graph-delete); the decision is
+    # surfaced in the index sidecar and stats().
+    GRAPH_REBUILD_FRACTION = 0.5
+
     def __init__(
         self,
         spark: SparkSession,
@@ -629,6 +638,37 @@ class GrapeVectorDB:
                     doomed.select(F.col("vec_id").alias("src")), "src", "left_anti"
                 )
             )
+            # Repair cost ~ |affected| x n (one exact scan per affected
+            # src) degrades toward the full rebuild's n x n as
+            # |affected| -> n, while the rebuild's blocked-GEMM kernel
+            # has better constants than the id-pruned repair scan (it
+            # tiles BOTH sides). Past the documented fraction, rebuilding
+            # is strictly cheaper AND resets edge-table fragmentation —
+            # the ivf_drift flip applied to the graph family (VERDICT
+            # r8 #5). Counting the affected id set is one delta-bounded
+            # job inside an already job-running maintenance path.
+            n_affected = affected.count()
+            n_remaining = self._row_count("embeddings")
+            rebuild = bool(
+                n_remaining
+                and n_affected > self.GRAPH_REBUILD_FRACTION * n_remaining
+            )
+            decision = {
+                "delete_maintenance": "rebuild" if rebuild else "repair",
+                "affected_srcs": int(n_affected),
+                "rebuild_fraction": self.GRAPH_REBUILD_FRACTION,
+            }
+            if rebuild:
+                grown = ann.knn_graph(
+                    self.embeddings(), k=k,
+                    id_col="vec_id", vec_col=self.vec_col,
+                )
+                self._publish(
+                    "index_graph", grown,
+                    stats_exprs={"max_rank": "max(rank)"},
+                    extra_stats=decision,
+                )
+                return
             kept = (
                 edges.join(
                     doomed.select(F.col("vec_id").alias("src")), "src", "left_anti"
@@ -650,6 +690,7 @@ class GrapeVectorDB:
                 "index_graph",
                 kept.unionByName(repaired),
                 stats_exprs={"max_rank": "max(rank)"},
+                extra_stats=decision,
             )
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
@@ -2031,4 +2072,12 @@ class GrapeVectorDB:
                 out["partition_column"] = pst["partition_column"]
         if "index_payload" in out["indexes"]:
             out["payload_columns"] = self._payload_columns()
+        if "index_graph" in out["indexes"]:
+            gst = self._table_stats("index_graph") or {}
+            if gst.get("delete_maintenance"):
+                out["graph_delete_maintenance"] = {
+                    "decision": gst["delete_maintenance"],
+                    "affected_srcs": gst.get("affected_srcs"),
+                    "rebuild_fraction": gst.get("rebuild_fraction"),
+                }
         return out

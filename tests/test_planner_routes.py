@@ -205,6 +205,25 @@ def test_ivf_autosize_rule():
         assert 0.06 <= nprobe / nlist <= 0.08
 
 
+def test_ivfpq_autosize_rescore_rule():
+    """VERDICT r8 #6: rescore depth ~ 10% of the probed candidate
+    volume (n * replicas * nprobe / nlist), floored at 4k, capped at
+    2000 — a fixed rescore=200 decayed R@10 to 0.73/0.40 at sf1 where
+    the autosized 511 measures 0.76/0.50 (RECALL.md)."""
+    # sf1 point: 20k x replicas 2, nlist 141, nprobe 18 -> 511
+    assert ann.ivfpq_autosize_rescore(20_000, 141, 18, replicas=2) == 511
+    # sf0.1 point: matches the table's known-good rescore=200 row
+    assert ann.ivfpq_autosize_rescore(2_000, 16, 8, replicas=2) == 200
+    # floor: tiny corpora rescore at least 4k
+    assert ann.ivfpq_autosize_rescore(100, 4, 1, k=10) == 40
+    # cap: the rescore broadcast stays bounded at any corpus size
+    assert ann.ivfpq_autosize_rescore(10**9, 31623, 1977, replicas=2) == 2000
+    # monotone in corpus size at fixed scan fraction
+    a = ann.ivfpq_autosize_rescore(10_000, 100, 7)
+    b = ann.ivfpq_autosize_rescore(100_000, 316, 20)
+    assert b > a
+
+
 def test_facade_auto_sized_ivf_build(gdb, emb):
     """build_index('ivf') with no nlist sizes from the corpus and the
     stored index serves searches."""
@@ -261,6 +280,39 @@ def test_delete_repairs_graph_to_exact_rebuild(gdb, emb):
     assert got.exceptAll(want).count() == 0
     # and no edge touches a deleted id
     assert got.where("src % 10 = 3 or dst % 10 = 3").count() == 0
+    # a ~10% delete stays in the repair regime, and says so
+    gst = gdb._table_stats("index_graph")
+    assert gst["delete_maintenance"] == "repair"
+    assert gdb.stats()["graph_delete_maintenance"]["decision"] == "repair"
+
+
+def test_heavy_delete_flips_graph_repair_to_rebuild(gdb, emb):
+    """VERDICT r8 #5: repair cost ~ |affected| x n degrades toward the
+    full rebuild as |affected| -> n; past GRAPH_REBUILD_FRACTION of the
+    remaining corpus the cascade rebuilds instead, the result STILL
+    equals the from-scratch graph (the exactness contract is
+    route-independent), and the decision is surfaced in the sidecar and
+    stats()."""
+    gdb.build_index("graph", k=4)
+    # deleting 60% of ids makes nearly every survivor's list touch a
+    # doomed id -> |affected| ~ n_remaining > fraction
+    gdb.delete_documents("doc_id % 5 != 0 and doc_id % 10 != 1")
+    gst = gdb._table_stats("index_graph")
+    assert gst["delete_maintenance"] == "rebuild"
+    assert gst["affected_srcs"] > gdb.GRAPH_REBUILD_FRACTION * gdb._row_count(
+        "embeddings"
+    )
+    assert (
+        gdb.stats()["graph_delete_maintenance"]["decision"] == "rebuild"
+    )
+    got = gdb._read("index_graph").select(
+        "src", "dst", "rank", F.round("cosine", 6).alias("c")
+    )
+    want = ann.knn_graph(
+        gdb.embeddings(), k=4, id_col="vec_id", vec_col="embedding"
+    ).select("src", "dst", "rank", F.round("cosine", 6).alias("c"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
 
 
 def test_facade_auto_ivf_defaults_to_replicas_2(gdb, emb, spark):

@@ -93,6 +93,10 @@ def _search_section(spark, sf_dir: str, title: str, autosize: bool) -> list[str]
         f"ivfpq k=256 replicas=2 nprobe={nprobe2} rescore=200": lambda qv: ann.ivfpq_search(
             emb, rcents, rcbs, rcodes, qv, k=K, nprobe=nprobe2, rescore=200
         ),
+        f"ivfpq AUTO-SIZED rescore (ivfpq_autosize_rescore -> {ann.ivfpq_autosize_rescore(n, nlist, nprobe2, replicas=2, k=K)})": lambda qv: ann.ivfpq_search(
+            emb, rcents, rcbs, rcodes, qv, k=K, nprobe=nprobe2,
+            rescore=ann.ivfpq_autosize_rescore(n, nlist, nprobe2, replicas=2, k=K),
+        ),
         "binary two-stage ratio=0.1": lambda qv: quantization.two_stage_search(
             emb, qv, k=K, rescore_ratio=0.1, packed_df=packed
         ),
@@ -109,6 +113,7 @@ def _search_section(spark, sf_dir: str, title: str, autosize: bool) -> list[str]
         f"ivf replicas=2 nprobe={nprobe2}": ivf2_build_s,
         "pq k=256 rescore=100": pq_build_s,
         f"ivfpq k=256 replicas=2 nprobe={nprobe2} rescore=200": ivfpq_build_s,
+        f"ivfpq AUTO-SIZED rescore (ivfpq_autosize_rescore -> {ann.ivfpq_autosize_rescore(n, nlist, nprobe2, replicas=2, k=K)})": ivfpq_build_s,
         "binary two-stage ratio=0.1": pack_build_s,
         "graph k=16 beam=32 hops=3": graph_build_s,
         "graph k=16 beam=64 hops=4": graph_build_s,
@@ -294,7 +299,7 @@ def main() -> None:
         "like HNSW's ef parameter — the lever to turn at scale. The sf1 "
         "section is the auto-sizing rule's evidence: nlist grows with "
         "sqrt(n) and nprobe holds the scan fraction, so the recall point "
-        "carries across the 10x corpus instead of decaying. The sf1 graph rows exposed the SAME decay on the walk: fixed hops=3 drops beam-32 R@10 from 0.98 (2k nodes) to 0.57 (20k) because the walk must first REACH the query's neighborhood from the entry points — a degree-16 kNN graph has diameter ~log16(n). Measured at sf1: hops=3 -> 0.57-0.73 at ANY beam (64 included), hops=4 -> 0.98, hops=5 -> 1.00 (min 1.00), all beam 32. ann.graph_autosize encodes the rule (hops = ceil(log_degree(n)) + 1, beam = ef-style max(32, 3k)); the facade's graph route sizes from the stored index's actual degree and corpus count. The 'facade ivf DEFAULT' row is the r8 recall-targeted default measured end-to-end through db.build_index('ivf') + db.search(index='ivf'): auto-sized builds replicate each vector into its 2 nearest cells (SPANN boundary replication) and the route scales nprobe by the stored replica count — R@10 0.46 -> 0.77 at sf1 for ~1.8x build wall (3.2 -> 5.9 s incl. the facade's versioned publish) and 2x posting storage; explicit-nlist builds keep replicas=1 so the IVF oracle fixtures are unchanged."
+        "carries across the 10x corpus instead of decaying. The sf1 graph rows exposed the SAME decay on the walk: fixed hops=3 drops beam-32 R@10 from 0.98 (2k nodes) to 0.57 (20k) because the walk must first REACH the query's neighborhood from the entry points — a degree-16 kNN graph has diameter ~log16(n). Measured at sf1: hops=3 -> 0.57-0.73 at ANY beam (64 included), hops=4 -> 0.98, hops=5 -> 1.00 (min 1.00), all beam 32. ann.graph_autosize encodes the rule (hops = ceil(log_degree(n)) + 1, beam = ef-style max(32, 3k)); the facade's graph route sizes from the stored index's actual degree and corpus count. The 'facade ivf DEFAULT' row is the r8 recall-targeted default measured end-to-end through db.build_index('ivf') + db.search(index='ivf'): auto-sized builds replicate each vector into its 2 nearest cells (SPANN boundary replication) and the route scales nprobe by the stored replica count — R@10 0.46 -> 0.77 at sf1 for ~1.8x build wall (3.2 -> 5.9 s incl. the facade's versioned publish) and 2x posting storage; explicit-nlist builds keep replicas=1 so the IVF oracle fixtures are unchanged. The 'ivfpq AUTO-SIZED rescore' row is the r9 fix for the compressed index being the worst-recall route at the same scan fraction (VERDICT r8 #6): ann.ivfpq_autosize_rescore sizes the exact-rescore depth to ~10% of the probed candidate volume (n x replicas x nprobe / nlist, floor 4k, cap 2000) instead of a fixed 200 — the ADC approximation's rank noise scales with the candidate set, so a fixed depth silently decays as the corpus grows; same build, the delta is pure query-side rescore cost (qps column). Explicit-rescore oracle fixtures are unchanged."
     )
     if "--sf01-only" not in sys.argv and os.path.isdir(SF1):
         lines += _filtered_graph_section(spark)

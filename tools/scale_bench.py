@@ -82,6 +82,11 @@ QUERIES = [
     "partition_pruned_knn",
     # round-8e: posting-intersection filtered knn (documents never read)
     "payload_posting_knn",
+    # round-9: range leaves served from value_num postings, and the
+    # facet/count endpoints (VERDICT r8 #2/#3/#4)
+    "payload_range_knn",
+    "payload_facet",
+    "filtered_count",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
@@ -95,6 +100,15 @@ FACADE_ROWS = [
     # the payload posting-index route (posting intersection, no docs scan)
     "facade_conj_semi_join",
     "facade_conj_payload",
+    # round-9 (VERDICT r8 #4): the payload index BUILD (explodes one
+    # posting row per field per doc + two bounded aggregate jobs for the
+    # sidecar), the facet endpoint's two cost tiers (driver-side
+    # histogram vs pruned posting aggregate), and the posting-algebra
+    # count
+    "facade_payload_build",
+    "facade_facet_histogram",
+    "facade_facet_postings",
+    "facade_count_posting",
 ]
 
 
@@ -136,14 +150,51 @@ def facade_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
             print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: "
                   f"{out[name]['median_s']}s ({n} rows)", file=sys.stderr)
 
+        def time_case(name, fn):
+            runs, n = [], 0
+            for _ in range(n_runs):
+                t0 = time.time()
+                n = fn()
+                runs.append(round(time.time() - t0, 3))
+            out[name] = {"median_s": sorted(runs)[len(runs) // 2],
+                         "rows": n, "runs": runs}
+            print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: "
+                  f"{out[name]['median_s']}s ({n} rows)", file=sys.stderr)
+
         run_case("facade_auto_search", {})
         run_case("facade_auto_search_filtered", {"filter": flt})
         run_case("facade_conj_semi_join", {"filter": flt2})
         # same query after the posting index exists: the route flips to
-        # the posting intersection (documents never scanned)
-        db.build_index("payload", columns=["lang", "source"])
+        # the posting intersection (documents never scanned). The build
+        # is itself a measured row (VERDICT r8 #4): one posting row per
+        # field per doc + the bounded sidecar aggregates.
+        time_case(
+            "facade_payload_build",
+            lambda: db.build_index(
+                "payload", columns=["lang", "source", "n_chars"]
+            ) or db._row_count("documents"),
+        )
         db.search(vector=qv, limit=10, filter=flt2).collect()  # warm
         run_case("facade_conj_payload", {"filter": flt2})
+        # facet tiers: lang has an exact sidecar histogram (driver-side
+        # LocalTableScan, zero corpus work); n_chars blows HIST_MAX so
+        # the same endpoint aggregates one pruned posting directory
+        db.facet("lang").collect()  # warm
+        time_case(
+            "facade_facet_histogram",
+            lambda: len(db.facet("lang").collect()),
+        )
+        time_case(
+            "facade_facet_postings",
+            lambda: len(db.facet("n_chars", limit=10).collect()),
+        )
+        # posting-algebra count: equality AND range, documents untouched
+        cnt_flt = {"must": [
+            {"type": "equals", "field": "lang", "value": "en"},
+            {"type": "range", "field": "n_chars", "gte": 200, "lte": 500},
+        ]}
+        db.count(filter=cnt_flt)  # warm
+        time_case("facade_count_posting", lambda: db.count(filter=cnt_flt))
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
