@@ -1239,6 +1239,24 @@ def q_payload_range_knn(spark, sf_dir):
     return search.knn(emb, _qv(spark, sf_dir), k=K_DEFAULT)
 
 
+def q_payload_in_knn(spark, sf_dir):
+    """IN (value-set membership) served from the posting index: a union
+    of disjoint equality probes over ONE field directory (one pruned
+    read, OR-of-equals pushed to the value-sorted parquet), intersected
+    with an equality probe, then exact cosine top-k. Same semantics as
+    `source IN (...) AND lang = 'en'` over documents — the oracle."""
+    post = _payload_idx(spark, sf_dir)
+    a = post.where(
+        (F.col("field") == "lang") & (F.col("value") == "en")
+    ).select("vec_id")
+    b = post.where(
+        (F.col("field") == "source")
+        & F.col("value").isin("src1", "src2", "src3")
+    ).select("vec_id")
+    emb = _emb(spark, sf_dir).join(a.join(b, "vec_id"), "vec_id", "left_semi")
+    return search.knn(emb, _qv(spark, sf_dir), k=K_DEFAULT)
+
+
 def _facade_db(spark, sf_dir):
     """Cached GrapeVectorDB facade over the sf corpus with a payload
     posting index built — backs the facet/count endpoint queries (the
@@ -5113,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_pruned_knn": q_partition_pruned_knn,
         "payload_posting_knn": q_payload_posting_knn,
         "payload_range_knn": q_payload_range_knn,
+        "payload_in_knn": q_payload_in_knn,
         "payload_facet": q_payload_facet,
         "filtered_count": q_filtered_count,
         "label_topk": q_label_topk,
@@ -8996,6 +9015,17 @@ def oracle_sql() -> dict[str, str]:
             WITH keep AS (SELECT doc_id FROM documents
                           WHERE lang = 'en'
                             AND n_chars BETWEEN 200 AND 400),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep))
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "payload_in_knn": f"""
+            WITH keep AS (SELECT doc_id FROM documents
+                          WHERE lang = 'en'
+                            AND source IN ('src1', 'src2', 'src3')),
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                   FROM embeddings
                   WHERE vec_id IN (SELECT doc_id FROM keep))

@@ -936,10 +936,42 @@ class GrapeVectorDB:
         arr = set(st.get("array_fields") or [])
         types = self._payload_field_types()
         typed_index = bool(st.get("field_types"))
-        from .operators.payload import _element_type, is_numeric_field
+        from .operators.payload import (
+            INT_TYPES,
+            _element_type,
+            is_numeric_field,
+        )
 
         def _num(x) -> bool:
             return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+        def _lit_ok(fld: str, v) -> bool:
+            """Is probing this literal against the field's postings
+            provably equal to the predicate path's compare?"""
+            ft = types.get(fld)
+            if ft is None:
+                # unknown source type: only the string/string case is
+                # provably faithful (the original posting contract)
+                return isinstance(v, str)
+            et = _element_type(ft)
+            if is_numeric_field(ft):
+                if not _num(v):
+                    return False
+                if (
+                    et.split("(")[0] in INT_TYPES
+                    and isinstance(v, float)
+                    and not float(v).is_integer()
+                ):
+                    # predicate path: double-widened compare matches
+                    # nothing; posting path cannot express that — a
+                    # truncating cast would WRONGLY match
+                    return False
+                return True
+            if et == "boolean":
+                return isinstance(v, bool)
+            # string and other scalar types (date, timestamp, ...) keep
+            # the string-cast contract: literal must already be a string
+            return isinstance(v, str)
 
         for g, leaves in tree.items():
             for fld, v, kind in leaves:
@@ -960,41 +992,22 @@ class GrapeVectorDB:
                     ):
                         return None
                     continue
+                if kind == "exists":
+                    # scalar only: an empty array is not-null on the
+                    # predicate path but posts nothing; negation needs
+                    # the corpus complement
+                    if fld in arr or g == "must_not":
+                        return None
+                    continue
+                if kind == "in":
+                    if fld in arr or not all(_lit_ok(fld, x) for x in v):
+                        return None
+                    continue
                 if (kind == "array_contains") != (fld in arr):
                     return None
                 if g == "must_not" and kind == "array_contains":
                     return None
-                ft = types.get(fld)
-                if ft is None:
-                    # unknown source type: only the string/string case is
-                    # provably faithful (the original posting contract)
-                    if not isinstance(v, str):
-                        return None
-                    continue
-                et = _element_type(ft)
-                if is_numeric_field(ft):
-                    if not _num(v):
-                        return None
-                    from .operators.payload import INT_TYPES
-
-                    if (
-                        et.split("(")[0] in INT_TYPES
-                        and isinstance(v, float)
-                        and not float(v).is_integer()
-                    ):
-                        # predicate path: double-widened compare matches
-                        # nothing; posting path cannot express that — a
-                        # truncating cast would WRONGLY match
-                        return None
-                elif et == "boolean":
-                    if not isinstance(v, bool):
-                        return None
-                elif et == "string":
-                    if not isinstance(v, str):
-                        return None
-                # other scalar types (date, timestamp, ...) keep the
-                # string-cast contract: literal must already be a string
-                elif not isinstance(v, str):
+                if not _lit_ok(fld, v):
                     return None
         return tree
 
@@ -1029,6 +1042,15 @@ class GrapeVectorDB:
         post = self._read("index_payload")
         types = self._payload_field_types()
 
+        from .operators.payload import _element_type
+
+        def _lit_str(fld, val):
+            ft = types.get(fld)
+            vcol = F.lit(val)
+            if ft is not None:
+                vcol = vcol.cast(_element_type(ft))
+            return vcol.cast("string")
+
         def leaf(fld, val, kind, negate=False):
             if kind == "range":
                 vn = F.col("value_num")
@@ -1042,14 +1064,22 @@ class GrapeVectorDB:
                     op = op & c
                 if negate:
                     op = ~op
+            elif kind == "exists":
+                # field-present IS the posting row (scalar fields post
+                # exactly once per non-null doc); negation rejected at
+                # plan time
+                op = F.lit(True)
+            elif kind == "in":
+                op = None
+                for x in val:
+                    eq = F.col("value") == _lit_str(fld, x)
+                    op = eq if op is None else (op | eq)
+                if negate:
+                    # NOT(v = a OR v = b): value is never null in
+                    # postings, so De Morgan holds row-wise
+                    op = ~op
             else:
-                ft = types.get(fld)
-                vcol = F.lit(val)
-                if ft is not None:
-                    from .operators.payload import _element_type
-
-                    vcol = vcol.cast(_element_type(ft))
-                vcol = vcol.cast("string")
+                vcol = _lit_str(fld, val)
                 op = (
                     (F.col("value") != vcol)
                     if negate
@@ -1112,6 +1142,16 @@ class GrapeVectorDB:
             h = hist.get(fld)
             if h is None:
                 return None
+            if kind == "exists":
+                return present(fld)
+            if kind == "in":
+                # union of disjoint equalities (a value matches exactly
+                # one histogram entry), capped by the field's presence
+                fs = [frac(fld, x, "equals") for x in val]
+                if any(f is None for f in fs):
+                    return None
+                p = present(fld)
+                return min(sum(fs), p if p is not None else 1.0)
             if kind == "range":
                 gte, lte = val.get("gte"), val.get("lte")
                 if not _wide(h):

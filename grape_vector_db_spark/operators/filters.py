@@ -162,9 +162,10 @@ def payload_probe_tree(
     """One-level filter tree normalized to posting-probe groups —
     ``{"must": [(field, value, kind)...], "should": [...],
     "must_not": [...]}`` — when EVERY leaf is an ``equals``,
-    ``array_contains``, or ``range`` condition (no nested sub-trees),
-    else None. A range leaf carries ``value = {"gte":..., "lte":...}``
-    (at least one bound set). Reference semantics
+    ``array_contains``, ``range``, ``in``, or ``exists`` condition (no
+    nested sub-trees), else None. A range leaf carries ``value =
+    {"gte":..., "lte":...}`` (at least one bound set); an in leaf the
+    value tuple; an exists leaf True. Reference semantics
     (src/embedded.rs:539-582): must = AND, should = OR, must_not = AND
     of negations, groups AND together. The posting algebra: must
     intersects id lists, should unions them, and a must_not leaf is
@@ -187,7 +188,9 @@ def payload_probe_tree(
             if any(k in node for k in ("must", "should", "must_not")):
                 return None
             kind = node.get("type")
-            if kind not in ("equals", "array_contains", "range"):
+            if kind not in (
+                "equals", "array_contains", "range", "in", "exists"
+            ):
                 return None
             field = node.get("field")
             if field is None:
@@ -197,6 +200,18 @@ def payload_probe_tree(
                 if gte is None and lte is None:
                     return None
                 out.append((str(field), {"gte": gte, "lte": lte}, kind))
+                continue
+            if kind == "in":
+                values = node.get("values")
+                if not values or any(v is None for v in values):
+                    return None
+                out.append((str(field), tuple(values), kind))
+                continue
+            if kind == "exists":
+                # field-present: exactly "has a posting row" for scalar
+                # fields; negation (absent) needs the corpus complement,
+                # which postings cannot provide — caller rejects must_not
+                out.append((str(field), True, kind))
                 continue
             value = node.get("value")
             if value is None:

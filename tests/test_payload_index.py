@@ -662,6 +662,91 @@ class TestPayloadTreeAlgebra:
         assert df.collect()
 
 
+class TestInExistsPostings:
+    """in (value-set membership) and exists (field-present) leaves served
+    from posting directories — `in` is a union of disjoint equality
+    probes, `exists` IS the posting row (scalar fields post exactly once
+    per non-null doc). Negated exists (absent) needs the corpus
+    complement, which postings cannot provide — plan falls back."""
+
+    @pytest.fixture()
+    def ndb(self, spark, docs, emb):
+        d = tempfile.mkdtemp(prefix="gvdb_inex_")
+        inst = GrapeVectorDB(spark, d)
+        # lang2: null for every 7th doc, so exists() is non-trivial
+        withnull = docs.withColumn(
+            "lang2",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        inst.add_documents(withnull, emb)
+        yield inst
+        shutil.rmtree(d, ignore_errors=True)
+
+    def _routes_equal(self, db, emb, flt, build_cols):
+        qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+        before = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        db.build_index("payload", columns=build_cols)
+        after = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        plan = _plan(db.search(vector=qv, limit=10, filter=flt))
+        return before, after, plan
+
+    def test_in_matches_general_route(self, db, emb):
+        flt = {"must": [
+            {"type": "in", "field": "lang", "values": ["de", "zh"]}]}
+        before, after, plan = self._routes_equal(db, emb, flt, ["lang"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_must_not_in_is_null_rejecting(self, ndb, emb):
+        flt = {"must_not": [
+            {"type": "in", "field": "lang2", "values": ["en", "de"]}]}
+        before, after, plan = self._routes_equal(ndb, emb, flt, ["lang2"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_exists_matches_is_not_null_route(self, ndb, emb):
+        flt = {"must": [{"type": "exists", "field": "lang2"}]}
+        before, after, plan = self._routes_equal(ndb, emb, flt, ["lang2"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_must_not_exists_keeps_general_route(self, ndb, emb):
+        ndb.build_index("payload", columns=["lang2"])
+        flt = {"must_not": [{"type": "exists", "field": "lang2"}]}
+        assert ndb._payload_tree_plan(flt) is None
+
+    def test_in_type_mismatch_unservable(self, db):
+        db.build_index("payload", columns=["lang"])
+        flt = {"must": [
+            {"type": "in", "field": "lang", "values": ["en", 7]}]}
+        assert db._payload_tree_plan(flt) is None
+
+    def test_in_selectivity_sums_disjoint_fractions(self, db, docs):
+        db.build_index("payload", columns=["lang"])
+        got = db._payload_filter_selectivity({"must": [
+            {"type": "in", "field": "lang", "values": ["de", "zh"]}]})
+        n = docs.count()
+        want = docs.where("lang in ('de', 'zh')").count() / n
+        assert got is not None and abs(got - want) < 1e-9
+
+    def test_exists_selectivity_is_presence(self, ndb, docs):
+        ndb.build_index("payload", columns=["lang2"])
+        got = ndb._payload_filter_selectivity(
+            {"must": [{"type": "exists", "field": "lang2"}]}
+        )
+        n = docs.count()
+        want = ndb.documents().where("lang2 is not null").count() / n
+        assert got is not None and abs(got - want) < 1e-9
+
+
 class TestRangePostings:
     """Range{gte,lte} leaves served from the posting index: value_num
     (the typed DOUBLE column) carries numeric order — string postings
