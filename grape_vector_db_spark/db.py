@@ -61,11 +61,14 @@ class GrapeVectorDB:
     # Delete maintenance on the kNN graph flips from per-src repair
     # (one exact scan per affected src, cost ~ |affected| x n) to a full
     # blocked-GEMM rebuild (n x n with better tiling constants) once the
-    # affected-src set exceeds this fraction of the remaining corpus —
-    # the measured crossover sits below 1.0 because the rebuild kernel
-    # tiles both sides (SCALE.md §graph-delete); the decision is
-    # surfaced in the index sidecar and stats().
-    GRAPH_REBUILD_FRACTION = 0.5
+    # affected-src set exceeds this fraction of the remaining corpus.
+    # Measured at sf1 (20k vectors, k=8, tools/graph_delete_crossover.py,
+    # SCALE.md §round-9): repair ~3.5 ms/affected-src vs rebuild ~19 s
+    # flat -> crossover at |affected| ~28% of remaining; repair already
+    # LOSES at a 5% delete (k-sized lists touch doomed ids at
+    # 1-(1-p)^k). The decision is surfaced in the index sidecar and
+    # stats().
+    GRAPH_REBUILD_FRACTION = 0.3
 
     def __init__(
         self,

@@ -268,7 +268,9 @@ def test_delete_repairs_graph_to_exact_rebuild(gdb, emb):
     doomed ids get a fresh exact top-k (their true replacement can lie
     outside their old list), everyone else keeps their edges."""
     gdb.build_index("graph", k=4)
-    gdb.delete_documents("doc_id % 10 = 3")
+    # a 4% delete: k=4 lists touch a doomed id at ~1-(0.96)^4 = 15% of
+    # survivors — inside the repair regime (< GRAPH_REBUILD_FRACTION)
+    gdb.delete_documents("doc_id % 25 = 3")
 
     got = gdb._read("index_graph").select(
         "src", "dst", "rank", F.round("cosine", 6).alias("c")
@@ -279,8 +281,8 @@ def test_delete_repairs_graph_to_exact_rebuild(gdb, emb):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     # and no edge touches a deleted id
-    assert got.where("src % 10 = 3 or dst % 10 = 3").count() == 0
-    # a ~10% delete stays in the repair regime, and says so
+    assert got.where("src % 25 = 3 or dst % 25 = 3").count() == 0
+    # a small delete stays in the repair regime, and says so
     gst = gdb._table_stats("index_graph")
     assert gst["delete_maintenance"] == "repair"
     assert gdb.stats()["graph_delete_maintenance"]["decision"] == "repair"
