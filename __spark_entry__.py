@@ -1318,6 +1318,27 @@ def q_token_filter(spark, sf_dir):
     return docs.where(cond).select("doc_id", "lang")
 
 
+def q_token_filter_indexed(spark, sf_dir):
+    """P8 served from the INGEST-BUILT inverted index: the same exact
+    token-membership predicate as token_filter, but the token probe is
+    one pruned read of the doc_terms index (the reference's per-insert
+    inverted index, ref:src/sparse.rs:71-90) semi-joined to documents —
+    the corpus text is never re-tokenized at query time. At 100 TB this
+    is the difference between a full tokenize-scan per query and an
+    index probe bounded by the term's document frequency. Same rows as
+    token_filter, so the oracle is the same tokenize-replay SQL."""
+    hits = (
+        _terms(spark, sf_dir)
+        .where(F.col("term") == SNIPPET_TERM)
+        .select("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(hits, "doc_id", "left_semi")
+        .select("doc_id", "lang")
+    )
+
+
 def q_sparse_cosine(spark, sf_dir):
     """F4 sparse dot/norm/cosine end-to-end: per-doc sparse tf vectors
     (indices = vocabulary term_ids, values = tf) scored against the BM25
@@ -5060,6 +5081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_flat_pruned": q_ivf_flat_pruned,
         "vocabulary": q_vocabulary,
         "token_filter": q_token_filter,
+        "token_filter_indexed": q_token_filter_indexed,
         "sparse_cosine": q_sparse_cosine,
         "rank_decay": q_rank_decay,
         "score_stats": q_score_stats,
@@ -8476,6 +8498,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT term FROM dt)
         """,
         "token_filter": f"""
+            WITH {_TOKS_CTE}
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+            WHERE list_contains(tk.t, '{SNIPPET_TERM}')
+        """,
+        "token_filter_indexed": f"""
             WITH {_TOKS_CTE}
             SELECT d.doc_id, d.lang
             FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id

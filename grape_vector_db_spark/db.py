@@ -1600,6 +1600,26 @@ class GrapeVectorDB:
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
 
+    def _filtered_candidates(
+        self, emb: DataFrame, filter: dict[str, Any] | None
+    ) -> DataFrame:
+        """The filtered candidate set every example-based endpoint
+        shares: posting-algebra ids when the tree is index-servable
+        (pruned posting reads, the wide documents table never scanned),
+        else the docs-predicate semi-join."""
+        if filter is None:
+            return emb
+        tree = self._payload_tree_plan(filter)
+        if tree is not None:
+            keep_ids = self._payload_tree_ids(tree)
+        else:
+            keep_ids = (
+                self.documents()
+                .where(filters.filter_to_column(filter))
+                .select(F.col(self.id_col).alias("vec_id"))
+            )
+        return emb.join(keep_ids, "vec_id", "left_semi")
+
     def discover(
         self,
         target_id: int,
@@ -1611,20 +1631,13 @@ class GrapeVectorDB:
         negative) id pairs vote per candidate, votes rank first, target
         cosine second (operators/search.py:discover). Example ids resolve
         against the FULL corpus; a metadata ``filter`` restricts only the
-        CANDIDATE set (the filtered-search semi-join shape), so a pair
-        can reference an example the filter excludes from results."""
+        CANDIDATE set (the filtered-search semi-join shape — served from
+        the posting index when the tree is servable), so a pair can
+        reference an example the filter excludes from results."""
         emb = self.embeddings()
-        cand = emb
-        if filter is not None:
-            fcol = filters.filter_to_column(filter)
-            keep = self.documents().where(fcol)
-            cand = emb.join(
-                keep.select(F.col(self.id_col).alias("vec_id")),
-                "vec_id",
-                "left_semi",
-            )
         return search.discover(
-            cand, target_id, context_pairs, k=limit, examples_df=emb
+            self._filtered_candidates(emb, filter),
+            target_id, context_pairs, k=limit, examples_df=emb,
         )
 
     def context_search(
@@ -1637,17 +1650,30 @@ class GrapeVectorDB:
         quadratic penalty (operators/search.py:context_rank). Same
         example-resolution and filter semantics as :meth:`discover`."""
         emb = self.embeddings()
-        cand = emb
-        if filter is not None:
-            fcol = filters.filter_to_column(filter)
-            keep = self.documents().where(fcol)
-            cand = emb.join(
-                keep.select(F.col(self.id_col).alias("vec_id")),
-                "vec_id",
-                "left_semi",
-            )
         return search.context_rank(
-            cand, context_pairs, k=limit, examples_df=emb
+            self._filtered_candidates(emb, filter),
+            context_pairs, k=limit, examples_df=emb,
+        )
+
+    def recommend(
+        self,
+        positive_ids: Sequence[int],
+        negative_ids: Sequence[int] = (),
+        limit: int = 10,
+        strategy: str = "average_vector",
+        filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Recommend by stored examples (operators/search.py:recommend —
+        average_vector / best_score contracts): the public recommend-API
+        shape beside search/discover. Example ids resolve against the
+        FULL corpus; ``filter`` restricts only the candidates (posting
+        route when servable), matching :meth:`discover`'s semantics."""
+        limit, _ = clamp_request(limit, None)
+        emb = self.embeddings()
+        return search.recommend(
+            self._filtered_candidates(emb, filter),
+            positive_ids, negative_ids, k=limit,
+            strategy=strategy, examples_df=emb,
         )
 
     def distance_matrix(self, sample: int = 24) -> DataFrame:
@@ -1920,6 +1946,13 @@ class GrapeVectorDB:
         contract as :meth:`search_cached`)."""
         return self._cached_op(
             "discover", lambda: self.discover(**kwargs), kwargs
+        )
+
+    def recommend_cached(self, **kwargs) -> DataFrame:
+        """`recommend` behind the version-keyed query cache (same
+        contract as :meth:`search_cached`)."""
+        return self._cached_op(
+            "recommend", lambda: self.recommend(**kwargs), kwargs
         )
 
     @property

@@ -99,6 +99,7 @@ def recommend(
     strategy: str = "average_vector",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    examples_df: DataFrame | None = None,
 ) -> DataFrame:
     """Recommendation by stored examples — rank the corpus by closeness
     to POSITIVE example points and distance from NEGATIVE ones, the
@@ -125,9 +126,14 @@ def recommend(
     if not positive_ids:
         raise ValueError("at least one positive example id is required")
     ex_ids = [int(i) for i in positive_ids] + [int(i) for i in negative_ids]
+    # examples resolve against examples_df when given (the facade passes
+    # the FULL corpus there while df carries the filtered candidate set —
+    # the discover() contract: a pair may reference an example the
+    # filter excludes from results)
+    ex_src = examples_df if examples_df is not None else df
     rows = {
         r[id_col]: [float(x) for x in r[vec_col]]
-        for r in df.where(F.col(id_col).isin(ex_ids)).collect()
+        for r in ex_src.where(F.col(id_col).isin(ex_ids)).collect()
     }
     missing = [i for i in ex_ids if i not in rows]
     if missing:

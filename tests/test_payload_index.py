@@ -1010,6 +1010,10 @@ class TestCacheKeyAndCachedOps:
         ).collect()
         assert d2 == d1
         assert db.cache_stats["hits"] == h0 + 2
+        r1 = db.recommend_cached(positive_ids=[1, 2], limit=5).collect()
+        r2 = db.recommend_cached(positive_ids=[1, 2], limit=5).collect()
+        assert r2 == r1
+        assert db.cache_stats["hits"] == h0 + 3
         # any table mutation bumps the fingerprint -> miss, not staleness
         doc = db.documents().limit(1).collect()[0]
         upd = spark.createDataFrame(

@@ -228,3 +228,49 @@ class TestFacadeDiscovery:
         ]
         dm = db.distance_matrix(sample=6).collect()
         assert len(dm) == 15
+
+    def test_recommend_matches_operator(self, db, emb):
+        for strategy in ("average_vector", "best_score"):
+            got = db.recommend(
+                [1, 2], [3], limit=5, strategy=strategy
+            ).collect()
+            want = search.recommend(
+                emb, [1, 2], [3], k=5, strategy=strategy
+            ).collect()
+            assert [(r["vec_id"], r["score"]) for r in got] == [
+                (r["vec_id"], r["score"]) for r in want
+            ], strategy
+
+    def test_filtered_recommend_resolves_excluded_examples(self, db):
+        """Same contract as discover: the filter restricts CANDIDATES
+        only — example ids outside the filter still resolve against the
+        full corpus."""
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+        keep = {
+            r["doc_id"]
+            for r in db.documents().where("lang = 'en'")
+            .select("doc_id").collect()
+        }
+        ex = sorted(set(range(20)) - keep)[:2]
+        if len(ex) < 2:
+            pytest.skip("fixture has no non-en docs among ids 0..19")
+        out = db.recommend([ex[0]], [ex[1]], limit=20, filter=flt).collect()
+        assert out, "filtered recommend returned nothing"
+        assert {r["vec_id"] for r in out} <= keep
+
+    def test_filtered_discovery_uses_posting_route(self, db, emb):
+        """With a payload index built, the example-based endpoints'
+        filter gates come from posting algebra — the wide documents
+        table never appears in the plan."""
+        db.build_index("payload", columns=["lang"])
+        flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+        for df in (
+            db.recommend([1, 2], limit=5, filter=flt),
+            db.discover(0, [(1, 3)], limit=5, filter=flt),
+            db.context_search([(1, 3)], limit=5, filter=flt),
+        ):
+            plan = (
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "documents" not in plan
+            assert "index_payload" in plan
