@@ -1277,6 +1277,16 @@ def _facade_db(spark, sf_dir):
     return _CACHE[key]
 
 
+def q_search_groups(spark, sf_dir):
+    """Grouped vector search (db.search_groups — the public
+    search-groups API shape): exact cosine over the corpus, top-2 hits
+    per lang, keep the 3 groups with the best top hit. Two windows over
+    the scored set; oracle replays both windows in SQL."""
+    return _facade_db(spark, sf_dir).search_groups(
+        _qv(spark, sf_dir), "lang", limit=3, group_size=2
+    )
+
+
 def q_payload_facet(spark, sf_dir):
     """db.facet('source', filter=lang='en'): the faceted-navigation
     endpoint — filter ids from posting algebra, per-value counts from a
@@ -5155,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_range_knn": q_payload_range_knn,
         "payload_in_knn": q_payload_in_knn,
         "payload_facet": q_payload_facet,
+        "search_groups": q_search_groups,
         "filtered_count": q_filtered_count,
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
@@ -9072,6 +9083,34 @@ def oracle_sql() -> dict[str, str]:
         "filtered_count": """
             SELECT COUNT(*)::BIGINT AS n FROM documents
             WHERE lang = 'en' AND n_chars BETWEEN 200 AND 500
+        """,
+        "search_groups": f"""
+            WITH s AS (
+              SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score,
+                     d.lang AS grp
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings) e
+              JOIN documents d ON d.doc_id = e.vec_id, {_QV} q
+              WHERE d.lang IS NOT NULL
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY score DESC, vec_id
+              ) AS rank_in_group FROM s
+            ),
+            kept AS (SELECT * FROM r WHERE rank_in_group <= 2),
+            b AS (
+              SELECT *, max(score) OVER (PARTITION BY grp) AS best
+              FROM kept
+            ),
+            g AS (
+              SELECT *, dense_rank() OVER (ORDER BY best DESC, grp)
+                        AS grank
+              FROM b
+            )
+            SELECT grp AS "group", vec_id, score,
+                   rank_in_group::INT AS rank_in_group
+            FROM g WHERE grank <= 3
         """,
         "label_topk": f"""
             WITH s AS (

@@ -1349,6 +1349,7 @@ class GrapeVectorDB:
         threshold: float | None = None,
         filter: dict[str, Any] | None = None,
         index: str = "auto",
+        with_documents: bool = False,
     ) -> DataFrame:
         """SearchRequest semantics (src/embedded.rs:476-519): vector arm if
         a vector is given, else text arm. Parameter clamps follow the
@@ -1362,8 +1363,28 @@ class GrapeVectorDB:
         QueryOptimizer request-rewriting hints at,
         ref:src/query_engine.rs:271-372, made explicit). Explicit values
         ``"brute_force" | "graph" | "ivf" | "sq" | "binary"`` force a
-        route and raise if its index table is missing."""
+        route and raise if its index table is missing.
+
+        ``with_documents=True`` hydrates the vector arm's hits with the
+        documents row (the reference returns full documents,
+        ref:src/embedded.rs:510-518): the k-row result broadcasts into
+        one id-join against documents — J8's search_hydrated shape, so
+        hydration cost is O(k), never a second corpus scan."""
         limit, threshold = clamp_request(limit, threshold)
+        if with_documents and vector is not None:
+            hits = self.search(
+                vector=vector, text=text, limit=limit,
+                threshold=threshold, filter=filter, index=index,
+            )
+            docs = self.documents()
+            return (
+                docs.join(
+                    F.broadcast(hits),
+                    docs[self.id_col] == hits["vec_id"],
+                )
+                .drop("vec_id")
+                .orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+            )
         if vector is not None:
             emb_all = self.embeddings()
             emb = emb_all
@@ -1599,6 +1620,71 @@ class GrapeVectorDB:
                 lists, self._learned_weights(query_text), limit=limit
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
+
+    def search_groups(
+        self,
+        vector: Sequence[float],
+        group_by: str,
+        limit: int = 3,
+        group_size: int = 2,
+        filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Grouped vector search (the public search-groups API shape —
+        e.g. 'best 2 hits from each of the top 3 sources'): exact cosine
+        over the (filtered) corpus, top ``group_size`` hits per value of
+        the ``group_by`` documents column, keeping the ``limit`` groups
+        with the best top hit. Returns (group, vec_id, score, rank_in_
+        group) ordered by group-best desc, then rank. Both rankings are
+        windows over the scored set — one shuffle on the group key; the
+        scored set itself is the zero-shuffle knn scan shape. Nulls in
+        the group column drop (a null group is not a group)."""
+        from pyspark.sql import Window
+
+        from .functions.vector import to_double_array
+        from .operators.search import cosine_vs_query
+
+        limit, _ = clamp_request(limit, None)
+        if group_size < 1:
+            raise ValueError("group_size must be >= 1")
+        docs = self.documents()
+        if group_by not in docs.columns:
+            raise ValueError(f"{group_by!r} is not a documents column")
+        emb = self._filtered_candidates(self.embeddings(), filter)
+        scored = emb.select(
+            F.col("vec_id"),
+            F.round(
+                cosine_vs_query(to_double_array(self.vec_col), vector), 6
+            ).alias("score"),
+        ).join(
+            docs.select(
+                F.col(self.id_col).alias("vec_id"),
+                F.col(group_by).cast("string").alias("group"),
+            ),
+            "vec_id",
+        ).where(F.col("group").isNotNull())
+        in_group = Window.partitionBy("group").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        ranked = scored.withColumn(
+            "rank_in_group", F.row_number().over(in_group).cast("int")
+        ).where(F.col("rank_in_group") <= group_size)
+        best = Window.partitionBy("group")
+        by_best = ranked.withColumn(
+            "_best", F.max("score").over(best)
+        ).withColumn(
+            "_grank",
+            F.dense_rank().over(
+                Window.orderBy(F.col("_best").desc(), F.col("group").asc())
+            ),
+        )
+        return (
+            by_best.where(F.col("_grank") <= limit)
+            .orderBy(
+                F.col("_best").desc(), F.col("group").asc(),
+                F.col("rank_in_group").asc(),
+            )
+            .select("group", "vec_id", "score", "rank_in_group")
+        )
 
     def _filtered_candidates(
         self, emb: DataFrame, filter: dict[str, Any] | None

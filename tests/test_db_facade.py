@@ -67,6 +67,55 @@ def test_filtered_vector_search(db, emb, docs):
     assert {r["vec_id"] for r in res} <= de_ids
 
 
+def test_search_with_documents_hydrates_hits(db, emb, docs):
+    """with_documents=True returns the documents row per hit (the
+    reference returns full documents) — O(k) broadcast join, same ids
+    and scores as the bare search."""
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    bare = db.search(vector=qv, limit=5).collect()
+    hyd = db.search(vector=qv, limit=5, with_documents=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in hyd] == [
+        (r["vec_id"], r["score"]) for r in bare
+    ]
+    assert set(docs.columns) <= set(hyd[0].asDict())
+    want_text = docs.where(F.col("doc_id") == hyd[0]["doc_id"]).head()["text"]
+    assert hyd[0]["text"] == want_text
+
+
+def test_search_groups_contract(db, emb, docs):
+    """search_groups: top group_size hits per group value, only the
+    `limit` groups with the best top hit, ranks correct, nulls dropped."""
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    rows = db.search_groups(qv, "lang", limit=2, group_size=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["group"], []).append(
+            (r["rank_in_group"], r["vec_id"], r["score"])
+        )
+    assert len(got) == 2
+    # ground truth from a full scored scan
+    from grape_vector_db_spark.operators import search as s_ops
+
+    scored = s_ops.knn(emb, qv, k=10_000).collect()
+    lang_of = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    per_group = {}
+    for r in scored:
+        g = lang_of.get(r["vec_id"])
+        if g is None:
+            continue
+        per_group.setdefault(g, []).append((r["vec_id"], r["score"]))
+    top_groups = sorted(
+        per_group, key=lambda g: (-per_group[g][0][1], g)
+    )[:2]
+    assert set(got) == set(top_groups)
+    for g in top_groups:
+        want = [
+            (i + 1, vid, sc)
+            for i, (vid, sc) in enumerate(per_group[g][:3])
+        ]
+        assert sorted(got[g]) == want
+
+
 def test_hybrid_strategies(db, emb):
     qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
     for strat in ("rrf", "linear", "normalized", "adaptive"):
