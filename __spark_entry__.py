@@ -1287,6 +1287,17 @@ def q_search_groups(spark, sf_dir):
     )
 
 
+def q_scroll_page(spark, sf_dir):
+    """db.scroll: cursor-paged filtered retrieval — `id > cursor` is a
+    pushed parquet predicate (row-group skip to position), so deep
+    pagination costs O(page), not O(position). One mid-corpus page."""
+    return _facade_db(spark, sf_dir).scroll(
+        filter={"must": [{"type": "equals", "field": "lang", "value": "en"}]},
+        limit=20,
+        offset=100,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_payload_facet(spark, sf_dir):
     """db.facet('source', filter=lang='en'): the faceted-navigation
     endpoint — filter ids from posting algebra, per-value counts from a
@@ -5166,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_in_knn": q_payload_in_knn,
         "payload_facet": q_payload_facet,
         "search_groups": q_search_groups,
+        "scroll_page": q_scroll_page,
         "filtered_count": q_filtered_count,
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
@@ -9083,6 +9095,11 @@ def oracle_sql() -> dict[str, str]:
         "filtered_count": """
             SELECT COUNT(*)::BIGINT AS n FROM documents
             WHERE lang = 'en' AND n_chars BETWEEN 200 AND 500
+        """,
+        "scroll_page": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND doc_id > 100
+            ORDER BY doc_id ASC LIMIT 20
         """,
         "search_groups": f"""
             WITH s AS (

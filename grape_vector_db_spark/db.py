@@ -1768,6 +1768,29 @@ class GrapeVectorDB:
         clustering/visualization feed; the cap bounds the quadratic."""
         return search.distance_matrix(self.embeddings(), sample=sample)
 
+    def scroll(
+        self,
+        filter: dict[str, Any] | None = None,
+        limit: int = 10,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """Cursor-paged retrieval (the reference's paged id listing S3 as
+        the public scroll API shape): documents matching ``filter``
+        ordered by id, starting strictly AFTER the ``offset`` id (the
+        caller passes the last id of the previous page as the cursor).
+        ``id > cursor`` is a pushed parquet predicate, so each page
+        row-group-skips straight to its position — no OFFSET scan of the
+        skipped prefix, which is what makes deep pagination O(page) at
+        100 TB instead of O(position)."""
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        docs = self.documents()
+        if filter is not None:
+            docs = docs.where(filters.filter_to_column(filter))
+        if offset is not None:
+            docs = docs.where(F.col(self.id_col) > F.lit(int(offset)))
+        return docs.orderBy(F.col(self.id_col).asc()).limit(limit)
+
     def facet(
         self,
         field: str,

@@ -116,6 +116,30 @@ def test_search_groups_contract(db, emb, docs):
         assert sorted(got[g]) == want
 
 
+def test_scroll_paginates_completely_and_pushes_cursor(db, docs):
+    """Walking scroll() pages reconstructs exactly the filtered set in
+    id order, and the cursor predicate is pushed into the parquet scan
+    (deep pagination must be O(page), not O(position))."""
+    want = [
+        r["doc_id"]
+        for r in docs.where("lang = 'en'").orderBy("doc_id").collect()
+    ]
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+    got, cursor = [], None
+    while True:
+        page = db.scroll(filter=flt, limit=7, offset=cursor).collect()
+        if not page:
+            break
+        got.extend(r["doc_id"] for r in page)
+        cursor = page[-1]["doc_id"]
+    assert got == want
+    plan = (
+        db.scroll(filter=flt, limit=7, offset=123)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(doc_id,123)" in plan
+
+
 def test_hybrid_strategies(db, emb):
     qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
     for strat in ("rrf", "linear", "normalized", "adaptive"):
