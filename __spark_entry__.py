@@ -1277,6 +1277,19 @@ def _facade_db(spark, sf_dir):
     return _CACHE[key]
 
 
+def q_cluster_quota_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample (training-data curation: the
+    embedding-space analogue of source quotas — per-cluster quotas
+    counter head-topic domination): fixed md5-derived centroid literals
+    (the ivf_flat determinism trick) -> Arrow-batched nearest-centroid
+    assignment -> 5 rows per cluster by the md5(id) seedless pick.
+    Oracle replays assignment + ranking in pure SQL."""
+    cents_py = ann.fixed_centroids(nlist=8, dim=64, seed=7)
+    return ann.cluster_balanced_sample(
+        _emb(spark, sf_dir), cents_py, per_cluster=5
+    )
+
+
 def q_search_groups(spark, sf_dir):
     """Grouped vector search (db.search_groups — the public
     search-groups API shape): exact cosine over the corpus, top-2 hits
@@ -5178,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_facet": q_payload_facet,
         "search_groups": q_search_groups,
         "scroll_page": q_scroll_page,
+        "cluster_quota_sample": q_cluster_quota_sample,
         "filtered_count": q_filtered_count,
         "label_topk": q_label_topk,
         "rp_project": q_rp_project,
@@ -9100,6 +9114,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE lang = 'en' AND doc_id > 100
             ORDER BY doc_id ASC LIMIT 20
+        """,
+        "cluster_quota_sample": f"""
+            WITH {_ivf_cents_sql()},
+            dist AS (
+              SELECT e.vec_id, c.cluster,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_inner_product(e.v, e.v)
+                       - 2 * list_inner_product(e.v, c.cv)
+                       + list_inner_product(c.cv, c.cv), c.cluster) AS rn
+              FROM {_EMB_D} e CROSS JOIN cents c
+            ),
+            assigned AS (SELECT vec_id, cluster FROM dist WHERE rn = 1),
+            ranked AS (
+              SELECT cluster, vec_id,
+                     row_number() OVER (PARTITION BY cluster ORDER BY
+                       md5(vec_id::VARCHAR), vec_id) AS rank_in_cluster
+              FROM assigned
+            )
+            SELECT cluster, vec_id, rank_in_cluster::INT AS rank_in_cluster
+            FROM ranked WHERE rank_in_cluster <= 5
         """,
         "search_groups": f"""
             WITH s AS (

@@ -535,6 +535,49 @@ def ivf_build_fixed(
     return cents, assigned
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    cents_py: dict[int, list[float]],
+    per_cluster: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-stratified corpus sample: assign every vector to its
+    nearest centroid (the same Arrow-batched literal assignment the IVF
+    family uses — no join, no shuffle on the corpus side) and keep a
+    deterministic ``per_cluster`` rows per cell, ranked by
+    ``md5(str(id))`` with the id tie-break — a seedless, engine-portable
+    uniform pick (the md5-keyed convention every sampling op here uses).
+    Returns (cluster, vec_id, rank_in_cluster).
+
+    The training-data-curation use: topic/embedding-cluster-balanced
+    subsets counter head-topic domination that a uniform sample keeps
+    (per-cluster quotas are the embedding analogue of source quotas).
+    One narrow scan + one shuffle on the cluster key (the window); at
+    100 TB the window partitions are cluster-sized, not corpus-sized,
+    and per_cluster bounds the output."""
+    from pyspark.sql import Window
+
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    src = df.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    )
+    assigned = _assign_literal(src, cents_py).select("id", "cluster")
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+    )
+    return (
+        assigned.withColumn(
+            "rank_in_cluster", F.row_number().over(w).cast("int")
+        )
+        .where(F.col("rank_in_cluster") <= per_cluster)
+        .select(
+            "cluster", F.col("id").alias(id_col), "rank_in_cluster"
+        )
+    )
+
+
 def ivf_flat_search(
     df: DataFrame,
     cents_py: dict[int, list[float]],
