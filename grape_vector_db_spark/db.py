@@ -1646,22 +1646,33 @@ class GrapeVectorDB:
         limit, _ = clamp_request(limit, None)
         if group_size < 1:
             raise ValueError("group_size must be >= 1")
-        docs = self.documents()
-        if group_by not in docs.columns:
-            raise ValueError(f"{group_by!r} is not a documents column")
+        st = self._table_stats("index_payload") or {}
+        if group_by in (st.get("payload_columns") or []) and group_by not in (
+            st.get("array_fields") or []
+        ):
+            # payload-indexed scalar group column: read (vec_id, value)
+            # from ONE field's posting directory — at 100 TB the narrow
+            # pruned posting read replaces the wide documents join
+            groups = (
+                self._read("index_payload")
+                .where(F.col("field") == F.lit(group_by))
+                .select("vec_id", F.col("value").alias("group"))
+            )
+        else:
+            docs = self.documents()
+            if group_by not in docs.columns:
+                raise ValueError(f"{group_by!r} is not a documents column")
+            groups = docs.select(
+                F.col(self.id_col).alias("vec_id"),
+                F.col(group_by).cast("string").alias("group"),
+            )
         emb = self._filtered_candidates(self.embeddings(), filter)
         scored = emb.select(
             F.col("vec_id"),
             F.round(
                 cosine_vs_query(to_double_array(self.vec_col), vector), 6
             ).alias("score"),
-        ).join(
-            docs.select(
-                F.col(self.id_col).alias("vec_id"),
-                F.col(group_by).cast("string").alias("group"),
-            ),
-            "vec_id",
-        ).where(F.col("group").isNotNull())
+        ).join(groups, "vec_id").where(F.col("group").isNotNull())
         in_group = Window.partitionBy("group").orderBy(
             F.col("score").desc(), F.col("vec_id").asc()
         )

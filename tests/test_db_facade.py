@@ -140,6 +140,20 @@ def test_scroll_paginates_completely_and_pushes_cursor(db, docs):
     assert "PushedFilters" in plan and "GreaterThan(doc_id,123)" in plan
 
 
+def test_search_groups_serves_group_column_from_postings(db, emb):
+    """With the group column payload-indexed, search_groups reads the
+    narrow posting directory instead of joining wide documents — and
+    the result is identical."""
+    qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
+    before = [tuple(r) for r in db.search_groups(qv, "lang", 2, 2).collect()]
+    db.build_index("payload", columns=["lang"])
+    after_df = db.search_groups(qv, "lang", 2, 2)
+    assert [tuple(r) for r in after_df.collect()] == before
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan
+    assert "index_payload" in plan
+
+
 def test_hybrid_strategies(db, emb):
     qv = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
     for strat in ("rrf", "linear", "normalized", "adaptive"):
