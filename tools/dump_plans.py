@@ -159,6 +159,32 @@ SHOWCASE = [
         "knn_kcore",
         "per-round degree agg + two semi-joins, edge-table-sized",
     ),
+    (
+        "payload_range_knn",
+        "value_num range-read of one posting directory ∩ equality probe "
+        "-> id semi-join -> zero-shuffle TakeOrdered knn (documents "
+        "never scanned)",
+    ),
+    (
+        "token_filter_indexed",
+        "inverted-index term probe (df(term)-bounded) -> id semi-join; "
+        "the corpus text never re-tokenized at query time",
+    ),
+    (
+        "search_groups",
+        "zero-shuffle scored scan + posting-directory group column; one "
+        "shuffle on the group key for the two windows",
+    ),
+    (
+        "scroll_page",
+        "pushed id>cursor predicate row-group-skips to position — deep "
+        "pagination O(page), no OFFSET scan",
+    ),
+    (
+        "cluster_quota_sample",
+        "Arrow-batched literal centroid assignment (no join) + "
+        "cluster-keyed window quota",
+    ),
 ]
 
 
