@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from grape_vector_db_spark.operators import search, sparse
 from grape_vector_db_spark.operators.search import query_vector_of
 
@@ -565,4 +566,39 @@ def test_knn_graph_add_single_window_shuffle_no_cartesian(spark, emb):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # scoring is mapInPandas (ArrowEvalPython / MapInPandas node), not a join
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_payload_range_knn_pushes_value_num_and_prunes(spark):
+    """The range posting read: value_num bounds reach PushedFilters (the
+    row-group skip), the field equality is a PartitionFilter (directory
+    skip), and the final cut is the zero-shuffle TakeOrdered knn."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["payload_range_knn"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(value_num,200.0)" in plan
+    assert "LessThanOrEqual(value_num,400.0)" in plan
+    assert "PartitionFilters" in plan and "field" in plan
+    assert "documents" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scroll_page_pushes_cursor(spark):
+    """Deep pagination must be O(page): the id>cursor predicate reaches
+    the parquet scan, no global sort of the skipped prefix materializes
+    more than the page."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["scroll_page"](spark, SF_DIR))
+    assert "GreaterThan(doc_id,100)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cluster_quota_sample_assignment_is_joinless(spark):
+    """Assignment rides the task closure (MapInPandas), never a join;
+    the only exchange feeds the per-cluster window quota."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["cluster_quota_sample"](spark, SF_DIR))
+    assert "Join" not in plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
