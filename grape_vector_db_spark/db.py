@@ -542,6 +542,23 @@ class GrapeVectorDB:
         row = self.documents().where(F.col(self.id_col) == doc_id).head()
         return row.asDict() if row else None
 
+    def get_documents(self, doc_ids: Sequence) -> list[dict]:
+        """Batch point lookup (S2 over an id list): ONE pruned scan with
+        the id-set pushed to parquet (isin -> In filter + row-group
+        skipping), returned in the input order; absent ids are simply
+        missing — callers diff against their request like the reference's
+        per-id Option returns."""
+        if not doc_ids:
+            return []
+        ids = list(doc_ids)
+        got = {
+            r[self.id_col]: r.asDict()
+            for r in self.documents()
+            .where(F.col(self.id_col).isin(ids))
+            .collect()
+        }
+        return [got[i] for i in ids if i in got]
+
     def delete_documents(self, predicate: str) -> None:
         """DELETE WHERE (reference S8/S9 — strictly more general). SQL
         DELETE semantics via sources.tables.delete_where: rows where the
@@ -1620,6 +1637,32 @@ class GrapeVectorDB:
                 lists, self._learned_weights(query_text), limit=limit
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
+
+    def search_batch(
+        self,
+        vectors: Sequence[Sequence[float]],
+        limit: int = 10,
+        filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Batch vector search (reference J1 batch kNN as the facade
+        endpoint): top-``limit`` per query vector over the (filtered)
+        corpus in ONE corpus scan — the queries broadcast, per-query
+        top-k pre-reduced per scan partition (operators.search.knn_batch,
+        the 1-query-or-1M-queries-uniformly shape). Returns (query_id,
+        vec_id, score, rank) where query_id is the 0-based position in
+        ``vectors``. The filter uses the same posting-algebra-when-
+        servable gate as every example-based endpoint."""
+        if not vectors:
+            raise ValueError("at least one query vector is required")
+        limit, _ = clamp_request(limit, None)
+        emb = self._filtered_candidates(self.embeddings(), filter)
+        queries = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "query_id long, query_vec array<double>",
+        )
+        return search.knn_batch(emb, queries, k=limit).withColumnRenamed(
+            "id", "vec_id"
+        )
 
     def search_groups(
         self,

@@ -140,6 +140,41 @@ def test_scroll_paginates_completely_and_pushes_cursor(db, docs):
     assert "PushedFilters" in plan and "GreaterThan(doc_id,123)" in plan
 
 
+def test_get_documents_batch_lookup(db, docs):
+    """get_documents: input order kept, absent ids skipped, one pruned
+    scan."""
+    got = db.get_documents([7, 3, 10**9, 5])
+    assert [d["doc_id"] for d in got] == [7, 3, 5]
+    want = docs.where("doc_id = 3").head().asDict()
+    assert got[1] == want
+    assert db.get_documents([]) == []
+
+
+def test_search_batch_matches_per_query_search(db, emb):
+    """search_batch == N independent searches, in one corpus scan; a
+    filter gates every query's candidates."""
+    vecs = [
+        list(emb.where(F.col("vec_id") == i).head()["embedding"])
+        for i in (3, 7)
+    ]
+    rows = db.search_batch(vecs, limit=5).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid, v in enumerate(vecs):
+        want = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=v, limit=5).collect()
+        ]
+        assert per_q[qid] == want, qid
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+    keep = {
+        r["doc_id"] for r in db.documents().where("lang = 'en'").collect()
+    }
+    frows = db.search_batch(vecs, limit=5, filter=flt).collect()
+    assert frows and {r["vec_id"] for r in frows} <= keep
+
+
 def test_search_groups_serves_group_column_from_postings(db, emb):
     """With the group column payload-indexed, search_groups reads the
     narrow posting directory instead of joining wide documents — and
