@@ -844,6 +844,34 @@ class TestRangePostings:
         )
         assert 0 < half < full
 
+    def test_should_of_ranges_unions(self, db, emb):
+        """Range leaves inside should: union of two pruned range reads
+        == the predicate path's OR."""
+        flt = {"should": [
+            {"type": "range", "field": "n_chars", "lte": 150},
+            {"type": "range", "field": "n_chars", "gte": 450},
+        ]}
+        before, after, plan = self._routes_equal(db, emb, flt, ["n_chars"])
+        assert after == before and after
+        assert "documents" not in plan
+
+    def test_mixed_in_and_range_tree(self, db, emb):
+        """in + range + must_not equality in one tree, all posting-served."""
+        flt = {
+            "must": [
+                {"type": "in", "field": "lang", "values": ["en", "de"]},
+                {"type": "range", "field": "n_chars", "gte": 100},
+            ],
+            "must_not": [
+                {"type": "equals", "field": "lang", "value": "de"}
+            ],
+        }
+        before, after, plan = self._routes_equal(
+            db, emb, flt, ["lang", "n_chars"]
+        )
+        assert after == before and after
+        assert "documents" not in plan
+
     def test_range_zero_pre_search_jobs(self, db, emb):
         db.build_index("payload", columns=["lang", "n_chars"])
         flt = {
