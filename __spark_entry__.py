@@ -1259,10 +1259,12 @@ def q_payload_in_knn(spark, sf_dir):
 
 def _facade_db(spark, sf_dir):
     """Cached GrapeVectorDB facade over the sf corpus with a payload
-    posting index built — backs the facet/count endpoint queries (the
-    only serving shapes that were pytest-verified but not oracled;
-    VERDICT r8 #3). Building it is ingest work, done once per corpus
-    like every other cached index artifact."""
+    posting index, a text (doc_terms) inverted index, and a derived
+    ``tags`` ARRAY column (= [lang, source] — deterministic, so the
+    oracle replays it as unnest([lang, source])) — backs the serving-
+    endpoint queries (facet/count/scroll/groups/match/batch). Building
+    it is ingest work, done once per corpus like every other cached
+    index artifact."""
     key = ("facade_db", sf_dir)
     if key not in _CACHE:
         import tempfile
@@ -1271,8 +1273,16 @@ def _facade_db(spark, sf_dir):
 
         path = tempfile.mkdtemp(prefix="gvdb_facade_")
         db = GrapeVectorDB(spark, path)
-        db.add_documents(_docs(spark, sf_dir), _emb(spark, sf_dir))
-        db.build_index("payload", columns=["lang", "source", "n_chars"])
+        db.add_documents(
+            _docs(spark, sf_dir).withColumn(
+                "tags", F.array(F.col("lang"), F.col("source"))
+            ),
+            _emb(spark, sf_dir),
+        )
+        db.build_index(
+            "payload", columns=["lang", "source", "n_chars", "tags"]
+        )
+        db.build_index("text")
         _CACHE[key] = db
     return _CACHE[key]
 
@@ -1307,7 +1317,7 @@ def q_scroll_page(spark, sf_dir):
     return _facade_db(spark, sf_dir).scroll(
         filter={"must": [{"type": "equals", "field": "lang", "value": "en"}]},
         limit=20,
-        offset=100,
+        cursor=100,
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -1332,6 +1342,71 @@ def q_filtered_count(spark, sf_dir):
     }
     n = _facade_db(spark, sf_dir).count(filter=flt)
     return spark.createDataFrame([(n,)], "n long")
+
+
+MATCH_TEXT = "vector query"  # two kept tokens — multi-token Match = AND
+
+
+def q_payload_match_knn(spark, sf_dir):
+    """Match{field,text} leaves served FROM the ingest-built inverted
+    index inside a payload filter tree (VERDICT r9 #2; the reference's
+    third Condition variant, ref:src/types.rs:203, which it declares but
+    never evaluates — semantics follow the public MatchText contract:
+    every kept token of the text must be a token of the field). The
+    route: one pruned doc_terms probe per token (df(term)-bounded,
+    intersected for the AND) ∩ the lang equality's posting probe — the
+    wide documents table is never re-tokenized or even scanned at query
+    time — then exact cosine top-k. The oracle replays the tokenizer in
+    SQL (the token_filter contract) over a docs-predicate plan."""
+    flt = {
+        "must": [
+            {"type": "equals", "field": "lang", "value": "en"},
+            {"type": "match", "field": "text", "text": MATCH_TEXT},
+        ]
+    }
+    return _facade_db(spark, sf_dir).search(
+        vector=_qv(spark, sf_dir), limit=K_DEFAULT, filter=flt
+    )
+
+
+def q_search_groups_array(spark, sf_dir):
+    """search_groups over an ARRAY-typed field groups PER ELEMENT
+    (VERDICT r9 #3 — the pre-r10 fallback stringified the whole array
+    into one '[a, b]' group): the per-doc-distinct posting rows ARE the
+    (vec_id, element) pairs, so the posting route needs no explode at
+    query time. A doc appears once in each of its elements' groups.
+    tags = [lang, source], so the oracle replays the grouping as
+    unnest([lang, source]) + DISTINCT."""
+    return _facade_db(spark, sf_dir).search_groups(
+        _qv(spark, sf_dir), "tags", limit=3, group_size=2
+    )
+
+
+def q_search_batch_filtered(spark, sf_dir):
+    """Facade search_batch WITH a metadata filter (VERDICT r9 #5 — the
+    kernel knn_batch is oracled, this oracles the facade's filter gate):
+    N query vectors in ONE scan of the FILTERED corpus, the filter
+    served by the posting index (equality probe), per-query top-k."""
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+    vecs = [_qv(spark, sf_dir, i) for i in range(4)]
+    return _facade_db(spark, sf_dir).search_batch(vecs, limit=5, filter=flt)
+
+
+def q_scroll_by_field(spark, sf_dir):
+    """Score-ordered scroll (VERDICT r9 #6 — keyset pagination on a sort
+    field): rows order by (n_chars, id) and the cursor is the compound
+    (last_value, last_id) pair, so the keyset predicate
+    ``v > cv OR (v = cv AND id > cid)`` row-group-skips on the
+    value-sorted posting layout (n_chars is payload-indexed: the page's
+    ids come from ONE pruned posting read ordered by value_num, then a
+    20-row broadcast id-join hydrates — the wide documents table is
+    never range-scanned)."""
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+    return (
+        _facade_db(spark, sf_dir)
+        .scroll(filter=flt, limit=20, order_by="n_chars", cursor=(250, 100))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
 
 
 def q_vocabulary(spark, sf_dir):
@@ -2077,6 +2152,11 @@ def warm_ingest_caches(spark, sf_dir) -> None:
     codes.count()
     _, _, rcodes = _ivfpq_idx(spark, sf_dir)
     rcodes.count()
+    _payload_idx(spark, sf_dir).count()
+    # the serving facade: documents+embeddings ingested, payload + text
+    # indexes built — r10 added the text inverted index to it, which is
+    # exactly the kind of insert-time build the reference amortizes
+    _facade_db(spark, sf_dir)
 
 
 def q_ivf_search(spark, sf_dir):
@@ -5190,7 +5270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_in_knn": q_payload_in_knn,
         "payload_facet": q_payload_facet,
         "search_groups": q_search_groups,
+        "search_groups_array": q_search_groups_array,
         "scroll_page": q_scroll_page,
+        "scroll_by_field": q_scroll_by_field,
+        "payload_match_knn": q_payload_match_knn,
+        "search_batch_filtered": q_search_batch_filtered,
         "cluster_quota_sample": q_cluster_quota_sample,
         "filtered_count": q_filtered_count,
         "label_topk": q_label_topk,
@@ -7918,12 +8002,14 @@ def oracle_sql() -> dict[str, str]:
             FROM norm GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT {K_DEFAULT}
         """,
-        "filter_tree": """
-            SELECT doc_id, lang, source, n_chars FROM documents
-            WHERE n_chars >= 100 AND n_chars <= 400
-              AND contains(lower(text), 'join')
-              AND (lang = 'en' OR lang = 'de')
-              AND NOT (source = 'src0')
+        "filter_tree": f"""
+            WITH {_TOKS_CTE}
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+            WHERE d.n_chars >= 100 AND d.n_chars <= 400
+              AND list_contains(tk.t, 'join')
+              AND (d.lang = 'en' OR d.lang = 'de')
+              AND NOT (d.source = 'src0')
         """,
         "filter_where_sql": f"SELECT doc_id, n_chars FROM documents WHERE {WHERE_SQL}",
         "filter_advanced": """
@@ -9115,6 +9201,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en' AND doc_id > 100
             ORDER BY doc_id ASC LIMIT 20
         """,
+        "scroll_by_field": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars IS NOT NULL
+              AND (n_chars > 250 OR (n_chars = 250 AND doc_id > 100))
+            ORDER BY n_chars ASC, doc_id ASC LIMIT 20
+        """,
+        "payload_match_knn": f"""
+            WITH {_TOKS_CTE},
+            keep AS (
+              SELECT d.doc_id FROM documents d
+              JOIN toks tk ON tk.doc_id = d.doc_id
+              WHERE d.lang = 'en'
+                AND list_contains(tk.t, 'vector')
+                AND list_contains(tk.t, 'query')
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep))
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "search_batch_filtered": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep)),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round({_cos('e.v', 'q.qv')}, 6) AS score
+              FROM e, q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rank::INT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
         "cluster_quota_sample": f"""
             WITH {_ivf_cents_sql()},
             dist AS (
@@ -9143,6 +9271,39 @@ def oracle_sql() -> dict[str, str]:
                     FROM embeddings) e
               JOIN documents d ON d.doc_id = e.vec_id, {_QV} q
               WHERE d.lang IS NOT NULL
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY score DESC, vec_id
+              ) AS rank_in_group FROM s
+            ),
+            kept AS (SELECT * FROM r WHERE rank_in_group <= 2),
+            b AS (
+              SELECT *, max(score) OVER (PARTITION BY grp) AS best
+              FROM kept
+            ),
+            g AS (
+              SELECT *, dense_rank() OVER (ORDER BY best DESC, grp)
+                        AS grank
+              FROM b
+            )
+            SELECT grp AS "group", vec_id, score,
+                   rank_in_group::INT AS rank_in_group
+            FROM g WHERE grank <= 3
+        """,
+        "search_groups_array": f"""
+            WITH gd AS (
+              SELECT DISTINCT doc_id, grp FROM (
+                SELECT doc_id, unnest([lang, source]) AS grp
+                FROM documents
+              ) WHERE grp IS NOT NULL
+            ),
+            s AS (
+              SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score,
+                     gd.grp
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings) e
+              JOIN gd ON gd.doc_id = e.vec_id, {_QV} q
             ),
             r AS (
               SELECT *, row_number() OVER (

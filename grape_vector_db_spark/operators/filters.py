@@ -52,7 +52,29 @@ def condition_to_column(cond: dict[str, Any]) -> Column:
         if cond.get("lte") is not None:
             c = c & (_field(field) <= F.lit(cond["lte"]))
         return c
-    if kind == "match":  # substring containment on text fields
+    if kind == "match":
+        # Full-text match on a text field: EVERY token of the query text
+        # (reference tokenizer contract — functions.text.tokens) must be
+        # a token of the field. The reference declares Match{field,text}
+        # (ref:src/types.rs:203) but never evaluates it; the public
+        # payload-filter APIs this surface mirrors (Qdrant MatchText)
+        # define it as tokenized AND-match, which is also the semantics
+        # the doc_terms inverted index can serve (multi-token = AND of
+        # posting probes). Zero kept tokens (stopwords-only text) is a
+        # vacuous AND: True. Substring containment — the pre-r10 reading
+        # of match — remains available as {"type": "contains"}.
+        from ..functions.text import tokens as _tokens
+        from .sparse import tokenize_query_py
+
+        toks = sorted(tokenize_query_py(str(cond["text"])))
+        if not toks:
+            return F.lit(True)
+        col_toks = _tokens(_field(field))
+        c = F.array_contains(col_toks, toks[0])
+        for t in toks[1:]:
+            c = c & F.array_contains(col_toks, t)
+        return c
+    if kind == "contains":  # case-insensitive substring containment
         return F.lower(_field(field)).contains(str(cond["text"]).lower())
     if kind == "in":
         return _field(field).isin(list(cond["values"]))
@@ -189,12 +211,23 @@ def payload_probe_tree(
                 return None
             kind = node.get("type")
             if kind not in (
-                "equals", "array_contains", "range", "in", "exists"
+                "equals", "array_contains", "range", "in", "exists",
+                "match",
             ):
                 return None
             field = node.get("field")
             if field is None:
                 return None
+            if kind == "match":
+                # full-text leaf: value = the raw query text; the caller
+                # validates servability (text index present, field is the
+                # indexed text column, tokens non-empty, not negated) and
+                # owns tokenization
+                text = node.get("text")
+                if not isinstance(text, str) or not text:
+                    return None
+                out.append((str(field), text, kind))
+                continue
             if kind == "range":
                 gte, lte = node.get("gte"), node.get("lte")
                 if gte is None and lte is None:

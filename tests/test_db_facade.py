@@ -127,17 +127,26 @@ def test_scroll_paginates_completely_and_pushes_cursor(db, docs):
     flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
     got, cursor = [], None
     while True:
-        page = db.scroll(filter=flt, limit=7, offset=cursor).collect()
+        page = db.scroll(filter=flt, limit=7, cursor=cursor).collect()
         if not page:
             break
         got.extend(r["doc_id"] for r in page)
         cursor = page[-1]["doc_id"]
     assert got == want
     plan = (
-        db.scroll(filter=flt, limit=7, offset=123)
+        db.scroll(filter=flt, limit=7, cursor=123)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "GreaterThan(doc_id,123)" in plan
+    # the deprecated positional-sounding alias still routes to the cursor
+    # semantics (ADVICE r9: renamed, kept as an alias)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        via_alias = db.scroll(filter=flt, limit=7, offset=123).collect()
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert via_alias == db.scroll(filter=flt, limit=7, cursor=123).collect()
 
 
 def test_get_documents_batch_lookup(db, docs):

@@ -115,8 +115,25 @@ def test_token_match_vs_substring(spark):
     )
     # token match is word-level: 'sparkling' does NOT match
     assert [r["id"] for r in df.where(token).collect()] == [2]
-    substr = filters.condition_to_column(
+    # match = full-text token match (Qdrant MatchText semantics; the
+    # reference declares Match but never evaluates it) — word-level,
+    # multi-token AND
+    match1 = filters.condition_to_column(
         {"type": "match", "field": "text", "text": "spark"}
+    )
+    assert [r["id"] for r in df.where(match1).collect()] == [2]
+    match2 = filters.condition_to_column(
+        {"type": "match", "field": "text", "text": "engine spark"}
+    )
+    assert [r["id"] for r in df.where(match2).collect()] == [2]
+    # stopwords-only text is a vacuous AND: matches everything
+    vac = filters.condition_to_column(
+        {"type": "match", "field": "text", "text": "the and of"}
+    )
+    assert df.where(vac).count() == 2
+    # substring containment kept under its own kind
+    substr = filters.condition_to_column(
+        {"type": "contains", "field": "text", "text": "spark"}
     )
     assert df.where(substr).count() == 2
 

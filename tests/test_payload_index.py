@@ -132,9 +132,10 @@ class TestPayloadRoute:
         assert "documents" in plan  # source is not posting-indexed
 
     def test_non_servable_tree_keeps_general_route(self, db, emb):
-        """Leaves the posting index cannot serve — a match (substring)
-        leaf, or a range over a STRING field (string order can't serve
-        numeric ranges and vice versa) — keep the docs-predicate route."""
+        """Leaves the posting index cannot serve — a match leaf with no
+        text index built (and whose text keeps zero tokens anyway), or a
+        range over a STRING field (string order can't serve numeric
+        ranges and vice versa) — keep the docs-predicate route."""
         db.build_index("payload", columns=["lang", "n_chars"])
         qv = list(emb.where(F.col("vec_id") == 3).head()["embedding"])
         for flt in (
