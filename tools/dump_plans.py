@@ -185,6 +185,28 @@ SHOWCASE = [
         "Arrow-batched literal centroid assignment (no join) + "
         "cluster-keyed window quota",
     ),
+    (
+        "payload_match_knn",
+        "Match leaf: per-token inverted-index probes (df-bounded) "
+        "intersected ∩ lang posting probe -> id semi-join -> "
+        "zero-shuffle TakeOrdered knn; documents never scanned or "
+        "re-tokenized",
+    ),
+    (
+        "search_groups_array",
+        "array group-by served per-ELEMENT from the per-doc-distinct "
+        "posting rows — no query-time explode, no docs join",
+    ),
+    (
+        "search_batch_filtered",
+        "N queries broadcast into ONE filtered-corpus scan (posting-"
+        "gated semi-join), per-query top-k pre-reduced per partition",
+    ),
+    (
+        "scroll_by_field",
+        "compound (value,id) keyset predicate pushed into the value-"
+        "sorted posting directory -> k-row broadcast hydration join",
+    ),
 ]
 
 

@@ -87,6 +87,16 @@ QUERIES = [
     "payload_range_knn",
     "payload_facet",
     "filtered_count",
+    # round-10: Match leaves served from the text inverted index, batch
+    # search through the filter gate (N queries x corpus in one scan —
+    # the batch multiplies the broadcast side, the one new-endpoint
+    # scaling axis; VERDICT r9 #8), per-element array group-by, and
+    # keyset pagination on a sort field
+    "payload_match_knn",
+    "search_batch_filtered",
+    "knn_batch",
+    "search_groups_array",
+    "scroll_by_field",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
