@@ -1409,6 +1409,21 @@ def q_scroll_by_field(spark, sf_dir):
     )
 
 
+def q_scroll_by_field_desc(spark, sf_dir):
+    """Descending keyset scroll — same pushed-predicate O(page) shape
+    with the field direction flipped (``v < cv OR (v = cv AND id >
+    cid)``; the id tiebreak stays ascending so pagination is stable)."""
+    flt = {"must": [{"type": "equals", "field": "lang", "value": "en"}]}
+    return (
+        _facade_db(spark, sf_dir)
+        .scroll(
+            filter=flt, limit=20, order_by="n_chars",
+            cursor=(250, 100), descending=True,
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def q_vocabulary(spark, sf_dir):
     """A2: distinct term -> dense integer id (deterministic: term order).
     Two-level rank — no global-window single-task sort (sparse.vocabulary)."""
@@ -5273,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_groups_array": q_search_groups_array,
         "scroll_page": q_scroll_page,
         "scroll_by_field": q_scroll_by_field,
+        "scroll_by_field_desc": q_scroll_by_field_desc,
         "payload_match_knn": q_payload_match_knn,
         "search_batch_filtered": q_search_batch_filtered,
         "cluster_quota_sample": q_cluster_quota_sample,
@@ -9206,6 +9222,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en' AND n_chars IS NOT NULL
               AND (n_chars > 250 OR (n_chars = 250 AND doc_id > 100))
             ORDER BY n_chars ASC, doc_id ASC LIMIT 20
+        """,
+        "scroll_by_field_desc": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars IS NOT NULL
+              AND (n_chars < 250 OR (n_chars = 250 AND doc_id > 100))
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
         """,
         "payload_match_knn": f"""
             WITH {_TOKS_CTE},

@@ -275,11 +275,24 @@ class GrapeVectorDB:
         return self._read("documents")
 
     def _warm_terms(self) -> DataFrame:
-        """Session-cached doc_terms index for the sparse leg, keyed by the
-        documents table's committed version: repeated hybrid searches
-        reuse ONE tokenized/persisted copy instead of re-tokenizing and
-        re-persisting the corpus per query (which accumulated leaked
-        executor storage); a publish invalidates and swaps the cache."""
+        """doc_terms for the sparse leg. When the PERSISTED text inverted
+        index exists over this text column (build_index('text')), serve
+        it straight from parquet — the ingest already paid tokenization,
+        maintenance keeps it current, and nothing needs executor storage.
+        Otherwise fall back to the session cache: one tokenized/persisted
+        copy keyed by the documents version, so repeated hybrid searches
+        don't re-tokenize the corpus per query."""
+        tst = (
+            self._table_stats("index_terms")
+            if self._has("index_terms")
+            else None
+        )
+        if tst is not None and (tst.get("text_col") or self.text_col) == (
+            self.text_col
+        ):
+            return self._read("index_terms").withColumnRenamed(
+                "vec_id", "doc_id"
+            )
         vs = self._versions("documents")
         key = vs[-1] if vs else 0
         cached = getattr(self, "_terms_cache", None)
@@ -2051,6 +2064,7 @@ class GrapeVectorDB:
         limit: int = 10,
         cursor: Any = None,
         order_by: str | None = None,
+        descending: bool = False,
         offset: int | None = None,
     ) -> DataFrame:
         """Cursor-paged retrieval (the reference's paged id listing S3 as
@@ -2064,10 +2078,12 @@ class GrapeVectorDB:
         at 100 TB instead of O(position).
 
         ``order_by=<field>`` pages by a sort field instead (the public
-        scroll API's order_by shape): rows order by ``(field, id)`` and
-        ``cursor`` is the COMPOUND ``(last_value, last_id)`` pair — the
-        keyset predicate ``v > cv OR (v = cv AND id > cid)`` keeps the
-        pushed-predicate O(page) property. When the field is a
+        scroll API's order_by shape): rows order by ``(field, id)`` —
+        ``descending=True`` flips the FIELD's direction (id stays the
+        ascending tiebreak, so pagination remains stable) — and
+        ``cursor`` is the COMPOUND ``(last_value, last_id)`` pair; the
+        keyset predicate ``v > cv OR (v = cv AND id > cid)`` (``<`` when
+        descending) keeps the pushed-predicate O(page) property. When the field is a
         payload-indexed scalar, the page's ids come from ONE pruned read
         of the field's posting directory (value-sorted, so the keyset
         predicate row-group-skips on value_num/value) and hydration is a
@@ -2104,7 +2120,9 @@ class GrapeVectorDB:
             if cursor is not None:
                 docs = docs.where(F.col(self.id_col) > F.lit(int(cursor)))
             return docs.orderBy(F.col(self.id_col).asc()).limit(limit)
-        return self._scroll_by_field(filter, limit, cursor, order_by)
+        return self._scroll_by_field(
+            filter, limit, cursor, order_by, descending
+        )
 
     def _scroll_by_field(
         self,
@@ -2112,6 +2130,7 @@ class GrapeVectorDB:
         limit: int,
         cursor: tuple | None,
         order_by: str,
+        descending: bool = False,
     ) -> DataFrame:
         if cursor is not None and (
             not isinstance(cursor, (tuple, list)) or len(cursor) != 2
@@ -2146,9 +2165,9 @@ class GrapeVectorDB:
                     else F.lit(str(cursor[0]))
                 )
                 cid = F.lit(int(cursor[1]))
+                past = (vcol < cv) if descending else (vcol > cv)
                 page = page.where(
-                    (vcol > cv)
-                    | ((vcol == cv) & (F.col("vec_id") > cid))
+                    past | ((vcol == cv) & (F.col("vec_id") > cid))
                 )
             if filter is not None:
                 tree = self._payload_tree_plan(filter)
@@ -2159,19 +2178,23 @@ class GrapeVectorDB:
                         filters.filter_to_column(filter)
                     ).select(F.col(self.id_col).alias("vec_id"))
                 page = page.join(ids, "vec_id", "left_semi")
+            vorder = vcol.desc() if descending else vcol.asc()
             page = (
-                page.orderBy(vcol.asc(), F.col("vec_id").asc())
+                page.orderBy(vorder, F.col("vec_id").asc())
                 .limit(limit)
                 .select("vec_id")
             )
             docs = self.documents()
+            oorder = (
+                F.col(order_by).desc() if descending else F.col(order_by).asc()
+            )
             return (
                 docs.join(
                     F.broadcast(page),
                     docs[self.id_col] == page["vec_id"],
                 )
                 .drop("vec_id")
-                .orderBy(F.col(order_by).asc(), F.col(self.id_col).asc())
+                .orderBy(oorder, F.col(self.id_col).asc())
             )
         docs = self.documents()
         if order_by not in docs.columns:
@@ -2182,12 +2205,12 @@ class GrapeVectorDB:
         if cursor is not None:
             oc = F.col(order_by)
             cv, cid = F.lit(cursor[0]), F.lit(int(cursor[1]))
+            past = (oc < cv) if descending else (oc > cv)
             docs = docs.where(
-                (oc > cv) | ((oc == cv) & (F.col(self.id_col) > cid))
+                past | ((oc == cv) & (F.col(self.id_col) > cid))
             )
-        return docs.orderBy(
-            F.col(order_by).asc(), F.col(self.id_col).asc()
-        ).limit(limit)
+        oorder = F.col(order_by).desc() if descending else F.col(order_by).asc()
+        return docs.orderBy(oorder, F.col(self.id_col).asc()).limit(limit)
 
     def facet(
         self,

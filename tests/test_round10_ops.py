@@ -309,6 +309,41 @@ class TestScrollByField:
         with pytest.raises(ValueError, match="compound"):
             db.scroll(order_by="n_chars", cursor=250)
 
+    def test_string_field_posting_route(self, db, docs):
+        """String sort fields page from the posting directory on the
+        `value` column (the sort/stats key for non-numeric fields)."""
+        db.build_index("payload", columns=["lang"])
+        df = db.scroll(limit=5, order_by="lang", cursor=("en", 10**9))
+        plan = _plan(df)
+        assert "index_payload" in plan
+        want = [
+            (r["lang"], r["doc_id"])
+            for r in docs.where("lang is not null and lang > 'en'")
+            .orderBy("lang", "doc_id")
+            .limit(5)
+            .collect()
+        ]
+        assert [(r["lang"], r["doc_id"]) for r in df.collect()] == want
+
+    def test_descending_walk_reconstructs(self, db, docs):
+        want = [
+            (r["n_chars"], r["doc_id"])
+            for r in docs.where("lang = 'en' and n_chars is not null")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+            .collect()
+        ]
+        got, cursor = [], None
+        while True:
+            page = db.scroll(
+                filter=FLT_EN, limit=7, order_by="n_chars",
+                cursor=cursor, descending=True,
+            ).collect()
+            if not page:
+                break
+            got.extend((r["n_chars"], r["doc_id"]) for r in page)
+            cursor = (page[-1]["n_chars"], page[-1]["doc_id"])
+        assert got == want
+
 
 class TestCachedEndpoints:
     def test_search_groups_cached_hits_and_mutation_misses(
@@ -349,6 +384,51 @@ class TestCachedEndpoints:
         after = db.scroll_cached(filter=FLT_EN, limit=5, cursor=10)
         assert after is not a
         assert first not in {r["doc_id"] for r in after.collect()}
+
+
+def test_facet_and_count_compose_with_match_filters(db, docs):
+    """facet/count over a match-filtered tree ride the same posting
+    algebra — free composition from the shared _payload_tree_plan."""
+    db.build_index("payload", columns=["source"])
+    db.build_index("text")
+    flt = {"must": [{"type": "match", "field": "text", "text": "vector"}]}
+    assert db._payload_tree_plan(flt) is not None
+    got = {
+        (r["value"], r["count"])
+        for r in db.facet("source", filter=flt, limit=100).collect()
+    }
+    want = {
+        (r["source"], r["cnt"])
+        for r in docs.where(filters.condition_to_column(flt["must"][0]))
+        .where("source is not null")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and got
+    n = db.count(filter=flt)
+    assert n == docs.where(
+        filters.condition_to_column(flt["must"][0])
+    ).count()
+
+
+def test_warm_terms_promotes_to_persisted_index(db):
+    """With build_index('text') present, the hybrid sparse leg reads the
+    PERSISTED inverted index instead of re-tokenizing into a session
+    cache."""
+    before = db._warm_terms()
+    db.build_index("text")
+    after = db._warm_terms()
+    assert "index_terms" in _plan(after)
+    key = lambda r: (r["doc_id"], r["term"], round(r["tf"], 9))  # noqa: E731
+    assert sorted(map(key, after.collect())) == sorted(
+        map(key, before.collect())
+    )
+    # the hybrid fan-out still works end-to-end on the promoted leg
+    qv = [1.0] * len(
+        db.embeddings().head()["embedding"]
+    )
+    assert db.hybrid_search("vector index", qv, limit=5).count() > 0
 
 
 def test_text_arm_with_documents_hydrates(db):
