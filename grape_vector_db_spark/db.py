@@ -972,28 +972,16 @@ class GrapeVectorDB:
         exact df plus ``df_cap`` — the highest df any UNRECORDED term
         can have (the min recorded df, or 0 when the vocabulary fits) —
         so match selectivity is exact for head terms and a sound upper
-        bound for the tail, with zero query-time jobs."""
+        bound for the tail, with zero query-time jobs. Layout + sidecar
+        are operators.sparse helpers — shared with the streaming twin."""
         from .operators.payload import HIST_MAX
 
-        laid = terms.repartitionByRange("term").sortWithinPartitions("term")
-        df_rows = (
-            terms.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(HIST_MAX + 1)
-            .collect()
-        )
-        top = df_rows[:HIST_MAX]
-        df_cap = int(top[-1]["df"]) if len(df_rows) > HIST_MAX else 0
         self._publish(
             "index_terms",
-            laid,
-            extra_stats={
-                "text_col": col,
-                "doc_rows": self._row_count("documents"),
-                "df_top": {r["term"]: int(r["df"]) for r in top},
-                "df_cap": df_cap,
-            },
+            sparse.text_index_layout(terms),
+            extra_stats=sparse.text_index_sidecar_stats(
+                terms, col, self._row_count("documents"), HIST_MAX
+            ),
         )
 
     def _refresh_text_index(self, ids: DataFrame) -> None:

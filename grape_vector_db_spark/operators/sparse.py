@@ -45,6 +45,43 @@ def doc_stats(terms: DataFrame) -> DataFrame:
     return terms.groupBy("doc_id").agg(F.sum("tf").alias("doc_length"))
 
 
+def text_index_layout(terms: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The persisted inverted-index serving shape: term-range-partitioned
+    + term-sorted within, so a term equality probe touches one
+    partition's few row groups (the term lands in parquet row-group
+    min/max stats). Shared by ``db.build_index('text')`` and the
+    streaming twin."""
+    return terms.repartitionByRange("term").sortWithinPartitions("term")
+
+
+def text_index_sidecar_stats(
+    terms: DataFrame, col: str, doc_rows: int, hist_max: int = 64
+) -> dict:
+    """The text index's _STATS sidecar: the indexed column (match-leaf
+    routing validates the leaf's field against it), the corpus row
+    count, and a BOUNDED document-frequency histogram — the top
+    ``hist_max`` terms' exact df plus ``df_cap``, the highest df any
+    UNRECORDED term can have (the min recorded df, or 0 when the
+    vocabulary fits) — funding exact head-term match selectivity and a
+    sound upper bound for the tail, with zero query-time jobs. One
+    vocabulary-sized aggregate at build/refresh time."""
+    df_rows = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(hist_max + 1)
+        .collect()
+    )
+    top = df_rows[:hist_max]
+    df_cap = int(top[-1]["df"]) if len(df_rows) > hist_max else 0
+    return {
+        "text_col": col,
+        "doc_rows": int(doc_rows),
+        "df_top": {r["term"]: int(r["df"]) for r in top},
+        "df_cap": df_cap,
+    }
+
+
 def term_stats(terms: DataFrame) -> DataFrame:
     """(term, df) document frequency per term."""
     return terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

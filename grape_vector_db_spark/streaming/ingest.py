@@ -413,6 +413,71 @@ def stream_payload_index_to_parquet(
     return writer.start()
 
 
+def stream_text_index_to_parquet(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+):
+    """foreachBatch maintenance of the text inverted index — the
+    streaming twin of ``db.build_index('text')``'s refresh (the
+    reference builds its inverted index per insert,
+    ref:src/sparse.rs:71-90). The stream carries DOCUMENT rows. Per
+    micro-batch:
+
+    1. tokenize ONLY the batch into (vec_id, term, tf) rows
+       (functions.text.doc_terms — the same derivation as the facade
+       build, so grown == built row-identically);
+    2. swap the batch ids' term rows (anti-join + fresh — a re-streamed
+       doc whose text changed MOVES to its new tokens);
+    3. publish term-range-partitioned + term-sorted with the bounded
+       df histogram sidecar refreshed — the same artifact the facade's
+       match-leaf routing probes and the selectivity estimate reads.
+
+    ``doc_rows`` counts the distinct ids grown so far (the streaming
+    context has no documents table to count — the payload twin's rule).
+    Batch work is O(batch) tokenization; the publish rewrites only the
+    narrow index table, never the corpus."""
+    from ..functions.text import doc_terms
+    from ..operators.payload import HIST_MAX
+    from ..operators.sparse import (
+        text_index_layout,
+        text_index_sidecar_stats,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        fresh = doc_terms(
+            batch, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("doc_id", "vec_id")
+        if table_exists(spark, index_path):
+            ids = batch.select(F.col(id_col).alias("vec_id")).distinct()
+            kept = read_table(spark, index_path).join(
+                F.broadcast(ids), "vec_id", "left_anti"
+            )
+            updated = kept.unionByName(fresh)
+        else:  # first batch — no index yet
+            updated = fresh
+        updated = text_index_layout(updated)
+        n_ids = updated.select("vec_id").distinct().count()
+        publish_table(
+            spark, index_path, updated,
+            extra_stats=text_index_sidecar_stats(
+                updated, text_col, n_ids, HIST_MAX
+            ),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curate_to_parquet(
     stream_df: DataFrame,
     table_path: str,
