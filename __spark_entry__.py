@@ -1369,6 +1369,24 @@ def q_payload_match_knn(spark, sf_dir):
     )
 
 
+def q_payload_match_not_knn(spark, sf_dir):
+    """NEGATED Match served as the complement (r10): the documents id
+    column (pruned to one narrow column, text non-null) anti-joined
+    against the token-probe intersection — `lang = 'en' AND NOT(text
+    MATCH 'vector query')` never re-tokenizes the corpus. Oracle is the
+    tokenize-replay SQL with the membership test negated (null text
+    excluded, matching the predicate path's null-rejecting NOT)."""
+    flt = {
+        "must": [{"type": "equals", "field": "lang", "value": "en"}],
+        "must_not": [
+            {"type": "match", "field": "text", "text": MATCH_TEXT}
+        ],
+    }
+    return _facade_db(spark, sf_dir).search(
+        vector=_qv(spark, sf_dir), limit=K_DEFAULT, filter=flt
+    )
+
+
 def q_search_groups_array(spark, sf_dir):
     """search_groups over an ARRAY-typed field groups PER ELEMENT
     (VERDICT r9 #3 — the pre-r10 fallback stringified the whole array
@@ -5290,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll_by_field": q_scroll_by_field,
         "scroll_by_field_desc": q_scroll_by_field_desc,
         "payload_match_knn": q_payload_match_knn,
+        "payload_match_not_knn": q_payload_match_not_knn,
         "search_batch_filtered": q_search_batch_filtered,
         "cluster_quota_sample": q_cluster_quota_sample,
         "filtered_count": q_filtered_count,
@@ -9237,6 +9256,22 @@ def oracle_sql() -> dict[str, str]:
               WHERE d.lang = 'en'
                 AND list_contains(tk.t, 'vector')
                 AND list_contains(tk.t, 'query')
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep))
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "payload_match_not_knn": f"""
+            WITH {_TOKS_CTE},
+            keep AS (
+              SELECT d.doc_id FROM documents d
+              JOIN toks tk ON tk.doc_id = d.doc_id
+              WHERE d.lang = 'en' AND d.text IS NOT NULL
+                AND NOT (list_contains(tk.t, 'vector')
+                         AND list_contains(tk.t, 'query'))
             ),
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                   FROM embeddings

@@ -1053,12 +1053,15 @@ class GrapeVectorDB:
         predicate path owns it). ``match`` leaves (the reference's third
         Condition variant, ref:src/types.rs:203) are servable when the
         text index exists (build_index('text')), the leaf's field IS the
-        indexed text column, the text keeps at least one token (a
+        indexed text column, and the text keeps at least one token (a
         stopwords-only match is vacuously TRUE — no posting list
-        expresses "all docs"), and the leaf is not negated (token
-        absence needs the corpus complement). Driver-side structural
-        inspection only — zero jobs (tokenizing the match text is pure
-        Python)."""
+        expresses "all docs", and its negation vacuously FALSE; both
+        fall back). A must_not match serves as the COMPLEMENT: the
+        documents id column (pruned to ONE narrow column, text non-null
+        — the predicate path's null semantics) anti-joined against the
+        token-probe intersection — the corpus text itself is still
+        never re-tokenized. Driver-side structural inspection only —
+        zero jobs (tokenizing the match text is pure Python)."""
         tree = filters.payload_probe_tree(filter)
         if tree is None:
             return None
@@ -1114,7 +1117,7 @@ class GrapeVectorDB:
         for g, leaves in tree.items():
             for fld, v, kind in leaves:
                 if kind == "match":
-                    if tst is None or fld != text_col or g == "must_not":
+                    if tst is None or fld != text_col:
                         return None
                     if not sparse.tokenize_query_py(v):
                         return None
@@ -1234,9 +1237,9 @@ class GrapeVectorDB:
                 # inverted index (one pruned term probe per kept token,
                 # df(term)-bounded), multi-token = AND of probes
                 # (intersection joins) — the corpus text is never
-                # re-tokenized at query time. Negation rejected at plan
-                # time. doc_terms rows are unique per (doc, term), so
-                # the intersections never multiply rows.
+                # re-tokenized at query time. doc_terms rows are unique
+                # per (doc, term), so the intersections never multiply
+                # rows.
                 terms_tbl = self._read("index_terms")
                 keep = None
                 for t in sorted(sparse.tokenize_query_py(val)):
@@ -1244,6 +1247,20 @@ class GrapeVectorDB:
                         F.col("term") == F.lit(t)
                     ).select("vec_id")
                     keep = pl if keep is None else keep.join(pl, "vec_id")
+                if negate:
+                    # NOT(all tokens present) = the COMPLEMENT: the
+                    # documents id column (pruned to ONE narrow column;
+                    # text non-null reproduces the predicate path's
+                    # null-rejecting NOT) anti-joined against the probe
+                    # intersection — still no corpus re-tokenization
+                    st = self._table_stats("index_terms") or {}
+                    tcol = st.get("text_col") or self.text_col
+                    base = (
+                        self.documents()
+                        .where(F.col(tcol).isNotNull())
+                        .select(F.col(self.id_col).alias("vec_id"))
+                    )
+                    return base.join(keep, "vec_id", "left_anti")
                 return keep
             if kind == "range":
                 vn = F.col("value_num")
@@ -1437,7 +1454,11 @@ class GrapeVectorDB:
                 s += f
             sel *= min(1.0, max(s, floor))
         for fld, val, k in tree["must_not"]:
-            p, f = present(fld), frac(fld, val, k)
+            # a negated match's "presence" is the text-bearing fraction
+            # (~1.0 — the sidecar has no per-field null stats for the
+            # text column; head-term df makes 1-f the dominant factor)
+            p = 1.0 if k == "match" else present(fld)
+            f = frac(fld, val, k)
             if p is None or f is None:
                 return None
             sel *= min(1.0, max(p - f, floor))

@@ -221,8 +221,8 @@ def payload_probe_tree(
             if kind == "match":
                 # full-text leaf: value = the raw query text; the caller
                 # validates servability (text index present, field is the
-                # indexed text column, tokens non-empty, not negated) and
-                # owns tokenization
+                # indexed text column, tokens non-empty; negation serves
+                # as the id-column complement) and owns tokenization
                 text = node.get("text")
                 if not isinstance(text, str) or not text:
                     return None

@@ -116,19 +116,47 @@ class TestMatchLeaves:
         )
 
     def test_unservable_match_shapes_fall_back(self, db, emb):
-        """must_not match (token absence needs the corpus complement),
-        match on a non-indexed-text field, and stopwords-only text all
+        """match on a non-indexed-text field and stopwords-only text
         keep the docs-predicate route — and still answer correctly."""
         db.build_index("text")
         qv = _qv(emb)
         for flt in (
-            {"must_not": [{"type": "match", "field": "text", "text": "vector"}]},
             {"must": [{"type": "match", "field": "lang", "text": "en"}]},
             {"must": [{"type": "match", "field": "text", "text": "the of and"}]},
         ):
             assert db._payload_tree_plan(flt) is None, flt
             plan = _plan(db.search(vector=qv, limit=5, filter=flt))
             assert "documents" in plan, flt
+
+    def test_must_not_match_serves_as_complement(self, db, emb):
+        """NOT(match) = the id-column complement of the token-probe
+        intersection: the documents scan in the route reads ONLY the id
+        (and null-gate text) columns — the corpus is never re-tokenized
+        — and results equal the predicate route exactly."""
+        flt = {
+            "must": [{"type": "equals", "field": "lang", "value": "en"}],
+            "must_not": [
+                {"type": "match", "field": "text", "text": "vector query"}
+            ],
+        }
+        qv = _qv(emb)
+        before = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        db.build_index("payload", columns=["lang"])
+        db.build_index("text")
+        assert db._payload_tree_plan(flt) is not None
+        after = [
+            (r["vec_id"], r["score"])
+            for r in db.search(vector=qv, limit=10, filter=flt).collect()
+        ]
+        assert after == before and after
+        plan = _plan(db.search(vector=qv, limit=10, filter=flt))
+        assert "index_terms" in plan
+        # the tokenizer never appears in the served plan (the fallback
+        # plan is full of array_contains/transform over tokens)
+        assert "array_contains" not in plan
 
     def test_no_text_index_means_no_match_route(self, db):
         flt = {"must": [{"type": "match", "field": "text", "text": "vector"}]}
