@@ -93,10 +93,12 @@ QUERIES = [
     # scaling axis; VERDICT r9 #8), per-element array group-by, and
     # keyset pagination on a sort field
     "payload_match_knn",
+    "payload_match_not_knn",
     "search_batch_filtered",
     "knn_batch",
     "search_groups_array",
     "scroll_by_field",
+    "scroll_by_field_desc",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
