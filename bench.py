@@ -212,7 +212,11 @@ def main() -> None:
                 "failed_parity_demos": sorted(
                     k for k, v in demo_timings.items() if v < 0
                 ),
-                "drift_vs_r9": sorted(drift),
+                # capped: a machine-contended run can flag dozens of
+                # queries and the driver's stdout parse has a line-length
+                # budget (r2 truncation); the full set is in BENCH_DETAIL
+                "drift_vs_r9": sorted(drift)[:12],
+                "drift_vs_r9_count": len(drift),
                 "calibration_s": calibration_s,
                 "value_normalized_to_r9_calibration": normalized,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -581,3 +581,44 @@ def test_basket_pairs_match_python_replica(spark, baskets):
         for (a, b), n in pair_n.items()
     }
     assert got == want
+
+
+match_queries = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "Zs"), max_codepoint=0x2FF
+    ),
+    max_size=24,
+)
+
+
+@settings(**SETTINGS)
+@given(texts, match_queries)
+def test_match_condition_matches_python_replica(spark, batch, query):
+    """The Match{field,text} condition (full-text token AND — every kept
+    token of the query must be a token of the field; vacuous AND = True
+    for stopwords-only text) against an independent Python replica, and
+    the inverted-index service equivalence: membership computed from
+    doc_terms rows selects exactly the same docs."""
+    from grape_vector_db_spark.functions.text import doc_terms
+    from grape_vector_db_spark.operators import filters
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id int, text string"
+    )
+    cond = filters.condition_to_column(
+        {"type": "match", "field": "text", "text": query}
+    )
+    got = {r["doc_id"] for r in df.where(cond).collect()}
+    qtoks = set(py_tokenize(query))
+    want = {
+        i for i, t in enumerate(batch) if qtoks <= set(py_tokenize(t))
+    }
+    assert got == want, (query, batch)
+    # index-service equivalence: intersect per-token doc_terms probes
+    if qtoks:
+        terms = doc_terms(df)
+        ids = None
+        for t in sorted(qtoks):
+            pl = terms.where(F.col("term") == t).select("doc_id")
+            ids = pl if ids is None else ids.join(pl, "doc_id")
+        assert {r["doc_id"] for r in ids.collect()} == want
