@@ -146,6 +146,17 @@ def main() -> None:
     for k, v in derived.items():
         print(f"bench: {k}: {v:,.0f}", file=sys.stderr)
 
+    # Cross-round comparability (judge r9 finding #1: "the headline total
+    # is NOT calibration-normalized, so cross-round comparisons stay
+    # forensic"): publish the total scaled to the r9 driver run's
+    # machine speed (calibration 0.238) alongside the raw number.
+    R9_CALIBRATION_S = 0.238
+    normalized = (
+        round(total * R9_CALIBRATION_S / calibration_s, 3)
+        if calibration_s > 0
+        else None
+    )
+
     # Full per-query breakdown goes to a side file; stdout carries a compact
     # summary line so the driver's tail-window parse never truncates it
     # (BENCH_r02.json recorded parsed=null because the ~80-query dict made
@@ -186,16 +197,6 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    # Cross-round comparability (judge r9 finding #1: "the headline total
-    # is NOT calibration-normalized, so cross-round comparisons stay
-    # forensic"): publish the total scaled to the r9 driver run's
-    # machine speed (calibration 0.238) alongside the raw number.
-    R9_CALIBRATION_S = 0.238
-    normalized = (
-        round(total * R9_CALIBRATION_S / calibration_s, 3)
-        if calibration_s > 0
-        else None
-    )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
