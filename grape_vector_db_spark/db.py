@@ -1898,6 +1898,7 @@ class GrapeVectorDB:
         limit: int = 3,
         group_size: int = 2,
         filter: dict[str, Any] | None = None,
+        with_documents: bool = False,
     ) -> DataFrame:
         """Grouped vector search (the public search-groups API shape —
         e.g. 'best 2 hits from each of the top 3 sources'): exact cosine
@@ -1907,7 +1908,35 @@ class GrapeVectorDB:
         group) ordered by group-best desc, then rank. Both rankings are
         windows over the scored set — one shuffle on the group key; the
         scored set itself is the zero-shuffle knn scan shape. Nulls in
-        the group column drop (a null group is not a group)."""
+        the group column drop (a null group is not a group).
+
+        ``with_documents=True`` hydrates the (≤ limit x group_size)-row
+        result with the documents row through the same k-row broadcast
+        id-join as :meth:`search` — never a second corpus scan."""
+        if with_documents:
+            from pyspark.sql import Window as _W
+
+            hits = self.search_groups(
+                vector, group_by, limit=limit, group_size=group_size,
+                filter=filter,
+            )
+            docs = self.documents()
+            joined = docs.join(
+                F.broadcast(hits),
+                docs[self.id_col] == hits["vec_id"],
+            ).drop("vec_id")
+            # re-derive the group-best ordering over the tiny joined set
+            # (<= limit x group_size rows)
+            return (
+                joined.withColumn(
+                    "_best", F.max("score").over(_W.partitionBy("group"))
+                )
+                .orderBy(
+                    F.col("_best").desc(), F.col("group").asc(),
+                    F.col("rank_in_group").asc(),
+                )
+                .drop("_best")
+            )
         from pyspark.sql import Window
 
         from .functions.vector import to_double_array
@@ -2074,6 +2103,7 @@ class GrapeVectorDB:
         cursor: Any = None,
         order_by: str | None = None,
         descending: bool = False,
+        with_vectors: bool = False,
         offset: int | None = None,
     ) -> DataFrame:
         """Cursor-paged retrieval (the reference's paged id listing S3 as
@@ -2107,7 +2137,13 @@ class GrapeVectorDB:
         treats offset as a positional skip count): here it has always
         been an EXCLUSIVE id cursor — positional skip is O(position) at
         scale, which is the thing scroll exists to avoid (ADVICE r9:
-        renamed so callers porting reference semantics notice)."""
+        renamed so callers porting reference semantics notice).
+
+        ``with_vectors=True`` (the public scroll API's with_vectors
+        flag) attaches the stored embedding to each page row through a
+        page-sized broadcast id-join against the embeddings table —
+        O(page), never a corpus join; docs without a stored vector keep
+        a null column (left join)."""
         if limit < 1:
             raise ValueError("limit must be >= 1")
         if offset is not None:
@@ -2128,9 +2164,26 @@ class GrapeVectorDB:
                 docs = docs.where(filters.filter_to_column(filter))
             if cursor is not None:
                 docs = docs.where(F.col(self.id_col) > F.lit(int(cursor)))
-            return docs.orderBy(F.col(self.id_col).asc()).limit(limit)
-        return self._scroll_by_field(
-            filter, limit, cursor, order_by, descending
+            page = docs.orderBy(F.col(self.id_col).asc()).limit(limit)
+        else:
+            page = self._scroll_by_field(
+                filter, limit, cursor, order_by, descending
+            )
+        if not with_vectors:
+            return page
+        emb = self.embeddings().withColumnRenamed("vec_id", self.id_col)
+        keys = [self.id_col]
+        order = (
+            [F.col(self.id_col).asc()]
+            if order_by is None
+            else [
+                F.col(order_by).desc() if descending
+                else F.col(order_by).asc(),
+                F.col(self.id_col).asc(),
+            ]
+        )
+        return (
+            F.broadcast(page).join(emb, keys, "left").orderBy(*order)
         )
 
     def _scroll_by_field(

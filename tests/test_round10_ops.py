@@ -511,6 +511,38 @@ def test_stream_text_index_equals_bulk(spark, docs, tmp_path):
     assert sorted(r["term"] for r in rows) == ["corpus", "xylophone", "zebra"]
 
 
+def test_search_groups_with_documents_hydrates(db, emb):
+    qv = _qv(emb)
+    bare = db.search_groups(qv, "lang", limit=3, group_size=2).collect()
+    rows = db.search_groups(
+        qv, "lang", limit=3, group_size=2, with_documents=True
+    ).collect()
+    assert {(r["group"], r["doc_id"]) for r in rows} == {
+        (r["group"], r["vec_id"]) for r in bare
+    }
+    assert all(r["text"] is not None for r in rows)
+    # group-best ordering preserved through hydration
+    assert [(r["group"], r["rank_in_group"]) for r in rows] == [
+        (r["group"], r["rank_in_group"]) for r in bare
+    ]
+
+
+def test_scroll_with_vectors_attaches_embedding(db, emb):
+    page = db.scroll(filter=FLT_EN, limit=5, with_vectors=True).collect()
+    assert len(page) == 5
+    for r in page:
+        want = emb.where(F.col("vec_id") == r["doc_id"]).head()["embedding"]
+        assert list(r["embedding"]) == list(want)
+    # order_by variant keeps the value order
+    page2 = db.scroll(
+        filter=FLT_EN, limit=5, order_by="n_chars", with_vectors=True
+    ).collect()
+    assert [r["n_chars"] for r in page2] == sorted(
+        r["n_chars"] for r in page2
+    )
+    assert all(r["embedding"] is not None for r in page2)
+
+
 def test_text_arm_with_documents_hydrates(db):
     rows = db.search(text="vector index", limit=5, with_documents=True).collect()
     assert rows
