@@ -1865,11 +1865,26 @@ class GrapeVectorDB:
             )
         raise ValueError(f"unknown fusion strategy {strategy!r}")
 
+    def _hydrate(self, hits: DataFrame, order: list) -> DataFrame:
+        """Attach the documents row to a small (k-scale) hit set: the
+        hits broadcast into ONE id-join against documents — O(hits),
+        never a second corpus scan (the J8 search_hydrated shape every
+        with_documents flag shares)."""
+        docs = self.documents()
+        return (
+            docs.join(
+                F.broadcast(hits), docs[self.id_col] == hits["vec_id"]
+            )
+            .drop("vec_id")
+            .orderBy(*order)
+        )
+
     def search_batch(
         self,
         vectors: Sequence[Sequence[float]],
         limit: int = 10,
         filter: dict[str, Any] | None = None,
+        with_documents: bool = False,
     ) -> DataFrame:
         """Batch vector search (reference J1 batch kNN as the facade
         endpoint): top-``limit`` per query vector over the (filtered)
@@ -1878,7 +1893,9 @@ class GrapeVectorDB:
         the 1-query-or-1M-queries-uniformly shape). Returns (query_id,
         vec_id, score, rank) where query_id is the 0-based position in
         ``vectors``. The filter uses the same posting-algebra-when-
-        servable gate as every example-based endpoint."""
+        servable gate as every example-based endpoint.
+        ``with_documents=True`` hydrates the (N x limit)-row result via
+        the shared broadcast id-join."""
         if not vectors:
             raise ValueError("at least one query vector is required")
         limit, _ = clamp_request(limit, None)
@@ -1887,9 +1904,14 @@ class GrapeVectorDB:
             [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
             "query_id long, query_vec array<double>",
         )
-        return search.knn_batch(emb, queries, k=limit).withColumnRenamed(
+        hits = search.knn_batch(emb, queries, k=limit).withColumnRenamed(
             "id", "vec_id"
         )
+        if with_documents:
+            return self._hydrate(
+                hits, [F.col("query_id").asc(), F.col("rank").asc()]
+            )
+        return hits
 
     def search_groups(
         self,
@@ -2040,6 +2062,7 @@ class GrapeVectorDB:
         context_pairs: Sequence[tuple[int, int]],
         limit: int = 10,
         filter: dict[str, Any] | None = None,
+        with_documents: bool = False,
     ) -> DataFrame:
         """Discovery search over the stored corpus: context (positive,
         negative) id pairs vote per candidate, votes rank first, target
@@ -2047,27 +2070,43 @@ class GrapeVectorDB:
         against the FULL corpus; a metadata ``filter`` restricts only the
         CANDIDATE set (the filtered-search semi-join shape — served from
         the posting index when the tree is servable), so a pair can
-        reference an example the filter excludes from results."""
+        reference an example the filter excludes from results.
+        ``with_documents=True`` hydrates via the shared broadcast
+        id-join (:meth:`_hydrate`), keeping the vote ordering."""
         emb = self.embeddings()
-        return search.discover(
+        hits = search.discover(
             self._filtered_candidates(emb, filter),
             target_id, context_pairs, k=limit, examples_df=emb,
         )
+        if with_documents:
+            return self._hydrate(
+                hits,
+                [F.col("votes").desc(), F.col("score").desc(),
+                 F.col(self.id_col).asc()],
+            )
+        return hits
 
     def context_search(
         self,
         context_pairs: Sequence[tuple[int, int]],
         limit: int = 10,
         filter: dict[str, Any] | None = None,
+        with_documents: bool = False,
     ) -> DataFrame:
         """Target-less discovery: rank purely by the context pairs'
         quadratic penalty (operators/search.py:context_rank). Same
-        example-resolution and filter semantics as :meth:`discover`."""
+        example-resolution, filter, and hydration semantics as
+        :meth:`discover`."""
         emb = self.embeddings()
-        return search.context_rank(
+        hits = search.context_rank(
             self._filtered_candidates(emb, filter),
             context_pairs, k=limit, examples_df=emb,
         )
+        if with_documents:
+            return self._hydrate(
+                hits, [F.col("score").desc(), F.col(self.id_col).asc()]
+            )
+        return hits
 
     def recommend(
         self,
@@ -2076,19 +2115,26 @@ class GrapeVectorDB:
         limit: int = 10,
         strategy: str = "average_vector",
         filter: dict[str, Any] | None = None,
+        with_documents: bool = False,
     ) -> DataFrame:
         """Recommend by stored examples (operators/search.py:recommend —
         average_vector / best_score contracts): the public recommend-API
         shape beside search/discover. Example ids resolve against the
         FULL corpus; ``filter`` restricts only the candidates (posting
-        route when servable), matching :meth:`discover`'s semantics."""
+        route when servable), matching :meth:`discover`'s semantics —
+        as does ``with_documents`` hydration."""
         limit, _ = clamp_request(limit, None)
         emb = self.embeddings()
-        return search.recommend(
+        hits = search.recommend(
             self._filtered_candidates(emb, filter),
             positive_ids, negative_ids, k=limit,
             strategy=strategy, examples_df=emb,
         )
+        if with_documents:
+            return self._hydrate(
+                hits, [F.col("score").desc(), F.col(self.id_col).asc()]
+            )
+        return hits
 
     def distance_matrix(self, sample: int = 24) -> DataFrame:
         """Bounded pairwise-similarity matrix over the stored corpus

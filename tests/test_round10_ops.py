@@ -543,6 +543,29 @@ def test_scroll_with_vectors_attaches_embedding(db, emb):
     assert all(r["embedding"] is not None for r in page2)
 
 
+def test_example_endpoints_hydrate_uniformly(db, emb):
+    """search_batch / recommend / discover / context_search all hydrate
+    through the shared broadcast id-join: same ids as the bare call,
+    document columns present, endpoint ordering preserved."""
+    vecs = [_qv(emb, 3), _qv(emb, 7)]
+    cases = [
+        (lambda **kw: db.search_batch(vecs, limit=4, **kw),
+         lambda r: (r.get("query_id"), r.get("rank"))),
+        (lambda **kw: db.recommend([1, 2], [3], limit=4, **kw),
+         lambda r: (-r["score"],)),
+        (lambda **kw: db.discover(0, [(1, 3), (2, 4)], limit=4, **kw),
+         lambda r: (-r["votes"], -r["score"])),
+        (lambda **kw: db.context_search([(1, 3)], limit=4, **kw),
+         lambda r: (-r["score"],)),
+    ]
+    for call, keyfn in cases:
+        bare = [r.asDict() for r in call().collect()]
+        hyd = [r.asDict() for r in call(with_documents=True).collect()]
+        assert {r["doc_id"] for r in hyd} == {r["vec_id"] for r in bare}
+        assert all(r["text"] is not None for r in hyd)
+        assert [keyfn(r) for r in hyd] == [keyfn(r) for r in bare]
+
+
 def test_text_arm_with_documents_hydrates(db):
     rows = db.search(text="vector index", limit=5, with_documents=True).collect()
     assert rows
