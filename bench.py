@@ -230,18 +230,33 @@ def main() -> None:
 
 
 def _load_baseline() -> dict[str, float]:
-    """Per-query r9 medians (the round-9 driver run's BENCH_DETAIL,
-    snapshotted to tools/bench_baseline_r9.json) — the drift-forensics
-    reference. Missing file degrades to no forensics, never a failure."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tools", "bench_baseline_r9.json",
-    )
+    """Per-query medians from the NEWEST recorded clean run
+    (tools/bench_baseline_r{N}.json, highest N wins; r10 = the first
+    solo median-of-3-everything run, strictly cleaner than the r9
+    driver medians it superseded) — the drift-forensics reference.
+    Queries absent from the newest file fall back to older baselines;
+    no file at all degrades to no forensics, never a failure."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    merged: dict[str, float] = {}
+
+    def _round_of(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
     try:
-        with open(path) as f:
-            return dict(json.load(f)["queries"])
+        paths = sorted(
+            glob.glob(os.path.join(here, "tools", "bench_baseline_r*.json")),
+            key=_round_of,  # NUMERIC round order ("r10" > "r9")
+        )
+        for path in paths:  # ascending: newest round overwrites
+            with open(path) as f:
+                merged.update(json.load(f)["queries"])
     except Exception:
-        return {}
+        pass
+    return merged
 
 
 def _jvm_delta(before: dict, after: dict) -> dict:
