@@ -1310,6 +1310,22 @@ def q_search_groups(spark, sf_dir):
     )
 
 
+def q_search_groups_filtered(spark, sf_dir):
+    """Grouped search COMPOSED with a metadata filter: the filter gates
+    candidates through the posting-servable route (equality probe), the
+    grouping reads one posting directory — documents untouched on the
+    whole path. Oracle replays filter + both windows in SQL."""
+    flt = {
+        "must": [
+            {"type": "in", "field": "source",
+             "values": ["src1", "src2", "src3", "src4"]},
+        ]
+    }
+    return _facade_db(spark, sf_dir).search_groups(
+        _qv(spark, sf_dir), "lang", limit=3, group_size=2, filter=flt
+    )
+
+
 def q_scroll_page(spark, sf_dir):
     """db.scroll: cursor-paged filtered retrieval — `id > cursor` is a
     pushed parquet predicate (row-group skip to position), so deep
@@ -5304,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_facet": q_payload_facet,
         "search_groups": q_search_groups,
         "search_groups_array": q_search_groups_array,
+        "search_groups_filtered": q_search_groups_filtered,
         "scroll_page": q_scroll_page,
         "scroll_by_field": q_scroll_by_field,
         "scroll_by_field_desc": q_scroll_by_field_desc,
@@ -9328,6 +9345,35 @@ def oracle_sql() -> dict[str, str]:
                     FROM embeddings) e
               JOIN documents d ON d.doc_id = e.vec_id, {_QV} q
               WHERE d.lang IS NOT NULL
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY score DESC, vec_id
+              ) AS rank_in_group FROM s
+            ),
+            kept AS (SELECT * FROM r WHERE rank_in_group <= 2),
+            b AS (
+              SELECT *, max(score) OVER (PARTITION BY grp) AS best
+              FROM kept
+            ),
+            g AS (
+              SELECT *, dense_rank() OVER (ORDER BY best DESC, grp)
+                        AS grank
+              FROM b
+            )
+            SELECT grp AS "group", vec_id, score,
+                   rank_in_group::INT AS rank_in_group
+            FROM g WHERE grank <= 3
+        """,
+        "search_groups_filtered": f"""
+            WITH s AS (
+              SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score,
+                     d.lang AS grp
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings) e
+              JOIN documents d ON d.doc_id = e.vec_id, {_QV} q
+              WHERE d.lang IS NOT NULL
+                AND d.source IN ('src1', 'src2', 'src3', 'src4')
             ),
             r AS (
               SELECT *, row_number() OVER (
