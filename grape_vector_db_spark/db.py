@@ -2186,10 +2186,19 @@ class GrapeVectorDB:
         renamed so callers porting reference semantics notice).
 
         ``with_vectors=True`` (the public scroll API's with_vectors
-        flag) attaches the stored embedding to each page row through a
-        page-sized broadcast id-join against the embeddings table —
-        O(page), never a corpus join; docs without a stored vector keep
-        a null column (left join)."""
+        flag) attaches the stored embedding to each page row: the page
+        (≤ limit rows) materializes once, its ids push into the
+        embeddings read as an In-filter (the get_documents pattern —
+        parquet row-group skipping, so the probe reads O(page) of the
+        corpus), and the page-sized probe broadcasts into a left join
+        from the page — docs without a stored vector keep a null
+        column. The broadcast hint sits on the probe (the JOIN's right,
+        a valid BuildRight side of a LEFT OUTER); the previous shape
+        hinted the page — the LEFT of a LEFT OUTER, an unsupported
+        build side Spark silently drops, which planned a SortMergeJoin
+        shuffling the full embeddings corpus per page (VERDICT r10 #1).
+        The page materialization makes this call EAGER (one O(page)
+        job at call time)."""
         if limit < 1:
             raise ValueError("limit must be >= 1")
         if offset is not None:
@@ -2217,7 +2226,16 @@ class GrapeVectorDB:
             )
         if not with_vectors:
             return page
-        emb = self.embeddings().withColumnRenamed("vec_id", self.id_col)
+        # materialize the page ONCE (≤ limit rows), so collecting its ids
+        # for the pushed In-filter does not recompute the page for the
+        # join below
+        page = page.localCheckpoint(eager=True)
+        page_ids = [r[0] for r in page.select(self.id_col).collect()]
+        emb = (
+            self.embeddings()
+            .where(F.col("vec_id").isin(page_ids))
+            .withColumnRenamed("vec_id", self.id_col)
+        )
         keys = [self.id_col]
         order = (
             [F.col(self.id_col).asc()]
@@ -2229,7 +2247,7 @@ class GrapeVectorDB:
             ]
         )
         return (
-            F.broadcast(page).join(emb, keys, "left").orderBy(*order)
+            page.join(F.broadcast(emb), keys, "left").orderBy(*order)
         )
 
     def _scroll_by_field(
