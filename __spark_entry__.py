@@ -1403,6 +1403,63 @@ def q_payload_match_not_knn(spark, sf_dir):
     )
 
 
+def q_payload_nested_tree_knn(spark, sf_dir):
+    """RECURSIVE posting-tree algebra (VERDICT r10 #3 — the reference
+    Filter type is recursive, ref:src/types.rs:176-204): a nested
+    should-of-[range, match] under a must-equality evaluates bottom-up
+    on the posting/text indexes — intersection/union are closed over id
+    lists, so `lang = 'en' AND (n_chars >= 400 OR text MATCH 'vector
+    query')` never scans the wide documents table; the AND chain
+    intersects most-selective-first from the sidecar estimates (VERDICT
+    r10 #4). Oracle replays the boolean tree (tokenize-replay for the
+    match leaf) over a docs-predicate plan."""
+    flt = {
+        "must": [
+            {"type": "equals", "field": "lang", "value": "en"},
+            {
+                "should": [
+                    {"type": "range", "field": "n_chars", "gte": 400},
+                    {"type": "match", "field": "text", "text": MATCH_TEXT},
+                ]
+            },
+        ]
+    }
+    return _facade_db(spark, sf_dir).search(
+        vector=_qv(spark, sf_dir), limit=K_DEFAULT, filter=flt
+    )
+
+
+FUZZY_TEXT = "vektor merg"  # both tokens one edit from corpus terms
+
+
+def q_payload_match_fuzzy_knn(spark, sf_dir):
+    """FUZZY Match leaves (VERDICT r10 #7 — the reference declares
+    TextSearchOptions{fuzzy, case_sensitive} it never evaluates,
+    ref:src/filtering.rs:65-69): each query token expands to the
+    distinct INDEX terms within Levenshtein distance 1 (a vocabulary-
+    bounded, length-banded aggregate — operators.sparse.fuzzy_terms),
+    and the expansion probes the inverted index as one pushed
+    In-filter; a doc matches a token if ANY near term posts for it,
+    multi-token = AND. 'vektor merg' reaches docs containing
+    'vector'/'merge' without the corpus ever being re-tokenized or
+    distance-scanned. Oracle replays the tokenizer in SQL and tests
+    per-token existence with DuckDB's levenshtein."""
+    flt = {
+        "must": [
+            {"type": "equals", "field": "lang", "value": "en"},
+            {
+                "type": "match",
+                "field": "text",
+                "text": FUZZY_TEXT,
+                "fuzzy": True,
+            },
+        ]
+    }
+    return _facade_db(spark, sf_dir).search(
+        vector=_qv(spark, sf_dir), limit=K_DEFAULT, filter=flt
+    )
+
+
 def q_search_groups_array(spark, sf_dir):
     """search_groups over an ARRAY-typed field groups PER ELEMENT
     (VERDICT r9 #3 — the pre-r10 fallback stringified the whole array
@@ -5326,6 +5383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll_by_field_desc": q_scroll_by_field_desc,
         "payload_match_knn": q_payload_match_knn,
         "payload_match_not_knn": q_payload_match_not_knn,
+        "payload_nested_tree_knn": q_payload_nested_tree_knn,
+        "payload_match_fuzzy_knn": q_payload_match_fuzzy_knn,
         "search_batch_filtered": q_search_batch_filtered,
         "cluster_quota_sample": q_cluster_quota_sample,
         "filtered_count": q_filtered_count,
@@ -9289,6 +9348,41 @@ def oracle_sql() -> dict[str, str]:
               WHERE d.lang = 'en' AND d.text IS NOT NULL
                 AND NOT (list_contains(tk.t, 'vector')
                          AND list_contains(tk.t, 'query'))
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep))
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "payload_nested_tree_knn": f"""
+            WITH {_TOKS_CTE},
+            keep AS (
+              SELECT d.doc_id FROM documents d
+              JOIN toks tk ON tk.doc_id = d.doc_id
+              WHERE d.lang = 'en'
+                AND (d.n_chars >= 400
+                     OR (list_contains(tk.t, 'vector')
+                         AND list_contains(tk.t, 'query')))
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings
+                  WHERE vec_id IN (SELECT doc_id FROM keep))
+            SELECT e.vec_id, round({_cos('e.v', 'q.qv')}, 6) AS score
+            FROM e, {_QV} q
+            ORDER BY score DESC, e.vec_id LIMIT {K_DEFAULT}
+        """,
+        "payload_match_fuzzy_knn": f"""
+            WITH {_TOKS_CTE},
+            keep AS (
+              SELECT d.doc_id FROM documents d
+              JOIN toks tk ON tk.doc_id = d.doc_id
+              WHERE d.lang = 'en'
+                AND len(list_filter(tk.t,
+                        w -> levenshtein(w, 'vektor') <= 1)) > 0
+                AND len(list_filter(tk.t,
+                        w -> levenshtein(w, 'merg') <= 1)) > 0
             ),
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                   FROM embeddings

@@ -63,6 +63,14 @@ def condition_to_column(cond: dict[str, Any]) -> Column:
         # posting probes). Zero kept tokens (stopwords-only text) is a
         # vacuous AND: True. Substring containment — the pre-r10 reading
         # of match — remains available as {"type": "contains"}.
+        #
+        # ``fuzzy`` (the reference's declared-but-stubbed
+        # TextSearchOptions.fuzzy, ref:src/filtering.rs:65-69): truthy
+        # relaxes each token to "SOME field token within Levenshtein
+        # distance d" (True -> d=1, an int -> that distance) — the
+        # higher-order `exists` over the token array, JVM-side; the
+        # index route serves the same semantics as a vocabulary
+        # expansion probe.
         from ..functions.text import tokens as _tokens
         from .sparse import tokenize_query_py
 
@@ -70,6 +78,21 @@ def condition_to_column(cond: dict[str, Any]) -> Column:
         if not toks:
             return F.lit(True)
         col_toks = _tokens(_field(field))
+        fuzzy = cond.get("fuzzy")
+        if fuzzy:
+            dist = 1 if fuzzy is True else int(fuzzy)
+
+            def _near(tok):
+                # closure factory, NOT a default-arg lambda: PySpark
+                # reads the lambda's arity to pick the 1- vs 2-arg
+                # higher-order form, and a bound default would read as 2
+                return lambda x: F.levenshtein(x, F.lit(tok)) <= F.lit(dist)
+
+            c = None
+            for t in toks:
+                e = F.exists(col_toks, _near(t))
+                c = e if c is None else c & e
+            return c
         c = F.array_contains(col_toks, toks[0])
         for t in toks[1:]:
             c = c & F.array_contains(col_toks, t)
@@ -181,11 +204,11 @@ def conjunctive_equalities(
 def payload_probe_tree(
     flt: dict[str, Any],
 ) -> dict[str, list[tuple[str, Any, str]]] | None:
-    """One-level filter tree normalized to posting-probe groups —
+    """Filter tree normalized to posting-probe groups —
     ``{"must": [(field, value, kind)...], "should": [...],
     "must_not": [...]}`` — when EVERY leaf is an ``equals``,
-    ``array_contains``, ``range``, ``in``, or ``exists`` condition (no
-    nested sub-trees), else None. A range leaf carries ``value =
+    ``array_contains``, ``range``, ``in``, ``exists``, or ``match``
+    condition, else None. A range leaf carries ``value =
     {"gte":..., "lte":...}`` (at least one bound set); an in leaf the
     value tuple; an exists leaf True. Reference semantics
     (src/embedded.rs:539-582): must = AND, should = OR, must_not = AND
@@ -198,7 +221,18 @@ def payload_probe_tree(
     nothing) — the caller must reject those against the index sidecar,
     same as whole-array equality. Range servability (numeric source
     type, value_num-backed index) is likewise the caller's sidecar
-    check — this normalizer is purely structural."""
+    check — this normalizer is purely structural.
+
+    NESTED sub-trees recurse (the reference Filter type is recursive,
+    ref:src/types.rs:176-204): a node that is itself a
+    must/should/must_not dict normalizes to the probe triple
+    ``("", <subtree groups>, "tree")`` in its parent group. The id-set
+    algebra is CLOSED under composition — intersection/union/
+    complement evaluate bottom-up — and negation of a sub-tree pushes
+    to its leaves by De Morgan, which is exact in Kleene three-valued
+    logic (NOT of a leaf is the leaf's null-rejecting complement, the
+    same rule one-level must_not always used), so the recursive route
+    returns exactly the predicate path's TRUE-set."""
     if not isinstance(flt, dict):
         return None
     groups: dict[str, list[tuple[str, Any, str]]] = {}
@@ -208,7 +242,11 @@ def payload_probe_tree(
             if not isinstance(node, dict):
                 return None
             if any(k in node for k in ("must", "should", "must_not")):
-                return None
+                sub = payload_probe_tree(node)
+                if sub is None:
+                    return None
+                out.append(("", sub, "tree"))
+                continue
             kind = node.get("type")
             if kind not in (
                 "equals", "array_contains", "range", "in", "exists",
@@ -222,10 +260,18 @@ def payload_probe_tree(
                 # full-text leaf: value = the raw query text; the caller
                 # validates servability (text index present, field is the
                 # indexed text column, tokens non-empty; negation serves
-                # as the id-column complement) and owns tokenization
+                # as the id-column complement) and owns tokenization.
+                # ``fuzzy`` (truthy) normalizes to the distinct
+                # ``match_fuzzy`` kind carrying (text, distance) —
+                # True -> 1
                 text = node.get("text")
                 if not isinstance(text, str) or not text:
                     return None
+                fuzzy = node.get("fuzzy")
+                if fuzzy:
+                    dist = 1 if fuzzy is True else int(fuzzy)
+                    out.append((str(field), (text, dist), "match_fuzzy"))
+                    continue
                 out.append((str(field), text, kind))
                 continue
             if kind == "range":

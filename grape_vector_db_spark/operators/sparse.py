@@ -55,7 +55,11 @@ def text_index_layout(terms: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 
 def text_index_sidecar_stats(
-    terms: DataFrame, col: str, doc_rows: int, hist_max: int = 64
+    terms: DataFrame,
+    col: str,
+    doc_rows: int | None = None,
+    hist_max: int = 64,
+    id_col: str = "vec_id",
 ) -> dict:
     """The text index's _STATS sidecar: the indexed column (match-leaf
     routing validates the leaf's field against it), the corpus row
@@ -64,16 +68,34 @@ def text_index_sidecar_stats(
     UNRECORDED term can have (the min recorded df, or 0 when the
     vocabulary fits) — funding exact head-term match selectivity and a
     sound upper bound for the tail, with zero query-time jobs. One
-    vocabulary-sized aggregate at build/refresh time."""
-    df_rows = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(hist_max + 1)
+    vocabulary-sized aggregate at build/refresh time.
+
+    ``doc_rows=None`` derives the count from the SAME rollup aggregate
+    that builds the histogram (the grand-total grouping set counts
+    distinct ids — no extra full-index job; ADVICE r10): it counts the
+    docs IN the index, i.e. docs with >= 1 kept token. The facade build
+    passes the documents row count instead, which additionally counts
+    zero-token docs — a streamed-grown sidecar's doc_rows can therefore
+    sit slightly BELOW a batch-built one over the same corpus (the
+    selectivity estimates divide by n, so the streamed estimate is the
+    slightly larger, still-sound fraction)."""
+    rows = (
+        terms.rollup("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(
+            F.col("term").isNotNull().asc(),
+            F.col("df").desc(),
+            F.col("term").asc(),
+        )
+        .limit(hist_max + 2)
         .collect()
     )
+    total = next((r for r in rows if r["term"] is None), None)
+    df_rows = [r for r in rows if r["term"] is not None]
     top = df_rows[:hist_max]
     df_cap = int(top[-1]["df"]) if len(df_rows) > hist_max else 0
+    if doc_rows is None:
+        doc_rows = int(total["df"]) if total is not None else 0
     return {
         "text_col": col,
         "doc_rows": int(doc_rows),

@@ -436,10 +436,16 @@ def stream_text_index_to_parquet(
        df histogram sidecar refreshed — the same artifact the facade's
        match-leaf routing probes and the selectivity estimate reads.
 
-    ``doc_rows`` counts the distinct ids grown so far (the streaming
-    context has no documents table to count — the payload twin's rule).
-    Batch work is O(batch) tokenization; the publish rewrites only the
-    narrow index table, never the corpus."""
+    ``doc_rows`` counts the distinct ids IN the index — docs with >= 1
+    kept token (the streaming context has no documents table to count —
+    the payload twin's rule; a facade-built sidecar over the same corpus
+    additionally counts zero-token docs, so match selectivity divides by
+    a slightly larger n there — both sound, divergence documented in
+    text_index_sidecar_stats). The count derives from the SAME rollup
+    aggregate that builds the df histogram (ADVICE r10 — the earlier
+    separate distinct().count() was an extra full-index job per
+    micro-batch). Batch work is O(batch) tokenization; the publish
+    rewrites only the narrow index table, never the corpus."""
     from ..functions.text import doc_terms
     from ..operators.payload import HIST_MAX
     from ..operators.sparse import (
@@ -462,11 +468,10 @@ def stream_text_index_to_parquet(
         else:  # first batch — no index yet
             updated = fresh
         updated = text_index_layout(updated)
-        n_ids = updated.select("vec_id").distinct().count()
         publish_table(
             spark, index_path, updated,
             extra_stats=text_index_sidecar_stats(
-                updated, text_col, n_ids, HIST_MAX
+                updated, text_col, None, HIST_MAX
             ),
         )
 
