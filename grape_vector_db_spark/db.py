@@ -1410,8 +1410,17 @@ class GrapeVectorDB:
 
         def _and_chain(ops):
             """Left-deep intersection, most-selective operand FIRST
-            (innermost) — the sidecar-funded join order AQE won't
-            re-derive for a manual chain."""
+            (innermost). The ORDER is the piece AQE cannot re-derive —
+            it re-plans each join's strategy and build side from runtime
+            sizes but never reorders a manual join tree — so the sidecar
+            estimates decide it here: starting from the rarest operand
+            bounds every later intermediate by that operand's size, which
+            at corpus scale is the difference between shuffling the
+            common leaf's full id list once versus at every step. Build
+            side / broadcast stays AQE's call on the runtime sizes (a
+            measured forced-broadcast variant LOST locally: hinting the
+            running intermediate serializes one broadcast round trip per
+            step, while leaf-side broadcasts prepare in parallel)."""
             keep = None
             for _e, thunk in sorted(ops, key=lambda p: p[0]):
                 pl = thunk()
@@ -2784,9 +2793,14 @@ class GrapeVectorDB:
                     )
                     return choice
             if payload_tree is not None:
-                flds = sorted(
-                    {p[0] for g in payload_tree.values() for p in g}
-                )
+                def _tree_flds(t):
+                    out = set()
+                    for g in t.values():
+                        for f, v, k in g:
+                            out |= _tree_flds(v) if k == "tree" else {f}
+                    return out
+
+                flds = sorted(_tree_flds(payload_tree))
                 choice = PlanChoice(
                     choice.strategy,
                     choice.reason

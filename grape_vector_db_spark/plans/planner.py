@@ -77,12 +77,19 @@ def choose_search_strategy(
     has_sq: bool = False,
     has_graph: bool = False,
     filter_selectivity: float = 1.0,
-    brute_force_limit: int = BRUTE_FORCE_LIMIT,
-    graph_min_selectivity: float = GRAPH_MIN_SELECTIVITY,
+    brute_force_limit: int | None = None,
+    graph_min_selectivity: float | None = None,
 ) -> PlanChoice:
     """The module-docstring cost rule, in order. ``corpus_rows`` is the
     UNFILTERED corpus size; ``filter_selectivity`` the fraction the
-    metadata filter keeps (1.0 = no filter)."""
+    metadata filter keeps (1.0 = no filter). The threshold defaults
+    late-bind to the module constants so tests (and operators) can
+    lower BRUTE_FORCE_LIMIT to surface the index-preference order at
+    sub-threshold corpus sizes."""
+    if brute_force_limit is None:
+        brute_force_limit = BRUTE_FORCE_LIMIT
+    if graph_min_selectivity is None:
+        graph_min_selectivity = GRAPH_MIN_SELECTIVITY
     effective = int(corpus_rows * filter_selectivity)
     if effective <= brute_force_limit:
         why = (

@@ -207,6 +207,19 @@ SHOWCASE = [
         "compound (value,id) keyset predicate pushed into the value-"
         "sorted posting directory -> k-row broadcast hydration join",
     ),
+    (
+        "payload_nested_tree_knn",
+        "RECURSIVE posting algebra: nested should union (range "
+        "value_num read ∪ match term probes) intersected with the "
+        "lang equality probe, most-selective-first chain; documents "
+        "never scanned",
+    ),
+    (
+        "payload_match_fuzzy_knn",
+        "fuzzy Match leaf: per-token vocabulary expansion (length-"
+        "banded) -> pushed In-filter probe of the inverted index ∩ "
+        "lang posting probe; corpus never distance-scanned",
+    ),
 ]
 
 
