@@ -74,6 +74,19 @@ def condition_to_column(cond: dict[str, Any]) -> Column:
         from ..functions.text import tokens as _tokens
         from .sparse import tokenize_query_py
 
+        if cond.get("case_sensitive"):
+            # the reference declares TextSearchOptions.case_sensitive
+            # beside fuzzy (ref:src/filtering.rs:65-69, both stubbed).
+            # fuzzy is honored; case sensitivity CANNOT be — the
+            # tokenizer contract (F8) lowercases, and the text index
+            # stores lowercased terms, so a case-sensitive match would
+            # silently diverge between the predicate and posting routes.
+            # Reject loudly instead of ignoring the option.
+            raise ValueError(
+                "match is case-insensitive by the tokenizer contract "
+                "(F8 lowercases; the text index stores lowercased "
+                "terms); case_sensitive=True is not supported"
+            )
         toks = sorted(tokenize_query_py(str(cond["text"])))
         if not toks:
             return F.lit(True)
@@ -266,6 +279,10 @@ def payload_probe_tree(
                 # True -> 1
                 text = node.get("text")
                 if not isinstance(text, str) or not text:
+                    return None
+                if node.get("case_sensitive"):
+                    # unservable AND unsupported: fall back so the
+                    # predicate path raises its explicit error
                     return None
                 fuzzy = node.get("fuzzy")
                 if fuzzy:

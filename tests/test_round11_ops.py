@@ -284,6 +284,38 @@ class TestHybridRouting:
         with pytest.raises(ValueError, match="index_ivf"):
             db.hybrid_search("x", _qv(emb), limit=5, index="ivf")
 
+    def test_hybrid_overfetch_past_max_limit(self, db, emb):
+        """The dense leg rides _vector_search WITHOUT the facade clamp:
+        limit=60 means a 120-row over-fetch budget (> MAX_LIMIT=100) —
+        the refactor must not silently clamp it to 100."""
+        out = db.hybrid_search("vector merge", _qv(emb), limit=60)
+        rows = out.collect()
+        assert len(rows) == 60
+        # fused output is rank-unique and score-ordered
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestMatchCaseSensitive:
+    """The OTHER declared-but-stubbed TextSearchOption: honored is not
+    possible (the tokenizer contract lowercases; the index stores
+    lowercased terms) — so it rejects loudly on BOTH routes instead of
+    silently diverging."""
+
+    def test_predicate_path_raises(self, db, emb):
+        flt = {"must": [{"type": "match", "field": "text",
+                         "text": "Vector", "case_sensitive": True}]}
+        with pytest.raises(ValueError, match="case-insensitive"):
+            db.search(vector=_qv(emb), limit=5, filter=flt)
+
+    def test_posting_route_falls_back_to_the_same_error(self, db, emb):
+        db.build_index("text")
+        flt = {"must": [{"type": "match", "field": "text",
+                         "text": "Vector", "case_sensitive": True}]}
+        assert db._payload_tree_plan(flt) is None
+        with pytest.raises(ValueError, match="case-insensitive"):
+            db.search(vector=_qv(emb), limit=5, filter=flt)
+
 
 class TestFuzzyMatch:
     """Judge r10 #7: the Match leaf's fuzzy option (the reference's
