@@ -280,6 +280,34 @@ class TestHybridRouting:
         # overlap stays high (fixed data, deterministic walk)
         assert len(set(a) & set(b)) >= 7
 
+    def test_indexed_dense_leg_exact_at_high_beam(
+        self, db, emb, monkeypatch
+    ):
+        """VERDICT r10 #2 'parity vs exact at high beam': with the walk
+        sized exhaustively (beam = corpus, hops past the graph
+        diameter) the indexed dense leg returns EXACTLY the brute-force
+        hybrid — (doc_id, score) identical, not just overlapping."""
+        from grape_vector_db_spark.operators import ann
+
+        db.build_index("graph", k=8)
+        qv = _qv(emb)
+        monkeypatch.setattr(
+            ann, "graph_autosize", lambda n, degree, k=10: (500, 6)
+        )
+        walked = [
+            (r["doc_id"], r["score"])
+            for r in db.hybrid_search(
+                "vector merge", qv, limit=10, index="graph"
+            ).collect()
+        ]
+        exact = [
+            (r["doc_id"], r["score"])
+            for r in db.hybrid_search(
+                "vector merge", qv, limit=10, index="brute_force"
+            ).collect()
+        ]
+        assert walked == exact and walked
+
     def test_hybrid_unknown_index_raises(self, db, emb):
         with pytest.raises(ValueError, match="index_ivf"):
             db.hybrid_search("x", _qv(emb), limit=5, index="ivf")
