@@ -478,6 +478,67 @@ class TestAutoPlannerGraphPreference:
         assert rows and rows[0]["vec_id"] == 3  # finds the query's self
 
 
+class TestNestedTreeComposition:
+    """Nested trees and fuzzy leaves compose for free with every
+    endpoint riding the shared _payload_tree_plan/_payload_tree_ids —
+    facet, count, scroll, and hybrid's three-leg gate."""
+
+    def _indexed(self, db):
+        db.build_index("payload", columns=["lang", "source", "n_chars"])
+        db.build_index("text")
+
+    def test_facet_and_count_with_nested_tree(self, db, docs):
+        self._indexed(db)
+        assert db._payload_tree_plan(NESTED) is not None
+        want_ids = _pred_ids(db, NESTED)
+        assert db.count(filter=NESTED) == len(want_ids)
+        got = {
+            (r["value"], r["count"])
+            for r in db.facet("source", filter=NESTED, limit=100).collect()
+        }
+        from grape_vector_db_spark.operators import filters
+
+        truth = {
+            (r["source"], r["n"])
+            for r in db.documents()
+            .where(filters.filter_to_column(NESTED))
+            .where(F.col("source").isNotNull())
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == truth and got
+
+    def test_scroll_with_nested_tree(self, db):
+        self._indexed(db)
+        page = db.scroll(filter=NESTED, limit=8, cursor=None).collect()
+        want = sorted(_pred_ids(db, NESTED))[:8]
+        assert [r["doc_id"] for r in page] == want
+
+    def test_hybrid_with_fuzzy_filter(self, db, emb):
+        flt = {
+            "must": [
+                {"type": "match", "field": "text", "text": "vektor",
+                 "fuzzy": True}
+            ]
+        }
+        qv = _qv(emb)
+        before = [
+            (r["doc_id"], r["score"])
+            for r in db.hybrid_search(
+                "vector merge", qv, limit=5, filter=flt
+            ).collect()
+        ]
+        self._indexed(db)
+        after = [
+            (r["doc_id"], r["score"])
+            for r in db.hybrid_search(
+                "vector merge", qv, limit=5, filter=flt
+            ).collect()
+        ]
+        assert after == before and after
+
+
 class TestTextIndexColumnDrop:
     """ADVICE r10 (medium): a docs re-publish that drops the indexed
     text column must not leave stale postings published nor keep
