@@ -2070,10 +2070,16 @@ class GrapeVectorDB:
         weights: dict[str, float] | None = None,
         filter: dict[str, Any] | None = None,
         index: str = "auto",
+        with_documents: bool = False,
     ) -> DataFrame:
         """HybridSearchEngine::search (src/hybrid.rs:286-356): dense + BM25
         + text candidates (2k over-fetch each) fused by the chosen
         strategy.
+
+        ``with_documents=True`` hydrates the fused hits through the
+        shared k-row broadcast id-join (:meth:`_hydrate` — the J8 shape
+        every other endpoint uses; hybrid was the last one without it),
+        keeping the fused ordering and any per-leg score columns.
 
         The dense leg rides :meth:`search`'s physical routes (judge r10
         #2 — the reference hybrid runs its dense arm through HNSW,
@@ -2095,6 +2101,15 @@ class GrapeVectorDB:
         unservable trees. The BM25/text legs keep the FILTERED
         subcorpus statistics (df/avgdl over the slice) — a correct,
         oracled choice carried from earlier rounds."""
+        if with_documents:
+            hits = self.hybrid_search(
+                query_text, query_vector, limit=limit, strategy=strategy,
+                weights=weights, filter=filter, index=index,
+            )
+            return self._hydrate(
+                hits.withColumnRenamed("doc_id", "vec_id"),
+                [F.col("score").desc(), F.col(self.id_col).asc()],
+            )
         limit, _ = clamp_request(limit, None)
         overfetch = limit * 2
         docs = self.documents()

@@ -308,6 +308,22 @@ class TestHybridRouting:
         ]
         assert walked == exact and walked
 
+    def test_hybrid_with_documents_hydrates(self, db, emb):
+        """hybrid was the LAST endpoint without the uniform J8
+        hydration flag: same ids/ordering as the bare call, document
+        columns present, per-leg score columns preserved."""
+        qv = _qv(emb)
+        bare = db.hybrid_search(
+            "vector merge", qv, limit=5, strategy="rrf"
+        ).collect()
+        hyd = db.hybrid_search(
+            "vector merge", qv, limit=5, strategy="rrf",
+            with_documents=True,
+        ).collect()
+        assert [r["doc_id"] for r in hyd] == [r["doc_id"] for r in bare]
+        assert all(r["text"] is not None for r in hyd)
+        assert [r["score"] for r in hyd] == [r["score"] for r in bare]
+
     def test_hybrid_unknown_index_raises(self, db, emb):
         with pytest.raises(ValueError, match="index_ivf"):
             db.hybrid_search("x", _qv(emb), limit=5, index="ivf")
