@@ -99,6 +99,11 @@ QUERIES = [
     "search_groups_array",
     "scroll_by_field",
     "scroll_by_field_desc",
+    # round-11: recursive posting trees (nested should under a must —
+    # VERDICT r10 #3) and the fuzzy Match leaf (vocabulary expansion +
+    # In-probe; its scaling axis is the vocabulary, not the corpus)
+    "payload_nested_tree_knn",
+    "payload_match_fuzzy_knn",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
