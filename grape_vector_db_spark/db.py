@@ -1302,19 +1302,33 @@ class GrapeVectorDB:
                 terms_tbl = self._read("index_terms")
                 keep = None
                 for t in sorted(sparse.tokenize_query_py(text)):
-                    exp = [
-                        r["term"]
-                        for r in sparse.fuzzy_terms(
-                            terms_tbl.withColumnRenamed("vec_id", "doc_id"),
-                            t,
-                            max_dist=int(dist),
-                        ).collect()
-                    ]
-                    pl = (
-                        terms_tbl.where(F.col("term").isin(exp))
-                        .select("vec_id")
-                        .distinct()
+                    exp_df = sparse.fuzzy_terms(
+                        terms_tbl.withColumnRenamed("vec_id", "doc_id"),
+                        t,
+                        max_dist=int(dist),
                     )
+                    # bounded driver collect: a real vocabulary keeps a
+                    # token's edit-distance ball tiny, but the bound must
+                    # not depend on that — past 4096 terms the expansion
+                    # probes as a broadcast term-join instead (identical
+                    # semantics, no driver list, no giant In literal)
+                    exp = [
+                        r["term"] for r in exp_df.limit(4097).collect()
+                    ]
+                    if len(exp) > 4096:
+                        pl = (
+                            terms_tbl.join(
+                                F.broadcast(exp_df.select("term")), "term"
+                            )
+                            .select("vec_id")
+                            .distinct()
+                        )
+                    else:
+                        pl = (
+                            terms_tbl.where(F.col("term").isin(exp))
+                            .select("vec_id")
+                            .distinct()
+                        )
                     keep = pl if keep is None else keep.join(pl, "vec_id")
                 if negate:
                     st = self._table_stats("index_terms") or {}
