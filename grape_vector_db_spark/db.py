@@ -70,6 +70,15 @@ class GrapeVectorDB:
     # stats().
     GRAPH_REBUILD_FRACTION = 0.3
 
+    # scroll(with_vectors=True) pages at or below this size attach
+    # embeddings via a driver-collected pushed In-filter (parquet
+    # row-group skip + page-sized broadcast join); pages past it switch
+    # to a distributed semi-join gate — an unbounded collect of page
+    # ids is a driver OOM / Catalyst In-literal blowup at corpus-scale
+    # limits (scroll deliberately does NOT clamp its limit). Same bound
+    # discipline as the fuzzy expansion's 4096-term collect cap.
+    SCROLL_VECTOR_PROBE_CAP = 4096
+
     def __init__(
         self,
         spark: SparkSession,
@@ -287,9 +296,13 @@ class GrapeVectorDB:
             if self._has("index_terms")
             else None
         )
-        if tst is not None and (tst.get("text_col") or self.text_col) == (
-            self.text_col
-        ):
+        if tst is not None and tst.get("text_col") == self.text_col:
+            # EXACT sidecar match only: a tombstoned index (text_col
+            # None after its column was dropped — see
+            # _refresh_text_index) or a sidecar recording a different
+            # column must NOT promote, or the sparse leg would read an
+            # empty/foreign posting table while documents still carry
+            # servable text
             return self._read("index_terms").withColumnRenamed(
                 "vec_id", "doc_id"
             )
@@ -962,7 +975,9 @@ class GrapeVectorDB:
             ),
         )
 
-    def _publish_text_index(self, terms: DataFrame, col: str) -> None:
+    def _publish_text_index(
+        self, terms: DataFrame, col: str, tombstone: bool = False
+    ) -> None:
         """Versioned publish of the (vec_id, term, tf) inverted index.
         Layout: range-partitioned + sorted on term, so a term equality
         probe touches one partition's few row groups. The sidecar
@@ -976,12 +991,25 @@ class GrapeVectorDB:
         are operators.sparse helpers — shared with the streaming twin."""
         from .operators.payload import HIST_MAX
 
+        stats = sparse.text_index_sidecar_stats(
+            terms, col, self._row_count("documents"), HIST_MAX
+        )
+        if tombstone:
+            # the indexed column was dropped from a re-published
+            # documents table: record text_col None (the one-column
+            # mirror of the payload index dropping a column from its
+            # sidecar's payload_columns) so match routing, _warm_terms
+            # promotion, and incremental maintenance all see the index
+            # as UNSERVABLE — even if a later re-publish restores the
+            # column, the standing postings cover nothing, and resuming
+            # O(batch) maintenance would silently serve a partial index.
+            # Only an explicit build_index("text") re-tokenizes the
+            # corpus and clears this marker.
+            stats = {**stats, "text_col": None, "dropped_column": col}
         self._publish(
             "index_terms",
             sparse.text_index_layout(terms),
-            extra_stats=sparse.text_index_sidecar_stats(
-                terms, col, self._row_count("documents"), HIST_MAX
-            ),
+            extra_stats=stats,
         )
 
     def _refresh_text_index(self, ids: DataFrame) -> None:
@@ -990,17 +1018,30 @@ class GrapeVectorDB:
         post-merge documents, keep everyone else's rows, re-publish with
         a fresh df histogram."""
         st = self._table_stats("index_terms") or {}
+        if st.get("text_col") is None and st.get("dropped_column"):
+            # tombstoned (the indexed column was dropped by an earlier
+            # docs re-publish): even if a later re-publish RESTORED the
+            # column, the standing index covers none of the pre-restore
+            # corpus — resuming O(batch) maintenance here would leave a
+            # partial index that match routing would silently serve.
+            # Stay tombstoned until an explicit build_index("text")
+            # re-tokenizes the whole corpus.
+            return
         col = st.get("text_col") or self.text_col
         if col not in self.documents().columns:
             # the indexed text column was dropped by a docs re-publish:
             # its postings drop WITH it (the payload-index rule, ADVICE
-            # r10) — publish the index EMPTY instead of leaving stale
-            # postings published for a column the predicate path can no
-            # longer even resolve. Match routing additionally
-            # re-validates the leaf's field against the documents schema
-            # (_payload_tree_plan), so filters on the dropped column
-            # fall back and error exactly like the predicate path.
-            self._publish_text_index(self._read("index_terms").limit(0), col)
+            # r10) — publish the index EMPTY **and tombstoned** instead
+            # of leaving stale postings published for a column the
+            # predicate path can no longer even resolve. The tombstone
+            # (text_col None in the sidecar) makes match routing,
+            # _warm_terms promotion, and later refreshes all treat the
+            # index as unservable — including after the column is
+            # RESTORED by yet another re-publish, when the empty index
+            # would otherwise silently grow batch-only coverage.
+            self._publish_text_index(
+                self._read("index_terms").limit(0), col, tombstone=True
+            )
             return
         fresh = sparse.doc_terms(
             self.documents().join(
@@ -1100,6 +1141,17 @@ class GrapeVectorDB:
         def _num(x) -> bool:
             return isinstance(x, (int, float)) and not isinstance(x, bool)
 
+        doc_cols: set[str] | None = None  # lazy: schema read only when
+        # a match leaf needs it, then ONE footer read per plan call (a
+        # nested tree of match leaves re-derived the documents schema
+        # per leaf, and the plan itself runs on the hot planning path)
+
+        def _doc_cols() -> set[str]:
+            nonlocal doc_cols
+            if doc_cols is None:
+                doc_cols = set(self.documents().columns)
+            return doc_cols
+
         def _lit_ok(fld: str, v) -> bool:
             """Is probing this literal against the field's postings
             provably equal to the predicate path's compare?"""
@@ -1140,7 +1192,7 @@ class GrapeVectorDB:
                 # the filter errors exactly like the predicate path
                 # instead of serving stale postings (schema read —
                 # zero jobs)
-                if fld not in self.documents().columns:
+                if fld not in _doc_cols():
                     return False
                 text = v[0] if kind == "match_fuzzy" else v
                 if not sparse.tokenize_query_py(text):
@@ -1285,6 +1337,24 @@ class GrapeVectorDB:
                 s = (F.col("value_num") == F.lit(float(val))) & s
             return s
 
+        def _match_complement(keep: DataFrame) -> DataFrame:
+            """NOT(all tokens present) = the corpus COMPLEMENT: the
+            documents id column (pruned to ONE narrow column; text
+            non-null reproduces the predicate path's null-rejecting NOT)
+            anti-joined against the probe intersection — the corpus text
+            is never re-tokenized. ONE shared helper: the exact and
+            fuzzy match branches must negate identically, and a
+            null-semantics change applied to one but not the other would
+            silently diverge them."""
+            st = self._table_stats("index_terms") or {}
+            tcol = st.get("text_col") or self.text_col
+            base = (
+                self.documents()
+                .where(F.col(tcol).isNotNull())
+                .select(F.col(self.id_col).alias("vec_id"))
+            )
+            return base.join(keep, "vec_id", "left_anti")
+
         def leaf(fld, val, kind, negate=False):
             if kind == "match_fuzzy":
                 # fuzzy full-text leaf (the reference's declared-but-
@@ -1331,14 +1401,7 @@ class GrapeVectorDB:
                         )
                     keep = pl if keep is None else keep.join(pl, "vec_id")
                 if negate:
-                    st = self._table_stats("index_terms") or {}
-                    tcol = st.get("text_col") or self.text_col
-                    base = (
-                        self.documents()
-                        .where(F.col(tcol).isNotNull())
-                        .select(F.col(self.id_col).alias("vec_id"))
-                    )
-                    return base.join(keep, "vec_id", "left_anti")
+                    return _match_complement(keep)
                 return keep
             if kind == "match":
                 # full-text leaf: token postings from the doc_terms
@@ -1356,19 +1419,7 @@ class GrapeVectorDB:
                     ).select("vec_id")
                     keep = pl if keep is None else keep.join(pl, "vec_id")
                 if negate:
-                    # NOT(all tokens present) = the COMPLEMENT: the
-                    # documents id column (pruned to ONE narrow column;
-                    # text non-null reproduces the predicate path's
-                    # null-rejecting NOT) anti-joined against the probe
-                    # intersection — still no corpus re-tokenization
-                    st = self._table_stats("index_terms") or {}
-                    tcol = st.get("text_col") or self.text_col
-                    base = (
-                        self.documents()
-                        .where(F.col(tcol).isNotNull())
-                        .select(F.col(self.id_col).alias("vec_id"))
-                    )
-                    return base.join(keep, "vec_id", "left_anti")
+                    return _match_complement(keep)
                 return keep
             if kind == "range":
                 vn = F.col("value_num")
@@ -1449,9 +1500,19 @@ class GrapeVectorDB:
                     for f, v, k in t["must"]
                 ]
                 if t["should"]:
-                    se = min(
-                        1.0,
-                        sum(_est(f, v, k, False) for f, v, k in t["should"]),
+                    ests = [_est(f, v, k, False) for f, v, k in t["should"]]
+                    # union bound: fraction(OR) <= sum of child fractions
+                    # (capped at 1) — but ONLY when every child has an
+                    # estimate. One unknown child (2.0 sentinel) makes
+                    # the union unknown too; min(1.0, sum) would launder
+                    # the sentinel into a confident 1.0 and sort the
+                    # expensive unknown union (e.g. a fuzzy expansion
+                    # with its driver collects) ahead of genuinely
+                    # estimated operands, violating the "unknowns keep
+                    # written order at the chain's end" contract.
+                    se = (
+                        2.0 if any(e >= 2.0 for e in ests)
+                        else min(1.0, sum(ests))
                     )
 
                     def _should_union(items=tuple(t["should"])):
@@ -1889,18 +1950,37 @@ class GrapeVectorDB:
         if vector is not None:
             return self._vector_search(vector, limit, threshold, filter, index)
         if text is not None:
+            return self._text_search(text, limit, filter)
+        raise ValueError("search needs a vector or a text query")
+
+    def _text_search(
+        self,
+        text: str,
+        limit: int,
+        filter: dict[str, Any] | None = None,
+        docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """:meth:`search`'s text arm WITHOUT the facade parameter clamp —
+        shared with :meth:`hybrid_search`'s text leg, whose 2x over-fetch
+        budget may legitimately exceed MAX_LIMIT (the dense leg escapes
+        the clamp through :meth:`_vector_search`; routing the text leg
+        through the public ``search`` silently capped ITS over-fetch at
+        MAX_LIMIT, starving the fusion of text-leg contributions for
+        limits past MAX_LIMIT/2). ``docs`` lets the caller pass an
+        already-gated documents slice so hybrid's three legs derive the
+        filter gate ONCE instead of re-planning it per leg."""
+        if docs is None:
             # posting-gated docs slice when the tree is servable (the
             # same gate the vector arm uses) — a narrow id semi-join
             # instead of the wide predicate scan
             docs = self._filtered_docs(self.documents(), filter)
-            score = text_match_score(None, F.col(self.text_col), text)
-            return (
-                docs.select(F.col(self.id_col), F.round(score, 6).alias("score"))
-                .where(F.col("score") > 0)
-                .orderBy(F.col("score").desc(), F.col(self.id_col).asc())
-                .limit(limit)
-            )
-        raise ValueError("search needs a vector or a text query")
+        score = text_match_score(None, F.col(self.text_col), text)
+        return (
+            docs.select(F.col(self.id_col), F.round(score, 6).alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+            .limit(limit)
+        )
 
     def _vector_search(
         self,
@@ -1909,12 +1989,20 @@ class GrapeVectorDB:
         threshold: float | None,
         filter: dict[str, Any] | None,
         index: str,
+        gate_ids: DataFrame | None = None,
+        gate_selectivity: float | None = None,
     ) -> DataFrame:
         """:meth:`search`'s vector arm WITHOUT the facade parameter
         clamp — shared with :meth:`hybrid_search`'s dense leg, whose
         2x over-fetch budget may legitimately exceed MAX_LIMIT. All
         route selection (planner cost rule / explicit index), posting-
-        algebra filter gating, and partition pruning live here."""
+        algebra filter gating, and partition pruning live here.
+
+        ``gate_ids``/``gate_selectivity``: a caller that already planned
+        the filter gate (hybrid_search derives ONE id set + selectivity
+        for all three legs) passes it here so this arm does not re-run
+        tree planning, the posting probes, or — for fuzzy trees — the
+        per-token vocabulary-expansion collects a second time."""
         emb_all = self.embeddings()
         emb = emb_all
         keep_ids = None
@@ -1922,7 +2010,17 @@ class GrapeVectorDB:
         # publish-time stats, not an eager count — route choice must
         # not cost a corpus scan per query (VERDICT r7 #1)
         n_corpus = self._row_count("embeddings")
-        if filter is not None:
+        if filter is not None and gate_ids is not None:
+            keep_ids = gate_ids
+            emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+            selectivity = (
+                gate_selectivity
+                if gate_selectivity is not None
+                else self._estimate_selectivity(
+                    filters.filter_to_column(filter)
+                )
+            )
+        elif filter is not None:
             fcol = filters.filter_to_column(filter)
             eq = filters.simple_equality(filter)
             pcol = None
@@ -2128,7 +2226,24 @@ class GrapeVectorDB:
         overfetch = limit * 2
         docs = self.documents()
         terms = self._warm_terms()
+        gate_ids = None
+        gate_sel = None
         if filter is not None:
+            # plan the filter gate ONCE for all three legs. Previously
+            # the dense leg re-planned the tree, re-ran the posting
+            # probes and — for fuzzy trees — repeated the per-token
+            # vocabulary-expansion collects inside _vector_search, and
+            # the text leg re-derived _filtered_docs inside the public
+            # search facade: 3x the planning work per hybrid query.
+            part_skip = False
+            eq = filters.simple_equality(filter)
+            if eq is not None and self._has("index_partition"):
+                pst = self._table_stats("index_partition") or {}
+                # the dense leg's DIRECTORY SKIP on the co-partitioned
+                # embeddings beats an id semi-join: leave gate_ids unset
+                # so _vector_search keeps that route (structural check —
+                # zero jobs; the docs/terms legs still gate on ids)
+                part_skip = eq[0] == pst.get("partition_column")
             tree = self._payload_tree_plan(filter)
             if tree is not None:
                 ids = self._payload_tree_ids(tree)
@@ -2145,6 +2260,7 @@ class GrapeVectorDB:
                     "doc_id",
                     "left_semi",
                 )
+                gate_ids = ids
             else:
                 docs = docs.where(filters.filter_to_column(filter))
                 terms = terms.join(
@@ -2152,9 +2268,27 @@ class GrapeVectorDB:
                     "doc_id",
                     "left_semi",
                 )
+                gate_ids = docs.select(F.col(self.id_col).alias("vec_id"))
+            if part_skip:
+                gate_ids = None
+            else:
+                # straight to _tree_fraction with the tree in hand —
+                # _payload_filter_selectivity would re-run tree planning
+                gate_sel = (
+                    self._tree_fraction(self._frac_env(), tree, False)
+                    if tree is not None
+                    else None
+                )
+                if gate_sel is None:
+                    # sampled, zero-sidecar-estimate miss: ONE estimate
+                    # here instead of one per leg
+                    gate_sel = self._estimate_selectivity(
+                        filters.filter_to_column(filter)
+                    )
         lists = {
             "dense": self._vector_search(
-                query_vector, overfetch, None, filter, index
+                query_vector, overfetch, None, filter, index,
+                gate_ids=gate_ids, gate_selectivity=gate_sel,
             ).withColumnRenamed("vec_id", "doc_id"),
             "sparse": sparse.bm25_search(
                 docs,
@@ -2164,8 +2298,13 @@ class GrapeVectorDB:
                 text_col=self.text_col,
                 terms=terms,
             ),
-            "text": self.search(
-                text=query_text, limit=overfetch, filter=filter
+            # _text_search, not the public search facade: the facade
+            # clamp silently capped the text leg's over-fetch at
+            # MAX_LIMIT (the dense leg escaped it via _vector_search —
+            # this is the text twin), and ``docs`` is already gated so
+            # the leg does not re-derive the filter
+            "text": self._text_search(
+                query_text, overfetch, docs=docs
             ).withColumnRenamed(self.id_col, "doc_id"),
         }
         if strategy == "rrf":
@@ -2534,7 +2673,11 @@ class GrapeVectorDB:
         build side Spark silently drops, which planned a SortMergeJoin
         shuffling the full embeddings corpus per page (VERDICT r10 #1).
         The page materialization makes this call EAGER (one O(page)
-        job at call time)."""
+        job at call time). Pages past ``SCROLL_VECTOR_PROBE_CAP``
+        (scroll's limit is deliberately unclamped) skip the driver
+        collect entirely: the embeddings gate by a distributed
+        semi-join against the page ids — shuffle bounded by the page,
+        never a driver-side id list."""
         if limit < 1:
             raise ValueError("limit must be >= 1")
         if offset is not None:
@@ -2562,16 +2705,9 @@ class GrapeVectorDB:
             )
         if not with_vectors:
             return page
-        # materialize the page ONCE (≤ limit rows), so collecting its ids
-        # for the pushed In-filter does not recompute the page for the
-        # join below
+        # materialize the page ONCE (≤ limit rows, distributed executor
+        # storage), so the embedding attach below does not recompute it
         page = page.localCheckpoint(eager=True)
-        page_ids = [r[0] for r in page.select(self.id_col).collect()]
-        emb = (
-            self.embeddings()
-            .where(F.col("vec_id").isin(page_ids))
-            .withColumnRenamed("vec_id", self.id_col)
-        )
         keys = [self.id_col]
         order = (
             [F.col(self.id_col).asc()]
@@ -2582,9 +2718,37 @@ class GrapeVectorDB:
                 F.col(self.id_col).asc(),
             ]
         )
-        return (
-            page.join(F.broadcast(emb), keys, "left").orderBy(*order)
+        if limit <= self.SCROLL_VECTOR_PROBE_CAP:
+            # normal page sizes: collect the ids (bounded by limit —
+            # known without a job) and push them into the embeddings
+            # read as an In-filter — parquet row-group skipping, so the
+            # probe reads O(page) of the corpus; the page-sized probe
+            # then broadcasts into the left join
+            page_ids = [r[0] for r in page.select(self.id_col).collect()]
+            emb = (
+                self.embeddings()
+                .where(F.col("vec_id").isin(page_ids))
+                .withColumnRenamed("vec_id", self.id_col)
+            )
+            return page.join(F.broadcast(emb), keys, "left").orderBy(*order)
+        # a page past the cap must NOT round-trip through the driver (a
+        # multi-million-element Python list + In literal is a driver
+        # OOM / Catalyst plan blowup — the same bound rule as the fuzzy
+        # expansion's collect): gate the embeddings by a distributed
+        # semi-join against the page ids instead, then left-join the
+        # two page-sized frames — AQE picks broadcast vs shuffle from
+        # the runtime sizes, which at corpus-scale pages is the correct
+        # shuffle-bounded-by-page plan, not a full-corpus join
+        probe = (
+            self.embeddings()
+            .join(
+                page.select(F.col(self.id_col).alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            .withColumnRenamed("vec_id", self.id_col)
         )
+        return page.join(probe, keys, "left").orderBy(*order)
 
     def _scroll_by_field(
         self,
