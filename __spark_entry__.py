@@ -1420,6 +1420,23 @@ def q_scroll_with_vectors(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars", "embedding")
 
 
+def q_scroll_with_vectors_bulk(spark, sf_dir):
+    """The BIG-PAGE branch of scroll(with_vectors=True): a limit past
+    SCROLL_VECTOR_PROBE_CAP (4096) must not round-trip the page ids
+    through the driver — an unbounded collect + In literal is a driver
+    OOM / Catalyst plan blowup at corpus-scale pages (scroll's limit is
+    deliberately unclamped). Past the cap the embeddings gate by a
+    DISTRIBUTED semi-join against the page ids instead (plan-pinned in
+    tests/test_round11_hardening.py); the oracle replays page + left
+    join, identical to the small-page twin — the two branches must be
+    row-identical, only the physical plan differs."""
+    return _facade_db(spark, sf_dir).scroll(
+        filter={"must": [{"type": "equals", "field": "lang", "value": "en"}]},
+        limit=5000,
+        with_vectors=True,
+    ).select("doc_id", "lang", "n_chars", "embedding")
+
+
 def q_payload_nested_tree_knn(spark, sf_dir):
     """RECURSIVE posting-tree algebra (VERDICT r10 #3 — the reference
     Filter type is recursive, ref:src/types.rs:176-204): a nested
@@ -5401,6 +5418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_match_knn": q_payload_match_knn,
         "payload_match_not_knn": q_payload_match_not_knn,
         "scroll_with_vectors": q_scroll_with_vectors,
+        "scroll_with_vectors_bulk": q_scroll_with_vectors_bulk,
         "payload_nested_tree_knn": q_payload_nested_tree_knn,
         "payload_match_fuzzy_knn": q_payload_match_fuzzy_knn,
         "search_batch_filtered": q_search_batch_filtered,
@@ -9381,6 +9399,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN embeddings e ON e.vec_id = d.doc_id
             WHERE d.lang = 'en' AND d.doc_id > 100
             ORDER BY d.doc_id ASC LIMIT 20
+        """,
+        "scroll_with_vectors_bulk": """
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   e.embedding::DOUBLE[] AS embedding
+            FROM documents d
+            LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.lang = 'en'
+            ORDER BY d.doc_id ASC LIMIT 5000
         """,
         "payload_nested_tree_knn": f"""
             WITH {_TOKS_CTE},
