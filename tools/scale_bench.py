@@ -104,6 +104,10 @@ QUERIES = [
     # In-probe; its scaling axis is the vocabulary, not the corpus)
     "payload_nested_tree_knn",
     "payload_match_fuzzy_knn",
+    # round-11b: the big-page scroll(with_vectors) branch — past
+    # SCROLL_VECTOR_PROBE_CAP the embeddings gate by a distributed
+    # semi-join (no driver id list / In literal); must stay FLAT
+    "scroll_with_vectors_bulk",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
