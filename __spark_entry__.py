@@ -50,6 +50,9 @@ TEXT_TERMS = ["vector", "index", "merge"]  # fixed text-search terms
 SNIPPET_TERM = "vector"
 K_DEFAULT = 10
 OVERFETCH = 20  # per-source candidate list size before fusion (2k, k=10)
+# facade hybrid query text: BM25-tokenizes AND whitespace-splits to the
+# SAME three terms, so one string drives both text-ish legs' oracles
+FACADE_HYBRID_QUERY = "vector index merge"
 
 # ---------------------------------------------------------------------------
 # loaders — cached per sf_dir.
@@ -407,6 +410,38 @@ def q_hybrid_rrf_filtered(spark, sf_dir):
         {"dense": dense, "sparse": sparse_list, "text": text},
         k=60.0,
         limit=K_DEFAULT,
+    )
+
+
+def q_hybrid_facade_rrf(spark, sf_dir):
+    """END-TO-END facade hybrid (db.hybrid_search, ref:src/hybrid.rs
+    fused pipeline) — the serving endpoint the operator-level hybrid_*
+    queries compose by hand, gated as ONE entry so the whole facade
+    composition is oracled: the planner-routed dense leg (auto = exact
+    brute force here — the facade holds no ANN index), the BM25 leg
+    served from the PERSISTED text inverted index (_warm_terms), the
+    UNCLAMPED text arm (_text_search — round-11b: the facade clamp no
+    longer caps the 2x over-fetch), and RRF k=60 fusion. The oracle
+    replays each leg off the same tables and fuses identically."""
+    return _facade_db(spark, sf_dir).hybrid_search(
+        FACADE_HYBRID_QUERY, _qv(spark, sf_dir), limit=K_DEFAULT
+    )
+
+
+def q_hybrid_facade_rrf_filtered(spark, sf_dir):
+    """Facade hybrid_search(filter=) — the round-11 single-gate plan
+    end-to-end: ONE posting-algebra id set (lang equality probe of the
+    payload index) gates all three legs; BM25 stats come from the
+    FILTERED subcorpus (the df/avgdl/N of the slice the user searches);
+    the dense leg rides _vector_search with the precomputed gate
+    (gate_ids — round-11b: planned once, not once per leg). The oracle
+    recomputes every leg from the filtered slice — the gate plumbing
+    must be invisible in the results."""
+    return _facade_db(spark, sf_dir).hybrid_search(
+        FACADE_HYBRID_QUERY,
+        _qv(spark, sf_dir),
+        limit=K_DEFAULT,
+        filter={"must": [{"type": "equals", "field": "lang", "value": "en"}]},
     )
 
 
@@ -5274,6 +5309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet": q_snippet,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_rrf_filtered": q_hybrid_rrf_filtered,
+        "hybrid_facade_rrf": q_hybrid_facade_rrf,
+        "hybrid_facade_rrf_filtered": q_hybrid_facade_rrf_filtered,
         "hybrid_linear": q_hybrid_linear,
         "hybrid_normalized": q_hybrid_normalized,
         "hybrid_detailed": q_hybrid_detailed,
@@ -5785,6 +5822,76 @@ def _hybrid_rrf_filtered_sql(lang: str, k_over: int, k: int) -> str:
                round(max(CASE WHEN source = 'text' THEN score END), 6) AS text_score
         FROM ranked GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _hybrid_facade_sql(filtered: bool) -> str:
+    """Replay of the FACADE hybrid_search legs (q_hybrid_facade_rrf*):
+    dense = exact cosine (the auto route with no ANN index is brute
+    force), sparse = BM25 with stats over the (filtered) corpus the leg
+    actually searches, text = +1.0 contains per whitespace term
+    (functions.text.text_match_score, F10), RRF k=60 over 1-based
+    per-leg ranks. The unfiltered case degenerates fdocs to the whole
+    corpus, so ONE template serves both gate entries."""
+    q_terms = FACADE_HYBRID_QUERY.split()
+    text_score = " + ".join(
+        f"(CASE WHEN contains(lower(d.text), '{t}') THEN 1.0 ELSE 0.0 END)"
+        for t in q_terms
+    )
+    where_f = "WHERE lang = 'en'" if filtered else ""
+    return f"""
+        WITH {_TERMS_CTE},
+        fdocs AS (SELECT doc_id FROM documents {where_f}),
+        dtf AS (SELECT dt.* FROM dt JOIN fdocs USING (doc_id)),
+        dstatsF AS (SELECT doc_id, sum(tf) AS doc_length FROM dtf GROUP BY doc_id),
+        tstatsF AS (SELECT term, count(DISTINCT doc_id) AS df FROM dtf GROUP BY term),
+        gF AS (
+          SELECT count(DISTINCT dtf.doc_id) AS total_docs,
+                 sum(dstatsF.doc_length) / count(DISTINCT dtf.doc_id) AS avg_doc_length
+          FROM dtf JOIN dstatsF USING (doc_id)
+        ),
+        qt AS (SELECT * FROM {_bm25_query_terms_sql(FACADE_HYBRID_QUERY)}),
+        sparseL AS (
+          SELECT dtf.doc_id,
+                 round(sum(qt.qtf * (dtf.tf * (1.2 + 1.0)) /
+                   (dtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dstatsF.doc_length / gF.avg_doc_length))
+                   * ln((gF.total_docs - tstatsF.df + 0.5) / (tstatsF.df + 0.5))), 6) AS score
+          FROM dtf
+          JOIN qt ON dtf.term = qt.term
+          JOIN dstatsF USING (doc_id)
+          JOIN tstatsF ON dtf.term = tstatsF.term
+          CROSS JOIN gF
+          GROUP BY dtf.doc_id
+          ORDER BY score DESC, doc_id LIMIT {OVERFETCH}
+        ),
+        denseL AS (
+          SELECT e.vec_id AS doc_id, round({_cos('e.v', 'q2.qv')}, 6) AS score
+          FROM {_EMB_D} e JOIN fdocs ON fdocs.doc_id = e.vec_id, {_QV} q2
+          ORDER BY score DESC, doc_id LIMIT {OVERFETCH}
+        ),
+        textL AS (
+          SELECT d.doc_id, round({text_score}, 6)::DOUBLE AS score
+          FROM documents d JOIN fdocs USING (doc_id)
+          WHERE ({text_score}) > 0
+          ORDER BY score DESC, doc_id LIMIT {OVERFETCH}
+        ),
+        lists AS (
+          SELECT doc_id, score, 'dense' AS source FROM denseL
+          UNION ALL SELECT doc_id, score, 'sparse' AS source FROM sparseL
+          UNION ALL SELECT doc_id, score, 'text' AS source FROM textL
+        ),
+        ranked AS (
+          SELECT doc_id, score, source,
+                 row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+          FROM lists
+        )
+        SELECT doc_id,
+               round(sum(1.0 / (60.0 + rnk)), 6) AS score,
+               round(max(CASE WHEN source = 'dense' THEN score END), 6) AS dense_score,
+               round(max(CASE WHEN source = 'sparse' THEN score END), 6) AS sparse_score,
+               round(max(CASE WHEN source = 'text' THEN score END), 6) AS text_score
+        FROM ranked GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT {K_DEFAULT}
     """
 
 
@@ -8088,6 +8195,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_filtered": _hybrid_rrf_filtered_sql(
             "en", OVERFETCH, K_DEFAULT
         ),
+        "hybrid_facade_rrf": _hybrid_facade_sql(filtered=False),
+        "hybrid_facade_rrf_filtered": _hybrid_facade_sql(filtered=True),
         "hybrid_rrf": f"""
             WITH {_fusion_lists_cte()}
             SELECT doc_id,

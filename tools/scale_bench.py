@@ -108,6 +108,10 @@ QUERIES = [
     # SCROLL_VECTOR_PROBE_CAP the embeddings gate by a distributed
     # semi-join (no driver id list / In literal); must stay FLAT
     "scroll_with_vectors_bulk",
+    # round-11b: the end-to-end FACADE hybrid with a posting-served
+    # filter — one gate plan for all three legs (the operator-level
+    # hybrid_rrf_filtered above composes the legs by hand)
+    "hybrid_facade_rrf_filtered",
 ]
 
 # facade auto-route rows (VERDICT r7 #5): one unfiltered + one filtered
