@@ -24,12 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.tables import (
+    _dedup_updates,
     merge_upsert,
     publish_table,
     read_table,
     table_exists,
     upsert_table,
 )
+
+
+def _one_per_id(batch: DataFrame, id_col: str) -> DataFrame:
+    """Collapse duplicate ids within a micro-batch using the SAME
+    deterministic rule the docs-table merge applies
+    (sources.tables._dedup_updates — greatest by the remaining columns'
+    struct order). An at-least-once source redelivery or two updates to
+    one id landing in the same micro-batch must contribute exactly the
+    row the table merge keeps: deriving index artifacts from the RAW
+    batch published duplicate/conflicting rows per id (doubled term tf,
+    an IVF posting in two cells — one from the stale vector, two layout
+    directories, doubled posting-histogram counts)."""
+    return _dedup_updates(batch, id_col)
 
 
 def _merge_publish(
@@ -171,6 +185,7 @@ def stream_ann_index_to_parquet(
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        batch = _one_per_id(batch, id_col)
         cents = read_table(spark, cents_path)
         fresh = ivf_add(
             batch, cents, id_col=id_col, vec_col=vec_col, replicas=replicas
@@ -230,7 +245,9 @@ def stream_graph_index_to_parquet(
         if table_exists(spark, edges_path):
             edges = read_table(spark, edges_path)
             grown = knn_graph_add(
-                edges, merged, batch.select(id_col), k,
+                # distinct: an at-least-once duplicate id in the batch
+                # must grow the node's edges once, not once per copy
+                edges, merged, batch.select(id_col).distinct(), k,
                 id_col=id_col, vec_col=vec_col,
             )
         else:  # first batch — bootstrap the graph
@@ -291,6 +308,7 @@ def stream_partition_layout_to_parquet(
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        batch = _one_per_id(batch, id_col)
         docs = read_table(spark, docs_path)
         to_resolve = batch.select(id_col, vec_col)
         kept = None
@@ -377,6 +395,7 @@ def stream_payload_index_to_parquet(
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        batch = _one_per_id(batch, id_col)
         fresh = payload_postings(batch, list(columns), id_col=id_col)
         arr = set(array_fields(batch, list(columns)))
         f_types = field_types(batch, list(columns))
@@ -395,15 +414,22 @@ def stream_payload_index_to_parquet(
             updated = kept.unionByName(fresh)
         else:  # first batch — no index yet
             updated = fresh
-        updated = payload_layout(updated)
-        n_ids = updated.select("vec_id").distinct().count()
-        publish_table(
-            spark, index_path, updated, partition_by=["field"],
-            extra_stats=payload_sidecar_stats(
-                updated, list(columns), n_ids,
-                arr_fields=sorted(arr), f_types=f_types,
-            ),
-        )
+        # persist across the sidecar aggregates + the publish write —
+        # and derive doc_rows from the sidecar's own rollup aggregate
+        # (doc_rows=None) instead of a separate full-index
+        # distinct().count() job per micro-batch (the ADVICE-r10 rule
+        # the text twin already follows)
+        updated = payload_layout(updated).persist()
+        try:
+            publish_table(
+                spark, index_path, updated, partition_by=["field"],
+                extra_stats=payload_sidecar_stats(
+                    updated, list(columns), None,
+                    arr_fields=sorted(arr), f_types=f_types,
+                ),
+            )
+        finally:
+            updated.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:
@@ -456,6 +482,7 @@ def stream_text_index_to_parquet(
     spark = stream_df.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        batch = _one_per_id(batch, id_col)
         fresh = doc_terms(
             batch, id_col=id_col, text_col=text_col
         ).withColumnRenamed("doc_id", "vec_id")
@@ -504,6 +531,10 @@ def stream_curate_to_parquet(
     spark = stream_df.sparkSession
 
     def _curate(batch: DataFrame) -> DataFrame:
+        # one row per id BEFORE the rejoin-by-id joins below: duplicate
+        # batch ids would otherwise cross-product through them (2 copies
+        # -> up to 16 rows for one id on the first-batch publish)
+        batch = _one_per_id(batch, id_col)
         scrubbed = pii_redact(batch, id_col=id_col, text_col=text_col).select(
             F.col("doc_id").alias(id_col), F.col("clean_text")
         )
@@ -564,9 +595,18 @@ def stream_dedup_to_parquet(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
-            F.col(id_col).asc()
-        )
+        # one row per id first (the merge's own deterministic rule —
+        # the first-batch publish goes straight to the table, so a
+        # duplicated id would be stored twice PERMANENTLY: merge_upsert
+        # assumes a unique existing side and never repairs it) ...
+        batch = _one_per_id(batch, id_col)
+        # ... then exact-text dedup ACROSS ids. NULL-text rows (metadata
+        # updates) must not collapse together — md5(NULL) is NULL, which
+        # would put every such row in ONE partition and drop all but the
+        # smallest id — so they key by their own (unique) id instead.
+        w = Window.partitionBy(
+            F.coalesce(F.md5(F.col(text_col)), F.col(id_col).cast("string"))
+        ).orderBy(F.col(id_col).asc())
         uniq = (
             batch.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
@@ -700,9 +740,13 @@ def admit_merge_batch(
     one_per_id = Window.partitionBy(id_col).orderBy(
         F.md5(F.col(text_col)).asc_nulls_last()
     )
-    one_per_text = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
-        F.col(id_col).asc()
-    )
+    # NULL-text rows (metadata updates for DIFFERENT ids) must not
+    # collapse together under md5(NULL)'s single NULL partition — each
+    # keys by its own id (unique after one_per_id), so exact-text dedup
+    # only ever collapses rows with EQUAL non-null text
+    one_per_text = Window.partitionBy(
+        F.coalesce(F.md5(F.col(text_col)), F.col(id_col).cast("string"))
+    ).orderBy(F.col(id_col).asc())
     uniq = (
         batch.withColumn("_rk", F.row_number().over(one_per_id))
         .where(F.col("_rk") == 1)
@@ -740,27 +784,42 @@ def admit_merge_batch(
             old_md5 = stored.select(
                 F.col(id_col), F.md5(F.col(text_col)).alias("_old_md5")
             )
+            # eqNullSafe: a stored doc whose text is NULL (admitted as a
+            # no-shingle row) must land in CHANGED when a real text
+            # arrives — plain =/!= against the NULL stored md5 evaluates
+            # to NULL, dropping the row from BOTH splits (the update
+            # would vanish silently on every attempt)
             upd_tag = upd.join(old_md5, id_col)
             changed = upd_tag.where(
                 F.col(text_col).isNotNull()
-                & (F.md5(F.col(text_col)) != F.col("_old_md5"))
+                & ~F.md5(F.col(text_col)).eqNullSafe(F.col("_old_md5"))
             ).drop("_old_md5")
             replay = upd_tag.where(
                 F.col(text_col).isNull()
-                | (F.md5(F.col(text_col)) == F.col("_old_md5"))
+                | F.md5(F.col(text_col)).eqNullSafe(F.col("_old_md5"))
             ).drop("_old_md5")
             newcomers = uniq.join(stored_ids, id_col, "left_anti")
         else:
             changed = uniq.limit(0)
             replay = uniq.limit(0)
             newcomers = uniq
+        # the batch-internal near-dup gate runs over newcomers AND
+        # changed-text updates (their NEW texts are in the shared batch
+        # tables): a changed doc probes the corpus index against its
+        # peers' OLD rows only, so a changed-text/newcomer near-pair cut
+        # into one batch would otherwise both enter unchecked. The
+        # larger id of each pair drops — for a changed doc that means
+        # its update is rejected and the stored text stands, which
+        # preserves the invariant either way.
+        gate_members = newcomers.unionByName(changed)
         internal = minhash_lsh_pairs(
-            newcomers, num_hashes=num_hashes, bands=bands, n=n,
+            gate_members, num_hashes=num_hashes, bands=bands, n=n,
             threshold=threshold, id_col=id_col, text_col=text_col,
-            shingles_df=_sub(batch_sh, newcomers),
-            signatures_df=_sub(batch_sig, newcomers),
+            shingles_df=_sub(batch_sh, gate_members),
+            signatures_df=_sub(batch_sig, gate_members),
         ).select(F.col("b").alias(id_col)).distinct()
         newcomers = newcomers.join(F.broadcast(internal), id_col, "left_anti")
+        changed = changed.join(F.broadcast(internal), id_col, "left_anti")
         index_ready = table_exists(spark, shingles_path) and table_exists(
             spark, sigs_path
         )
@@ -954,10 +1013,17 @@ def anomaly_alert_stream(
         F.col("sigma") > 0,
         F.round((F.col(value_col) - F.col("mu")) / F.col("sigma"), 6),
     )
+    # the z term must be null-safe INSIDE the disjunction: z is NULL for
+    # every sigma==0 row, and a NULL disjunct poisons the whole OR into
+    # NULL, which the alert-on-unknown coalesce then turns into TRUE —
+    # i.e. a constant-history type would alert on value == mu (no
+    # deviation at all), an alert storm that makes the explicit
+    # (sigma==0 & value!=mu) term dead code. The outer coalesce stays as
+    # the backstop for genuinely corrupt stats rows (e.g. NULL mu).
     alert = F.coalesce(
         F.col("sigma").isNull()
         | ((F.col("sigma") == 0) & (F.col(value_col) != F.col("mu")))
-        | (F.abs(z) > n_sigma),
+        | F.coalesce(F.abs(z) > n_sigma, F.lit(False)),
         F.lit(True),
     ) | F.col(value_col).isNull() | (F.col("sigma") < 0)
     return joined.withColumn("z", z).where(alert)
@@ -1056,6 +1122,60 @@ def stream_bloom_to_parquet(
     return writer.start()
 
 
+def cms_merge_batch(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    batch_id: int,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    ckpt_tag: str | None = None,
+) -> None:
+    """One CMS merge (the foreachBatch body of
+    :func:`stream_cms_to_parquet`, exported so crash-replay idempotence
+    is directly testable — the admit_merge_batch pattern). Cell-wise SUM
+    is not idempotent, so a batch redelivered after a crash between the
+    publish and the streaming checkpoint commit must be skipped: the
+    standing table carries ``last_batch`` in the same atomic publish,
+    and the sidecar records WHICH checkpoint issued it (``ckpt_tag``).
+    The guard fires only for ``batch_id <= last_batch`` from the SAME
+    checkpoint lineage — batch ids are per-checkpoint and restart at 0
+    on a fresh one, so a lineage-blind guard would make a fresh
+    checkpoint's entire reprocess a silent no-op against a table at
+    last_batch=N (batches 0..N swallowed; data loss, the failure this
+    fix removes). Under a DIFFERENT checkpoint the merge proceeds: a
+    reprocess over an existing table double-counts by construction (the
+    standard Spark contract — changing the checkpoint means owning the
+    reprocess; reset the table with it), which is loud, not silent."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import cms_table
+    from ..sources.tables import publish_table, read_table, read_table_stats
+
+    sk = cms_table(batch, value_col, depth=depth, width=width)
+    if table_exists(spark, table_path):
+        prev = read_table(spark, table_path)
+        same_ckpt = ckpt_tag is not None and (
+            (read_table_stats(spark, table_path) or {}).get("cms_checkpoint")
+            == ckpt_tag
+        )
+        if same_ckpt and "last_batch" in prev.columns:
+            last = prev.select(F.max("last_batch").alias("m")).first()["m"]
+            if last is not None and batch_id <= last:
+                return  # replay of an already-merged batch
+        prev_cells = prev.select("row", "cell", "cnt")
+        sk = (
+            prev_cells.union(sk)
+            .groupBy("row", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    publish_table(
+        spark, table_path, sk.withColumn("last_batch", F.lit(batch_id)),
+        extra_stats={"cms_checkpoint": ckpt_tag},
+    )
+
+
 def stream_cms_to_parquet(
     stream_df: DataFrame,
     table_path: str,
@@ -1086,38 +1206,24 @@ def stream_cms_to_parquet(
     streaming checkpoint), a naive re-merge double-counts it. The
     standing table therefore carries a ``last_batch`` bookkeeping
     column in the SAME atomic publish: a replayed ``batch_id <=
-    last_batch`` is skipped, so exactly-once counts survive any crash
-    point. Estimate readers ignore the extra column
-    (``cms_estimate`` joins on (row, cell) and reads cnt only).
+    last_batch`` FROM THE SAME CHECKPOINT LINEAGE is skipped (the
+    sidecar records which checkpoint issued it — see
+    :func:`cms_merge_batch` for why the lineage check matters), so
+    exactly-once counts survive any crash point. Estimate readers
+    ignore the extra column (``cms_estimate`` joins on (row, cell) and
+    reads cnt only).
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.sketches import cms_table
-    from ..sources.tables import publish_table, read_table, table_versions
+    import hashlib
 
     spark = stream_df.sparkSession
+    ckpt_tag = (
+        hashlib.md5(checkpoint.encode()).hexdigest() if checkpoint else None
+    )
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        sk = cms_table(batch, value_col, depth=depth, width=width)
-        if table_exists(spark, table_path):
-            prev = read_table(spark, table_path)
-            # the replay guard only means something under a checkpoint:
-            # batch ids are PER-CHECKPOINT and restart at 0 on a fresh
-            # run, so without one the guard would silently skip every
-            # batch of every later run (and a legacy table has no
-            # last_batch column at all)
-            if checkpoint and "last_batch" in prev.columns:
-                last = prev.select(F.max("last_batch").alias("m")).first()["m"]
-                if last is not None and batch_id <= last:
-                    return  # replay of an already-merged batch
-            prev_cells = prev.select("row", "cell", "cnt")
-            sk = (
-                prev_cells.union(sk)
-                .groupBy("row", "cell")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        publish_table(
-            spark, table_path, sk.withColumn("last_batch", F.lit(batch_id))
+        cms_merge_batch(
+            spark, batch, table_path, batch_id, value_col,
+            depth=depth, width=width, ckpt_tag=ckpt_tag,
         )
 
     writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")

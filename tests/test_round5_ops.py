@@ -979,34 +979,56 @@ def test_card_redact_luhn_separates_valid(spark):
 
 
 def test_stream_cms_replayed_batch_not_double_counted(spark, tmpdir):
-    """A replayed batch_id (fresh checkpoint, same source -> batch 0
-    re-delivered) must be skipped by the last_batch guard: cell-wise SUM
-    is not idempotent, so without it a crash-replay double-counts."""
+    """A CRASH-replayed batch (same checkpoint lineage, same batch_id
+    re-delivered after a crash between the publish and the checkpoint
+    commit) must be skipped by the last_batch guard: cell-wise SUM is
+    not idempotent, so without it the replay double-counts. Exercised
+    through the exported foreachBatch body — the previous emulation
+    (fresh checkpoint over the same source) pinned the WRONG semantics:
+    a lineage-blind guard silently no-ops a fresh checkpoint's entire
+    reprocess (batches 0..last_batch swallowed)."""
     from grape_vector_db_spark.operators.sketches import cms_table
     from grape_vector_db_spark.sources.tables import read_table
-    from grape_vector_db_spark.streaming.ingest import stream_cms_to_parquet
+    from grape_vector_db_spark.streaming.ingest import cms_merge_batch
 
-    src = f"{tmpdir}/in"
     table = f"{tmpdir}/cms"
     rows = [(i, f"k-{i % 5}") for i in range(25)]
-    spark.createDataFrame(rows, "id long, v string").write.parquet(src)
-    for ckpt in ("c1", "c2"):  # second run replays batch_id 0
-        q = stream_cms_to_parquet(
-            spark.readStream.schema("id long, v string").parquet(src),
-            table, "v", depth=2, width=32, checkpoint=f"{tmpdir}/{ckpt}",
+    batch = spark.createDataFrame(rows, "id long, v string")
+    for _ in range(2):  # second call = the crash replay of batch 0
+        cms_merge_batch(
+            spark, batch, table, 0, "v", depth=2, width=32, ckpt_tag="c1"
         )
-        q.awaitTermination(60)
     standing = {
         (r["row"], r["cell"]): r["cnt"]
         for r in read_table(spark, table).collect()
     }
     once = {
         (r["row"], r["cell"]): r["cnt"]
-        for r in cms_table(
-            spark.createDataFrame(rows, "id long, v string"), "v", 2, 32
-        ).collect()
+        for r in cms_table(batch, "v", 2, 32).collect()
     }
     assert standing == once
+
+
+def test_stream_cms_fresh_checkpoint_reprocess_is_counted(spark, tmpdir):
+    """A DIFFERENT checkpoint lineage deactivates the replay guard: a
+    table standing at last_batch=0 must not swallow a new checkpoint's
+    batch 0 (previously an availableNow reprocess with a fresh
+    checkpoint was a silent no-op — data loss for any new rows in it)."""
+    from grape_vector_db_spark.sources.tables import read_table
+    from grape_vector_db_spark.streaming.ingest import cms_merge_batch
+
+    table = f"{tmpdir}/cms2"
+    b1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    b2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    cms_merge_batch(spark, b1, table, 0, "v", depth=2, width=32,
+                    ckpt_tag="old")
+    cms_merge_batch(spark, b2, table, 0, "v", depth=2, width=32,
+                    ckpt_tag="new")
+    total = sum(
+        r["cnt"] for r in read_table(spark, table).collect()
+    )
+    # both rows counted in every CMS row of the depth-2 sketch
+    assert total == 2 * 2
 
 
 def test_hamming_pairs_cap_keeps_cold_band_pair(spark):
