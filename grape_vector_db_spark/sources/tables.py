@@ -118,7 +118,12 @@ def _dedup_updates(updates: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def merge_upsert(existing: DataFrame, updates: DataFrame, id_col: str = "id") -> DataFrame:
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    id_col: str = "id",
+    _pre_deduped: bool = False,
+) -> DataFrame:
     """MERGE semantics on plain DataFrames: update wins per id, null update
     fields fall back to the existing row (reference update preserves unset
     fields, src/storage.rs:258-294). A column ABSENT from the update batch
@@ -126,10 +131,12 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, id_col: str = "id") ->
     changed fields) are the natural client shape and must never be an
     error. One shuffle on id; with both sides bucketed by id it's
     shuffle-free. Duplicate ids WITHIN the update batch collapse
-    deterministically first (see :func:`_dedup_updates`) — a full outer
-    join would otherwise keep both and duplicate the id in the table
-    permanently."""
-    updates = _dedup_updates(updates, id_col)
+    deterministically first (see :func:`_dedup_updates`; callers that
+    already collapsed pass ``_pre_deduped=True`` to skip the redundant
+    second window shuffle) — a full outer join would otherwise keep both
+    and duplicate the id in the table permanently."""
+    if not _pre_deduped:
+        updates = _dedup_updates(updates, id_col)
     cols = existing.columns
     upd_cols = set(updates.columns)
     joined = existing.alias("old").join(
@@ -262,19 +269,34 @@ def upsert_table(
         return
     dt = DeltaTable.forPath(spark, path)
     cols = dt.toDF().columns
+    upd = _dedup_updates(updates, id_col)
+    # format parity with the parquet path's merge_upsert on
+    # PARTIAL-SCHEMA batches (id + changed fields — the natural client
+    # shape the docstrings promise is never an error):
+    # - the update set touches only columns the SOURCE carries
+    #   (referencing s.`c` for an absent column is an AnalysisException
+    #   at merge resolution);
+    # - inserts spell every target column explicitly, NULL where the
+    #   source lacks it (whenNotMatchedInsertAll fails the same way);
+    # - extra update columns absent from the target are dropped, the
+    #   parquet path's target-schema projection.
+    upd_cols = set(upd.columns)
     (
         dt.alias("t")
-        .merge(
-            _dedup_updates(updates, id_col).alias("s"),
-            f"t.`{id_col}` = s.`{id_col}`",
-        )
+        .merge(upd.alias("s"), f"t.`{id_col}` = s.`{id_col}`")
         .whenMatchedUpdate(
             set={
                 c: F.coalesce(F.col(f"s.`{c}`"), F.col(f"t.`{c}`"))
                 for c in cols
+                if c in upd_cols
             }
         )
-        .whenNotMatchedInsertAll()
+        .whenNotMatchedInsert(
+            values={
+                c: (F.col(f"s.`{c}`") if c in upd_cols else F.lit(None))
+                for c in cols
+            }
+        )
         .execute()
     )
 
@@ -326,8 +348,12 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return path_cls(path).getFileSystem(conf), path_cls
 
 
-def table_versions(spark: SparkSession, path: str) -> list[int]:
-    """Committed (i.e. _SUCCESS-marked) version numbers under ``path``."""
+def _versions_with_marker(
+    spark: SparkSession, path: str, marker: str
+) -> list[int]:
+    """t=N version dirs under ``path`` whose ``marker`` file exists —
+    the ONE t=N scan behind both layouts' listings (plain: _SUCCESS;
+    bucket-manifest: the manifest rename is the commit point)."""
     fs, P = _hadoop_fs(spark, path)
     base = P(path)
     if not fs.exists(base):
@@ -340,9 +366,14 @@ def table_versions(spark: SparkSession, path: str) -> list[int]:
                 v = int(name[2:])
             except ValueError:
                 continue
-            if fs.exists(P(st.getPath(), "_SUCCESS")):
+            if fs.exists(P(st.getPath(), marker)):
                 out.append(v)
     return sorted(out)
+
+
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed (i.e. _SUCCESS-marked) version numbers under ``path``."""
+    return _versions_with_marker(spark, path, "_SUCCESS")
 
 
 def current_table_path(spark: SparkSession, path: str) -> str:
@@ -402,10 +433,37 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     # a bare directory (pre-created by tooling, or holding only a crashed
     # writer's uncommitted t=N) is NOT a table — saying yes would route
     # callers into a failing read instead of the first-write branch
-    return any(
-        st.isFile() and st.getPath().getName().endswith(".parquet")
-        for st in fs.listStatus(P(path))
-    )
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            return True
+        if (
+            st.isDirectory()
+            and "=" in name
+            and not _is_version_dir_name(name)
+        ):
+            # legacy HIVE-PARTITIONED parquet at the root (col=val
+            # subdirs, no root-level data files — the standard Spark
+            # partitioned layout): read_table resolves and reads it
+            # fine, so answering "absent" here would route upsert_table
+            # into its first-write branch and silently DISCARD the
+            # whole existing corpus (and let _check_format miss the
+            # delta-fork it guards against)
+            return True
+    return False
+
+
+def _is_version_dir_name(name: str) -> bool:
+    """t=<int> — this layout's own version dirs, never a user partition
+    (a genuine partition column named ``t`` with integer values would
+    collide; the versioned layout owns the t= namespace by contract)."""
+    if not name.startswith("t="):
+        return False
+    try:
+        int(name[2:])
+        return True
+    except ValueError:
+        return False
 
 
 _STATS_FILE = "_STATS.json"
@@ -449,22 +507,14 @@ def read_table_stats(
     counts, nlist, and graph degree are knowable at write time, so
     ``db.search()`` never pays a corpus-scale count just to pick a
     route (VERDICT r7 #1)."""
-    import json
-
     vs = table_versions(spark, path)
     if not vs:
         return None
     v = vs[-1] if version is None else version
     fs, P = _hadoop_fs(spark, path)
-    p = P(f"{path}/t={v}/{_STATS_FILE}")
-    if not fs.exists(p):
+    if not fs.exists(P(f"{path}/t={v}/{_STATS_FILE}")):
         return None
-    stream = fs.open(p)
-    try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
+    return _read_json_file(spark, f"{path}/t={v}/{_STATS_FILE}")
 
 
 def publish_table(
@@ -542,7 +592,14 @@ def _detect_partition_cols(spark: SparkSession, path: str) -> list[str]:
     layout (``col=value`` chain)."""
     fs, P = _hadoop_fs(spark, path)
     cols: list[str] = []
-    cur = P(current_table_path(spark, path))
+    cur_str = current_table_path(spark, path)
+    if "*" in cur_str:
+        # legacy flat root beside a crashed writer's uncommitted t=N:
+        # the resolved path is a *.parquet glob selecting root FILES
+        # only — no partition dirs by construction, and listStatus
+        # treats a glob as a literal name (FileNotFoundException)
+        return cols
+    cur = P(cur_str)
     while True:
         sub = [
             st.getPath()
@@ -679,38 +736,29 @@ def _bucketed_versions(spark: SparkSession, path: str) -> list[int]:
     """Committed version numbers: a version exists iff its manifest does
     (the manifest rename is the commit point — _SUCCESS only proves the
     DATA write finished)."""
-    fs, P = _hadoop_fs(spark, path)
-    base = P(path)
-    if not fs.exists(base):
-        return []
-    out = []
-    for st in fs.listStatus(base):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("t="):
-            try:
-                v = int(name[2:])
-            except ValueError:
-                continue
-            if fs.exists(P(st.getPath(), _MANIFEST)):
-                out.append(v)
-    return sorted(out)
+    return _versions_with_marker(spark, path, _MANIFEST)
 
 
-def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+def _read_json_file(spark: SparkSession, path_str: str) -> dict:
+    """JVM-side JSON read of a small control file: py4j passes byte[] by
+    VALUE, so a python-side read(buf) loop would never see the bytes —
+    the one pitfall both the stats sidecar and the bucket manifest read
+    through this helper."""
     import json
 
-    fs, P = _hadoop_fs(spark, path)
-    p = P(f"{path}/t={version}/{_MANIFEST}")
-    stream = fs.open(p)
+    fs, P = _hadoop_fs(spark, path_str)
+    stream = fs.open(P(path_str))
     try:
-        # read on the JVM side: py4j passes byte[] by VALUE, so a
-        # python-side read(buf) loop would never see the bytes
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         )
     finally:
         stream.close()
     return json.loads(text)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    return _read_json_file(spark, f"{path}/t={version}/{_MANIFEST}")
 
 
 def _write_manifest(
@@ -773,19 +821,43 @@ def write_table_bucketed(
     id_col: str = "id",
     keep: int = 2,
 ) -> None:
-    """Create (or fully replace) a bucket-manifest table from ``df``."""
+    """Create (or fully replace) a bucket-manifest table from ``df``.
+
+    A path holding a PLAIN versioned table migrates in place: the new
+    bucketed version numbers past BOTH layouts' committed versions
+    (numbering off the bucketed listing alone would compute an nxt that
+    OVERWRITES a committed plain t=N — the detectable-fork data loss
+    _check_format exists to prevent), and the bucketed GC leaves
+    _SUCCESS-committed flat dirs untouched (see _bucketed_gc)."""
     if "bucket" in df.columns:
         df = df.drop("bucket")
     vs = _bucketed_versions(spark, path)
-    nxt = (vs[-1] if vs else 0) + 1
+    plain = table_versions(spark, path)
+    nxt = max(vs[-1] if vs else 0, plain[-1] if plain else 0) + 1
     _write_bucket_dirs(df, id_col, n_buckets, f"{path}/t={nxt}")
     manifest = {
         "n_buckets": n_buckets,
         "id_col": id_col,
         "buckets": {str(k): nxt for k in _bucket_dirs_in(spark, path, nxt)},
+        "schema": _bucketed_read_schema(df),
     }
     _write_manifest(spark, path, nxt, manifest)
     _bucketed_gc(spark, path, keep)
+
+
+def _bucketed_read_schema(df: DataFrame) -> dict:
+    """JSON schema of what read_table_bucketed returns for this data:
+    the data columns plus the ``bucket`` placement column the leaf files
+    carry. Recorded in the manifest so a FULLY-EMPTIED table (every
+    bucket deleted) still reads back as an empty DataFrame with the real
+    schema instead of a single NullType id column."""
+    import json
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fields = [f for f in df.schema.fields if f.name != "bucket"]
+    full = StructType(fields + [StructField("bucket", IntegerType(), True)])
+    return json.loads(full.json())
 
 
 def read_table_bucketed(
@@ -806,6 +878,16 @@ def read_table_bucketed(
         f"{path}/t={owner}/b={k}" for k, owner in sorted(man["buckets"].items())
     ]
     if not dirs:
+        if man.get("schema"):
+            # fully-emptied table: an empty frame with the REAL schema
+            # (recorded at write time), so downstream column selects
+            # and unions keep resolving
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(man["schema"])
+            )
+        # legacy manifest without a recorded schema
         return spark.range(0).select(F.lit(None).alias(man["id_col"]))
     return spark.read.parquet(*dirs)
 
@@ -855,27 +937,38 @@ def merge_upsert_bucketed(
     upd = _dedup_updates(updates, id_col).withColumn(
         "bucket", _bucket_expr(id_col, nb)
     ).persist()
-    # the touched-bucket list is bounded by n_buckets ints — a driver
-    # artifact the size of the shard map, not the data
-    touched = sorted(r["bucket"] for r in upd.select("bucket").distinct().collect())
-    if not touched:
+    try:
+        # the touched-bucket list is bounded by n_buckets ints — a driver
+        # artifact the size of the shard map, not the data
+        touched = sorted(
+            r["bucket"] for r in upd.select("bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        old_dirs = [
+            f"{path}/t={man['buckets'][str(k)]}/b={k}"
+            for k in touched
+            if str(k) in man["buckets"]
+        ]
+        if old_dirs:
+            existing = spark.read.parquet(*old_dirs)
+            # _pre_deduped: upd already collapsed above — merge_upsert's
+            # own dedup window (a second full shuffle+sort of the batch)
+            # can never remove a row here
+            merged = merge_upsert(
+                existing, upd, id_col=id_col, _pre_deduped=True
+            )
+        else:
+            merged = upd
+        _cas_commit_touched(
+            spark, path, man, vs, touched, merged.drop("bucket"), id_col,
+            nb, keep,
+        )
+    finally:
+        # without the finally, every ConcurrentMergeError (a DESIGNED
+        # path — the retry wrapper loops on it) leaked one persisted
+        # copy of the update batch per attempt
         upd.unpersist()
-        return
-    old_dirs = [
-        f"{path}/t={man['buckets'][str(k)]}/b={k}"
-        for k in touched
-        if str(k) in man["buckets"]
-    ]
-    if old_dirs:
-        existing = spark.read.parquet(*old_dirs)
-        merged = merge_upsert(existing, upd, id_col=id_col)
-    else:
-        merged = upd
-    _cas_commit_touched(
-        spark, path, man, vs, touched, merged.drop("bucket"), id_col, nb,
-        keep,
-    )
-    upd.unpersist()
 
 
 def _cas_commit_touched(
@@ -982,7 +1075,14 @@ def _cas_commit_touched(
     buckets = {**man["buckets"], **{str(k): nxt for k in materialized}}
     for k in drop_buckets:
         buckets.pop(str(k), None)
-    new_man = {"n_buckets": nb, "id_col": id_col, "buckets": buckets}
+    new_man = {
+        "n_buckets": nb,
+        "id_col": id_col,
+        "buckets": buckets,
+        # carry the recorded read schema forward (backfill from this
+        # merge's rows for tables created before it was recorded)
+        "schema": man.get("schema") or _bucketed_read_schema(rows_df),
+    }
     _write_manifest(spark, path, nxt, new_man)
     _bucketed_gc(spark, path, keep)
 
@@ -1004,12 +1104,23 @@ def merge_upsert_bucketed_retry(
     land. After ``attempts`` consecutive losses the last
     :class:`ConcurrentMergeError` surfaces (pathological contention is a
     caller decision, not an infinite loop)."""
+    return _retry_concurrent(
+        lambda: merge_upsert_bucketed(
+            spark, path, updates, id_col=id_col, keep=keep
+        ),
+        attempts,
+    )
+
+
+def _retry_concurrent(fn, attempts: int):
+    """The shared CAS-loser retry loop behind both retry wrappers: each
+    attempt re-derives against the newest committed snapshot; after
+    ``attempts`` consecutive losses the last
+    :class:`ConcurrentMergeError` surfaces."""
     last: ConcurrentMergeError | None = None
     for _ in range(max(1, attempts)):
         try:
-            return merge_upsert_bucketed(
-                spark, path, updates, id_col=id_col, keep=keep
-            )
+            return fn()
         except ConcurrentMergeError as e:
             last = e
     raise last
@@ -1049,33 +1160,51 @@ def delete_ids_bucketed(
         .withColumn("bucket", _bucket_expr(id_col, nb))
         .persist()
     )
-    # bounded by n_buckets ints, and only buckets the manifest actually
-    # holds — ids hashing to never-written buckets are no-ops
-    touched = sorted(
-        r["bucket"]
-        for r in doomed.select("bucket").distinct().collect()
-        if str(r["bucket"]) in man["buckets"]
-    )
-    if not touched:
+    kept = None
+    try:
+        # bounded by n_buckets ints, and only buckets the manifest
+        # actually holds — ids hashing to never-written buckets are
+        # no-ops
+        touched = sorted(
+            r["bucket"]
+            for r in doomed.select("bucket").distinct().collect()
+            if str(r["bucket"]) in man["buckets"]
+        )
+        if not touched:
+            return
+        old_dirs = [
+            f"{path}/t={man['buckets'][str(k)]}/b={k}" for k in touched
+        ]
+        existing = spark.read.parquet(*old_dirs)
+        # no broadcast hint: the doomed-id set is caller-sized, not
+        # bounded — an explicit hint bypasses the autoBroadcast
+        # threshold and a corpus-scale delete would die on the
+        # broadcast limit / driver OOM; AQE broadcasts small id sets
+        # from runtime sizes on its own and shuffles big ones
+        kept = (
+            existing.join(doomed.select(id_col), id_col, "left_anti")
+            .drop("bucket")
+            .withColumn("bucket", _bucket_expr(id_col, nb))
+            .persist()
+        )
+        # which touched buckets still hold rows (bounded driver
+        # artifact — the emptied ones leave the manifest instead of
+        # staging a dir). kept is persisted: this collect and the
+        # staged write inside _cas_commit_touched both consume it, and
+        # uncached the O(touched buckets) anti-join ran twice per
+        # delete
+        remaining = {
+            r["bucket"] for r in kept.select("bucket").distinct().collect()
+        }
+        drop = frozenset(k for k in touched if k not in remaining)
+        _cas_commit_touched(
+            spark, path, man, vs, touched, kept.drop("bucket"), id_col, nb,
+            keep, drop_buckets=drop,
+        )
+    finally:
+        if kept is not None:
+            kept.unpersist()
         doomed.unpersist()
-        return
-    old_dirs = [f"{path}/t={man['buckets'][str(k)]}/b={k}" for k in touched]
-    existing = spark.read.parquet(*old_dirs)
-    kept = existing.join(
-        F.broadcast(doomed.select(id_col)), id_col, "left_anti"
-    )
-    # which touched buckets still hold rows (bounded driver artifact —
-    # the emptied ones leave the manifest instead of staging a dir)
-    kept = kept.drop("bucket").withColumn("bucket", _bucket_expr(id_col, nb))
-    remaining = {
-        r["bucket"] for r in kept.select("bucket").distinct().collect()
-    }
-    drop = frozenset(k for k in touched if k not in remaining)
-    _cas_commit_touched(
-        spark, path, man, vs, touched, kept.drop("bucket"), id_col, nb,
-        keep, drop_buckets=drop,
-    )
-    doomed.unpersist()
 
 
 def delete_ids_bucketed_retry(
@@ -1090,15 +1219,12 @@ def delete_ids_bucketed_retry(
     loop around :func:`delete_ids_bucketed`: each attempt re-reads the
     newest manifest, so a loser re-derives its survivors on top of the
     winner's commit and both effects land."""
-    last: ConcurrentMergeError | None = None
-    for _ in range(max(1, attempts)):
-        try:
-            return delete_ids_bucketed(
-                spark, path, ids, id_col=id_col, keep=keep
-            )
-        except ConcurrentMergeError as e:
-            last = e
-    raise last
+    return _retry_concurrent(
+        lambda: delete_ids_bucketed(
+            spark, path, ids, id_col=id_col, keep=keep
+        ),
+        attempts,
+    )
 
 
 def _bucketed_gc(spark: SparkSession, path: str, keep: int) -> None:
@@ -1138,6 +1264,15 @@ def _bucketed_gc(spark: SparkSession, path: str, keep: int) -> None:
         except ValueError:
             continue
         if v in live:
+            continue
+        if fs.exists(P(st.getPath(), "_SUCCESS")) and not fs.exists(
+            P(st.getPath(), _MANIFEST)
+        ):
+            # a PLAIN layout's committed version (in-place migration via
+            # write_table_bucketed leaves them beside the manifests):
+            # another layout's artifact, not ours to reap — deleting it
+            # here destroyed the pre-migration snapshots retention
+            # promises readable (they looked "empty" to the b= scan)
             continue
         if v > max(live, default=0):
             # newer than the newest commit: an in-flight writer's claimed
