@@ -52,6 +52,14 @@ from ..functions.vector import (
 from .search import cosine_vs_query
 
 
+# kmeans_fit driver-side bounds: the init sample never exceeds this many
+# collected vectors, and the O(k * sample * dim) k-means++ D^2 loop only
+# runs under this flop budget (~seconds of numpy) — past it, init falls
+# back to the hash-spread sample head (see kmeans_fit)
+_KMEANS_SAMPLE_CAP = 131_072
+_KMEANSPP_FLOP_BUDGET = 2_000_000_000
+
+
 def _sampled_matrix(src: DataFrame, size: int) -> "np.ndarray":
     """Bounded deterministic sample of vectors as an (s, dim) numpy matrix.
 
@@ -128,9 +136,27 @@ def kmeans_fit(
     if n == 0:
         raise ValueError("empty input")
     k = min(k, n)
-    S = _sampled_matrix(src, max(k * 32, 512))
+    # the driver sample is k-proportional (k*32) but CAPPED: autosized
+    # nlist grows as sqrt(n), and at 1e9 rows (nlist=31623) an uncapped
+    # sample collects ~1M vectors (multi-GB of Python lists) to the
+    # driver; the cap never drops below k so init always has k distinct
+    # candidates
+    S = _sampled_matrix(
+        src, min(max(k * 32, 512), max(_KMEANS_SAMPLE_CAP, k))
+    )
+    if k * S.shape[0] * S.shape[1] <= _KMEANSPP_FLOP_BUDGET:
+        init = _kmeanspp_init(S, k, seed)
+    else:
+        # k-means++'s D^2 loop is O(k * sample * dim) SINGLE-THREADED
+        # driver flops — at autosized-for-1e9 sizes that is ~1e13 flops
+        # (hours on the driver). Past the budget, init from the first k
+        # rows of the hash-ordered sample: the sample IS a deterministic
+        # uniform shuffle (smallest-xxhash rows), so this is seeded
+        # random init at zero cost, and the DISTRIBUTED Lloyd
+        # iterations do the refinement the init skipped.
+        init = S[:k]
     cents_py: dict[int, list[float]] = {
-        c: list(v) for c, v in enumerate(_kmeanspp_init(S, k, seed))
+        c: list(v) for c, v in enumerate(init)
     }
     dim = len(next(iter(cents_py.values())))
 
@@ -199,6 +225,11 @@ def _assign_literal(
     vectors near a cell boundary are findable from either side, trading
     ``replicas``x posting-list storage for recall at fixed nprobe.
     """
+    if replicas < 1:
+        # a silent min(replicas, nlist) of 0 would emit an EMPTY
+        # assignment per batch — the build "succeeds" with an empty
+        # posting table and every later search finds nothing
+        raise ValueError(f"replicas must be >= 1, got {replicas}")
     clusters = sorted(cents_py)
     C = np.asarray([cents_py[c] for c in clusters], dtype=np.float64)
     cnorm = (C * C).sum(axis=1)
@@ -236,27 +267,17 @@ def _assign_literal(
     return src.mapInPandas(run, "id long, v array<double>, cluster int")
 
 
-def _assign(src: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid (euclidean^2, min cluster
-    id on ties). Broadcast join + in-row argmin — no shuffle of the corpus."""
-    c = F.broadcast(cents.groupBy().agg(
-        F.sort_array(F.collect_list(F.struct("cluster", "centroid"))).alias("cs")
-    ))
-    return _argmin_assign(src.crossJoin(c))
-
-
-def _argmin_assign(with_c: DataFrame) -> DataFrame:
-    # array_min over (distance, cluster) structs: each distance evaluated
-    # exactly once; struct comparison breaks ties on the lower cluster id.
-    best = F.expr(
-        """
-        array_min(transform(cs, s -> named_struct(
-          'd', aggregate(zip_with(v, s.centroid, (x,y) -> (x-y)*(x-y)), 0D, (a,x) -> a+x),
-          'cluster', s.cluster)))
-        """
-    )
-    return with_c.select("id", "v", best.alias("_b")).select(
-        "id", "v", F.col("_b.cluster").alias("cluster")
+def _cent_map_lit(cents_py: dict[int, list[float]]):
+    """MAP literal cluster-id -> centroid for the residual subtraction:
+    the lookup must key by the ACTUAL cluster id — the previous dense
+    ARRAY literal indexed by position, which silently subtracts the
+    wrong (or null) centroid whenever cluster ids are non-contiguous
+    (an externally trained/loaded centroid table, a dropped empty
+    cell), poisoning every residual code the ADC search then reads."""
+    ks = sorted(cents_py)
+    return F.map_from_arrays(
+        F.array(*[F.lit(int(k)) for k in ks]),
+        F.array(*[F.array(*[F.lit(x) for x in cents_py[k]]) for k in ks]),
     )
 
 
@@ -446,16 +467,12 @@ def ivfpq_add(
         F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
     )
     assigned_v = _assign_literal(src, cents_py, replicas)
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in cents_py[c]])
-            for c in sorted(cents_py)
-        ]
-    )
-    residuals = assigned_v.withColumn("_cents", cent_lit).select(
+    residuals = assigned_v.withColumn(
+        "_cents", _cent_map_lit(cents_py)
+    ).select(
         "id",
         "cluster",
-        F.expr("zip_with(v, _cents[cluster], (x, c) -> x - c)").alias("v"),
+        F.expr("zip_with(v, element_at(_cents, cluster), (x, c) -> x - c)").alias("v"),
     )
     m = len(codebooks)
     sub = len(codebooks[0][0])
@@ -898,16 +915,12 @@ def ivfpq_build(
     cents_py = {r["cluster"]: list(r["centroid"]) for r in cents.collect()}
     src = df.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
     assigned_v = _assign_literal(src, cents_py, replicas)  # (id, v, cluster)
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in cents_py[c]])
-            for c in sorted(cents_py)
-        ]
-    )
-    residuals = assigned_v.withColumn("_cents", cent_lit).select(
+    residuals = assigned_v.withColumn(
+        "_cents", _cent_map_lit(cents_py)
+    ).select(
         "id",
         "cluster",
-        F.expr("zip_with(v, _cents[cluster], (x, c) -> x - c)").alias("v"),
+        F.expr("zip_with(v, element_at(_cents, cluster), (x, c) -> x - c)").alias("v"),
     )
     dim = len(next(iter(cents_py.values())))
     if dim % m:
@@ -1141,7 +1154,7 @@ def save_pq_index(path: str, codebooks, codes: DataFrame) -> None:
         for j, book in enumerate(codebooks)
         for c, cw in enumerate(book)
     ]
-    from ..sources.tables import publish_table
+    from ..sources.tables import publish_table, table_versions
 
     publish_table(
         spark,
@@ -1154,14 +1167,27 @@ def save_pq_index(path: str, codebooks, codes: DataFrame) -> None:
         codes,
         partition_by=["cluster"] if "cluster" in codes.columns else None,
     )
+    # the two tables must agree (codes are indices INTO these codebooks)
+    # and each publish is only individually atomic — commit the version
+    # PAIR exactly like save_index does for centroids/assignments: a
+    # writer crashing between the publishes must not leave readers
+    # pairing NEW codebooks with codes encoded under the OLD ones
+    # (silently wrong ADC distances, no error)
+    _write_index_manifest(
+        spark,
+        path,
+        {
+            "codebooks": table_versions(spark, f"{path}/codebooks")[-1],
+            "codes": table_versions(spark, f"{path}/codes")[-1],
+        },
+    )
 
 
 def load_pq_index(spark, path: str):
     """Load a persisted PQ index -> (codebooks nested list, codes df);
     shape validation mirrors the reference's load-time checks."""
-    from ..sources.tables import read_table
-
-    cb = read_table(spark, f"{path}/codebooks")
+    man = _read_index_manifest(spark, path) or {}
+    cb = _open_versioned(spark, path, "codebooks", man.get("codebooks"))
     rows = cb.collect()
     if not rows:
         raise ValueError("empty codebook table")
@@ -1174,7 +1200,36 @@ def load_pq_index(spark, path: str):
         for c in range(k):
             if codebooks[j][c] is None:
                 raise ValueError(f"codebook missing entry (j={j}, cluster={c})")
-    return codebooks, read_table(spark, f"{path}/codes")
+    return codebooks, _open_versioned(spark, path, "codes", man.get("codes"))
+
+
+def _open_versioned(spark, path: str, sub: str, version: int | None):
+    """Open ``{path}/{sub}`` at the manifest-committed version (falling
+    back to the newest committed version for legacy indexes or when
+    retention GC'd the manifest'd one — the next successful save
+    self-heals the manifest). Publish-time sidecar schemas skip footer
+    inference. Shared by load_index (centroids/assignments) and
+    load_pq_index (codebooks/codes) — both are two-table indexes whose
+    version PAIR must open together."""
+    from ..sources.tables import read_table, read_table_stats, table_versions
+
+    p = f"{path}/{sub}"
+    vs = table_versions(spark, p)
+    v = version if version in vs else (vs[-1] if vs else None)
+    if v is None:
+        return read_table(spark, p)  # legacy flat layout (or raise)
+    st = read_table_stats(spark, p, version=v)
+    if st is not None and st.get("schema"):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        try:
+            schema = StructType.fromJson(_json.loads(st["schema"]))
+            return spark.read.schema(schema).parquet(f"{p}/t={v}")
+        except Exception:
+            pass
+    return spark.read.parquet(f"{p}/t={v}")
 
 
 def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -1188,30 +1243,11 @@ def load_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     successful save self-heals the manifest). Schemas come from the
     publish-time sidecar when present, so opening the index costs zero
     footer-inference jobs."""
-    from ..sources.tables import read_table, read_table_stats, table_versions
-
-    def _open(sub: str, version: int | None):
-        p = f"{path}/{sub}"
-        vs = table_versions(spark, p)
-        v = version if version in vs else (vs[-1] if vs else None)
-        if v is None:
-            return read_table(spark, p)  # legacy flat layout (or raise)
-        st = read_table_stats(spark, p, version=v)
-        if st is not None and st.get("schema"):
-            import json as _json
-
-            from pyspark.sql.types import StructType
-
-            try:
-                schema = StructType.fromJson(_json.loads(st["schema"]))
-                return spark.read.schema(schema).parquet(f"{p}/t={v}")
-            except Exception:
-                pass
-        return spark.read.parquet(f"{p}/t={v}")
-
     man = _read_index_manifest(spark, path) or {}
-    cents = _open("centroids", man.get("centroids"))
-    assigned = _open("assignments", man.get("assignments"))
+    cents = _open_versioned(spark, path, "centroids", man.get("centroids"))
+    assigned = _open_versioned(
+        spark, path, "assignments", man.get("assignments")
+    )
     for col in ("cluster", "centroid"):
         if col not in cents.columns:
             raise ValueError(f"centroid table missing column {col!r}")
@@ -1241,7 +1277,18 @@ def random_projection_buckets(
 
 
 def _rp_bucket_expr(v, n_planes: int, dim: int, seed: int):
-    """Sign-bit bucket Column for one hyperplane table (MSB = plane 0)."""
+    """Sign-bit bucket Column for one hyperplane table (MSB = plane 0).
+
+    The fold accumulates in LONG: an int accumulator overflows at
+    n_planes >= 32 (ANSI mode — Spark 4's default — fails the scan with
+    ArithmeticException; non-ANSI silently wraps negative, diverging
+    from any 64-bit oracle). 62 planes is the long ceiling, far past
+    any useful single-table width (the autosizer caps at 30)."""
+    if n_planes > 62:
+        raise ValueError(
+            f"n_planes={n_planes} overflows the 64-bit bucket; use more "
+            "tables (OR-amplification) instead of wider ones"
+        )
     planes = _md5_coords(f"{seed}:{{p}}:{{i}}", n_planes, dim)
     bits = [
         F.when(
@@ -1251,14 +1298,16 @@ def _rp_bucket_expr(v, n_planes: int, dim: int, seed: int):
                 lambda a, x: a + x,
             )
             > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         for plane in planes
     ]
-    bucket = F.lit(0)
+    bucket = F.lit(0).cast("long")
     for b in bits:
         bucket = bucket * 2 + b
-    return bucket.cast("int")
+    # int output below 32 planes (every existing caller/oracle's dtype —
+    # the value provably fits); long only where int can't hold it
+    return bucket.cast("int") if n_planes <= 31 else bucket
 
 
 def random_projection_tables(
@@ -1467,15 +1516,21 @@ def knn_graph(
             v.alias("v"),
             F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
         )
-        # both join sides read mats: persist so the corpus scan + the
+        # both join sides read mats: cache so the corpus scan + the
         # collect_list shuffle run once, not twice (the dominant
-        # pre-GEMM cost); n_blocks rows of packed matrices — small.
-        # Callers materialize the graph promptly (persisted edge tables,
-        # eval queries), after which the blocks age out of storage.
+        # pre-GEMM cost). localCheckpoint, NOT persist: a CacheManager
+        # entry never frees without an explicit unpersist (the module
+        # rule at the top of this file), which no caller can issue
+        # against a lazily-returned graph — the facade re-runs this per
+        # rebuild, so persisted corpus-sized block tables would
+        # accumulate for the session lifetime. A checkpointed RDD frees
+        # via the ContextCleaner once the returned DataFrame is GC'd.
+        # Tradeoff: lineage is truncated, so an executor loss mid-build
+        # fails the (retryable) build job instead of recomputing.
         mats = base.groupBy("block").agg(
             F.collect_list("id").alias("ids"),
             F.collect_list("v").alias("vecs"),
-        ).persist()
+        ).localCheckpoint(eager=False)
         a = mats.select(
             F.col("block").alias("ba"), F.col("ids").alias("ids_a"),
             F.col("vecs").alias("vecs_a"),
@@ -1603,10 +1658,11 @@ def knn_graph_add(
     exact through this path (an update invalidates reverse edges whose
     true replacement may be outside old∪batch): route those through
     ``build_index`` — the same full-retrain trigger contract as
-    ``ivf_drift``. Cosines for the new rows come from the Catalyst
-    expression rather than knn_graph's BLAS kernel; they agree to well
-    below the repo-wide 6-dp rounding (rank order is identical except
-    on sub-1e-6 ties, which the id tiebreak resolves identically).
+    ``ivf_drift``. Cosines for the new rows come from the SAME
+    _block_local_topk BLAS kernel knn_graph uses (both directions of
+    the corpus-x-batch pass), so old and fresh scores share one
+    numerical provenance; the window still ranks on the 6-dp ROUNDED
+    cosine (the repo-wide ranking contract) as defense in depth.
 
     Scale shape: ONE Arrow scan of the corpus against the batch matrix
     (a delta-bounded driver artifact, the kmeans-centroid contract) in
@@ -1684,10 +1740,12 @@ def knn_graph_add(
     )
     cand = old.unionByName(scored)
     # rank on the 6-dp ROUNDED cosine (the repo-wide ranking contract):
-    # old edges carry BLAS-kernel cosines, fresh candidates Catalyst
-    # ones — for an exact-duplicate vector the two kernels differ by an
-    # ulp, and ranking raw values would flip the id tiebreak at the
-    # rank-k boundary (vs a rebuild's exact tie -> dst asc)
+    # old and fresh scores both come from the BLAS kernel, but the old
+    # ones were computed inside a DIFFERENT block pairing — float sums
+    # reassociate across block shapes, so an exact-duplicate vector can
+    # differ by an ulp between builds, and ranking raw values would
+    # flip the id tiebreak at the rank-k boundary (vs a rebuild's
+    # exact tie -> dst asc)
     w = Window.partitionBy("src").orderBy(
         F.round("cosine", 6).desc(), F.col("dst").asc()
     )
@@ -1989,6 +2047,10 @@ def knn_pagerank(
     """
     ids = corpus.select(F.col(id_col).alias("id"))
     n = ids.count()
+    if n == 0:
+        # the module's empty-input convention (kmeans_fit, _dim_of) —
+        # not an opaque ZeroDivisionError from the 1/n teleport literal
+        raise ValueError("empty corpus")
     deg = edges.groupBy("src").agg(F.count("*").alias("_od"))
     ew = edges.join(deg, "src").select(
         F.col("src"), F.col("dst"), (F.lit(1.0) / F.col("_od")).alias("w")

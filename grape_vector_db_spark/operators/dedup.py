@@ -1685,7 +1685,14 @@ def embedding_neardup_pairs(
         # id would land in a block the pair table never covers (same fix
         # as the gemm path)
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
-    ).persist()
+        # localCheckpoint, NOT persist: no caller can unpersist a cache
+        # entry backing a lazily-returned pair frame, and CacheManager
+        # entries never free on GC — repeated calls would pin one
+        # corpus-sized copy each. The checkpointed RDD frees via the
+        # ContextCleaner once the result is GC'd (lineage truncation:
+        # an executor loss mid-run fails the retryable job instead of
+        # recomputing).
+    ).localCheckpoint(eager=False)
     x = base.select(
         F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
         F.col("block").alias("ba"),
