@@ -8492,7 +8492,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(t) > 0
             ),
             hashed AS (
-              SELECT doc_id, {_h32_sql('term', 0)} AS h0, {_h32_sql('term', 1)} AS h1
+              SELECT doc_id, {h32_word_sql('term', 0)} AS h0, {h32_word_sql('term', 1)} AS h1
               FROM terms
             ),
             votes AS ({simhash_votes}),
@@ -8509,7 +8509,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(t) > 0
             ),
             hashed AS (
-              SELECT doc_id, {_h32_sql('term', 0)} AS h0, {_h32_sql('term', 1)} AS h1
+              SELECT doc_id, {h32_word_sql('term', 0)} AS h0, {h32_word_sql('term', 1)} AS h1
               FROM terms
             ),
             votes AS ({simhash_votes}),

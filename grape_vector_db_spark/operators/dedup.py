@@ -12,10 +12,12 @@ needs content-level dedup. Five tiers, cheapest first:
   candidates; verify with signature similarity (or exact Jaccard).
   At 100 TB this is THE scalable near-dup path: cost is P hashes per
   shingle (map-side) + one shuffle on (band, bucket-hash).
-- **SimHash**: 32-bit weighted fingerprint; near-dups = small Hamming
-  distance. Buckets by 16-bit halves for candidate generation (any pair at
-  Hamming<=2 over 32 bits shares a half in >=1 of the 2 splits... we use
-  4x8-bit bands for distance<=3 guarantees).
+- **SimHash**: 64-bit weighted fingerprint (default bits=64); near-dups
+  = small Hamming distance. Candidate generation is the pigeonhole
+  band split: max_hamming+1 bands (4x16-bit at the defaults — ~65k
+  keys per band, so a uniform corpus puts ~n/65k docs in a bucket);
+  any pair within max_hamming matches exactly on >= 1 band. See
+  simhash_pairs for the full scale analysis and the hot-bucket cap.
 - **embedding cosine**: exact self-join above a cosine threshold for
   small/medium corpora; random-projection LSH bucketing (operators.ann)
   prunes it at scale.
@@ -56,9 +58,14 @@ def exact_duplicates(
 
     keep_id = min doc id (the canonical survivor). Only groups with >1 doc
     are returned. Scale: one shuffle on the hash; map-side partial agg.
+    NULL-text rows are excluded: md5(NULL) is NULL and groupBy treats
+    NULLs as equal, so every failed-extraction row would collapse into
+    one fake "byte-identical" group whose keep-one policy deletes
+    documents that were never compared equal.
     """
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("doc_id"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("doc_id"))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .where(F.col("n_docs") > 1)
@@ -306,6 +313,8 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     shingles_df: DataFrame | None = None,
     signatures_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
+    pair_chunk: int = 512,
 ) -> DataFrame:
     """Distinct candidate pairs (a, b) with a < b from the banded
     MinHash buckets — the UNVERIFIED stage of :func:`minhash_lsh_pairs`,
@@ -314,7 +323,18 @@ def minhash_lsh_candidates(
     :func:`minhash_signatures` output with matching num_hashes) skips
     the signature build — the signature table is an ingest-maintained
     index exactly like doc_terms, so report/serving queries should
-    thread the shared copy instead of re-aggregating the corpus."""
+    thread the shared copy instead of re-aggregating the corpus.
+
+    Per-row memory is bounded by ``pair_chunk`` (the
+    :func:`hamming_pairs` rule): a bucket's sorted member array splits
+    into chunk-index pairs before the pair structs materialize, so a
+    hot bucket never flattens O(m^2) structs into ONE row (a 100k-doc
+    template bucket would otherwise materialize ~5e9 structs in a
+    single value — executor OOM). ``bucket_cap`` (None = exact S-curve
+    guarantee, which is what the oracle checks) drops (band, bucket)
+    groups past the cap from candidate generation via a broadcast
+    anti-join — the hot-bucket rule every sibling candidate generator
+    applies; set it (e.g. 10_000) for 100 TB template-heavy corpora."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     sigs = (
@@ -322,8 +342,6 @@ def minhash_lsh_candidates(
         if signatures_df is not None
         else minhash_signatures(df, num_hashes, n, id_col, text_col, shingles_df)
     )
-    from ..functions.arrays import ordered_pairs
-
     # Within-bucket pairs from ONE groupBy, not a self-join: each side of
     # a self-join re-evaluates the whole shingle + md5 + min-agg
     # signature pipeline over the corpus (AQE does not reuse the
@@ -331,14 +349,58 @@ def minhash_lsh_candidates(
     # explode from the sorted id array so a < b by construction; a pair
     # colliding in several bands still needs the distinct.
     bandrows = minhash_band_rows(sigs, num_hashes, bands)
-    pair_arr = ordered_pairs(
-        F.col("ids"), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
-    )
-    return (
+    if bucket_cap is not None:
+        hot = (
+            bandrows.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("band", "bucket")
+        )
+        bandrows = bandrows.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+    c = int(pair_chunk)
+    last_chunk = f"(size(ids) - 1) div {c}"
+    chunked = (
         bandrows.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
-        .select(F.explode(pair_arr).alias("p"))
+        .select(
+            "ids",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {last_chunk}), i ->"
+                    f" transform(sequence(i, {last_chunk}), j ->"
+                    " named_struct('i', i, 'j', j))))"
+                )
+            ).alias("kp"),
+        )
+        .select(
+            F.expr(f"slice(ids, kp.i * {c} + 1, {c})").alias("ca"),
+            F.expr(f"slice(ids, kp.j * {c} + 1, {c})").alias("cb"),
+            (F.col("kp.i") == F.col("kp.j")).alias("same"),
+        )
+    )
+    mk = "named_struct('a', x, 'b', y)"
+    return (
+        chunked.select(
+            F.explode(
+                F.when(
+                    F.col("same"),
+                    # same chunk: upper triangle over the sorted members
+                    F.expr(
+                        "flatten(transform(ca, (x, p) ->"
+                        f" transform(slice(cb, p + 2, size(cb)), y -> {mk})))"
+                    ),
+                ).otherwise(
+                    # distinct chunks: full cross (globally sorted, so
+                    # every ca element < every cb element)
+                    F.expr(
+                        f"flatten(transform(ca, x -> transform(cb, y -> {mk})))"
+                    )
+                )
+            ).alias("p")
+        )
         .select("p.a", "p.b")
         .distinct()
     )
@@ -355,6 +417,33 @@ def minhash_band_rows(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
+    # a signature built with a SMALLER num_hashes must fail loudly: the
+    # out-of-range sig[i] is NULL and concat_ws silently SKIPS nulls, so
+    # a mismatched cached signatures_df collapsed whole bands into one
+    # '' bucket (quadratic candidate explosion) and aliased distinct
+    # partial buckets — silent corruption, not an error
+    bad = F.raise_error(
+        F.concat(
+            F.lit(
+                f"minhash signature shorter than num_hashes={num_hashes}"
+                " (got "
+            ),
+            F.size("sig").cast("string"),
+            F.lit(
+                " hashes) — was the signatures table built with a"
+                " different num_hashes?"
+            ),
+        )
+    )
+
+    def _bucket(b: int):
+        e = F.concat_ws(
+            ",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]
+        )
+        return F.when(F.size("sig") >= num_hashes, e).otherwise(
+            bad.cast("string")
+        )
+
     return sigs.select(
         "doc_id",
         F.explode(
@@ -362,9 +451,7 @@ def minhash_band_rows(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(",", *[
-                            F.col("sig")[b * r + i].cast("string") for i in range(r)
-                        ]).alias("bucket"),
+                        _bucket(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -396,16 +483,27 @@ def minhash_lsh_pairs(
     :func:`minhash_lsh_candidates`) so chained report queries reuse one
     scan each.
     """
+    # ONE shingle table threads both stages: un-threaded, the candidate
+    # path re-built its own inside minhash_signatures and the verify
+    # referenced the plan four more times (a-join, b-join, two size
+    # aggregates) — ~5 corpus-wide tokenize+distinct shuffles per call
+    # (AQE does not reuse the exchanges). localCheckpoint, not persist:
+    # no caller can unpersist a cache entry behind the lazily-returned
+    # pair frame (the knn_graph rule).
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df, n, id_col, text_col).localCheckpoint(eager=False)
+    )
     cand = (
         candidates_df
         if candidates_df is not None
         else minhash_lsh_candidates(
-            df, num_hashes, bands, n, id_col, text_col, shingles_df,
+            df, num_hashes, bands, n, id_col, text_col, sh,
             signatures_df,
         )
     )
     # Verify candidates with exact Jaccard over shingle sets.
-    sh = shingles_df if shingles_df is not None else shingles(df, n, id_col, text_col)
     return _jaccard_verify(cand, sh, sh, threshold)
 
 
@@ -873,6 +971,12 @@ def leakage_safe_split(
         raise ValueError("fractions and labels must have the same length")
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    # the corpus ids must be the SAME integer key space as the pairs: a
+    # string-id df joined against the long cluster ids casts to NULL,
+    # matches nothing, and silently degrades EVERY doc to the singleton
+    # fallback — near-dups then straddle train/test, the exact quiet
+    # contamination this function exists to prevent
+    _require_integer_ids(df, [id_col], "leakage_safe_split")
     clusters = cluster_pairs(pairs, max_iter=max_iter)
     withc = df.select(F.col(id_col).alias("doc_id")).join(
         clusters, "doc_id", "left"
@@ -1426,9 +1530,13 @@ def simhash(
     """(doc_id, simhash bigint) — classic Charikar fingerprint over distinct
     tokens: bit j of the term hash votes +1/-1; sign of the tally sets bit j.
 
-    The fingerprint is built from ceil(bits/32) independent 32-bit md5-derived
-    words (``h32(term, seed=word)``) so any width up to 64 stays
-    engine-portable (the DuckDB oracle reproduces the same words bit-for-bit).
+    The fingerprint is built from ceil(bits/32) independent 32-bit words
+    quartered out of ONE md5 digest per term (``h32_word`` — the hash
+    family functions/hashing.py prescribes for SimHash: a 64-bit
+    fingerprint costs one md5 evaluation per term, not one per word; md5
+    dominates the map side at corpus scale), engine-portable up to 64
+    bits (the DuckDB oracle reproduces the same words bit-for-bit via
+    h32_word_sql).
     Bit 63 of a 64-bit fingerprint is the BIGINT sign bit — fingerprints are
     two's-complement signed, which is harmless: band extraction masks after
     the arithmetic shift and bit_count(xor) is sign-agnostic.
@@ -1448,9 +1556,14 @@ def simhash(
     n_words = (bits + 31) // 32
     toked = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     terms = toked.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    digest = F.md5(F.concat(F.lit("0:"), F.col("term")))
     hashed = terms.select(
+        "doc_id", digest.alias("_dg")
+    ).select(
         "doc_id",
-        F.array(*[h32(F.col("term"), seed=w) for w in range(n_words)]).alias("hw"),
+        F.array(*[h32_word(F.col("_dg"), w) for w in range(n_words)]).alias(
+            "hw"
+        ),
     )
     tally = hashed.groupBy("doc_id").agg(
         *[
@@ -2150,8 +2263,15 @@ def duplication_report(
     normed = F.md5(
         F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     )
+    # a NULL-text row is its OWN unique document (keyed by id), never a
+    # copy: md5(NULL) hash-groups every failed-extraction row together,
+    # which inflated dup_rate to ~1.0 for sources that contain no
+    # duplicated text at all (and got them dropped as mirrors)
+    h = F.coalesce(
+        normed, F.concat(F.lit("\x00null:"), F.col(id_col).cast("string"))
+    )
     per_hash = df.select(
-        F.col(group_col).alias("group"), normed.alias("_h")
+        F.col(group_col).alias("group"), h.alias("_h")
     ).groupBy("group", "_h").agg(F.count("*").alias("n"))
     return per_hash.groupBy("group").agg(
         F.sum("n").alias("n_docs"),

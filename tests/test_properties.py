@@ -217,7 +217,8 @@ def test_minhash_signatures_match_python_replica(spark, corpus):
 def test_simhash_matches_python_replica(spark, corpus):
     """bit j of the fingerprint = sign of the per-bit vote tally over
     distinct tokens' hash bits (Charikar); 64-bit fingerprints use two
-    seeded 32-bit words and come back as two's-complement BIGINT."""
+    32-bit words QUARTERED from one md5 digest per term (the h32_word
+    family) and come back as two's-complement BIGINT."""
     from grape_vector_db_spark.operators.dedup import simhash
 
     df = spark.createDataFrame(
@@ -231,7 +232,8 @@ def test_simhash_matches_python_replica(spark, corpus):
         fp = 0
         for j in range(64):
             vote = sum(
-                1 if (py_h32(w, j // 32) >> (j % 32)) & 1 else -1 for w in terms
+                1 if (py_h32_word(w, j // 32) >> (j % 32)) & 1 else -1
+                for w in terms
             )
             if vote > 0:
                 fp |= 1 << j
