@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from grape_vector_db_spark.functions import sparsevec
 from grape_vector_db_spark.functions.hashing import h32, h32_sql, h32_word_sql
+from grape_vector_db_spark.functions import text as text_fns
 from grape_vector_db_spark.functions.text import STOPWORDS
 from grape_vector_db_spark.operators import (
     ann,
@@ -3665,11 +3666,11 @@ def q_corpus_profile(spark, sf_dir):
     base = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            F.size(text_fns.ws_tokens_cased(F.col("text")))
         ).alias("n_tokens"),
         F.sum(F.length("text")).alias("n_chars"),
         F.round(
-            F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))), 6
+            F.avg(F.size(text_fns.ws_tokens_cased(F.col("text")))), 6
         ).alias("mean_doc_tokens"),
         F.countDistinct("lang").cast("int").alias("n_langs"),
         F.countDistinct("source").cast("int").alias("n_sources"),
@@ -6108,15 +6109,15 @@ _SYNTH_SQL = r"""
       FROM _t
     ),
     _lines AS (
-      SELECT doc_id, trim(l) AS line
+      SELECT doc_id, regexp_replace(l, '^[\t\n\x0B\f\r\x85\pZ]+|[\t\n\x0B\f\r\x85\pZ]+$', '') AS line
       FROM _synth, unnest(string_split(text, chr(10))) AS u(l)
-      WHERE length(trim(l)) > 0
+      WHERE length(regexp_replace(l, '^[\t\n\x0B\f\r\x85\pZ]+|[\t\n\x0B\f\r\x85\pZ]+$', '')) > 0
     ),
     _plines AS (
-      SELECT doc_id, i, trim(ls[i+1]) AS line
+      SELECT doc_id, i, regexp_replace(ls[i+1], '^[\t\n\x0B\f\r\x85\pZ]+|[\t\n\x0B\f\r\x85\pZ]+$', '') AS line
       FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM _synth),
            unnest(range(len(ls))) AS u(i)
-      WHERE length(trim(ls[i+1])) > 0
+      WHERE length(regexp_replace(ls[i+1], '^[\t\n\x0B\f\r\x85\pZ]+|[\t\n\x0B\f\r\x85\pZ]+$', '')) > 0
     )
 """
 
@@ -6135,7 +6136,7 @@ def _repetition_sql() -> str:
                 SELECT doc_id, length(text) AS nc,
                        unnest(list_transform(range(greatest(len(t) - {n - 1}, 0)),
                                              i -> {join})) AS gram
-                FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
                       FROM _synth)
               ) GROUP BY 1, 2, 3
             )) WHERE r = 1)
@@ -6262,7 +6263,7 @@ def _pack_sequences_sql(max_tokens: int = 512) -> str:
     return rf"""
         WITH base AS (
           SELECT source AS "group", doc_id,
-                 len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+                 len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))::INT AS n_tokens
           FROM documents
         ),
         cum AS (
@@ -6284,7 +6285,7 @@ def _mixture_stats_sql() -> str:
     return rf"""
         WITH per AS (
           SELECT source AS "group", count(*) AS n_docs,
-                 sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                 sum(len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')))::BIGINT
                    AS n_tokens
           FROM documents GROUP BY 1
         )
@@ -6372,7 +6373,7 @@ def _pack_bins_sql(max_tokens: int = 512) -> str:
     return rf"""
         WITH base AS (
           SELECT source AS "group", doc_id,
-                 len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+                 len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))::INT AS n_tokens
           FROM documents
         ),
         cum AS (
@@ -6390,7 +6391,7 @@ def _pack_bins_sql(max_tokens: int = 512) -> str:
           FROM cum
         ),
         toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS toks
           FROM documents
         ),
         seg AS (
@@ -6426,7 +6427,7 @@ def _span_corruption_sql(mask_denom: int = 5) -> str:
           SELECT doc_id, unnest(t) AS term,
                  generate_subscripts(t, 1) - 1 AS pos
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS t
+                       list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS t
                 FROM documents)
         ),
         m AS (
@@ -6557,7 +6558,7 @@ def _mixture_temperature_sql(tau: float = 0.7) -> str:
     return rf"""
         WITH per AS (
           SELECT source AS "group",
-                 sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                 sum(len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')))::BIGINT
                    AS n_tokens
           FROM documents GROUP BY 1
         ),
@@ -6602,7 +6603,7 @@ def _chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     stride = chunk_tokens - overlap
     return rf"""
         WITH d AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS toks
           FROM documents
         ),
         c AS (
@@ -6626,7 +6627,7 @@ def _mixture_rebalance_sql() -> str:
     return rf"""
         WITH per AS (
           SELECT source AS "group",
-                 sum(len(regexp_split_to_array(trim(text), '\s+'))) AS gtok
+                 sum(len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))) AS gtok
           FROM documents GROUP BY 1
         ),
         frac AS (
@@ -10113,10 +10114,10 @@ def oracle_sql() -> dict[str, str]:
               FROM pl CROSS JOIN t
             )
             SELECT count(*)::BIGINT AS n_docs,
-                   sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                   sum(len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')))::BIGINT
                      AS n_tokens,
                    sum(length(text))::BIGINT AS n_chars,
-                   round(avg(len(regexp_split_to_array(trim(text), '\s+'))),
+                   round(avg(len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != ''))),
                          6) AS mean_doc_tokens,
                    count(DISTINCT lang)::INT AS n_langs,
                    count(DISTINCT source)::INT AS n_sources,
@@ -11203,7 +11204,7 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": """
             WITH t AS (
               SELECT doc_id,
-                     regexp_split_to_array(trim(text), '\\s+') AS tk
+                     list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '') AS tk
               FROM documents
             ),
             c AS (
@@ -11427,7 +11428,9 @@ def _lang_id_sql() -> str:
             f"round(len(list_filter(t, w -> list_contains({markers}, w)))::DOUBLE"
             f" / greatest(len(t), 1), 6) AS s_{lang}"
         )
-    case = "CASE " + " ".join(
+    # zero-evidence floor first: all-zero scores predict 'unk', never
+    # the alphabetically-first language (lockstep with language_id)
+    case = "CASE WHEN lang_score = 0 THEN 'unk' " + " ".join(
         f"WHEN s_{lang} = lang_score THEN '{lang}'" for lang in langs
     ) + " END"
     greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
@@ -11806,7 +11809,7 @@ def _mixture_apply_sql(tau: float = 0.7, budget: int = 50_000) -> str:
     return rf"""
         WITH per AS (
           SELECT source AS "group",
-                 sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+                 sum(len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x85\pZ]+'), w -> w != '')))::BIGINT
                    AS n_tokens
           FROM documents GROUP BY 1
         ),

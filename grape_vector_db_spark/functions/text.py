@@ -44,6 +44,22 @@ _NON_ALNUM = r"[^\p{L}\p{N}]"
 WS_SPLIT = r"[\t\n\x0B\f\r\x{85}\p{Z}]+"
 
 
+def ws_tokens_cased(col: Column | str) -> Column:
+    """Case-PRESERVING whitespace tokens: the :func:`ws_tokens` contract
+    (Unicode whitespace split, empty tokens filtered — edge whitespace
+    never grows a phantom '' token, a whitespace-only string yields zero
+    tokens) without the lowercase, for operators that re-emit the tokens
+    as text (sequence packing, FIM, span corruption, chunking) or count
+    them as token budgets. The previous split(trim(x), '\\s+') idiom
+    left one '' token per trailing newline (trim strips only ' ') and
+    never split interior Unicode whitespace, so token counts disagreed
+    with every ws_tokens-based statistic on the same corpus. Oracle
+    twin: list_filter(regexp_split_to_array(x,
+    '[\\t\\n\\x0B\\f\\r\\x85\\pZ]+'), w -> w != '')."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(col, WS_SPLIT), lambda w: F.length(w) > 0)
+
+
 def ws_tokens(col: Column | str) -> Column:
     """Whitespace tokens (lowercased): the canonical repo-wide
     convention — Unicode whitespace class (WS_SPLIT) with empty tokens

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32
-from ..functions.text import word_grams, ws_tokens
+from ..functions.text import word_grams, ws_tokens, ws_tokens_cased
 
 # Substrings whose presence disqualifies a line (C4 drops lines with
 # "javascript", docs with "lorem ipsum" / "{"; we apply all three at the
@@ -54,14 +54,28 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
 
 
+# edge-whitespace trim class for _lines: the FULL Unicode whitespace set
+# (F.trim strips only ' ', so a tab/NBSP-only "line" counted as content —
+# inflating c4_line_filter's denominator, surviving into strip_boilerplate's
+# clean_text, and feeding repetition_signals' dup_line_frac)
+_WS_EDGE = r"^[\t\n\x0B\f\r\x{85}\p{Z}]+|[\t\n\x0B\f\r\x{85}\p{Z}]+$"
+
+
 def _lines(text_col: Column, delim: str) -> Column:
-    """Non-empty trimmed lines of ``text_col`` split on ``delim`` —
-    escaped first: F.split takes a Java REGEX, so a literal delimiter
-    like "|" or "." would otherwise split between every character."""
+    """Non-empty whitespace-trimmed lines of ``text_col`` split on
+    ``delim`` — escaped first: F.split takes a Java REGEX, so a literal
+    delimiter like "|" or "." would otherwise split between every
+    character. Trimming uses the Unicode whitespace class (_WS_EDGE),
+    so a line of tabs/NBSP is empty, not content. Oracle twin:
+    regexp_replace(l, '^[\\t\\n\\x0B\\f\\r\\x85\\pZ]+|'
+    '[\\t\\n\\x0B\\f\\r\\x85\\pZ]+$', '')."""
     import re
 
     return F.filter(
-        F.transform(F.split(text_col, re.escape(delim)), lambda l: F.trim(l)),
+        F.transform(
+            F.split(text_col, re.escape(delim)),
+            lambda l: F.regexp_replace(l, _WS_EDGE, ""),
+        ),
         lambda l: F.length(l) > 0,
     )
 
@@ -105,7 +119,7 @@ def repetition_signals(
         # trim first: a leading newline/space would otherwise yield an
         # empty first token that forms bogus n-grams (the signal must be
         # whitespace-invariant)
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        ws_tokens_cased(F.col(text_col)).alias("_toks"),
     )
 
     # Per-doc line repetition: explode -> groupBy(doc, line) -> per-doc agg.
@@ -351,7 +365,7 @@ def pack_sequences(
 
     from ..functions.hashing import h32
 
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = F.size(ws_tokens_cased(F.col(text_col)))
     group_expr = F.col(group_col)
     if subgroups is not None and subgroups > 1:
         group_expr = F.concat(
@@ -397,7 +411,7 @@ def mixture_stats(
     all whitespace tokens (6-dp). One map-side-combined groupBy; the
     grand total joins back as a broadcast single row.
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = F.size(ws_tokens_cased(F.col(text_col)))
     per = df.select(F.col(group_col).alias("group"), n_tok.alias("nt")).groupBy(
         "group"
     ).agg(
@@ -441,7 +455,7 @@ def pack_bins(
     )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        ws_tokens_cased(F.col(text_col)).alias("toks"),
     )
     mt = int(max_tokens)
     seg = (
@@ -519,7 +533,7 @@ def span_corruption(
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+        F.posexplode(ws_tokens_cased(F.col(text_col))).alias(
             "pos", "term"
         ),
     )
@@ -605,7 +619,7 @@ def mixture_temperature(
     """
     if tau <= 0:
         raise ValueError(f"tau must be positive, got {tau}")
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = F.size(ws_tokens_cased(F.col(text_col)))
     per = (
         df.select(F.col(group_col).alias("group"), n_tok.alias("nt"))
         .groupBy("group")
@@ -727,7 +741,7 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     d = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        ws_tokens_cased(F.col(text_col)).alias("toks"),
     )
     n_chunks = F.greatest(
         F.lit(1),
@@ -772,7 +786,7 @@ def mixture_rebalance(
     """
     from .sampling import hash_gate
 
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = F.size(ws_tokens_cased(F.col(text_col)))
     per = (
         df.select(F.col(group_col).alias("group"), n_tok.alias("nt"))
         .groupBy("group")
@@ -992,7 +1006,16 @@ def dedup_doc_lines(
     """
     import re as _re
 
-    lines = F.split(F.col(text_col), _re.escape(delim))
+    # bind the split ONCE as a projected column: higher-order-function
+    # lambda bodies get no subexpression elimination, so inlining the
+    # split expression re-ran the full regex split per array ELEMENT
+    # (O(lines) splits x O(text) each — quadratic in doc size on the
+    # zero-shuffle path this docstring sells as scale-free)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), _re.escape(delim)).alias("_lines"),
+    )
+    lines = F.col("_lines")
     # blank lines are STRUCTURE, not repeated content: dedup only
     # non-blank lines (array_distinct would keep one '' and delete every
     # later paragraph separator, merging paragraphs); first occurrence
@@ -1002,8 +1025,8 @@ def dedup_doc_lines(
         lambda x, i: (F.length(F.trim(x)) == 0)
         | (F.array_position(lines, x) == i + 1),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
         F.array_join(kept, delim).alias("clean_text"),
@@ -1272,7 +1295,7 @@ def fim_transform(
     from ..functions.hashing import h32
 
     did = F.col(id_col).cast("string")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ws_tokens_cased(F.col(text_col))
     n = F.size(toks)
     c1 = h32(F.concat(did, F.lit(":f1"))) % (n + 1)
     c2 = h32(F.concat(did, F.lit(":f2"))) % (n + 1)

@@ -77,6 +77,22 @@ def language_scores(
     return base.select("doc_id", *_marker_score_cols())
 
 
+def _argmax_lang_case(best_col: str):
+    """First (alphabetical) language whose score column equals
+    ``best_col`` — the shared argmax CASE chain behind language_id and
+    mixed_language (a tie-break/floor change edited into one copy used
+    to silently diverge doc-level and line-level labels for the same
+    text). Callers own the zero/threshold floor that maps no-evidence
+    rows to 'unk'."""
+    lang_case = None
+    for lang in sorted(LANG_MARKERS):
+        cond = (F.col(f"_s_{lang}") == F.col(best_col), F.lit(lang))
+        lang_case = (
+            F.when(*cond) if lang_case is None else lang_case.when(*cond)
+        )
+    return lang_case
+
+
 def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -84,7 +100,13 @@ def language_id(
 
     lang_score = fraction of whitespace tokens that are markers of the
     predicted language. Ties break alphabetically (deterministic).
-    """
+    ZERO evidence (no marker of ANY language hit — symbol-only text, or
+    a language outside LANG_MARKERS entirely) predicts ``'unk'``: every
+    score ties the 0.0 max, so the alphabetical tie-break used to label
+    every such doc ``'de'`` systematically — a downstream per-language
+    sampler/filter keyed on pred_lang then silently treated all
+    unlisted-language documents as German (mixed_language's min_ratio
+    gate is the line-level analogue of this floor)."""
     toks = _ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     scores = _marker_score_cols(prefix="_s_")
@@ -92,11 +114,9 @@ def language_id(
         "lang_score", F.greatest(*[F.col(f"_s_{lang}") for lang in sorted(LANG_MARKERS)])
     )
     # first (alphabetical) language achieving the max score — deterministic.
-    lang_case = None
-    for lang in sorted(LANG_MARKERS):
-        cond = (F.col(f"_s_{lang}") == F.col("lang_score"), F.lit(lang))
-        lang_case = F.when(*cond) if lang_case is None else lang_case.when(*cond)
-    return scored.select("doc_id", lang_case.alias("pred_lang"), "lang_score")
+    lang_case = _argmax_lang_case("lang_score")
+    pred = F.when(F.col("lang_score") > 0, lang_case).otherwise(F.lit("unk"))
+    return scored.select("doc_id", pred.alias("pred_lang"), "lang_score")
 
 
 def quality_score(
@@ -241,6 +261,13 @@ def hashed_features(
     packed = counts.groupBy("doc_id").agg(
         F.collect_list(F.struct("slot", "cnt")).alias("_sc")
     )
+    # ONE row per input doc, always: a token-less doc (all stopwords /
+    # empty text) vanished from the explode and never reached the
+    # groupBy — downstream feature joins then silently lost exactly the
+    # degenerate docs a curation pass most needs to see. The left join
+    # gives it a NULL _sc, which the fill's coalesce turns into the
+    # zero vector (token_entropy's row-per-doc rule).
+    packed = toked.select("doc_id").join(packed, "doc_id", "left")
     fill = F.expr(
         f"""
         transform(sequence(0, {dim - 1}), j ->
@@ -918,10 +945,7 @@ def mixed_language(
     scored = base.select("doc_id", *_marker_score_cols(prefix="_s_")).withColumn(
         "_best", F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
     )
-    lang_case = None
-    for lang in langs:
-        cond = (F.col(f"_s_{lang}") == F.col("_best"), F.lit(lang))
-        lang_case = F.when(*cond) if lang_case is None else lang_case.when(*cond)
+    lang_case = _argmax_lang_case("_best")
     tagged = scored.select(
         "doc_id",
         F.when(F.col("_best") < min_ratio, F.lit("unk"))
