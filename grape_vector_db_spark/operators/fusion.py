@@ -186,12 +186,19 @@ def result_quality(df: DataFrame, cap: int = 10) -> float:
     ).head()
     if row["n"] == 0:
         return 0.0
-    count_factor = min(row["n"], cap) / cap
-    # avg over an all-NULL score column is None — treat as 0 quality
+    return _quality_scalar(row["n"], row["avg"], row["sd"], cap)
+
+
+def _quality_scalar(n: int, avg, sd: float, cap: int) -> float:
+    """The reference's result-quality formula (count 0.3 / mean 0.5 /
+    1-sd 0.2, src/hybrid.rs:771-797) — ONE copy shared by
+    result_quality and quality_adjusted_weights, which used to inline
+    it separately (a formula tweak in one silently desynced the
+    other). avg over an all-NULL score column is None — 0 quality."""
     return (
-        count_factor * 0.3
-        + (row["avg"] or 0.0) * 0.5
-        + max(0.0, 1.0 - row["sd"]) * 0.2
+        min(n, cap) / cap * 0.3
+        + (avg or 0.0) * 0.5
+        + max(0.0, 1.0 - sd) * 0.2
     )
 
 
@@ -226,11 +233,7 @@ def quality_adjusted_weights(
         if r is None or r["n"] == 0:
             quality[s_name] = 0.0
         else:
-            quality[s_name] = (
-                min(r["n"], cap) / cap * 0.3
-                + (r["avg"] or 0.0) * 0.5
-                + max(0.0, 1.0 - r["sd"]) * 0.2
-            )
+            quality[s_name] = _quality_scalar(r["n"], r["avg"], r["sd"], cap)
     total = sum(quality.values())
     if total <= 0:
         return base

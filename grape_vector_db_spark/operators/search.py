@@ -207,20 +207,36 @@ def recommend_batch(
     # over-fetch bound) come from the EXAMPLES table alone; missing ids
     # from an anti-join against an id-only corpus scan (column pruning
     # reads one column — never the vectors).
-    ex_stats = (
-        ex.groupBy("user_id")
-        .agg(
-            F.max(F.when(F.col("pol") > 0, 1).otherwise(0)).alias("_haspos"),
-            F.count("*").alias("_n_ex"),
-        )
-        .collect()
+    gstats = ex.groupBy("user_id").agg(
+        F.max(F.when(F.col("pol") > 0, 1).otherwise(0)).alias("_haspos"),
+        F.count("*").alias("_n_ex"),
     )
-    no_pos = sorted(r["user_id"] for r in ex_stats if r["_haspos"] == 0)
-    if no_pos:
+    # BOUNDED driver artifacts only: the plan needs the global max
+    # over-fetch (one scalar) and the no-positive check (one count) —
+    # the previous collect() pulled one stats row per USER to the
+    # driver on every call, O(users) memory on the happy path. The
+    # error path alone pays a second tiny job for a capped offender
+    # sample (the message stays actionable without naming 10M users).
+    summary = gstats.agg(
+        F.max("_n_ex").alias("_over"),
+        F.sum(F.when(F.col("_haspos") == 0, 1).otherwise(0)).alias("_nbad"),
+    ).first()
+    if summary["_nbad"]:
+        bad = [
+            r["user_id"]
+            for r in gstats.where(F.col("_haspos") == 0)
+            .orderBy("user_id")
+            .limit(20)
+            .collect()
+        ]
         raise ValueError(
-            f"users lacking a positive example: {no_pos}"
+            f"users lacking a positive example ({summary['_nbad']} "
+            f"total; first {len(bad)}): {bad}"
         )
-    over = max((r["_n_ex"] for r in ex_stats), default=0)
+    over = summary["_over"] or 0
+    # missing-id probe: the anti-join is EMPTY on the happy path, so
+    # this collect is normally zero rows; the limit bounds the error
+    # path against a wholly-mismatched examples table
     missing = sorted(
         r["ex_id"]
         for r in ex.select("ex_id")
@@ -228,10 +244,12 @@ def recommend_batch(
         .join(
             df.select(F.col(id_col).alias("ex_id")), "ex_id", "left_anti"
         )
+        .limit(21)
         .collect()
     )
     if missing:
-        raise KeyError(f"example ids not found: {missing}")
+        extra = " (first 21)" if len(missing) > 20 else ""
+        raise KeyError(f"example ids not found{extra}: {missing[:21]}")
     exv = ex.join(
         df.select(
             F.col(id_col).alias("ex_id"), to_double_array(vec_col).alias("v")
@@ -363,15 +381,21 @@ def hydrate(
     need = list(cols)
     if snippet_query is not None and text_col not in need:
         need.append(text_col)
-    # Spark can only build-broadcast the RIGHT side of a LEFT OUTER join;
-    # broadcast(results) on the left silently degrades to a full shuffle
-    # of the documents table. Probe documents with the broadcast results
-    # on the build side (right outer keeps result rows whose id is
-    # missing from documents, preserving LEFT-join semantics for the
-    # results side), so the corpus is scanned once, never shuffled.
-    out = documents.select(id_col, *need).join(
-        F.broadcast(results), id_col, "right"
+    # Outer-join build sides: Spark can never build-broadcast the
+    # PRESERVED side (LeftOuter builds right, RightOuter builds left) —
+    # the previous `docs RIGHT OUTER broadcast(results)` hinted the
+    # preserved side, so the hint was silently dropped and the
+    # documents table sort-merge SHUFFLED on every hydrate (the exact
+    # degradation this comment claimed to prevent; HintErrorLogger
+    # confirms). Two legal broadcast joins instead: semi-gate documents
+    # by the broadcast result ids (LeftSemi builds right — a pruned
+    # corpus probe), then LEFT-join the k-row slice back (LeftOuter
+    # builds right; the slice is k rows). Result rows whose id is
+    # missing from documents keep NULL doc columns, as before.
+    probe = documents.select(id_col, *need).join(
+        F.broadcast(results.select(id_col)), id_col, "left_semi"
     )
+    out = results.join(F.broadcast(probe), id_col, "left")
     if snippet_query is not None:
         out = out.withColumn(
             "matched_snippet", snippet(F.col(text_col), snippet_query)
@@ -539,8 +563,15 @@ def knn_label_vote(
     topk = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
-    votes = topk.groupBy("anchor_id", "true_label", "nbr_label").agg(
-        F.count("*").alias("n_votes")
+    # unlabeled neighbors do not vote (the hard_negatives rule — its
+    # label != anchor predicate drops NULLs too): a NULL-label vote
+    # group would otherwise WIN ties, because the tie-break's nbr_label
+    # ASC sorts NULL first (Spark NULLS FIRST) — an unlabeled "class"
+    # beating a real one
+    votes = (
+        topk.where(F.col("nbr_label").isNotNull())
+        .groupBy("anchor_id", "true_label", "nbr_label")
+        .agg(F.count("*").alias("n_votes"))
     )
     wv = Window.partitionBy("anchor_id").orderBy(
         F.col("n_votes").desc(), F.col("nbr_label").asc()
@@ -602,6 +633,11 @@ def mmr_rerank(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a NULL candidate score arrives as NaN: NaN relevance makes
+        # every mmr NaN, the tied-index scan comes back empty, and
+        # np.argmin raises — crashing the whole stage over one bad
+        # caller row. Unscored candidates simply don't compete.
+        pdf = pdf[pdf[score_col].notna()]
         pdf = pdf.sort_values(
             [score_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
@@ -679,6 +715,11 @@ def matryoshka_search(
         raise ValueError(
             f"query_vector has {len(query_vector)} dims < prefix dims={dims}"
         )
+    if rescore < k:
+        # stage 1 keeps only `rescore` candidates, so the final
+        # limit(k) would silently return rescore rows — under-filling
+        # callers (fusion over-fetch budgets) with no warning
+        raise ValueError(f"rescore={rescore} must be >= k={k}")
     v = to_double_array(vec_col)
     prefix = F.slice(v, 1, dims)
     q_prefix = [float(x) for x in query_vector[:dims]]
@@ -1023,16 +1064,15 @@ def distance_matrix(
     pairs = F.broadcast(a).join(
         F.broadcast(b), F.col("id_a") < F.col("id_b"), "inner"
     )
-    from ..functions.vector import cosine_from_parts as _cfp, dot as _dot, l2_norm as _l2
 
     return pairs.select(
         "id_a",
         "id_b",
         F.round(
-            _cfp(
-                _dot(F.col("_va"), F.col("_vb")),
-                _l2(F.col("_va")),
-                _l2(F.col("_vb")),
+            cosine_from_parts(
+                dot(F.col("_va"), F.col("_vb")),
+                l2_norm(F.col("_va")),
+                l2_norm(F.col("_vb")),
             ),
             6,
         ).alias("cosine"),

@@ -45,7 +45,7 @@ def doc_stats(terms: DataFrame) -> DataFrame:
     return terms.groupBy("doc_id").agg(F.sum("tf").alias("doc_length"))
 
 
-def text_index_layout(terms: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def text_index_layout(terms: DataFrame) -> DataFrame:
     """The persisted inverted-index serving shape: term-range-partitioned
     + term-sorted within, so a term equality probe touches one
     partition's few row groups (the term lands in parquet row-group
@@ -215,6 +215,26 @@ def _is_ws(c: str) -> bool:
     return c in "\t\n\x0b\f\r\x85" or unicodedata.category(c).startswith("Z")
 
 
+def ws_tokens_py(text: str) -> list[str]:
+    """Driver-side replica of functions.text.ws_tokens for a (tiny)
+    query string — WS_SPLIT's whitespace class EXACTLY, none of the
+    stopword/alnum filtering (ws tokens are raw, lowercased). Python's
+    str.split() also breaks on \\x1c-\\x1f, splitting a query term the
+    corpus side indexed as ONE token, so a phrase containing those
+    separators could never match its own document (the
+    tokenize_query_py rule, applied to the raw-token family)."""
+    toks: list[str] = []
+    word: list[str] = []
+    for c in text.lower() + "\n":  # sentinel flushes the last word
+        if _is_ws(c):
+            if word:
+                toks.append("".join(word))
+            word = []
+        else:
+            word.append(c)
+    return toks
+
+
 def tokenize_query_py(query: str) -> dict[str, float]:
     """Driver-side replica of the tokenizer for the (tiny) query string —
     EXACTLY functions.text.tokens' semantics, including the JVM quirk
@@ -336,9 +356,7 @@ def bm25_search_weighted(
     # join back, minus the broadcast exchange job. Skew bound: a window
     # partition is one query term's posting list — identical to the
     # groupBy bucket it replaces.
-    from pyspark.sql import Window as _W
-
-    post = post.withColumn("df", F.count("*").over(_W.partitionBy("term")))
+    post = post.withColumn("df", F.count("*").over(Window.partitionBy("term")))
 
     # One doc-level aggregate serves both per-doc lengths and the global
     # stats: total_docs = docs with >=1 term; the reference's
@@ -448,7 +466,9 @@ def phrase_search(
     cost is proportional to the rarest term's posting list, the classic
     positional-index bound. The final count is map-side combined.
     """
-    terms = [t for t in phrase.lower().split() if t]
+    terms = ws_tokens_py(phrase)  # the corpus side's WS_SPLIT class —
+    # str.split() breaks on \x1c-\x1f and would search for adjacent
+    # tokens the index never produced
     if not terms:
         raise ValueError("empty phrase")
     toked = df.select(
@@ -566,8 +586,6 @@ def doc_keywords(
     (per doc), pushed below its shuffle as a partial group limit. The
     df table join shuffles by term once — bounded by distinct terms.
     """
-    from pyspark.sql import Window
-
     df_tbl = terms.groupBy("term").agg(F.count("*").alias("df"))
     n_tbl = terms.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (

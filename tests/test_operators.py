@@ -702,7 +702,9 @@ def test_hashed_features_dense_shape(spark):
             for r in textanalysis.hashed_features(df, dim=16).collect()}
     assert len(rows[1]) == 16 and sum(rows[1]) == 3  # alpha x2 + beta
     assert rows[1] == rows[2]
-    assert 3 not in rows  # empty doc: no tokens, no row
+    # empty doc: ONE row with the zero vector (row-per-doc rule — a
+    # dropped row silently lost degenerate docs from feature joins)
+    assert rows[3] == [0] * 16
 
 
 def test_contamination_pairs_detects_leakage(spark):
