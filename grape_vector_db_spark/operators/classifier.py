@@ -42,19 +42,13 @@ from pyspark.sql import functions as F
 
 
 def _margin(features_col: str, weights: list[float], bias: float):
-    """sum_j w_j * x_j + b, folded in index order (deterministic fp)."""
+    """sum_j w_j * x_j + b — functions.vector.dot's index-order fold
+    (deterministic fp; ONE copy of the oracle-pinned fold semantics)."""
+    from ..functions.vector import dot
+
     warr = F.array(*[F.lit(float(wj)) for wj in weights])
-    return (
-        F.aggregate(
-            F.zip_with(
-                F.col(features_col).cast("array<double>"),
-                warr,
-                lambda x, wi: x * wi,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        + F.lit(float(bias))
+    return dot(F.col(features_col).cast("array<double>"), warr) + F.lit(
+        float(bias)
     )
 
 
@@ -88,6 +82,20 @@ def logreg_train(
         n = proj.count()
         if n == 0:
             raise ValueError("logreg_train: empty input")
+        # feature hygiene up front, LOUDLY: a NULL features row or a
+        # row whose array length != dim makes zip_with pad NULLs, the
+        # margin/err go NULL, and the gradient sums silently SKIP the
+        # row while n still counts it (shrunken steps) — or, when every
+        # row mismatches, sum() returns NULL and the update crashes
+        # with an opaque 'None / int' TypeError
+        bad = proj.where(
+            F.col("x").isNull() | (F.size("x") != F.lit(dim))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"logreg_train: {bad} rows have NULL features or a "
+                f"feature length != dim={dim}"
+            )
         w = [0.0] * dim
         b = 0.0
         for _ in range(iterations):
@@ -198,4 +206,8 @@ def train_loss(
         )
     ).first()
     reg = 0.5 * l2 * sum(wj * wj for wj in weights)
+    if row["ll"] is None:
+        # avg over zero rows is NULL — the logreg_train empty-input
+        # contract, not a float(None) TypeError
+        raise ValueError("train_loss: empty input")
     return float(row["ll"]) + reg

@@ -58,7 +58,7 @@ def pack_bits(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
             slice(_vd, w * {WORD_BITS} + 1, {WORD_BITS}),
             named_struct('acc', 0L, 'n', 0),
             (s, x) -> named_struct(
-                'acc', s.acc * 2L + if(x > {threshold}D, 1L, 0L), 'n', s.n + 1),
+                'acc', s.acc * 2L + if(x > {threshold}D and not isnan(x), 1L, 0L), 'n', s.n + 1),
             s -> cast(s.acc * pow(2, {WORD_BITS} - s.n) as bigint)
           )
         ))
@@ -288,8 +288,11 @@ def sq_dim_quantize(
     v = to_double_array(vec_col)
     mins_l = F.array(*[F.lit(m) for m in mins])
     rngs_l = F.array(*[F.lit(r) for r in rngs])
+    # size 0 -> sequence(1, 0) DESCENDS to [1, 0] and element_at(.., 0)
+    # raises (the pack_bits guard, applied here too)
     codes = F.expr(
-        f"transform(sequence(1, size(_v)), i -> int({_SQ_DIM_CODE}))"
+        f"if(size(_v) = 0, array(),"
+        f" transform(sequence(1, size(_v)), i -> int({_SQ_DIM_CODE})))"
     )
     return df.select(
         F.col(id_col), v.alias("_v"), mins_l.alias("_mn"), rngs_l.alias("_rg")
@@ -305,6 +308,7 @@ def sq_dim_search(
     vec_col: str = "embedding",
     bounds: tuple[list[float], list[float]] | None = None,
     codes_df: DataFrame | None = None,
+    index_covers_df: bool = True,
 ) -> DataFrame:
     """Per-dim SQ8 two-stage search: stage 1 reconstructs the dot
     product as ``dot(mins, q) + sum_i codes_i * (rng_i * q_i / 255)`` —
@@ -326,6 +330,13 @@ def sq_dim_search(
         if codes_df is not None
         else sq_dim_quantize(df, mins, rngs, id_col, vec_col)
     )
+    if codes_df is not None and not index_covers_df:
+        # the sq_search/two_stage_search contract: a SUPERSET codes
+        # table (filtered-search path) semi-joins down to df's ids
+        # BEFORE the budget cut — otherwise stage 1 spends candidates
+        # on non-returnable ids and the stage-2 inner join silently
+        # under-fills the k rows
+        codes = codes.join(df.select(F.col(id_col)), id_col, "left_semi")
     coeff_l = F.array(*[F.lit(c) for c in coeff])
     dot_codes = dot(F.col("codes").cast("array<double>"), coeff_l)
     stage1 = (
@@ -372,8 +383,9 @@ def sq_dim_error_report(
     # expression (shared _SQ_DIM_CODE), so the report always measures
     # the codec that actually ships
     recon = F.expr(
+        "if(size(_v) = 0, array(), "
         "transform(sequence(1, size(_v)), i -> element_at(_mn, i) + "
-        f"{_SQ_DIM_CODE} * element_at(_rg, i) / 255.0)"
+        f"{_SQ_DIM_CODE} * element_at(_rg, i) / 255.0))"
     )
     errs = (
         df.select(

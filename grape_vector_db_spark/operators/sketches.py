@@ -79,7 +79,12 @@ def _hll_estimate_expr(m: int):
     E > 2^32/30 -> -2^32 ln(1 - E/2^32) — without it the estimate caps
     near 2^32), and 0.0 for an empty register table (sum over zero rows
     is NULL). One definition for the global and grouped variants."""
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Flajolet 2007's exact small-m constants; the asymptotic formula
+    # only holds for m >= 128 (a ~+0.4% multiplicative bias at m=16
+    # otherwise). p >= 7 paths (every oracled query, p=12) unchanged.
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
     two32 = float(1 << 32)
     s = F.coalesce(F.col("_s_used"), F.lit(0.0)) + (
         F.lit(m) - F.col("n_used")
@@ -113,19 +118,34 @@ def hll_registers(
     Merging two corpora's sketches = union + groupBy(register) max —
     the property that lets every partition / day / shard summarize
     independently and combine losslessly."""
+    return _hll_register_rows(df, value_col, p, seed)
+
+
+def _hll_register_rows(
+    df: DataFrame,
+    value_col: str,
+    p: int,
+    seed: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ONE register/rho derivation for the global and grouped sketches —
+    the hash split is the cross-engine replay contract, and the
+    previous hand-copied twins could silently diverge on a derivation
+    change while both still "worked"."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     h = h32(F.col(value_col).cast("string"), seed)
     lower_bits = 32 - p
     reg = F.shiftright(h, lower_bits).cast("bigint")
     w = h % F.lit(2**lower_bits)
+    gcols = [F.col(group_col).alias("grp")] if group_col else []
     # a NULL value hashes to NULL and would add a phantom
     # (register=NULL, max_rho=NULL) row that biases BOTH estimate
     # branches and merges into standing tables forever
     return (
         df.where(F.col(value_col).isNotNull())
-        .select(reg.alias("register"), _rho(w, lower_bits).alias("_r"))
-        .groupBy("register")
+        .select(*gcols, reg.alias("register"), _rho(w, lower_bits).alias("_r"))
+        .groupBy(*(["grp"] if group_col else []), "register")
         .agg(F.max("_r").alias("max_rho"))
     )
 
@@ -270,6 +290,10 @@ def histogram_sketch(
             F.first("hi").alias("hi"),
             F.first("n").alias("n"),
         )
+        # the grid width is part of the SKETCH, not the reader's guess:
+        # histogram_quantiles used to take an independent bins param,
+        # and a mismatch silently halved/doubled every bin width
+        .withColumn("bins", F.lit(int(bins)))
     )
 
 
@@ -289,6 +313,11 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     gcols = [group_col] if group_col else []
+    # trust the sketch's own recorded grid when present (a column, so
+    # no extra driver job; legacy sketches without it fall back to the
+    # caller's parameter — whose mismatch silently mis-scaled every
+    # bin width, the bug the recorded column removes)
+    has_bins = "bins" in hist.columns
     win = Window.partitionBy(*gcols).orderBy("bin") if gcols else (
         Window.orderBy("bin")
     )
@@ -299,12 +328,17 @@ def histogram_quantiles(
         "lo",
         "hi",
         "n",
+        (
+            F.col("bins").cast("double")
+            if has_bins
+            else F.lit(float(bins))
+        ).alias("_bins"),
         (F.sum("cnt").over(win) - F.col("cnt")).alias("cum_before"),
     )
     qdf = cum.sparkSession.createDataFrame(
         [(float(q),) for q in quantiles], "q double"
     )
-    w = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    w = (F.col("hi") - F.col("lo")) / F.col("_bins")
     for q in quantiles:
         if not 0.0 < q <= 1.0:
             raise ValueError(
@@ -424,22 +458,7 @@ def hll_registers_grouped(
     ``n_groups * 2^p`` cells, where the exact answer shuffles every
     (group, X) pair. Cells merge across corpora by (group, register)
     max, exactly like the global sketch."""
-    if not 4 <= p <= 16:
-        raise ValueError(f"p must be in [4, 16], got {p}")
-    h = h32(F.col(value_col).cast("string"), seed)
-    lower_bits = 32 - p
-    reg = F.shiftright(h, lower_bits).cast("bigint")
-    w = h % F.lit(2**lower_bits)
-    return (
-        df.where(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("grp"),
-            reg.alias("register"),
-            _rho(w, lower_bits).alias("_r"),
-        )
-        .groupBy("grp", "register")
-        .agg(F.max("_r").alias("max_rho"))
-    )
+    return _hll_register_rows(df, value_col, p, seed, group_col=group_col)
 
 
 def hll_estimate_grouped(registers: DataFrame, p: int = 8) -> DataFrame:
