@@ -1575,6 +1575,13 @@ class GrapeVectorDB:
             "n_text": int(tst.get("doc_rows") or 0),
             "df_top": tst.get("df_top"),
             "df_cap": tst.get("df_cap"),
+            # explicit wide-histogram field list (None for legacy
+            # sidecars -> consumers fall back to the key heuristic)
+            "wide": (
+                set(st["wide_hist_fields"])
+                if "wide_hist_fields" in st
+                else None
+            ),
         }
 
     def _leaf_fraction(
@@ -1621,14 +1628,21 @@ class GrapeVectorDB:
         floor = 0.5 / n
         hist, minmax, types = env["hist"], env["minmax"], env["types"]
 
-        def _wide(h) -> bool:
+        wide_set = env.get("wide")
+
+        def _wide(f, h) -> bool:
+            # the recorded field list when present; the key heuristic
+            # only for legacy sidecars (it misreads an exact histogram
+            # whose sole VALUE is the string "n_distinct")
+            if wide_set is not None:
+                return f in wide_set
             return "n_distinct" in h and len(h) == 1
 
         def present(f):
             h = hist.get(f)
             if h is None:
                 return None
-            if _wide(h):
+            if _wide(f, h):
                 return 1.0
             return min(1.0, sum(int(v) for v in h.values()) / n)
 
@@ -1650,7 +1664,7 @@ class GrapeVectorDB:
                 return min(sum(fs), p if p is not None else 1.0)
             if kind == "range":
                 gte, lte = val.get("gte"), val.get("lte")
-                if not _wide(h):
+                if not _wide(fld, h):
                     cnt = 0
                     for k, c in h.items():
                         try:
@@ -1672,7 +1686,7 @@ class GrapeVectorDB:
                 if span <= 0:
                     return 1.0 if g <= lo <= le else 0.0
                 return max(0.0, (min(le, hi) - max(g, lo)) / span)
-            if _wide(h):
+            if _wide(fld, h):
                 return 1.0 / max(int(h["n_distinct"]), 1)
             ft = types.get(fld)
             if ft is not None and is_numeric_field(ft) and not isinstance(
@@ -2870,7 +2884,12 @@ class GrapeVectorDB:
         indexed = field in (st.get("payload_columns") or [])
         if indexed and filter is None:
             hist = (st.get("histograms") or {}).get(field) or {}
-            if not ("n_distinct" in hist and len(hist) == 1):
+            wide = (
+                field in set(st["wide_hist_fields"])
+                if "wide_hist_fields" in st
+                else ("n_distinct" in hist and len(hist) == 1)
+            )
+            if not wide:
                 rows = sorted(
                     hist.items(), key=lambda kv: (-kv[1], kv[0])
                 )[:limit]

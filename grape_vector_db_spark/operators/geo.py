@@ -43,23 +43,27 @@ def _bbox_filter(lat_col: str, lon_col: str, lat: float, lon: float, radius_km: 
     """Cheap pushdown-able prefilter: a degree box that STRICTLY contains
     the circle. Three exactness rules a naive box gets wrong:
 
-    - the lon half-width is the great-circle extent
-      asin(sin(r/R) / cos(edge_lat)) evaluated at the circle's POLEWARD
-      edge — cos at the center under-covers by up to a few tenths of a
-      degree at mid latitudes (silently dropping in-radius rows);
+    - the lon half-width is the spherical cap's max extent
+      asin(sin(r/R) / cos(CENTER lat)) — the tangent-meridian result
+      (the cap's extreme-longitude point sits poleward of the center,
+      but its formula still divides by cos of the CENTER latitude; the
+      naive linear r/cos under-covers, the previous cos(poleward-edge)
+      variant over-covered AND bailed to all-longitudes far too early:
+      at lat 80 / 1000 km it scanned every longitude where the exact
+      bound prunes ~2/3 of the range);
     - a circle containing a pole (|lat| + dlat >= 90) spans every
-      longitude — no lon predicate at all;
+      longitude — no lon predicate at all (and with the pole excluded,
+      sin(theta) <= cos(center) always holds, so the asin is defined);
     - the lon range WRAPS at the antimeridian via the normalized
       difference ((lon - center + 540) % 360) - 180.
     """
     dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
     lat_pred = (F.col(lat_col) >= lat - dlat) & (F.col(lat_col) <= lat + dlat)
-    edge = min(abs(lat) + dlat, 90.0)
     sin_ratio = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi))
-    cos_edge = math.cos(math.radians(edge))
-    if edge >= 90.0 or sin_ratio >= cos_edge:
-        return lat_pred  # pole inside (or lon extent >= 180): all lons
-    dlon = math.degrees(math.asin(sin_ratio / cos_edge))
+    cos_center = math.cos(math.radians(lat))
+    if abs(lat) + dlat >= 90.0 or sin_ratio >= cos_center:
+        return lat_pred  # pole inside: all lons (the fp guard too)
+    dlon = math.degrees(math.asin(sin_ratio / cos_center))
     lon_diff = F.pmod(F.col(lon_col) - F.lit(lon) + 540.0, F.lit(360.0)) - 180.0
     return lat_pred & (F.abs(lon_diff) <= dlon)
 

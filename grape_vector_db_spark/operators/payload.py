@@ -214,6 +214,14 @@ def payload_sidecar_stats(
     return {
         "payload_columns": list(cols),
         "histograms": hist,
+        # explicit discriminator: which fields carry the distinct-count-
+        # only (wide) shape. The old key heuristic ("n_distinct" is the
+        # dict's sole key) misreads an EXACT histogram whose only value
+        # is the literal string "n_distinct" — consumers prefer this
+        # list and fall back to the heuristic for legacy sidecars.
+        "wide_hist_fields": sorted(
+            f for f, nd in per_field.items() if nd > hist_max
+        ),
         "doc_rows": int(doc_rows),
         # which indexed fields are array-typed: an equals probe must NOT
         # serve from per-element postings (whole-array equality), and an

@@ -51,8 +51,13 @@ def _range_bucketize(
     per-partition top-N, no global sort; same trick as _sampled_matrix)
     yields ~num_buckets cut points; bucket assignment is a monotone
     function of the key, so bucket order extends the total order.
-    Returns ``(None, num_buckets)`` when the key column has no non-null
-    values.
+    An all-null (or empty) key sample degrades to ONE bucket — the rank
+    then comes entirely from the window's (key, tiebreaks) order, which
+    handles both the empty frame and the all-null-key frame (nulls sort
+    first, same as a plain ORDER BY). The old ``(None, ...)`` contract
+    for this case made global_row_number emit NULL ranks and total 0
+    for N real rows, silently zeroing budget_select and NULLing
+    curriculum shards downstream.
     """
     spark = df.sparkSession
     if num_buckets is None:
@@ -66,7 +71,7 @@ def _range_bucketize(
         if r["_k"] is not None
     ]
     if not sample:
-        return None, num_buckets
+        return df.withColumn("_b", F.lit(0)), num_buckets
     sample.sort()
     stride = max(
         1,
@@ -123,11 +128,14 @@ def global_row_number(
     """
     from pyspark.sql import Window
 
+    for c in ("_b", "_off"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already carries internal column {c!r} — rename it "
+                "(the rank machinery would silently clobber and drop it)"
+            )
     df = _materialize(df, materialize)
     tb, num_buckets = _range_bucketize(df, key_col, num_buckets, sample_per_bucket)
-    if tb is None:
-        out = df.withColumn(out_col, F.lit(None).cast("long"))
-        return out.withColumn(total_col, F.lit(0)) if total_col else out
     counts = sorted(
         (r["_b"], r["n"])
         for r in tb.groupBy("_b").agg(F.count("*").alias("n")).collect()
@@ -180,10 +188,14 @@ def global_prefix_sum(
     """
     from pyspark.sql import Window
 
+    for c in ("_b", "_off"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already carries internal column {c!r} — rename it "
+                "(the rank machinery would silently clobber and drop it)"
+            )
     df = _materialize(df, materialize)
     tb, _ = _range_bucketize(df, key_col, num_buckets, sample_per_bucket)
-    if tb is None:
-        return df.withColumn(out_col, F.lit(None).cast("double"))
     sums = sorted(
         (r["_b"], r["s"])
         for r in tb.groupBy("_b").agg(F.sum(val_col).alias("s")).collect()

@@ -72,8 +72,16 @@ def cap_hot_keys(
     Returns the filtered frame; the dropped keys' count is observable via
     ``df.count() - result.count()``."""
     freq = df.groupBy(key_col).agg(F.count("*").alias("_f"))
-    keep = freq.where(F.col("_f") <= max_freq).select(key_col)
-    return df.join(F.broadcast(keep), key_col, "left_semi")
+    # anti-join the HOT set, never semi-join the keep set: hot keys are
+    # tiny BY CONSTRUCTION (at most n_rows/max_freq of them) while keep
+    # is nearly every distinct key — force-broadcasting it dies on the
+    # broadcast limit / driver at exactly the scale this helper exists
+    # for (the dedup.py hot-shingle rule). The anti form also KEEPS
+    # null-key rows (a null never equi-matches), whereas the semi-join
+    # silently dropped them despite their "frequency" never exceeding
+    # the cap.
+    hot = freq.where(F.col("_f") > max_freq).select(key_col)
+    return df.join(F.broadcast(hot), key_col, "left_anti")
 
 
 def key_skew_report(

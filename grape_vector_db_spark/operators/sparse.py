@@ -148,9 +148,7 @@ def vocabulary(
     from .rank import _range_bucketize
 
     tb, num_buckets = _range_bucketize(t, "term", num_buckets, sample_per_bucket)
-    if tb is None:
-        t.unpersist()
-        return spark.createDataFrame([], "term string, term_id long")
+
     counts = sorted(
         (r["_b"], r["n"])
         for r in tb.groupBy("_b").agg(F.count("*").alias("n")).collect()

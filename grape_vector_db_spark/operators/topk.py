@@ -26,6 +26,11 @@ def topk_per_group(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Top-k rows per group with deterministic tiebreak, rank column added."""
+    if "rank" in df.columns:
+        raise ValueError(
+            "input already carries a 'rank' column — rename it (topk "
+            "would silently overwrite it)"
+        )
     order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
@@ -40,13 +45,31 @@ def minmax_normalize(
     df: DataFrame, score_col: str = "score", group_cols: list[str] | None = None
 ) -> DataFrame:
     """Normalize scores to [0,1] per group (ties/constant -> 1.0, matching
-    src/hybrid.rs:600-607). Adds ``norm_score``."""
-    w = Window.partitionBy(*(group_cols or []))
-    mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
-    norm = F.when(mx == mn, F.lit(1.0)).otherwise(
-        (F.col(score_col) - mn) / (mx - mn)
+    src/hybrid.rs:600-607). Adds ``norm_score``.
+
+    The GLOBAL form (group_cols=None) is a scalar aggregate broadcast
+    back over the input — an unpartitioned window would be Exchange
+    SinglePartition over the whole frame (every row through ONE task:
+    the r1 scale-bug class rank.py documents as eliminated repo-wide)."""
+    if group_cols:
+        w = Window.partitionBy(*group_cols)
+        mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
+        norm = F.when(mx == mn, F.lit(1.0)).otherwise(
+            (F.col(score_col) - mn) / (mx - mn)
+        )
+        return df.withColumn("norm_score", F.round(norm, 6))
+    stats = df.agg(
+        F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
     )
-    return df.withColumn("norm_score", F.round(norm, 6))
+    norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+        (F.col(score_col) - F.col("_mn"))
+        / (F.col("_mx") - F.col("_mn"))
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("norm_score", F.round(norm, 6))
+        .drop("_mn", "_mx")
+    )
 
 
 def rank_decay(score: Column, rank: Column, n: Column, weight: float = 1.0) -> Column:

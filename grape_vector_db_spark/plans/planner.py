@@ -112,6 +112,18 @@ def choose_search_strategy(
         return PlanChoice("sq_two_stage", "SQ8 index table available")
     if has_packed:
         return PlanChoice("binary_two_stage", "packed binary index available")
+    if has_graph:
+        # the graph EXISTS but the selectivity gate rejected it — say
+        # so: the old "no index tables (build an index!)" told the
+        # operator to build an index they already built, hiding the
+        # real cause in the surfaced EXPLAIN reason
+        return PlanChoice(
+            "brute_force",
+            f"graph index present but filter selectivity "
+            f"{filter_selectivity:.3g} < {graph_min_selectivity} (the "
+            f"post-filter walk would starve); exact scan over "
+            f"{effective} rows",
+        )
     return PlanChoice(
         "brute_force",
         f"no index tables; exact scan over {effective} rows (build an index!)",
