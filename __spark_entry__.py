@@ -8932,10 +8932,10 @@ def oracle_sql() -> dict[str, str]:
         "mock_embed": """
             WITH raw AS (
               SELECT doc_id, list_transform(range(0, 8), i ->
-                CASE WHEN length(text) = 0 THEN 0.0
-                ELSE (ascii(substr(text, (i % length(text)) + 1, 1)) / 255.0
+                CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                ELSE ((('0x' || substr(hex(encode(text)), ((i % octet_length(encode(text))) * 2) + 1, 2))::INT) / 255.0
                       + i * 0.01)
-                     - floor(ascii(substr(text, (i % length(text)) + 1, 1)) / 255.0
+                     - floor((('0x' || substr(hex(encode(text)), ((i % octet_length(encode(text))) * 2) + 1, 2))::INT) / 255.0
                              + i * 0.01)
                      - 0.5 END) AS r
               FROM documents
@@ -11534,12 +11534,12 @@ def _chunk_embed_pool_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     WITH chunks AS ({_chunk_documents_sql(chunk_tokens, overlap)}),
     raw AS (
       SELECT doc_id, list_transform(range(0, 8), i ->
-        CASE WHEN length(chunk_text) = 0 THEN 0.0
-        ELSE (ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
-              + i * 0.01)
-             - floor(ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
-                     + i * 0.01)
-             - 0.5 END) AS r
+        CASE WHEN octet_length(encode(chunk_text)) = 0 THEN 0.0
+                ELSE ((('0x' || substr(hex(encode(chunk_text)), ((i % octet_length(encode(chunk_text))) * 2) + 1, 2))::INT) / 255.0
+                      + i * 0.01)
+                     - floor((('0x' || substr(hex(encode(chunk_text)), ((i % octet_length(encode(chunk_text))) * 2) + 1, 2))::INT) / 255.0
+                             + i * 0.01)
+                     - 0.5 END) AS r
       FROM chunks
     ),
     nc AS (
@@ -11789,12 +11789,12 @@ def _maxsim_sql(k: int = 10) -> str:
     WITH chunks AS ({_chunk_documents_sql(64, 16)}),
     raw AS (
       SELECT doc_id, list_transform(range(0, 8), i ->
-        CASE WHEN length(chunk_text) = 0 THEN 0.0
-        ELSE (ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
-              + i * 0.01)
-             - floor(ascii(substr(chunk_text, (i % length(chunk_text)) + 1, 1)) / 255.0
-                     + i * 0.01)
-             - 0.5 END) AS r
+        CASE WHEN octet_length(encode(chunk_text)) = 0 THEN 0.0
+                ELSE ((('0x' || substr(hex(encode(chunk_text)), ((i % octet_length(encode(chunk_text))) * 2) + 1, 2))::INT) / 255.0
+                      + i * 0.01)
+                     - floor((('0x' || substr(hex(encode(chunk_text)), ((i % octet_length(encode(chunk_text))) * 2) + 1, 2))::INT) / 255.0
+                             + i * 0.01)
+                     - 0.5 END) AS r
       FROM chunks
     ),
     scored AS (SELECT doc_id, {cols} FROM raw),

@@ -68,12 +68,16 @@ class EmbeddingProviderConfig:
 #: provider name -> default endpoint, mirroring the reference factory
 #: (src/embeddings.rs:97-111, 269-288): openai has a public default, azure
 #: requires an explicit deployment endpoint, every other HTTP provider
-#: falls back to the local Ollama-style default.
+#: falls back to the local Ollama default — its OpenAI-COMPATIBLE
+#: /v1/embeddings route, because this client speaks the OpenAI wire
+#: shape ({model, input} -> payload['data']); Ollama's native
+#: /api/embeddings expects {model, prompt} and returns {'embedding'},
+#: which would die as an opaque KeyError('data') on the executor.
 _DEFAULT_ENDPOINTS = {
     "openai": "https://api.openai.com/v1/embeddings",
-    "nvidia": "http://localhost:11434/api/embeddings",
-    "huggingface": "http://localhost:11434/api/embeddings",
-    "ollama": "http://localhost:11434/api/embeddings",
+    "nvidia": "http://localhost:11434/v1/embeddings",
+    "huggingface": "http://localhost:11434/v1/embeddings",
+    "ollama": "http://localhost:11434/v1/embeddings",
 }
 
 

@@ -156,15 +156,24 @@ def mock_embedding_raw(text_col: str, dim: int) -> Column:
     Exposed separately so callers can materialize it before normalizing —
     referencing it twice (norm + divide) would otherwise duplicate the
     whole ascii/CASE tree per element."""
+    # UTF-8 BYTE indexing, not characters: mock_embedding_py (and the
+    # reference, src/embeddings.rs:229-250) index text.encode('utf-8') —
+    # the previous ascii(substr(..)) variant read CHARACTERS, so the SQL
+    # and Python embedders diverged on any non-ASCII text (ascii('X')
+    # past 255 also breaks the /255 fold). length() on a BINARY column
+    # counts bytes; conv(hex(1-byte-substr)) extracts the byte value.
+    b = f"cast({text_col} as binary)"
+    byte_i = (
+        f"cast(conv(hex(substr({b}, (i % length({b})) + 1, 1)), 16, 10)"
+        " as double)"
+    )
     return F.expr(
         f"""
         transform(sequence(0, {dim - 1}), i ->
-          CASE WHEN length({text_col}) = 0 THEN 0.0D
+          CASE WHEN length({b}) = 0 THEN 0.0D
           ELSE
-            (ascii(substr({text_col}, (i % length({text_col})) + 1, 1)) / 255.0D
-             + i * 0.01D)
-            - floor(ascii(substr({text_col}, (i % length({text_col})) + 1, 1)) / 255.0D
-                    + i * 0.01D)
+            ({byte_i} / 255.0D + i * 0.01D)
+            - floor({byte_i} / 255.0D + i * 0.01D)
             - 0.5D
           END)
         """

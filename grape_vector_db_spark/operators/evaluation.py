@@ -164,7 +164,12 @@ def class_centroid_metrics(
     )
     from ..functions.vector import cosine_from_parts, dot, l2_norm
 
-    base = emb.select(
+    # NULL-vector rows are not members: posexplode already excluded
+    # them from the centroids and n_members, but they still reached the
+    # scoring join, contributing coalesced 0.0 cosines to
+    # mean_intra_cosine and a "classification" to nn_accuracy over a
+    # denominator the centroid pass never counted
+    base = emb.where(v.isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("label"),
         v.alias("v"),
@@ -313,17 +318,32 @@ def embedding_covariance(
     import pandas as pd
 
     v = F.col(vec_col)
-    head = emb.select(F.size(v).alias("d")).first()
-    if head is None or head["d"] is None:
+    # the canonical dimension is the MODE of observed sizes (ties to the
+    # smallest) — a bare first() picked whichever row Spark returned
+    # first, so d (and which rows the filter kept) could change between
+    # runs on a mixed-dimension input
+    head = (
+        emb.where(v.isNotNull())
+        .groupBy(F.size(v).alias("d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("d").asc())
+        .first()
+    )
+    if head is None:
         raise ValueError(
-            "embedding_covariance needs a non-empty input with a "
-            "non-null vector in the first row"
+            "embedding_covariance needs a non-empty input with at "
+            "least one non-null vector"
         )
     d = head["d"]
-    # one filter feeding BOTH passes: a NULL or wrong-length row must be
-    # invisible to the mean AND the kernel (a kernel-only guard would
-    # center on a different population than it sums)
-    emb = emb.where(v.isNotNull() & (F.size(v) == d))
+    # one filter feeding BOTH passes: a NULL/wrong-length row — or a row
+    # with a NULL ELEMENT, which Arrow renders as NaN and the GEMM then
+    # spreads over every (i,j) touching that dim while the mean pass
+    # silently skipped it — must be invisible to the mean AND the kernel
+    emb = emb.where(
+        v.isNotNull()
+        & (F.size(v) == d)
+        & ~F.exists(v, lambda x: x.isNull())
+    )
     # mean per dimension via one posexplode aggregate (map-side combined)
     mu_rows = (
         emb.select(F.posexplode(v).alias("i", "x"))
@@ -403,37 +423,35 @@ def semantic_outliers(
             ).alias("cv")
         )
     )
-    base = emb.select(
-        F.col(id_col).alias("id"), F.col(label_col).alias("label"), v.alias("v")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    nv = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("cv"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+    from ..functions.vector import cosine_from_parts, dot, l2_norm
+
+    # class_centroid_metrics' exact scoring shape: member norm folded
+    # ONCE per row, centroid norm once per class, cosine_from_parts for
+    # the zero-norm -> 0.0 rule — the previous inline when() re-ran both
+    # O(dim) norm folds per (member x centroid) pair (the double
+    # evaluation vector.cosine_similarity's docstring warns against)
+    # and recomputed the member norm per centroid
+    base = emb.where(v.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        v.alias("v"),
+        l2_norm(v).alias("_vn"),
     )
     scored = base.crossJoin(
-        F.broadcast(cent.select(F.col("label").alias("clabel"), "cv"))
+        F.broadcast(
+            cent.select(
+                F.col("label").alias("clabel"),
+                "cv",
+                l2_norm(F.col("cv")).alias("_cn"),
+            )
+        )
     ).select(
         "id",
         "label",
         "clabel",
         F.round(
-            F.when((nv == 0.0) | (nc == 0.0), F.lit(0.0)).otherwise(
-                dot / (nv * nc)
+            cosine_from_parts(
+                dot(F.col("v"), F.col("cv")), F.col("_vn"), F.col("_cn")
             ),
             6,
         ).alias("cos"),

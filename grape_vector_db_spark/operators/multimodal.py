@@ -270,6 +270,8 @@ def image_features(
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                if raw is None:
+                    continue  # a NULL blob must not TypeError the stage
                 img = decode_image(bytes(raw))
                 h, w = img.shape[:2]
                 m = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
@@ -321,6 +323,8 @@ def resize_image(
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                if raw is None:
+                    continue  # a NULL blob must not TypeError the stage
                 img = decode_image(bytes(raw))
                 h, w = img.shape[:2]
                 ri = _nn_indices(h, out_h)
@@ -388,6 +392,8 @@ def audio_features(
         for pdf in batches:
             out = {id_col: [], "sample_rate": [], "n_samples": [], "rms": []}
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                if raw is None:
+                    continue  # a NULL blob must not TypeError the stage
                 rate, s = decode_wav(bytes(raw))
                 out[id_col].append(i)
                 out["sample_rate"].append(rate)
@@ -436,6 +442,8 @@ def average_hash(
         for pdf in batches:
             ids, hashes = [], []
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                if raw is None:
+                    continue  # a NULL blob must not TypeError the stage
                 img = decode_image(bytes(raw))
                 h, w = img.shape[:2]
                 ri = _nn_indices(h, hash_h)
@@ -493,6 +501,8 @@ def audio_energy_hash(
         for pdf in batches:
             ids, hashes = [], []
             for i, raw in zip(pdf[id_col], pdf[blob_col]):
+                if raw is None:
+                    continue  # a NULL blob must not TypeError the stage
                 _, s = decode_wav(bytes(raw))
                 wlen = len(s) // n_windows
                 if wlen == 0:

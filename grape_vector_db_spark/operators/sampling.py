@@ -59,9 +59,14 @@ def uniform_sample_n(
     permutation of ids, so this is sampling without replacement — and
     the plan is a TakeOrdered (per-partition heap + driver merge of n
     rows), no shuffle, reproducible on any engine/partitioning. Same
-    primitive that seeds the k-means sample (ann._sampled_matrix)."""
+    primitive that seeds the k-means sample (ann._sampled_matrix).
+    NULL ids hash to NULL, which Spark's ASC sorts FIRST — un-guarded,
+    broken rows deterministically occupied every "uniform" sample
+    (split_train_eval defends the same hazard); nulls sort last
+    instead, so they only appear when the real rows run out."""
     return df.orderBy(
-        h32(F.col(id_col).cast("string"), seed).asc(), F.col(id_col).asc()
+        h32(F.col(id_col).cast("string"), seed).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
     ).limit(n)
 
 

@@ -83,9 +83,20 @@ def dsir_log_weights(
     input row — documents with fewer than 2 whitespace tokens have no
     bigram features and score 0.0 (weight 1: indistinguishable).
     """
+    # a NULL target predicate (e.g. isin over a NULL source) counts as
+    # RAW — the docstring's "every other row" promise. Un-coalesced, the
+    # row fell out of BOTH distributions (NOT NULL is NULL), deflating
+    # the raw counts and skewing every document's log_weight while the
+    # row itself still scored against the skewed ratio table.
     feats = _bigram_buckets(
-        df, n_buckets, id_col, text_col, extra={"is_target": target}
+        df, n_buckets, id_col, text_col,
+        extra={"is_target": F.coalesce(target, F.lit(False))},
     )
+    # feats feeds TWO branches (bucket counts + the scoring join):
+    # checkpoint so the corpus tokenize/bigram/md5 pipeline — the
+    # dominant cost — runs once, not twice (no caller can unpersist a
+    # cache entry behind the lazily-returned frame, the knn_graph rule)
+    feats = feats.localCheckpoint(eager=False)
     counts = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
@@ -164,8 +175,10 @@ def quality_classifier_score(
     arXiv:1607.01759 — the model class CCNet/LLaMA/RedPajama use for
     their "wiki-like" page gate): mean of per-feature weights over the
     document's hashed-bigram features, squashed by a sigmoid. The weight
-    vector is DETERMINISTIC — w(b) = h32("qw:" || b)/2^32 * 2 - 1 in
-    [-1, 1) — standing in for trained weights so the scoring path is
+    vector is DETERMINISTIC — w(b) = h32(b, seed)/2^32 * 2 - 1 in
+    [-1, 1), i.e. md5("{seed}:" || b) (seed 17 by default; an earlier
+    draft of this docstring claimed a "qw:" prefix the code never
+    used) — standing in for trained weights so the scoring path is
     engine-portable and oracle-checkable; a trained B-row weight table
     drops into the same plan as a broadcast join.
 

@@ -136,7 +136,13 @@ def test_provider_factory_variants(base_url):
         == "https://api.openai.com/v1/embeddings"
     )
     for p in ("nvidia", "huggingface", "ollama"):
-        assert provider_config(p, "m").endpoint == "http://localhost:11434/api/embeddings"
+        # the OpenAI-COMPATIBLE route: this client speaks the OpenAI
+        # wire shape; Ollama's native /api/embeddings takes {model,
+        # prompt} and would KeyError('data') on the executor
+        assert (
+            provider_config(p, "m").endpoint
+            == "http://localhost:11434/v1/embeddings"
+        )
     assert provider_config("mock") is None
     with pytest.raises(ValueError, match="azure"):
         provider_config("azure", "m")
