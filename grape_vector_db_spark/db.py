@@ -348,11 +348,17 @@ class GrapeVectorDB:
             self._refresh_text_index(
                 docs.select(F.col(self.id_col).alias("vec_id")).distinct()
             )
-        if embeddings is None and self._has("index_partition"):
-            # metadata-only update: a changed partition-column value MOVES
-            # the row's directory in the co-partitioned layout — without
-            # this, a pruned search would keep serving the id under its
-            # old value while the semi-join path sees the new one
+        if self._has("index_partition"):
+            # a changed partition-column value MOVES the row's directory
+            # in the co-partitioned layout — without this, a pruned
+            # search would keep serving the id under its old value while
+            # the semi-join path sees the new one. Runs for EVERY docs
+            # batch (not just metadata-only ones): the embeddings-batch
+            # refresh in _refresh_indexes swaps only the ids carried by
+            # the EMBEDDINGS batch, so a docs-only tenant move riding
+            # alongside an unrelated embeddings batch used to be
+            # skipped (overlapping ids are swapped twice to the same
+            # values — idempotent)
             st = self._table_stats("index_partition") or {}
             col = st.get("partition_column")
             if col and col in docs.columns and self._has("embeddings"):
@@ -631,8 +637,22 @@ class GrapeVectorDB:
             cents, assigned = ann.load_index(
                 self.spark, self._path("index_ivf")
             )
+            from .sources.tables import read_table_stats as _rts
+
+            # carry the assignments sidecar through the cascade (minus
+            # the publish-owned row count): dropping it erased the
+            # 'replicas' key, so _ivf_replicas() read 1 thereafter —
+            # the next refresh encoded batches replicas=1 against a
+            # replicas=2 layout and every search lost the x2 nprobe
+            # scaling (the measured R@10 0.77 -> 0.46 regression class)
+            prior = _rts(
+                self.spark, f"{self._path('index_ivf')}/assignments"
+            ) or {}
+            keep_stats = {k: v for k, v in prior.items() if k != "rows"}
             ann.save_index(
-                self._path("index_ivf"), cents, ann.ivf_remove(assigned, doomed)
+                self._path("index_ivf"), cents,
+                ann.ivf_remove(assigned, doomed),
+                extra_stats=keep_stats or None,
             )
         from .sources.tables import _bucketed_versions, delete_ids_bucketed_retry
 
@@ -671,10 +691,19 @@ class GrapeVectorDB:
             )
         if self._has("index_terms"):
             st = self._table_stats("index_terms") or {}
-            self._publish_text_index(
-                self._read("index_terms").join(doomed, "vec_id", "left_anti"),
-                st.get("text_col") or self.text_col,
-            )
+            if st.get("text_col") is None and st.get("dropped_column"):
+                # tombstoned (its column was dropped): the table is
+                # already empty — re-publishing with a real text_col
+                # would RESURRECT the empty index as servable (match
+                # routing + _warm_terms would silently serve zero hits)
+                pass
+            else:
+                self._publish_text_index(
+                    self._read("index_terms").join(
+                        doomed, "vec_id", "left_anti"
+                    ),
+                    st.get("text_col") or self.text_col,
+                )
         if self._has("index_graph"):
             # drop every edge TOUCHING a doomed id (a dangling dst would
             # make the walk score a deleted vector), then REPAIR: a
@@ -759,6 +788,24 @@ class GrapeVectorDB:
             )
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
+        from .sources.tables import _bucketed_versions, write_table_bucketed
+
+        path = self._path(table)
+        bv = _bucketed_versions(self.spark, path)
+        if bv:
+            # a bucket-manifest table must be replaced THROUGH its
+            # layout: a flat publish writes a t=N+1 that _read (which
+            # resolves bucketed manifests first) never serves — the
+            # delete/optimize would be silently invisible forever
+            from .sources.tables import _read_manifest
+
+            man = _read_manifest(self.spark, path, bv[-1])
+            write_table_bucketed(
+                self.spark, path, df, int(man["n_buckets"]),
+                id_col=man["id_col"],
+            )
+            self._df_cache.pop(table, None)
+            return
         self._publish(table, df)
 
     # -- indexes ------------------------------------------------------------
@@ -2041,6 +2088,7 @@ class GrapeVectorDB:
             if eq is not None and self._has("index_partition"):
                 pst = self._table_stats("index_partition") or {}
                 pcol = pst.get("partition_column")
+            sel_tree = None
             if pcol is not None and eq is not None and eq[0] == pcol:
                 # single-equality filter on the partitioned layout's
                 # column: serve it as a DIRECTORY SKIP on the
@@ -2056,6 +2104,7 @@ class GrapeVectorDB:
                 keep_ids = emb.select("vec_id")
             else:
                 tree = self._payload_tree_plan(filter)
+                sel_tree = tree
                 if tree is not None:
                     # must/should/must_not tree of equality /
                     # array-contains probes fully covered by the
@@ -2072,7 +2121,19 @@ class GrapeVectorDB:
                         F.col(self.id_col).alias("vec_id")
                     )
                     emb = emb_all.join(keep_ids, "vec_id", "left_semi")
-            selectivity = self._payload_filter_selectivity(filter)
+            if sel_tree is None and pcol is not None:
+                # partition path: the tree wasn't needed for the gate,
+                # but it can still fund zero-job selectivity
+                sel_tree = self._payload_tree_plan(filter)
+            # straight to _tree_fraction with the tree in hand —
+            # _payload_filter_selectivity would re-run the whole tree
+            # planning (incl. the documents-schema read for match
+            # leaves) a second time on this hot path (the hybrid rule)
+            selectivity = (
+                self._tree_fraction(self._frac_env(), sel_tree, False)
+                if sel_tree is not None
+                else None
+            )
             if selectivity is None:
                 # sampled, zero-job estimate (exact semi-join count was
                 # a second corpus-scale job per filtered search)
@@ -2106,6 +2167,17 @@ class GrapeVectorDB:
                 f"unknown index {index!r}; one of auto/"
                 + "/".join(_EXPLICIT)
             )
+        def _thresholded(out: DataFrame) -> DataFrame:
+            """The SearchRequest similarity threshold on EVERY physical
+            route — it was silently dropped on the indexed ones, so the
+            same request filtered on a small corpus (brute force) and
+            did not on a large one. An approximate route may return
+            fewer than k passing rows: its candidate budget is the k it
+            walked, exactly as on the reference's HNSW path."""
+            if threshold is None:
+                return out
+            return out.where(F.col("score") >= F.lit(threshold))
+
         if choice.strategy == "graph_walk":
             edges = self._read("index_graph")
             # size the walk to the corpus (hops must reach the
@@ -2120,13 +2192,20 @@ class GrapeVectorDB:
                 degree = edges.agg(F.max("rank")).first()[0] or 8
             beam, hops = ann.graph_autosize(n_corpus, int(degree), k=limit)
             # ef-expansion rule: widen the beam under a filter so
-            # enough passing candidates stay in the visited set
+            # enough passing candidates stay in the visited set.
+            # WIDEN-only: the cap must never shrink a beam the autosizer
+            # already set above it (a 0.99-selectivity filter used to
+            # CUT a 600-beam over-fetch walk to 256 — a nearly-no-op
+            # filter reducing recall, inverting this rule's purpose)
             if selectivity < 1.0:
-                beam = min(256, int(beam / max(selectivity, 0.05)))
-            return ann.graph_beam_search(
+                beam = max(
+                    beam, min(256, int(beam / max(selectivity, 0.05)))
+                )
+            return _thresholded(ann.graph_beam_search(
                 edges, emb_all, list(vector), k=limit, beam=beam,
                 hops=hops, result_ids_df=keep_ids,
-            )
+                vec_col=self.vec_col,
+            ))
         if choice.strategy == "ivf":
             cents, assigned = ann.load_index(self.spark, self._path("index_ivf"))
             # nprobe from the stored index's ACTUAL nlist at the
@@ -2154,38 +2233,43 @@ class GrapeVectorDB:
                 # unfiltered + inverted-list layout: the zero-join
                 # partition-pruned scan (a directory skip touching
                 # ~nprobe/nlist of the index)
-                return ann.ivf_search_pruned(
+                return _thresholded(ann.ivf_search_pruned(
                     self.spark, self._path("index_ivf"), vector,
                     k=limit, nprobe=nprobe,
-                )
+                ))
             # filtered (or vector-less legacy layout): the join-based
             # probe against the (filtered) corpus
-            return ann.ivf_search(
+            return _thresholded(ann.ivf_search(
                 emb, cents, assigned.select("id", "cluster"), vector,
-                k=limit, nprobe=nprobe,
-            )
+                k=limit, nprobe=nprobe, vec_col=self.vec_col,
+            ))
         if choice.strategy == "sq_two_stage":
             sq = self._read("index_sq")
-            return quantization.sq_search(
+            return _thresholded(quantization.sq_search(
                 emb,
                 vector,
                 k=limit,
                 rescore=max(50, limit),
                 sq_df=sq,
+                vec_col=self.vec_col,
                 # a metadata filter shrank emb below the index: spend
                 # the candidate budget on returnable ids only
                 index_covers_df=filter is None,
-            ).drop("approx_dot")
+            ).drop("approx_dot"))
         if choice.strategy == "binary_two_stage":
             packed = self._read("index_packed")
-            return quantization.two_stage_search(
+            return _thresholded(quantization.two_stage_search(
                 emb,
                 vector,
                 k=limit,
                 packed_df=packed,
+                vec_col=self.vec_col,
                 index_covers_df=filter is None,
-            )
-        return search.knn(emb, vector, k=limit, threshold=threshold)
+            ))
+        return search.knn(
+            emb, vector, k=limit, threshold=threshold,
+            vec_col=self.vec_col,
+        )
 
     def hybrid_search(
         self,
@@ -2374,7 +2458,9 @@ class GrapeVectorDB:
             [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
             "query_id long, query_vec array<double>",
         )
-        hits = search.knn_batch(emb, queries, k=limit).withColumnRenamed(
+        hits = search.knn_batch(
+            emb, queries, k=limit, corpus_vec=self.vec_col
+        ).withColumnRenamed(
             "id", "vec_id"
         )
         if with_documents:
@@ -2566,6 +2652,7 @@ class GrapeVectorDB:
         hits = search.discover(
             self._filtered_candidates(emb, filter),
             target_id, context_pairs, k=limit, examples_df=emb,
+            vec_col=self.vec_col,
         )
         if with_documents:
             return self._hydrate(
@@ -2590,6 +2677,7 @@ class GrapeVectorDB:
         hits = search.context_rank(
             self._filtered_candidates(emb, filter),
             context_pairs, k=limit, examples_df=emb,
+            vec_col=self.vec_col,
         )
         if with_documents:
             return self._hydrate(
@@ -2618,6 +2706,7 @@ class GrapeVectorDB:
             self._filtered_candidates(emb, filter),
             positive_ids, negative_ids, k=limit,
             strategy=strategy, examples_df=emb,
+            vec_col=self.vec_col,
         )
         if with_documents:
             return self._hydrate(
@@ -2629,7 +2718,9 @@ class GrapeVectorDB:
         """Bounded pairwise-similarity matrix over the stored corpus
         (operators/search.py:distance_matrix) — the driver-side
         clustering/visualization feed; the cap bounds the quadratic."""
-        return search.distance_matrix(self.embeddings(), sample=sample)
+        return search.distance_matrix(
+            self.embeddings(), sample=sample, vec_col=self.vec_col
+        )
 
     def scroll(
         self,
@@ -3219,18 +3310,29 @@ class GrapeVectorDB:
             )
         if self._has("index_partition"):
             pst = self._table_stats("index_partition") or {}
-            indexes.append(
-                {"kind": "partition", "column": pst.get("partition_column")}
-            )
+            if pst.get("partition_column"):
+                # a legacy sidecar without the column would serialize
+                # column=None and build_index('partition', column=None)
+                # raises at RESTORE time — after the data tables already
+                # published (a mid-restore abort)
+                indexes.append(
+                    {
+                        "kind": "partition",
+                        "column": pst["partition_column"],
+                    }
+                )
         if self._has("index_payload"):
             indexes.append(
                 {"kind": "payload", "columns": self._payload_columns()}
             )
         if self._has("index_terms"):
             tst = self._table_stats("index_terms") or {}
-            indexes.append(
-                {"kind": "text", "column": tst.get("text_col") or self.text_col}
-            )
+            if tst.get("text_col") is not None:
+                # a TOMBSTONED text index (its column was dropped from
+                # documents) must not back up as {'column': text_col}:
+                # restore()'s build_index('text') would raise on the
+                # absent column and abort the restore mid-way
+                indexes.append({"kind": "text", "column": tst["text_col"]})
         manifest = {
             "indexes": indexes,
             "id_col": self.id_col,
@@ -3352,9 +3454,22 @@ class GrapeVectorDB:
                 "index_graph",
                 "index_partition",
                 "index_payload",
+                # the text inverted index is first-class (match routing,
+                # hybrid's sparse leg, backup all treat it so) — its
+                # absence here hid whether Match filters were
+                # index-served or falling back. A TOMBSTONED index
+                # (text_col None after its column was dropped) is not
+                # servable and is not reported.
+                "index_terms",
             )
             if self._has(k)
         ]
+        if "index_terms" in out["indexes"]:
+            tst = self._table_stats("index_terms") or {}
+            if tst.get("text_col") is None:
+                out["indexes"].remove("index_terms")
+            else:
+                out["text_index_column"] = tst["text_col"]
         if "index_partition" in out["indexes"]:
             pst = self._table_stats("index_partition") or {}
             if pst.get("partition_column"):
