@@ -25,8 +25,11 @@ QueryOptimizer clamps.
 
 from __future__ import annotations
 
+import functools
+import os
 import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -57,6 +60,19 @@ class SearchResponse:
     query_time_ms: float = 0.0
 
 
+def _snapshot_scope(fn):
+    """Wrap a public READ endpoint in one filesystem-listing snapshot
+    (GrapeVectorDB._snapshot): every versioned-table resolution inside
+    the call is listed once, not once per touch."""
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        with self._snapshot():
+            return fn(self, *args, **kwargs)
+
+    return inner
+
+
 class GrapeVectorDB:
     # Delete maintenance on the kNN graph flips from per-src repair
     # (one exact scan per affected src, cost ~ |affected| x n) to a full
@@ -79,6 +95,17 @@ class GrapeVectorDB:
     # discipline as the fuzzy expansion's 4096-term collect cap.
     SCROLL_VECTOR_PROBE_CAP = 4096
 
+    # Filtered search broadcasts its gate-id set into the corpus
+    # semi-join when the zero-job selectivity estimate says it holds at
+    # most this many ids (~8 bytes/id raw; 1M ids is a ~20 MB hash
+    # relation — comfortably under Spark's 8 GB broadcast cap while
+    # sparing the corpus a full shuffle+sort). Estimates past the bound
+    # keep the shuffle semi-join. Overridable per deployment via
+    # $SPARK_GRAFT_GATE_BROADCAST_MAX.
+    GATE_BROADCAST_MAX_IDS = int(
+        os.environ.get("SPARK_GRAFT_GATE_BROADCAST_MAX", 1_000_000)
+    )
+
     def __init__(
         self,
         spark: SparkSession,
@@ -93,6 +120,11 @@ class GrapeVectorDB:
         self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
         self._stats_cache: dict[str, tuple] = {}
         self._df_cache: dict[str, tuple] = {}
+        # per-REQUEST filesystem-listing memo (see _snapshot): None
+        # outside a public read endpoint, {} inside one. Never survives
+        # a request, so cross-process writers stay visible between
+        # requests exactly as before; any self-mutation clears it.
+        self._listing_memo: dict | None = None
         # expected embedding dimension (reference config vector_dimension,
         # src/config.rs:398-401); None = infer from the stored table
         self.dimension = dimension
@@ -119,10 +151,66 @@ class GrapeVectorDB:
     # write per upsert). Machinery shared with streaming ingest in
     # sources.tables (table_versions / publish_table).
 
+    # -- per-request listing snapshot ----------------------------------------
+    #
+    # One public read call (search/scroll/count/...) resolves each table's
+    # committed version ONCE: planning a filtered search touches the same
+    # handful of tables dozens of times (probes, stats, route choice), and
+    # every touch re-listed the directory through py4j — measured ~0.2 s of
+    # pure filesystem listing per facade search at sf0.1, and one metadata
+    # request per touch against an object store at 100 TB. The memo lives
+    # only for the duration of the request (a request plans against one
+    # consistent snapshot — seeing a concurrent publish MID-plan was never
+    # a feature), so cross-request visibility of new versions is unchanged.
+    # Self-mutations clear it defensively (_mutated).
+
+    @contextmanager
+    def _snapshot(self):
+        fresh = self._listing_memo is None
+        if fresh:
+            self._listing_memo = {}
+        try:
+            yield
+        finally:
+            if fresh:
+                self._listing_memo = None
+
+    def _mutated(self) -> None:
+        """A write landed: drop any active request-scoped listing memo so
+        a mutating endpoint that reads back its own write resolves fresh."""
+        if self._listing_memo is not None:
+            self._listing_memo.clear()
+
+
+    def _memoized(self, key, compute):
+        memo = self._listing_memo
+        if memo is not None and key in memo:
+            return memo[key]
+        out = compute()
+        if memo is not None:
+            memo[key] = out
+        return out
+
     def _versions(self, table: str) -> list[int]:
-        return table_versions(self.spark, self._path(table))
+        return self._memoized(
+            ("v", table),
+            lambda: table_versions(self.spark, self._path(table)),
+        )
+
+    def _bucket_versions(self, table: str) -> list[int]:
+        from .sources.tables import _bucketed_versions
+
+        return self._memoized(
+            ("b", table),
+            lambda: _bucketed_versions(self.spark, self._path(table)),
+        )
 
     def _data_path(self, table: str) -> str:
+        vs = self._versions(table)
+        if vs:
+            return f"{self._path(table)}/t={vs[-1]}"
+        # legacy flat layout / crashed-first-publish edge: delegate to the
+        # shared resolver (cold path only)
         return current_table_path(self.spark, self._path(table))
 
     def _publish(
@@ -139,6 +227,7 @@ class GrapeVectorDB:
             stats_exprs=stats_exprs, partition_by=partition_by,
             extra_stats=extra_stats,
         )
+        self._mutated()
 
     # -- publish-time statistics (the planner's zero-job inputs) ------------
     #
@@ -244,9 +333,9 @@ class GrapeVectorDB:
         — at query rate that was a job per search before any search
         work). A new publish rotates the version key and drops the stale
         entry."""
-        from .sources.tables import _bucketed_versions, read_table_bucketed
+        from .sources.tables import read_table_bucketed
 
-        bvs = _bucketed_versions(self.spark, self._path(table))
+        bvs = self._bucket_versions(table)
         if bvs:
             # bucket-manifest layout: a version dir holds only the buckets
             # its merge touched — the raw versioned read below would
@@ -583,10 +672,12 @@ class GrapeVectorDB:
             merged = updates
         self._publish(table, merged, stats_exprs=stats_exprs)
 
+    @_snapshot_scope
     def get_document(self, doc_id) -> dict | None:
         row = self.documents().where(F.col(self.id_col) == doc_id).head()
         return row.asDict() if row else None
 
+    @_snapshot_scope
     def get_documents(self, doc_ids: Sequence) -> list[dict]:
         """Batch point lookup (S2 over an id list): ONE pruned scan with
         the id-set pushed to parquet (isin -> In filter + row-group
@@ -805,6 +896,7 @@ class GrapeVectorDB:
                 id_col=man["id_col"],
             )
             self._df_cache.pop(table, None)
+            self._mutated()
             return
         self._publish(table, df)
 
@@ -1946,19 +2038,23 @@ class GrapeVectorDB:
         # index_ivf is a directory of sub-tables; probe its centroid table.
         # Driver-side FS probe (table_exists) — the planner asks this 4x
         # per auto search, and the old read+limit(1).count() probe cost a
-        # Spark job each time.
-        probe = f"{table}/centroids" if table == "index_ivf" else table
-        if table_exists(self.spark, self._path(probe)):
-            return True
-        # bucket-manifest layout (e.g. a bucketed per-vector index):
-        # committed via _MANIFEST.json, invisible to table_exists's
-        # _SUCCESS/flat-parquet probes
-        from .sources.tables import _bucketed_versions
+        # Spark job each time. Memoized per request (_snapshot).
+        def compute() -> bool:
+            probe = f"{table}/centroids" if table == "index_ivf" else table
+            if table_exists(self.spark, self._path(probe)):
+                return True
+            # bucket-manifest layout (e.g. a bucketed per-vector index):
+            # committed via _MANIFEST.json, invisible to table_exists's
+            # _SUCCESS/flat-parquet probes
+            from .sources.tables import _bucketed_versions
 
-        return bool(_bucketed_versions(self.spark, self._path(probe)))
+            return bool(_bucketed_versions(self.spark, self._path(probe)))
+
+        return self._memoized(("has", table), compute)
 
     # -- search -------------------------------------------------------------
 
+    @_snapshot_scope
     def search(
         self,
         vector: Sequence[float] | None = None,
@@ -2071,9 +2167,10 @@ class GrapeVectorDB:
         # publish-time stats, not an eager count — route choice must
         # not cost a corpus scan per query (VERDICT r7 #1)
         n_corpus = self._row_count("embeddings")
+        gate_join = False
         if filter is not None and gate_ids is not None:
             keep_ids = gate_ids
-            emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+            gate_join = True
             selectivity = (
                 gate_selectivity
                 if gate_selectivity is not None
@@ -2082,7 +2179,17 @@ class GrapeVectorDB:
                 )
             )
         elif filter is not None:
-            fcol = filters.filter_to_column(filter)
+            # filter_to_column builds a full Column tree (dozens of py4j
+            # round trips for a nested filter) — defer it to the two
+            # consumers (predicate fallback, sample-estimate miss) so a
+            # posting-served tree never pays for it
+            _fcol_memo: list = []
+
+            def fcol():
+                if not _fcol_memo:
+                    _fcol_memo.append(filters.filter_to_column(filter))
+                return _fcol_memo[0]
+
             eq = filters.simple_equality(filter)
             pcol = None
             if eq is not None and self._has("index_partition"):
@@ -2114,13 +2221,13 @@ class GrapeVectorDB:
                     # and fund selectivity EXACTLY from the sidecar
                     # histogram
                     keep_ids = self._payload_tree_ids(tree)
-                    emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+                    gate_join = True
                 else:
-                    keep = self.documents().where(fcol)
+                    keep = self.documents().where(fcol())
                     keep_ids = keep.select(
                         F.col(self.id_col).alias("vec_id")
                     )
-                    emb = emb_all.join(keep_ids, "vec_id", "left_semi")
+                    gate_join = True
             if sel_tree is None and pcol is not None:
                 # partition path: the tree wasn't needed for the gate,
                 # but it can still fund zero-job selectivity
@@ -2137,7 +2244,24 @@ class GrapeVectorDB:
             if selectivity is None:
                 # sampled, zero-job estimate (exact semi-join count was
                 # a second corpus-scale job per filtered search)
-                selectivity = self._estimate_selectivity(fcol)
+                selectivity = self._estimate_selectivity(fcol())
+        if gate_join:
+            # Deliberate join strategy for the id gate (guide §3.1): when
+            # the sidecar/sample-funded estimate says the kept id set is
+            # small, BROADCAST it — the corpus side is then never
+            # shuffled or sorted (the semi-join runs inside the scan
+            # stage). Past the bound, fall back to the planner's
+            # shuffle semi-join (a broadcast of an unbounded id set is
+            # the driver-OOM shape). The bound is an id COUNT, so it is
+            # scale-adaptive by construction: selectivity x corpus rows,
+            # both zero-job driver-side stats.
+            est_ids = selectivity * max(n_corpus, 1)
+            ids = (
+                F.broadcast(keep_ids)
+                if est_ids <= self.GATE_BROADCAST_MAX_IDS
+                else keep_ids
+            )
+            emb = emb_all.join(ids, "vec_id", "left_semi")
         _EXPLICIT = {
             "brute_force": ("brute_force", None),
             "graph": ("graph_walk", "index_graph"),
@@ -2271,6 +2395,7 @@ class GrapeVectorDB:
             vec_col=self.vec_col,
         )
 
+    @_snapshot_scope
     def hybrid_search(
         self,
         query_text: str,
@@ -2433,6 +2558,7 @@ class GrapeVectorDB:
             .orderBy(*order)
         )
 
+    @_snapshot_scope
     def search_batch(
         self,
         vectors: Sequence[Sequence[float]],
@@ -2469,6 +2595,7 @@ class GrapeVectorDB:
             )
         return hits
 
+    @_snapshot_scope
     def search_groups(
         self,
         vector: Sequence[float],
@@ -2631,6 +2758,7 @@ class GrapeVectorDB:
             )
         return emb.join(keep_ids, "vec_id", "left_semi")
 
+    @_snapshot_scope
     def discover(
         self,
         target_id: int,
@@ -2662,6 +2790,7 @@ class GrapeVectorDB:
             )
         return hits
 
+    @_snapshot_scope
     def context_search(
         self,
         context_pairs: Sequence[tuple[int, int]],
@@ -2685,6 +2814,7 @@ class GrapeVectorDB:
             )
         return hits
 
+    @_snapshot_scope
     def recommend(
         self,
         positive_ids: Sequence[int],
@@ -2714,6 +2844,7 @@ class GrapeVectorDB:
             )
         return hits
 
+    @_snapshot_scope
     def distance_matrix(self, sample: int = 24) -> DataFrame:
         """Bounded pairwise-similarity matrix over the stored corpus
         (operators/search.py:distance_matrix) — the driver-side
@@ -2722,6 +2853,7 @@ class GrapeVectorDB:
             self.embeddings(), sample=sample, vec_col=self.vec_col
         )
 
+    @_snapshot_scope
     def scroll(
         self,
         filter: dict[str, Any] | None = None,
@@ -2943,6 +3075,7 @@ class GrapeVectorDB:
         oorder = F.col(order_by).desc() if descending else F.col(order_by).asc()
         return docs.orderBy(oorder, F.col(self.id_col).asc()).limit(limit)
 
+    @_snapshot_scope
     def facet(
         self,
         field: str,
@@ -3035,6 +3168,7 @@ class GrapeVectorDB:
             .limit(limit)
         )
 
+    @_snapshot_scope
     def count(self, filter: dict[str, Any] | None = None) -> int:
         """Matching-document count (reference A6 extended with the
         filter tree). Unfiltered reads the publish-time row stat (zero
@@ -3050,6 +3184,7 @@ class GrapeVectorDB:
             filters.filter_to_column(filter)
         ).count()
 
+    @_snapshot_scope
     def search_plan(
         self,
         filter: dict[str, Any] | None = None,
@@ -3388,6 +3523,7 @@ class GrapeVectorDB:
                     kind, **{k: v for k, v in idx.items() if k != "kind"}
                 )
 
+    @_snapshot_scope
     def search_response(self, **kwargs) -> SearchResponse:
         """`search` with the reference's response envelope: collected rows,
         total_results, and wall-clock query_time_ms
@@ -3435,6 +3571,7 @@ class GrapeVectorDB:
             pass
         return dict(fusion.DEFAULT_TYPE_WEIGHTS[qtype])
 
+    @_snapshot_scope
     def stats(self) -> dict:
         """Database statistics (reference A7)."""
         n_docs = self._row_count("documents")

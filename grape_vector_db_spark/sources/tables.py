@@ -341,11 +341,29 @@ def exists(df: DataFrame, id_value, id_col: str = "id") -> bool:
 # write concurrently.
 
 
+_FS_CACHE: dict = {}
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
+    """FileSystem handle + Path class for ``path``, cached per (session,
+    scheme). Hadoop's FileSystem.get already caches JVM-side, but each
+    lookup here cost 3 py4j round trips and this helper runs dozens of
+    times per query plan; the py4j proxies are stable for a scheme, so
+    cache them. Keyed on the JVM-side session id so a restarted gateway
+    never serves a dead proxy."""
+    scheme, _, rest = path.partition("://")
+    key = (id(spark._jsc), scheme if rest else "")
+    hit = _FS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    path_cls = spark._jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    return path_cls(path).getFileSystem(conf), path_cls
+    fs = path_cls(path).getFileSystem(conf)
+    _FS_CACHE[key] = (fs, path_cls)
+    return fs, path_cls
+
+
+_GLOB_SPECIALS = set("*?[]{}\\")
 
 
 def _versions_with_marker(
@@ -353,8 +371,27 @@ def _versions_with_marker(
 ) -> list[int]:
     """t=N version dirs under ``path`` whose ``marker`` file exists —
     the ONE t=N scan behind both layouts' listings (plain: _SUCCESS;
-    bucket-manifest: the manifest rename is the commit point)."""
+    bucket-manifest: the manifest rename is the commit point).
+
+    Resolved with a single ``globStatus`` on the marker files: the old
+    listStatus + one exists() per t= dir was 2+N py4j/filesystem round
+    trips, and this listing runs on every versioned read — at query
+    rate (and against an object store at 100 TB, where each round trip
+    is a metadata request) its constant is hot-path cost. Paths
+    containing glob metacharacters fall back to the exact loop."""
     fs, P = _hadoop_fs(spark, path)
+    if not any(c in _GLOB_SPECIALS for c in path):
+        stats = fs.globStatus(P(f"{path}/t=*/{marker}"))
+        if stats is None:
+            return []
+        out = []
+        for st in stats:
+            name = st.getPath().getParent().getName()
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+        return sorted(out)
     base = P(path)
     if not fs.exists(base):
         return []

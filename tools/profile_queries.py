@@ -30,6 +30,16 @@ import __spark_entry__ as entrymod  # noqa: E402
 from grape_vector_db_spark.session import get_spark  # noqa: E402
 
 
+def read_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the sandbox host
+    has bursty noisy-neighbor CPU steal; runs overlapping a burst are
+    flagged so a contaminated sample never drives an optimization call."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -59,6 +69,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--dump-plans", action="store_true")
+    ap.add_argument("--plan-dir", default="/root/repo/plans/r11")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -96,17 +107,20 @@ def main() -> None:
         return set(st.getJobIdsForGroup() or [])
 
     results = {}
-    os.makedirs("/root/repo/plans/r11", exist_ok=True)
+    os.makedirs(args.plan_dir, exist_ok=True)
     for name in names:
         fn = qs[name]
         spark.sparkContext.setJobDescription(f"profile:{name}")
-        walls, jobs, stages, tasks = [], 0, 0, 0
+        walls, steals, jobs, stages, tasks = [], [], 0, 0, 0
         try:
             for r in range(args.runs):
                 before = job_ids()
+                sj0, tj0 = read_steal()
                 t0 = time.time()
                 nrows = fn(spark, sf_dir).count()
                 walls.append(time.time() - t0)
+                sj1, tj1 = read_steal()
+                steals.append(round(100.0 * (sj1 - sj0) / max(tj1 - tj0, 1), 1))
                 if r == 0:
                     new = job_ids() - before
                     jobs = len(new)
@@ -122,10 +136,12 @@ def main() -> None:
             plan = plan_of(df)
             ps = plan_stats(plan)
             if args.dump_plans:
-                with open(f"/root/repo/plans/r11/{name}_{args.tag}.txt", "w") as f:
+                with open(f"{args.plan_dir}/{name}_{args.tag}.txt", "w") as f:
                     f.write(plan)
             results[name] = {
                 "median_s": round(sorted(walls)[len(walls) // 2], 3),
+                "min_s": round(min(walls), 3),
+                "steal_pct": steals,
                 "runs": [round(w, 3) for w in walls],
                 "rows": nrows,
                 "jobs": jobs,
@@ -135,9 +151,10 @@ def main() -> None:
             }
             r = results[name]
             print(
-                f"{name}: {r['median_s']:.3f}s jobs={jobs} stages={stages} "
+                f"{name}: {r['median_s']:.3f}s min={r['min_s']:.3f}s "
+                f"jobs={jobs} stages={stages} "
                 f"tasks={tasks} exch={ps['exchanges']} py={ps['pyeval']} "
-                f"smj={ps['smj']} runs={r['runs']}",
+                f"smj={ps['smj']} runs={r['runs']} steal%={steals}",
                 flush=True,
             )
         except Exception as e:
