@@ -4371,14 +4371,19 @@ def q_supplier_wait_blame(spark, sf_dir):
     per_os = flags.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("late")
     )
+    # r11: the old shape re-joined per_os against its own per-order
+    # rollup (SMJ + an extra exchange) to recover WHICH supplier was
+    # the lone late one; with n_late == 1 that supplier is simply
+    # max(late suppkey), so one more map-side-combined aggregate on the
+    # orderkey prefix replaces the join outright (guide §2.4).
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
         F.sum(F.col("late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
-    blamed = per_os.where(F.col("late")).join(
-        per_o.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-        "l_orderkey",
-    )
+    blamed = per_o.where(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select(F.col("late_supp").alias("l_suppkey"))
     return (
         blamed.groupBy("l_suppkey")
         .agg(F.count("*").cast("int").alias("numwait"))

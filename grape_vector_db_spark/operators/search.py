@@ -187,13 +187,12 @@ def recommend_batch(
     ordering contract (6-dp rounding, id tiebreak).
 
     Scale shape: ONE join fetches example vectors (the example table is
-    the small side by construction); per-user targets are a
-    dimension-exploded aggregate over examples-only rows; the corpus is
+    the small side by construction); per-user targets fold from ONE
+    collect_list aggregate over examples-only rows; the corpus is
     scanned ONCE for every user via knn_batch's broadcast-queries
-    design. Exclusion over-fetches k + max_examples_per_user rows per
-    user (that max is a one-scalar driver artifact), anti-joins the
-    user's own examples, and re-ranks — exact top-k, never
-    under-filled."""
+    design. Each user's own example ids ride the broadcast targets row
+    and are dropped inside the scan (knn_batch exclude_col) — exact
+    top-k, never under-filled, no anti-join shuffle."""
     ex = examples.select(
         F.col(user_col).alias("user_id"),
         F.col(example_col).alias("ex_id"),
@@ -209,18 +208,35 @@ def recommend_batch(
     # reads one column — never the vectors).
     gstats = ex.groupBy("user_id").agg(
         F.max(F.when(F.col("pol") > 0, 1).otherwise(0)).alias("_haspos"),
-        F.count("*").alias("_n_ex"),
     )
     # BOUNDED driver artifacts only: the plan needs the global max
-    # over-fetch (one scalar) and the no-positive check (one count) —
-    # the previous collect() pulled one stats row per USER to the
-    # driver on every call, O(users) memory on the happy path. The
-    # error path alone pays a second tiny job for a capped offender
-    # sample (the message stays actionable without naming 10M users).
-    summary = gstats.agg(
-        F.max("_n_ex").alias("_over"),
-        F.sum(F.when(F.col("_haspos") == 0, 1).otherwise(0)).alias("_nbad"),
-    ).first()
+    # over-fetch (one scalar), the no-positive check (one count), and
+    # the missing-id probe (EMPTY on the happy path; limit(21) bounds
+    # the error path against a wholly-mismatched examples table) — the
+    # previous collect() pulled one stats row per USER to the driver on
+    # every call, O(users) memory on the happy path. r11: both probes
+    # ride ONE Spark job (a cross join of two 1-row aggregates) instead
+    # of two back-to-back driver actions — at query rate the second
+    # job's fixed latency was pure overhead. The error paths alone pay
+    # an extra tiny job for a capped offender sample.
+    mis_agg = (
+        ex.select("ex_id")
+        .distinct()
+        .join(
+            df.select(F.col(id_col).alias("ex_id")), "ex_id", "left_anti"
+        )
+        .limit(21)
+        .agg(F.sort_array(F.collect_list("ex_id")).alias("_miss"))
+    )
+    summary = (
+        gstats.agg(
+            F.sum(F.when(F.col("_haspos") == 0, 1).otherwise(0)).alias(
+                "_nbad"
+            ),
+        )
+        .crossJoin(mis_agg)
+        .first()
+    )
     if summary["_nbad"]:
         bad = [
             r["user_id"]
@@ -233,20 +249,7 @@ def recommend_batch(
             f"users lacking a positive example ({summary['_nbad']} "
             f"total; first {len(bad)}): {bad}"
         )
-    over = summary["_over"] or 0
-    # missing-id probe: the anti-join is EMPTY on the happy path, so
-    # this collect is normally zero rows; the limit bounds the error
-    # path against a wholly-mismatched examples table
-    missing = sorted(
-        r["ex_id"]
-        for r in ex.select("ex_id")
-        .distinct()
-        .join(
-            df.select(F.col(id_col).alias("ex_id")), "ex_id", "left_anti"
-        )
-        .limit(21)
-        .collect()
-    )
+    missing = sorted(summary["_miss"] or [])
     if missing:
         extra = " (first 21)" if len(missing) > 20 else ""
         raise KeyError(f"example ids not found{extra}: {missing[:21]}")
@@ -256,44 +259,73 @@ def recommend_batch(
         ),
         "ex_id",
     )
-    dims = exv.select("user_id", "pol", F.posexplode("v").alias("i", "x"))
-    per = dims.groupBy("user_id", "i").agg(
-        (
-            F.avg(F.when(F.col("pol") > 0, F.col("x")))
-            - F.coalesce(
-                F.avg(F.when(F.col("pol") < 0, F.col("x"))), F.lit(0.0)
-            )
-        ).alias("t")
-    )
-    targets = per.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "t"))),
-            lambda s: s["t"],
-        ).alias("query_vec")
+    # r11: per-user target folded from collected example vectors in ONE
+    # groupBy — the old posexplode -> groupBy(user, dim) ->
+    # groupBy(user) chain shuffled twice per call (guide §2.4). Mean
+    # order is immaterial: sums fold in deterministic (pol, ex_id)
+    # sorted order, and the docstring's engine-exactness argument
+    # (means over <=2 example vectors are single commutative additions)
+    # is unchanged.
+    dim = F.size(F.col("_vs")[0]["v"])
+    idx = F.sequence(F.lit(0), dim - 1)
+
+    def _mean(pred_sign):
+        sel = F.filter(
+            F.col("_vs"), lambda s: s["pol"] * F.lit(pred_sign) > 0
+        )
+        cnt = F.size(sel)
+        return F.when(
+            cnt > 0,
+            F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    sel, F.lit(0.0), lambda acc, s: acc + s["v"][i]
+                )
+                / cnt,
+            ),
+        )
+
+    targets = (
+        exv.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pol", "ex_id", "v"))
+            ).alias("_vs")
+        )
+        .select(
+            "user_id",
+            F.zip_with(
+                _mean(1),
+                F.coalesce(
+                    _mean(-1),
+                    F.transform(idx, lambda _: F.lit(0.0)),
+                ),
+                lambda p, n: p - n,
+            ).alias("query_vec"),
+            # the user's own example ids ride the broadcast targets row
+            # so knn_batch drops them inside the scan — the zero-shuffle
+            # equivalent of the old over-fetch(k + max examples) +
+            # anti-join + window re-rank (which planned an SMJ with two
+            # extra exchanges; provably the same rows: top-k of
+            # non-examples either way)
+            F.transform(F.col("_vs"), lambda s: s["ex_id"]).alias("_excl"),
+        )
     )
     hits = knn_batch(
         df,
-        targets.select(F.col("user_id").alias("query_id"), "query_vec"),
-        k=k + over,
+        targets.select(
+            F.col("user_id").alias("query_id"), "query_vec", "_excl"
+        ),
+        k=k,
         corpus_id=id_col,
         corpus_vec=vec_col,
+        exclude_col="_excl",
     )
-    excl = ex.select(
-        F.col("user_id").alias("query_id"), F.col("ex_id").alias("id")
-    )
-    kept = hits.join(excl, ["query_id", "id"], "left_anti")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("id").asc()
-    )
-    return (
-        kept.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("query_id").alias("user_id"),
-            "id",
-            "score",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return hits.select(
+        F.col("query_id").alias("user_id"),
+        "id",
+        "score",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -306,6 +338,7 @@ def knn_batch(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    exclude_col: str | None = None,
 ) -> DataFrame:
     """Top-k per query for a whole query table (1 or 1M queries uniformly).
 
@@ -316,20 +349,30 @@ def knn_batch(
     query's window partition holds the WHOLE scored corpus in one task.
     The corpus (the 100 TB side) is scanned once with no shuffle; the
     broadcast side must be the small one. Output: (query_id, id, score, rank).
+
+    ``exclude_col`` names an array<id> column on ``queries``: those
+    corpus ids are dropped from that query's candidates INSIDE the
+    scan stage, before any top-k — the zero-shuffle form of the
+    over-fetch + anti-join + re-rank exclusion (the arrays ride the
+    queries broadcast, so they must be per-query bounded).
     """
     qv = to_double_array(query_vec)
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            qv.alias("_qv"),
-            l2_norm(qv).alias("_qn"),
-        )
-    )
+    qcols = [
+        F.col(query_id).alias("query_id"),
+        qv.alias("_qv"),
+        l2_norm(qv).alias("_qn"),
+    ]
+    if exclude_col is not None:
+        qcols.append(F.col(exclude_col).alias("_excl"))
+    q = F.broadcast(queries.select(*qcols))
     cv = to_double_array(corpus_vec)
     c = corpus.select(
         F.col(corpus_id).alias("id"), cv.alias("_cv"), l2_norm(cv).alias("_cn")
     )
-    scored = c.crossJoin(q).select(
+    joined = c.crossJoin(q)
+    if exclude_col is not None:
+        joined = joined.where(~F.array_contains(F.col("_excl"), F.col("id")))
+    scored = joined.select(
         "query_id",
         "id",
         F.round(

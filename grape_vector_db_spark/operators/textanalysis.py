@@ -1433,21 +1433,24 @@ def textrank_chunks(
     - output: (doc_id, chunk_id, rank, score) with score rounded 6 dp
       BEFORE ranking and the chunk_id tiebreak, rank <= top_s.
 
-    Scale shape: chunk pairs explode WITHIN a doc only (sum over docs
-    of s_d^2, s_d = len/chunk_tokens — bounded by the upstream doc
-    length cap); each round is ONE equi-join + ONE map-side-combined
-    groupBy over the edge table, lazily chained like knn_pagerank
-    (every round references the previous pr exactly once — linear).
-    The node and normalized-edge tables are materialized ONCE via eager
-    local checkpoints before the loop: every round re-reads both, so
-    leaving them lazy re-runs the whole chunk/pair pipeline ~3x per
-    round (measured 2.6x wall at sf0.1); both tables are
-    chunk/edge-sized, the same size class cluster_pairs checkpoints.
+    Scale shape (r11): the graph is WITHIN-doc by construction, so the
+    whole rank loop runs per doc behind ONE groupBy(doc_id) — chunk
+    token arrays cross into an Arrow worker once and the per-doc
+    O(s_d^2) pair work + ``iterations`` rounds happen in-process
+    (s_d = len/chunk_tokens, bounded by the upstream doc length cap).
+    The previous shape ran each round as a corpus-wide equi-join +
+    groupBy over a checkpointed edge table: 12 Exchanges / 7
+    SortMergeJoins and two localCheckpoint materializations per call
+    vs ONE Exchange now. At 100 TB the old shape shuffled the edge
+    table ``iterations`` times; this one shuffles the chunk tokens
+    once and nothing else. Float parity: edge weights are the same
+    int/int double divisions; per-doc sums run in deterministic
+    chunk-id order (the old groupBy summed in partition order — both
+    land on the same 6-dp-rounded scores, which is the output
+    contract the oracle pins).
     """
     if top_s < 1 or iterations < 1 or chunk_tokens < 1:
         raise ValueError("top_s, iterations, chunk_tokens must be >= 1")
-    from pyspark.sql import Window
-
     from .curation import chunk_documents
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
@@ -1456,76 +1459,71 @@ def textrank_chunks(
         "chunk_id",
         F.array_distinct(F.split("chunk_text", " ")).alias("toks"),
     )
-    n_doc = chunks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    w = (
-        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    ).cast("double")
-    half = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("a.chunk_id") < F.col("b.chunk_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.chunk_id").alias("src"),
-            F.col("b.chunk_id").alias("dst"),
-            w.alias("w"),
-        )
-        .where(F.col("w") > 0)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.collect_list(F.struct("chunk_id", "toks")).alias("cs")
     )
-    edges = half.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.col("src"), F.col("dst"), F.col("w")),
-                F.struct(
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    F.col("w"),
-                ),
+    damp, iters, keep = float(damping), int(iterations), int(top_s)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            o_doc: list = []
+            o_chunk: list = []
+            o_rank: list = []
+            o_score: list = []
+            for doc_id, cs in zip(pdf["doc_id"], pdf["cs"]):
+                members = sorted(
+                    ((int(c["chunk_id"]), set(c["toks"])) for c in cs),
+                    key=lambda t: t[0],
+                )
+                ids = [m[0] for m in members]
+                sets = [m[1] for m in members]
+                n = len(ids)
+                out_edges: dict = {i: [] for i in ids}
+                for ai in range(n):
+                    sa = sets[ai]
+                    for bi in range(ai + 1, n):
+                        inter = len(sa & sets[bi])
+                        if inter:
+                            w = inter / len(sa | sets[bi])
+                            out_edges[ids[ai]].append((ids[bi], w))
+                            out_edges[ids[bi]].append((ids[ai], w))
+                ow = {
+                    s: sum(w for _, w in es) for s, es in out_edges.items()
+                }
+                pr = dict.fromkeys(ids, 1.0 / n)
+                for _ in range(iters):
+                    contrib = dict.fromkeys(ids, 0.0)
+                    for s, es in out_edges.items():
+                        ps, o = pr[s], ow[s]
+                        if not es:
+                            continue
+                        for t, w in es:
+                            contrib[t] += ps * (w / o)
+                    pr = {
+                        i: (1.0 - damp) / n + damp * contrib[i] for i in ids
+                    }
+                ranked = sorted(
+                    ((round(pr[i], 6), i) for i in ids),
+                    key=lambda t: (-t[0], t[1]),
+                )
+                for r, (sc, i) in enumerate(ranked[:keep], 1):
+                    o_doc.append(doc_id)
+                    o_chunk.append(i)
+                    o_rank.append(r)
+                    o_score.append(sc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(o_doc, dtype="int64"),
+                    "chunk_id": pd.Series(o_chunk, dtype="int64"),
+                    "rank": pd.Series(o_rank, dtype="int32"),
+                    "score": pd.Series(o_score, dtype="float64"),
+                }
             )
-        ).alias("e"),
-    ).select("doc_id", "e.src", "e.dst", "e.w")
-    outw = edges.groupBy("doc_id", "src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, ["doc_id", "src"]).select(
-        "doc_id", "src", "dst", (F.col("w") / F.col("ow")).alias("nw")
-    ).localCheckpoint(eager=True)
-    ids = chunks.select("doc_id", "chunk_id").join(
-        n_doc, "doc_id"
-    ).localCheckpoint(eager=True)
-    pr = ids.select(
-        "doc_id", "chunk_id", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    for _ in range(iterations):
-        contrib = (
-            ew.join(
-                pr,
-                (ew["doc_id"] == pr["doc_id"]) & (ew["src"] == pr["chunk_id"]),
-            )
-            .groupBy(ew["doc_id"].alias("doc_id"), ew["dst"].alias("chunk_id"))
-            .agg(F.sum(F.col("pr") * F.col("nw")).alias("s"))
-        )
-        pr = ids.join(contrib, ["doc_id", "chunk_id"], "left").select(
-            "doc_id",
-            "chunk_id",
-            (
-                F.lit(1.0 - damping) / F.col("n")
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("pr"),
-        )
-    ranked = pr.select(
-        "doc_id", "chunk_id", F.round("pr", 6).alias("score")
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("score").desc(), F.col("chunk_id").asc()
-            )
-        ),
-    )
-    return ranked.where(F.col("rank") <= top_s).select(
-        "doc_id", "chunk_id", F.col("rank").cast("int").alias("rank"), "score"
+
+    return per_doc.mapInPandas(
+        run, "doc_id long, chunk_id long, rank int, score double"
     )
 
 

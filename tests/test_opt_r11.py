@@ -132,3 +132,56 @@ def test_glob_listing_matches_loop_listing(spark, docs, tmp_path):
 
 def test_glob_listing_empty_for_missing_path(spark, tmp_path):
     assert table_versions(spark, str(tmp_path / "nope")) == []
+
+
+def test_knn_batch_exclude_col_equals_anti_join_rerank(spark, emb):
+    """knn_batch's in-scan exclusion (r11) must return EXACTLY the rows
+    of the old over-fetch + anti-join + window re-rank formulation."""
+    from pyspark.sql import Window
+
+    from grape_vector_db_spark.operators import search
+
+    ex = spark.createDataFrame(
+        [(1, [0, 2, 4]), (2, [1, 3])],
+        "query_id long, _excl array<bigint>",
+    )
+    qv = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id") + 1, F.col("embedding")
+    ).toDF("query_id", "query_vec")
+    queries = qv.join(ex, "query_id")
+    new = search.knn_batch(emb, queries, k=5, exclude_col="_excl")
+
+    # old formulation: over-fetch by max excl size, anti-join, re-rank
+    hits = search.knn_batch(emb, queries.select("query_id", "query_vec"), k=5 + 3)
+    excl = ex.select("query_id", F.explode("_excl").alias("id"))
+    kept = hits.join(excl, ["query_id", "id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    old = (
+        kept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "id", "score", "rank")
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() == 10
+
+
+def test_recommend_batch_plans_no_sort_merge_join(spark, emb):
+    """recommend_batch (r11): the own-example exclusion rides the
+    broadcast targets row — no SortMergeJoin anywhere in the plan."""
+    from grape_vector_db_spark.operators import search
+
+    ex = spark.createDataFrame(
+        [(1, 0, 1), (1, 2, -1), (2, 1, 1), (2, 3, 1)],
+        "user_id long, example_id long, polarity int",
+    )
+    out = search.recommend_batch(emb, ex, k=4)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    rows = out.collect()
+    ids = {(r["user_id"], r["id"]) for r in rows}
+    assert (1, 0) not in ids and (1, 2) not in ids
+    assert (2, 1) not in ids and (2, 3) not in ids
+    assert all(1 <= r["rank"] <= 4 for r in rows)
