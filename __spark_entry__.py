@@ -5239,10 +5239,15 @@ def q_token_budget(spark, sf_dir):
     global running token total comes from the two-level bucketed prefix
     sum — no single-partition window over the corpus."""
     docs = _docs(spark, sf_dir)
-    q = textanalysis.quality_score(docs).select("doc_id", "quality")
-    t = textanalysis.token_counts(docs).select("doc_id", "n_ws_tokens")
+    # quality_score already carries n_ws_tokens under the identical
+    # definition token_counts uses (size(_ws_tokens)) — selecting both
+    # from ONE narrow scan deletes the old corpus-x-corpus doc_id join
+    # (2 Exchanges + SMJ) outright (r11, guide §2.4)
+    q = textanalysis.quality_score(docs).select(
+        "doc_id", "quality", "n_ws_tokens"
+    )
     return curation.token_budget_select(
-        q.join(t, "doc_id"),
+        q,
         budget=10_000,
         score_col="quality",
         tokens_col="n_ws_tokens",

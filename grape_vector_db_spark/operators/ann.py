@@ -1271,13 +1271,37 @@ def random_projection_buckets(
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
-    v = to_double_array(vec_col)
-    bucket = _rp_bucket_expr(v, n_planes, dim, seed)
+    bucket = _rp_bucket_expr(_vec_sql(vec_col), n_planes, dim, seed)
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
-def _rp_bucket_expr(v, n_planes: int, dim: int, seed: int):
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal and Spark parses the D-suffixed form with Double.parseDouble
+    — the identical binary double, never a DECIMAL reinterpretation."""
+    r = repr(float(x))
+    return f"CAST('{r}' AS DOUBLE)" if ("inf" in r or "nan" in r) else f"{r}D"
+
+
+def _rp_dot_sql(v_sql: str, plane: list[float]) -> str:
+    """The dot-product fold as ONE SQL text expression —
+    aggregate(zip_with(v, array(...), (x, y) -> x * y), 0.0, +) — the
+    exact expression tree the Column-API version built, so results are
+    bit-identical. Built as text because the Column form cost one py4j
+    round trip per plane COORDINATE (~1,000 for a 16-plane table set):
+    ~1 s of pure driver time per query construction, at query rate the
+    dominant cost of the whole LSH family (guide §5: the driver should
+    do almost no work)."""
+    arr = ", ".join(_sql_double(c) for c in plane)
+    return (
+        f"aggregate(zip_with({v_sql}, array({arr}),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _rp_bucket_expr(v_sql: str, n_planes: int, dim: int, seed: int):
     """Sign-bit bucket Column for one hyperplane table (MSB = plane 0).
+    ``v_sql`` is the SQL text of the array<double> vector expression.
 
     The fold accumulates in LONG: an int accumulator overflows at
     n_planes >= 32 (ANSI mode — Spark 4's default — fails the scan with
@@ -1290,24 +1314,24 @@ def _rp_bucket_expr(v, n_planes: int, dim: int, seed: int):
             "tables (OR-amplification) instead of wider ones"
         )
     planes = _md5_coords(f"{seed}:{{p}}:{{i}}", n_planes, dim)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for plane in planes
-    ]
-    bucket = F.lit(0).cast("long")
-    for b in bits:
-        bucket = bucket * 2 + b
+    bucket = "CAST(0 AS BIGINT)"
+    for plane in planes:
+        bit = (
+            f"(CASE WHEN {_rp_dot_sql(v_sql, plane)} > 0"
+            " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+        bucket = f"(({bucket}) * 2 + {bit})"
     # int output below 32 planes (every existing caller/oracle's dtype —
     # the value provably fits); long only where int can't hold it
-    return bucket.cast("int") if n_planes <= 31 else bucket
+    if n_planes <= 31:
+        bucket = f"CAST({bucket} AS INT)"
+    return F.expr(bucket)
+
+
+def _vec_sql(vec_col: str) -> str:
+    """SQL text for the f64-cast vector column (to_double_array's
+    textual twin)."""
+    return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
 
 
 def random_projection_tables(
@@ -1329,9 +1353,11 @@ def random_projection_tables(
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
-    v = to_double_array(vec_col)
     buckets = F.array(
-        *[_rp_bucket_expr(v, n_planes, dim, seed + t) for t in range(n_tables)]
+        *[
+            _rp_bucket_expr(_vec_sql(vec_col), n_planes, dim, seed + t)
+            for t in range(n_tables)
+        ]
     )
     return df.select(
         F.col(id_col).alias("id"),
@@ -1367,21 +1393,17 @@ def rp_project(
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
-    v = to_double_array(vec_col)
     factor = math.sqrt(3.0 / n_out) if scale else 1.0
-    comps = []
-    for coords in _md5_coords(f"{seed}:{{p}}:{{i}}", n_out, dim):
-        comps.append(
-            F.aggregate(
-                F.zip_with(
-                    v, F.array(*[F.lit(c) for c in coords]), lambda x, y: x * y
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            * F.lit(factor)
-        )
-    return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("proj"))
+    # SQL-text construction for the same reason as _rp_dot_sql: the
+    # Column form cost one py4j round trip per plane coordinate
+    comps = [
+        f"({_rp_dot_sql(_vec_sql(vec_col), coords)} * {_sql_double(factor)})"
+        for coords in _md5_coords(f"{seed}:{{p}}:{{i}}", n_out, dim)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"array({', '.join(comps)})").alias("proj"),
+    )
 
 
 def ivf_index_stats(

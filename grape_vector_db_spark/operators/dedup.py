@@ -1270,11 +1270,13 @@ def embedding_neardup_pairs_lsh(
     ids = F.array_sort(F.collect_list("id"))
     c = int(pair_chunk)
     last_chunk = f"(size(ids) - 1) div {c}"
-    chunk_pairs = (
+    kp_rows = (
         buckets.groupBy("tbl", "bucket")
         .agg(ids.alias("ids"))
         .where(F.size("ids") > 1)
         .select(
+            "tbl",
+            "bucket",
             "ids",
             F.explode(
                 F.expr(
@@ -1284,11 +1286,20 @@ def embedding_neardup_pairs_lsh(
                 )
             ).alias("kp"),
         )
-        .select(
-            F.expr(f"slice(ids, kp.i * {c} + 1, {c})").alias("ca"),
-            F.expr(f"slice(ids, kp.j * {c} + 1, {c})").alias("cb"),
-            (F.col("kp.i") == F.col("kp.j")).alias("same"),
-        )
+    )
+    # Spread the quadratic pair explode across the cluster (guide §2.5):
+    # AQE coalesces the tiny collect_list shuffle by BYTES and cannot
+    # see the chunk^2 amplification below, so without this the pair
+    # loops of every bucket land on one or two cores (same fix as
+    # hamming_pairs — measured 2.1x there)
+    kp_rows = kp_rows.repartition(
+        buckets.sparkSession.sparkContext.defaultParallelism,
+        "tbl", "bucket", "kp",
+    )
+    chunk_pairs = kp_rows.select(
+        F.expr(f"slice(ids, kp.i * {c} + 1, {c})").alias("ca"),
+        F.expr(f"slice(ids, kp.j * {c} + 1, {c})").alias("cb"),
+        (F.col("kp.i") == F.col("kp.j")).alias("same"),
     )
     cand = (
         chunk_pairs.select(

@@ -40,6 +40,7 @@ def _bigram_buckets(
     id_col: str,
     text_col: str,
     extra: dict[str, Column] | None = None,
+    emit_empty: bool = False,
 ) -> DataFrame:
     """Shared hashed-bigram featurizer for the selection family:
     (doc_id[, extra...], bucket) — one exploded row per word bigram,
@@ -55,10 +56,16 @@ def _bigram_buckets(
         *[c.alias(n) for n, c in extra.items()],
         toks.alias("toks"),
     )
+    # explode_outer when the caller wants featureless docs present as
+    # one NULL-bucket row (r11: lets dsir_log_weights skip its
+    # corpus-x-corpus re-attach join); plain explode otherwise — the
+    # feature DEFINITION (h32(gram) % n_buckets over word bigrams) is
+    # identical either way
+    ex = F.explode_outer if emit_empty else F.explode
     grams = base.select(
         "doc_id",
         *extra.keys(),
-        F.explode(word_grams(F.col("toks"), 2)).alias("gram"),
+        ex(word_grams(F.col("toks"), 2)).alias("gram"),
     )
     return grams.select(
         "doc_id",
@@ -91,13 +98,18 @@ def dsir_log_weights(
     feats = _bigram_buckets(
         df, n_buckets, id_col, text_col,
         extra={"is_target": F.coalesce(target, F.lit(False))},
+        # featureless docs ride along as one NULL-bucket row — they
+        # score 0.0 / n_feats 0 straight out of the per-doc aggregate,
+        # so the old corpus-x-corpus left re-attach join (2 Exchanges +
+        # an SMJ at scale) is gone (r11, guide §2.4)
+        emit_empty=True,
     )
     # feats feeds TWO branches (bucket counts + the scoring join):
     # checkpoint so the corpus tokenize/bigram/md5 pipeline — the
     # dominant cost — runs once, not twice (no caller can unpersist a
     # cache entry behind the lazily-returned frame, the knn_graph rule)
     feats = feats.localCheckpoint(eager=False)
-    counts = feats.groupBy("bucket").agg(
+    counts = feats.where(F.col("bucket").isNotNull()).groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
     )
@@ -113,21 +125,18 @@ def dsir_log_weights(
             - F.log((F.col("cr") + F.lit(alpha)) / (F.col("tot_r") + F.lit(alpha * n_buckets)))
         ).alias("lr"),
     )
-    doc_w = (
-        feats.join(F.broadcast(ratio), "bucket")
+    # LEFT join: the lone NULL-bucket row of a featureless doc matches
+    # nothing (NULL never equi-joins) and aggregates to the same
+    # 0.0 / 0 the old re-attach join filled in; every real bucket is in
+    # ratio by construction, so feature rows join exactly as before
+    return (
+        feats.join(F.broadcast(ratio), "bucket", "left")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("lr"), 6).alias("log_weight"),
-            F.count("*").cast("int").alias("n_feats"),
-        )
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(doc_w, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
-            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.round(F.coalesce(F.sum("lr"), F.lit(0.0)), 6).alias(
+                "log_weight"
+            ),
+            F.count("bucket").cast("int").alias("n_feats"),
         )
     )
 

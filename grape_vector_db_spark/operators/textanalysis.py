@@ -254,20 +254,20 @@ def hashed_features(
             f"tokenizer must be 'reference' or 'whitespace', got {tokenizer!r}"
         )
     toked = df.select(F.col(id_col).alias("doc_id"), tok.alias("_t"))
+    # explode_OUTER keeps one row per input doc, always: a token-less
+    # doc (all stopwords / empty text) rides along as a NULL term ->
+    # NULL slot, which the fill's `s.slot = j` filter never matches, so
+    # it lands on the zero vector (token_entropy's row-per-doc rule).
+    # The previous shape re-attached those docs with a corpus-x-corpus
+    # left join after the aggregates — 2 extra Exchanges for rows the
+    # scan already had (r11, guide §2.4).
     slots = toked.select(
-        "doc_id", F.explode("_t").alias("term")
+        "doc_id", F.explode_outer("_t").alias("term")
     ).select("doc_id", (h32(F.col("term")) % dim).alias("slot"))
     counts = slots.groupBy("doc_id", "slot").agg(F.count("*").alias("cnt"))
     packed = counts.groupBy("doc_id").agg(
         F.collect_list(F.struct("slot", "cnt")).alias("_sc")
     )
-    # ONE row per input doc, always: a token-less doc (all stopwords /
-    # empty text) vanished from the explode and never reached the
-    # groupBy — downstream feature joins then silently lost exactly the
-    # degenerate docs a curation pass most needs to see. The left join
-    # gives it a NULL _sc, which the fill's coalesce turns into the
-    # zero vector (token_entropy's row-per-doc rule).
-    packed = toked.select("doc_id").join(packed, "doc_id", "left")
     fill = F.expr(
         f"""
         transform(sequence(0, {dim - 1}), j ->
@@ -955,28 +955,33 @@ def mixed_language(
     per_lang = tagged.groupBy("doc_id", "line_lang").agg(
         F.count("*").alias("n")
     )
-    totals = per_lang.groupBy("doc_id").agg(
+    # argmax(n desc, lang asc) folded into the SAME aggregate as the
+    # totals: min over struct(-n, lang) is exactly that ordering, and
+    # min skips the NULL struct of 'unk' rows — all-unk docs fall to the
+    # coalesce like the old left join's missing row did. The previous
+    # shape ran a row_number window over per_lang plus a doc_id join of
+    # two per-doc frames (r11, guide §2.4: one groupBy instead of
+    # groupBy + window + join).
+    return per_lang.groupBy("doc_id").agg(
         F.sum("n").cast("int").alias("n_lines"),
-        F.count(F.when(F.col("line_lang") != "unk", True)).cast("int").alias("n_langs"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("n").desc(), F.col("line_lang").asc()
-    )
-    main = (
-        per_lang.where(F.col("line_lang") != "unk")
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("doc_id", F.col("line_lang").alias("main_lang"))
-    )
-    return (
-        totals.join(main, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            "n_langs",
-            F.coalesce("main_lang", F.lit("unk")).alias("main_lang"),
-            (F.col("n_langs") >= 2).alias("is_mixed"),
-        )
+        F.count(F.when(F.col("line_lang") != "unk", True))
+        .cast("int")
+        .alias("n_langs"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("line_lang") != "unk",
+                    F.struct((-F.col("n")).alias("_negn"), "line_lang"),
+                )
+            )["line_lang"],
+            F.lit("unk"),
+        ).alias("main_lang"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_langs",
+        "main_lang",
+        (F.col("n_langs") >= 2).alias("is_mixed"),
     )
 
 
