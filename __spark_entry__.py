@@ -1839,30 +1839,27 @@ def q_dedup_keep_best(spark, sf_dir):
     best_quality). Composition: cluster_pairs over the shared MinHash
     pair graph x the quality_score heuristic — both independently
     oracled; this pins their join contract."""
-    from pyspark.sql import Window
-
     clusters = dedup.cluster_pairs(_minhash_pairs(spark, sf_dir))
     q = textanalysis.quality_score(_docs(spark, sf_dir)).select(
         "doc_id", F.round("quality", 6).alias("quality")
     )
     joined = clusters.join(q, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
+    # argmax(quality desc, doc_id asc) = min(struct(-quality, doc_id)),
+    # folded into the SAME aggregate as the member count — the old
+    # row_number window + separate sizes groupBy + cluster_id join were
+    # three extra exchanges over the same rows (r11, guide §2.4;
+    # negation is exact in IEEE, so -(-quality) round-trips bit-for-bit)
+    agg = joined.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("quality")).alias("_nq"), F.col("doc_id"))
+        ).alias("_b"),
+        F.count("*").cast("int").alias("n_members"),
     )
-    best = (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keeper_id"),
-            F.col("quality").alias("best_quality"),
-        )
-    )
-    sizes = joined.groupBy("cluster_id").agg(
-        F.count("*").cast("int").alias("n_members")
-    )
-    return best.join(sizes, "cluster_id").select(
-        "cluster_id", "keeper_id", "n_members", "best_quality"
+    return agg.select(
+        "cluster_id",
+        F.col("_b.doc_id").alias("keeper_id"),
+        "n_members",
+        (-F.col("_b._nq")).alias("best_quality"),
     )
 
 
@@ -3844,11 +3841,13 @@ def q_classifier_eval(spark, sf_dir):
     from grape_vector_db_spark.operators import evaluation
 
     docs = _docs(spark, sf_dir)
-    scored = textanalysis.language_scores(docs).select(
-        "doc_id", F.col("s_en").alias("score")
-    ).join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("label")),
+    # label rides the scoring scan (language_scores keep=) — the old
+    # doc_id self-join of two frames derived from the same corpus scan
+    # cost 2 Exchanges + an SMJ for a column the scan already had (r11)
+    scored = textanalysis.language_scores(docs, keep=("lang",)).select(
         "doc_id",
+        F.col("s_en").alias("score"),
+        (F.col("lang") == "en").alias("label"),
     )
     return evaluation.binary_classifier_metrics(scored, threshold=0.05)
 
@@ -4082,9 +4081,9 @@ def q_logreg_eval(spark, sf_dir):
 
     w, b = _logreg_weights(spark, sf_dir)
     feats = _logreg_features(spark, sf_dir)
-    scored = classifier.logreg_score(feats, w, b).join(
-        feats.select("doc_id", "label"), "doc_id"
-    )
+    # label rides the scoring scan (logreg_score keep=) instead of a
+    # doc_id self-join against the same cached feature table (r11)
+    scored = classifier.logreg_score(feats, w, b, keep=("label",))
     return evaluation.binary_classifier_metrics(
         scored, score_col="score", label_col="label", threshold=0.5
     )

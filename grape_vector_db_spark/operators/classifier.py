@@ -131,18 +131,24 @@ def logreg_score(
     bias: float,
     features_col: str = "features",
     id_col: str = "doc_id",
+    keep: tuple = (),
 ) -> DataFrame:
-    """Score every row with a trained model: ``(id, score, pred)`` with
+    """Score every row with a trained model: ``(id[, keep...], score,
+    pred)`` with
     ``score = round(sigmoid(round(margin, 6)), 6)`` and ``pred =
     score >= 0.5``. The margin is rounded BEFORE the sigmoid so an
     engine replaying the dot product in a different summation order
     (the DuckDB oracle joins sparse slots; Spark folds the dense array)
     lands on the identical sigmoid input — same 6-dp-pinning idiom as
-    the ranking keys repo-wide. Pure narrow map, zero shuffle."""
+    the ranking keys repo-wide. Pure narrow map, zero shuffle.
+    ``keep`` names input columns carried through unchanged (the
+    language_scores idiom: a consumer needing e.g. the label next to
+    the score rides this scan instead of re-joining on doc_id)."""
     m = F.round(_margin(features_col, weights, bias), 6)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *keep,
         score.alias("score"),
         (score >= F.lit(0.5)).cast("int").alias("pred"),
     )

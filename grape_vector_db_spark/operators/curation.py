@@ -1163,16 +1163,25 @@ def phrase_blocklist_hits(
     toks = ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     spark = df.sparkSession
-    hits = None
-    for n, plist in sorted(by_len.items()):
-        ptab = spark.createDataFrame(
-            [(p,) for p in sorted(set(plist))], "gram string"
-        )
-        grams = base.select(
-            "doc_id", F.explode(word_grams(F.col("toks"), n)).alias("gram")
-        )
-        h = grams.join(F.broadcast(ptab), "gram")
-        hits = h if hits is None else hits.unionByName(h)
+    # ONE corpus pass for every phrase length (r11): the per-length gram
+    # streams concat into a single explode and meet ONE broadcast phrase
+    # table — a space-joined n-gram can never equal an m-gram (n != m),
+    # so merging the per-length joins changes nothing but the pass count
+    # (was: one tokenize+explode pass and one union branch per length).
+    ptab = spark.createDataFrame(
+        [(p,) for ps in by_len.values() for p in sorted(set(ps))],
+        "gram string",
+    )
+    gram_arrays = [
+        word_grams(F.col("toks"), n) for n in sorted(by_len)
+    ]
+    all_grams = (
+        gram_arrays[0]
+        if len(gram_arrays) == 1
+        else F.concat(*gram_arrays)
+    )
+    grams = base.select("doc_id", F.explode(all_grams).alias("gram"))
+    hits = grams.join(F.broadcast(ptab), "gram")
     return hits.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_hits"))
 
 

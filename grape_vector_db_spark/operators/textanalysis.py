@@ -64,17 +64,25 @@ def _marker_score_cols(tok_col: str = "_t", prefix: str = "s_"):
 
 
 def language_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
 ) -> DataFrame:
-    """(doc_id, s_<lang>...) — the full marker-hit-ratio score vector
-    behind :func:`language_id`, one column per language in
+    """(doc_id[, keep...], s_<lang>...) — the full marker-hit-ratio score
+    vector behind :func:`language_id`, one column per language in
     :data:`LANG_MARKERS` (6-dp rounded). Exposed so downstream
     consumers (classifier evaluation, confidence thresholds, mixed-
     language detection) can read the raw per-class scores instead of
-    just the argmax. Same single narrow zero-shuffle map."""
+    just the argmax. Same single narrow zero-shuffle map. ``keep``
+    names input columns carried through unchanged — a consumer needing
+    input metadata next to the scores (e.g. a ground-truth label) rides
+    the same scan instead of re-joining the corpus on doc_id."""
     toks = _ws_tokens(text_col)
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    return base.select("doc_id", *_marker_score_cols())
+    base = df.select(
+        F.col(id_col).alias("doc_id"), *keep, toks.alias("_t")
+    )
+    return base.select("doc_id", *keep, *_marker_score_cols())
 
 
 def _argmax_lang_case(best_col: str):
