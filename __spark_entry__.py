@@ -3333,31 +3333,32 @@ def q_pca_covariance(spark, sf_dir):
 def q_pca_project(spark, sf_dir):
     """PCA projection onto the top-4 components (literal matrix shared
     with the oracle): center then 4 dot folds per row — pure narrow."""
+    from grape_vector_db_spark.functions.vector import sql_double
+
     mu, comps, _ = _pca_components(sf_dir, k=4)
     emb = _emb(spark, sf_dir)
-    mu_lit = F.array(*[F.lit(m) for m in mu])
-    centered = F.zip_with(
-        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    # SQL-text + centered-once projection (the pca_whiten r11 treatment:
+    # identical parsed expressions, ~300 fewer py4j calls per build, and
+    # the centering evaluates once per row instead of once per component)
+    mu_arr = ", ".join(sql_double(m) for m in mu)
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "zip_with(cast(embedding as array<double>),"
+            f" array({mu_arr}), (x, m) -> x - m)"
+        ).alias("_c"),
     )
     cols = [
-        (
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        centered,
-                        F.array(*[F.lit(c) for c in comp]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-                6,
-            )
-            + F.lit(0.0)  # normalize -0.0 (sign-of-zero hash sensitivity)
+        F.expr(
+            "(round(aggregate(zip_with(_c, array("
+            + ", ".join(sql_double(c) for c in comp)
+            + ")," " (a, b) -> a * b), 0.0D, (acc, x) -> acc + x), 6)"
+            # normalize -0.0 (sign-of-zero hash sensitivity)
+            " + 0.0D)"
         ).alias(f"p{c}")
         for c, comp in enumerate(comps)
     ]
-    return emb.select("vec_id", *cols)
+    return base.select("vec_id", *cols)
 
 
 def q_cluster_sizes(spark, sf_dir):
@@ -4096,12 +4097,18 @@ def q_fuzzy_bm25(spark, sf_dir):
     put to work end-to-end. The expansion collect is vocabulary-match
     bounded (same bounded-driver pattern as bm25_feedback's fb_terms)."""
     terms = _terms(spark, sf_dir)
-    qtf: dict[str, float] = {}
+    # both tokens' vocabulary expansions ride ONE collect job (a tagged
+    # union) — the per-token collect paid a full job's fixed latency
+    # twice for two scans of the same cached vocabulary (r11)
+    expansions = None
     for tok in ("querry", "windoww"):
-        for r in sparse.fuzzy_terms(terms, tok, max_dist=2).collect():
-            w = 1.0 / (1.0 + r.dist)
-            if w > qtf.get(r.term, 0.0):
-                qtf[r.term] = w
+        e = sparse.fuzzy_terms(terms, tok, max_dist=2)
+        expansions = e if expansions is None else expansions.unionByName(e)
+    qtf: dict[str, float] = {}
+    for r in expansions.collect():
+        w = 1.0 / (1.0 + r.dist)
+        if w > qtf.get(r.term, 0.0):
+            qtf[r.term] = w
     return sparse.bm25_search_weighted(
         _docs(spark, sf_dir), qtf, k=10, terms=terms,
         dstats=_dstats(spark, sf_dir),
@@ -4203,32 +4210,36 @@ def q_pca_whiten(spark, sf_dir):
     the re-embed fix knn_hubness's docstring points at). Literal
     mu/components/eigenvalues shared with the oracle; pure narrow — 16
     dot folds per row, zero shuffle."""
+    from grape_vector_db_spark.operators.ann import _sql_double
+
     mu, comps, eigs = _pca_components(sf_dir, k=16)
     emb = _emb(spark, sf_dir)
-    mu_lit = F.array(*[F.lit(m) for m in mu])
-    centered = F.zip_with(
-        F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: x - m
+    # r11: the SAME zip_with/aggregate folds as before, but (a) built as
+    # SQL text (the Column form cost ~1,100 py4j round trips of driver
+    # time per query build — the _rp_dot_sql fix), and (b) the centering
+    # zip_with projected ONCE instead of inlined into all 16 component
+    # expressions (16x per-row re-evaluation of the identical subtree).
+    # Parsed expression trees are identical, so values are bit-identical.
+    mu_arr = ", ".join(_sql_double(m) for m in mu)
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "zip_with(cast(embedding as array<double>),"
+            f" array({mu_arr}), (x, m) -> x - m)"
+        ).alias("_c"),
     )
     cols = [
-        (
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        centered,
-                        F.array(*[F.lit(c) for c in comp]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / F.lit(math.sqrt(ev + 1e-6)),
-                6,
-            )
-            + F.lit(0.0)  # normalize -0.0 (sign-of-zero hash sensitivity)
+        F.expr(
+            "(round(aggregate(zip_with(_c, array("
+            + ", ".join(_sql_double(c) for c in comp)
+            + ")," " (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+            f" / {_sql_double(math.sqrt(ev + 1e-6))}, 6)"
+            # normalize -0.0 (sign-of-zero hash sensitivity)
+            " + 0.0D)"
         ).alias(f"w{c}")
         for c, (comp, ev) in enumerate(zip(comps, eigs))
     ]
-    return emb.select("vec_id", *cols)
+    return base.select("vec_id", *cols)
 
 
 def q_hll_shingles(spark, sf_dir):

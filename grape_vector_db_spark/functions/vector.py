@@ -33,13 +33,42 @@ def to_double_array(col: Column | str) -> Column:
     return col.cast("array<double>")
 
 
+def sql_double(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal and Spark parses the D-suffixed form with
+    Double.parseDouble — the identical binary double, never a DECIMAL
+    reinterpretation. Non-finite values spell out the cast Spark's
+    string->double parser accepts."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
+def array_lit_sql(values: Iterable[float]) -> str:
+    """SQL text of a literal array<double> — see :func:`vector_lit`."""
+    return f"array({', '.join(sql_double(v) for v in values)})"
+
+
 def vector_lit(values: Iterable[float]) -> Column:
     """A literal query vector as an array<double> Column.
 
     This is how a (tiny) query vector is broadcast to every task: it's a
     literal folded into the plan, not a join side — zero shuffle.
-    """
-    return F.array(*[F.lit(float(v)) for v in values])
+    Built as ONE parsed SQL string: the F.array(*[F.lit(v) ...]) form
+    cost one py4j round trip per COORDINATE (~64 per query vector,
+    hundreds for centroid/codebook tables) — pure driver latency on
+    every query construction (guide §5). The parsed literal array is
+    the identical expression."""
+    vals = [float(v) for v in values]
+    if not vals:
+        # array() alone would type-infer string; keep the old empty form
+        return F.array(*[]).cast("array<double>")
+    return F.expr(array_lit_sql(vals))
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:

@@ -274,11 +274,14 @@ def _cent_map_lit(cents_py: dict[int, list[float]]):
     wrong (or null) centroid whenever cluster ids are non-contiguous
     (an externally trained/loaded centroid table, a dropped empty
     cell), poisoning every residual code the ADC search then reads."""
+    from ..functions.vector import array_lit_sql
+
     ks = sorted(cents_py)
-    return F.map_from_arrays(
-        F.array(*[F.lit(int(k)) for k in ks]),
-        F.array(*[F.array(*[F.lit(x) for x in cents_py[k]]) for k in ks]),
-    )
+    # one parsed SQL literal instead of nlist x dim py4j F.lit calls
+    # (the vector_lit rationale — pure driver latency per query build)
+    keys = ", ".join(str(int(k)) for k in ks)
+    vals = ", ".join(array_lit_sql(cents_py[k]) for k in ks)
+    return F.expr(f"map_from_arrays(array({keys}), array({vals}))")
 
 
 def ivf_autosize(
@@ -857,7 +860,12 @@ def pq_search(
     m = len(codebooks)
     sub = len(codebooks[0][0])
     dtable = _adc_table(query_vector, codebooks, m, sub)
-    dt_lit = F.array(*[F.array(*[F.lit(d) for d in row]) for row in dtable])
+    # one parsed SQL literal instead of m x 2^bits py4j F.lit calls
+    from ..functions.vector import array_lit_sql
+
+    dt_lit = F.expr(
+        "array(" + ", ".join(array_lit_sql(row) for row in dtable) + ")"
+    )
     # 6-dp rounded ranking key (engine-portable: an oracle's re-summed
     # distance table ranks identically; ties break by id)
     approx = codes.withColumn("dt", dt_lit).select(
@@ -1276,11 +1284,10 @@ def random_projection_buckets(
 
 
 def _sql_double(x: float) -> str:
-    """Exact SQL double literal: repr() is the shortest round-trip
-    decimal and Spark parses the D-suffixed form with Double.parseDouble
-    — the identical binary double, never a DECIMAL reinterpretation."""
-    r = repr(float(x))
-    return f"CAST('{r}' AS DOUBLE)" if ("inf" in r or "nan" in r) else f"{r}D"
+    """Exact SQL double literal — shared helper (functions.vector)."""
+    from ..functions.vector import sql_double
+
+    return sql_double(x)
 
 
 def _rp_dot_sql(v_sql: str, plane: list[float]) -> str:

@@ -44,9 +44,9 @@ from pyspark.sql import functions as F
 def _margin(features_col: str, weights: list[float], bias: float):
     """sum_j w_j * x_j + b — functions.vector.dot's index-order fold
     (deterministic fp; ONE copy of the oracle-pinned fold semantics)."""
-    from ..functions.vector import dot
+    from ..functions.vector import dot, vector_lit
 
-    warr = F.array(*[F.lit(float(wj)) for wj in weights])
+    warr = vector_lit(weights)
     return dot(F.col(features_col).cast("array<double>"), warr) + F.lit(
         float(bias)
     )

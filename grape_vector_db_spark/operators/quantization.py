@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot, to_double_array
+from ..functions.vector import dot, to_double_array, vector_lit
 from .search import cosine_vs_query
 
 WORD_BITS = 32
@@ -142,7 +142,7 @@ def sq_search(
         sq_df = sq_df.join(df.select(F.col(id_col)), id_col, "left_semi")
     q = [float(x) for x in query_vector]
     qsum = sum(q)
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = vector_lit(q)
     dot_codes = dot(F.col("codes").cast("array<double>"), qlit)
     approx = F.col("minv") * F.lit(qsum) + F.col("rng") / F.lit(255.0) * dot_codes
     stage1 = (
@@ -286,8 +286,8 @@ def sq_dim_quantize(
     literal bounds; 8x compression like sq_quantize but shared bounds,
     so decoding needs no per-row metadata."""
     v = to_double_array(vec_col)
-    mins_l = F.array(*[F.lit(m) for m in mins])
-    rngs_l = F.array(*[F.lit(r) for r in rngs])
+    mins_l = vector_lit(mins)
+    rngs_l = vector_lit(rngs)
     # size 0 -> sequence(1, 0) DESCENDS to [1, 0] and element_at(.., 0)
     # raises (the pack_bits guard, applied here too)
     codes = F.expr(
@@ -337,7 +337,7 @@ def sq_dim_search(
         # on non-returnable ids and the stage-2 inner join silently
         # under-fills the k rows
         codes = codes.join(df.select(F.col(id_col)), id_col, "left_semi")
-    coeff_l = F.array(*[F.lit(c) for c in coeff])
+    coeff_l = vector_lit(coeff)
     dot_codes = dot(F.col("codes").cast("array<double>"), coeff_l)
     stage1 = (
         codes.select(F.col(id_col), (dot_codes + F.lit(const)).alias("approx_dot"))
@@ -376,8 +376,8 @@ def sq_dim_error_report(
     posexplode + map-side-combined groupBy (dims x partitions partials).
     """
     mins, rngs = bounds if bounds is not None else sq_dim_train(df, vec_col)
-    mins_l = F.array(*[F.lit(float(m)) for m in mins])
-    rngs_l = F.array(*[F.lit(float(r)) for r in rngs])
+    mins_l = vector_lit(mins)
+    rngs_l = vector_lit(rngs)
     v = to_double_array(vec_col)
     # reconstruct min_i + code_i * rng_i / 255 with THE codec's code
     # expression (shared _SQ_DIM_CODE), so the report always measures
