@@ -1902,6 +1902,10 @@ def q_decontamination(spark, sf_dir):
     return dedup.contamination_pairs(
         train, ev, n=3, threshold=0.3, max_shingle_df=100,
         train_shingles_df=tsh, eval_shingles_df=esh,
+        # tsh/esh partition the ONE cached shingle table by the hash
+        # gate — the hot-df pass reads the cache once instead of
+        # unioning two filtered scans of it (r11)
+        combined_shingles_df=sh,
     )
 
 

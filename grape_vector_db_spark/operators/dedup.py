@@ -206,6 +206,7 @@ def contamination_pairs(
     max_shingle_df: int | None = None,
     train_shingles_df: DataFrame | None = None,
     eval_shingles_df: DataFrame | None = None,
+    combined_shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: (eval_id, train_id, overlap) pairs where
     ``overlap = |shared shingles| / |eval doc's shingles| >= threshold`` —
@@ -233,7 +234,18 @@ def contamination_pairs(
         else shingles(eval_df, n, id_col, text_col)
     ).select(F.col("doc_id").alias("eval_id"), "shingle")
     if max_shingle_df is not None:
-        both = tsh.select("shingle").unionAll(esh.select("shingle"))
+        # hot-shingle df over train + eval COMBINED. When the two slices
+        # partition one ingest-built shingle table (the standard
+        # decontamination setup), pass that table as
+        # ``combined_shingles_df``: the union of two membership-filtered
+        # scans of the same cache is the cache itself, and reading it
+        # once halves the df pass (r11, guide §2.4). The caller
+        # guarantees combined == tsh ∪ esh.
+        both = (
+            combined_shingles_df.select("shingle")
+            if combined_shingles_df is not None
+            else tsh.select("shingle").unionAll(esh.select("shingle"))
+        )
         hot = (
             both.groupBy("shingle")
             .agg(F.count("*").alias("df"))
