@@ -2398,8 +2398,12 @@ def q_ivf_drift(spark, sf_dir):
         emb, cents, assigned.where(F.col("id") % 10 == 7)
     )
     f, d = full.alias("f"), delta.alias("d")
+    # both sides are nlist-keyed aggregates (<= 65536 rows by
+    # ivf_autosize construction) — broadcast the delta side so two
+    # nlist-sized frames never sort-merge through 2 exchanges (r11;
+    # LEFT OUTER builds right, so the hint is on a legal build side)
     return (
-        f.join(d, "cluster", "left")
+        f.join(F.broadcast(d), "cluster", "left")
         .select(
             "cluster",
             F.col("f.n_members").alias("n_members"),

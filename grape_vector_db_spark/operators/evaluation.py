@@ -198,23 +198,43 @@ def class_centroid_metrics(
             6,
         ).alias("cos"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("clabel").asc())
-    nearest = scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
-    own = scored.where(F.col("label") == F.col("clabel"))
-    intra = own.groupBy("label").agg(
-        F.round(F.avg("cos"), 6).alias("mean_intra_cosine")
+    # r11: one groupBy(id) folds BOTH readouts — own-centroid cosine is
+    # the member's unique clabel == label row (max(when) picks it), and
+    # the nearest centroid is argmax(cos desc, clabel asc) =
+    # min(struct(-cos, clabel)) — exactly the row_number window it
+    # replaces (negation is IEEE-exact). The old shape ran a per-id
+    # window over the members x classes stream PLUS a separate own-rows
+    # aggregate and joined three label-keyed frames (guide §2.4).
+    per_member = scored.groupBy("id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("cos"))
+        ).alias("_own"),
+        F.min(
+            F.struct((-F.col("cos")).alias("_nc"), F.col("clabel"))
+        ).alias("_best"),
     )
-    acc = nearest.groupBy("label").agg(
-        F.round(
-            F.avg(F.when(F.col("clabel") == F.col("label"), 1.0).otherwise(0.0)), 6
-        ).alias("nn_accuracy")
+    per_label = (
+        per_member.groupBy("label")
+        .agg(
+            F.round(F.avg("_own"), 6).alias("mean_intra_cosine"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("_best.clabel") == F.col("label"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("nn_accuracy"),
+        )
+        # a label group with no own-centroid rows (only possible for a
+        # NULL label, which never equi-matches its clabel) was dropped
+        # by the old inner join against the own-rows aggregate — keep
+        # that contract
+        .where(F.col("mean_intra_cosine").isNotNull())
     )
     return (
         cent.select("label", "n_members")
-        .join(intra, "label")
-        .join(acc, "label")
+        .join(F.broadcast(per_label), "label")
         .select(
             "label",
             F.col("n_members").cast("int").alias("n_members"),
