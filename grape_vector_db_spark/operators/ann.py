@@ -1308,13 +1308,19 @@ def _rp_dot_sql(v_sql: str, plane: list[float]) -> str:
 
 def _rp_bucket_expr(v_sql: str, n_planes: int, dim: int, seed: int):
     """Sign-bit bucket Column for one hyperplane table (MSB = plane 0).
-    ``v_sql`` is the SQL text of the array<double> vector expression.
+    ``v_sql`` is the SQL TEXT of the array<double> vector expression
+    (r11 — was a Column; text keeps construction at one py4j call).
 
     The fold accumulates in LONG: an int accumulator overflows at
     n_planes >= 32 (ANSI mode — Spark 4's default — fails the scan with
     ArithmeticException; non-ANSI silently wraps negative, diverging
     from any 64-bit oracle). 62 planes is the long ceiling, far past
     any useful single-table width (the autosizer caps at 30)."""
+    if not isinstance(v_sql, str):
+        raise TypeError(
+            "_rp_bucket_expr takes the vector expression as SQL text "
+            "(e.g. 'embedding' or _vec_sql(col)), not a Column"
+        )
     if n_planes > 62:
         raise ValueError(
             f"n_planes={n_planes} overflows the 64-bit bucket; use more "

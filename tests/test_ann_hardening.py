@@ -92,14 +92,14 @@ class TestRpBucketWidth:
         )
         out = df.select(
             ann._rp_bucket_expr(
-                F.col("embedding"), n_planes=40, dim=8, seed=1
+                "embedding", n_planes=40, dim=8, seed=1
             ).alias("bucket")
         ).collect()
         assert out[0]["bucket"] >= 0  # no ANSI overflow, no wrap
 
     def test_past_long_ceiling_raises(self, spark):
         with pytest.raises(ValueError, match="n_planes"):
-            ann._rp_bucket_expr(F.col("embedding"), 63, 8, 1)
+            ann._rp_bucket_expr("embedding", 63, 8, 1)
 
     def test_narrow_tables_keep_int_dtype(self, spark):
         # every existing caller/oracle compares against int buckets
@@ -108,7 +108,7 @@ class TestRpBucketWidth:
         )
         out = df.select(
             ann._rp_bucket_expr(
-                F.col("embedding"), n_planes=4, dim=2, seed=1
+                "embedding", n_planes=4, dim=2, seed=1
             ).alias("bucket")
         )
         assert dict(out.dtypes)["bucket"] == "int"
