@@ -1279,8 +1279,22 @@ def random_projection_buckets(
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
-    bucket = _rp_bucket_expr(_vec_sql(vec_col), n_planes, dim, seed)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    if n_planes > 62:
+        raise ValueError(
+            f"n_planes={n_planes} overflows the 64-bit bucket; use more "
+            "tables (OR-amplification) instead of wider ones"
+        )
+    folded = _rp_fold_arrow(
+        df,
+        _md5_coords(f"{seed}:{{p}}:{{i}}", n_planes, dim),
+        dim,
+        id_col,
+        vec_col,
+        "buckets",
+        n_planes=n_planes,
+        n_tables=1,
+    )
+    return folded.select("id", F.col("_rp")[0].alias("bucket"))
 
 
 def _sql_double(x: float) -> str:
@@ -1343,8 +1357,131 @@ def _rp_bucket_expr(v_sql: str, n_planes: int, dim: int, seed: int):
 
 def _vec_sql(vec_col: str) -> str:
     """SQL text for the f64-cast vector column (to_double_array's
-    textual twin)."""
+    textual twin). Top-level column names only (kept for the SQL-fold
+    reference path and its tests); the Arrow kernel path resolves the
+    column through F.col, which also handles dotted/nested names."""
     return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+
+
+def _rp_fold_arrow(
+    df: DataFrame,
+    planes: list[list[float]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    mode: str,
+    n_planes: int = 0,
+    n_tables: int = 0,
+    factor: float = 1.0,
+) -> DataFrame:
+    """All RP plane dot-folds for one vector column as ONE Arrow kernel —
+    ``(id, _rp array<...>)`` with ``_rp`` = per-table sign buckets
+    (``mode='buckets'``) or the scaled projection (``mode='proj'``).
+
+    Replaces the Catalyst ``aggregate(zip_with(...))`` higher-order fold,
+    whose lambdas are interpreted PER ELEMENT (n_planes x dim calls per
+    row — measured ~0.8 s at sf0.1 for the 4x4 neardup family, the
+    slowest query at both driver core counts; guide §4.2: hand whole
+    batches to vectorized native code). Results are BIT-IDENTICAL to the
+    SQL fold, proven by construction rather than by an epsilon guard:
+    the kernel executes the SAME left-to-right IEEE-754 sequence
+    acc = ((0.0 + v[0]*p[0]) + v[1]*p[1]) + ... for every (row, plane) —
+    vectorized ACROSS rows (one numpy multiply + one add per dimension,
+    never numpy.dot/matmul, whose pairwise/SIMD summation reorders the
+    adds) — so every intermediate double equals the JVM fold's and no
+    near-zero sign flip is possible. Scaling (rp_project's
+    sqrt(3/n_out)) is one final IEEE multiply, same as the SQL shape.
+
+    Degenerate rows reproduce the fold's null algebra exactly: a NULL
+    vector, a NULL element, or a length != dim makes zip_with/aggregate
+    yield a NULL dot, which the CASE sign turns into bit 0 (bucket 0)
+    and rp_project surfaces as a NULL component — the kernel routes any
+    such row to all-zero buckets / all-NULL components.
+    """
+    import pyarrow as pa
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes_total, dim)
+    total = P.shape[0]
+    narrow = mode == "buckets" and n_planes <= 31
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    id_type = base.schema["id"].dataType.simpleString()
+    if mode == "buckets":
+        out_schema = f"id {id_type}, _rp array<{'int' if narrow else 'bigint'}>"
+    else:
+        out_schema = f"id {id_type}, _rp array<double>"
+
+    def fold(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        list_f64 = pa.list_(pa.float64())
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            vec = batch.column(1).cast(list_f64)  # fixed_size_list safety
+            offsets = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lengths = offsets[1:] - offsets[:-1]
+            valid = vec.is_valid().to_numpy(zero_copy_only=False) & (
+                lengths == dim
+            )
+            vals = vec.values
+            if vals.null_count:
+                child_null = vals.is_null().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                cums = np.concatenate(([0], np.cumsum(child_null)))
+                valid &= (cums[offsets[1:]] - cums[offsets[:-1]]) == 0
+            nv = int(valid.sum())
+            dots = np.zeros((nv, total), dtype=np.float64)
+            if nv:
+                vnp = vals.to_numpy(zero_copy_only=False)
+                starts = offsets[:-1][valid]
+                idx = (starts[:, None] + np.arange(dim, dtype=np.int64)).ravel()
+                X = vnp[idx].reshape(nv, dim)
+                # the exact fold, vectorized across (rows, planes): one
+                # IEEE multiply + one IEEE add per dimension, in the
+                # fold's left-to-right order
+                for i in range(dim):
+                    dots += X[:, i : i + 1] * P[None, :, i]
+            if mode == "buckets":
+                bits = np.zeros((n, total), dtype=np.int64)
+                # Spark orders NaN GREATER than every double (its CASE
+                # `dot > 0` is true for a NaN dot), unlike IEEE/numpy —
+                # a NULL dot (invalid row) stays bit 0
+                bits[valid] = ((dots > 0) | np.isnan(dots)).astype(np.int64)
+                shifts = (n_planes - 1) - np.arange(n_planes, dtype=np.int64)
+                buckets = np.zeros((n, n_tables), dtype=np.int64)
+                for t in range(n_tables):
+                    grp = bits[:, t * n_planes : (t + 1) * n_planes]
+                    buckets[:, t] = (grp << shifts[None, :]).sum(axis=1)
+                flat = pa.array(
+                    buckets.ravel(),
+                    type=pa.int32() if narrow else pa.int64(),
+                )
+                out = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    flat,
+                )
+            else:
+                proj = np.zeros((n, total), dtype=np.float64)
+                proj[valid] = dots * factor  # one final IEEE multiply
+                mask = np.repeat(~valid, total)
+                flat = pa.array(proj.ravel(), type=pa.float64(), mask=mask)
+                out = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * total, total, dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    flat,
+                )
+            yield pa.RecordBatch.from_arrays([ids, out], ["id", "_rp"])
+
+    return base.mapInArrow(fold, out_schema)
 
 
 def random_projection_tables(
@@ -1366,15 +1503,26 @@ def random_projection_tables(
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
-    buckets = F.array(
-        *[
-            _rp_bucket_expr(_vec_sql(vec_col), n_planes, dim, seed + t)
-            for t in range(n_tables)
-        ]
+    if n_planes > 62:
+        raise ValueError(
+            f"n_planes={n_planes} overflows the 64-bit bucket; use more "
+            "tables (OR-amplification) instead of wider ones"
+        )
+    planes: list[list[float]] = []
+    for t in range(n_tables):
+        planes.extend(_md5_coords(f"{seed + t}:{{p}}:{{i}}", n_planes, dim))
+    folded = _rp_fold_arrow(
+        df,
+        planes,
+        dim,
+        id_col,
+        vec_col,
+        "buckets",
+        n_planes=n_planes,
+        n_tables=n_tables,
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
+    return folded.select(
+        "id", F.posexplode("_rp").alias("tbl", "bucket")
     )
 
 
@@ -1407,16 +1555,16 @@ def rp_project(
     if dim is None:
         dim = _dim_of(df, vec_col)
     factor = math.sqrt(3.0 / n_out) if scale else 1.0
-    # SQL-text construction for the same reason as _rp_dot_sql: the
-    # Column form cost one py4j round trip per plane coordinate
-    comps = [
-        f"({_rp_dot_sql(_vec_sql(vec_col), coords)} * {_sql_double(factor)})"
-        for coords in _md5_coords(f"{seed}:{{p}}:{{i}}", n_out, dim)
-    ]
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"array({', '.join(comps)})").alias("proj"),
+    folded = _rp_fold_arrow(
+        df,
+        _md5_coords(f"{seed}:{{p}}:{{i}}", n_out, dim),
+        dim,
+        id_col,
+        vec_col,
+        "proj",
+        factor=factor,
     )
+    return folded.select("id", F.col("_rp").alias("proj"))
 
 
 def ivf_index_stats(
