@@ -367,18 +367,27 @@ def bm25_search_weighted(
         )
     joined = post.join(dstats.select("doc_id", "doc_length"), "doc_id")
     if gstats is None:
-        g = dstats.agg(
+        # One eager 1-row collect instead of a crossJoin(broadcast(g))
+        # subtree: the lazy form inlined a SECOND full dstats aggregate
+        # into the plan (Catalyst prunes the two branches to different
+        # aggregate schemas, so their exchanges never reuse — the
+        # filtered-corpus hybrid leg paid the corpus-wide doc-length
+        # pass twice per call). The scalars are pass-invariant bounded
+        # driver artifacts (the same idiom bm25_feedback_search and the
+        # fb-terms collect already use; the reference serves queries
+        # from insert-time BM25Stats, ref:src/types.rs:105-115), and the
+        # arithmetic is bit-identical: both N and avg round-trip exactly
+        # through the collected double (N < 2^53; long-vs-double
+        # subtraction of exact integers agrees).
+        grow = dstats.agg(
             F.count("*").alias("total_docs"),
             (F.sum(F.col("doc_length") * F.col("_nt")) / F.count("*")).alias(
                 "avg_doc_length"
             ),
-        )
-        joined = joined.crossJoin(F.broadcast(g))
-        total_docs = F.col("total_docs")
-        avg_len = F.col("avg_doc_length")
-    else:
-        total_docs = F.lit(float(gstats[0]))
-        avg_len = F.lit(float(gstats[1]))
+        ).collect()[0]
+        gstats = (float(grow["total_docs"]), float(grow["avg_doc_length"] or 0.0))
+    total_docs = F.lit(float(gstats[0]))
+    avg_len = F.lit(float(gstats[1]))
     idf = F.log((total_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_comp = (F.col("tf") * (K1 + 1.0)) / (
         F.col("tf") + K1 * (1.0 - B + B * F.col("doc_length") / avg_len)
