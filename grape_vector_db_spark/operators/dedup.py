@@ -2268,107 +2268,34 @@ def containment_pairs(
     1.0 containment — and subset duplication is exactly what
     quote-heavy / scraped-concatenation corpora are full of.
 
-    Candidate generation uses exact PREFIX FILTERING (Chaudhuri et al.
-    2006 / PPJoin, the standard set-similarity-join pruning; guide §3
-    "reduce the big side before shuffling it"): order every doc's
-    shingles by ascending global document frequency (rarest first,
-    shingle tie-break), and emit as probe join keys only the first
-    floor((1-t)*|X|) + 1 shingles of each doc. A pair with containment
-    >= t shares at least ceil(t*min(|A|,|B|)) shingles, and the smaller
-    doc's prefix cannot avoid all of them (its suffix holds fewer than
-    that many positions), so probing the smaller side's prefix against
-    the full index finds every qualifying pair — measured 1.35M -> 0.40M
-    join rows / 1.2M -> 0.38M distinct candidates at sf0.1, and the
-    reduction grows with corpus size because hot shingles dominate the
-    df^2 term. Candidates then verify EXACTLY: n_common =
-    size(array_intersect) over the two docs' full (capped) shingle
-    arrays, same normalizer and 6-dp round as before. The prefix length
-    is sized for t - 1e-6 so a ratio that 6-dp-ROUNDS up to the
-    threshold (kept by the output filter) can never be pruned.
+    Candidate generation is the SAME code path as
+    :func:`ngram_jaccard_pairs` (:func:`_shingle_candidates` — shared
+    shingle equi-join bounded by shingle df, hot-shingle broadcast
+    anti-join cap); only the normalizer differs (min instead of union).
 
-    The hot-shingle cap drops df > ``max_shingle_df`` shingles from
-    sizes, prefixes, and arrays alike — the same filtered-set semantics
-    as :func:`ngram_jaccard_pairs`.
+    Negative result (r12, measured): exact df-ordered PREFIX filtering
+    (PPJoin-style — probe the smaller doc's first floor((1-t)|X|)+1
+    rarest shingles against a full index, verify via array_intersect)
+    cut candidates 1.2M -> 0.38M at sf0.1 but ran 2.5x SLOWER end to end
+    (2.46 -> 5.4s quiet): the exact verify must re-join both docs' full
+    shingle ARRAYS (fat string payloads) where this shape's verify is a
+    count already produced by the candidate join itself, and the PPJoin
+    position filter killed only 2.6% more (templated corpora share
+    mid-frequency shingles early in the prefix order). The quadratic
+    term the prefix filter targets is ALREADY linearized here: with
+    df <= max_shingle_df the join volume is bounded by
+    max_shingle_df * |shingle rows|, linear in corpus size.
     """
-    from pyspark.sql import Window
-
-    sh = (
-        shingles_df
-        if shingles_df is not None
-        else shingles(df, n, id_col, text_col).persist()
+    sizes, inter = _shingle_candidates(
+        df, n, id_col, text_col, shingles_df, max_shingle_df
     )
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    sh2 = sh.join(dfreq, "shingle")
-    if max_shingle_df is not None:
-        sh2 = sh2.where(F.col("_df") <= max_shingle_df)
-    w_ord = Window.partitionBy("doc_id").orderBy(
-        F.col("_df").asc(), F.col("shingle").asc()
+    return _overlap_ratio_tail(
+        sizes,
+        inter,
+        F.col("n_common") / F.least(F.col("na"), F.col("nb")).cast("double"),
+        "containment",
+        threshold,
     )
-    w_doc = Window.partitionBy("doc_id")
-    win = sh2.select(
-        "doc_id",
-        "shingle",
-        F.row_number().over(w_ord).alias("_rn"),
-        F.count("*").over(w_doc).alias("_nsh"),
-    )
-    # per-doc (capped) shingle array for the exact verify — groupBy on
-    # the window's own partitioning key, so no extra exchange
-    arrays = win.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("_sh"), F.max("_nsh").alias("_n")
-    )
-    t_eff = threshold - 1e-6
-    probe = win.where(
-        F.col("_rn") <= F.floor(F.lit(1.0 - t_eff) * F.col("_nsh")) + 1
-    ).select("shingle", F.col("doc_id").alias("_pd"), F.col("_nsh").alias("_pn"))
-    index = win.select(
-        "shingle", F.col("doc_id").alias("_id"), F.col("_nsh").alias("_in")
-    )
-    cand = (
-        probe.join(index, "shingle")
-        .where(
-            (F.col("_pn") < F.col("_in"))
-            | ((F.col("_pn") == F.col("_in")) & (F.col("_pd") < F.col("_id")))
-        )
-        .select(
-            F.least("_pd", "_id").alias("a"),
-            F.greatest("_pd", "_id").alias("b"),
-        )
-        .distinct()
-    )
-    verified = (
-        cand.join(
-            arrays.select(
-                F.col("doc_id").alias("a"),
-                F.col("_sh").alias("_sa"),
-                F.col("_n").alias("na"),
-            ),
-            "a",
-        )
-        .join(
-            arrays.select(
-                F.col("doc_id").alias("b"),
-                F.col("_sh").alias("_sb"),
-                F.col("_n").alias("nb"),
-            ),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
-            "na",
-            "nb",
-        )
-    )
-    return verified.select(
-        "a",
-        "b",
-        F.round(
-            F.col("n_common")
-            / F.least(F.col("na"), F.col("nb")).cast("double"),
-            6,
-        ).alias("containment"),
-    ).where(F.col("containment") >= threshold)
 
 
 def duplication_report(

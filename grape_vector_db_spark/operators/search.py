@@ -371,7 +371,13 @@ def knn_batch(
     )
     joined = c.crossJoin(q)
     if exclude_col is not None:
-        joined = joined.where(~F.array_contains(F.col("_excl"), F.col("id")))
+        # NULL-safe: a query with a NULL exclusion array excludes
+        # nothing (where(NULL) would silently drop its every candidate)
+        joined = joined.where(
+            F.coalesce(
+                ~F.array_contains(F.col("_excl"), F.col("id")), F.lit(True)
+            )
+        )
     scored = joined.select(
         "query_id",
         "id",

@@ -1476,9 +1476,28 @@ def textrank_chunks(
         F.collect_list(F.struct("chunk_id", "toks")).alias("cs")
     )
     damp, iters, keep = float(damping), int(iterations), int(top_s)
+    # id dtype rides the input schema (the simhash_fingerprints idiom) —
+    # a string/int doc id must not be coerced through int64. chunk_id
+    # stays BIGINT: that is the shipped output contract the oracle's
+    # dtype-sensitive hash pins (chunk_documents emits int, but this
+    # operator has published long since the r11 kernel).
+    id_type = per_doc.schema["doc_id"].dataType.simpleString()
+    _PD_INT = {"bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8"}
+    id_pd_dtype = _PD_INT.get(id_type)
 
     def run(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
+
+        six = Decimal("0.000001")
+
+        def round6(x: float) -> float:
+            # F.round's exact semantics: Spark rounds
+            # BigDecimal.valueOf(double) — the SHORTEST decimal repr —
+            # with HALF_UP; Python round() is half-even on the binary
+            # value and diverges on exact 6-dp halves
+            return float(Decimal(repr(x)).quantize(six, rounding=ROUND_HALF_UP))
 
         for pdf in batches:
             o_doc: list = []
@@ -1518,7 +1537,7 @@ def textrank_chunks(
                         i: (1.0 - damp) / n + damp * contrib[i] for i in ids
                     }
                 ranked = sorted(
-                    ((round(pr[i], 6), i) for i in ids),
+                    ((round6(pr[i]), i) for i in ids),
                     key=lambda t: (-t[0], t[1]),
                 )
                 for r, (sc, i) in enumerate(ranked[:keep], 1):
@@ -1528,7 +1547,7 @@ def textrank_chunks(
                     o_score.append(sc)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(o_doc, dtype="int64"),
+                    "doc_id": pd.Series(o_doc, dtype=id_pd_dtype),
                     "chunk_id": pd.Series(o_chunk, dtype="int64"),
                     "rank": pd.Series(o_rank, dtype="int32"),
                     "score": pd.Series(o_score, dtype="float64"),
@@ -1536,7 +1555,7 @@ def textrank_chunks(
             )
 
     return per_doc.mapInPandas(
-        run, "doc_id long, chunk_id long, rank int, score double"
+        run, f"doc_id {id_type}, chunk_id long, rank int, score double"
     )
 
 

@@ -346,13 +346,29 @@ _FS_CACHE: dict = {}
 
 def _hadoop_fs(spark: SparkSession, path: str):
     """FileSystem handle + Path class for ``path``, cached per (session,
-    scheme). Hadoop's FileSystem.get already caches JVM-side, but each
-    lookup here cost 3 py4j round trips and this helper runs dozens of
-    times per query plan; the py4j proxies are stable for a scheme, so
-    cache them. Keyed on the JVM-side session id so a restarted gateway
-    never serves a dead proxy."""
+    scheme, authority). Hadoop's FileSystem.get already caches JVM-side,
+    but each lookup here cost 3 py4j round trips and this helper runs
+    dozens of times per query plan; the py4j proxies are stable for a
+    (scheme, authority), so cache them. Hadoop binds FileSystem
+    instances per (scheme, AUTHORITY) — two buckets / two namenodes on
+    one scheme need distinct handles, so the authority is part of the
+    key. The session keys on applicationId (stable, never recycled),
+    not id(), so a restarted gateway + reused proxy id can never serve
+    a dead handle."""
     scheme, _, rest = path.partition("://")
-    key = (id(spark._jsc), scheme if rest else "")
+    if rest:
+        authority = rest.split("/", 1)[0]
+    else:
+        scheme, authority = "", ""
+    # applicationId is itself one py4j trip — memoize it on the python
+    # SparkContext object (dies with it; a restarted session fetches its
+    # own) so the cache hit path stays at zero round trips
+    sc = spark.sparkContext
+    app_id = getattr(sc, "_gvdb_app_id", None)
+    if app_id is None:
+        app_id = sc.applicationId
+        sc._gvdb_app_id = app_id
+    key = (app_id, scheme, authority)
     hit = _FS_CACHE.get(key)
     if hit is not None:
         return hit
