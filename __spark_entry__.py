@@ -1111,21 +1111,26 @@ def q_top_revenue_orders(spark, sf_dir):
 
 
 def q_revenue_by_nation(spark, sf_dir):
-    """TPC-H Q5-shaped 5-way join: lineitem scans once; every dimension
-    (customer, orders pre-filtered, nation, region) broadcasts."""
+    """TPC-H Q5-shaped 5-way join: lineitem scans once; nation/region
+    (bounded literals) broadcast by hint; customer and the joined dims
+    side broadcast by SIZE ESTIMATE only (r12 — the old explicit
+    F.broadcast(dims) hint forced an orders-count-sized broadcast, a
+    driver-OOM at 100 TB; unhinted, the planner picks the same BHJ plan
+    at bench scale — verified 0 SMJ / 2 Exchange — and falls back to the
+    honest shuffle join when the estimate outgrows the threshold)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     dims = (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .select("o_orderkey", "n_name", "r_name")
     )
     return (
-        li.join(F.broadcast(dims), li["l_orderkey"] == dims["o_orderkey"])
+        li.join(dims, li["l_orderkey"] == dims["o_orderkey"])
         .groupBy("r_name", "n_name")
         .agg(
             F.round(

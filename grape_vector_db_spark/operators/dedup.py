@@ -28,6 +28,8 @@ oracle reproduces results exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1258,6 +1260,7 @@ def embedding_neardup_pairs_lsh(
 
     if n_planes is None:
         n = known_count if known_count is not None else emb.count()
+        known_count = n  # reuse for the verify's block sizing
         n_planes = lsh_autosize_planes(n)
         if bucket_cap is None and n > LSH_AUTO_CAP_THRESHOLD:
             bucket_cap = 10 * LSH_TARGET_BUCKET
@@ -1338,12 +1341,210 @@ def embedding_neardup_pairs_lsh(
         .select("p.a", "p.b")
         .distinct()
     )
+    # size-routed exact verify (see _cosine_verify_auto): hydration
+    # joins while the vector side broadcasts, per-block vector shipping
+    # past the row bound (pairs then carry 16 bytes, not ~1 KB)
+    return _cosine_verify_auto(
+        cand, emb, emb, threshold, "a", "b", id_col, vec_col,
+        a_count=known_count, b_count=known_count,
+    )
+
+
+# Row bound above which the exact cosine verify ships vectors per BLOCK
+# instead of hydrating both vectors onto every candidate pair row. Below
+# it the vector side broadcasts into the hydration joins (no shuffle)
+# and the per-pair Arrow columns are cheap — measured FASTER at sf0.1
+# (3.3 vs 3.6 s interleaved A/B, 472k candidates, 2k vectors), so small
+# corpora keep the simple shape. Above it the hydration joins must
+# shuffle ~1 KB of vector per candidate (twice), while block shipping
+# moves 16 bytes per pair + each 4096-row block matrix once — the
+# guide §8 proxy-shuffle rule. Env-overridable for cluster tuning.
+_BLOCK_VERIFY_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BLOCK_VERIFY_MIN_ROWS", "200000")
+)
+
+
+def _cosine_verify_auto(
+    cand: DataFrame,
+    a_emb: DataFrame,
+    b_emb: DataFrame,
+    threshold: float,
+    a_name: str = "a",
+    b_name: str = "b",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    a_count: int | None = None,
+    b_count: int | None = None,
+) -> DataFrame:
+    """Route the exact pair verify by corpus size: per-pair hydration
+    joins + :func:`_arrow_cosine_verify` while every vector side is
+    small enough to broadcast (counts unknown => assumed small — callers
+    that know their corpus is big pass ``a_count``/``b_count``, and the
+    autosized paths always do), :func:`_block_cosine_verify` past
+    ``_BLOCK_VERIFY_MIN_ROWS``. Both paths emit bit-identical rows
+    (two-way exceptAll pinned in tests)."""
+    known = max(a_count or 0, b_count or 0)
+    if known > _BLOCK_VERIFY_MIN_ROWS:
+        return _block_cosine_verify(
+            cand, a_emb, b_emb, threshold, a_name, b_name, id_col,
+            vec_col, a_count=a_count, b_count=b_count,
+        )
     v = to_double_array(vec_col)
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     paired = cand.join(
-        base.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
-    ).join(base.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
-    return _arrow_cosine_verify(paired, threshold)
+        a_emb.select(F.col(id_col).alias(a_name), v.alias("va")), a_name
+    ).join(
+        b_emb.select(F.col(id_col).alias(b_name), v.alias("vb")), b_name
+    )
+    return _arrow_cosine_verify(paired, threshold, a_name, b_name)
+
+
+def _block_cosine_verify(
+    cand: DataFrame,
+    a_emb: DataFrame,
+    b_emb: DataFrame,
+    threshold: float,
+    a_name: str = "a",
+    b_name: str = "b",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    a_count: int | None = None,
+    b_count: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Exact cosine verify of candidate id PAIRS with per-BLOCK vector
+    shipping (guide §8 "decide with small rows, move big rows once"):
+    the old shape joined both 64-double vectors onto every pair row, so
+    the Arrow boundary carried ~1 KB per candidate (measured ~480 MB /
+    ~5.7 s for the 472k sf0.1 LSH candidates — the dominant phase of
+    embedding_neardup_lsh, while the dots themselves are ~30 MFLOP).
+    Here pairs carry 16 bytes of ids; vectors travel once per (a-block,
+    b-block) verify task as two dense matrices (the knn_graph /
+    pairs_gemm block idiom), a ~60x per-pair byte cut that grows with
+    dim. Tasks salt by pair hash only while Ba*Bb alone cannot fill the
+    cluster (salt count = ceil(defaultParallelism / (Ba*Bb)), so big
+    corpora pay zero matrix duplication and small ones stay parallel).
+
+    Numerics are IDENTICAL to :func:`_arrow_cosine_verify`: the same
+    numpy row-gather, (A*A).sum / sqrt norms, row-wise einsum dot,
+    np.round(cos, 6), zero-norm -> 0.0 — per-pair results are the same
+    doubles (two-way exceptAll pinned in tests). Ids absent from the
+    vector tables drop, matching the old inner hydration joins; NULL
+    vectors are excluded from the matrices (the old shape crashed on
+    them inside np.asarray). Requires integral ids (pmod blocking) —
+    every caller's contract already.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = cand.sparkSession
+    v = to_double_array(vec_col)
+
+    def _mats(emb: DataFrame, n: int):
+        nblocks = max(1, -(-int(n) // rows_per_block))
+        base = emb.select(F.col(id_col).alias("id"), v.alias("v")).where(
+            F.col("v").isNotNull()
+        )
+        # two collect_lists over one grouped row stream stay aligned
+        # (the knn_graph mats contract); localCheckpoint, not persist —
+        # freed by the ContextCleaner with the returned plan
+        m = (
+            base.select(
+                "id", "v",
+                F.pmod(F.col("id"), F.lit(nblocks)).cast("int").alias("block"),
+            )
+            .groupBy("block")
+            .agg(
+                F.collect_list("id").alias("ids"),
+                F.collect_list("v").alias("vecs"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        return nblocks, m
+
+    na = a_count if a_count is not None else a_emb.count()
+    ba_n, mats_a = _mats(a_emb, na)
+    if b_emb is a_emb:
+        bb_n, mats_b = ba_n, mats_a
+    else:
+        nb = b_count if b_count is not None else b_emb.count()
+        bb_n, mats_b = _mats(b_emb, nb)
+    par = spark.sparkContext.defaultParallelism
+    n_salt = max(1, -(-par // max(ba_n * bb_n, 1)))
+    grouped = cand.groupBy(
+        F.pmod(F.col(a_name), F.lit(ba_n)).cast("int").alias("_ba"),
+        F.pmod(F.col(b_name), F.lit(bb_n)).cast("int").alias("_bb"),
+        F.pmod(F.xxhash64(F.col(a_name), F.col(b_name)), F.lit(n_salt))
+        .cast("int")
+        .alias("_s"),
+    ).agg(
+        # two aligned collect_lists (one grouped row stream feeds both
+        # buffers — the mats contract above): they cross into the worker
+        # as plain numpy int arrays, where a struct list would cost one
+        # python dict access per pair
+        F.collect_list(F.col(a_name)).alias("pas"),
+        F.collect_list(F.col(b_name)).alias("pbs"),
+    )
+    joined = grouped.join(
+        mats_a.select(
+            F.col("block").alias("_ba"),
+            F.col("ids").alias("ids_a"),
+            F.col("vecs").alias("vecs_a"),
+        ),
+        "_ba",
+    ).join(
+        mats_b.select(
+            F.col("block").alias("_bb"),
+            F.col("ids").alias("ids_b"),
+            F.col("vecs").alias("vecs_b"),
+        ),
+        "_bb",
+    )
+    thr = float(threshold)
+
+    def verify(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ai = np.asarray(row.ids_a, dtype=np.int64)
+                bi = np.asarray(row.ids_b, dtype=np.int64)
+                pa = np.asarray(row.pas, dtype=np.int64)
+                if not len(ai) or not len(bi) or not len(pa):
+                    continue
+                A = np.asarray(list(row.vecs_a), dtype=np.float64)
+                Bv = np.asarray(list(row.vecs_b), dtype=np.float64)
+                oa, ob = np.argsort(ai), np.argsort(bi)
+                ai, A = ai[oa], A[oa]
+                bi, Bv = bi[ob], Bv[ob]
+                pb = np.asarray(row.pbs, dtype=np.int64)
+                ia = np.clip(np.searchsorted(ai, pa), 0, len(ai) - 1)
+                ib = np.clip(np.searchsorted(bi, pb), 0, len(bi) - 1)
+                ok = (ai[ia] == pa) & (bi[ib] == pb)
+                if not ok.any():
+                    continue
+                Aa, Bb = A[ia[ok]], Bv[ib[ok]]
+                denom = np.sqrt((Aa * Aa).sum(axis=1)) * np.sqrt(
+                    (Bb * Bb).sum(axis=1)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        denom > 0, np.einsum("ij,ij->i", Aa, Bb) / denom, 0.0
+                    )
+                cos = np.round(cos, 6)
+                m = cos >= thr
+                if m.any():
+                    outs.append((pa[ok][m], pb[ok][m], cos[m]))
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        a_name: np.concatenate([o[0] for o in outs]),
+                        b_name: np.concatenate([o[1] for o in outs]),
+                        "cosine": np.concatenate([o[2] for o in outs]),
+                    }
+                )
+
+    return joined.mapInPandas(
+        verify, f"{a_name} long, {b_name} long, cosine double"
+    )
 
 
 def _arrow_cosine_verify(
@@ -1440,6 +1641,7 @@ def incremental_embedding_neardup(
                 "build; none of the three is recoverable from its rows)"
             )
         n = known_count if known_count is not None else corpus_emb.count()
+        known_count = n  # reuse for the verify's block sizing
         n_planes = lsh_autosize_planes(n)
     cb = (
         corpus_buckets_df
@@ -1460,20 +1662,13 @@ def incremental_embedding_neardup(
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    v = to_double_array(vec_col)
-    paired = cand.join(
-        batch_emb.select(
-            F.col(id_col).alias("batch_id"), v.alias("va")
-        ),
-        "batch_id",
-    ).join(
-        corpus_emb.select(
-            F.col(id_col).alias("corpus_id"), v.alias("vb")
-        ),
-        "corpus_id",
-    )
-    return _arrow_cosine_verify(
-        paired, threshold, a_name="batch_id", b_name="corpus_id"
+    # size-routed exact verify (see _cosine_verify_auto): the batch
+    # side is delta-sized; a big corpus side ships per-block instead of
+    # per-pair
+    return _cosine_verify_auto(
+        cand, batch_emb, corpus_emb, threshold,
+        a_name="batch_id", b_name="corpus_id",
+        id_col=id_col, vec_col=vec_col, b_count=known_count,
     )
 
 

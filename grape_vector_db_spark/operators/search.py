@@ -943,7 +943,12 @@ def margin_mine(
         .agg(F.round(F.avg("cosine"), 6).alias("_my"))
     )
     m = (
-        s.join(nnx, "xid")
+        # nnx is one row per xid and X is the WAVE side (already a
+        # broadcast above), so the per-x means are wave-bounded — the
+        # hint replaces an SMJ whose build side the planner could not
+        # size (no stats through the window chain). nny is CORPUS-sized:
+        # its shuffle join is the honest at-scale shape and stays.
+        s.join(F.broadcast(nnx), "xid")
         .join(nny, "yid")
         .select(
             "xid",

@@ -426,7 +426,17 @@ def class_tfidf_top_terms(
         F.col(class_col).alias("class"), tokens(text_col).alias("toks")
     )
     exploded = toked.select("class", F.explode("toks").alias("term"))
-    ctf = exploded.groupBy("class", "term").agg(F.count("*").alias("ctf"))
+    # ctf feeds THREE consumers (scored, ftot, a_row) and Catalyst prunes
+    # each branch to a different schema, so no exchange ever reuses — the
+    # corpus tokenize+explode+aggregate ran 3x per call (plan-verified:
+    # three Generate subtrees). Materialize it once; (class, term) rows
+    # are vocabulary x classes bounded, the same localCheckpoint idiom as
+    # chunk_embed_pool/evaluators (lineage truncation accepted there too).
+    ctf = (
+        exploded.groupBy("class", "term")
+        .agg(F.count("*").alias("ctf"))
+        .localCheckpoint(eager=True)
+    )
     ftot = ctf.groupBy("term").agg(F.sum("ctf").alias("f"))
     a_row = ctf.groupBy("class").agg(F.sum("ctf").alias("mass")).agg(
         F.avg("mass").alias("a_mass")
