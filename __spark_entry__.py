@@ -393,7 +393,15 @@ def q_hybrid_rrf_filtered(spark, sf_dir):
         "vec_id", "doc_id"
     )
     sparse_list = sparse.bm25_search(
-        docs, BM25_QUERY, k=OVERFETCH, terms=terms
+        docs, BM25_QUERY, k=OVERFETCH, terms=terms,
+        # filtered-subcorpus doc lengths == the warm per-doc stats
+        # restricted to kept docs (a doc's length does not depend on
+        # the filter), so the leg funds its stats from the ingest-built
+        # table via one semi-join instead of re-aggregating the
+        # filtered term table per call (r12; the same warm-index
+        # pattern the unfiltered _sparse_list uses). N/avgdl then
+        # derive from the SAME filtered rows — values unchanged.
+        dstats=_dstats(spark, sf_dir).join(keep, "doc_id", "left_semi"),
     )
     score = None
     for t in TEXT_TERMS:
